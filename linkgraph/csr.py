@@ -1,0 +1,168 @@
+"""Pure numpy compressed-sparse-row kernels (unit-testable, no Ray).
+
+The in-memory analog of Gemini's doubly-compressed adjacency
+(/root/reference/core/type.hpp:57-60 CompressedAdjIndexUnit;
+graph.hpp:1010-1043 build): rows are stored only for vertices with a
+non-empty adjacency — `row_vertex[k]` is the k-th non-empty row's vertex
+id, `indptr[k]:indptr[k+1]` spans its neighbors in `indices` (and
+`weights` when the graph is weighted).  Skipping empty rows is what keeps
+per-shard scans O(rows present), not O(|V|) — critical at 1e12-file scale
+where most vertices are absent from any given shard.
+
+All kernels are vectorized; none iterates Python rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class CompressedRows:
+    """One shard's adjacency in compressed form.
+
+    row_vertex : sorted global vertex ids of non-empty rows
+    indptr     : int64[len(row_vertex)+1] offsets into indices
+    indices    : global vertex ids of neighbors (shard-local by build rule)
+    weights    : optional float64 aligned with indices
+    """
+
+    row_vertex: np.ndarray
+    indptr: np.ndarray
+    indices: np.ndarray
+    weights: np.ndarray | None = None
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.indices)
+
+    def nbytes(self) -> int:
+        n = self.row_vertex.nbytes + self.indptr.nbytes + self.indices.nbytes
+        if self.weights is not None:
+            n += self.weights.nbytes
+        return n
+
+
+def build_compressed(keys: np.ndarray, values: np.ndarray,
+                     weights: np.ndarray | None = None) -> CompressedRows:
+    """Build compressed rows from parallel (key, value[, weight]) arrays.
+
+    push-CSR: keys=src, values=dst (edges routed to dst's owner,
+    graph.hpp:986-987, rows indexed by src, graph.hpp:960-964).
+    pull-CSC: keys=dst, values=src (routed to src's owner,
+    graph.hpp:1183-1184, rows indexed by dst, graph.hpp:1158-1162).
+
+    Deterministic: edges sorted by (key, value) regardless of input order.
+    Duplicate edges are preserved (reference keeps multi-edges, SURVEY §2).
+    """
+    keys = np.asarray(keys, dtype=np.int64)
+    values = np.asarray(values, dtype=np.int64)
+    order = np.lexsort((values, keys))
+    keys = keys[order]
+    values = values[order]
+    w = None if weights is None else np.asarray(weights, dtype=np.float64)[order]
+    row_vertex, counts = np.unique(keys, return_counts=True)
+    indptr = np.zeros(len(row_vertex) + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return CompressedRows(row_vertex, indptr, values, w)
+
+
+def rows_of(cr: CompressedRows, vertices: np.ndarray):
+    """Locate compressed-row positions for global vertex ids.
+
+    Returns (row_pos, present_mask): `row_pos[i]` is the compressed row of
+    `vertices[i]` where `present_mask[i]`; vertices with no local adjacency
+    are absent (the point of the compressed index).
+    """
+    vertices = np.asarray(vertices, dtype=np.int64)
+    pos = np.searchsorted(cr.row_vertex, vertices)
+    pos_c = np.minimum(pos, len(cr.row_vertex) - 1) if len(cr.row_vertex) else pos
+    present = (
+        (pos < len(cr.row_vertex)) & (cr.row_vertex[pos_c] == vertices)
+        if len(cr.row_vertex)
+        else np.zeros(len(vertices), dtype=bool)
+    )
+    return pos, present
+
+
+def expand_rows(cr: CompressedRows, row_pos: np.ndarray):
+    """Flatten the adjacency of the given compressed rows, vectorized.
+
+    Returns (edge_idx, row_rep) where `edge_idx` indexes cr.indices /
+    cr.weights for every edge of every requested row (rows in request
+    order), and `row_rep[i]` is the position in `row_pos` that edge i
+    belongs to (for np.repeat-style message expansion).
+    """
+    starts = cr.indptr[row_pos]
+    lens = cr.indptr[row_pos + 1] - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    row_rep = np.repeat(np.arange(len(row_pos), dtype=np.int64), lens)
+    # offset-within-row for each flat slot, then add the row's start
+    csum = np.cumsum(lens) - lens
+    edge_idx = np.arange(total, dtype=np.int64) - csum[row_rep] + starts[row_rep]
+    return edge_idx, row_rep
+
+
+def segment_reduce(values: np.ndarray, indptr: np.ndarray, op: str,
+                   mask: np.ndarray | None = None) -> np.ndarray:
+    """Per-row reduce over CSR segments; identity-filled for masked-out edges.
+
+    op='add' -> sum (identity 0); op='min' -> min (identity +inf).
+    The vectorized analog of Gemini's dense_signal inner loops
+    (e.g. pagerank.cpp:63-68 sum, cc.cpp:60-66 min).
+    """
+    if op == "add":
+        ident = 0
+        ufunc = np.add
+        vals = np.where(mask, values, ident) if mask is not None else values
+    elif op == "min":
+        ident = np.inf if values.dtype.kind == "f" else np.iinfo(values.dtype).max
+        ufunc = np.minimum
+        vals = np.where(mask, values, ident) if mask is not None else values
+    else:
+        raise ValueError(op)
+    n_rows = len(indptr) - 1
+    if n_rows <= 0:
+        return np.zeros(0, dtype=vals.dtype)
+    lens = np.diff(indptr)
+    if len(vals) == 0:
+        return np.full(n_rows, ident, dtype=values.dtype)
+    # reduceat quirk: an empty segment (indptr[k]==indptr[k+1]) yields
+    # vals[indptr[k]] not the identity, and a trailing start==len(vals)
+    # is out of bounds — clip then overwrite empties with the identity.
+    starts = np.minimum(indptr[:-1], len(vals) - 1)
+    out = ufunc.reduceat(vals, starts)
+    out[lens == 0] = ident
+    return out
+
+
+def combine_updates(dst_local: np.ndarray, vals: np.ndarray, op: str):
+    """Combine per-edge/per-partial updates targeting local vertices.
+
+    Returns (uniq_idx, agg): unique local target indices and their combined
+    value.  Deterministic vectorized replacement for Gemini's atomic
+    write_add / write_min (core/atomic.hpp:24-51) — combine order cannot
+    change results because the reduction is computed per target, not by
+    racing writers.
+    """
+    if len(dst_local) == 0:
+        return dst_local, vals
+    order = np.argsort(dst_local, kind="stable")
+    d = dst_local[order]
+    v = vals[order]
+    boundaries = np.empty(len(d), dtype=bool)
+    boundaries[0] = True
+    np.not_equal(d[1:], d[:-1], out=boundaries[1:])
+    starts = np.flatnonzero(boundaries)
+    uniq = d[starts]
+    if op == "add":
+        agg = np.add.reduceat(v, starts)
+    elif op == "min":
+        agg = np.minimum.reduceat(v, starts)
+    else:
+        raise ValueError(op)
+    return uniq, agg
