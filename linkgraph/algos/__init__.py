@@ -1,0 +1,19 @@
+"""Toolkit algorithms re-expressed as VertexPrograms (reference: the five
+apps in /root/reference/toolkits/ + the north-rule additions LP and
+triangle counting)."""
+
+from .bfs import BFSProgram, bfs
+from .cc import CCProgram, connected_components
+from .labelprop import LabelPropProgram, label_propagation
+from .pagerank import PageRankProgram, pagerank
+from .sssp import SSSPProgram, sssp
+from .triangles import triangle_count
+
+__all__ = [
+    "BFSProgram", "bfs",
+    "CCProgram", "connected_components",
+    "LabelPropProgram", "label_propagation",
+    "PageRankProgram", "pagerank",
+    "SSSPProgram", "sssp",
+    "triangle_count",
+]

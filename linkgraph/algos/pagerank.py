@@ -1,0 +1,88 @@
+"""PageRank with Gemini's exact conventions (toolkits/pagerank.cpp:26-129):
+
+  * init rank 1 (NOT 1/|V|) then pre-divide by out_degree where > 0
+    (pagerank.cpp:35-45) — so pr_sum ≈ |V|;
+  * superstep: next[dst] = sum of curr[src] over in-edges (:53-74);
+  * vertex phase: next = (1-d) + d*next with d=0.85 (:24, :86-88);
+    renormalize next /= out_degree and accumulate
+    delta += |next-curr| * out_degree (|next-curr| for dangling)
+    (:89-93), delta /= |V| (:98);
+  * dangling vertices keep their rank undivided (SURVEY.md §7.5.4);
+  * frontier always full (static), dense mode dominates by the |E|/20
+    rule since active_edges == |E|.
+
+Deviation (documented): the reference skips renormalization on the final
+iteration only (:82-88); we renormalize every step and recover raw ranks
+in finalize() (rank = curr * out_degree), identical to 1 ulp — within the
+north rule's allclose(1e-6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..engine import GraphEngine, VertexProgram
+
+
+class PageRankProgram(VertexProgram):
+    combine = "add"
+    supports_sparse = True
+    static_frontier = True
+    result_columns = ["rank"]
+
+    def init_state(self, ctx):
+        d = ctx.params.get("damping", 0.85)
+        curr = np.ones(ctx.n_local, dtype=np.float64)
+        nz = ctx.out_deg > 0
+        curr[nz] /= ctx.out_deg[nz]
+        return {"curr": curr,
+                "next": np.zeros(ctx.n_local, dtype=np.float64),
+                "_damping": np.full(1, d)}
+
+    def signal(self, ctx, state, local_idx):
+        return state["curr"][local_idx]
+
+    def dense_src_values(self, ctx, state):
+        return state["curr"]
+
+    def apply(self, ctx, state, tgt_idx, vals):
+        state["next"][tgt_idx] += vals
+        return np.zeros(len(tgt_idx), dtype=bool)
+
+    def post_step(self, ctx, state, active, step, final):
+        d = float(state["_damping"][0])
+        nxt, curr = state["next"], state["curr"]
+        nxt *= d
+        nxt += 1.0 - d
+        nz = ctx.out_deg > 0
+        nxt[nz] /= ctx.out_deg[nz]
+        diff = np.abs(nxt - curr)
+        delta = float((diff[nz] * ctx.out_deg[nz]).sum() + diff[~nz].sum())
+        state["curr"], state["next"] = nxt, curr
+        curr[:] = 0.0  # becomes next buffer (fill_vertex_array, :31)
+        return {"delta": delta / ctx.n_vertices}
+
+    def finalize(self, ctx, state):
+        rank = state["curr"].copy()
+        nz = ctx.out_deg > 0
+        rank[nz] *= ctx.out_deg[nz]
+        state["rank"] = rank
+
+
+def pagerank(engine: GraphEngine, iterations: int = 20, damping: float = 0.85,
+             tol: float = 0.0, ckpt_dir: str | None = None,
+             ckpt_every: int = 1, resume: bool = False) -> dict:
+    """Run PageRank; returns the run report. Read results via
+    engine.state_dataset(["rank"]) / state_pandas(["rank"])."""
+    return engine.run(
+        PageRankProgram(), params={"damping": damping},
+        max_steps=iterations,
+        stop_reducer="delta" if tol > 0 else None, stop_tol=tol,
+        ckpt_dir=ckpt_dir, ckpt_every=ckpt_every, resume=resume,
+        run_name="pagerank",
+    )
+
+
+def pr_sum(engine: GraphEngine) -> float:
+    """Gemini's pr_sum invariant (pagerank.cpp:107-115), ≈ |V|."""
+    return engine.map_vertices(lambda ctx, state, active: float(state["rank"].sum()))

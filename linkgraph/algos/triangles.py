@@ -1,0 +1,126 @@
+"""Exact triangle counting (north-rule addition; no reference
+implementation — design per SURVEY.md §2.3).
+
+Degree-orientation method, fully as a Ray Data pipeline (no shard
+actors):
+
+  1. canonicalize edges to u<v, dedup, drop self-loops;
+  2. vertex degrees (both endpoints) via groupby-count;
+  3. orient every edge from lower (degree, id) to higher — each triangle
+     has exactly ONE wedge whose two out-edges leave its minimum vertex,
+     and out-degrees are bounded ~O(sqrt(m)), so wedge count is
+     O(Σ deg+²) = O(m^1.5) (SURVEY.md §7.5.7);
+  4. wedges: groupby(a).map_groups emitting ordered out-neighbor pairs;
+  5. closure: inner-join wedges against the oriented edge set on
+     (src, dst); the row count is the exact triangle count.
+
+Shuffles: 2 degree-attach joins + 1 groupby + 1 closure join, all keyed
+by vertex id; wedges stream through the join — never materialized on the
+driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _canonical(b: pa.Table) -> pa.Table:
+    s = b["src"].to_numpy(zero_copy_only=False)
+    d = b["dst"].to_numpy(zero_copy_only=False)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    return pa.table({"src": np.minimum(s, d), "dst": np.maximum(s, d)})
+
+
+def _vertex_degrees(canon_ds):
+    def both(b: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.concat_arrays(
+            [pc.cast(b["src"], pa.int64()).combine_chunks(),
+             pc.cast(b["dst"], pa.int64()).combine_chunks()])})
+
+    deg = canon_ds.map_batches(both, batch_format="pyarrow").groupby("v").count()
+    return deg.map_batches(
+        lambda b: pa.table({"v": b["v"],
+                            "degree": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def oriented_edges(edges_ds, num_partitions: int = 16):
+    """Canonical simple edges -> (a, b, b_deg) oriented low->high (deg, id)."""
+    canon = edges_ds.map_batches(_canonical, batch_format="pyarrow") \
+                    .groupby(["src", "dst"]).count() \
+                    .select_columns(["src", "dst"])
+    deg = _vertex_degrees(canon)
+    sdeg = deg.map_batches(
+        lambda b: pa.table({"src": b["v"], "src_deg": b["degree"]}),
+        batch_format="pyarrow")
+    ddeg = deg.map_batches(
+        lambda b: pa.table({"dst": b["v"], "dst_deg": b["degree"]}),
+        batch_format="pyarrow")
+    j = canon.join(sdeg, join_type="inner", num_partitions=num_partitions,
+                   on=("src",))
+    j = j.join(ddeg, join_type="inner", num_partitions=num_partitions,
+               on=("dst",))
+
+    def orient(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        sd = b["src_deg"].to_numpy(zero_copy_only=False)
+        dd = b["dst_deg"].to_numpy(zero_copy_only=False)
+        src_first = (sd < dd) | ((sd == dd) & (s < d))
+        a = np.where(src_first, s, d)
+        bb = np.where(src_first, d, s)
+        bdeg = np.where(src_first, dd, sd)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(bb, pa.int64()),
+                         "b_deg": pa.array(bdeg, pa.int64())})
+
+    return j.map_batches(orient, batch_format="pyarrow")
+
+
+def _wedges(group: pd.DataFrame) -> pd.DataFrame:
+    """All ordered out-neighbor pairs of one source, in orientation order."""
+    nb = group.sort_values(["b_deg", "b"])["b"].to_numpy()
+    k = len(nb)
+    if k < 2:
+        return pd.DataFrame({"src": np.empty(0, np.int64),
+                             "dst": np.empty(0, np.int64)})
+    iu, ju = np.triu_indices(k, 1)
+    return pd.DataFrame({"src": nb[iu].astype(np.int64),
+                         "dst": nb[ju].astype(np.int64)})
+
+
+def triangle_count(edges_ds, num_partitions: int = 16) -> int:
+    """Exact global triangle count of the undirected simple graph.
+
+    Closure check is a union + groupby(["src","dst"]) aggregate rather
+    than a hash join: wedge rows carry wc=1, oriented-edge rows ec=1; a
+    wedge (b,c) closes iff its group contains an edge row.  The groupby
+    runs with partial (combiner) aggregation and, unlike Dataset.join,
+    is robust to empty hash partitions on tiny inputs.
+    """
+    from ray.data.aggregate import Sum
+
+    oe = oriented_edges(edges_ds, num_partitions)
+    oe_tagged = oe.map_batches(
+        lambda b: pa.table({"src": b["a"], "dst": b["b"],
+                            "wc": pa.array(np.zeros(b.num_rows, np.int64)),
+                            "ec": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    wedges = oe.groupby("a").map_groups(_wedges, batch_format="pandas")
+    w_tagged = wedges.map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"],
+                            "wc": pa.array(np.ones(b.num_rows, np.int64)),
+                            "ec": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    grouped = w_tagged.union(oe_tagged).groupby(["src", "dst"]).aggregate(
+        Sum("wc", alias_name="wc"), Sum("ec", alias_name="ec"))
+    closed = grouped.map_batches(
+        lambda b: pa.table({"tri": pc.multiply(
+            b["wc"], pc.min_element_wise(b["ec"], pa.scalar(1, pa.int64())))}),
+        batch_format="pyarrow")
+    total = closed.sum("tri")
+    return int(total) if total is not None else 0

@@ -140,6 +140,28 @@ def segment_reduce(values: np.ndarray, indptr: np.ndarray, op: str,
     return out
 
 
+def count_pairs(a: np.ndarray, b: np.ndarray,
+                weights: np.ndarray | None = None):
+    """Group parallel (a, b) pairs; return (ua, ub, counts) per distinct pair.
+
+    counts sums `weights` when given (merging partial histograms), else
+    multiplicities.  Vectorized two-key groupby — the label-frequency
+    combine for label propagation (SURVEY.md §2.3).
+    """
+    if len(a) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    w_s = weights[order] if weights is not None else np.ones(len(a), np.int64)
+    newgrp = np.empty(len(a_s), dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    starts = np.flatnonzero(newgrp)
+    counts = np.add.reduceat(w_s, starts)
+    return a_s[starts], b_s[starts], counts
+
+
 def combine_updates(dst_local: np.ndarray, vals: np.ndarray, op: str):
     """Combine per-edge/per-partial updates targeting local vertices.
 

@@ -95,12 +95,14 @@ def degree_table(ds, key: str = "src", out: str = "degree"):
     )
 
 
-def edges_from_arrays(src: np.ndarray, dst: np.ndarray):
+def edges_from_arrays(src: np.ndarray, dst: np.ndarray,
+                      weight: np.ndarray | None = None):
     """Small-graph helper (tests): numpy arrays -> Dataset."""
     import ray.data as rd
-    t = pa.table({"src": pa.array(src, pa.int64()),
-                  "dst": pa.array(dst, pa.int64())})
-    return rd.from_arrow(t)
+    cols = {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    if weight is not None:
+        cols["weight"] = pa.array(weight, pa.float64())
+    return rd.from_arrow(pa.table(cols))
 
 
 def build_link_edges(files_ds, n_buckets: int = 256, join_partitions: int = 16):

@@ -1,0 +1,239 @@
+"""Superstep driver: Gemini's process_vertices / process_edges on Ray.
+
+Re-expresses /root/reference/core/graph.hpp:1406-1866 for a shard-actor
+pool:
+
+  process_edges superstep
+    1. frontier stats from every shard             (graph.hpp:1502-1507)
+    2. adaptive mode: sparse iff
+       active_out_edges < n_edges / SPARSE_DENOM   (graph.hpp:1508)
+    3a. sparse/push: shards' active masters emit (src, msg); the small
+        message set is BROADCAST (object-store refs, read zero-copy by
+        every shard) and applied via local push-CSR rows
+        (graph.hpp:1529-1662) — dst is always local, no second shuffle
+    3b. dense/pull: every shard reduces its pull-CSC rows over LOCAL src
+        state and routes per-dst partials to the dst owner
+        (num_returns=n_parts direct actor handoff — the message shuffle,
+        graph.hpp:1663-1854); owners combine deterministically
+    4. vertex phase + frontier swap per shard, partial reducers summed on
+       the driver (replaces MPI_Allreduce, graph.hpp:1856-1858)
+
+Combines are per-target vectorized reductions (csr.combine_updates), so
+results are deterministic and independent of partition count — unlike the
+reference's atomics (SURVEY.md §4 determinism row).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import ray
+
+from .checkpoint import latest_step, write_manifest
+from .shards import GraphShard
+
+SPARSE_DENOM = 20  # sparse iff active_edges < |E|/20 (graph.hpp:1508)
+
+
+class VertexProgram:
+    """Algorithm spec: vectorized numpy hooks run inside shard actors.
+
+    The signal/slot pair of Gemini's process_edges (graph.hpp:1492-1866)
+    becomes: `signal`/`dense_src_values` (what a vertex says),
+    `edge_transform` (per-edge arithmetic, e.g. +weight),
+    `apply` (how a target combines what it heard), `post_step` (the
+    process_vertices phase between supersteps).
+    """
+
+    combine: str = "add"          # 'add' | 'min' | 'hist'
+    supports_sparse: bool = True
+    static_frontier: bool = False  # True: frontier stays full (PageRank/LP)
+
+    # state ------------------------------------------------------------
+    def init_state(self, ctx) -> dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def initial_active(self, ctx, state) -> np.ndarray:
+        return np.ones(ctx.n_local, dtype=bool)
+
+    # push (sparse) side ------------------------------------------------
+    def signal(self, ctx, state, local_idx) -> np.ndarray:
+        raise NotImplementedError
+
+    # pull (dense) side -------------------------------------------------
+    def dense_src_values(self, ctx, state) -> np.ndarray:
+        raise NotImplementedError
+
+    def dense_src_mask(self, ctx, state, active):
+        return None  # default: reduce over ALL in-neighbors (cc.cpp:60-66)
+
+    def dense_emit_mask(self, ctx, row_vertex, partial) -> np.ndarray:
+        if self.combine == "add":
+            return partial != 0
+        return np.ones(len(row_vertex), dtype=bool)
+
+    # both sides --------------------------------------------------------
+    def edge_transform(self, vals, weights):
+        return vals
+
+    def apply(self, ctx, state, tgt_idx, vals) -> np.ndarray:
+        raise NotImplementedError
+
+    def post_step(self, ctx, state, active, step, final) -> dict:
+        return {}
+
+    def finalize(self, ctx, state) -> None:
+        pass
+
+    result_columns: list[str] = []
+
+
+class GraphEngine:
+    """Owns the shard pool for one loaded graph; runs programs on it.
+
+    Like the reference, the loaded graph is reused across runs
+    (pagerank.cpp:144-147 runs compute 6x on one load).
+    """
+
+    def __init__(self, store_dir: str, meta: dict, num_cpus_per_shard: float = 1):
+        self.store_dir = store_dir
+        self.meta = meta
+        self.n_parts = meta["num_partitions"]
+        self.shards = [
+            GraphShard.options(num_cpus=num_cpus_per_shard).remote(
+                store_dir, p, meta)
+            for p in range(self.n_parts)
+        ]
+        self.shard_info = ray.get([s.ping.remote() for s in self.shards])
+
+    def shutdown(self):
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+    # ------------------------------------------------------------------
+
+    def run(self, program: VertexProgram, params: dict | None = None,
+            max_steps: int = 10 ** 9, stop_reducer: str | None = None,
+            stop_tol: float = 0.0, stop_on_no_activation: bool = False,
+            ckpt_dir: str | None = None,
+            ckpt_every: int = 1, resume: bool = False,
+            run_name: str = "run") -> dict:
+        """Drive supersteps until the frontier empties, `max_steps`, or
+        reducer `stop_reducer` < stop_tol.  Returns the run report (per-
+        superstep metrics).  With ckpt_dir every `ckpt_every` supersteps
+        are checkpointed; resume=True continues from the latest complete
+        checkpoint (north rule: resumable with per-partition lineage).
+        """
+        params = params or {}
+        t0 = time.perf_counter()
+        start_step = 0
+        if resume and ckpt_dir is not None:
+            done = latest_step(ckpt_dir, self.n_parts)
+            if done is not None:
+                ray.get([s.init_run.remote(program, params) for s in self.shards])
+                counts = ray.get([s.load_state.remote(ckpt_dir, done)
+                                  for s in self.shards])
+                active = sum(counts)
+                start_step = done + 1
+            else:
+                active = sum(ray.get([s.init_run.remote(program, params)
+                                      for s in self.shards]))
+        else:
+            active = sum(ray.get([s.init_run.remote(program, params)
+                                  for s in self.shards]))
+
+        steps = []
+        n_edges = max(1, self.meta["n_edges"])
+        step = start_step
+        while step < max_steps:
+            ts = time.perf_counter()
+            stats = ray.get([s.frontier_stats.remote() for s in self.shards])
+            active = sum(a for a, _ in stats)
+            active_edges = sum(d for _, d in stats)
+            if active == 0 and not program.static_frontier:
+                break
+            sparse = (program.supports_sparse
+                      and active_edges < n_edges / SPARSE_DENOM)
+            if sparse:
+                msg_refs = [s.sparse_signal.remote() for s in self.shards]
+                activated = sum(ray.get(
+                    [s.sparse_apply.remote(msg_refs) for s in self.shards]))
+            elif self.n_parts == 1:
+                sig = [s.dense_signal.remote() for s in self.shards]
+                activated = ray.get(self.shards[0].dense_apply.remote(sig))
+            else:
+                sig = [
+                    s.dense_signal.options(num_returns=self.n_parts).remote()
+                    for s in self.shards
+                ]
+                apply_refs = [
+                    self.shards[i].dense_apply.remote(
+                        [sig[j][i] for j in range(self.n_parts)])
+                    for i in range(self.n_parts)
+                ]
+                activated = sum(ray.get(apply_refs))
+            final = step == max_steps - 1
+            finish = ray.get([s.finish_step.remote(step, final)
+                              for s in self.shards])
+            reducers: dict[str, float] = {}
+            for f in finish:
+                for k, v in f.items():
+                    if k not in ("active", "active_out_deg"):
+                        reducers[k] = reducers.get(k, 0.0) + v
+            rec = {
+                "step": step, "mode": "sparse" if sparse else "dense",
+                "active_in": active, "active_edges": active_edges,
+                "activated": activated,
+                "active_out": sum(f["active"] for f in finish),
+                "wall_s": time.perf_counter() - ts,
+                "reducers": reducers,
+                "per_part": [{"part": i, "active": f["active"]}
+                             for i, f in enumerate(finish)],
+            }
+            steps.append(rec)
+            if ckpt_dir is not None and (step % ckpt_every == 0 or final):
+                parts = ray.get([s.save_state.remote(ckpt_dir, step)
+                                 for s in self.shards])
+                write_manifest(ckpt_dir, step, run_name, rec, parts, self.meta)
+            step += 1
+            if stop_reducer is not None and reducers.get(stop_reducer, 0.0) < stop_tol:
+                break
+            if stop_on_no_activation and activated == 0:
+                break
+            if rec["active_out"] == 0 and not program.static_frontier:
+                break
+
+        ray.get([s.finalize_run.remote() for s in self.shards])
+        return {
+            "run": run_name, "steps": steps, "n_steps": len(steps),
+            "start_step": start_step,
+            "n_edges": self.meta["n_edges"],
+            "n_vertices": self.meta["n_vertices"],
+            "wall_s": time.perf_counter() - t0,
+        }
+
+    # ------------------------------------------------------------------
+
+    def map_vertices(self, fn, reduce: str = "sum") -> float:
+        """Reduce fn(ctx, state, active) over shards (process_vertices,
+        graph.hpp:1406-1468; the driver-side reduce replaces Allreduce)."""
+        parts = ray.get([s.map_vertices.remote(fn) for s in self.shards])
+        return max(parts) if reduce == "max" else sum(parts)
+
+    def state_dataset(self, columns: list[str]):
+        """Vertex state as a Ray Dataset (v + columns), one block/shard."""
+        import ray.data as rd
+
+        refs = [s.state_table.remote(columns) for s in self.shards]
+        return rd.from_arrow_refs(refs)
+
+    def state_pandas(self, columns: list[str]):
+        """Small-graph/test helper: full state on the driver, sorted by v."""
+        import pyarrow as pa
+
+        tables = ray.get([s.state_table.remote(columns) for s in self.shards])
+        return pa.concat_tables(tables).to_pandas().sort_values("v").reset_index(
+            drop=True)

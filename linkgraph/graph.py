@@ -1,0 +1,40 @@
+"""High-level graph lifecycle: edge Dataset -> store -> shard pool engine.
+
+The analog of Gemini's `new Graph; load_directed(...)` /
+`load_undirected_from_directed(...)` entry points
+(/root/reference/core/graph.hpp:771, :349): one build, many runs.
+"""
+
+from __future__ import annotations
+
+from .edges import dedup_edges, symmetrize
+from .engine import GraphEngine
+from .store import build_graph_store, load_meta
+
+
+def load_directed(edges_ds, n_vertices: int, num_partitions: int,
+                  store_dir: str, weighted: bool = False,
+                  num_cpus_per_shard: float = 1) -> GraphEngine:
+    """Directed graph engine (PageRank / BFS / SSSP)."""
+    meta = build_graph_store(edges_ds, n_vertices, num_partitions, store_dir,
+                             symmetric=False, weighted=weighted)
+    return GraphEngine(store_dir, meta, num_cpus_per_shard)
+
+
+def load_undirected(edges_ds, n_vertices: int, num_partitions: int,
+                    store_dir: str, simple: bool = True,
+                    num_cpus_per_shard: float = 1) -> GraphEngine:
+    """Undirected graph engine (CC / LP): emits each edge both ways
+    (graph.hpp:572-587) and, when simple=True, collapses duplicates so
+    LP's neighbor-label histogram is over distinct neighbors."""
+    und = symmetrize(edges_ds)
+    if simple:
+        und = dedup_edges(und)
+    meta = build_graph_store(und, n_vertices, num_partitions, store_dir,
+                             symmetric=True)
+    return GraphEngine(store_dir, meta, num_cpus_per_shard)
+
+
+def attach(store_dir: str, num_cpus_per_shard: float = 1) -> GraphEngine:
+    """Re-attach an engine to an existing on-disk store (resume path)."""
+    return GraphEngine(store_dir, load_meta(store_dir), num_cpus_per_shard)

@@ -1,0 +1,307 @@
+"""GraphShard actor: one vertex partition's adjacency + mutable state.
+
+The Ray analog of Gemini's per-rank Graph object
+(/root/reference/core/graph.hpp:90-141): each shard pins
+
+  push-CSR  rows keyed by ANY src, neighbors = locally-owned dsts
+            (built from edges routed by dst owner, graph.hpp:986-987)
+  pull-CSC  rows keyed by ANY dst, neighbors = locally-owned srcs
+            (routed by src owner, graph.hpp:1183-1184)
+
+plus dense per-local-vertex state arrays (`value[v - lo]` indexing) and
+the frontier bitmaps.  Because pull-CSC neighbors are local by
+construction, dense gather reads ONLY local state — no cross-shard state
+shipping per superstep (SURVEY.md §7.5.2); messages are the only traffic.
+
+All per-batch work is vectorized numpy over the pinned arrays; messages
+move as numpy arrays through the object store (zero-copy reads).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import ray
+
+from .csr import (
+    CompressedRows,
+    build_compressed,
+    combine_updates,
+    count_pairs,
+    expand_rows,
+    rows_of,
+    segment_reduce,
+)
+from .partition import part_of
+from .store import read_part_edges
+
+INT_INF = np.iinfo(np.int64).max
+
+
+@dataclass
+class ShardCtx:
+    """Read-only context handed to VertexProgram hooks."""
+
+    part: int
+    lo: int
+    hi: int
+    n_vertices: int
+    n_edges: int
+    out_deg: np.ndarray  # int64[hi-lo]
+    in_deg: np.ndarray
+    params: dict = field(default_factory=dict)
+
+    @property
+    def n_local(self) -> int:
+        return self.hi - self.lo
+
+
+def _split_by_owner(ids: np.ndarray, offsets: np.ndarray, *cols):
+    """Split (ids, *aligned cols) into per-partition tuples by owner of ids."""
+    p = part_of(ids, offsets)
+    order = np.argsort(p, kind="stable")
+    p_sorted = p[order]
+    n_parts = len(offsets) - 1
+    bounds = np.searchsorted(p_sorted, np.arange(n_parts + 1))
+    out = []
+    for i in range(n_parts):
+        sl = order[bounds[i]:bounds[i + 1]]
+        out.append(tuple(c[sl] for c in (ids, *cols)))
+    return out
+
+
+@ray.remote
+class GraphShard:
+    """One partition of the graph: adjacency + state + superstep kernels."""
+
+    def __init__(self, store_dir: str, part: int, meta: dict):
+        self.part = part
+        self.store_dir = store_dir
+        self.meta = meta
+        self.offsets = np.asarray(meta["offsets"], dtype=np.int64)
+        self.lo = int(self.offsets[part])
+        self.hi = int(self.offsets[part + 1])
+        self.n_parts = meta["num_partitions"]
+        weighted = meta["weighted"]
+
+        src, dst, w = read_part_edges(store_dir, "push", part, weighted)
+        self.push = build_compressed(src, dst, w)  # rows: src, nbrs: local dst
+        if meta["symmetric"]:
+            # symmetric edge set: pull partition == push partition with roles
+            # swapped == the same compressed structure (graph.hpp:732-737)
+            self.pull = self.push
+            psrc, pdst = dst, src
+        else:
+            psrc, pdst, pw = read_part_edges(store_dir, "pull", part, weighted)
+            self.pull = build_compressed(pdst, psrc, pw)  # rows: dst, nbrs: local src
+        # local degrees from the shard's own partitions:
+        #   out_degree of local v = #edges with src==v  (all land in pull part)
+        #   in_degree  of local v = #edges with dst==v  (all land in push part)
+        n_local = self.hi - self.lo
+        self.out_deg = np.bincount(psrc - self.lo, minlength=n_local).astype(np.int64) \
+            if len(psrc) else np.zeros(n_local, dtype=np.int64)
+        self.in_deg = np.bincount(dst - self.lo, minlength=n_local).astype(np.int64) \
+            if len(dst) else np.zeros(n_local, dtype=np.int64)
+
+        self.program = None
+        self.state: dict[str, np.ndarray] = {}
+        self.active = np.zeros(n_local, dtype=bool)
+        self.next_active = np.zeros(n_local, dtype=bool)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def ping(self) -> dict:
+        return {
+            "part": self.part, "lo": self.lo, "hi": self.hi,
+            "push_edges": self.push.n_edges, "pull_edges": self.pull.n_edges,
+            "bytes": self.push.nbytes() + (0 if self.pull is self.push
+                                           else self.pull.nbytes()),
+        }
+
+    def init_run(self, program, params: dict) -> int:
+        self.program = program
+        self.ctx = ShardCtx(self.part, self.lo, self.hi,
+                            self.meta["n_vertices"], self.meta["n_edges"],
+                            self.out_deg, self.in_deg, params)
+        self.state = program.init_state(self.ctx)
+        self.active = program.initial_active(self.ctx, self.state)
+        self.next_active = np.zeros(self.ctx.n_local, dtype=bool)
+        return int(self.active.sum())
+
+    def frontier_stats(self):
+        """(active count, sum of out_degree over active) — drives the
+        sparse/dense switch (graph.hpp:1502-1508)."""
+        return int(self.active.sum()), int(self.out_deg[self.active].sum())
+
+    # -- sparse (push) mode --------------------------------------------------
+
+    def sparse_signal(self):
+        """Active masters emit (global id, msg) — small by mode rule."""
+        idx = np.flatnonzero(self.active)
+        if len(idx) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        msgs = self.program.signal(self.ctx, self.state, idx)
+        return idx + self.lo, msgs
+
+    def sparse_apply(self, msg_refs):
+        """Apply the broadcast frontier messages via local push-CSR rows."""
+        parts = ray.get(list(msg_refs))
+        ids = np.concatenate([p[0] for p in parts])
+        msgs = np.concatenate([p[1] for p in parts])
+        if len(ids) == 0:
+            return 0
+        pos, present = rows_of(self.push, ids)
+        if not present.any():
+            return 0
+        edge_idx, row_rep = expand_rows(self.push, pos[present])
+        if len(edge_idx) == 0:
+            return 0
+        dst_local = self.push.indices[edge_idx] - self.lo
+        vals = msgs[present][row_rep]
+        w = self.push.weights[edge_idx] if self.push.weights is not None else None
+        vals = self.program.edge_transform(vals, w)
+        uniq, agg = combine_updates(dst_local, vals, self.program.combine)
+        changed = self.program.apply(self.ctx, self.state, uniq, agg)
+        self.next_active[uniq[changed]] = True
+        return int(changed.sum())
+
+    # -- dense (pull) mode ---------------------------------------------------
+
+    def dense_signal(self):
+        """Scan pull-CSC, reduce per dst row over LOCAL src state, route
+        partials to dst owners.  Returns n_parts pieces."""
+        cr: CompressedRows = self.pull
+        prog = self.program
+        if prog.combine == "hist":
+            return self._dense_signal_hist()
+        n_rows = len(cr.row_vertex)
+        if n_rows == 0:
+            empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+            return [empty] * self.n_parts
+        src_vals = prog.dense_src_values(self.ctx, self.state)
+        edge_vals = src_vals[cr.indices - self.lo]
+        w = cr.weights
+        edge_vals = prog.edge_transform(edge_vals, w)
+        vmask = prog.dense_src_mask(self.ctx, self.state, self.active)
+        emask = vmask[cr.indices - self.lo] if vmask is not None else None
+        partial = segment_reduce(edge_vals, cr.indptr, prog.combine, emask)
+        emit = prog.dense_emit_mask(self.ctx, cr.row_vertex, partial)
+        return _split_by_owner(cr.row_vertex[emit], self.offsets, partial[emit])
+
+    def _dense_signal_hist(self):
+        """Histogram combine (label propagation): emit per-(dst,label) counts."""
+        cr = self.pull
+        if len(cr.row_vertex) == 0:
+            empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+                     np.empty(0, np.int64))
+            return [empty] * self.n_parts
+        labels = self.program.dense_src_values(self.ctx, self.state)
+        edge_labels = labels[cr.indices - self.lo]
+        row_id = np.repeat(np.arange(len(cr.row_vertex), dtype=np.int64),
+                           np.diff(cr.indptr))
+        ur, ul, counts = count_pairs(row_id, edge_labels)
+        return _split_by_owner(cr.row_vertex[ur], self.offsets, ul, counts)
+
+    def dense_apply(self, piece_refs):
+        """Combine routed partials into local state (the slot side)."""
+        got = ray.get(list(piece_refs))
+        pieces = []
+        for p in got:  # tolerate whole piece-lists (n_parts==1 path)
+            pieces.extend(p) if isinstance(p, list) else pieces.append(p)
+        prog = self.program
+        if prog.combine == "hist":
+            return self._dense_apply_hist(pieces)
+        ids = np.concatenate([p[0] for p in pieces])
+        vals = np.concatenate([p[1] for p in pieces])
+        if len(ids) == 0:
+            return 0
+        uniq, agg = combine_updates(ids - self.lo, vals, prog.combine)
+        changed = prog.apply(self.ctx, self.state, uniq, agg)
+        self.next_active[uniq[changed]] = True
+        return int(changed.sum())
+
+    def _dense_apply_hist(self, pieces):
+        ids = np.concatenate([p[0] for p in pieces])
+        labels = np.concatenate([p[1] for p in pieces])
+        counts = np.concatenate([p[2] for p in pieces])
+        if len(ids) == 0:
+            return 0
+        uid, ulab, ucnt = count_pairs(ids, labels, counts)
+        # per dst: max count, tie-break smallest label (deterministic,
+        # SURVEY.md §2.3 LP design)
+        order = np.lexsort((ulab, -ucnt, uid))
+        uid, ulab = uid[order], ulab[order]
+        first = np.ones(len(uid), dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        tgt, winner = uid[first] - self.lo, ulab[first]
+        changed = self.program.apply(self.ctx, self.state, tgt, winner)
+        self.next_active[tgt[changed]] = True
+        return int(changed.sum())
+
+    # -- vertex phase / bookkeeping -----------------------------------------
+
+    def finish_step(self, step: int, final: bool):
+        """Swap frontiers, run the program's vertex phase; return metrics."""
+        prog = self.program
+        reducers = prog.post_step(self.ctx, self.state, self.active, step, final)
+        if prog.static_frontier:
+            self.next_active = self.active  # stays full (pagerank.cpp:32-33)
+        self.active, self.next_active = (
+            self.next_active, np.zeros(self.ctx.n_local, dtype=bool))
+        return {"active": int(self.active.sum()),
+                "active_out_deg": int(self.out_deg[self.active].sum()),
+                **{k: float(v) for k, v in reducers.items()}}
+
+    def finalize_run(self):
+        self.program.finalize(self.ctx, self.state)
+        return 0
+
+    def map_vertices(self, fn):
+        """process_vertices analog (graph.hpp:1406-1468): fn(ctx, state,
+        active) -> partial scalar, summed on the driver."""
+        return fn(self.ctx, self.state, self.active)
+
+    def state_table(self, columns: list[str]):
+        """Export local vertex state as an Arrow table (v + columns)."""
+        import pyarrow as pa
+
+        n = self.ctx.n_local
+        data = {"v": pa.array(np.arange(self.lo, self.hi, dtype=np.int64))}
+        for c in columns:
+            data[c] = pa.array(self.state[c][:n])
+        return pa.table(data)
+
+    @staticmethod
+    def _is_vertex_state(name: str, arr) -> bool:
+        # "_"-prefixed entries are scalar run parameters, not per-vertex
+        return isinstance(arr, np.ndarray) and not name.startswith("_")
+
+    # -- checkpoint / resume (north rule: every superstep resumable) --------
+
+    def save_state(self, ckpt_dir: str, step: int) -> dict:
+        import pyarrow as pa
+
+        from .io import write_table
+
+        cols = {name: pa.array(arr) for name, arr in self.state.items()
+                if self._is_vertex_state(name, arr)}
+        cols["__active"] = pa.array(self.active)
+        path = f"{ckpt_dir}/step={step}/part={self.part}.parquet"
+        write_table(pa.table(cols), path)
+        return {"part": self.part, "rows": self.ctx.n_local,
+                "active": int(self.active.sum()), "path": path}
+
+    def load_state(self, ckpt_dir: str, step: int) -> int:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{ckpt_dir}/step={step}/part={self.part}.parquet")
+        for name in t.column_names:
+            arr = t[name].to_numpy(zero_copy_only=False)
+            if name == "__active":
+                self.active = arr.astype(bool)
+            else:
+                self.state[name] = arr.copy()
+        self.next_active = np.zeros(self.ctx.n_local, dtype=bool)
+        return int(self.active.sum())

@@ -1,0 +1,257 @@
+"""Algorithm oracle tests (SURVEY.md §5.2): engine vs 20-line numpy
+references implementing the reference toolkits' EXACT recurrences, on
+seeded micro graphs; plus partition-count invariance and resume."""
+
+import numpy as np
+import pytest
+
+from linkgraph.algos import (
+    bfs, connected_components, label_propagation, pagerank, sssp,
+    triangle_count,
+)
+from linkgraph.algos.bfs import found_vertices
+from linkgraph.algos.pagerank import pr_sum
+from linkgraph.algos.sssp import INF_DIST, max_finite_distance
+from linkgraph.edges import edges_from_arrays
+from linkgraph.graph import load_directed, load_undirected
+from linkgraph.synth import micro_graph
+
+
+# ---------------------------------------------------------------- oracles
+
+def pr_oracle(e, n, iters, d=0.85):
+    outdeg = np.bincount(e[:, 0], minlength=n)
+    nz = outdeg > 0
+    curr = np.ones(n)
+    curr[nz] /= outdeg[nz]
+    raw = curr.copy()
+    for _ in range(iters):
+        s = np.zeros(n)
+        np.add.at(s, e[:, 1], curr[e[:, 0]])
+        raw = 1 - d + d * s
+        curr = raw.copy()
+        curr[nz] = raw[nz] / outdeg[nz]
+    return raw
+
+
+def sym_simple(e, n):
+    both = np.vstack([e, e[:, ::-1]])
+    both = both[both[:, 0] != both[:, 1]]
+    return np.unique(both, axis=0)
+
+
+def cc_oracle(e, n):
+    s = sym_simple(e, n)
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, s[:, 1], lab[s[:, 0]])
+        if np.array_equal(new, lab):
+            return lab
+        lab = new
+
+
+def lp_oracle(e, n, max_iters):
+    s = sym_simple(e, n)
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(max_iters):
+        new = lab.copy()
+        for v in np.unique(s[:, 1]):
+            nbr_labels = lab[s[s[:, 1] == v][:, 0]]
+            vals, cnts = np.unique(nbr_labels, return_counts=True)
+            new[v] = vals[cnts == cnts.max()].min()
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return lab
+
+
+def bfs_oracle(e, n, root):
+    adj = [[] for _ in range(n)]
+    for u, v in e:
+        adj[u].append(v)
+    depth = np.full(n, -1)
+    depth[root] = 0
+    frontier = [root]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if depth[v] < 0:
+                    depth[v] = depth[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return depth
+
+
+def sssp_oracle(e, w, n, root):
+    import heapq
+
+    adj = [[] for _ in range(n)]
+    for (u, v), wt in zip(e, w):
+        adj[u].append((v, wt))
+    dist = np.full(n, INF_DIST)
+    dist[root] = 0.0
+    h = [(0.0, root)]
+    while h:
+        dd, u = heapq.heappop(h)
+        if dd > dist[u]:
+            continue
+        for v, wt in adj[u]:
+            if dd + wt < dist[v]:
+                dist[v] = dd + wt
+                heapq.heappush(h, (dist[v], v))
+    return dist
+
+
+def tri_oracle(e, n):
+    s = sym_simple(e, n)
+    adj = np.zeros((n, n), dtype=np.int64)
+    adj[s[:, 0], s[:, 1]] = 1
+    return int(np.trace(adj @ adj @ adj) // 6)
+
+
+# ----------------------------------------------------------------- tests
+
+GRAPHS = ["path_8", "cycle_5", "star_1_50", "two_cliques_k5", "er_1k",
+          "powerlaw_1k"]
+
+
+def _n(e):
+    return int(e.max()) + 1
+
+
+@pytest.mark.parametrize("name", GRAPHS)
+def test_pagerank_matches_gemini_recurrence(name, tmp_path):
+    e = micro_graph(name)
+    n = _n(e)
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        rep = pagerank(eng, iterations=10)
+        assert rep["n_steps"] == 10
+        got = eng.state_pandas(["rank"])["rank"].to_numpy()
+        assert np.allclose(got, pr_oracle(e, n, 10), atol=1e-6)
+        assert abs(pr_sum(eng) - got.sum()) < 1e-6
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.parametrize("name", ["path_8", "two_cliques_k5_nobridge", "er_1k"])
+def test_cc_exact(name, tmp_path):
+    e = micro_graph(name)
+    n = _n(e)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        connected_components(eng)
+        got = eng.state_pandas(["label"])["label"].to_numpy()
+        assert np.array_equal(got, cc_oracle(e, n))
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.parametrize("name", ["two_cliques_k5_nobridge", "star_1_50",
+                                  "path_8"])
+def test_labelprop_exact(name, tmp_path):
+    e = micro_graph(name)
+    n = _n(e)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=2, store_dir=str(tmp_path / "g"))
+    try:
+        label_propagation(eng, max_iters=8)
+        got = eng.state_pandas(["label"])["label"].to_numpy()
+        assert np.array_equal(got, lp_oracle(e, n, 8))
+    finally:
+        eng.shutdown()
+
+
+def test_bfs_depths_and_min_parent(tmp_path):
+    e = micro_graph("er_1k")
+    n = _n(e)
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        bfs(eng, root=0)
+        parent = eng.state_pandas(["parent"])["parent"].to_numpy()
+        depth = bfs_oracle(e, n, 0)
+        assert found_vertices(eng) == int((depth >= 0).sum())
+        assert np.array_equal(parent < n, depth >= 0)
+        # every reached non-root's parent is one BFS level above it
+        reached = np.flatnonzero((depth > 0))
+        assert np.array_equal(depth[parent[reached]], depth[reached] - 1)
+    finally:
+        eng.shutdown()
+
+
+def test_sssp_exact_distances(tmp_path):
+    e = micro_graph("er_1k")
+    n = _n(e)
+    rng = np.random.default_rng(7)
+    w = rng.uniform(0.1, 2.0, len(e))
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1], w), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"),
+                        weighted=True)
+    try:
+        sssp(eng, root=0)
+        got = eng.state_pandas(["distance"])["distance"].to_numpy()
+        want = sssp_oracle(e, w, n, 0)
+        assert np.allclose(got, want, atol=1e-9)
+        assert abs(max_finite_distance(eng) -
+                   want[want < INF_DIST].max()) < 1e-9
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.parametrize("name", ["two_cliques_k5", "star_1_50", "cycle_5",
+                                  "er_1k"])
+def test_triangles_exact(name):
+    e = micro_graph(name)
+    ds = edges_from_arrays(e[:, 0], e[:, 1])
+    assert triangle_count(ds, num_partitions=4) == tri_oracle(e, _n(e))
+
+
+def test_partition_count_invariance(tmp_path):
+    e = micro_graph("powerlaw_1k")
+    n = _n(e)
+    results = []
+    for p in (1, 3):
+        eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                            num_partitions=p,
+                            store_dir=str(tmp_path / f"g{p}"))
+        try:
+            pagerank(eng, iterations=5)
+            results.append(eng.state_pandas(["rank"])["rank"].to_numpy())
+        finally:
+            eng.shutdown()
+    assert np.allclose(results[0], results[1], atol=1e-9)
+
+
+def test_checkpoint_resume_identical(tmp_path):
+    e = micro_graph("er_1k")
+    n = _n(e)
+    # full run with checkpoints
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=2, store_dir=str(tmp_path / "g"))
+    try:
+        rep = connected_components(eng, ckpt_dir=str(tmp_path / "ck"))
+        full = eng.state_pandas(["label"])["label"].to_numpy()
+        assert rep["n_steps"] >= 2
+    finally:
+        eng.shutdown()
+    # simulate a crash after step 0: delete later checkpoints, resume
+    import shutil
+
+    for d in sorted((tmp_path / "ck").glob("step=*")):
+        if int(d.name.split("=")[1]) > 0:
+            shutil.rmtree(d)
+    eng2 = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                           num_partitions=2, store_dir=str(tmp_path / "g"))
+    try:
+        rep2 = connected_components(eng2, ckpt_dir=str(tmp_path / "ck"),
+                                    resume=True)
+        assert rep2["start_step"] == 1
+        resumed = eng2.state_pandas(["label"])["label"].to_numpy()
+        assert np.array_equal(full, resumed)
+    finally:
+        eng2.shutdown()
