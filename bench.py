@@ -1,0 +1,281 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Plain run: times the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "pagerank": {...superstep throughput detail...}}
+
+--scaling: runs the SAME job in two fresh processes (num_cpus=8 then
+32) on the same input and prints throughput at both + scaling
+efficiency = (T8/T32)/4 (the sandbox evidence for the N vs 4N-node
+criterion, see BASELINE.md).
+
+Headline components:
+  edge_build      synth repo-files corpus -> sha/id/star-edge derivation
+  pagerank        graph store build + 20 Gemini-convention supersteps on
+                  the repo-derived link graph (THE BASELINE.json metric)
+  pagerank_synth  20 supersteps on a larger deterministic skewed edge
+                  table (superstep throughput at higher |E|)
+  cc              connected components on the symmetrized synth graph
+  triangles       exact triangle count on the derived graph
+  minhash         MinHash-LSH near-dup pass over the corpus contents
+  ann             brute-force cosine top-k over a synthetic embedding set
+  sf_queries      the documents/events driver queries at $GRAFT_SF_DIR
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_SEED = 42
+
+
+def _gen_edges(n_vertices: int, n_edges: int, n_blocks: int = 64):
+    """Deterministic skewed (quadratic preferential) edge table, generated
+    inside Ray tasks — never materialized on the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    per = -(-n_edges // n_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch["b"].to_pylist():
+            rng = np.random.default_rng(BENCH_SEED * 7919 + b)
+            m = per if b < n_blocks - 1 else n_edges - per * (n_blocks - 1)
+            src = (n_vertices * rng.random(m) ** 2).astype(np.int64)
+            dst = (n_vertices * rng.random(m)).astype(np.int64)
+            keep = src != dst
+            out.append(pa.table({"src": pa.array(src[keep]),
+                                 "dst": pa.array(dst[keep])}))
+        return pa.concat_tables(out)
+
+    blocks = rd.from_items([{"b": i} for i in range(n_blocks)]) \
+               .repartition(n_blocks)
+    return blocks.map_batches(gen, batch_format="pyarrow", batch_size=1)
+
+
+def run_bench(num_cpus: int, sf_dir: str, scratch: str) -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from linkgraph.algos import (
+        connected_components, pagerank, triangle_count,
+    )
+    from linkgraph.dedup import minhash_dedup_pairs
+    from linkgraph.edges import build_link_edges
+    from linkgraph.graph import load_directed, load_undirected
+    from linkgraph.synth import synth_repo_files_dataset
+
+    n_repos = int(os.environ.get("GRAFT_BENCH_REPOS", "600"))
+    files_per = int(os.environ.get("GRAFT_BENCH_FILES", "100"))
+    synth_v = int(os.environ.get("GRAFT_BENCH_SYNTH_V", "200000"))
+    synth_e = int(os.environ.get("GRAFT_BENCH_SYNTH_E", "2000000"))
+
+    q: dict[str, float] = {}
+    detail: dict = {}
+
+    # -- edge derivation over the synthetic repo corpus ------------------
+    t0 = time.perf_counter()
+    files = synth_repo_files_dataset(n_repos, files_per, seed=BENCH_SEED,
+                                     repos_per_block=max(1, n_repos // 64))
+    edges, n_vertices, _ = build_link_edges(files)
+    edges = edges.materialize()  # reused by pagerank/cc/triangles below
+    n_edges = edges.count()
+    q["edge_build"] = time.perf_counter() - t0
+    detail["corpus"] = {"files": n_repos * files_per,
+                        "vertices": n_vertices, "edges": n_edges}
+
+    # -- pagerank on the repo-derived graph (the BASELINE metric) --------
+    t0 = time.perf_counter()
+    eng = load_directed(edges, n_vertices, num_partitions=num_cpus,
+                        store_dir=os.path.join(scratch, "pr_store"))
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rep = pagerank(eng, iterations=20, tol=1e-6)
+    pr_s = time.perf_counter() - t0
+    eng.shutdown()
+    q["pagerank"] = build_s + pr_s
+    steps = rep["n_steps"]
+    detail["pagerank"] = {
+        "store_build_s": round(build_s, 3), "supersteps_s": round(pr_s, 3),
+        "n_supersteps": steps, "edges": n_edges,
+        "edges_per_sec_per_superstep": round(n_edges * steps / pr_s, 1),
+    }
+
+    # -- pagerank on the larger synthetic skewed graph -------------------
+    t0 = time.perf_counter()
+    se = _gen_edges(synth_v, synth_e)
+    eng = load_directed(se, synth_v, num_partitions=num_cpus,
+                        store_dir=os.path.join(scratch, "synth_store"))
+    build2_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rep2 = pagerank(eng, iterations=20, tol=1e-6)
+    pr2_s = time.perf_counter() - t0
+    real_e = eng.meta["n_edges"]
+    eng.shutdown()
+    q["pagerank_synth"] = build2_s + pr2_s
+    detail["pagerank_synth"] = {
+        "store_build_s": round(build2_s, 3), "supersteps_s": round(pr2_s, 3),
+        "n_supersteps": rep2["n_steps"], "edges": real_e,
+        "edges_per_sec_per_superstep":
+            round(real_e * rep2["n_steps"] / pr2_s, 1),
+    }
+
+    # -- connected components (sparse/dense adaptive frontier) -----------
+    t0 = time.perf_counter()
+    eng = load_undirected(edges, n_vertices, num_partitions=num_cpus,
+                          store_dir=os.path.join(scratch, "cc_store"))
+    repc = connected_components(eng)
+    eng.shutdown()
+    q["cc"] = time.perf_counter() - t0
+    detail["cc"] = {"n_supersteps": repc["n_steps"],
+                    "modes": [s["mode"] for s in repc["steps"]]}
+
+    # -- triangles -------------------------------------------------------
+    t0 = time.perf_counter()
+    tri = triangle_count(edges, num_partitions=num_cpus)
+    q["triangles"] = time.perf_counter() - t0
+    detail["triangles"] = {"count": tri}
+
+    # -- minhash near-dup over corpus contents ---------------------------
+    t0 = time.perf_counter()
+    docs = files.map_batches(_with_docid, batch_format="pyarrow")
+    pairs = minhash_dedup_pairs(docs, id_col="doc_id", text_col="content",
+                                threshold=0.8, concurrency=max(2, num_cpus // 2),
+                                cap=32)
+    q["minhash"] = time.perf_counter() - t0
+    detail["minhash"] = {"pairs": len(pairs)}
+
+    # -- ANN over synthetic embeddings -----------------------------------
+    t0 = time.perf_counter()
+    q["ann"] = _bench_ann(num_cpus)
+    detail["ann"] = {"sec": round(q["ann"], 3)}
+
+    # -- the sf-dir driver queries (documents graph + events window) -----
+    from linkgraph.pipelines import (
+        q_doc_pagerank, q_doc_triangles, q_events_window,
+    )
+
+    t0 = time.perf_counter()
+    q_doc_pagerank(sf_dir)
+    q_doc_triangles(sf_dir)
+    q_events_window(sf_dir).count()
+    q["sf_queries"] = time.perf_counter() - t0
+
+    ray.shutdown()
+    return {"queries": {k: round(v, 3) for k, v in q.items()},
+            "detail": detail, "total": round(sum(q.values()), 3)}
+
+
+def _with_docid(b):
+    import numpy as np
+    import pyarrow as pa
+
+    import hashlib
+
+    ids = [int.from_bytes(hashlib.blake2b(
+        f"{r}:{p}".encode(), digest_size=7).digest(), "little")
+        for r, p in zip(b["repo"].to_pylist(), b["path"].to_pylist())]
+    return pa.table({"doc_id": pa.array(np.array(ids, dtype=np.int64)),
+                     "text": b["content"]})
+
+
+def _bench_ann(num_cpus: int) -> float:
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.ann import brute_force_topk
+
+    n, dim, nblocks = 200_000, 64, 32
+
+    def gen(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch["b"].to_pylist():
+            rng = np.random.default_rng(BENCH_SEED * 13 + b)
+            per = n // nblocks
+            m = rng.standard_normal((per, dim)).astype(np.float32)
+            out.append(pa.table({
+                "vec_id": pa.array(np.arange(b * per, (b + 1) * per)),
+                "embedding": pa.array(list(m), pa.list_(pa.float32(), dim)),
+            }))
+        return pa.concat_tables(out)
+
+    ds = rd.from_items([{"b": i} for i in range(nblocks)]) \
+           .repartition(nblocks) \
+           .map_batches(gen, batch_format="pyarrow", batch_size=1) \
+           .materialize()
+    rng = np.random.default_rng(BENCH_SEED)
+    qm = rng.standard_normal((8, dim))
+    t0 = time.perf_counter()
+    brute_force_topk(ds, qm, np.arange(8), k=10)
+    return time.perf_counter() - t0
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        out = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env.pop("GRAFT_SCALING", None)
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = json.loads(r.stdout.strip().splitlines()[-1])
+            out[ncpu] = line
+        t8 = out[8]["value"]
+        t32 = out[32]["value"]
+        tp8 = out[8]["pagerank"]["edges_per_sec_per_superstep"]
+        tp32 = out[32]["pagerank"]["edges_per_sec_per_superstep"]
+        print(json.dumps({
+            "sec_8": t8, "sec_32": t32,
+            "speedup": round(t8 / t32, 3),
+            "scaling_efficiency_total": round((t8 / t32) / 4, 3),
+            "pagerank_throughput_8": tp8,
+            "pagerank_throughput_32": tp32,
+            "scaling_efficiency_pagerank": round((tp32 / tp8) / 4, 3),
+            "queries_8": out[8]["queries"], "queries_32": out[32]["queries"],
+        }))
+        return
+
+    scratch = f"/tmp/linkgraph_bench_{num_cpus}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    res = run_bench(num_cpus, sf_dir, scratch)
+    print(json.dumps({
+        "metric": ("seconds for headline link-graph pipelines (edge build, "
+                   "PageRank 20 iters repo-derived + synthetic, CC, "
+                   "triangles, minhash dedup, ANN, sf queries)"),
+        "value": res["total"], "unit": "sec",
+        "queries": res["queries"],
+        "sf": sf_dir, "num_cpus": num_cpus,
+        "pagerank": res["detail"]["pagerank"],
+        "pagerank_synth": res["detail"]["pagerank_synth"],
+        "detail": {k: v for k, v in res["detail"].items()
+                   if k in ("corpus", "cc", "triangles", "minhash")},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,6 +2,7 @@
 apps in /root/reference/toolkits/ + the north-rule additions LP and
 triangle counting)."""
 
+from .bc import BCBackwardProgram, BCForwardProgram, betweenness
 from .bfs import BFSProgram, bfs
 from .cc import CCProgram, connected_components
 from .labelprop import LabelPropProgram, label_propagation
@@ -10,6 +11,7 @@ from .sssp import SSSPProgram, sssp
 from .triangles import triangle_count
 
 __all__ = [
+    "BCBackwardProgram", "BCForwardProgram", "betweenness",
     "BFSProgram", "bfs",
     "CCProgram", "connected_components",
     "LabelPropProgram", "label_propagation",

@@ -50,6 +50,8 @@ def _vertex_degrees(canon_ds):
 
 def oriented_edges(edges_ds, num_partitions: int = 16):
     """Canonical simple edges -> (a, b, b_deg) oriented low->high (deg, id)."""
+    from ..runtime import tune_context
+    tune_context()
     canon = edges_ds.map_batches(_canonical, batch_format="pyarrow") \
                     .groupby(["src", "dst"]).count() \
                     .select_columns(["src", "dst"])
@@ -104,7 +106,10 @@ def triangle_count(edges_ds, num_partitions: int = 16) -> int:
     """
     from ray.data.aggregate import Sum
 
-    oe = oriented_edges(edges_ds, num_partitions)
+    # materialized: `oe` feeds BOTH union branches below — a diamond over
+    # un-materialized lineage deadlocks the streaming executor (observed
+    # on Ray 2.49); O(|E|) blocks, object store spills if needed
+    oe = oriented_edges(edges_ds, num_partitions).materialize()
     oe_tagged = oe.map_batches(
         lambda b: pa.table({"src": b["a"], "dst": b["b"],
                             "wc": pa.array(np.zeros(b.num_rows, np.int64)),

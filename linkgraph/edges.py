@@ -46,6 +46,9 @@ def derive_star_edges(ds, key_col: str, id_col: str = "vid",
     """
     from ray.data.aggregate import Min
 
+    from .runtime import tune_context
+    tune_context()
+
     proj = ds.select_columns([key_col, id_col])
     mins = proj.groupby(key_col).aggregate(Min(id_col, alias_name="__rep"))
     joined = proj.join(mins, join_type="inner",

@@ -50,9 +50,11 @@ class VertexProgram:
     combine: str = "add"          # 'add' | 'min' | 'hist'
     supports_sparse: bool = True
     static_frontier: bool = False  # True: frontier stays full (PageRank/LP)
+    continues: bool = False        # True: init_state receives prior state
+                                   # (multi-phase algorithms, e.g. BC backward)
 
     # state ------------------------------------------------------------
-    def init_state(self, ctx) -> dict[str, np.ndarray]:
+    def init_state(self, ctx, prev=None) -> dict[str, np.ndarray]:
         raise NotImplementedError
 
     def initial_active(self, ctx, state) -> np.ndarray:
@@ -84,6 +86,11 @@ class VertexProgram:
     def post_step(self, ctx, state, active, step, final) -> dict:
         return {}
 
+    def after_step(self, ctx, state, new_active):
+        """Post-frontier-swap hook; return a mask to REPLACE the next
+        frontier (per-level algorithms like BC), or None to keep it."""
+        return None
+
     def finalize(self, ctx, state) -> None:
         pass
 
@@ -97,7 +104,12 @@ class GraphEngine:
     (pagerank.cpp:144-147 runs compute 6x on one load).
     """
 
-    def __init__(self, store_dir: str, meta: dict, num_cpus_per_shard: float = 1):
+    def __init__(self, store_dir: str, meta: dict,
+                 num_cpus_per_shard: float = 0):
+        # shards default to num_cpus=0: they hold pinned state and compute
+        # in synchronized waves driven by run(), so reserving CPUs only
+        # risks deadlocking co-resident engines/stages on small sessions;
+        # effective parallelism == num_partitions.
         self.store_dir = store_dir
         self.meta = meta
         self.n_parts = meta["num_partitions"]

@@ -14,7 +14,7 @@ from .store import build_graph_store, load_meta
 
 def load_directed(edges_ds, n_vertices: int, num_partitions: int,
                   store_dir: str, weighted: bool = False,
-                  num_cpus_per_shard: float = 1) -> GraphEngine:
+                  num_cpus_per_shard: float = 0) -> GraphEngine:
     """Directed graph engine (PageRank / BFS / SSSP)."""
     meta = build_graph_store(edges_ds, n_vertices, num_partitions, store_dir,
                              symmetric=False, weighted=weighted)
@@ -23,7 +23,7 @@ def load_directed(edges_ds, n_vertices: int, num_partitions: int,
 
 def load_undirected(edges_ds, n_vertices: int, num_partitions: int,
                     store_dir: str, simple: bool = True,
-                    num_cpus_per_shard: float = 1) -> GraphEngine:
+                    num_cpus_per_shard: float = 0) -> GraphEngine:
     """Undirected graph engine (CC / LP): emits each edge both ways
     (graph.hpp:572-587) and, when simple=True, collapses duplicates so
     LP's neighbor-label histogram is over distinct neighbors."""
@@ -35,6 +35,6 @@ def load_undirected(edges_ds, n_vertices: int, num_partitions: int,
     return GraphEngine(store_dir, meta, num_cpus_per_shard)
 
 
-def attach(store_dir: str, num_cpus_per_shard: float = 1) -> GraphEngine:
+def attach(store_dir: str, num_cpus_per_shard: float = 0) -> GraphEngine:
     """Re-attach an engine to an existing on-disk store (resume path)."""
     return GraphEngine(store_dir, load_meta(store_dir), num_cpus_per_shard)

@@ -87,6 +87,8 @@ def assign_dense_ids(ds, key_cols: list[str], n_buckets: int = 256,
 def attach_ids(ds, mapping, key_cols: list[str], id_col: str = "vid",
                num_partitions: int = 16):
     """Join the dense-id mapping back onto `ds` (hash-partitioned join)."""
+    from .runtime import tune_context
+    tune_context()
     keyed = ds.map_batches(lambda b: _concat_key(b, key_cols),
                            batch_format="pyarrow")
     joined = keyed.join(mapping, join_type="inner",

@@ -1,0 +1,636 @@
+"""Driver-facing pipelines over the testdata tables + their DuckDB
+oracle SQL (the correctness gate surface of __ray_entry__.py).
+
+The documents link graph: vertices are doc_ids; star edges (to the
+min-doc_id representative, SURVEY.md §7.5.3 skew rule) within groups
+sharing
+    L: lang:source        (community key)
+    W: first word of text (cross-cutting key -> triangles)
+    S: sha256(text)       (content key; the north-star sha edge rule)
+union'd and dedup'd; rep = min id, so every edge is canonical src < dst.
+
+Every query function has a matching SQL string in ORACLE_SQL built from
+the same derivation; iterative algorithms (PageRank/CC/LP/BFS/SSSP) get
+exact SQL oracles by UNROLLING a fixed number of rounds into chained
+CTEs — valid because the engine's early-stop happens only at a fixpoint,
+where extra SQL rounds are no-ops.  Float columns are rounded on BOTH
+sides so associativity-order ulps cannot break the driver's value-hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+PR_ITERS = 20
+CC_ROUNDS = 20
+LP_ROUNDS = 10
+BFS_ROUNDS = 20
+SSSP_ROUNDS = 25
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 5
+EMB_DUP_TAU = 0.4
+
+
+# ------------------------------------------------------------ edge builder
+
+def _arr(a):
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
+def _doc_keys(b: pa.Table) -> pa.Table:
+    """Emit (gkey, vid) rows: the three sharing keys per document."""
+    vid = _arr(pc.cast(b["doc_id"], pa.int64()))
+    n = b.num_rows
+    lkey = pc.binary_join_element_wise(
+        pa.array(["L"] * n), b["lang"], pa.array([":"] * n), b["source"], "")
+    first = pc.list_element(pc.split_pattern(b["text"], " "), 0)
+    wkey = pc.binary_join_element_wise(pa.array(["W"] * n), first, "")
+    shas = [hashlib.sha256((t or "").encode()).hexdigest()
+            for t in b["text"].to_pylist()]
+    skey = pc.binary_join_element_wise(
+        pa.array(["S"] * n), pa.array(shas, pa.string()), "")
+    return pa.table({
+        "gkey": pa.concat_arrays([_arr(lkey), _arr(wkey), _arr(skey)]),
+        "vid": pa.concat_arrays([vid] * 3),
+    })
+
+
+_DOC_KEYS_SQL = """
+    SELECT doc_id, 'L' || lang || ':' || source AS gkey FROM documents
+    UNION ALL
+    SELECT doc_id, 'W' || split_part(text, ' ', 1) AS gkey FROM documents
+    UNION ALL
+    SELECT doc_id, 'S' || sha256(text) AS gkey FROM documents
+"""
+
+DOC_EDGES_SQL = f"""
+    WITH k AS ({_DOC_KEYS_SQL}),
+    g AS (SELECT gkey, min(doc_id) AS rep FROM k GROUP BY gkey)
+    SELECT DISTINCT g.rep AS src, k.doc_id AS dst
+    FROM k JOIN g USING (gkey) WHERE k.doc_id <> g.rep
+"""
+
+# symmetric closure of the canonical edges (for degree/CC/LP)
+DOC_SYM_SQL = f"""
+    WITH ce AS ({DOC_EDGES_SQL})
+    SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce
+"""
+
+
+def documents_edges(sf_dir: str, num_partitions: int = 8):
+    """The derived (src, dst) edge Dataset, canonical src < dst, deduped.
+
+    Materialized once per sf_dir (small result reused by many queries —
+    degree/triangles/graph builds would otherwise re-run the derivation).
+    """
+    key = ("edges", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    import ray.data as rd
+
+    from .edges import dedup_edges, derive_star_edges
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang", "source"])
+    keyed = docs.map_batches(_doc_keys, batch_format="pyarrow")
+    stars = derive_star_edges(keyed, "gkey", id_col="vid",
+                              num_partitions=num_partitions)
+    edges = dedup_edges(stars).materialize()
+    _CACHE[key] = edges
+    return edges
+
+
+def documents_n_vertices(sf_dir: str) -> int:
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    return int(docs.max("doc_id")) + 1
+
+
+# --------------------------------------------------------- engine caching
+
+_CACHE: dict = {}
+
+
+def _store_root(sf_dir: str, kind: str) -> str:
+    tag = hashlib.sha256(f"{os.path.abspath(sf_dir)}:{kind}".encode()) \
+                 .hexdigest()[:12]
+    return f"/tmp/linkgraph_stores/{tag}"
+
+
+def documents_engine(sf_dir: str, kind: str = "directed",
+                     num_partitions: int = 4):
+    """Cached GraphEngine on the documents graph (one load, many runs —
+    mirroring the reference's load-once/compute-6x lifecycle)."""
+    from .graph import load_directed, load_undirected
+
+    key = (os.path.abspath(sf_dir), kind)
+    if key in _CACHE:
+        return _CACHE[key]
+    edges = documents_edges(sf_dir)
+    n = documents_n_vertices(sf_dir)
+    store = _store_root(sf_dir, kind)
+    if kind == "directed":
+        eng = load_directed(edges, n, num_partitions, store)
+    elif kind == "weighted":
+        w = edges.map_batches(_add_weight, batch_format="pyarrow")
+        eng = load_directed(w, n, num_partitions, store, weighted=True)
+    else:
+        eng = load_undirected(edges, n, num_partitions, store)
+    _CACHE[key] = eng
+    return eng
+
+
+def _add_weight(b: pa.Table) -> pa.Table:
+    """Deterministic synthetic edge weight: 1 + ((src+dst) % 7)/10."""
+    s = b["src"].to_numpy(zero_copy_only=False)
+    d = b["dst"].to_numpy(zero_copy_only=False)
+    w = 1.0 + ((s + d) % 7) / 10.0
+    return b.append_column("weight", pa.array(w, pa.float64()))
+
+
+_WEIGHT_SQL = "1.0 + ((src + dst) % 7) / 10.0"
+
+
+# ------------------------------------------------------------ graph queries
+
+def q_doc_edges(sf_dir):
+    return documents_edges(sf_dir)
+
+
+def q_doc_degree(sf_dir):
+    from .edges import degree_table, symmetrize
+
+    return degree_table(symmetrize(documents_edges(sf_dir)), "src") \
+        .map_batches(lambda b: pa.table({"v": b["v"], "degree": b["degree"]}),
+                     batch_format="pyarrow")
+
+
+def q_doc_top_degree(sf_dir):
+    ds = q_doc_degree(sf_dir)
+    pdf = ds.to_pandas()
+    pdf = pdf.sort_values(["degree", "v"], ascending=[False, True],
+                          kind="mergesort").head(10)
+    return pdf.reset_index(drop=True)
+
+
+def q_doc_group_sizes(sf_dir):
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "source"])
+
+    def key(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"k": pc.binary_join_element_wise(
+            b["lang"], pa.array([":"] * n), b["source"], "")})
+
+    return docs.map_batches(key, batch_format="pyarrow").groupby("k").count() \
+        .map_batches(lambda b: pa.table(
+            {"k": b["k"], "n_docs": pc.cast(b["count()"], pa.int64())}),
+            batch_format="pyarrow")
+
+
+def q_doc_edge_count(sf_dir):
+    return pd.DataFrame({"n_edges": [int(documents_edges(sf_dir).count())]})
+
+
+def q_doc_triangles(sf_dir):
+    from .algos import triangle_count
+
+    return pd.DataFrame(
+        {"n_triangles": [int(triangle_count(documents_edges(sf_dir)))]})
+
+
+def _state_result(eng, col, out_col, round_to=None):
+    pdf = eng.state_pandas([col]).rename(columns={col: out_col})
+    if round_to is not None:
+        pdf[out_col] = pdf[out_col].round(round_to)
+    return pdf
+
+
+def q_doc_pagerank(sf_dir):
+    from .algos import pagerank
+
+    eng = documents_engine(sf_dir, "directed")
+    pagerank(eng, iterations=PR_ITERS)
+    return _state_result(eng, "rank", "rank", round_to=6)
+
+
+def q_doc_pagerank_iter1(sf_dir):
+    from .algos import pagerank
+
+    eng = documents_engine(sf_dir, "directed")
+    pagerank(eng, iterations=1)
+    return _state_result(eng, "rank", "rank", round_to=9)
+
+
+def q_doc_cc(sf_dir):
+    from .algos import connected_components
+
+    eng = documents_engine(sf_dir, "undirected")
+    connected_components(eng)
+    return _state_result(eng, "label", "label")
+
+
+def q_doc_labelprop(sf_dir):
+    from .algos import label_propagation
+
+    eng = documents_engine(sf_dir, "undirected")
+    label_propagation(eng, max_iters=LP_ROUNDS)
+    return _state_result(eng, "label", "label")
+
+
+def q_doc_bfs(sf_dir):
+    from .algos import bfs
+
+    eng = documents_engine(sf_dir, "directed")
+    bfs(eng, root=0)
+    pdf = _state_result(eng, "parent", "parent")
+    return pdf[pdf["parent"] < eng.meta["n_vertices"]].reset_index(drop=True)
+
+
+def q_doc_sssp(sf_dir):
+    from .algos import sssp
+    from .algos.sssp import INF_DIST
+
+    eng = documents_engine(sf_dir, "weighted")
+    sssp(eng, root=0)
+    pdf = _state_result(eng, "distance", "distance")
+    pdf = pdf[pdf["distance"] < INF_DIST].reset_index(drop=True)
+    pdf["distance"] = pdf["distance"].round(9)
+    return pdf
+
+
+# ------------------------------------------------------------- text queries
+
+def q_text_tokens(sf_dir):
+    import ray.data as rd
+
+    from .text import add_token_count
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return docs.map_batches(add_token_count, batch_format="pyarrow") \
+               .select_columns(["doc_id", "n_tokens"])
+
+
+def q_text_stats(sf_dir):
+    import ray.data as rd
+
+    from .text import add_text_stats
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return docs.map_batches(add_text_stats, batch_format="pyarrow") \
+               .select_columns(["doc_id", "n_chars2", "n_tokens", "n_punct"])
+
+
+def q_text_fingerprint(sf_dir):
+    import ray.data as rd
+
+    from .text import add_fingerprint
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return docs.map_batches(add_fingerprint, batch_format="pyarrow") \
+               .select_columns(["doc_id", "fp"])
+
+
+def q_text_langid(sf_dir):
+    import ray.data as rd
+
+    from .text import langid_stage
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return langid_stage(docs).select_columns(["doc_id", "lang_pred"])
+
+
+def q_dedup_exact(sf_dir):
+    from .dedup import exact_dedup
+
+    return exact_dedup(q_text_fingerprint(sf_dir), key="fp", id_col="doc_id")
+
+
+def q_dedup_minhash(sf_dir):
+    import ray.data as rd
+
+    from .dedup import minhash_dedup_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return minhash_dedup_pairs(docs, threshold=0.5)[["a", "b"]]
+
+
+def q_dedup_simhash(sf_dir):
+    import ray.data as rd
+
+    from .dedup import simhash_dedup_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return simhash_dedup_pairs(docs, max_hamming=8)[["a", "b"]]
+
+
+def q_dedup_ngram(sf_dir):
+    import ray.data as rd
+
+    from .dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, threshold=0.4)[["a", "b"]]
+
+
+# -------------------------------------------------------- embedding queries
+
+def q_ann_topk(sf_dir):
+    import ray.data as rd
+
+    from .ann import brute_force_topk, queries_from_ids
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    q, qi = queries_from_ids(emb, ANN_QUERY_IDS)
+    out = brute_force_topk(emb, q, qi, k=ANN_K)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def q_ann_ivf(sf_dir):
+    import ray.data as rd
+
+    from .ann import ivf_topk, queries_from_ids
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    q, qi = queries_from_ids(emb, ANN_QUERY_IDS)
+    return ivf_topk(emb, q, qi, k=ANN_K)[["query_id", "neighbor_id"]]
+
+
+def q_embed_dup_pairs(sf_dir):
+    import ray.data as rd
+
+    from .dedup import embedding_dup_pairs
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    out = embedding_dup_pairs(emb, threshold=EMB_DUP_TAU)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+# ------------------------------------------------------------ events window
+
+def q_events_window(sf_dir):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+
+    def win(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())  # epoch micros
+        w = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"user_id": b["user_id"], "win": w,
+                         "value": b["value"]})
+
+    agg = ev.map_batches(win, batch_format="pyarrow") \
+            .groupby(["user_id", "win"]) \
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value", alias_name="sum_value"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"], "win": b["win"],
+            "n_events": pc.cast(b["n_events"], pa.int64()),
+            "sum_value": pc.round(b["sum_value"], ndigits=6)}),
+        batch_format="pyarrow")
+
+
+def q_media_features(sf_dir):
+    """Multimodal plumbing demo: deterministic synthetic media table ->
+    actor-pool decode -> per-kind feature norms (rows-only check)."""
+    import ray.data as rd
+
+    from .multimodal import decode_features, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(500))
+    feats = decode_features(ds, concurrency=2)
+
+    def norms(b: pa.Table) -> pa.Table:
+        f = np.array(b["features"].to_pylist(), dtype=np.float64)
+        return pa.table({"media_id": b["media_id"], "kind": b["kind"],
+                         "n_bytes": b["n_bytes"],
+                         "feat_norm": pa.array(np.round(
+                             np.linalg.norm(f, axis=1), 6))})
+
+    return feats.map_batches(norms, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- oracle SQL
+
+def _pagerank_sql(iters: int, round_to: int) -> str:
+    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+            "outd AS MATERIALIZED (SELECT src AS v, count(*) AS od FROM e GROUP BY src)",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            ("c0 AS (SELECT allv.v, CASE WHEN coalesce(od, 0) > 0 "
+             "THEN 1.0/od ELSE 1.0 END AS r FROM allv "
+             "LEFT JOIN outd USING (v))")]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e.dst AS v, sum({prev}.r) AS sm FROM e "
+            f"JOIN {prev} ON {prev}.v = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"raw{i} AS MATERIALIZED (SELECT allv.v, 0.15 + 0.85 * coalesce(sm, 0.0) AS r "
+            f"FROM allv LEFT JOIN s{i} USING (v))")
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT raw{i}.v, CASE WHEN coalesce(od, 0) > 0 "
+            f"THEN r/od ELSE r END AS r FROM raw{i} LEFT JOIN outd USING (v))")
+    return (f"WITH {', '.join(ctes)} SELECT raw{iters}.v AS v, "
+            f"round(r, {round_to}) AS rank FROM raw{iters}")
+
+
+def _cc_sql(rounds: int) -> str:
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            "l0 AS MATERIALIZED (SELECT v, v AS lab FROM allv)"]
+    for i in range(1, rounds + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT allv.v, least({p}.lab, coalesce(m.lab, {p}.lab))"
+            f" AS lab FROM allv JOIN {p} USING (v) LEFT JOIN "
+            f"(SELECT sym.dst AS v, min({p}.lab) AS lab FROM sym "
+            f"JOIN {p} ON {p}.v = sym.src GROUP BY sym.dst) m USING (v))")
+    return (f"WITH {', '.join(ctes)} SELECT v, lab AS label FROM l{rounds}")
+
+
+def _lp_sql(rounds: int) -> str:
+    ctes = [f"sym AS ({DOC_SYM_SQL})",
+            "allv AS (SELECT doc_id AS v FROM documents)",
+            "l0 AS (SELECT v, v AS lab FROM allv)"]
+    for i in range(1, rounds + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT v, lab FROM ("
+            f"SELECT sym.dst AS v, {p}.lab AS lab, "
+            f"row_number() OVER (PARTITION BY sym.dst "
+            f"ORDER BY count(*) DESC, {p}.lab ASC) AS rn "
+            f"FROM sym JOIN {p} ON {p}.v = sym.src "
+            f"GROUP BY sym.dst, {p}.lab) WHERE rn = 1)")
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT allv.v, coalesce(w{i}.lab, {p}.lab) AS lab "
+            f"FROM allv JOIN {p} USING (v) LEFT JOIN w{i} USING (v))")
+    return (f"WITH {', '.join(ctes)} SELECT v, lab AS label FROM l{rounds}")
+
+
+def _bfs_sql(rounds: int) -> str:
+    big = 10 ** 9
+    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            f"d0 AS MATERIALIZED (SELECT v, CASE WHEN v = 0 THEN 0 ELSE {big} END AS dep "
+            "FROM allv)"]
+    for i in range(1, rounds + 1):
+        p = f"d{i - 1}"
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT allv.v, least({p}.dep, coalesce(m.dep, {big}))"
+            f" AS dep FROM allv JOIN {p} USING (v) LEFT JOIN "
+            f"(SELECT e.dst AS v, min({p}.dep) + 1 AS dep FROM e "
+            f"JOIN {p} ON {p}.v = e.src WHERE {p}.dep < {big} "
+            f"GROUP BY e.dst) m USING (v))")
+    last = f"d{rounds}"
+    # parent(v) = min in-neighbor one BFS level above (the engine's
+    # deterministic min-parent rule); root's parent is itself
+    return (f"WITH {', '.join(ctes)}, fin AS "
+            f"(SELECT v, dep FROM {last} WHERE dep < {big}) "
+            f"SELECT fin.v AS v, CASE WHEN fin.v = 0 THEN 0 ELSE ("
+            f"SELECT min(e.src) FROM e JOIN fin f2 ON f2.v = e.src "
+            f"WHERE e.dst = fin.v AND f2.dep = fin.dep - 1) END AS parent "
+            f"FROM fin")
+
+
+def _sssp_sql(rounds: int, round_to: int) -> str:
+    inf = "1000000000.0"
+    ctes = [f"ce AS MATERIALIZED ({DOC_EDGES_SQL})",
+            f"e AS MATERIALIZED (SELECT src, dst, {_WEIGHT_SQL} AS w FROM ce)",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            f"d0 AS MATERIALIZED (SELECT v, CASE WHEN v = 0 THEN 0.0 ELSE {inf} END AS dep "
+            "FROM allv)"]
+    for i in range(1, rounds + 1):
+        p = f"d{i - 1}"
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT allv.v, least({p}.dep, coalesce(m.dep, {inf}))"
+            f" AS dep FROM allv JOIN {p} USING (v) LEFT JOIN "
+            f"(SELECT e.dst AS v, min({p}.dep + e.w) AS dep FROM e "
+            f"JOIN {p} ON {p}.v = e.src WHERE {p}.dep < {inf} "
+            f"GROUP BY e.dst) m USING (v))")
+    return (f"WITH {', '.join(ctes)} SELECT v, round(dep, {round_to}) AS "
+            f"distance FROM d{rounds} WHERE dep < {inf}")
+
+
+TRIANGLES_SQL = f"""
+    WITH e AS ({DOC_EDGES_SQL})
+    SELECT count(*) AS n_triangles
+    FROM e ab JOIN e bc ON bc.src = ab.dst
+           JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+"""
+
+_FP_SQL = "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_edges": DOC_EDGES_SQL,
+    "doc_degree": (f"WITH sym AS ({DOC_SYM_SQL}) SELECT src AS v, "
+                   "count(*) AS degree FROM sym GROUP BY src"),
+    "doc_top_degree": (f"WITH sym AS ({DOC_SYM_SQL}), d AS (SELECT src AS v, "
+                       "count(*) AS degree FROM sym GROUP BY src) "
+                       "SELECT v, degree FROM d "
+                       "ORDER BY degree DESC, v ASC LIMIT 10"),
+    "doc_group_sizes": ("SELECT lang || ':' || source AS k, "
+                        "count(*) AS n_docs FROM documents GROUP BY 1"),
+    "doc_edge_count": (f"WITH e AS ({DOC_EDGES_SQL}) "
+                       "SELECT count(*) AS n_edges FROM e"),
+    "doc_triangles": TRIANGLES_SQL,
+    "doc_pagerank": _pagerank_sql(PR_ITERS, 6),
+    "doc_pagerank_iter1": _pagerank_sql(1, 9),
+    "doc_cc": _cc_sql(CC_ROUNDS),
+    "doc_labelprop": _lp_sql(LP_ROUNDS),
+    "doc_bfs": _bfs_sql(BFS_ROUNDS),
+    "doc_sssp": _sssp_sql(SSSP_ROUNDS, 9),
+    "text_tokens": ("SELECT doc_id, length(list_filter(regexp_split_to_array("
+                    "text, '\\s+'), x -> x <> '')) AS n_tokens "
+                    "FROM documents"),
+    "text_stats": ("SELECT doc_id, length(text) AS n_chars2, "
+                   "length(list_filter(regexp_split_to_array(text, '\\s+'), "
+                   "x -> x <> '')) AS n_tokens, "
+                   "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) "
+                   "AS n_punct FROM documents"),
+    "text_fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+    "dedup_exact": (f"SELECT min(doc_id) AS doc_id FROM documents "
+                    f"GROUP BY {_FP_SQL}"),
+    "ann_topk": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id IN
+                   ({', '.join(map(str, ANN_QUERY_IDS))})),
+        sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.qv, e.embedding) AS cos
+                 FROM q CROSS JOIN embeddings e
+                 WHERE e.vec_id <> q.query_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                   FROM sims)
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+        FROM ranked WHERE rnk <= {ANN_K}
+    """,
+    "embed_dup_pairs": f"""
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 6)
+               AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding)
+              >= {EMB_DUP_TAU}
+    """,
+    "events_window": """
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "doc_edges": q_doc_edges,
+    "doc_degree": q_doc_degree,
+    "doc_top_degree": q_doc_top_degree,
+    "doc_group_sizes": q_doc_group_sizes,
+    "doc_edge_count": q_doc_edge_count,
+    "doc_triangles": q_doc_triangles,
+    "doc_pagerank": q_doc_pagerank,
+    "doc_pagerank_iter1": q_doc_pagerank_iter1,
+    "doc_cc": q_doc_cc,
+    "doc_labelprop": q_doc_labelprop,
+    "doc_bfs": q_doc_bfs,
+    "doc_sssp": q_doc_sssp,
+    "text_tokens": q_text_tokens,
+    "text_stats": q_text_stats,
+    "text_fingerprint": q_text_fingerprint,
+    "text_langid": q_text_langid,           # rows-only (heuristic)
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,       # rows-only (probabilistic index)
+    "dedup_simhash": q_dedup_simhash,       # rows-only
+    "dedup_ngram": q_dedup_ngram,           # rows-only
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,                   # rows-only (approximate)
+    "embed_dup_pairs": q_embed_dup_pairs,
+    "events_window": q_events_window,
+    "media_features": q_media_features,     # rows-only (stubbed decode)
+}

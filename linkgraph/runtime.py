@@ -1,0 +1,34 @@
+"""Process-level Ray Data tuning for linkgraph pipelines.
+
+Ray's hash-shuffle operators (join, hash aggregate) spin one aggregator
+ACTOR per partition at 1 CPU each and wait up to
+``min_hash_shuffle_aggregator_wait_time_in_s`` (default 300s!) for the
+pool to schedule.  On small-CPU sessions, a 16-partition join therefore
+stalls for minutes (observed: every doc-graph query blocked ~5 min at 8
+CPUs).  Fractional per-partition CPU reservations keep the pools
+schedulable; shuffles are short-lived waves, so oversubscription is
+harmless here — the same reasoning as GraphShard's num_cpus=0
+(linkgraph/engine.py).
+
+Idempotent; called from the library's pipeline entry points.
+"""
+
+from __future__ import annotations
+
+_DONE = False
+
+
+def tune_context() -> None:
+    global _DONE
+    if _DONE:
+        return
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    for attr in ("hash_shuffle_operator_actor_num_cpus_per_partition_override",
+                 "hash_aggregate_operator_actor_num_cpus_per_partition_override"):
+        if hasattr(ctx, attr):
+            setattr(ctx, attr, 0.125)
+    if hasattr(ctx, "min_hash_shuffle_aggregator_wait_time_in_s"):
+        ctx.min_hash_shuffle_aggregator_wait_time_in_s = 30
+    _DONE = True

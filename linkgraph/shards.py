@@ -125,10 +125,20 @@ class GraphShard:
         self.ctx = ShardCtx(self.part, self.lo, self.hi,
                             self.meta["n_vertices"], self.meta["n_edges"],
                             self.out_deg, self.in_deg, params)
-        self.state = program.init_state(self.ctx)
+        if getattr(program, "continues", False):
+            self.state = program.init_state(self.ctx, self.state)
+        else:
+            self.state = program.init_state(self.ctx)
         self.active = program.initial_active(self.ctx, self.state)
         self.next_active = np.zeros(self.ctx.n_local, dtype=bool)
         return int(self.active.sum())
+
+    def transpose(self):
+        """Swap push/pull orientation + degrees (graph.hpp:759-768) —
+        pointer swap, zero-copy; BC's backward phase runs on G^T."""
+        self.push, self.pull = self.pull, self.push
+        self.out_deg, self.in_deg = self.in_deg, self.out_deg
+        return self.part
 
     def frontier_stats(self):
         """(active count, sum of out_degree over active) — drives the
@@ -250,6 +260,9 @@ class GraphShard:
             self.next_active = self.active  # stays full (pagerank.cpp:32-33)
         self.active, self.next_active = (
             self.next_active, np.zeros(self.ctx.n_local, dtype=bool))
+        override = prog.after_step(self.ctx, self.state, self.active)
+        if override is not None:
+            self.active = override
         return {"active": int(self.active.sum()),
                 "active_out_deg": int(self.out_deg[self.active].sum()),
                 **{k: float(v) for k, v in reducers.items()}}

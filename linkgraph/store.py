@@ -61,6 +61,9 @@ def build_graph_store(edges_ds, n_vertices: int, num_partitions: int,
 
     import ray.data as rd
 
+    from .runtime import tune_context
+    tune_context()
+
     cols = ["src", "dst"] + (["weight"] if weighted else [])
     edges_dir = os.path.join(out_dir, "edges")
     edges_ds.select_columns(cols).write_parquet(edges_dir, mode="overwrite")

@@ -1,0 +1,134 @@
+"""Text-analysis stages for large-scale training-data pipelines:
+token counting, quality stats, normalized fingerprints, language ID.
+
+All stages are vectorized `map_batches` transforms over Arrow string
+columns (pyarrow.compute regex kernels); language ID is an actor-pool
+stage (profile tables built once per actor).  Designed for the
+`documents(doc_id, text, lang, source, n_chars)` shape of the driver
+testdata but column names are parameters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\S+"
+PUNCT_RE = r"[.,;:!?]"
+
+
+def add_token_count(batch: pa.Table, col: str = "text",
+                    out: str = "n_tokens") -> pa.Table:
+    """Whitespace token count (matches SQL `\\S+` splitting)."""
+    return batch.append_column(
+        out, pc.cast(pc.count_substring_regex(batch[col], TOKEN_RE), pa.int64()))
+
+
+def add_text_stats(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Quality-scoring stats: char length, token count, punctuation count."""
+    t = batch[col]
+    batch = batch.append_column(
+        "n_chars2", pc.cast(pc.utf8_length(t), pa.int64()))
+    batch = batch.append_column(
+        "n_tokens", pc.cast(pc.count_substring_regex(t, TOKEN_RE), pa.int64()))
+    batch = batch.append_column(
+        "n_punct", pc.cast(pc.count_substring_regex(t, PUNCT_RE), pa.int64()))
+    return batch
+
+
+def normalize_text(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Lowercase, collapse whitespace runs to single spaces, trim."""
+    x = pc.utf8_lower(col)
+    x = pc.replace_substring_regex(x, r"\s+", " ")
+    return pc.utf8_trim_whitespace(x)
+
+
+def add_fingerprint(batch: pa.Table, col: str = "text",
+                    out: str = "fp") -> pa.Table:
+    """Document fingerprint: sha256 of the normalized text — the
+    canonical-form dedup key (robust to whitespace/case variance)."""
+    norm = normalize_text(batch[col])
+    shas = [hashlib.sha256((v or "").encode()).hexdigest()
+            for v in norm.to_pylist()]
+    return batch.append_column(out, pa.array(shas, pa.string()))
+
+
+# Function-word profiles for the 5 corpus languages (public-knowledge
+# stopword lists); used by the deterministic n-gram/stopword language-ID
+# heuristic.  Ties break alphabetically so runs are reproducible.
+_LANG_WORDS = {
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu",
+           "den", "von", "auf", "im", "für", "sich"},
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "was",
+           "for", "on", "with", "as", "at"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "por", "con", "no",
+           "los", "una", "para", "es", "del"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "du", "que",
+           "est", "dans", "pour", "qui", "sur"},
+    "zh": {"的", "了", "是", "在", "我", "有", "他", "这", "中", "不",
+           "和", "人", "一", "大", "个"},
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage: profiles compiled once per actor
+    (__init__), batches scored vectorized-ish in __call__.
+
+    Heuristic: stopword-hit rate per language + CJK codepoint ratio;
+    prediction = argmax score, tie-break alphabetical; 'und' (undetermined)
+    when nothing scores.  Deterministic by construction.
+    """
+
+    def __init__(self, col: str = "text", out: str = "lang_pred"):
+        import re
+
+        self.col, self.out = col, out
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.profiles = sorted(_LANG_WORDS.items())  # alphabetical order
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        preds = []
+        for t in texts:
+            t = (t or "").lower()
+            words = self.word_re.findall(t)
+            n_cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+            best_lang, best = "und", 0.0
+            for lang, vocab in self.profiles:
+                if lang == "zh":
+                    score = n_cjk / max(1, len(t))
+                else:
+                    score = (sum(1 for w in words if w in vocab)
+                             / max(1, len(words)))
+                if score > best:
+                    best_lang, best = lang, score
+            preds.append(best_lang)
+        return batch.append_column(self.out, pa.array(preds, pa.string()))
+
+
+def langid_stage(ds, col: str = "text", out: str = "lang_pred",
+                 concurrency: int = 4, batch_size: int = 4096):
+    """Attach language predictions via an actor pool (setup amortized)."""
+    return ds.map_batches(LangId, fn_constructor_args=(col, out),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def rolling_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Deterministic 64-bit polynomial rolling hashes of char k-grams —
+    shingle set for minhash / n-gram Jaccard (linkgraph.dedup)."""
+    if len(text) < k:
+        data = text.encode("utf-8", "surrogatepass")
+        return np.array([int.from_bytes(hashlib.blake2b(
+            data, digest_size=8).digest(), "little")], dtype=np.uint64)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
+              .astype(np.uint64)
+    B = np.uint64(1099511628211)
+    h = np.zeros(len(codes) - k + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):  # k tiny (5): vectorized over all positions
+            h = h * B + codes[i:len(codes) - k + 1 + i]
+    return np.unique(h)

@@ -203,6 +203,58 @@ def test_sssp_exact_distances(tmp_path):
         eng.shutdown()
 
 
+def bc_oracle(e, n, root):
+    """Brandes single-source dependencies (multi-edge aware)."""
+    from collections import deque
+
+    adj = [[] for _ in range(n)]
+    for u, v in e:
+        adj[u].append(v)
+    sigma = np.zeros(n)
+    sigma[root] = 1.0
+    depth = np.full(n, -1)
+    depth[root] = 0
+    order = []
+    qq = deque([root])
+    while qq:
+        u = qq.popleft()
+        order.append(u)
+        for v in adj[u]:
+            if depth[v] < 0:
+                depth[v] = depth[u] + 1
+                qq.append(v)
+            if depth[v] == depth[u] + 1:
+                sigma[v] += sigma[u]
+    delta = np.zeros(n)
+    for u in reversed(order):
+        for v in adj[u]:
+            if depth[v] == depth[u] + 1:
+                delta[u] += sigma[u] / sigma[v] * (1 + delta[v])
+    return delta, sigma, depth
+
+
+@pytest.mark.parametrize("name", ["path_8", "two_cliques_k5", "er_1k"])
+def test_betweenness_matches_brandes(name, tmp_path):
+    from linkgraph.algos import betweenness
+
+    e = micro_graph(name)
+    n = _n(e)
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        betweenness(eng, root=0)
+        pdf = eng.state_pandas(["dependencies", "num_paths"])
+        want_d, want_s, depth = bc_oracle(e, n, 0)
+        reached = depth >= 0
+        got_d = pdf["dependencies"].to_numpy()
+        got_s = pdf["num_paths"].to_numpy()
+        assert np.allclose(got_s[reached], want_s[reached], atol=1e-9)
+        assert np.allclose(got_d[reached], want_d[reached], atol=1e-9)
+        assert not np.isfinite(got_d[~reached]).any()  # NaN like reference
+    finally:
+        eng.shutdown()
+
+
 @pytest.mark.parametrize("name", ["two_cliques_k5", "star_1_50", "cycle_5",
                                   "er_1k"])
 def test_triangles_exact(name):

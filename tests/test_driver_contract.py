@@ -1,0 +1,70 @@
+"""Driver-contract conformance (SURVEY.md §5.5): queries()/oracle_sql()
+wiring plus spot checks of fast queries against DuckDB at sf0.001.
+The full per-query sweep is the driver's CORRECTNESS gate; a standalone
+mirror lives in the verify drive script (see .claude/skills/verify)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    return importlib.import_module("__ray_entry__")
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in ["documents", "embeddings", "events"]:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c
+
+
+def _pdf(res):
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+def _compare(mine, want):
+    mine = mine[sorted(mine.columns)]
+    want = want[sorted(want.columns)]
+    assert list(mine.columns) == list(want.columns)
+    assert len(mine) == len(want)
+    cols = list(mine.columns)
+    ms = mine.sort_values(cols).reset_index(drop=True)
+    ws = want.sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        a, b = ms[c].to_numpy(), ws[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert np.allclose(a.astype(float), b.astype(float), atol=1e-9), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+
+
+def test_oracle_keys_subset_of_queries(entrymod):
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 20          # operator-coverage floor
+    assert len(o) >= 15
+    rows_only = set(q) - set(o)  # documented weaker checks
+    assert rows_only <= {"text_langid", "dedup_minhash", "dedup_simhash",
+                         "dedup_ngram", "ann_ivf", "media_features"}
+
+
+@pytest.mark.parametrize("name", ["doc_edges", "doc_degree", "doc_edge_count",
+                                  "text_tokens", "text_fingerprint",
+                                  "events_window", "doc_group_sizes"])
+def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
+    mine = _pdf(entrymod.queries()[name](sf_dir))
+    want = con.sql(entrymod.oracle_sql()[name]).df()
+    _compare(mine, want)

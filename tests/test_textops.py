@@ -1,0 +1,178 @@
+"""Tests: text analysis, dedup family, ANN, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from linkgraph.ann import brute_force_topk, ivf_topk, queries_from_ids
+from linkgraph.dedup import (
+    embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from linkgraph.multimodal import (
+    MediaDecodeStage,
+    decode_features,
+    sample_frames,
+    synth_media_table,
+)
+from linkgraph.text import (
+    add_fingerprint,
+    add_text_stats,
+    add_token_count,
+    langid_stage,
+    rolling_hashes,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs():
+    """Corpus with planted near-duplicates: 9/10 share long prefixes."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest looking for food ") * 5
+    texts = [base + f"tail {i}" for i in range(3)]            # near-dups
+    texts += [f"totally different document number {i} " * 20 for i in range(3)]
+    texts += [base.upper() + f"tail {0}"]                     # case variant
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_token_count_and_stats():
+    t = pa.table({"text": pa.array(["a b  c", " x ", "", "one, two!"])})
+    out = add_token_count(t)
+    assert out["n_tokens"].to_pylist() == [3, 1, 0, 2]
+    st = add_text_stats(t)
+    assert st["n_chars2"].to_pylist() == [6, 3, 0, 9]
+    assert st["n_punct"].to_pylist() == [0, 0, 0, 2]
+
+
+def test_fingerprint_whitespace_case_invariant():
+    t = pa.table({"text": pa.array(["Hello   World ", "hello world"])})
+    out = add_fingerprint(t)
+    fps = out["fp"].to_pylist()
+    assert fps[0] == fps[1]
+
+
+def test_langid_deterministic(sf_dir):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out1 = langid_stage(docs, concurrency=2).to_pandas().sort_values("doc_id")
+    out2 = langid_stage(docs, concurrency=2).to_pandas().sort_values("doc_id")
+    assert (out1["lang_pred"].to_numpy() == out2["lang_pred"].to_numpy()).all()
+    assert set(out1["lang_pred"]) <= {"de", "en", "es", "fr", "zh", "und"}
+
+
+def test_rolling_hashes_properties():
+    h1 = rolling_hashes("abcdefgh", 5)
+    h2 = rolling_hashes("abcdefgh", 5)
+    assert np.array_equal(h1, h2)
+    assert len(rolling_hashes("abc", 5)) == 1  # short-text fallback
+    # shifted text shares most shingles
+    a = rolling_hashes("the quick brown fox jumps", 5)
+    b = rolling_hashes("Xthe quick brown fox jumps", 5)
+    assert len(np.intersect1d(a, b)) >= len(a) - 1
+
+
+def test_exact_dedup():
+    t = pa.table({"sha256": pa.array(["x", "y", "x", "z", "y"]),
+                  "doc_id": pa.array([5, 1, 2, 9, 0], pa.int64())})
+    got = sorted(r["doc_id"] for r in exact_dedup(rd.from_arrow(t)).take_all())
+    assert got == [0, 2, 9]
+
+
+def test_minhash_finds_planted_near_dups(near_dup_docs):
+    pairs = minhash_dedup_pairs(near_dup_docs, threshold=0.6, concurrency=2)
+    found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert {(0, 1), (0, 2), (1, 2)} <= found
+    assert all(j >= 0.6 for j in pairs["jaccard"])
+    # the unrelated docs never pair with the dup cluster
+    assert not any((a in {3, 4, 5}) ^ (b in {3, 4, 5}) for a, b in found)
+
+
+def test_simhash_finds_planted_near_dups(near_dup_docs):
+    # 4x16-bit blocking GUARANTEES recall only for hamming <= 3 (pigeonhole);
+    # pairs further apart are found only when a block happens to collide.
+    pairs = simhash_dedup_pairs(near_dup_docs, max_hamming=6, concurrency=2)
+    found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    # doc 6 is the case-variant of doc 0 -> identical simhash (hamming 0)
+    assert {(0, 1), (1, 2), (0, 6)} <= found
+    assert all(h <= 6 for h in pairs["hamming"])
+
+
+def test_ngram_jaccard_pairs(near_dup_docs):
+    pairs = ngram_jaccard_pairs(near_dup_docs, threshold=0.6)
+    found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert {(0, 1), (0, 2), (1, 2)} <= found
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    base[1] = base[0] + rng.standard_normal(16) * 0.01   # planted near-dup
+    base[7] = base[6] * 2.0                              # exact direction dup
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float32())),
+    }))
+
+
+def test_embedding_dup_pairs(emb_ds):
+    pairs = embedding_dup_pairs(emb_ds, threshold=0.99)
+    found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 1) in found and (6, 7) in found
+    lsh = embedding_dup_pairs_lsh(emb_ds, threshold=0.99, n_planes=8,
+                                  n_tables=8)
+    assert (6, 7) in set(map(tuple, lsh[["a", "b"]].to_numpy()))
+
+
+def test_brute_force_topk_matches_numpy(emb_ds):
+    q, qi = queries_from_ids(emb_ds, [0, 6])
+    got = brute_force_topk(emb_ds, q, qi, k=3)
+    rows = emb_ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid, qv in zip(qi, q / np.linalg.norm(q, axis=1, keepdims=True)):
+        sims = m @ qv
+        sims[ids == qid] = -2
+        want = ids[np.lexsort((ids, -sims))][:3]
+        have = got[got["query_id"] == qid]["neighbor_id"].to_numpy()
+        assert np.array_equal(have, want)
+
+
+def test_ivf_topk_reasonable_recall(emb_ds):
+    q, qi = queries_from_ids(emb_ds, [0, 6])
+    exact = brute_force_topk(emb_ds, q, qi, k=3)
+    approx = ivf_topk(emb_ds, q, qi, k=3, n_centroids=4, n_probe=2)
+    # the planted near-identical neighbor must be found
+    a0 = approx[approx["query_id"] == 0]["neighbor_id"].tolist()
+    assert 1 in a0
+    inter = len(set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+                & set(map(tuple, approx[["query_id", "neighbor_id"]].values)))
+    assert inter >= 3  # >= half of 6 exact hits
+
+
+def test_multimodal_decode_plumbing():
+    t = synth_media_table(100)
+    ds = rd.from_arrow(t)
+    out = decode_features(ds, concurrency=2, batch_size=32).to_pandas()
+    assert len(out) == 100
+    assert len(out["features"].iloc[0]) == MediaDecodeStage.FEAT_DIM
+    # deterministic across runs
+    out2 = decode_features(rd.from_arrow(t), concurrency=2).to_pandas()
+    a = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    b = np.stack(out2.sort_values("media_id")["features"].to_numpy())
+    assert np.array_equal(a, b)
+    frames = sample_frames(ds, fps=2.0).to_pandas()
+    n_video = (t["kind"].to_pandas() == "video").sum()
+    assert frames["media_id"].nunique() == n_video
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(use_stub=False)._decode(b"x", "image")
