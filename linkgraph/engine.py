@@ -119,6 +119,14 @@ class GraphEngine:
             for p in range(self.n_parts)
         ]
         self.shard_info = ray.get([s.ping.remote() for s in self.shards])
+        # small-message mode: when per-shard message volume is modest,
+        # each dense signal returns ONE object holding all pieces
+        # (n_parts objects/superstep) instead of num_returns=n_parts
+        # (n_parts^2 objects — measured 6x superstep slowdown at 2M edges,
+        # 32 shards); large graphs switch to per-owner returns so no shard
+        # fetches bytes it does not own.
+        self.fused_messages = (
+            meta["n_edges"] < 4_000_000 * max(1, self.n_parts))
 
     def shutdown(self):
         for s in self.shards:
@@ -160,36 +168,46 @@ class GraphEngine:
         steps = []
         n_edges = max(1, self.meta["n_edges"])
         step = start_step
+        # per-shard (active, frontier out-degree) carried from each fused
+        # apply+finish, so a superstep costs exactly TWO actor round trips
+        # (signal, apply) instead of four
+        stats = ray.get([s.init_stats.remote() for s in self.shards])
         while step < max_steps:
             ts = time.perf_counter()
-            stats = ray.get([s.frontier_stats.remote() for s in self.shards])
             active = sum(a for a, _ in stats)
             active_edges = sum(d for _, d in stats)
             if active == 0 and not program.static_frontier:
                 break
             sparse = (program.supports_sparse
                       and active_edges < n_edges / SPARSE_DENOM)
+            final = step == max_steps - 1
             if sparse:
                 msg_refs = [s.sparse_signal.remote() for s in self.shards]
-                activated = sum(ray.get(
-                    [s.sparse_apply.remote(msg_refs) for s in self.shards]))
+                results = ray.get([s.sparse_apply.remote(msg_refs, step, final)
+                                   for s in self.shards])
             elif self.n_parts == 1:
                 sig = [s.dense_signal.remote() for s in self.shards]
-                activated = ray.get(self.shards[0].dense_apply.remote(sig))
+                results = [ray.get(
+                    self.shards[0].dense_apply.remote(sig, step, final))]
+            elif self.fused_messages:
+                sig = [s.dense_signal.remote() for s in self.shards]
+                results = ray.get([
+                    self.shards[i].dense_apply.remote(sig, step, final, i)
+                    for i in range(self.n_parts)
+                ])
             else:
                 sig = [
                     s.dense_signal.options(num_returns=self.n_parts).remote()
                     for s in self.shards
                 ]
-                apply_refs = [
+                results = ray.get([
                     self.shards[i].dense_apply.remote(
-                        [sig[j][i] for j in range(self.n_parts)])
+                        [sig[j][i] for j in range(self.n_parts)], step, final)
                     for i in range(self.n_parts)
-                ]
-                activated = sum(ray.get(apply_refs))
-            final = step == max_steps - 1
-            finish = ray.get([s.finish_step.remote(step, final)
-                              for s in self.shards])
+                ])
+            activated = sum(r[0] for r in results)
+            finish = [r[1] for r in results]
+            stats = [(f["active"], f["active_out_deg"]) for f in finish]
             reducers: dict[str, float] = {}
             for f in finish:
                 for k, v in f.items():

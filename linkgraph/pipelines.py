@@ -257,6 +257,19 @@ def q_doc_bfs(sf_dir):
     return pdf[pdf["parent"] < eng.meta["n_vertices"]].reset_index(drop=True)
 
 
+def q_doc_bc(sf_dir):
+    """Betweenness from root 0 (rows-only: two-phase algorithm, not
+    SQL-expressible); finite dependencies of reached vertices."""
+    from .algos import betweenness
+
+    eng = documents_engine(sf_dir, "directed")
+    betweenness(eng, root=0)
+    pdf = eng.state_pandas(["dependencies", "num_paths"])
+    pdf = pdf[np.isfinite(pdf["dependencies"])].reset_index(drop=True)
+    pdf["dependencies"] = pdf["dependencies"].round(6)
+    return pdf
+
+
 def q_doc_sssp(sf_dir):
     from .algos import sssp
     from .algos.sssp import INF_DIST
@@ -619,6 +632,7 @@ QUERIES = {
     "doc_cc": q_doc_cc,
     "doc_labelprop": q_doc_labelprop,
     "doc_bfs": q_doc_bfs,
+    "doc_bc": q_doc_bc,                     # rows-only (two-phase BC)
     "doc_sssp": q_doc_sssp,
     "text_tokens": q_text_tokens,
     "text_stats": q_text_stats,

@@ -155,8 +155,16 @@ class GraphShard:
         msgs = self.program.signal(self.ctx, self.state, idx)
         return idx + self.lo, msgs
 
-    def sparse_apply(self, msg_refs):
-        """Apply the broadcast frontier messages via local push-CSR rows."""
+    def sparse_apply(self, msg_refs, step=None, final=False):
+        """Apply the broadcast frontier messages via local push-CSR rows.
+        With step != None also runs finish_step (fused: one actor round
+        trip per shard per superstep instead of two)."""
+        activated = self._sparse_apply(msg_refs)
+        if step is None:
+            return activated
+        return activated, self.finish_step(step, final)
+
+    def _sparse_apply(self, msg_refs):
         parts = ray.get(list(msg_refs))
         ids = np.concatenate([p[0] for p in parts])
         msgs = np.concatenate([p[1] for p in parts])
@@ -214,9 +222,22 @@ class GraphShard:
         ur, ul, counts = count_pairs(row_id, edge_labels)
         return _split_by_owner(cr.row_vertex[ur], self.offsets, ul, counts)
 
-    def dense_apply(self, piece_refs):
-        """Combine routed partials into local state (the slot side)."""
+    def dense_apply(self, piece_refs, step=None, final=False,
+                    piece_index=None):
+        """Combine routed partials into local state (the slot side).
+        With step != None also runs finish_step (fused round trip).
+        piece_index: set when signals returned ONE object holding all
+        n_parts pieces (small-message mode — n_parts objects per
+        superstep instead of n_parts^2); this shard uses pieces[index]."""
+        activated = self._dense_apply(piece_refs, piece_index)
+        if step is None:
+            return activated
+        return activated, self.finish_step(step, final)
+
+    def _dense_apply(self, piece_refs, piece_index=None):
         got = ray.get(list(piece_refs))
+        if piece_index is not None:
+            got = [p[piece_index] for p in got]
         pieces = []
         for p in got:  # tolerate whole piece-lists (n_parts==1 path)
             pieces.extend(p) if isinstance(p, list) else pieces.append(p)
@@ -231,6 +252,10 @@ class GraphShard:
         changed = prog.apply(self.ctx, self.state, uniq, agg)
         self.next_active[uniq[changed]] = True
         return int(changed.sum())
+
+    def init_stats(self):
+        """(active, active out-degree sum) right after init/resume."""
+        return int(self.active.sum()), int(self.out_deg[self.active].sum())
 
     def _dense_apply_hist(self, pieces):
         ids = np.concatenate([p[0] for p in pieces])
