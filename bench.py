@@ -170,7 +170,7 @@ def run_bench(num_cpus: int, sf_dir: str, scratch: str) -> dict:
                                       repos_per_block=max(1, n_repos // 64))
     docs = files2.map_batches(_with_docid, batch_format="pyarrow")
     pairs = minhash_dedup_pairs(docs, id_col="doc_id", text_col="text",
-                                threshold=0.8, concurrency=max(2, num_cpus - 6),
+                                threshold=0.8, concurrency=max(2, num_cpus - 4),
                                 cap=32)
     q["minhash"] = time.perf_counter() - t0
     detail["minhash"] = {"pairs": len(pairs)}

@@ -175,6 +175,36 @@ def _shingle_sets(ds, ids: set, id_col: str, text_col: str, k: int) -> dict:
     return {r[id_col]: np.frombuffer(r["sh"], dtype=np.uint64) for r in rows}
 
 
+def _verify_jaccard(cands: pd.DataFrame, sh: dict,
+                    threshold: float) -> pd.DataFrame:
+    """Distributed exact-Jaccard verify: the shingle dict is broadcast
+    (ray.put once), candidate pairs stream through map_batches — the
+    verify stage scales with workers instead of running on the driver."""
+    import ray
+    import ray.data as rd
+
+    sh_ref = ray.put(sh)
+
+    def verify(b: pa.Table) -> pa.Table:
+        table = ray.get(sh_ref)
+        a_ids = b["a"].to_numpy(zero_copy_only=False)
+        b_ids = b["b"].to_numpy(zero_copy_only=False)
+        jac = np.fromiter(
+            (len(np.intersect1d(table[a], table[x], assume_unique=True))
+             / max(1, len(np.union1d(table[a], table[x])))
+             for a, x in zip(a_ids, b_ids)),
+            dtype=np.float64, count=len(a_ids))
+        keep = jac >= threshold
+        return pa.table({"a": pa.array(a_ids[keep]),
+                         "b": pa.array(b_ids[keep]),
+                         "jaccard": pa.array(jac[keep])})
+
+    n_blocks = max(1, len(cands) // 2000)
+    out = rd.from_pandas(cands).repartition(n_blocks) \
+            .map_batches(verify, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", num_perm=64,
                         bands=16, k=5, threshold=0.7, concurrency=4,
                         cap=64, seed=42) -> pd.DataFrame:
@@ -188,14 +218,7 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", num_perm=64,
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     involved = set(cands["a"]) | set(cands["b"])
     sh = _shingle_sets(ds, involved, id_col, text_col, k)
-    jac = np.array([
-        len(np.intersect1d(sh[a], sh[b], assume_unique=True))
-        / max(1, len(np.union1d(sh[a], sh[b])))
-        for a, b in zip(cands["a"], cands["b"])
-    ])
-    out = cands.assign(jaccard=jac)
-    return out[out["jaccard"] >= threshold].reset_index(drop=True) \
-              .sort_values(["a", "b"]).reset_index(drop=True)
+    return _verify_jaccard(cands, sh, threshold)
 
 
 # --------------------------------------------------------------- simhash
@@ -293,14 +316,7 @@ def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", k=5,
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     involved = set(cands["a"]) | set(cands["b"])
     sh = _shingle_sets(ds, involved, id_col, text_col, k)
-    jac = np.array([
-        len(np.intersect1d(sh[a], sh[b], assume_unique=True))
-        / max(1, len(np.union1d(sh[a], sh[b])))
-        for a, b in zip(cands["a"], cands["b"])
-    ])
-    out = cands.assign(jaccard=jac)
-    return out[out["jaccard"] >= threshold].sort_values(["a", "b"]) \
-              .reset_index(drop=True)
+    return _verify_jaccard(cands, sh, threshold)
 
 
 # ------------------------------------------------- embedding near-dup

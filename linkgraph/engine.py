@@ -119,14 +119,17 @@ class GraphEngine:
             for p in range(self.n_parts)
         ]
         self.shard_info = ray.get([s.ping.remote() for s in self.shards])
-        # small-message mode: when per-shard message volume is modest,
-        # each dense signal returns ONE object holding all pieces
-        # (n_parts objects/superstep) instead of num_returns=n_parts
-        # (n_parts^2 objects — measured 6x superstep slowdown at 2M edges,
-        # 32 shards); large graphs switch to per-owner returns so no shard
-        # fetches bytes it does not own.
-        self.fused_messages = (
-            meta["n_edges"] < 4_000_000 * max(1, self.n_parts))
+        # small-message mode: when TOTAL message bytes are modest, each
+        # dense signal returns ONE object holding all pieces (n_parts
+        # objects/superstep instead of n_parts^2 — measured 6x superstep
+        # speedup at 2M edges / 32 shards).  In fused mode every applier
+        # fetches every shard's piece-list (n_parts x total-bytes moved),
+        # so it must stay OFF for big graphs — per-owner num_returns then
+        # ships each byte exactly once.  Message rows per superstep are
+        # bounded by the distinct (dst, shard) pairs: min(E, V * P).
+        est_msg_bytes = 16 * min(
+            meta["n_edges"], meta["n_vertices"] * max(1, self.n_parts))
+        self.fused_messages = est_msg_bytes <= 48 * 1024 * 1024
 
     def shutdown(self):
         for s in self.shards:

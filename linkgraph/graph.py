@@ -13,14 +13,15 @@ from .store import build_graph_store, load_meta
 
 
 def suggest_partitions(n_edges: int, max_parts: int,
-                       target_edges_per_part: int = 2_000_000,
+                       target_edges_per_part: int = 3_000_000,
                        min_parts: int = 2) -> int:
     """Data-driven shard count: ~target edges per shard, clamped to the
     available parallelism.  Per-superstep fixed cost grows with the shard
     count (2 actor calls/shard + message objects), so small graphs want
     FEW shards — measured 6x superstep slowdown running a 2M-edge graph
-    on 32 shards vs 8.  At cluster scale (1e12 edges) this lands at
-    thousands of shards spread across nodes."""
+    on 32 shards vs 8 — while graphs past target*max_parts use every
+    slot.  At cluster scale (1e12 edges) this lands at thousands of
+    shards spread across nodes."""
     want = -(-n_edges // max(1, target_edges_per_part))
     return max(min(min_parts, max_parts), min(want, max_parts))
 
