@@ -403,29 +403,29 @@ def q_embed_dup_pairs(sf_dir):
 
 # ------------------------------------------------------------ events window
 
-def q_events_window(sf_dir):
+def _events(sf_dir):
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["user_id", "ts", "value"])
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "value"])
 
-    def win(b: pa.Table) -> pa.Table:
-        us = pc.cast(b["ts"], pa.int64())  # epoch micros
-        w = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
-        return pa.table({"user_id": b["user_id"], "win": w,
-                         "value": b["value"]})
 
-    agg = ev.map_batches(win, batch_format="pyarrow") \
-            .groupby(["user_id", "win"]) \
-            .aggregate(Count(alias_name="n_events"),
-                       Sum("value", alias_name="sum_value"))
-    return agg.map_batches(
-        lambda b: pa.table({
-            "user_id": b["user_id"], "win": b["win"],
-            "n_events": pc.cast(b["n_events"], pa.int64()),
-            "sum_value": pc.round(b["sum_value"], ndigits=6)}),
-        batch_format="pyarrow")
+def q_events_window(sf_dir):
+    from .windows import tumbling_window
+
+    return tumbling_window(_events(sf_dir), size_s=3600)
+
+
+def q_events_sliding(sf_dir):
+    from .windows import sliding_window
+
+    return sliding_window(_events(sf_dir), size_s=7200, slide_s=3600)
+
+
+def q_events_session(sf_dir):
+    from .windows import session_window
+
+    return session_window(_events(sf_dir), gap_s=1800)
 
 
 def q_media_features(sf_dir):
@@ -618,6 +618,38 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    # sliding 2h windows every 1h: each event covers 2 window ids
+    "events_sliding": """
+        WITH w AS (
+          SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win,
+                 value FROM events
+          UNION ALL
+          SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) - 1 AS win,
+                 value FROM events
+        )
+        SELECT user_id, win, count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM w GROUP BY 1, 2
+    """,
+    # session windows with a 30-min gap; ids 1-based in ts order per user
+    "events_session": """
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, value, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM o
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us
+        FROM s GROUP BY 1, 2
+    """,
 }
 
 QUERIES = {
@@ -646,5 +678,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,                   # rows-only (approximate)
     "embed_dup_pairs": q_embed_dup_pairs,
     "events_window": q_events_window,
+    "events_sliding": q_events_sliding,
+    "events_session": q_events_session,
     "media_features": q_media_features,     # rows-only (stubbed decode)
 }

@@ -64,7 +64,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
 
 @pytest.mark.parametrize("name", ["doc_edges", "doc_degree", "doc_edge_count",
                                   "text_tokens", "text_fingerprint",
-                                  "events_window", "doc_group_sizes"])
+                                  "events_window", "events_sliding",
+                                  "events_session", "doc_group_sizes"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
