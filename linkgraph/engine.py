@@ -171,6 +171,22 @@ class GraphEngine:
         steps = []
         n_edges = max(1, self.meta["n_edges"])
         step = start_step
+        if (program.static_frontier and self.fused_messages
+                and self.n_parts > 1):
+            # fully-fused path: ONE actor task per shard per superstep
+            # (apply prev + vertex phase + next signal in one call)
+            steps = self._run_static_fused(program, step, max_steps,
+                                           stop_reducer, stop_tol,
+                                           stop_on_no_activation,
+                                           ckpt_dir, ckpt_every, run_name)
+            ray.get([s.finalize_run.remote() for s in self.shards])
+            return {
+                "run": run_name, "steps": steps, "n_steps": len(steps),
+                "start_step": start_step,
+                "n_edges": self.meta["n_edges"],
+                "n_vertices": self.meta["n_vertices"],
+                "wall_s": time.perf_counter() - t0,
+            }
         # per-shard (active, frontier out-degree) carried from each fused
         # apply+finish, so a superstep costs exactly TWO actor round trips
         # (signal, apply) instead of four
@@ -247,6 +263,59 @@ class GraphEngine:
             "n_vertices": self.meta["n_vertices"],
             "wall_s": time.perf_counter() - t0,
         }
+
+    def _run_static_fused(self, program, start_step, max_steps,
+                          stop_reducer, stop_tol, stop_on_no_activation,
+                          ckpt_dir, ckpt_every, run_name):
+        """Superstep loop for static-frontier programs (always dense):
+        each superstep is one `step_static` task per shard; the driver
+        fetches only the small meta objects between steps."""
+        P = self.n_parts
+        # initial signal (superstep `start_step`)
+        calls = [s.step_static.options(num_returns=2).remote(None, i, -1, False)
+                 for i, s in enumerate(self.shards)]
+        pieces = [c[1] for c in calls]
+        records = []
+        step = start_step
+        while step < max_steps:
+            ts = time.perf_counter()
+            final = step == max_steps - 1
+            calls = [
+                self.shards[i].step_static.options(num_returns=2).remote(
+                    pieces, i, step, final)
+                for i in range(P)
+            ]
+            meta = ray.get([c[0] for c in calls])
+            pieces = [c[1] for c in calls]
+            activated = sum(m[0] for m in meta)
+            finish = [m[1] for m in meta]
+            reducers: dict[str, float] = {}
+            for f in finish:
+                for k, v in f.items():
+                    if k not in ("active", "active_out_deg"):
+                        reducers[k] = reducers.get(k, 0.0) + v
+            rec = {
+                "step": step, "mode": "dense",
+                "active_in": sum(f["active"] for f in finish),
+                "activated": activated,
+                "active_out": sum(f["active"] for f in finish),
+                "wall_s": time.perf_counter() - ts,
+                "reducers": reducers,
+                "per_part": [{"part": i, "active": f["active"]}
+                             for i, f in enumerate(finish)],
+            }
+            records.append(rec)
+            if ckpt_dir is not None and (step % ckpt_every == 0 or final):
+                parts = ray.get([s.save_state.remote(ckpt_dir, step)
+                                 for s in self.shards])
+                write_manifest(ckpt_dir, step, run_name, rec, parts, self.meta)
+            step += 1
+            if stop_reducer is not None and \
+                    reducers.get(stop_reducer, 0.0) < stop_tol:
+                break
+            if stop_on_no_activation and activated == 0:
+                break
+        return records
 
     # ------------------------------------------------------------------
 

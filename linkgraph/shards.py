@@ -257,6 +257,23 @@ class GraphShard:
         """(active, active out-degree sum) right after init/resume."""
         return int(self.active.sum()), int(self.out_deg[self.active].sum())
 
+    def step_static(self, piece_refs, piece_index, step, final):
+        """Fully-fused superstep for static-frontier programs (PageRank,
+        LP): apply the previous superstep's routed partials, run the
+        vertex phase, and emit THIS superstep's dense signal — ONE actor
+        task per shard per superstep.  Valid because a full frontier is
+        always dense (active_edges == |E| >= |E|/20) and dense signal
+        reads only local state.  Returns (meta, pieces) via num_returns=2
+        so the driver fetches only meta.
+        """
+        if piece_refs is None:
+            meta = (0, None)  # initial call: signal only
+        else:
+            activated = self._dense_apply(piece_refs, piece_index)
+            meta = (activated, self.finish_step(step, final))
+        pieces = None if final else self.dense_signal()
+        return meta, pieces
+
     def _dense_apply_hist(self, pieces):
         ids = np.concatenate([p[0] for p in pieces])
         labels = np.concatenate([p[1] for p in pieces])

@@ -279,6 +279,34 @@ def test_partition_count_invariance(tmp_path):
     assert np.allclose(results[0], results[1], atol=1e-9)
 
 
+def test_pagerank_checkpoint_resume(tmp_path):
+    """Resume mid-run on the fused static path -> identical final ranks."""
+    import shutil
+
+    e = micro_graph("powerlaw_1k")
+    n = _n(e)
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        pagerank(eng, iterations=8, ckpt_dir=str(tmp_path / "ck"))
+        full = eng.state_pandas(["rank"])["rank"].to_numpy()
+    finally:
+        eng.shutdown()
+    for d in sorted((tmp_path / "ck").glob("step=*")):
+        if int(d.name.split("=")[1]) > 3:
+            shutil.rmtree(d)
+    eng2 = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                         num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        rep = pagerank(eng2, iterations=8, ckpt_dir=str(tmp_path / "ck"),
+                       resume=True)
+        assert rep["start_step"] == 4
+        resumed = eng2.state_pandas(["rank"])["rank"].to_numpy()
+        assert np.allclose(full, resumed, atol=1e-12)
+    finally:
+        eng2.shutdown()
+
+
 def test_checkpoint_resume_identical(tmp_path):
     e = micro_graph("er_1k")
     n = _n(e)
