@@ -332,6 +332,19 @@ class GraphEngine:
         refs = [s.state_table.remote(columns) for s in self.shards]
         return rd.from_arrow_refs(refs)
 
+    def dump_vertex_array(self, columns: list[str], path: str) -> None:
+        """Persist vertex state as partitioned parquet — the analog of
+        Gemini's dump_vertex_array (graph.hpp:253-285): each shard's
+        owned slice lands in its own file(s)."""
+        self.state_dataset(columns).write_parquet(path, mode="overwrite")
+
+    def restore_vertex_array(self, path: str, columns: list[str]) -> None:
+        """Load state columns back into the shards (graph.hpp:288-306
+        analog); each shard reads only its own [lo, hi) slice (parquet
+        row-group predicate pushdown)."""
+        ray.get([s.load_state_range.remote(path, columns)
+                 for s in self.shards])
+
     def state_pandas(self, columns: list[str]):
         """Small-graph/test helper: full state on the driver, sorted by v."""
         import pyarrow as pa

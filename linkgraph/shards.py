@@ -348,6 +348,20 @@ class GraphShard:
         return {"part": self.part, "rows": self.ctx.n_local,
                 "active": int(self.active.sum()), "path": path}
 
+    def load_state_range(self, path: str, columns: list[str]) -> int:
+        """Read this shard's [lo, hi) slice of a dumped vertex array."""
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(path, format="parquet")
+        f = (pads.field("v") >= self.lo) & (pads.field("v") < self.hi)
+        t = dset.to_table(columns=["v"] + columns, filter=f)
+        order = np.argsort(t["v"].to_numpy(zero_copy_only=False))
+        for c in columns:
+            vals = t[c].to_numpy(zero_copy_only=False)[order]
+            assert len(vals) == self.ctx.n_local
+            self.state[c] = vals.copy()
+        return self.ctx.n_local
+
     def load_state(self, ckpt_dir: str, step: int) -> int:
         import pyarrow.parquet as pq
 

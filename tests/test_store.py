@@ -1,0 +1,43 @@
+"""Store build resumability + vertex-array dump/restore parity
+(reference: dump/restore_vertex_array, graph.hpp:253-306)."""
+
+import numpy as np
+
+from linkgraph.algos import pagerank
+from linkgraph.edges import edges_from_arrays
+from linkgraph.graph import load_directed
+from linkgraph.store import build_graph_store, load_meta
+from linkgraph.synth import micro_graph
+
+
+def test_store_build_is_resumable(tmp_path):
+    e = micro_graph("er_1k")
+    n = int(e.max()) + 1
+    ds = edges_from_arrays(e[:, 0], e[:, 1])
+    meta1 = build_graph_store(ds, n, 3, str(tmp_path / "s"))
+    assert meta1["complete"] and meta1["n_edges"] == len(e)
+    # second build with a complete meta returns WITHOUT recomputation
+    # (pass a poisoned dataset: it would throw if consumed)
+    poisoned = ds.map_batches(lambda b: 1 / 0, batch_format="pyarrow")
+    meta2 = build_graph_store(poisoned, n, 3, str(tmp_path / "s"))
+    assert meta2 == meta1
+    assert load_meta(str(tmp_path / "s")) == meta1
+
+
+def test_dump_restore_vertex_array(tmp_path):
+    e = micro_graph("powerlaw_1k")
+    n = int(e.max()) + 1
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        pagerank(eng, iterations=4)
+        before = eng.state_pandas(["rank"])["rank"].to_numpy()
+        eng.dump_vertex_array(["rank"], str(tmp_path / "dump"))
+        # clobber state, then restore
+        eng.map_vertices(lambda ctx, state, active:
+                         state["rank"].fill(-1.0) or 0.0)
+        eng.restore_vertex_array(str(tmp_path / "dump"), ["rank"])
+        after = eng.state_pandas(["rank"])["rank"].to_numpy()
+        assert np.array_equal(before, after)
+    finally:
+        eng.shutdown()
