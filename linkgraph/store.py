@@ -35,6 +35,11 @@ from .io import read_json, write_json
 from .partition import part_of, partition_offsets
 
 
+# bump when the on-disk layout or routing rules change: stale stores
+# under /tmp from an older code version are then rebuilt, not reused
+STORE_VERSION = 1
+
+
 def _route_stage(offsets_ref, by: str):
     """map_batches fn: append `part` = owner of column `by` (vectorized)."""
 
@@ -56,7 +61,11 @@ def build_graph_store(edges_ds, n_vertices: int, num_partitions: int,
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):
         meta = read_json(meta_path)
-        if meta.get("complete") and meta["num_partitions"] == num_partitions:
+        if (meta.get("complete")
+                and meta.get("version") == STORE_VERSION
+                and meta["num_partitions"] == num_partitions
+                and meta["symmetric"] == symmetric
+                and meta["weighted"] == weighted):
             return meta
 
     import ray.data as rd
@@ -84,6 +93,7 @@ def build_graph_store(edges_ds, n_vertices: int, num_partitions: int,
             mode="overwrite")
 
     meta = {
+        "version": STORE_VERSION,
         "n_vertices": int(n_vertices),
         "n_edges": int(n_edges),
         "num_partitions": int(num_partitions),
