@@ -50,7 +50,12 @@ def derive_star_edges(ds, key_col: str, id_col: str = "vid",
     tune_context()
 
     proj = ds.select_columns([key_col, id_col])
-    mins = proj.groupby(key_col).aggregate(Min(id_col, alias_name="__rep"))
+    # materialized: `proj` feeds BOTH the aggregate and the join below;
+    # a diamond over un-materialized lineage deadlocks the streaming
+    # executor intermittently (Ray 2.49; same root cause as
+    # algos/triangles.py).  `mins` is one row per key — the small side.
+    mins = proj.groupby(key_col).aggregate(
+        Min(id_col, alias_name="__rep")).materialize()
     joined = proj.join(mins, join_type="inner",
                        num_partitions=num_partitions, on=(key_col,))
 

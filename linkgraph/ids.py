@@ -80,7 +80,10 @@ def assign_dense_ids(ds, key_cols: list[str], n_buckets: int = 256,
              id_col: np.arange(start, start + len(group), dtype=np.int64)}
         )
 
-    mapping = distinct.groupby("bucket").map_groups(number, batch_format="pandas")
+    # materialized: breaks lineage sharing with the downstream attach_ids
+    # join (diamond-deadlock guard) and pins the key->id map for reuse
+    mapping = distinct.groupby("bucket").map_groups(
+        number, batch_format="pandas").materialize()
     return mapping, total
 
 
