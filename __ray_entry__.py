@@ -14,9 +14,8 @@ this module nor the linkgraph library calls ``ray.init()`` /
 Query inventory: linkgraph.pipelines (one entry per operator family from
 SURVEY.md §2 + the training-data additions).  Keys present in
 ``queries()`` but absent from ``oracle_sql()`` are the documented
-rows-only checks (probabilistic/approximate/stubbed/multi-phase
-operators: text_langid, dedup_minhash, dedup_simhash, dedup_ngram,
-ann_ivf, media_features, doc_bc).
+rows-only checks (probabilistic/approximate/stubbed operators:
+dedup_minhash, dedup_simhash, dedup_ngram, ann_ivf, media_features).
 """
 
 from __future__ import annotations

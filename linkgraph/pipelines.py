@@ -258,8 +258,8 @@ def q_doc_bfs(sf_dir):
 
 
 def q_doc_bc(sf_dir):
-    """Betweenness from root 0 (rows-only: two-phase algorithm, not
-    SQL-expressible); finite dependencies of reached vertices."""
+    """Betweenness from root 0; finite dependencies of reached vertices.
+    Oracle: _bc_sql unrolled Brandes (BFS levels + sigma + backward delta)."""
     from .algos import betweenness
 
     eng = documents_engine(sf_dir, "directed")
@@ -530,6 +530,59 @@ def _bfs_sql(rounds: int) -> str:
             f"FROM fin")
 
 
+def _bc_sql(rounds: int, round_to: int) -> str:
+    """Single-root Brandes betweenness as unrolled CTEs (matches
+    algos/bc.py two-phase engine, toolkits/bc.cpp:24-196 semantics):
+    BFS levels (same chain as _bfs_sql), then sigma (path counts) swept
+    forward one level per CTE, then dependencies swept backward:
+    delta(v) = sum over out-edges (v,w), dist(w)=dist(v)+1 of
+    sigma(v)/sigma(w) * (1 + delta(w)); leaves get 0."""
+    big = 10 ** 9
+    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            f"d0 AS MATERIALIZED (SELECT v, CASE WHEN v = 0 THEN 0 ELSE {big} END AS dep "
+            "FROM allv)"]
+    for i in range(1, rounds + 1):
+        p = f"d{i - 1}"
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT allv.v, least({p}.dep, coalesce(m.dep, {big}))"
+            f" AS dep FROM allv JOIN {p} USING (v) LEFT JOIN "
+            f"(SELECT e.dst AS v, min({p}.dep) + 1 AS dep FROM e "
+            f"JOIN {p} ON {p}.v = e.src WHERE {p}.dep < {big} "
+            f"GROUP BY e.dst) m USING (v))")
+    ctes.append(f"lev AS MATERIALIZED (SELECT v, dep AS dist FROM d{rounds} "
+                f"WHERE dep < {big})")
+    ctes.append("s0 AS MATERIALIZED (SELECT v, 1.0 AS sigma FROM lev "
+                "WHERE dist = 0)")
+    for i in range(1, rounds + 1):
+        p = f"s{i - 1}"
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT * FROM {p} UNION ALL "
+            f"SELECT e.dst AS v, sum(sp.sigma) AS sigma FROM e "
+            f"JOIN {p} sp ON sp.v = e.src "
+            f"JOIN lev lu ON lu.v = e.src AND lu.dist = {i - 1} "
+            f"JOIN lev lv ON lv.v = e.dst AND lv.dist = {i} "
+            f"GROUP BY e.dst)")
+    sig = f"s{rounds}"
+    ctes.append(f"b{rounds} AS MATERIALIZED (SELECT v, 0.0 AS dl FROM lev "
+                f"WHERE dist = {rounds})")
+    for i in range(rounds - 1, -1, -1):
+        nx = f"b{i + 1}"
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT * FROM {nx} UNION ALL "
+            f"SELECT l.v, coalesce(m.s, 0.0) AS dl FROM lev l LEFT JOIN "
+            f"(SELECT e.src AS v, sum(sg.sigma / sw.sigma * (1.0 + d.dl)) AS s "
+            f"FROM e JOIN {nx} d ON d.v = e.dst "
+            f"JOIN lev lw ON lw.v = e.dst AND lw.dist = {i + 1} "
+            f"JOIN {sig} sw ON sw.v = e.dst "
+            f"JOIN {sig} sg ON sg.v = e.src "
+            f"GROUP BY e.src) m USING (v) WHERE l.dist = {i})")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT lev.v AS v, round(b0.dl, {round_to}) AS dependencies, "
+            f"{sig}.sigma AS num_paths "
+            f"FROM lev JOIN b0 USING (v) JOIN {sig} USING (v)")
+
+
 def _sssp_sql(rounds: int, round_to: int) -> str:
     inf = "1000000000.0"
     ctes = [f"ce AS MATERIALIZED ({DOC_EDGES_SQL})",
@@ -558,6 +611,44 @@ TRIANGLES_SQL = f"""
 
 _FP_SQL = "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
+
+def _langid_sql() -> str:
+    """SQL twin of text.LangId: stopword-hit rate per language (words =
+    Unicode-letter runs of the lowercased text, same as the Python
+    `[^\\W\\d_]+` regex), zh scored by CJK-codepoint ratio; prediction =
+    argmax with alphabetical tie-break via ordered CASE, 'und' when all
+    scores are zero.  Same float64 hits/denominator division on both
+    sides, so equality is exact."""
+    from .text import _LANG_WORDS
+
+    score_cols = []
+    for lang in sorted(_LANG_WORDS):
+        if lang == "zh":
+            score_cols.append(
+                "CAST(length(regexp_replace(t, '[^一-鿿]', '', 'g')) "
+                "AS DOUBLE) / greatest(1, length(t)) AS s_zh")
+        else:
+            vocab = ", ".join(f"'{w}'" for w in sorted(_LANG_WORDS[lang]))
+            score_cols.append(
+                f"CAST(length(list_filter(words, w -> list_contains("
+                f"[{vocab}], w))) AS DOUBLE) / greatest(1, length(words)) "
+                f"AS s_{lang}")
+    langs = sorted(_LANG_WORDS)
+    best = "greatest(" + ", ".join(f"s_{g}" for g in langs) + ")"
+    case = " ".join(f"WHEN s_{g} = best THEN '{g}'" for g in langs)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, lower(text) AS t,
+                 regexp_extract_all(lower(text), '\\p{{L}}+') AS words
+          FROM documents
+        ), sc AS (
+          SELECT doc_id, {', '.join(score_cols)} FROM base
+        ), b AS (SELECT doc_id, {best} AS best, * FROM sc)
+        SELECT doc_id,
+               CASE WHEN best <= 0 THEN 'und' {case} END AS lang_pred
+        FROM b
+    """
+
 ORACLE_SQL: dict[str, str] = {
     "doc_edges": DOC_EDGES_SQL,
     "doc_degree": (f"WITH sym AS ({DOC_SYM_SQL}) SELECT src AS v, "
@@ -576,6 +667,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_cc": _cc_sql(CC_ROUNDS),
     "doc_labelprop": _lp_sql(LP_ROUNDS),
     "doc_bfs": _bfs_sql(BFS_ROUNDS),
+    "doc_bc": _bc_sql(BFS_ROUNDS, 6),
     "doc_sssp": _sssp_sql(SSSP_ROUNDS, 9),
     "text_tokens": ("SELECT doc_id, length(list_filter(regexp_split_to_array("
                     "text, '\\s+'), x -> x <> '')) AS n_tokens "
@@ -586,14 +678,20 @@ ORACLE_SQL: dict[str, str] = {
                    "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) "
                    "AS n_punct FROM documents"),
     "text_fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+    "text_langid": _langid_sql(),
     "dedup_exact": (f"SELECT min(doc_id) AS doc_id FROM documents "
                     f"GROUP BY {_FP_SQL}"),
+    # embedding is list<float>; cast to DOUBLE[] so DuckDB computes the
+    # cosine in float64 like the engine (float32 diverges in the 6th
+    # rounded digit -> value-hash mismatch, VERDICT r1 #1)
     "ann_topk": f"""
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
                    FROM embeddings WHERE vec_id IN
                    ({', '.join(map(str, ANN_QUERY_IDS))})),
         sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-                        list_cosine_similarity(q.qv, e.embedding) AS cos
+                        list_cosine_similarity(
+                            q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
                  FROM q CROSS JOIN embeddings e
                  WHERE e.vec_id <> q.query_id),
         ranked AS (SELECT query_id, neighbor_id, cos,
@@ -604,12 +702,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM ranked WHERE rnk <= {ANN_K}
     """,
     "embed_dup_pairs": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings)
         SELECT a.vec_id AS a, b.vec_id AS b,
-               round(list_cosine_similarity(a.embedding, b.embedding), 6)
-               AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding)
-              >= {EMB_DUP_TAU}
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= {EMB_DUP_TAU}
     """,
     "events_window": """
         SELECT user_id,
@@ -664,12 +762,12 @@ QUERIES = {
     "doc_cc": q_doc_cc,
     "doc_labelprop": q_doc_labelprop,
     "doc_bfs": q_doc_bfs,
-    "doc_bc": q_doc_bc,                     # rows-only (two-phase BC)
+    "doc_bc": q_doc_bc,
     "doc_sssp": q_doc_sssp,
     "text_tokens": q_text_tokens,
     "text_stats": q_text_stats,
     "text_fingerprint": q_text_fingerprint,
-    "text_langid": q_text_langid,           # rows-only (heuristic)
+    "text_langid": q_text_langid,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,       # rows-only (probabilistic index)
     "dedup_simhash": q_dedup_simhash,       # rows-only
