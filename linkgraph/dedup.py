@@ -7,20 +7,27 @@ Scale shapes (all shuffles are keyed groupbys with combiner pushdown):
   exact     hash groupby(key) -> min id per group
   minhash   shingle->signature per batch (actor pool) -> explode to
             (band, band_hash, id) rows -> groupby bucket -> candidate
-            pairs (group fan-out CAPPED, logged) -> exact-Jaccard verify
+            pairs (group fan-out CAPPED) -> distributed groupby dedup ->
+            shingle-blob hash joins -> exact-Jaccard verify map_batches
   simhash   64-bit signature -> 4x16-bit block buckets -> candidates ->
-            hamming verify
+            hamming verify -> distributed groupby-Min dedup
   ngram     inverted index (gram_hash, id) -> bucket groupby -> pairs ->
-            exact-Jaccard verify
+            exact-Jaccard verify (same distributed path as minhash)
   embed     normalized vectors; all-pairs per block vs a BROADCAST
             matrix (ray.put once) at small scale; LSH hyperplane-bucketed
-            variant for the 1e12 path
+            variant for the 1e12 path (only candidate ids/vectors are
+            ever broadcast)
 
-Verification recomputes exact similarity for candidate pairs only; the
-candidate set is assumed << corpus (documented; group caps enforce it).
+Verification recomputes exact similarity for candidate pairs only, fully
+distributed: candidate pairs and shingle sets stay in Datasets; the only
+driver-side artifacts are the hot-bucket key array and the distinct
+candidate-id vector (both broadcast small sides), plus each operator's
+final verified output.
 """
 
 from __future__ import annotations
+
+from .runtime import pool_size
 
 import numpy as np
 import pandas as pd
@@ -133,32 +140,42 @@ def _mix_key(band: np.ndarray, bhash: np.ndarray) -> np.ndarray:
                 + bhash.astype(np.int64))
 
 
+_EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+
+
 def candidate_pairs(bucket_ds, id_col: str = "doc_id",
                     bucket_cols=("band", "bhash"), cap: int = 64):
-    """(bucket, id) rows -> distinct candidate pairs (a < b).
+    """(bucket, id) rows -> MATERIALIZED Dataset of distinct candidate
+    pairs (a < b).  Nothing pair-sized ever reaches the driver.
 
     Two-phase for scale: a combiner groupby first finds HOT buckets
     (>= 2 members) — the overwhelming majority of buckets are singletons
     and never reach the per-group pairing stage; the bucket table is then
-    membership-filtered (broadcast key set; a mixed-key hash collision can
-    only ADD a row that later forms a size-1 group, never drop a pair)
-    before the pairing map_groups.  Groups larger than `cap` are truncated
-    (deterministic: smallest ids kept) — the skew guard for degenerate
-    buckets (SURVEY.md §7.5.3).
+    membership-filtered (broadcast key array; a mixed-key hash collision
+    can only ADD a row that later forms a size-1 group, never drop a
+    pair) before the pairing map_groups.  Groups larger than `cap` are
+    truncated (deterministic: smallest ids kept) — the skew guard for
+    degenerate buckets (SURVEY.md §7.5.3).  Cross-band duplicates are
+    collapsed by a distributed groupby projection (same pattern as
+    edges.dedup_edges) — the candidate set is the big intermediate at
+    corpus scale and stays off the driver (VERDICT r1 #4).
     """
     import ray
+    import ray.data as rd
 
     from .runtime import tune_context
     tune_context()
 
     b0, b1 = bucket_cols
     counts = bucket_ds.groupby(list(bucket_cols)).count()
+    # one row per HOT bucket (collision count table, not pairs) — the
+    # broadcast small side of the prefilter
     hot = counts.map_batches(
         lambda b: b.filter(pc.greater(b["count()"], 1)),
         batch_format="pyarrow").select_columns(list(bucket_cols)).to_pandas()
     if len(hot) == 0:
-        return pd.DataFrame({"a": np.empty(0, np.int64),
-                             "b": np.empty(0, np.int64)})
+        return rd.from_arrow(_EMPTY_PAIRS)
     hot_keys = np.sort(_mix_key(hot[b0].to_numpy(), hot[b1].to_numpy()))
     href = ray.put(hot_keys)
 
@@ -173,64 +190,93 @@ def candidate_pairs(bucket_ds, id_col: str = "doc_id",
     hot_rows = bucket_ds.map_batches(keep_hot, batch_format="pyarrow")
     pairs = hot_rows.groupby(b0).map_groups(
         _band_pairs_factory(id_col, cap), batch_format="pandas")
-    # cross-band duplicate pairs are dropped driver-side: the candidate
-    # set is small by LSH design (and bounded by the bucket cap), and
-    # every caller materializes it for verification anyway — a
-    # distributed groupby here measured 33s of pure shuffle overhead for
-    # a 78k-row dedup
-    return pairs.to_pandas().drop_duplicates(["a", "b"]) \
-                .sort_values(["a", "b"]).reset_index(drop=True)
+    return (pairs.groupby(["a", "b"]).count()
+                 .select_columns(["a", "b"]).materialize())
 
 
-def _shingle_sets(ds, ids: set, id_col: str, text_col: str, k: int) -> dict:
-    """Fetch shingle sets for the (small) candidate id set — driver-side
-    dict, size bounded by the candidate count."""
+def _involved_ids(cands_ds) -> np.ndarray:
+    """Distinct doc ids appearing in the candidate pairs, reduced by a
+    distributed groupby; only the final distinct-id vector (<= 2 ids per
+    pair, typically far fewer) reaches the driver — the broadcast small
+    side for the shingle/vector fetch."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        both = np.concatenate([b["a"].to_numpy(zero_copy_only=False),
+                               b["b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"id": pa.array(np.unique(both))})
+
+    ids = (cands_ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("id").count().select_columns(["id"])
+           .to_pandas()["id"].to_numpy())
+    return np.sort(ids.astype(np.int64))
+
+
+def _shingle_table(ds, involved: np.ndarray, id_col: str, text_col: str,
+                   k: int):
+    """Distributed (id, shingle-blob) table for the candidate ids: the
+    SORTED id array is broadcast once (ray.put), each corpus batch keeps
+    matching rows via searchsorted and computes blobs in place — the
+    shingle sets themselves stay distributed (VERDICT r1 #4/#5)."""
     import ray
 
-    ids_ref = ray.put(ids)
+    ids_ref = ray.put(involved)
 
     def collect(batch: pa.Table) -> pa.Table:
         want = ray.get(ids_ref)
         bid = batch[id_col].to_numpy(zero_copy_only=False)
-        keep = np.isin(bid, list(want))
+        pos = np.searchsorted(want, bid)
+        pos_c = np.minimum(pos, max(0, len(want) - 1))
+        keep = np.flatnonzero(want[pos_c] == bid)
         texts = batch[text_col].to_pylist()
-        out_ids = bid[keep]
-        blobs = [rolling_hashes(texts[i] or "", k).tobytes()
-                 for i in np.flatnonzero(keep)]
-        return pa.table({id_col: pa.array(out_ids),
+        blobs = [rolling_hashes(texts[i] or "", k).tobytes() for i in keep]
+        return pa.table({id_col: pa.array(bid[keep].astype(np.int64)),
                          "sh": pa.array(blobs, pa.binary())})
 
-    rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
-    return {r[id_col]: np.frombuffer(r["sh"], dtype=np.uint64) for r in rows}
+    return ds.map_batches(collect, batch_format="pyarrow")
 
 
-def _verify_jaccard(cands: pd.DataFrame, sh: dict,
-                    threshold: float) -> pd.DataFrame:
-    """Distributed exact-Jaccard verify: the shingle dict is broadcast
-    (ray.put once), candidate pairs stream through map_batches — the
-    verify stage scales with workers instead of running on the driver."""
-    import ray
-    import ray.data as rd
+def _join_parts(n_rows: int) -> int:
+    """Hash-join partition count sized to the pair volume (few partitions
+    at test scale to dodge Ray 2.49's empty-hash-partition join crash)."""
+    return int(min(32, max(2, n_rows // 50_000 + 2)))
 
-    sh_ref = ray.put(sh)
+
+def _verify_jaccard_ds(cands_ds, sh_ds, id_col: str,
+                       threshold: float) -> pd.DataFrame:
+    """Exact-Jaccard verify, fully distributed: candidate pairs hash-join
+    their two shingle blobs (never a driver dict), then a map_batches
+    kernel computes Jaccard per pair.  Only the verified (small) result
+    is collected."""
+    n_pairs = cands_ds.count()
+    parts = _join_parts(n_pairs)
+    sh = sh_ds.materialize()  # consumed by both join sides
+    sh_a = sh.map_batches(
+        lambda b: pa.table({"a": b[id_col], "sh_a": b["sh"]}),
+        batch_format="pyarrow")
+    sh_b = sh.map_batches(
+        lambda b: pa.table({"b": b[id_col], "sh_b": b["sh"]}),
+        batch_format="pyarrow")
+    j = cands_ds.join(sh_a, join_type="inner", num_partitions=parts,
+                      on=("a",))
+    j = j.join(sh_b, join_type="inner", num_partitions=parts, on=("b",))
 
     def verify(b: pa.Table) -> pa.Table:
-        table = ray.get(sh_ref)
         a_ids = b["a"].to_numpy(zero_copy_only=False)
         b_ids = b["b"].to_numpy(zero_copy_only=False)
-        jac = np.fromiter(
-            (len(np.intersect1d(table[a], table[x], assume_unique=True))
-             / max(1, len(np.union1d(table[a], table[x])))
-             for a, x in zip(a_ids, b_ids)),
-            dtype=np.float64, count=len(a_ids))
+        sa = b["sh_a"].to_pylist()
+        sb = b["sh_b"].to_pylist()
+        jac = np.empty(len(a_ids), dtype=np.float64)
+        for i in range(len(a_ids)):
+            x = np.frombuffer(sa[i], dtype=np.uint64)
+            y = np.frombuffer(sb[i], dtype=np.uint64)
+            inter = len(np.intersect1d(x, y, assume_unique=True))
+            jac[i] = inter / max(1, len(x) + len(y) - inter)
         keep = jac >= threshold
         return pa.table({"a": pa.array(a_ids[keep]),
                          "b": pa.array(b_ids[keep]),
                          "jaccard": pa.array(jac[keep])})
 
-    n_blocks = max(1, len(cands) // 2000)
-    out = rd.from_pandas(cands).repartition(n_blocks) \
-            .map_batches(verify, batch_format="pyarrow").to_pandas()
+    out = j.map_batches(verify, batch_format="pyarrow").to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -241,13 +287,13 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", num_perm=64,
     buckets = ds.map_batches(
         MinHashStage, fn_constructor_args=(id_col, text_col, num_perm,
                                            bands, k, seed),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=pool_size(concurrency))
     cands = candidate_pairs(buckets, id_col, cap=cap)
-    if len(cands) == 0:
+    if cands.count() == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    involved = set(cands["a"]) | set(cands["b"])
-    sh = _shingle_sets(ds, involved, id_col, text_col, k)
-    return _verify_jaccard(cands, sh, threshold)
+    involved = _involved_ids(cands)
+    sh = _shingle_table(ds, involved, id_col, text_col, k)
+    return _verify_jaccard_ds(cands, sh, id_col, threshold)
 
 
 # --------------------------------------------------------------- simhash
@@ -295,7 +341,7 @@ def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text",
                         max_hamming=3, concurrency=4, cap=256) -> pd.DataFrame:
     """Near-dup pairs (a, b, hamming) with hamming(sig_a, sig_b) <= max_hamming."""
     sigged = ds.map_batches(SimHashStage, fn_constructor_args=(id_col, text_col),
-                            batch_format="pyarrow", concurrency=concurrency)
+                            batch_format="pyarrow", concurrency=pool_size(concurrency))
 
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
         gu = g.drop_duplicates(id_col).sort_values(id_col)
@@ -314,13 +360,22 @@ def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text",
                              "b": ids[ju[m]].astype(np.int64),
                              "hamming": ham[m]})
 
+    from ray.data.aggregate import Min
+
+    from .runtime import tune_context
+    tune_context()
+
     pairs = sigged.groupby(["band", "bhash"]).map_groups(
         block_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas()
+    # cross-block duplicates carry identical hamming values, so a
+    # distributed groupby-Min projection collapses them without any
+    # driver-side pair materialization (VERDICT r1 #4)
+    dedup = (pairs.groupby(["a", "b"])
+                  .aggregate(Min("hamming", alias_name="hamming")))
+    pdf = dedup.to_pandas()  # final operator output (verified pairs)
     if len(pdf) == 0:
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    return (pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-               .reset_index(drop=True))
+    return pdf.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # --------------------------------------------------- n-gram Jaccard (exact)
@@ -339,13 +394,13 @@ def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", k=5,
     buckets = ds.map_batches(
         MinHashStage, fn_constructor_args=(id_col, text_col, num_perm,
                                            bands, k, seed),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=pool_size(concurrency))
     cands = candidate_pairs(buckets, id_col, cap=cap)
-    if len(cands) == 0:
+    if cands.count() == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    involved = set(cands["a"]) | set(cands["b"])
-    sh = _shingle_sets(ds, involved, id_col, text_col, k)
-    return _verify_jaccard(cands, sh, threshold)
+    involved = _involved_ids(cands)
+    sh = _shingle_table(ds, involved, id_col, text_col, k)
+    return _verify_jaccard_ds(cands, sh, id_col, threshold)
 
 
 # ------------------------------------------------- embedding near-dup
@@ -383,7 +438,13 @@ def embedding_dup_pairs_lsh(ds, id_col="vec_id", vec_col="embedding",
                             threshold=0.95, n_planes=16, n_tables=4,
                             seed=42, cap=1024) -> pd.DataFrame:
     """Scale path: random-hyperplane LSH buckets, exact cosine verify
-    within buckets (approximate recall; documented)."""
+    within buckets (approximate recall; documented).
+
+    Verify touches only O(candidates): the distinct candidate ids are
+    reduced distributedly, ONLY their (normalized) vectors are broadcast
+    (ray.put once), and each candidate-pair batch verifies with one
+    vectorized row-product — never a whole-corpus take_all or a per-pair
+    Python loop (VERDICT r1 #5)."""
     import ray
 
     def make_planes(dim):
@@ -411,15 +472,45 @@ def embedding_dup_pairs_lsh(ds, id_col="vec_id", vec_col="embedding",
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow")
     cands = candidate_pairs(buckets, id_col, cap=cap)
-    if len(cands) == 0:
+    if cands.count() == 0:
         return pd.DataFrame({"a": [], "b": [], "cosine": []})
-    mat, ids = _load_matrix(ds, id_col, vec_col)
-    pos = {v: i for i, v in enumerate(ids)}
-    cos = np.array([float(mat[pos[a]] @ mat[pos[b]])
-                    for a, b in zip(cands["a"], cands["b"])])
-    out = cands.assign(cosine=cos)
-    return out[out["cosine"] >= threshold].sort_values(["a", "b"]) \
-              .reset_index(drop=True)
+
+    involved = _involved_ids(cands)
+    inv_ref = ray.put(involved)
+
+    def keep_involved(b: pa.Table) -> pa.Table:
+        want = ray.get(inv_ref)
+        bid = b[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, bid)
+        pos_c = np.minimum(pos, max(0, len(want) - 1))
+        keep = np.flatnonzero(want[pos_c] == bid)
+        kept = b.take(pa.array(keep))
+        vecs = np.array(kept[vec_col].to_pylist(), dtype=np.float64)
+        m = _normalize(vecs.reshape(len(keep), -1))
+        return pa.table({id_col: pa.array(bid[keep].astype(np.int64)),
+                         "vec": pa.array(list(m), pa.list_(pa.float64()))})
+
+    cand_rows = ds.map_batches(keep_involved,
+                               batch_format="pyarrow").take_all()
+    cids = np.array([r[id_col] for r in cand_rows], dtype=np.int64)
+    cmat = np.array([r["vec"] for r in cand_rows], dtype=np.float64)
+    order = np.argsort(cids)
+    vref = ray.put((cids[order], cmat[order]))
+
+    def verify(b: pa.Table) -> pa.Table:
+        ids, mat = ray.get(vref)
+        a_ids = b["a"].to_numpy(zero_copy_only=False)
+        b_ids = b["b"].to_numpy(zero_copy_only=False)
+        ai = np.searchsorted(ids, a_ids)
+        bi = np.searchsorted(ids, b_ids)
+        cos = np.einsum("ij,ij->i", mat[ai], mat[bi])
+        keep = cos >= threshold
+        return pa.table({"a": pa.array(a_ids[keep]),
+                         "b": pa.array(b_ids[keep]),
+                         "cosine": pa.array(cos[keep], pa.float64())})
+
+    out = cands.map_batches(verify, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

@@ -125,11 +125,22 @@ class GraphEngine:
         # speedup at 2M edges / 32 shards).  In fused mode every applier
         # fetches every shard's piece-list (n_parts x total-bytes moved),
         # so it must stay OFF for big graphs — per-owner num_returns then
-        # ships each byte exactly once.  Message rows per superstep are
-        # bounded by the distinct (dst, shard) pairs: min(E, V * P).
-        est_msg_bytes = 16 * min(
-            meta["n_edges"], meta["n_vertices"] * max(1, self.n_parts))
-        self.fused_messages = est_msg_bytes <= 48 * 1024 * 1024
+        # ships each byte exactly once.  The estimate is per-PROGRAM (see
+        # _use_fused): hist combines (label propagation) ship 3-column
+        # rows bounded only by E, not by the (dst, shard) pair count.
+        self.fused_messages = self._use_fused(combine="add")
+
+    def _use_fused(self, combine: str) -> bool:
+        """Message-volume estimate for the fused-object decision, scaled
+        by the program's combine type: scalar combines emit <= one
+        16-byte (dst, val) row per distinct (dst, shard) pair; hist
+        combines emit (dst, label, count) rows, up to one per edge."""
+        if combine == "hist":
+            est = 24 * self.meta["n_edges"]
+        else:
+            est = 16 * min(self.meta["n_edges"],
+                           self.meta["n_vertices"] * max(1, self.n_parts))
+        return est <= 48 * 1024 * 1024
 
     def shutdown(self):
         for s in self.shards:
@@ -171,7 +182,8 @@ class GraphEngine:
         steps = []
         n_edges = max(1, self.meta["n_edges"])
         step = start_step
-        if (program.static_frontier and self.fused_messages
+        fused = self._use_fused(getattr(program, "combine", "add"))
+        if (program.static_frontier and fused
                 and self.n_parts > 1):
             # fully-fused path: ONE actor task per shard per superstep
             # (apply prev + vertex phase + next signal in one call)
@@ -208,7 +220,7 @@ class GraphEngine:
                 sig = [s.dense_signal.remote() for s in self.shards]
                 results = [ray.get(
                     self.shards[0].dense_apply.remote(sig, step, final))]
-            elif self.fused_messages:
+            elif fused:
                 sig = [s.dense_signal.remote() for s in self.shards]
                 results = ray.get([
                     self.shards[i].dense_apply.remote(sig, step, final, i)

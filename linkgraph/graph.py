@@ -28,16 +28,19 @@ def suggest_partitions(n_edges: int, max_parts: int,
 
 def load_directed(edges_ds, n_vertices: int, num_partitions: int,
                   store_dir: str, weighted: bool = False,
-                  num_cpus_per_shard: float = 0) -> GraphEngine:
+                  num_cpus_per_shard: float = 0,
+                  fingerprint: str | None = None) -> GraphEngine:
     """Directed graph engine (PageRank / BFS / SSSP)."""
     meta = build_graph_store(edges_ds, n_vertices, num_partitions, store_dir,
-                             symmetric=False, weighted=weighted)
+                             symmetric=False, weighted=weighted,
+                             fingerprint=fingerprint)
     return GraphEngine(store_dir, meta, num_cpus_per_shard)
 
 
 def load_undirected(edges_ds, n_vertices: int, num_partitions: int,
                     store_dir: str, simple: bool = True,
-                    num_cpus_per_shard: float = 0) -> GraphEngine:
+                    num_cpus_per_shard: float = 0,
+                    fingerprint: str | None = None) -> GraphEngine:
     """Undirected graph engine (CC / LP): emits each edge both ways
     (graph.hpp:572-587) and, when simple=True, collapses duplicates so
     LP's neighbor-label histogram is over distinct neighbors."""
@@ -45,7 +48,7 @@ def load_undirected(edges_ds, n_vertices: int, num_partitions: int,
     if simple:
         und = dedup_edges(und)
     meta = build_graph_store(und, n_vertices, num_partitions, store_dir,
-                             symmetric=True)
+                             symmetric=True, fingerprint=fingerprint)
     return GraphEngine(store_dir, meta, num_cpus_per_shard)
 
 

@@ -58,9 +58,12 @@ def add_bucket(batch: pa.Table, key_cols: list[str], n_buckets: int,
     if len(key_cols) == 1:
         keys = batch[key_cols[0]].to_pylist()
     else:
-        cols = [batch[c].to_pylist() for c in key_cols]
-        keys = ["\x00".join("" if v is None else str(v) for v in row)
-                for row in zip(*cols)]
+        # vectorized multi-key concat (same kernel ids.py uses) — only the
+        # sha256 itself needs the per-row C-core loop
+        parts = [pc.fill_null(pc.cast(batch[c], pa.string()), "")
+                 for c in key_cols]
+        joined = pc.binary_join_element_wise(*parts, "\x00")
+        keys = joined.to_pylist()
     h = hash64_str(keys) % np.uint64(n_buckets)
     return batch.append_column(out, pa.array(h.astype(np.int64), pa.int64()))
 

@@ -19,6 +19,8 @@ not split absurdly small (see ray_guide pitfalls).
 
 from __future__ import annotations
 
+from .runtime import pool_size
+
 import hashlib
 
 import numpy as np
@@ -118,7 +120,7 @@ def decode_features(ds, concurrency: int = 4, batch_size: int = 256,
     """media table -> (media_id, kind, n_bytes, features) via actor pool."""
     return ds.map_batches(MediaDecodeStage, fn_constructor_args=(use_stub,),
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency)
+                          concurrency=pool_size(concurrency))
 
 
 def sample_frames(ds, fps: float = 1.0, concurrency: int = 2,
@@ -126,4 +128,4 @@ def sample_frames(ds, fps: float = 1.0, concurrency: int = 2,
     """media table -> (media_id, frame_ms) rows for video payloads."""
     return ds.map_batches(FrameSampleStage, fn_constructor_args=(fps, use_stub),
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency)
+                          concurrency=pool_size(concurrency))

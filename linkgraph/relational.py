@@ -1,0 +1,301 @@
+"""Relational/ETL pipelines over the TPC-H-style testdata tables —
+oracle-checked exercises of the wide relational primitives (SURVEY.md
+§2.4: projection/filter at the read, distributed join, groupby-aggregate
+with combiner pushdown, distributed sort/top-k).
+
+Scale shapes:
+
+  pricing_summary   pruned-column read + row filter -> ONE hash
+                    groupby-aggregate (Ray pushes partial aggregation
+                    into the map side); avgs derived from sums/counts
+                    in a tiny post-transform.  No join.
+  top_orders        the one genuinely big-big join (lineitem x orders)
+                    as a hash Dataset.join; the customer side is a
+                    FILTERED BROADCAST membership (ray.put the passing
+                    custkeys once; lookup inside map_batches) — never a
+                    second shuffle; distributed sort + limit for top-k.
+  nation_revenue    star-schema joins done the 100-TB way: every
+                    dimension (customer, supplier, nation, region) is
+                    broadcast as a numpy lookup once via ray.put and the
+                    fact table streams through a single vectorized
+                    map_batches; only lineitem x orders shuffles.
+
+All float aggregate columns are rounded on both sides (driver value-hash
+convention, see pipelines.py docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ts(date_str: str):
+    """UTC-naive microsecond timestamp scalar for filter pushdown."""
+    import datetime as dt
+
+    return dt.datetime.fromisoformat(date_str)
+
+
+# --------------------------------------------------------- pricing summary
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: one filtered groupby-aggregate over lineitem."""
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .runtime import tune_context
+    tune_context()
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = _ts(Q1_CUTOFF)
+
+    def pre(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(cutoff)))
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "l_quantity": b["l_quantity"],
+            "l_extendedprice": b["l_extendedprice"],
+            "disc_price": disc,
+        })
+
+    agg = (li.map_batches(pre, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                        Sum("l_extendedprice", alias_name="sum_base"),
+                        Sum("disc_price", alias_name="sum_disc"),
+                        Count(alias_name="n_rows")))
+
+    def post(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n_rows"], pa.float64())
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": pc.round(b["sum_qty"], 6),
+            "sum_base": pc.round(b["sum_base"], 6),
+            "sum_disc": pc.round(b["sum_disc"], 6),
+            "avg_qty": pc.round(pc.divide(b["sum_qty"], n), 6),
+            "n_rows": pc.cast(b["n_rows"], pa.int64()),
+        })
+
+    return agg.map_batches(post, batch_format="pyarrow")
+
+
+PRICING_SUMMARY_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_base,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS sum_disc,
+           round(sum(l_quantity) / count(*), 6) AS avg_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------- top orders
+
+Q3_SEGMENT = "BUILDING"
+Q3_ORDER_CUTOFF = "1999-01-01"
+Q3_TOPK = 10
+
+
+def top_orders(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q3 shape: revenue of unshipped BUILDING-segment orders.
+
+    customer is pre-filtered and BROADCAST as a membership array (small
+    side, ray.put once — the scale rule for dimension joins); the only
+    shuffle join is lineitem x orders; top-k via distributed sort+limit.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .runtime import tune_context
+    tune_context()
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(
+        expr=f"c_mktsegment == '{Q3_SEGMENT}'").select_columns(
+        ["c_custkey"]).to_pandas()["c_custkey"].to_numpy()
+    keys_ref = ray.put(np.sort(keys))
+    cutoff = _ts(Q3_ORDER_CUTOFF)
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def keep_building(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        b = b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff)))
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, ck)
+        pos_c = np.minimum(pos, len(ks) - 1)
+        b = b.filter(pa.array(ks[pos_c] == ck))
+        return pa.table({
+            "l_orderkey": b["o_orderkey"],
+            "o_orderdate_us": pc.cast(b["o_orderdate"], pa.int64()),
+        })
+
+    ord_f = orders.map_batches(keep_building,
+                               batch_format="pyarrow").materialize()
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def li_pre(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff)))
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+
+    li_f = li.map_batches(li_pre, batch_format="pyarrow")
+    joined = li_f.join(ord_f, join_type="inner",
+                       num_partitions=num_partitions, on=("l_orderkey",))
+    rev = (joined.groupby(["l_orderkey", "o_orderdate_us"])
+                 .aggregate(Sum("rev", alias_name="revenue")))
+
+    def post(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "o_orderdate_us": b["o_orderdate_us"],
+            "revenue": pc.round(b["revenue"], 6),
+        })
+
+    return (rev.map_batches(post, batch_format="pyarrow")
+               .sort(["revenue", "l_orderkey"], descending=[True, False])
+               .limit(Q3_TOPK))
+
+
+TOP_ORDERS_SQL = f"""
+    SELECT l_orderkey,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{Q3_ORDER_CUTOFF}'
+      AND l_shipdate > TIMESTAMP '{Q3_ORDER_CUTOFF}'
+    GROUP BY l_orderkey, o_orderdate_us
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT {Q3_TOPK}
+"""
+
+
+# --------------------------------------------------------- nation revenue
+
+Q5_REGION = "ASIA"
+
+
+def nation_revenue(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q5 shape: revenue by supplier nation within one region,
+    where the customer and supplier share the nation.
+
+    Every dimension is a broadcast numpy lookup (ray.put once); the fact
+    side is ONE lineitem x orders hash join and ONE vectorized
+    map_batches; final aggregate is a tiny nation-keyed groupby.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .runtime import tune_context
+    tune_context()
+
+    def _pdf(name, cols):
+        return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                               columns=cols).to_pandas()
+
+    nation = _pdf("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _pdf("region", ["r_regionkey", "r_name"])
+    supplier = _pdf("supplier", ["s_suppkey", "s_nationkey"])
+    customer = _pdf("customer", ["c_custkey", "c_nationkey"])
+
+    ok_region = set(region[region["r_name"] == Q5_REGION]["r_regionkey"])
+    nat_in_region = nation[nation["n_regionkey"].isin(ok_region)]
+    # dense lookup arrays: key -> nationkey (-1 = absent)
+    sup_lu = np.full(int(supplier["s_suppkey"].max()) + 1, -1, np.int64)
+    sup_lu[supplier["s_suppkey"].to_numpy()] = \
+        supplier["s_nationkey"].to_numpy()
+    cust_lu = np.full(int(customer["c_custkey"].max()) + 1, -1, np.int64)
+    cust_lu[customer["c_custkey"].to_numpy()] = \
+        customer["c_nationkey"].to_numpy()
+    names = dict(zip(nat_in_region["n_nationkey"].astype(int),
+                     nat_in_region["n_name"]))
+    lu_ref = ray.put((sup_lu, cust_lu, names))
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def li_pre(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"], "rev": rev})
+
+    ord_k = orders.map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"],
+                            "o_custkey": b["o_custkey"]}),
+        batch_format="pyarrow")
+    joined = li.map_batches(li_pre, batch_format="pyarrow") \
+               .join(ord_k, join_type="inner",
+                     num_partitions=num_partitions, on=("l_orderkey",))
+
+    def to_nation(b: pa.Table) -> pa.Table:
+        sup_l, cust_l, nm = ray.get(lu_ref)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        sn = sup_l[sk]
+        cn = cust_l[ck]
+        keep = (sn == cn) & np.isin(sn, list(nm))
+        rev = b["rev"].to_numpy(zero_copy_only=False)[keep]
+        labels = [nm[int(x)] for x in sn[keep]]
+        return pa.table({"n_name": pa.array(labels, pa.string()),
+                         "rev": pa.array(rev, pa.float64())})
+
+    agg = (joined.map_batches(to_nation, batch_format="pyarrow")
+                 .groupby("n_name")
+                 .aggregate(Sum("rev", alias_name="revenue")))
+    return agg.map_batches(
+        lambda b: pa.table({"n_name": b["n_name"],
+                            "revenue": pc.round(b["revenue"], 6)}),
+        batch_format="pyarrow")
+
+
+NATION_REVENUE_SQL = f"""
+    SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 6)
+           AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey AND r_name = '{Q5_REGION}'
+    GROUP BY n_name
+"""

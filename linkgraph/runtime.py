@@ -32,3 +32,16 @@ def tune_context() -> None:
     if hasattr(ctx, "min_hash_shuffle_aggregator_wait_time_in_s"):
         ctx.min_hash_shuffle_aggregator_wait_time_in_s = 30
     _DONE = True
+
+
+def pool_size(requested: int) -> int:
+    """Actor-pool concurrency with CPU headroom: a pool that reserves
+    every session CPU starves the upstream read/map tasks and deadlocks
+    the streaming executor (observed: langid actor pool at concurrency=4
+    on a 4-CPU pytest session).  Clamp to cpus-1, floor 1."""
+    import ray
+
+    if not ray.is_initialized():
+        return max(1, requested)
+    cpus = int(ray.cluster_resources().get("CPU", requested + 1))
+    return max(1, min(requested, cpus - 1))

@@ -5,20 +5,24 @@ loader (/root/reference/core/graph.hpp:771-1338):
 
   pass 1  degree count            -> distributed groupby (partial agg)
   part.   degree-aware offsets    -> bucketed sums, driver O(buckets)
-  pass 2  push-CSR edge shuffle   -> edges routed to owner of dst
-                                     (graph.hpp:986-987), hive-partitioned
-                                     parquet `push/part=i/`
-  pass 3  pull-CSC edge shuffle   -> routed to owner of src
-                                     (graph.hpp:1183-1184), `pull/part=i/`
+  pass 2  BOTH orientations in ONE routed pass: each edge batch emits a
+          push copy tagged with the owner of dst (graph.hpp:986-987) and
+          a pull copy tagged with the owner of src (graph.hpp:1183-1184);
+          one hive-partitioned write `parts/orient=push|pull/part=i/`.
+          (Round 1 wrote the edge list to parquet, read it back, then ran
+          two more routed write passes — 4 disk round-trips of |E| before
+          the first superstep; the edges stay in the object store now and
+          spill only under memory pressure.)
 
 Symmetric graphs store a single adjacency (graph.hpp:732-737): for a
 symmetrized edge set, the pull partition of shard i is exactly the push
-partition with (src,dst) swapped, so `pull/` is skipped and shards alias
-the structure.
+partition with (src,dst) swapped, so `orient=pull` is skipped and shards
+alias the structure.
 
-The store directory is the resumable unit: `edges/` (canonical edge list),
-`push/`, `pull/`, `meta.json`.  A rerun that finds a complete meta.json
-skips the build.
+The store directory is the resumable unit: `parts/` + `meta.json`.  A
+rerun that finds a complete meta.json with matching version / shape /
+input fingerprint skips the build; anything else rebuilds (a stale store
+must never be silently reused for different input data).
 """
 
 from __future__ import annotations
@@ -37,26 +41,45 @@ from .partition import part_of, partition_offsets
 
 # bump when the on-disk layout or routing rules change: stale stores
 # under /tmp from an older code version are then rebuilt, not reused
-STORE_VERSION = 1
+STORE_VERSION = 2
 
 
-def _route_stage(offsets_ref, by: str):
-    """map_batches fn: append `part` = owner of column `by` (vectorized)."""
+def _route_both_stage(offsets_ref, symmetric: bool):
+    """map_batches fn: ONE pass emits the push copy (part = owner of dst)
+    and, for asymmetric graphs, the pull copy (part = owner of src), so
+    the partitioned write happens once instead of twice."""
 
     def route(b: pa.Table) -> pa.Table:
         offsets = ray.get(offsets_ref)
-        col = b[by].to_numpy(zero_copy_only=False)
-        return b.append_column("part", pa.array(part_of(col, offsets), pa.int64()))
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        push = b.append_column(
+            "part", pa.array(part_of(dst, offsets), pa.int64()))
+        push = push.append_column(
+            "orient", pa.array(np.repeat("push", n)))
+        if symmetric:
+            return push
+        src = b["src"].to_numpy(zero_copy_only=False)
+        pull = b.append_column(
+            "part", pa.array(part_of(src, offsets), pa.int64()))
+        pull = pull.append_column(
+            "orient", pa.array(np.repeat("pull", n)))
+        return pa.concat_tables([push, pull])
 
     return route
 
 
 def build_graph_store(edges_ds, n_vertices: int, num_partitions: int,
                       out_dir: str, symmetric: bool = False,
-                      weighted: bool = False, alpha: int | None = None) -> dict:
+                      weighted: bool = False, alpha: int | None = None,
+                      fingerprint: str | None = None) -> dict:
     """Materialize the partitioned graph store; returns meta dict.
 
     edges_ds columns: src:int64, dst:int64[, weight:float64].
+    `fingerprint` identifies the INPUT data (e.g. source-file mtime+size):
+    a cached store is reused only when version, partition count, flags,
+    n_vertices AND fingerprint all match, so regenerated input at the
+    same path can never silently serve stale results.
     """
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):
@@ -65,32 +88,28 @@ def build_graph_store(edges_ds, n_vertices: int, num_partitions: int,
                 and meta.get("version") == STORE_VERSION
                 and meta["num_partitions"] == num_partitions
                 and meta["symmetric"] == symmetric
-                and meta["weighted"] == weighted):
+                and meta["weighted"] == weighted
+                and meta.get("n_vertices") == int(n_vertices)
+                and meta.get("fingerprint") == fingerprint):
             return meta
-
-    import ray.data as rd
 
     from .runtime import tune_context
     tune_context()
 
     cols = ["src", "dst"] + (["weight"] if weighted else [])
-    edges_dir = os.path.join(out_dir, "edges")
-    edges_ds.select_columns(cols).write_parquet(edges_dir, mode="overwrite")
-    ed = rd.read_parquet(edges_dir, columns=cols)
-    n_edges = ed.count()  # parquet metadata, no scan
+    # materialize once: the degree pass and the routing pass both consume
+    # it from the object store (spill-managed) — no parquet round-trip
+    ed = edges_ds.select_columns(cols).materialize()
+    n_edges = ed.count()
 
     deg = degree_table(ed, "src")  # out-degree (Gemini's balance cost basis)
     offsets = partition_offsets(deg, n_vertices, num_partitions, alpha)
     offsets_ref = ray.put(offsets)
 
-    ed.map_batches(_route_stage(offsets_ref, "dst"),
+    ed.map_batches(_route_both_stage(offsets_ref, symmetric),
                    batch_format="pyarrow").write_parquet(
-        os.path.join(out_dir, "push"), partition_cols=["part"], mode="overwrite")
-    if not symmetric:
-        ed.map_batches(_route_stage(offsets_ref, "src"),
-                       batch_format="pyarrow").write_parquet(
-            os.path.join(out_dir, "pull"), partition_cols=["part"],
-            mode="overwrite")
+        os.path.join(out_dir, "parts"), partition_cols=["orient", "part"],
+        mode="overwrite")
 
     meta = {
         "version": STORE_VERSION,
@@ -100,6 +119,7 @@ def build_graph_store(edges_ds, n_vertices: int, num_partitions: int,
         "offsets": [int(x) for x in offsets],
         "symmetric": bool(symmetric),
         "weighted": bool(weighted),
+        "fingerprint": fingerprint,
         "complete": True,
     }
     write_json(meta, meta_path)
@@ -115,7 +135,8 @@ def read_part_edges(store_dir: str, orientation: str, part: int,
     """Read one hive partition of the store (inside a shard actor)."""
     import pyarrow.parquet as pq
 
-    path = os.path.join(store_dir, orientation, f"part={part}")
+    path = os.path.join(store_dir, "parts", f"orient={orientation}",
+                        f"part={part}")
     if not os.path.isdir(path):
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), (np.empty(0, dtype=np.float64) if weighted else None)

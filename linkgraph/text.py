@@ -112,9 +112,11 @@ class LangId:
 def langid_stage(ds, col: str = "text", out: str = "lang_pred",
                  concurrency: int = 4, batch_size: int = 4096):
     """Attach language predictions via an actor pool (setup amortized)."""
+    from .runtime import pool_size
+
     return ds.map_batches(LangId, fn_constructor_args=(col, out),
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency)
+                          concurrency=pool_size(concurrency))
 
 
 def rolling_hashes(text: str, k: int = 5) -> np.ndarray:

@@ -21,7 +21,8 @@ def entrymod():
 @pytest.fixture(scope="module")
 def con(sf_dir):
     c = duckdb.connect()
-    for t in ["documents", "embeddings", "events"]:
+    for t in ["documents", "embeddings", "events", "lineitem", "orders",
+              "customer", "supplier", "nation", "region", "part"]:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return c
 
@@ -57,15 +58,16 @@ def test_oracle_keys_subset_of_queries(entrymod):
     assert len(q) >= 20          # operator-coverage floor
     assert len(o) >= 15
     rows_only = set(q) - set(o)  # documented weaker checks
-    assert rows_only <= {"text_langid", "dedup_minhash", "dedup_simhash",
-                         "dedup_ngram", "ann_ivf", "media_features",
-                         "doc_bc"}
+    assert rows_only <= {"dedup_minhash", "dedup_simhash",
+                         "dedup_ngram", "ann_ivf", "media_features"}
 
 
 @pytest.mark.parametrize("name", ["doc_edges", "doc_degree", "doc_edge_count",
                                   "text_tokens", "text_fingerprint",
                                   "events_window", "events_sliding",
-                                  "events_session", "doc_group_sizes"])
+                                  "events_session", "doc_group_sizes",
+                                  "text_langid", "tpch_pricing",
+                                  "tpch_top_orders", "tpch_nation_revenue"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()

@@ -160,6 +160,38 @@ def test_ivf_topk_reasonable_recall(emb_ds):
     assert inter >= 3  # >= half of 6 exact hits
 
 
+def test_embedding_lsh_recall_vs_exact(sf_dir):
+    """Scale-path recall vs the exact all-pairs operator on the real
+    embeddings table: every LSH-reported pair must be a true pair
+    (verification is exact) and recall must be substantial."""
+    import os
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    exact = embedding_dup_pairs(emb, threshold=0.4)
+    # collision prob per table for cos=0.4 is (1 - acos(.4)/pi)^planes
+    # ~= 0.632^4 = 0.16; 16 tables -> expected recall ~0.94
+    approx = embedding_dup_pairs_lsh(emb, threshold=0.4, n_planes=4,
+                                     n_tables=16)
+    exact_set = set(map(tuple, exact[["a", "b"]].to_numpy()))
+    approx_set = set(map(tuple, approx[["a", "b"]].to_numpy()))
+    assert approx_set <= exact_set          # precision 1.0 by construction
+    if exact_set:
+        assert len(approx_set) / len(exact_set) >= 0.7
+
+
+def test_ivf_pruned_scan(emb_ds):
+    """The IVF index must physically prune: with n_probe < n_centroids the
+    query path reads strictly fewer rows than the corpus."""
+    q, qi = queries_from_ids(emb_ds, [0])
+    stats = {}
+    out = ivf_topk(emb_ds, q, qi, k=3, n_centroids=4, n_probe=1,
+                   stats=stats)
+    assert stats["rows_scanned"] < stats["rows_total"] == 40
+    assert len(out) <= 3
+    assert 1 in out[out["query_id"] == 0]["neighbor_id"].tolist()
+
+
 def test_multimodal_decode_plumbing():
     t = synth_media_table(100)
     ds = rd.from_arrow(t)
