@@ -144,23 +144,21 @@ _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
 
 
-def candidate_pairs(bucket_ds, id_col: str = "doc_id",
-                    bucket_cols=("band", "bhash"), cap: int = 64):
-    """(bucket, id) rows -> MATERIALIZED Dataset of distinct candidate
-    pairs (a < b).  Nothing pair-sized ever reaches the driver.
+# pairs up to this count are deduped on the driver (a few 10s of MB);
+# above it the distributed groupby projection takes over — small jobs
+# skip ~30s of hash-shuffle fixed overhead, big jobs never materialize
+# pair-sized data driver-side (VERDICT r1 #4: "behind a size threshold")
+DRIVER_PAIR_CAP = 2_000_000
 
-    Two-phase for scale: a combiner groupby first finds HOT buckets
-    (>= 2 members) — the overwhelming majority of buckets are singletons
-    and never reach the per-group pairing stage; the bucket table is then
-    membership-filtered (broadcast key array; a mixed-key hash collision
-    can only ADD a row that later forms a size-1 group, never drop a
-    pair) before the pairing map_groups.  Groups larger than `cap` are
-    truncated (deterministic: smallest ids kept) — the skew guard for
-    degenerate buckets (SURVEY.md §7.5.3).  Cross-band duplicates are
-    collapsed by a distributed groupby projection (same pattern as
-    edges.dedup_edges) — the candidate set is the big intermediate at
-    corpus scale and stays off the driver (VERDICT r1 #4).
-    """
+
+def _candidate_pairs_impl(bucket_ds, id_col: str,
+                          bucket_cols, cap: int):
+    """(bucket, id) rows -> (pairs_ds, pairs_pdf | None).
+
+    pairs_pdf is the driver-side frame when the ESTIMATED pair volume
+    (from the hot-bucket count table: sum of min(c,cap) choose 2) fits
+    DRIVER_PAIR_CAP; otherwise None and pairs_ds is the distributed
+    groupby-deduped Dataset."""
     import ray
     import ray.data as rd
 
@@ -173,9 +171,12 @@ def candidate_pairs(bucket_ds, id_col: str = "doc_id",
     # broadcast small side of the prefilter
     hot = counts.map_batches(
         lambda b: b.filter(pc.greater(b["count()"], 1)),
-        batch_format="pyarrow").select_columns(list(bucket_cols)).to_pandas()
+        batch_format="pyarrow").to_pandas()
     if len(hot) == 0:
-        return rd.from_arrow(_EMPTY_PAIRS)
+        return rd.from_arrow(_EMPTY_PAIRS), pd.DataFrame(
+            {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+    c = np.minimum(hot["count()"].to_numpy(), cap).astype(np.int64)
+    est_pairs = int((c * (c - 1) // 2).sum())
     hot_keys = np.sort(_mix_key(hot[b0].to_numpy(), hot[b1].to_numpy()))
     href = ray.put(hot_keys)
 
@@ -190,8 +191,32 @@ def candidate_pairs(bucket_ds, id_col: str = "doc_id",
     hot_rows = bucket_ds.map_batches(keep_hot, batch_format="pyarrow")
     pairs = hot_rows.groupby(b0).map_groups(
         _band_pairs_factory(id_col, cap), batch_format="pandas")
-    return (pairs.groupby(["a", "b"]).count()
-                 .select_columns(["a", "b"]).materialize())
+    if est_pairs <= DRIVER_PAIR_CAP:
+        pdf = (pairs.to_pandas().drop_duplicates(["a", "b"])
+               .sort_values(["a", "b"]).reset_index(drop=True))
+        return rd.from_pandas(pdf) if len(pdf) else rd.from_arrow(
+            _EMPTY_PAIRS), pdf
+    dd = (pairs.groupby(["a", "b"]).count()
+               .select_columns(["a", "b"]).materialize())
+    return dd, None
+
+
+def candidate_pairs(bucket_ds, id_col: str = "doc_id",
+                    bucket_cols=("band", "bhash"), cap: int = 64):
+    """(bucket, id) rows -> Dataset of distinct candidate pairs (a < b).
+
+    Two-phase for scale: a combiner groupby first finds HOT buckets
+    (>= 2 members) — the overwhelming majority of buckets are singletons
+    and never reach the per-group pairing stage; the bucket table is then
+    membership-filtered (broadcast key array; a mixed-key hash collision
+    can only ADD a row that later forms a size-1 group, never drop a
+    pair) before the pairing map_groups.  Groups larger than `cap` are
+    truncated (deterministic: smallest ids kept) — the skew guard for
+    degenerate buckets (SURVEY.md §7.5.3).  Cross-band duplicates are
+    collapsed driver-side below DRIVER_PAIR_CAP (estimated from the hot
+    bucket counts), by a distributed groupby projection above it."""
+    ds, _ = _candidate_pairs_impl(bucket_ds, id_col, bucket_cols, cap)
+    return ds
 
 
 def _involved_ids(cands_ds) -> np.ndarray:
@@ -241,6 +266,45 @@ def _join_parts(n_rows: int) -> int:
     return int(min(32, max(2, n_rows // 50_000 + 2)))
 
 
+def _verify_jaccard_small(cands_pdf: pd.DataFrame, ds, id_col: str,
+                          text_col: str, k: int,
+                          threshold: float) -> pd.DataFrame:
+    """Small-candidate verify: shingle blobs of the involved ids are
+    collected into ONE broadcast dict (bounded by the candidate count,
+    already known < DRIVER_PAIR_CAP), pairs verify distributed via
+    map_batches.  Skips the involved-id groupby and the two hash joins
+    of the large path — those cost ~30s of fixed shuffle overhead that
+    dominates at test scale."""
+    import ray
+    import ray.data as rd
+
+    involved = np.unique(np.concatenate(
+        [cands_pdf["a"].to_numpy(), cands_pdf["b"].to_numpy()])
+    ).astype(np.int64)
+    rows = _shingle_table(ds, involved, id_col, text_col, k).take_all()
+    sh_ref = ray.put({r[id_col]: np.frombuffer(r["sh"], dtype=np.uint64)
+                      for r in rows})
+
+    def verify(b: pa.Table) -> pa.Table:
+        table = ray.get(sh_ref)
+        a_ids = b["a"].to_numpy(zero_copy_only=False)
+        b_ids = b["b"].to_numpy(zero_copy_only=False)
+        jac = np.empty(len(a_ids), dtype=np.float64)
+        for i, (x_id, y_id) in enumerate(zip(a_ids, b_ids)):
+            x, y = table[x_id], table[y_id]
+            inter = len(np.intersect1d(x, y, assume_unique=True))
+            jac[i] = inter / max(1, len(x) + len(y) - inter)
+        keep = jac >= threshold
+        return pa.table({"a": pa.array(a_ids[keep]),
+                         "b": pa.array(b_ids[keep]),
+                         "jaccard": pa.array(jac[keep])})
+
+    n_blocks = max(1, len(cands_pdf) // 2000)
+    out = (rd.from_pandas(cands_pdf).repartition(n_blocks)
+           .map_batches(verify, batch_format="pyarrow").to_pandas())
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _verify_jaccard_ds(cands_ds, sh_ds, id_col: str,
                        threshold: float) -> pd.DataFrame:
     """Exact-Jaccard verify, fully distributed: candidate pairs hash-join
@@ -288,12 +352,25 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", num_perm=64,
         MinHashStage, fn_constructor_args=(id_col, text_col, num_perm,
                                            bands, k, seed),
         batch_format="pyarrow", concurrency=pool_size(concurrency))
-    cands = candidate_pairs(buckets, id_col, cap=cap)
-    if cands.count() == 0:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    involved = _involved_ids(cands)
+    return _lsh_verify_jaccard(ds, buckets, id_col, text_col, k,
+                               threshold, cap)
+
+
+def _lsh_verify_jaccard(ds, buckets, id_col, text_col, k, threshold,
+                        cap) -> pd.DataFrame:
+    """Shared candidate->verify tail for minhash/ngram: driver dedup +
+    broadcast-dict verify below DRIVER_PAIR_CAP, distributed groupby +
+    hash-join verify above it."""
+    cands_ds, cands_pdf = _candidate_pairs_impl(
+        buckets, id_col, ("band", "bhash"), cap)
+    if cands_pdf is not None:
+        if len(cands_pdf) == 0:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        return _verify_jaccard_small(cands_pdf, ds, id_col, text_col, k,
+                                     threshold)
+    involved = _involved_ids(cands_ds)
     sh = _shingle_table(ds, involved, id_col, text_col, k)
-    return _verify_jaccard_ds(cands, sh, id_col, threshold)
+    return _verify_jaccard_ds(cands_ds, sh, id_col, threshold)
 
 
 # --------------------------------------------------------------- simhash
@@ -366,13 +443,17 @@ def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text",
     tune_context()
 
     pairs = sigged.groupby(["band", "bhash"]).map_groups(
-        block_pairs, batch_format="pandas")
-    # cross-block duplicates carry identical hamming values, so a
-    # distributed groupby-Min projection collapses them without any
-    # driver-side pair materialization (VERDICT r1 #4)
-    dedup = (pairs.groupby(["a", "b"])
-                  .aggregate(Min("hamming", alias_name="hamming")))
-    pdf = dedup.to_pandas()  # final operator output (verified pairs)
+        block_pairs, batch_format="pandas").materialize()
+    # cross-block duplicates carry identical hamming values; below
+    # DRIVER_PAIR_CAP the dedup runs on the driver (the pair frame IS the
+    # operator's output anyway), above it a distributed groupby-Min
+    # projection keeps pair-sized data off the driver (VERDICT r1 #4)
+    if pairs.count() > DRIVER_PAIR_CAP:
+        pairs = (pairs.groupby(["a", "b"])
+                      .aggregate(Min("hamming", alias_name="hamming")))
+        pdf = pairs.to_pandas()
+    else:
+        pdf = pairs.to_pandas().drop_duplicates(["a", "b"])
     if len(pdf) == 0:
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
     return pdf.sort_values(["a", "b"]).reset_index(drop=True)
@@ -395,12 +476,8 @@ def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", k=5,
         MinHashStage, fn_constructor_args=(id_col, text_col, num_perm,
                                            bands, k, seed),
         batch_format="pyarrow", concurrency=pool_size(concurrency))
-    cands = candidate_pairs(buckets, id_col, cap=cap)
-    if cands.count() == 0:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    involved = _involved_ids(cands)
-    sh = _shingle_table(ds, involved, id_col, text_col, k)
-    return _verify_jaccard_ds(cands, sh, id_col, threshold)
+    return _lsh_verify_jaccard(ds, buckets, id_col, text_col, k,
+                               threshold, cap)
 
 
 # ------------------------------------------------- embedding near-dup
@@ -471,11 +548,14 @@ def embedding_dup_pairs_lsh(ds, id_col="vec_id", vec_col="embedding",
         return pa.concat_tables(outs)
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow")
-    cands = candidate_pairs(buckets, id_col, cap=cap)
-    if cands.count() == 0:
+    cands, cands_pdf = _candidate_pairs_impl(buckets, id_col,
+                                             ("band", "bhash"), cap)
+    if cands_pdf is not None and len(cands_pdf) == 0:
         return pd.DataFrame({"a": [], "b": [], "cosine": []})
 
-    involved = _involved_ids(cands)
+    involved = (np.unique(np.concatenate(
+        [cands_pdf["a"].to_numpy(), cands_pdf["b"].to_numpy()]
+    ).astype(np.int64)) if cands_pdf is not None else _involved_ids(cands))
     inv_ref = ray.put(involved)
 
     def keep_involved(b: pa.Table) -> pa.Table:

@@ -112,6 +112,38 @@ def partition_offsets(degree_ds, n_vertices: int, num_partitions: int,
     return choose_offsets(sums, n_vertices, num_partitions, alpha)
 
 
+def partition_offsets_from_edges(edges_ds, n_vertices: int,
+                                 num_partitions: int,
+                                 alpha: int | None = None,
+                                 buckets_per_partition: int = 64,
+                                 src_col: str = "src") -> np.ndarray:
+    """Shuffle-free offsets straight from the edge table.
+
+    The partitioner only needs degree SUMS per fixed-width vertex bucket,
+    never per-vertex degrees — so skip the groupby entirely: each edge
+    batch bincounts `src // width` into a dense O(n_buckets) partial
+    (map-only, combiner done inside the batch), the driver sums the tiny
+    partials.  Replaces two chained hash-shuffle aggregates that cost 14s
+    of fixed overhead on a 2M-edge store build (BENCH round 2)."""
+    import pyarrow as pa
+
+    n_buckets = max(num_partitions * buckets_per_partition, num_partitions)
+    n_buckets = min(n_buckets, max(1, n_vertices))
+    width = max(1, -(-n_vertices // n_buckets))
+    n_real = -(-n_vertices // width)
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b[src_col].to_numpy(zero_copy_only=False)
+        counts = np.bincount(src // width, minlength=n_real)
+        return pa.table({"bucket": pa.array(np.arange(n_real, dtype=np.int64)),
+                         "deg_sum": pa.array(counts.astype(np.int64))})
+
+    rows = edges_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sums = np.zeros(n_real, dtype=np.int64)
+    np.add.at(sums, rows["bucket"].to_numpy(), rows["deg_sum"].to_numpy())
+    return choose_offsets(sums, n_vertices, num_partitions, alpha)
+
+
 def part_of(v: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Vectorized vertex -> owning partition (Gemini get_partition_id,
     graph.hpp:330-338, as one searchsorted)."""

@@ -34,9 +34,8 @@ import pyarrow as pa
 
 import ray
 
-from .edges import degree_table
 from .io import read_json, write_json
-from .partition import part_of, partition_offsets
+from .partition import part_of, partition_offsets_from_edges
 
 
 # bump when the on-disk layout or routing rules change: stale stores
@@ -102,8 +101,10 @@ def build_graph_store(edges_ds, n_vertices: int, num_partitions: int,
     ed = edges_ds.select_columns(cols).materialize()
     n_edges = ed.count()
 
-    deg = degree_table(ed, "src")  # out-degree (Gemini's balance cost basis)
-    offsets = partition_offsets(deg, n_vertices, num_partitions, alpha)
+    # out-degree bucket sums (Gemini's balance cost basis) computed
+    # map-only from the edge table — no per-vertex degree shuffle
+    offsets = partition_offsets_from_edges(ed, n_vertices, num_partitions,
+                                           alpha)
     offsets_ref = ray.put(offsets)
 
     ed.map_batches(_route_both_stage(offsets_ref, symmetric),
