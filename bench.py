@@ -114,13 +114,15 @@ def run_bench(num_cpus: int, sf_dir: str, scratch: str) -> dict:
     t0 = time.perf_counter()
     rep = pagerank(eng, iterations=20, tol=1e-6)
     pr_s = time.perf_counter() - t0
+    best_s, n_rep = _timed_repeats(pagerank, eng)
     eng.shutdown()
     q["pagerank"] = build_s + pr_s
     steps = rep["n_steps"]
     detail["pagerank"] = {
         "store_build_s": round(build_s, 3), "supersteps_s": round(pr_s, 3),
+        "best_of_repeats_s": round(best_s, 3), "n_repeats": n_rep,
         "n_supersteps": steps, "edges": n_edges,
-        "edges_per_sec_per_superstep": round(n_edges * steps / pr_s, 1),
+        "edges_per_sec_per_superstep": round(n_edges * steps / best_s, 1),
     }
 
     # -- pagerank on the larger synthetic skewed graph -------------------
@@ -133,14 +135,16 @@ def run_bench(num_cpus: int, sf_dir: str, scratch: str) -> dict:
     t0 = time.perf_counter()
     rep2 = pagerank(eng, iterations=20, tol=1e-6)
     pr2_s = time.perf_counter() - t0
+    best2_s, n_rep2 = _timed_repeats(pagerank, eng)
     real_e = eng.meta["n_edges"]
     eng.shutdown()
     q["pagerank_synth"] = build2_s + pr2_s
     detail["pagerank_synth"] = {
         "store_build_s": round(build2_s, 3), "supersteps_s": round(pr2_s, 3),
+        "best_of_repeats_s": round(best2_s, 3), "n_repeats": n_rep2,
         "n_supersteps": rep2["n_steps"], "edges": real_e,
         "edges_per_sec_per_superstep":
-            round(real_e * rep2["n_steps"] / pr2_s, 1),
+            round(real_e * rep2["n_steps"] / best2_s, 1),
     }
 
     # -- connected components (sparse/dense adaptive frontier) -----------
@@ -194,6 +198,19 @@ def run_bench(num_cpus: int, sf_dir: str, scratch: str) -> dict:
     ray.shutdown()
     return {"queries": {k: round(v, 3) for k, v in q.items()},
             "detail": detail, "total": round(sum(q.values()), 3)}
+
+
+def _timed_repeats(algo, eng, n: int = 3):
+    """Gemini's timing discipline (pagerank.cpp:144-147: 1 warm-up + 5
+    timed repeats per loaded graph): the first run above counts as
+    warm-up; time `n` more and report the best — superstep throughput
+    free of store-build and first-touch effects."""
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        algo(eng, iterations=20, tol=1e-6)
+        best = min(best, time.perf_counter() - t0)
+    return best, n
 
 
 def _with_docid(b):

@@ -28,7 +28,11 @@ from ..engine import GraphEngine, VertexProgram
 class BCForwardProgram(VertexProgram):
     combine = "add"
     supports_sparse = True
+    dense_selective = True  # skip visited dsts in pull (bc.cpp:71)
     result_columns = ["num_paths"]
+
+    def selective_mask(self, ctx, state):
+        return state["visited"]
 
     def init_state(self, ctx, prev=None):
         num_paths = np.zeros(ctx.n_local, dtype=np.float64)
@@ -69,6 +73,10 @@ class BCBackwardProgram(VertexProgram):
     combine = "add"
     supports_sparse = True
     continues = True  # reuses forward state (num_paths, _levels)
+    dense_selective = True  # skip settled dsts in pull (bc.cpp:140)
+
+    def selective_mask(self, ctx, state):
+        return state["visited"]
 
     def init_state(self, ctx, prev=None):
         state = prev
@@ -118,19 +126,94 @@ class BCBackwardProgram(VertexProgram):
                 (state["dep"] - state["inv"]) / state["inv"])  # bc.cpp:170-176
 
 
-def betweenness(engine: GraphEngine, root: int) -> dict:
+class BCForwardCompact(BCForwardProgram):
+    """Compact-variant forward phase (bc.cpp:199-404): levels stored as
+    ONE int64 array `_level` (-1 = unreached) instead of a stack of
+    per-level masks — memory O(n_local) instead of O(levels * n_local)
+    on deep graphs (the reason the reference ships both variants)."""
+
+    def init_state(self, ctx, prev=None):
+        state = super().init_state(ctx, prev)
+        level = np.full(ctx.n_local, -1, dtype=np.int64)
+        level[state["_levels"][0]] = 0
+        state["_level"] = level
+        state["_step"] = np.array([0], dtype=np.int64)  # current depth
+        del state["_levels"]
+        return state
+
+    def initial_active(self, ctx, state):
+        return state["_level"] == 0
+
+    def after_step(self, ctx, state, new_active):
+        state["visited"] |= new_active
+        state["_step"][0] += 1
+        state["_level"][new_active] = state["_step"][0]
+        return None
+
+
+class BCBackwardCompact(BCBackwardProgram):
+    """Compact-variant backward phase: level masks derived on demand
+    from `_level` (bc.cpp:297-404's level[] walk)."""
+
+    def init_state(self, ctx, prev=None):
+        state = prev
+        with np.errstate(divide="ignore"):
+            inv = 1.0 / state["num_paths"]
+        dep = np.zeros(ctx.n_local, dtype=np.float64)
+        # deepest level actually REACHED anywhere: the driver passes it
+        # via params (max of per-shard values isn't visible shard-locally)
+        state["_cur"] = np.array([ctx.params["max_level"]], dtype=np.int64)
+        top = state["_level"] == state["_cur"][0]
+        dep[top] += inv[top]
+        state.update({"inv": inv, "dep": dep, "visited": top.copy()})
+        return state
+
+    def initial_active(self, ctx, state):
+        return state["_level"] == state["_cur"][0]
+
+    def after_step(self, ctx, state, new_active):
+        state["_cur"][0] -= 1
+        cur = state["_cur"][0]
+        if cur < 0:
+            return np.zeros(ctx.n_local, dtype=bool)
+        top = state["_level"] == cur
+        state["visited"] |= top
+        state["dep"][top] += state["inv"][top]
+        if cur == 0:
+            return np.zeros(ctx.n_local, dtype=bool)  # root level: done
+        return top
+
+
+def betweenness(engine: GraphEngine, root: int, compact: bool = False) -> dict:
     """Single-root BC; results in state columns `dependencies`,
-    `num_paths` (read via engine.state_pandas)."""
-    fwd = engine.run(BCForwardProgram(), params={"root": int(root)},
-                     run_name=f"bc_fwd_root{root}")
+    `num_paths` (read via engine.state_pandas).
+
+    compact=True uses the reference's compact variant (bc.cpp:199-404):
+    one level array instead of a per-level mask stack — same results
+    (tests assert equality), O(n) memory on deep graphs."""
+    import ray
+
+    params = {"root": int(root)}
+    if compact:
+        fwd = engine.run(BCForwardCompact(), params=params,
+                         run_name=f"bc_fwd_root{root}")
+        # deepest reached level = number of supersteps that activated
+        # anything; the last step of the report may be the empty frontier
+        max_level = max((s["step"] + 1 for s in fwd["steps"]
+                         if s["active_out"] > 0), default=0)
+        bwd_prog = BCBackwardCompact()
+        bwd_params = {**params, "max_level": int(max_level)}
+    else:
+        fwd = engine.run(BCForwardProgram(), params=params,
+                         run_name=f"bc_fwd_root{root}")
+        bwd_prog = BCBackwardProgram()
+        bwd_params = params
     for s in engine.shards:
         s.transpose.remote()
     try:
-        bwd = engine.run(BCBackwardProgram(), params={"root": int(root)},
+        bwd = engine.run(bwd_prog, params=bwd_params,
                          max_steps=max(1, fwd["n_steps"]),
                          run_name=f"bc_bwd_root{root}")
     finally:
-        import ray
-
         ray.get([s.transpose.remote() for s in engine.shards])
     return {"forward": fwd, "backward": bwd}

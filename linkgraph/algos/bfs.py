@@ -24,6 +24,7 @@ class BFSProgram(VertexProgram):
     combine = "min"
     supports_sparse = True
     static_frontier = False
+    dense_selective = True  # skip visited dsts in pull mode (bfs.cpp:61,:77)
     result_columns = ["parent"]
 
     def init_state(self, ctx):
@@ -52,6 +53,10 @@ class BFSProgram(VertexProgram):
 
     def dense_emit_mask(self, ctx, row_vertex, partial):
         return partial < np.iinfo(np.int64).max
+
+    def selective_mask(self, ctx, state):
+        inf = ctx.params.get("inf", ctx.n_vertices)
+        return state["parent"] != inf  # visited (bfs.cpp:79-85)
 
     def apply(self, ctx, state, tgt_idx, vals):
         parent = state["parent"]

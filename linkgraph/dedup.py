@@ -18,15 +18,17 @@ Scale shapes (all shuffles are keyed groupbys with combiner pushdown):
             variant for the 1e12 path (only candidate ids/vectors are
             ever broadcast)
 
-Verification recomputes exact similarity for candidate pairs only, fully
-distributed: candidate pairs and shingle sets stay in Datasets; the only
-driver-side artifacts are the hot-bucket key array and the distinct
-candidate-id vector (both broadcast small sides), plus each operator's
-final verified output.
+Verification recomputes exact similarity for candidate pairs only.  The
+candidate dedup + verify path is SIZE-GATED (DRIVER_PAIR_CAP, estimated
+from hot-bucket counts): below it, pairs dedup on the driver and verify
+against one broadcast shingle dict (skipping ~30s of hash-shuffle fixed
+overhead per job); above it, a distributed groupby projection + shingle
+hash-joins keep pair-sized data off the driver entirely.
 """
 
 from __future__ import annotations
 
+from .io import from_pandas_clean
 from .runtime import pool_size
 
 import numpy as np
@@ -194,7 +196,7 @@ def _candidate_pairs_impl(bucket_ds, id_col: str,
     if est_pairs <= DRIVER_PAIR_CAP:
         pdf = (pairs.to_pandas().drop_duplicates(["a", "b"])
                .sort_values(["a", "b"]).reset_index(drop=True))
-        return rd.from_pandas(pdf) if len(pdf) else rd.from_arrow(
+        return from_pandas_clean(pdf) if len(pdf) else rd.from_arrow(
             _EMPTY_PAIRS), pdf
     dd = (pairs.groupby(["a", "b"]).count()
                .select_columns(["a", "b"]).materialize())
@@ -300,7 +302,7 @@ def _verify_jaccard_small(cands_pdf: pd.DataFrame, ds, id_col: str,
                          "jaccard": pa.array(jac[keep])})
 
     n_blocks = max(1, len(cands_pdf) // 2000)
-    out = (rd.from_pandas(cands_pdf).repartition(n_blocks)
+    out = (from_pandas_clean(cands_pdf).repartition(n_blocks)
            .map_batches(verify, batch_format="pyarrow").to_pandas())
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 

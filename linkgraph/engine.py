@@ -52,6 +52,11 @@ class VertexProgram:
     static_frontier: bool = False  # True: frontier stays full (PageRank/LP)
     continues: bool = False        # True: init_state receives prior state
                                    # (multi-phase algorithms, e.g. BC backward)
+    dense_selective: bool = False  # True: exchange a skip bitmap before each
+                                   # dense superstep so pull scans skip rows
+                                   # whose dst is already settled (Gemini's
+                                   # dense_selective, graph.hpp:1664-1689 /
+                                   # bfs.cpp:61,:77)
 
     # state ------------------------------------------------------------
     def init_state(self, ctx, prev=None) -> dict[str, np.ndarray]:
@@ -70,6 +75,11 @@ class VertexProgram:
 
     def dense_src_mask(self, ctx, state, active):
         return None  # default: reduce over ALL in-neighbors (cc.cpp:60-66)
+
+    def selective_mask(self, ctx, state):
+        """When dense_selective: bool[n_local] of local vertices to SKIP
+        as dense-pull targets (BFS: visited — bfs.cpp:61)."""
+        return None
 
     def dense_emit_mask(self, ctx, row_vertex, partial) -> np.ndarray:
         if self.combine == "add":
@@ -216,26 +226,34 @@ class GraphEngine:
                 msg_refs = [s.sparse_signal.remote() for s in self.shards]
                 results = ray.get([s.sparse_apply.remote(msg_refs, step, final)
                                    for s in self.shards])
-            elif self.n_parts == 1:
-                sig = [s.dense_signal.remote() for s in self.shards]
-                results = [ray.get(
-                    self.shards[0].dense_apply.remote(sig, step, final))]
-            elif fused:
-                sig = [s.dense_signal.remote() for s in self.shards]
-                results = ray.get([
-                    self.shards[i].dense_apply.remote(sig, step, final, i)
-                    for i in range(self.n_parts)
-                ])
             else:
-                sig = [
-                    s.dense_signal.options(num_returns=self.n_parts).remote()
-                    for s in self.shards
-                ]
-                results = ray.get([
-                    self.shards[i].dense_apply.remote(
-                        [sig[j][i] for j in range(self.n_parts)], step, final)
-                    for i in range(self.n_parts)
-                ])
+                # dense-selective exchange (graph.hpp:1664-1689): each
+                # shard publishes a packed skip bitmap of its owned
+                # vertices; pull scans drop settled-dst rows entirely
+                sel = ([s.selective_slice.remote() for s in self.shards]
+                       if program.dense_selective else None)
+                if self.n_parts == 1:
+                    sig = [s.dense_signal.remote(sel) for s in self.shards]
+                    results = [ray.get(
+                        self.shards[0].dense_apply.remote(sig, step, final))]
+                elif fused:
+                    sig = [s.dense_signal.remote(sel) for s in self.shards]
+                    results = ray.get([
+                        self.shards[i].dense_apply.remote(sig, step, final, i)
+                        for i in range(self.n_parts)
+                    ])
+                else:
+                    sig = [
+                        s.dense_signal.options(
+                            num_returns=self.n_parts).remote(sel)
+                        for s in self.shards
+                    ]
+                    results = ray.get([
+                        self.shards[i].dense_apply.remote(
+                            [sig[j][i] for j in range(self.n_parts)],
+                            step, final)
+                        for i in range(self.n_parts)
+                    ])
             activated = sum(r[0] for r in results)
             finish = [r[1] for r in results]
             stats = [(f["active"], f["active_out_deg"]) for f in finish]

@@ -24,15 +24,39 @@ REPO_FILES_SCHEMA = pa.schema([
 ])
 
 
+def _strip_meta(b: pa.Table) -> pa.Table:
+    return b.replace_schema_metadata(None)
+
+
+def read_parquet_clean(path, columns: list[str] | None = None):
+    """read_parquet + drop schema-level metadata.
+
+    pandas-written parquet carries a b'pandas' metadata blob that makes
+    `pyarrow.Schema` UNHASHABLE in this pyarrow build, which disables
+    Ray's schema deduplication on every downstream shuffle ("Failed to
+    hash the schemas" warnings, VERDICT r1 wrong#7).  The strip stage
+    fuses with the read task — no extra pass."""
+    return rd.read_parquet(path, columns=columns).map_batches(
+        _strip_meta, batch_format="pyarrow")
+
+
+def from_pandas_clean(df):
+    """rd.from_pandas without the pandas schema-metadata blob (same
+    unhashable-schema issue as read_parquet_clean)."""
+    return rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+        .replace_schema_metadata(None))
+
+
 def read_repo_files(path: str, columns: list[str] | None = None):
     """Column-pruned parquet read of the input_hint table."""
-    return rd.read_parquet(path, columns=columns)
+    return read_parquet_clean(path, columns=columns)
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
     """Read one driver testdata table (documents, lineitem, ...)."""
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
-                           columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
+                              columns=columns)
 
 
 def write_edges(ds, path: str):

@@ -19,6 +19,8 @@ sides so associativity-order ulps cannot break the driver's value-hash.
 
 from __future__ import annotations
 
+from .io import read_parquet_clean
+
 import hashlib
 import os
 
@@ -98,7 +100,7 @@ def documents_edges(sf_dir: str, num_partitions: int = 8):
 
     from .edges import dedup_edges, derive_star_edges
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text", "lang", "source"])
     keyed = docs.map_batches(_doc_keys, batch_format="pyarrow")
     stars = derive_star_edges(keyed, "gkey", id_col="vid",
@@ -111,7 +113,7 @@ def documents_edges(sf_dir: str, num_partitions: int = 8):
 def documents_n_vertices(sf_dir: str) -> int:
     import ray.data as rd
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id"])
     return int(docs.max("doc_id")) + 1
 
@@ -207,7 +209,7 @@ def q_doc_top_degree(sf_dir):
 def q_doc_group_sizes(sf_dir):
     import ray.data as rd
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["lang", "source"])
 
     def key(b: pa.Table) -> pa.Table:
@@ -328,7 +330,7 @@ def q_text_tokens(sf_dir):
 
     from .text import add_token_count
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     return docs.map_batches(add_token_count, batch_format="pyarrow") \
                .select_columns(["doc_id", "n_tokens"])
@@ -339,7 +341,7 @@ def q_text_stats(sf_dir):
 
     from .text import add_text_stats
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     return docs.map_batches(add_text_stats, batch_format="pyarrow") \
                .select_columns(["doc_id", "n_chars2", "n_tokens", "n_punct"])
@@ -350,7 +352,7 @@ def q_text_fingerprint(sf_dir):
 
     from .text import add_fingerprint
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     return docs.map_batches(add_fingerprint, batch_format="pyarrow") \
                .select_columns(["doc_id", "fp"])
@@ -361,7 +363,7 @@ def q_text_langid(sf_dir):
 
     from .text import langid_stage
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     return langid_stage(docs).select_columns(["doc_id", "lang_pred"])
 
@@ -377,7 +379,7 @@ def q_dedup_minhash(sf_dir):
 
     from .dedup import minhash_dedup_pairs
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     return minhash_dedup_pairs(docs, threshold=0.5)[["a", "b"]]
 
@@ -387,7 +389,7 @@ def q_dedup_simhash(sf_dir):
 
     from .dedup import simhash_dedup_pairs
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     return simhash_dedup_pairs(docs, max_hamming=8)[["a", "b"]]
 
@@ -397,7 +399,7 @@ def q_dedup_ngram(sf_dir):
 
     from .dedup import ngram_jaccard_pairs
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     return ngram_jaccard_pairs(docs, threshold=0.4)[["a", "b"]]
 
@@ -409,7 +411,7 @@ def q_ann_topk(sf_dir):
 
     from .ann import brute_force_topk, queries_from_ids
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     q, qi = queries_from_ids(emb, ANN_QUERY_IDS)
     out = brute_force_topk(emb, q, qi, k=ANN_K)
@@ -422,7 +424,7 @@ def q_ann_ivf(sf_dir):
 
     from .ann import ivf_topk, queries_from_ids
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     q, qi = queries_from_ids(emb, ANN_QUERY_IDS)
     return ivf_topk(emb, q, qi, k=ANN_K)[["query_id", "neighbor_id"]]
@@ -433,7 +435,7 @@ def q_embed_dup_pairs(sf_dir):
 
     from .dedup import embedding_dup_pairs
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     out = embedding_dup_pairs(emb, threshold=EMB_DUP_TAU)
     out["cosine"] = out["cosine"].round(6)
@@ -465,7 +467,7 @@ def q_tpch_nation_revenue(sf_dir):
 def _events(sf_dir):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                            columns=["user_id", "ts", "value"])
 
 

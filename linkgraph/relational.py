@@ -26,6 +26,8 @@ convention, see pipelines.py docstring).
 
 from __future__ import annotations
 
+from .io import read_parquet_clean
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -53,7 +55,7 @@ def pricing_summary(sf_dir: str):
     from .runtime import tune_context
     tune_context()
 
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"])
@@ -129,7 +131,7 @@ def top_orders(sf_dir: str, num_partitions: int = 8):
     from .runtime import tune_context
     tune_context()
 
-    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+    cust = read_parquet_clean(os.path.join(sf_dir, "customer.parquet"),
                            columns=["c_custkey", "c_mktsegment"])
     keys = cust.filter(
         expr=f"c_mktsegment == '{Q3_SEGMENT}'").select_columns(
@@ -137,7 +139,7 @@ def top_orders(sf_dir: str, num_partitions: int = 8):
     keys_ref = ray.put(np.sort(keys))
     cutoff = _ts(Q3_ORDER_CUTOFF)
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -156,7 +158,7 @@ def top_orders(sf_dir: str, num_partitions: int = 8):
     ord_f = orders.map_batches(keep_building,
                                batch_format="pyarrow").materialize()
 
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_shipdate"])
@@ -224,7 +226,7 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8):
     tune_context()
 
     def _pdf(name, cols):
-        return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+        return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
                                columns=cols).to_pandas()
 
     nation = _pdf("nation", ["n_nationkey", "n_name", "n_regionkey"])
@@ -245,9 +247,9 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8):
                      nat_in_region["n_name"]))
     lu_ref = ray.put((sup_lu, cust_lu, names))
 
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount"])

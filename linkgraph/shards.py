@@ -187,9 +187,37 @@ class GraphShard:
 
     # -- dense (pull) mode ---------------------------------------------------
 
-    def dense_signal(self):
+    def selective_slice(self):
+        """Packed skip bitmap of this shard's OWNED vertices for the
+        dense-selective exchange (graph.hpp:1664-1689): np.packbits of
+        program.selective_mask — |V_local|/8 bytes per shard pair."""
+        mask = self.program.selective_mask(self.ctx, self.state)
+        if mask is None:
+            mask = np.zeros(self.ctx.n_local, dtype=bool)
+        return np.packbits(mask)
+
+    def _skip_rows(self, cr, sel_refs) -> np.ndarray:
+        """bool[n_rows]: pull rows whose dst is flagged in the exchanged
+        skip bitmaps (row_vertex is sorted, so each owner's span is one
+        searchsorted slice)."""
+        sel = ray.get(list(sel_refs))
+        rv = cr.row_vertex
+        skip = np.zeros(len(rv), dtype=bool)
+        for j in range(self.n_parts):
+            lo, hi = int(self.offsets[j]), int(self.offsets[j + 1])
+            a, b = np.searchsorted(rv, [lo, hi])
+            if a == b or hi == lo:
+                continue
+            bits = np.unpackbits(sel[j], count=hi - lo).astype(bool)
+            skip[a:b] = bits[rv[a:b] - lo]
+        return skip
+
+    def dense_signal(self, sel_refs=None):
         """Scan pull-CSC, reduce per dst row over LOCAL src state, route
-        partials to dst owners.  Returns n_parts pieces."""
+        partials to dst owners.  Returns n_parts pieces.  With sel_refs
+        (dense-selective programs) rows whose dst is flagged skipped are
+        dropped BEFORE any gather — the direction-optimizing pull does
+        O(edges of unsettled rows), not O(E) (bfs.cpp:60-68)."""
         cr: CompressedRows = self.pull
         prog = self.program
         if prog.combine == "hist":
@@ -198,6 +226,8 @@ class GraphShard:
         if n_rows == 0:
             empty = (np.empty(0, np.int64), np.empty(0, np.float64))
             return [empty] * self.n_parts
+        if sel_refs is not None:
+            return self._dense_signal_selective(cr, sel_refs)
         src_vals = prog.dense_src_values(self.ctx, self.state)
         edge_vals = src_vals[cr.indices - self.lo]
         w = cr.weights
@@ -207,6 +237,35 @@ class GraphShard:
         partial = segment_reduce(edge_vals, cr.indptr, prog.combine, emask)
         emit = prog.dense_emit_mask(self.ctx, cr.row_vertex, partial)
         return _split_by_owner(cr.row_vertex[emit], self.offsets, partial[emit])
+
+    def _dense_signal_selective(self, cr, sel_refs):
+        """Row-subset pull: only unskipped rows are expanded, only edges
+        from ACTIVE srcs contribute; rows with no active in-neighbor emit
+        nothing (vectorized analog of the per-row early-exit scan,
+        bfs.cpp:62-68)."""
+        prog = self.program
+        keep_rows = np.flatnonzero(~self._skip_rows(cr, sel_refs))
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if len(keep_rows) == 0:
+            return [empty] * self.n_parts
+        edge_idx, row_rep = expand_rows(cr, keep_rows)
+        if len(edge_idx) == 0:
+            return [empty] * self.n_parts
+        src_local = cr.indices[edge_idx] - self.lo
+        vmask = prog.dense_src_mask(self.ctx, self.state, self.active)
+        if vmask is not None:
+            em = vmask[src_local]
+            edge_idx, row_rep, src_local = (
+                edge_idx[em], row_rep[em], src_local[em])
+            if len(edge_idx) == 0:
+                return [empty] * self.n_parts
+        vals = prog.dense_src_values(self.ctx, self.state)[src_local]
+        w = cr.weights[edge_idx] if cr.weights is not None else None
+        vals = prog.edge_transform(vals, w)
+        uniq_rep, partial = combine_updates(row_rep, vals, prog.combine)
+        rows = cr.row_vertex[keep_rows[uniq_rep]]
+        emit = prog.dense_emit_mask(self.ctx, rows, partial)
+        return _split_by_owner(rows[emit], self.offsets, partial[emit])
 
     def _dense_signal_hist(self):
         """Histogram combine (label propagation): emit per-(dst,label) counts."""

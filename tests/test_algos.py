@@ -233,8 +233,12 @@ def bc_oracle(e, n, root):
     return delta, sigma, depth
 
 
+@pytest.mark.parametrize("compact", [False, True],
+                         ids=["stack", "compact"])
 @pytest.mark.parametrize("name", ["path_8", "two_cliques_k5", "er_1k"])
-def test_betweenness_matches_brandes(name, tmp_path):
+def test_betweenness_matches_brandes(name, compact, tmp_path):
+    """Both level representations (mask stack, bc.cpp:24-196; compact
+    level array, bc.cpp:199-404) must produce identical results."""
     from linkgraph.algos import betweenness
 
     e = micro_graph(name)
@@ -242,7 +246,7 @@ def test_betweenness_matches_brandes(name, tmp_path):
     eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
                         num_partitions=3, store_dir=str(tmp_path / "g"))
     try:
-        betweenness(eng, root=0)
+        betweenness(eng, root=0, compact=compact)
         pdf = eng.state_pandas(["dependencies", "num_paths"])
         want_d, want_s, depth = bc_oracle(e, n, 0)
         reached = depth >= 0
