@@ -48,14 +48,54 @@ def _vertex_degrees(canon_ds):
         batch_format="pyarrow")
 
 
+# degree tables up to this row count ride the broadcast path (ray.put a
+# dense/sorted lookup once, read zero-copy in every orient task); larger
+# vertex sets fall back to the two hash joins — the same size-gate rule
+# as dedup.DRIVER_PAIR_CAP
+BROADCAST_DEG_CAP = 5_000_000
+
+
+def _orient(b: pa.Table) -> pa.Table:
+    s = b["src"].to_numpy(zero_copy_only=False)
+    d = b["dst"].to_numpy(zero_copy_only=False)
+    sd = b["src_deg"].to_numpy(zero_copy_only=False)
+    dd = b["dst_deg"].to_numpy(zero_copy_only=False)
+    src_first = (sd < dd) | ((sd == dd) & (s < d))
+    a = np.where(src_first, s, d)
+    bb = np.where(src_first, d, s)
+    bdeg = np.where(src_first, dd, sd)
+    return pa.table({"a": pa.array(a, pa.int64()),
+                     "b": pa.array(bb, pa.int64()),
+                     "b_deg": pa.array(bdeg, pa.int64())})
+
+
 def oriented_edges(edges_ds, num_partitions: int = 16):
     """Canonical simple edges -> (a, b, b_deg) oriented low->high (deg, id)."""
     from ..runtime import tune_context
     tune_context()
-    canon = edges_ds.map_batches(_canonical, batch_format="pyarrow") \
-                    .groupby(["src", "dst"]).count() \
-                    .select_columns(["src", "dst"])
+    canon = (edges_ds.map_batches(_canonical, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .select_columns(["src", "dst"]).materialize())
     deg = _vertex_degrees(canon)
+    if deg.count() <= BROADCAST_DEG_CAP:
+        import ray
+
+        pdf = deg.to_pandas()
+        dref = ray.put((np.sort(pdf["v"].to_numpy()),
+                        pdf["degree"].to_numpy()[
+                            np.argsort(pdf["v"].to_numpy())]))
+
+        def orient_bc(b: pa.Table) -> pa.Table:
+            vs, dg = ray.get(dref)
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            t = pa.table({
+                "src": b["src"], "dst": b["dst"],
+                "src_deg": pa.array(dg[np.searchsorted(vs, s)]),
+                "dst_deg": pa.array(dg[np.searchsorted(vs, d)])})
+            return _orient(t)
+
+        return canon.map_batches(orient_bc, batch_format="pyarrow")
     sdeg = deg.map_batches(
         lambda b: pa.table({"src": b["v"], "src_deg": b["degree"]}),
         batch_format="pyarrow")
@@ -66,33 +106,37 @@ def oriented_edges(edges_ds, num_partitions: int = 16):
                    on=("src",))
     j = j.join(ddeg, join_type="inner", num_partitions=num_partitions,
                on=("dst",))
-
-    def orient(b: pa.Table) -> pa.Table:
-        s = b["src"].to_numpy(zero_copy_only=False)
-        d = b["dst"].to_numpy(zero_copy_only=False)
-        sd = b["src_deg"].to_numpy(zero_copy_only=False)
-        dd = b["dst_deg"].to_numpy(zero_copy_only=False)
-        src_first = (sd < dd) | ((sd == dd) & (s < d))
-        a = np.where(src_first, s, d)
-        bb = np.where(src_first, d, s)
-        bdeg = np.where(src_first, dd, sd)
-        return pa.table({"a": pa.array(a, pa.int64()),
-                         "b": pa.array(bb, pa.int64()),
-                         "b_deg": pa.array(bdeg, pa.int64())})
-
-    return j.map_batches(orient, batch_format="pyarrow")
+    return j.map_batches(_orient, batch_format="pyarrow")
 
 
-def _wedges(group: pd.DataFrame) -> pd.DataFrame:
-    """All ordered out-neighbor pairs of one source, in orientation order."""
-    nb = group.sort_values(["b_deg", "b"])["b"].to_numpy()
-    k = len(nb)
-    if k < 2:
-        return pd.DataFrame({"src": np.empty(0, np.int64),
-                             "dst": np.empty(0, np.int64)})
-    iu, ju = np.triu_indices(k, 1)
-    return pd.DataFrame({"src": nb[iu].astype(np.int64),
-                         "dst": nb[ju].astype(np.int64)})
+WEDGE_BUCKETS = 64
+
+
+def _wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """All ordered out-neighbor pairs for EVERY source in one coarse
+    hash bucket, via segment arithmetic — one map_groups call per bucket
+    (a small constant) instead of one per source vertex (the same
+    vectorization that took the LSH pairing from 52.9s to sub-second,
+    dedup._band_pairs_factory)."""
+    empty = pd.DataFrame({"src": np.empty(0, np.int64),
+                          "dst": np.empty(0, np.int64)})
+    a = g["a"].to_numpy(np.int64)
+    b = g["b"].to_numpy(np.int64)
+    bd = g["b_deg"].to_numpy(np.int64)
+    order = np.lexsort((b, bd, a))  # per-source neighbors in (deg, id) order
+    a, b = a[order], b[order]
+    starts = np.flatnonzero(np.concatenate([[True], a[1:] != a[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(a)]]))
+    seg = np.repeat(np.arange(len(starts)), lens)
+    pos = np.arange(len(a)) - starts[seg]
+    reps = lens[seg] - pos - 1  # pairs where this slot is the first element
+    total = int(reps.sum())
+    if total == 0:
+        return empty
+    i_idx = np.repeat(np.arange(len(a)), reps)
+    csum = np.cumsum(reps) - reps
+    j_idx = i_idx + 1 + (np.arange(total) - csum[i_idx])
+    return pd.DataFrame({"src": b[i_idx], "dst": b[j_idx]})
 
 
 def triangle_count(edges_ds, num_partitions: int = 16) -> int:
@@ -115,7 +159,13 @@ def triangle_count(edges_ds, num_partitions: int = 16) -> int:
                             "wc": pa.array(np.zeros(b.num_rows, np.int64)),
                             "ec": pa.array(np.ones(b.num_rows, np.int64))}),
         batch_format="pyarrow")
-    wedges = oe.groupby("a").map_groups(_wedges, batch_format="pandas")
+    salted = oe.map_batches(
+        lambda b: b.append_column("wb", pa.array(
+            (b["a"].to_numpy(zero_copy_only=False) % WEDGE_BUCKETS)
+            .astype(np.int64))),
+        batch_format="pyarrow")
+    wedges = salted.groupby("wb").map_groups(_wedges_bucket,
+                                             batch_format="pandas")
     w_tagged = wedges.map_batches(
         lambda b: pa.table({"src": b["src"], "dst": b["dst"],
                             "wc": pa.array(np.ones(b.num_rows, np.int64)),

@@ -152,6 +152,12 @@ _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
 # pair-sized data driver-side (VERDICT r1 #4: "behind a size threshold")
 DRIVER_PAIR_CAP = 2_000_000
 
+# (bucket, id) tables up to this row count detect hot buckets via
+# map-side partial counts + one driver merge (worst case one (key,count)
+# row per input row ~ 160MB at the cap); above it a distributed
+# hash-count groupby takes over — the same shape rule as DRIVER_PAIR_CAP
+HOT_DRIVER_CAP = 10_000_000
+
 
 def _candidate_pairs_impl(bucket_ds, id_col: str,
                           bucket_cols, cap: int):
@@ -168,18 +174,43 @@ def _candidate_pairs_impl(bucket_ds, id_col: str,
     tune_context()
 
     b0, b1 = bucket_cols
-    counts = bucket_ds.groupby(list(bucket_cols)).count()
-    # one row per HOT bucket (collision count table, not pairs) — the
-    # broadcast small side of the prefilter
-    hot = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["count()"], 1)),
-        batch_format="pyarrow").to_pandas()
-    if len(hot) == 0:
+    # buckets feed hot-detection AND the pairing stage: materialize so the
+    # signature actor pool runs ONCE, not once per consumer
+    bucket_ds = bucket_ds.materialize()
+    n_rows = bucket_ds.count()
+    if n_rows <= HOT_DRIVER_CAP:
+        # map-side partial (key, count) per batch + tiny driver merge —
+        # skips a whole hash-shuffle round of fixed overhead
+        def batch_counts(t: pa.Table) -> pa.Table:
+            k = _mix_key(t[b0].to_numpy(zero_copy_only=False),
+                         t[b1].to_numpy(zero_copy_only=False))
+            uk, c = np.unique(k, return_counts=True)
+            return pa.table({"k": pa.array(uk), "c": pa.array(c)})
+
+        parts = bucket_ds.map_batches(
+            batch_counts, batch_format="pyarrow").to_pandas()
+        ak = parts["k"].to_numpy()
+        ac = parts["c"].to_numpy()
+        order = np.argsort(ak, kind="stable")
+        ak, ac = ak[order], ac[order]
+        starts = np.flatnonzero(np.concatenate([[True], ak[1:] != ak[:-1]]))
+        tot = np.add.reduceat(ac, starts)
+        hot_keys = ak[starts][tot > 1]
+        hot_counts = tot[tot > 1]
+    else:
+        counts = bucket_ds.groupby(list(bucket_cols)).count()
+        # one row per HOT bucket (collision count table, not pairs) — the
+        # broadcast small side of the prefilter
+        hot = counts.map_batches(
+            lambda b: b.filter(pc.greater(b["count()"], 1)),
+            batch_format="pyarrow").to_pandas()
+        hot_keys = np.sort(_mix_key(hot[b0].to_numpy(), hot[b1].to_numpy()))
+        hot_counts = hot["count()"].to_numpy()
+    if len(hot_keys) == 0:
         return rd.from_arrow(_EMPTY_PAIRS), pd.DataFrame(
             {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-    c = np.minimum(hot["count()"].to_numpy(), cap).astype(np.int64)
+    c = np.minimum(hot_counts, cap).astype(np.int64)
     est_pairs = int((c * (c - 1) // 2).sum())
-    hot_keys = np.sort(_mix_key(hot[b0].to_numpy(), hot[b1].to_numpy()))
     href = ray.put(hot_keys)
 
     def keep_hot(t: pa.Table) -> pa.Table:
