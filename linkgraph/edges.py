@@ -125,6 +125,12 @@ def build_link_edges(files_ds, n_buckets: int = 256, join_partitions: int = 16):
 
     base = files_ds.map_batches(drop_empty, batch_format="pyarrow")
     base = base.map_batches(sha256_stage(), batch_format="pyarrow")
+    # content is only needed up to the sha — project it away, then
+    # materialize: `base` feeds BOTH the id assignment and the attach
+    # join below; un-materialized, the whole corpus + sha pass would
+    # execute twice (and diamond lineage risks the Ray 2.49 executor
+    # deadlock noted in derive_star_edges)
+    base = base.select_columns(["repo", "path", "sha256"]).materialize()
     mapping, n_vertices = assign_dense_ids(base, ["repo", "path"],
                                            n_buckets=n_buckets)
     if n_vertices == 0:

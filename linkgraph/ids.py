@@ -53,20 +53,31 @@ def assign_dense_ids(ds, key_cols: list[str], n_buckets: int = 256,
         batch_format="pyarrow",
     )
     distinct = keyed.groupby("__key").count()  # (__key, count()); shuffle w/ combiner
+    # materialized: consumed by the bucket-count pass AND the numbering
+    # map_groups — without it the distinct-keys shuffle runs twice
     distinct = distinct.map_batches(
         lambda b: add_bucket(b.select(["__key"]), ["__key"], n_buckets),
         batch_format="pyarrow",
-    )
-    # per-bucket counts: tiny table -> driver
-    counts = distinct.groupby("bucket").count().to_pandas()
-    if len(counts) == 0:
+    ).materialize()
+
+    # per-bucket counts: map-side bincount partials + driver merge
+    # (O(n_buckets) each) — no second hash shuffle
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        c = np.bincount(b["bucket"].to_numpy(zero_copy_only=False),
+                        minlength=n_buckets)
+        return pa.table({"bucket": pa.array(np.arange(n_buckets,
+                                                      dtype=np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = distinct.map_batches(bucket_partial,
+                                  batch_format="pyarrow").to_pandas()
+    if len(counts) == 0 or counts["n"].sum() == 0:
         import ray.data as rd
         empty = pa.table({"__key": pa.array([], pa.string()),
                           id_col: pa.array([], pa.int64())})
         return rd.from_arrow(empty), 0
-    counts = counts.sort_values("bucket").reset_index(drop=True)
     base = np.zeros(n_buckets, dtype=np.int64)
-    base[counts["bucket"].to_numpy()] = counts["count()"].to_numpy()
+    np.add.at(base, counts["bucket"].to_numpy(), counts["n"].to_numpy())
     total = int(base.sum())
     base = np.concatenate([[0], np.cumsum(base)[:-1]])
     base_ref = ray.put(base)
