@@ -267,10 +267,12 @@ def main():
         for ncpu in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             # scaling runs use a compute-heavier config so per-stage work
-            # dominates fixed shuffle/superstep latency (see BASELINE.md)
-            env.setdefault("GRAFT_BENCH_REPOS", "1200")
-            env.setdefault("GRAFT_BENCH_SYNTH_V", "2000000")
-            env.setdefault("GRAFT_BENCH_SYNTH_E", "24000000")
+            # dominates fixed shuffle/superstep latency (see BASELINE.md);
+            # raised again in round 2 after the fixed-overhead cuts made
+            # the 24M-edge config latency-bound at both CPU levels
+            env.setdefault("GRAFT_BENCH_REPOS", "2400")
+            env.setdefault("GRAFT_BENCH_SYNTH_V", "8000000")
+            env.setdefault("GRAFT_BENCH_SYNTH_E", "96000000")
             env.pop("GRAFT_SCALING", None)
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True,
