@@ -59,11 +59,27 @@ def build_compressed(keys: np.ndarray, values: np.ndarray,
     """
     keys = np.asarray(keys, dtype=np.int64)
     values = np.asarray(values, dtype=np.int64)
-    order = np.lexsort((values, keys))
+    if len(keys) and keys.max(initial=0) < 2 ** 31 \
+            and values.max(initial=0) < 2 ** 31:
+        # composite-key fast path: one argsort of (key<<32 | value)
+        # instead of a two-pass lexsort — shard boot is sort-bound
+        order = np.argsort((keys << 32) | values, kind="stable")
+    else:
+        order = np.lexsort((values, keys))
     keys = keys[order]
     values = values[order]
     w = None if weights is None else np.asarray(weights, dtype=np.float64)[order]
-    row_vertex, counts = np.unique(keys, return_counts=True)
+    # boundary scan instead of np.unique (which re-sorts internally)
+    if len(keys):
+        bound = np.empty(len(keys), dtype=bool)
+        bound[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=bound[1:])
+        starts = np.flatnonzero(bound)
+        row_vertex = keys[starts]
+        counts = np.diff(np.concatenate([starts, [len(keys)]]))
+    else:
+        row_vertex = keys
+        counts = np.empty(0, dtype=np.int64)
     indptr = np.zeros(len(row_vertex) + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
     return CompressedRows(row_vertex, indptr, values, w)

@@ -121,11 +121,16 @@ class GraphEngine:
         # risks deadlocking co-resident engines/stages on small sessions;
         # effective parallelism == num_partitions.
         self.store_dir = store_dir
+        meta = dict(meta)
+        # in-memory store: routed blocks ride as object refs; the
+        # MaterializedDataset pin keeps them alive for the engine's life
+        block_refs = meta.pop("block_refs", None)
+        self._store_pin = meta.pop("_pin", None)
         self.meta = meta
         self.n_parts = meta["num_partitions"]
         self.shards = [
             GraphShard.options(num_cpus=num_cpus_per_shard).remote(
-                store_dir, p, meta)
+                store_dir, p, meta, block_refs)
             for p in range(self.n_parts)
         ]
         self.shard_info = ray.get([s.ping.remote() for s in self.shards])

@@ -87,7 +87,8 @@ def _split_sorted(ids: np.ndarray, offsets: np.ndarray, *cols):
 class GraphShard:
     """One partition of the graph: adjacency + state + superstep kernels."""
 
-    def __init__(self, store_dir: str, part: int, meta: dict):
+    def __init__(self, store_dir: str, part: int, meta: dict,
+                 block_refs=None):
         self.part = part
         self.store_dir = store_dir
         self.meta = meta
@@ -97,7 +98,15 @@ class GraphShard:
         self.n_parts = meta["num_partitions"]
         weighted = meta["weighted"]
 
-        src, dst, w = read_part_edges(store_dir, "push", part, weighted)
+        if block_refs is not None:
+            # in-memory store: zero-copy reads of the routed Arrow blocks
+            from .store import part_edges_from_blocks
+
+            blocks = ray.get(list(block_refs))
+            src, dst, w = part_edges_from_blocks(blocks, "push", part,
+                                                 weighted)
+        else:
+            src, dst, w = read_part_edges(store_dir, "push", part, weighted)
         self.push = build_compressed(src, dst, w)  # rows: src, nbrs: local dst
         if meta["symmetric"]:
             # symmetric edge set: pull partition == push partition with roles
@@ -105,7 +114,12 @@ class GraphShard:
             self.pull = self.push
             psrc, pdst = dst, src
         else:
-            psrc, pdst, pw = read_part_edges(store_dir, "pull", part, weighted)
+            if block_refs is not None:
+                psrc, pdst, pw = part_edges_from_blocks(blocks, "pull",
+                                                        part, weighted)
+            else:
+                psrc, pdst, pw = read_part_edges(store_dir, "pull", part,
+                                                 weighted)
             self.pull = build_compressed(pdst, psrc, pw)  # rows: dst, nbrs: local src
         # local degrees from the shard's own partitions:
         #   out_degree of local v = #edges with src==v  (all land in pull part)

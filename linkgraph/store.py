@@ -20,10 +20,20 @@ symmetrized edge set, the pull partition of shard i is exactly the push
 partition with (src,dst) swapped, so `orient=pull` is skipped and shards
 alias the structure.
 
-The store directory is the resumable unit: `parts/` + `meta.json`.  A
-rerun that finds a complete meta.json with matching version / shape /
-input fingerprint skips the build; anything else rebuilds (a stale store
-must never be silently reused for different input data).
+Two physical layouts behind one meta dict (persist="auto"):
+
+  in-memory  routed volume <= IN_MEM_STORE_CAP: the materialized routed
+             blocks are handed to the shards as object refs (zero-copy
+             plasma reads, no disk in the build path);
+  parquet    larger graphs (or persist=True) write the hive layout
+             `parts/orient=push|pull/part=i/` — per-shard SELECTIVE
+             reads and durable cross-process reuse: the 100-TB path.
+
+A persisted store directory is the resumable unit: `parts/` +
+`meta.json`.  A rerun that finds a complete meta.json with matching
+version / shape / input fingerprint skips the build; anything else
+rebuilds (a stale store must never be silently reused for different
+input data).
 """
 
 from __future__ import annotations
@@ -43,6 +53,12 @@ from .partition import part_of, partition_offsets_from_edges
 # bump when the on-disk layout or routing rules change: stale stores
 # under /tmp from an older code version are then rebuilt, not reused
 STORE_VERSION = 3
+
+# routed edge volume up to this many bytes skips the parquet write and
+# hands the materialized blocks straight to the shards (object-store
+# refs, zero-copy); larger graphs take the durable hive-parquet layout
+# whose per-shard selective reads are the 100-TB path
+IN_MEM_STORE_CAP = 8 * 1024 ** 3
 
 
 def _route_both_stage(offsets_ref, symmetric: bool, narrow: bool):
@@ -80,10 +96,43 @@ def _route_both_stage(offsets_ref, symmetric: bool, narrow: bool):
     return route
 
 
+def _route_mem_stage(offsets_ref, symmetric: bool, narrow: bool):
+    """Route stage for the IN-MEMORY layout: one int32 `tag` column
+    (part*2 + orient_bit) instead of string orient + int64 part, and each
+    output batch SORTED by tag — shards then locate their rows in every
+    block with one searchsorted slice (no 192M-row string filter per
+    shard, which cost ~70s of shard boot at 96M edges)."""
+
+    def route(b: pa.Table) -> pa.Table:
+        offsets = ray.get(offsets_ref)
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        if narrow:
+            b = b.set_column(b.schema.get_field_index("src"), "src",
+                             pc.cast(b["src"], pa.int32()))
+            b = b.set_column(b.schema.get_field_index("dst"), "dst",
+                             pc.cast(b["dst"], pa.int32()))
+        tag_push = part_of(dst, offsets) * 2
+        if symmetric:
+            tags = tag_push
+            out = b
+        else:
+            tag_pull = part_of(src, offsets) * 2 + 1
+            tags = np.concatenate([tag_push, tag_pull])
+            out = pa.concat_tables([b, b])
+        order = np.argsort(tags, kind="stable")
+        out = out.take(pa.array(order))
+        return out.append_column(
+            "tag", pa.array(tags[order].astype(np.int32)))
+
+    return route
+
+
 def build_graph_store(edges_ds, n_vertices: int, num_partitions: int,
                       out_dir: str, symmetric: bool = False,
                       weighted: bool = False, alpha: int | None = None,
-                      fingerprint: str | None = None) -> dict:
+                      fingerprint: str | None = None,
+                      persist: bool | str = "auto") -> dict:
     """Materialize the partitioned graph store; returns meta dict.
 
     edges_ds columns: src:int64, dst:int64[, weight:float64].
@@ -120,11 +169,6 @@ def build_graph_store(edges_ds, n_vertices: int, num_partitions: int,
     offsets_ref = ray.put(offsets)
 
     narrow = int(n_vertices) < 2 ** 31
-    ed.map_batches(_route_both_stage(offsets_ref, symmetric, narrow),
-                   batch_format="pyarrow").write_parquet(
-        os.path.join(out_dir, "parts"), partition_cols=["orient", "part"],
-        mode="overwrite")
-
     meta = {
         "version": STORE_VERSION,
         "n_vertices": int(n_vertices),
@@ -134,14 +178,47 @@ def build_graph_store(edges_ds, n_vertices: int, num_partitions: int,
         "symmetric": bool(symmetric),
         "weighted": bool(weighted),
         "fingerprint": fingerprint,
-        "complete": True,
     }
+
+    per_edge = (8 if narrow else 16) + (8 if weighted else 0)
+    copies = 1 if symmetric else 2
+    in_mem = (persist is False
+              or (persist == "auto"
+                  and n_edges * per_edge * copies <= IN_MEM_STORE_CAP))
+    if in_mem:
+        # fast path: tag-sorted routed blocks stay in the object store;
+        # shards slice their rows via searchsorted (zero-copy reads, no
+        # disk in the build — the write was the disk-bandwidth-bound 30s
+        # of a 96M-edge build).  Size-gated: the hive-parquet path below
+        # gives per-shard SELECTIVE reads and durable resume at scale.
+        mat = ed.map_batches(
+            _route_mem_stage(offsets_ref, symmetric, narrow),
+            batch_format="pyarrow").materialize()
+        meta["in_mem"] = True
+        meta["block_refs"] = list(mat.get_internal_block_refs())
+        meta["_pin"] = mat  # keep the MaterializedDataset alive
+        return meta
+
+    ed.map_batches(_route_both_stage(offsets_ref, symmetric, narrow),
+                   batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "parts"), partition_cols=["orient", "part"],
+        mode="overwrite")
+    meta["complete"] = True
     write_json(meta, meta_path)
     return meta
 
 
 def load_meta(store_dir: str) -> dict:
     return read_json(os.path.join(store_dir, "meta.json"))
+
+
+def _cols_out(t: pa.Table, weighted: bool):
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    w = (t["weight"].to_numpy(zero_copy_only=False).astype(np.float64,
+                                                           copy=False)
+         if weighted else None)
+    return src, dst, w
 
 
 def read_part_edges(store_dir: str, orientation: str, part: int,
@@ -156,8 +233,24 @@ def read_part_edges(store_dir: str, orientation: str, part: int,
         return z, z.copy(), (np.empty(0, dtype=np.float64) if weighted else None)
     cols = ["src", "dst"] + (["weight"] if weighted else [])
     t = pq.read_table(path, columns=cols)
-    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    w = (t["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-         if weighted else None)
-    return src, dst, w
+    return _cols_out(t, weighted)
+
+
+def part_edges_from_blocks(blocks, orientation: str, part: int,
+                           weighted: bool):
+    """In-memory-store analog of read_part_edges: slice this shard's
+    rows out of each TAG-SORTED routed block with one searchsorted —
+    O(log n) locate + zero-copy arrow slice per block."""
+    tag = part * 2 + (0 if orientation == "push" else 1)
+    kept = []
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    for t in blocks:
+        tags = t["tag"].to_numpy(zero_copy_only=False)
+        a, b = np.searchsorted(tags, [tag, tag + 1])
+        if b > a:
+            kept.append(t.select(cols).slice(a, b - a))
+    if not kept:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), (np.empty(0, dtype=np.float64)
+                             if weighted else None)
+    return _cols_out(pa.concat_tables(kept), weighted)

@@ -14,12 +14,14 @@ def test_store_build_is_resumable(tmp_path):
     e = micro_graph("er_1k")
     n = int(e.max()) + 1
     ds = edges_from_arrays(e[:, 0], e[:, 1])
-    meta1 = build_graph_store(ds, n, 3, str(tmp_path / "s"))
+    meta1 = build_graph_store(ds, n, 3, str(tmp_path / "s"),
+                              persist=True)
     assert meta1["complete"] and meta1["n_edges"] == len(e)
     # second build with a complete meta returns WITHOUT recomputation
     # (pass a poisoned dataset: it would throw if consumed)
     poisoned = ds.map_batches(lambda b: 1 / 0, batch_format="pyarrow")
-    meta2 = build_graph_store(poisoned, n, 3, str(tmp_path / "s"))
+    meta2 = build_graph_store(poisoned, n, 3, str(tmp_path / "s"),
+                              persist=True)
     assert meta2 == meta1
     assert load_meta(str(tmp_path / "s")) == meta1
 
