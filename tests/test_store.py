@@ -43,3 +43,29 @@ def test_dump_restore_vertex_array(tmp_path):
         assert np.array_equal(before, after)
     finally:
         eng.shutdown()
+
+
+def test_in_mem_store_matches_persisted(tmp_path):
+    """The in-memory (object-ref) layout and the durable hive-parquet
+    layout must produce identical engine results."""
+    from linkgraph.engine import GraphEngine
+
+    e = micro_graph("powerlaw_1k")
+    n = int(e.max()) + 1
+    ds = edges_from_arrays(e[:, 0], e[:, 1])
+    m_mem = build_graph_store(ds, n, 3, str(tmp_path / "mem"),
+                              persist=False)
+    m_dur = build_graph_store(ds, n, 3, str(tmp_path / "dur"),
+                              persist=True)
+    assert m_mem.get("in_mem") and "block_refs" in m_mem
+    e1 = GraphEngine(str(tmp_path / "mem"), m_mem)
+    e2 = GraphEngine(str(tmp_path / "dur"), m_dur)
+    try:
+        pagerank(e1, iterations=5)
+        pagerank(e2, iterations=5)
+        r1 = e1.state_pandas(["rank"])["rank"].to_numpy()
+        r2 = e2.state_pandas(["rank"])["rank"].to_numpy()
+        assert np.array_equal(r1, r2)
+    finally:
+        e1.shutdown()
+        e2.shutdown()
