@@ -29,18 +29,20 @@ def suggest_partitions(n_edges: int, max_parts: int,
 def load_directed(edges_ds, n_vertices: int, num_partitions: int,
                   store_dir: str, weighted: bool = False,
                   num_cpus_per_shard: float = 0,
-                  fingerprint: str | None = None) -> GraphEngine:
+                  fingerprint: str | None = None,
+                  persist: bool | str = "auto") -> GraphEngine:
     """Directed graph engine (PageRank / BFS / SSSP)."""
     meta = build_graph_store(edges_ds, n_vertices, num_partitions, store_dir,
                              symmetric=False, weighted=weighted,
-                             fingerprint=fingerprint)
+                             fingerprint=fingerprint, persist=persist)
     return GraphEngine(store_dir, meta, num_cpus_per_shard)
 
 
 def load_undirected(edges_ds, n_vertices: int, num_partitions: int,
                     store_dir: str, simple: bool = True,
                     num_cpus_per_shard: float = 0,
-                    fingerprint: str | None = None) -> GraphEngine:
+                    fingerprint: str | None = None,
+                    persist: bool | str = "auto") -> GraphEngine:
     """Undirected graph engine (CC / LP): emits each edge both ways
     (graph.hpp:572-587) and, when simple=True, collapses duplicates so
     LP's neighbor-label histogram is over distinct neighbors."""
@@ -48,7 +50,8 @@ def load_undirected(edges_ds, n_vertices: int, num_partitions: int,
     if simple:
         und = dedup_edges(und)
     meta = build_graph_store(und, n_vertices, num_partitions, store_dir,
-                             symmetric=True, fingerprint=fingerprint)
+                             symmetric=True, fingerprint=fingerprint,
+                             persist=persist)
     return GraphEngine(store_dir, meta, num_cpus_per_shard)
 
 
