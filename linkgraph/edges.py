@@ -20,6 +20,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# edge sets up to this size dedup on the driver (same rule as
+# dedup.DRIVER_PAIR_CAP); larger sets use the groupby projection
+EDGE_DRIVER_DEDUP_CAP = 2_000_000
+
 EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
 
@@ -38,22 +42,58 @@ def star_edges_group(group: pd.DataFrame, id_col: str = "vid") -> pd.DataFrame:
                          "dst": ids[1:].astype(np.int64)})
 
 
+# sharing-group key tables up to this row count compute the per-key
+# representative via map-side partial minima + a driver merge, then
+# broadcast the (key -> rep) map — no aggregate or join shuffle; bigger
+# tables use the distributed aggregate+join path
+STAR_DRIVER_CAP = 20_000_000
+
+
 def derive_star_edges(ds, key_col: str, id_col: str = "vid",
-                      num_partitions: int = 16):
-    """groupby(key) -> star edges, as aggregate + hash join (no per-group
-    python): rep = Min(id) per key (combiner-friendly shuffle of partial
-    minima), then join members back on key and emit (rep, id), id != rep.
-    """
-    from ray.data.aggregate import Min
+                      num_partitions: int = 16,
+                      approx_rows: int | None = None):
+    """groupby(key) -> star edges: rep = Min(id) per key, emit (rep, id)
+    for id != rep.
+
+    Below STAR_DRIVER_CAP (pass the known row count via approx_rows):
+    per-batch pandas groupby-min partials merge on the driver and the
+    rep map is broadcast (ray.put once, Index lookup per batch).  Above:
+    distributed combiner aggregate + hash join."""
+    import ray
 
     from .runtime import tune_context
     tune_context()
 
     proj = ds.select_columns([key_col, id_col])
+    if approx_rows is not None and approx_rows <= STAR_DRIVER_CAP:
+        def partial_min(b: pa.Table) -> pa.Table:
+            g = (b.to_pandas().groupby(key_col, sort=False)[id_col].min())
+            return pa.table({key_col: pa.array(g.index),
+                             "__rep": pa.array(g.to_numpy(), pa.int64())})
+
+        parts = proj.map_batches(partial_min,
+                                 batch_format="pyarrow").to_pandas()
+        mins = parts.groupby(key_col, sort=False)["__rep"].min()
+        ref = ray.put((pd.Index(mins.index), mins.to_numpy()))
+
+        def emit_bc(b: pa.Table) -> pa.Table:
+            index, reps = ray.get(ref)
+            pos = index.get_indexer(b[key_col].to_pylist())
+            rep = reps[pos]  # every key is present by construction
+            vid = b[id_col].to_numpy(zero_copy_only=False)
+            keep = vid != rep
+            return pa.table({"src": pa.array(rep[keep], pa.int64()),
+                             "dst": pa.array(vid[keep], pa.int64())})
+
+        return proj.map_batches(emit_bc, batch_format="pyarrow")
+
+    from ray.data.aggregate import Min
+
     # materialized: `proj` feeds BOTH the aggregate and the join below;
     # a diamond over un-materialized lineage deadlocks the streaming
     # executor intermittently (Ray 2.49; same root cause as
     # algos/triangles.py).  `mins` is one row per key — the small side.
+    proj = proj.materialize()
     mins = proj.groupby(key_col).aggregate(
         Min(id_col, alias_name="__rep")).materialize()
     joined = proj.join(mins, join_type="inner",
@@ -131,14 +171,17 @@ def build_link_edges(files_ds, n_buckets: int = 256, join_partitions: int = 16):
     # execute twice (and diamond lineage risks the Ray 2.49 executor
     # deadlock noted in derive_star_edges)
     base = base.select_columns(["repo", "path", "sha256"]).materialize()
+    n_files = base.count()  # cheap: materialized
     mapping, n_vertices = assign_dense_ids(base, ["repo", "path"],
-                                           n_buckets=n_buckets)
+                                           n_buckets=n_buckets,
+                                           approx_rows=n_files)
     if n_vertices == 0:
         import ray.data as rd
         empty = pa.Table.from_pylist([], schema=EDGE_SCHEMA)
         return rd.from_arrow(empty), 0, mapping
     withids = attach_ids(base, mapping, ["repo", "path"],
-                         num_partitions=join_partitions)
+                         num_partitions=join_partitions,
+                         n_keys=n_vertices)
 
     # Single pass over withids: each row contributes two group keys,
     # "P:"+path and "S:"+sha -> ONE groupby-min + ONE join derives both
@@ -155,6 +198,17 @@ def build_link_edges(files_ds, n_buckets: int = 256, join_partitions: int = 16):
                             [vid.combine_chunks(), vid.combine_chunks()])})
 
     keyed = withids.map_batches(both_keys, batch_format="pyarrow")
-    stars = derive_star_edges(keyed, "gkey", num_partitions=join_partitions)
-    edges = dedup_edges(drop_self_loops(stars))
+    stars = derive_star_edges(keyed, "gkey", num_partitions=join_partitions,
+                              approx_rows=2 * n_vertices)
+    stars = drop_self_loops(stars).materialize()
+    if stars.count() <= EDGE_DRIVER_DEDUP_CAP:
+        # star edges are already near-distinct (one star per group);
+        # a driver drop_duplicates skips the dedup shuffle at this size
+        from .io import from_pandas_clean
+
+        pdf = (stars.to_pandas().drop_duplicates(["src", "dst"])
+               .reset_index(drop=True))
+        edges = from_pandas_clean(pdf)
+    else:
+        edges = dedup_edges(stars)
     return edges, n_vertices, mapping

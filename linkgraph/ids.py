@@ -42,16 +42,42 @@ def _concat_key(batch: pa.Table, key_cols: list[str], out: str = "__key") -> pa.
 
 
 def assign_dense_ids(ds, key_cols: list[str], n_buckets: int = 256,
-                     id_col: str = "vid"):
+                     id_col: str = "vid", approx_rows: int | None = None):
     """Return (mapping_ds, n_vertices).
 
     mapping_ds has columns (__key: string, vid: int64) with vid dense in
     [0, n_vertices). `__key` is the KEY_SEP-joined key columns.
+
+    Below BROADCAST_MAP_CAP rows (pass the known count via approx_rows)
+    the distinct + numbering runs as map-side per-batch uniques merged
+    on the driver — no shuffle; the id order (sorted keys) is identical
+    to the distributed path with one bucket, and deterministic in both.
     """
     keyed = ds.map_batches(
         lambda b: _concat_key(b, key_cols).select(["__key"]),
         batch_format="pyarrow",
     )
+    if approx_rows is not None and approx_rows <= BROADCAST_MAP_CAP:
+        from .hashing import hash64_str
+        from .io import from_pandas_clean
+
+        parts = keyed.map_batches(
+            lambda b: pa.table(
+                {"__key": pa.array(pd.unique(b["__key"].to_pandas()))}),
+            batch_format="pyarrow").to_pandas()
+        uniq = parts["__key"].unique()
+        if len(uniq) == 0:
+            import ray.data as rd
+            empty = pa.table({"__key": pa.array([], pa.string()),
+                              id_col: pa.array([], pa.int64())})
+            return rd.from_arrow(empty), 0
+        # SAME id order as the distributed path: (hash bucket, key)
+        bucket = (hash64_str(list(uniq)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        order = np.lexsort((uniq, bucket))
+        pdf = pd.DataFrame({"__key": uniq[order],
+                            id_col: np.arange(len(uniq), dtype=np.int64)})
+        return from_pandas_clean(pdf).materialize(), len(uniq)
     distinct = keyed.groupby("__key").count()  # (__key, count()); shuffle w/ combiner
     # materialized: consumed by the bucket-count pass AND the numbering
     # map_groups — without it the distinct-keys shuffle runs twice
@@ -98,11 +124,37 @@ def assign_dense_ids(ds, key_cols: list[str], n_buckets: int = 256,
     return mapping, total
 
 
+# key->id maps up to this many entries ride the broadcast-lookup path
+# (ray.put once, pandas Index.get_indexer per batch); larger maps use
+# the hash-partitioned join — the dimension-join scale rule
+BROADCAST_MAP_CAP = 5_000_000
+
+
 def attach_ids(ds, mapping, key_cols: list[str], id_col: str = "vid",
-               num_partitions: int = 16):
-    """Join the dense-id mapping back onto `ds` (hash-partitioned join)."""
+               num_partitions: int = 16, n_keys: int | None = None):
+    """Join the dense-id mapping back onto `ds`.
+
+    Small maps (n_keys <= BROADCAST_MAP_CAP, pass the known vertex count
+    to enable) broadcast the whole mapping and resolve ids with one
+    vectorized Index lookup per batch — no join shuffle; larger maps
+    fall back to the hash-partitioned Dataset.join."""
     from .runtime import tune_context
     tune_context()
+    if n_keys is not None and n_keys <= BROADCAST_MAP_CAP:
+        pdf = mapping.to_pandas()
+        idx = pd.Index(pdf["__key"])
+        ref = ray.put((idx, pdf[id_col].to_numpy()))
+
+        def lookup(b: pa.Table) -> pa.Table:
+            index, vids = ray.get(ref)
+            kb = _concat_key(b, key_cols)
+            pos = index.get_indexer(kb["__key"].to_pylist())
+            keep = pos >= 0
+            out = b.filter(pa.array(keep))
+            return out.append_column(
+                id_col, pa.array(vids[pos[keep]], pa.int64()))
+
+        return ds.map_batches(lookup, batch_format="pyarrow")
     keyed = ds.map_batches(lambda b: _concat_key(b, key_cols),
                            batch_format="pyarrow")
     joined = keyed.join(mapping, join_type="inner",
