@@ -208,7 +208,10 @@ def build_link_edges(files_ds, n_buckets: int = 256, join_partitions: int = 16):
 
         pdf = (stars.to_pandas().drop_duplicates(["src", "dst"])
                .reset_index(drop=True))
-        edges = from_pandas_clean(pdf)
+        # split the single from_pandas block so downstream stages
+        # (symmetrize, store routing, triangles) parallelize
+        edges = from_pandas_clean(pdf).repartition(
+            max(2, min(16, len(pdf) // 50_000 + 2)))
     else:
         edges = dedup_edges(stars)
     return edges, n_vertices, mapping

@@ -100,12 +100,24 @@ def documents_edges(sf_dir: str, num_partitions: int = 8):
 
     from .edges import dedup_edges, derive_star_edges
 
+    from .edges import EDGE_DRIVER_DEDUP_CAP
+    from .io import from_pandas_clean
+
     docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text", "lang", "source"])
+    n_docs = rd.read_parquet(os.path.join(
+        sf_dir, "documents.parquet")).count()  # parquet metadata, no scan
     keyed = docs.map_batches(_doc_keys, batch_format="pyarrow")
     stars = derive_star_edges(keyed, "gkey", id_col="vid",
-                              num_partitions=num_partitions)
-    edges = dedup_edges(stars).materialize()
+                              num_partitions=num_partitions,
+                              approx_rows=3 * n_docs).materialize()
+    if stars.count() <= EDGE_DRIVER_DEDUP_CAP:
+        pdf = (stars.to_pandas().drop_duplicates(["src", "dst"])
+               .reset_index(drop=True))
+        edges = from_pandas_clean(pdf).repartition(
+            max(2, min(8, len(pdf) // 50_000 + 2))).materialize()
+    else:
+        edges = dedup_edges(stars).materialize()
     _CACHE[key] = edges
     return edges
 
