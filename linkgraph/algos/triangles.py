@@ -139,16 +139,72 @@ def _wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"src": b[i_idx], "dst": b[j_idx]})
 
 
+# edge sets up to this size count triangles in one driver numpy kernel
+# (exact, same orientation rule); larger graphs run the distributed
+# pipeline below — the standard size-gate
+DRIVER_TRI_CAP = 500_000
+
+
+def _triangle_count_local(pdf: pd.DataFrame) -> int:
+    """Exact in-process count: canonicalize -> degree-orient -> wedge
+    segments -> closure membership via composite-key searchsorted."""
+    s = pdf["src"].to_numpy(np.int64)
+    d = pdf["dst"].to_numpy(np.int64)
+    keep = s != d
+    lo = np.minimum(s[keep], d[keep])
+    hi = np.maximum(s[keep], d[keep])
+    if len(lo) == 0:
+        return 0
+    edges = np.unique((lo << 32) | hi)
+    lo, hi = edges >> 32, edges & 0xFFFFFFFF
+    deg = np.bincount(lo, minlength=int(hi.max()) + 1) \
+        + np.bincount(hi, minlength=int(hi.max()) + 1)
+    src_first = (deg[lo] < deg[hi]) | ((deg[lo] == deg[hi]) & (lo < hi))
+    a = np.where(src_first, lo, hi)
+    b = np.where(src_first, hi, lo)
+    # per-source neighbor lists ordered by (deg, id) — wedge pairs are
+    # then (closer, farther) in orientation order
+    order = np.lexsort((b, deg[b], a))
+    a, b = a[order], b[order]
+    starts = np.flatnonzero(np.concatenate([[True], a[1:] != a[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(a)]]))
+    seg = np.repeat(np.arange(len(starts)), lens)
+    pos = np.arange(len(a)) - starts[seg]
+    reps = lens[seg] - pos - 1
+    total = int(reps.sum())
+    if total == 0:
+        return 0
+    i_idx = np.repeat(np.arange(len(a)), reps)
+    csum = np.cumsum(reps) - reps
+    j_idx = i_idx + 1 + (np.arange(total) - csum[i_idx])
+    wkey = (b[i_idx].astype(np.int64) << 32) | b[j_idx]
+    okey = np.sort((a.astype(np.int64) << 32) | b)
+    p = np.searchsorted(okey, wkey)
+    p = np.minimum(p, len(okey) - 1)
+    return int((okey[p] == wkey).sum())
+
+
 def triangle_count(edges_ds, num_partitions: int = 16) -> int:
     """Exact global triangle count of the undirected simple graph.
 
-    Closure check is a union + groupby(["src","dst"]) aggregate rather
-    than a hash join: wedge rows carry wc=1, oriented-edge rows ec=1; a
-    wedge (b,c) closes iff its group contains an edge row.  The groupby
-    runs with partial (combiner) aggregation and, unlike Dataset.join,
-    is robust to empty hash partitions on tiny inputs.
+    Edge sets under DRIVER_TRI_CAP (and ids < 2^31) run the vectorized
+    driver kernel; larger graphs run the distributed pipeline: closure
+    check is a union + groupby(["src","dst"]) aggregate rather than a
+    hash join: wedge rows carry wc=1, oriented-edge rows ec=1; a wedge
+    (b,c) closes iff its group contains an edge row.  The groupby runs
+    with partial (combiner) aggregation and, unlike Dataset.join, is
+    robust to empty hash partitions on tiny inputs.
     """
     from ray.data.aggregate import Sum
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= DRIVER_TRI_CAP:
+        pdf = edges_ds.to_pandas()
+        if len(pdf) == 0:
+            return 0
+        mx = max(pdf["src"].max(), pdf["dst"].max())
+        if mx < 2 ** 31:
+            return _triangle_count_local(pdf)
 
     # materialized: `oe` feeds BOTH union branches below — a diamond over
     # un-materialized lineage deadlocks the streaming executor (observed

@@ -339,3 +339,19 @@ def test_checkpoint_resume_identical(tmp_path):
         assert np.array_equal(full, resumed)
     finally:
         eng2.shutdown()
+
+
+def test_triangles_distributed_path_matches_driver():
+    """The distributed pipeline (forced) and the driver kernel agree."""
+    import linkgraph.algos.triangles as T
+
+    e = micro_graph("er_1k")
+    ds = edges_from_arrays(e[:, 0], e[:, 1])
+    fast = T.triangle_count(ds)
+    old = T.DRIVER_TRI_CAP
+    T.DRIVER_TRI_CAP = 0
+    try:
+        slow = T.triangle_count(edges_from_arrays(e[:, 0], e[:, 1]))
+    finally:
+        T.DRIVER_TRI_CAP = old
+    assert fast == slow == tri_oracle(e, _n(e))
