@@ -46,9 +46,21 @@ def load_undirected(edges_ds, n_vertices: int, num_partitions: int,
     """Undirected graph engine (CC / LP): emits each edge both ways
     (graph.hpp:572-587) and, when simple=True, collapses duplicates so
     LP's neighbor-label histogram is over distinct neighbors."""
-    und = symmetrize(edges_ds)
+    und = symmetrize(edges_ds).materialize()
     if simple:
-        und = dedup_edges(und)
+        from .edges import EDGE_DRIVER_DEDUP_CAP
+
+        if und.count() <= EDGE_DRIVER_DEDUP_CAP:
+            # driver dedup under the cap (same size-gate rule as
+            # build_link_edges) — skips a hash-shuffle round
+            from .io import from_pandas_clean
+
+            pdf = (und.to_pandas().drop_duplicates(["src", "dst"])
+                   .reset_index(drop=True))
+            und = from_pandas_clean(pdf).repartition(
+                max(2, min(16, len(pdf) // 50_000 + 2)))
+        else:
+            und = dedup_edges(und)
     meta = build_graph_store(und, n_vertices, num_partitions, store_dir,
                              symmetric=True, fingerprint=fingerprint,
                              persist=persist)
