@@ -1,0 +1,126 @@
+"""Size-gate path equality: every operator that picks between a
+driver/broadcast plan (below a cap) and a distributed shuffle plan
+(above it) must produce IDENTICAL results on both paths.  These tests
+force each path on the same small input via the cap constants."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _docs_table(n=60, seed=3):
+    rng = np.random.default_rng(seed)
+    base = ["the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "how vexingly quick daft zebras jump"]
+    texts = []
+    for i in range(n):
+        t = base[i % 3]
+        if rng.random() < 0.4:
+            t = t + f" tail{i % 7}"
+        texts.append(t)
+    return pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "text": pa.array(texts)})
+
+
+def test_minhash_driver_vs_distributed_paths(monkeypatch):
+    import linkgraph.dedup as D
+
+    ds = rd.from_arrow(_docs_table())
+    small = D.minhash_dedup_pairs(ds, threshold=0.6, concurrency=2)
+    monkeypatch.setattr(D, "DRIVER_PAIR_CAP", -1)
+    monkeypatch.setattr(D, "HOT_DRIVER_CAP", -1)
+    big = D.minhash_dedup_pairs(rd.from_arrow(_docs_table()),
+                                threshold=0.6, concurrency=2)
+    pd.testing.assert_frame_equal(
+        small.reset_index(drop=True), big.reset_index(drop=True))
+
+
+def test_simhash_driver_vs_distributed_dedup(monkeypatch):
+    import linkgraph.dedup as D
+
+    ds = rd.from_arrow(_docs_table())
+    small = D.simhash_dedup_pairs(ds, concurrency=2)
+    monkeypatch.setattr(D, "DRIVER_PAIR_CAP", -1)
+    big = D.simhash_dedup_pairs(rd.from_arrow(_docs_table()),
+                                concurrency=2)
+    pd.testing.assert_frame_equal(
+        small.reset_index(drop=True), big.reset_index(drop=True))
+
+
+def test_star_edges_broadcast_vs_distributed():
+    from linkgraph.edges import derive_star_edges
+
+    t = pa.table({"gkey": pa.array(["a", "a", "b", "b", "b", "c"]),
+                  "vid": pa.array([5, 2, 9, 1, 7, 3], pa.int64())})
+    bc = derive_star_edges(rd.from_arrow(t), "gkey", approx_rows=6) \
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    dist = derive_star_edges(rd.from_arrow(t), "gkey", approx_rows=None) \
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, dist)
+
+
+def test_assign_and_attach_ids_paths_identical():
+    from linkgraph.ids import assign_dense_ids, attach_ids
+
+    rows = pa.table({"k": [f"key{i % 23:03d}:{i % 5}" for i in range(200)],
+                     "payload": list(range(200))})
+    ds = rd.from_arrow(rows)
+    m1, n1 = assign_dense_ids(ds, ["k"], n_buckets=8)
+    m2, n2 = assign_dense_ids(ds, ["k"], n_buckets=8, approx_rows=200)
+    assert n1 == n2
+    p1 = m1.to_pandas().sort_values("__key").reset_index(drop=True)
+    p2 = m2.to_pandas().sort_values("__key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(p1, p2)
+
+    a_bc = attach_ids(ds, m2, ["k"], n_keys=n2).to_pandas() \
+        .sort_values("payload").reset_index(drop=True)
+    a_join = attach_ids(ds, m2.materialize(), ["k"], n_keys=None) \
+        .to_pandas().sort_values("payload").reset_index(drop=True)
+    cols = ["k", "payload", "vid"]
+    pd.testing.assert_frame_equal(a_bc[cols], a_join[cols])
+
+
+def test_triangles_paths_equal_random():
+    import linkgraph.algos.triangles as T
+
+    from linkgraph.edges import edges_from_arrays
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(0, 120, 900)
+    d = rng.integers(0, 120, 900)
+    fast = T.triangle_count(edges_from_arrays(s, d))
+    old = T.DRIVER_TRI_CAP
+    T.DRIVER_TRI_CAP = 0
+    try:
+        slow = T.triangle_count(edges_from_arrays(s, d))
+    finally:
+        T.DRIVER_TRI_CAP = old
+    assert fast == slow
+
+
+def test_load_undirected_dedup_paths(tmp_path, monkeypatch):
+    import linkgraph.edges as E
+
+    from linkgraph.algos import connected_components
+    from linkgraph.edges import edges_from_arrays
+    from linkgraph.graph import load_undirected
+    from linkgraph.synth import micro_graph
+
+    e = micro_graph("two_cliques_k5")
+    n = int(e.max()) + 1
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n, 2,
+                          str(tmp_path / "a"))
+    connected_components(eng)
+    l1 = eng.state_pandas(["label"])["label"].to_numpy()
+    eng.shutdown()
+    monkeypatch.setattr(E, "EDGE_DRIVER_DEDUP_CAP", -1)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n, 2,
+                          str(tmp_path / "b"))
+    connected_components(eng)
+    l2 = eng.state_pandas(["label"])["label"].to_numpy()
+    eng.shutdown()
+    assert np.array_equal(l1, l2)
