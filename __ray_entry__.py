@@ -15,7 +15,8 @@ Query inventory: linkgraph.pipelines (one entry per operator family from
 SURVEY.md §2 + the training-data additions).  Keys present in
 ``queries()`` but absent from ``oracle_sql()`` are the documented
 rows-only checks (probabilistic/approximate/stubbed operators:
-dedup_minhash, dedup_simhash, dedup_ngram, ann_ivf, media_features).
+dedup_minhash, dedup_simhash, dedup_ngram, ann_ivf, media_features,
+media_frames).
 """
 
 from __future__ import annotations

@@ -521,6 +521,17 @@ def q_media_features(sf_dir):
     return feats.map_batches(norms, batch_format="pyarrow")
 
 
+def q_media_frames(sf_dir):
+    """Frame-sampling plumbing: video rows -> one row per sampled frame
+    offset at 1 fps (deterministic synthetic media; rows-only check)."""
+    import ray.data as rd
+
+    from .multimodal import sample_frames, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(500))
+    return sample_frames(ds, fps=1.0, concurrency=2)
+
+
 # ------------------------------------------------------------- oracle SQL
 
 def _pagerank_sql(iters: int, round_to: int) -> str:
@@ -857,5 +868,6 @@ QUERIES = {
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
-    "media_features": q_media_features,     # rows-only (stubbed decode)
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,          # rows-only (stubbed demuxer)     # rows-only (stubbed decode)
 }

@@ -59,7 +59,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
     assert len(o) >= 15
     rows_only = set(q) - set(o)  # documented weaker checks
     assert rows_only <= {"dedup_minhash", "dedup_simhash",
-                         "dedup_ngram", "ann_ivf", "media_features"}
+                         "dedup_ngram", "ann_ivf", "media_features",
+                         "media_frames"}
 
 
 @pytest.mark.parametrize("name", ["doc_edges", "doc_degree", "doc_edge_count",
