@@ -14,9 +14,11 @@ this module nor the linkgraph library calls ``ray.init()`` /
 Query inventory: linkgraph.pipelines (one entry per operator family from
 SURVEY.md §2 + the training-data additions).  Keys present in
 ``queries()`` but absent from ``oracle_sql()`` are the documented
-rows-only checks (probabilistic/approximate/stubbed operators:
-dedup_minhash, dedup_simhash, dedup_ngram, ann_ivf, media_features,
-media_frames).
+rows-only checks (probabilistic/approximate operators: dedup_minhash,
+dedup_simhash, dedup_ngram, ann_ivf).  The near-dup family's
+oracle-checked member is dedup_jaccard (exact inverted-index candidates,
+deterministic end to end); the media stub-decode pipeline is
+oracle-checked too (sha256-derived lanes reproduced in SQL).
 """
 
 from __future__ import annotations

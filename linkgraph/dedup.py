@@ -557,6 +557,42 @@ def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", k=5,
                                threshold, cap)
 
 
+def exact_jaccard_pairs(ds, id_col="doc_id", text_col="text", k=5,
+                        threshold=0.5, cap=64) -> pd.DataFrame:
+    """Exact n-gram Jaccard near-dups via a distributed shingle INVERTED
+    INDEX — deterministic candidate generation (no MinHash sampling), so
+    the whole operator is SQL-oracle-checkable (pipelines.q_dedup_jaccard).
+
+    Every distinct char-k-gram of a doc is a bucket row; docs sharing a
+    shingle become candidates.  The per-bucket skew cap (only the `cap`
+    smallest ids of a bucket pair up — applied identically by the SQL
+    oracle's row_number()<=cap) is the standard document-frequency cut
+    that keeps stopword grams shared by everything from exploding the
+    pair count at scale.  Verification computes Jaccard over the FULL
+    shingle sets, so reported values are exact; pairs whose every shared
+    shingle is hot may be missed — that recall bound is the documented
+    price of the df-cut (same trade the reference's LSH index makes).
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        hs = [rolling_hashes(t or "", k) for t in texts]
+        n = np.array([len(h) for h in hs], dtype=np.int64)
+        hcat = (np.concatenate(hs) if hs else
+                np.empty(0, np.uint64)).view(np.int64)
+        return pa.table({
+            # spread the bucket groupby over 256 groups; _mix_key(band,
+            # bhash) keeps the bucket identity exact
+            "band": pa.array(np.bitwise_and(hcat, 255)),
+            "bhash": pa.array(hcat),
+            id_col: pa.array(np.repeat(ids, n))})
+
+    buckets = ds.map_batches(explode, batch_format="pyarrow")
+    return _lsh_verify_jaccard(ds, buckets, id_col, text_col, k,
+                               threshold, cap)
+
+
 # ------------------------------------------------- embedding near-dup
 
 def embedding_dup_pairs(ds, id_col="vec_id", vec_col="embedding",

@@ -52,6 +52,31 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     })
 
 
+def media_from_documents(docs_ds):
+    """Deterministic media table DERIVED from the documents table — the
+    SQL-oracle-checkable twin of synth_media_table: the kind cycles with
+    doc_id, the payload is the utf-8 text bytes, and every metadata
+    column is fixed integer arithmetic on doc_id / byte length, so a
+    DuckDB oracle can reproduce each downstream value exactly
+    (pipelines.ORACLE_SQL['media_features'/'media_frames'])."""
+    kinds = np.array(["image", "audio", "video"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = [(t or "").encode("utf-8") for t in b["text"].to_pylist()]
+        nb = np.array([len(p) for p in payloads], dtype=np.int64)
+        return pa.table({
+            "media_id": pa.array(ids),
+            "kind": pa.array(kinds[ids % 3]),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array((16 + (ids * 37) % 496).astype(np.int32)),
+            "height": pa.array((16 + (ids * 53) % 496).astype(np.int32)),
+            "duration_ms": pa.array(((nb * 131) % 60000).astype(np.int32)),
+        })
+
+    return docs_ds.map_batches(derive, batch_format="pyarrow")
+
+
 class MediaDecodeStage:
     """Actor-pool decode + feature-extract stage.
 

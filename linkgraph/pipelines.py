@@ -416,6 +416,21 @@ def q_dedup_ngram(sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.4)[["a", "b"]]
 
 
+def q_dedup_jaccard(sf_dir):
+    """Exact inverted-index n-gram Jaccard (dedup.exact_jaccard_pairs) —
+    the oracle-checked member of the near-dup family: deterministic
+    candidates (docs sharing a char-5-gram, df-cap 64) + exact Jaccard
+    >= 0.5 over full shingle sets, reproduced shingle-for-shingle by the
+    DuckDB oracle."""
+    from .dedup import exact_jaccard_pairs
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pdf = exact_jaccard_pairs(docs, k=5, threshold=0.5, cap=64)
+    pdf["jaccard"] = pdf["jaccard"].round(6)
+    return pdf
+
+
 # -------------------------------------------------------- embedding queries
 
 def q_ann_topk(sf_dir):
@@ -501,35 +516,43 @@ def q_events_session(sf_dir):
     return session_window(_events(sf_dir), gap_s=1800)
 
 
+def _media(sf_dir):
+    from .multimodal import media_from_documents
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return media_from_documents(docs)
+
+
 def q_media_features(sf_dir):
-    """Multimodal plumbing demo: deterministic synthetic media table ->
-    actor-pool decode -> per-kind feature norms (rows-only check)."""
-    import ray.data as rd
+    """Multimodal plumbing, ORACLE-CHECKED end to end: media table derived
+    from documents -> actor-pool stub decode (sha256-derived integer lanes
+    v_i, stored as float32 v_i/1e4) -> exact int64 checksum sum(v_i^2).
+    The DuckDB oracle re-derives the lanes from sha256() hex, so the whole
+    decode pipeline (schema, batching, actor seam, lane math) is verified
+    bit-for-bit — only the codec call itself is the documented stub."""
+    from .multimodal import decode_features
 
-    from .multimodal import decode_features, synth_media_table
+    feats = decode_features(_media(sf_dir), concurrency=2)
 
-    ds = rd.from_arrow(synth_media_table(500))
-    feats = decode_features(ds, concurrency=2)
-
-    def norms(b: pa.Table) -> pa.Table:
+    def checksum(b: pa.Table) -> pa.Table:
         f = np.array(b["features"].to_pylist(), dtype=np.float64)
+        # v/1e4 stored float32 round-trips exactly: |err*1e4| < 0.5
+        v = np.rint(f * 10000.0).astype(np.int64)
         return pa.table({"media_id": b["media_id"], "kind": b["kind"],
                          "n_bytes": b["n_bytes"],
-                         "feat_norm": pa.array(np.round(
-                             np.linalg.norm(f, axis=1), 6))})
+                         "feat_ss": pa.array((v * v).sum(axis=1))})
 
-    return feats.map_batches(norms, batch_format="pyarrow")
+    return feats.map_batches(checksum, batch_format="pyarrow")
 
 
 def q_media_frames(sf_dir):
-    """Frame-sampling plumbing: video rows -> one row per sampled frame
-    offset at 1 fps (deterministic synthetic media; rows-only check)."""
-    import ray.data as rd
+    """Frame-sampling plumbing, oracle-checked: video rows -> one row per
+    sampled frame offset at 1 fps (duration derived from byte length, so
+    the offsets are range() on both sides; only the demuxer is stubbed)."""
+    from .multimodal import sample_frames
 
-    from .multimodal import sample_frames, synth_media_table
-
-    ds = rd.from_arrow(synth_media_table(500))
-    return sample_frames(ds, fps=1.0, concurrency=2)
+    return sample_frames(_media(sf_dir), fps=1.0, concurrency=2)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -835,6 +858,96 @@ ORACLE_SQL: dict[str, str] = {
                CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us
         FROM s GROUP BY 1, 2
     """,
+    # exact inverted-index n-gram Jaccard (dedup.exact_jaccard_pairs):
+    # shingles = distinct char-5-grams (whole text when len < 5, matching
+    # text.rolling_hashes), candidates = docs sharing a shingle with the
+    # same df-cap-64 smallest-ids cut the engine applies, jaccard exact
+    # over full sets.  String shingles here vs 64-bit hashes in the
+    # engine: identical up to hash collisions (P ~ 2^-65 per gram pair).
+    "dedup_jaccard": """
+        WITH shd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(
+                     CASE WHEN length(text) < 5 THEN [text]
+                     ELSE list_transform(range(1, length(text) - 3),
+                                         j -> substr(text, j::INT, 5))
+                     END) AS sh
+            FROM documents)
+        ),
+        sizes AS MATERIALIZED (
+          SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+        capped AS MATERIALIZED (
+          SELECT doc_id, sh FROM (
+            SELECT doc_id, sh, row_number() OVER
+                   (PARTITION BY sh ORDER BY doc_id) AS rn
+            FROM shd) WHERE rn <= 64
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM capped x JOIN capped y
+            ON x.sh = y.sh AND x.doc_id < y.doc_id
+        ),
+        inter AS MATERIALIZED (
+          SELECT c.a, c.b, count(*) AS i
+          FROM cand c
+          JOIN shd sa ON sa.doc_id = c.a
+          JOIN shd sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+          GROUP BY c.a, c.b
+        )
+        SELECT i.a, i.b,
+               round(i.i::DOUBLE / (za.sz + zb.sz - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.a
+        JOIN sizes zb ON zb.doc_id = i.b
+        WHERE i.i::DOUBLE / (za.sz + zb.sz - i.i) >= 0.5
+    """,
+    # stub decode verified lane-for-lane: sha256(text||kind) hex -> 32
+    # byte values -> 16 little-endian uint32 lanes (digest repeats, so
+    # lanes 8..15 == 0..7) -> v = lane % 10000; checksum = sum v^2 exact
+    # in int64 (multimodal.MediaDecodeStage._decode)
+    "media_features": """
+        WITH k0 AS (
+          SELECT doc_id AS media_id,
+                 ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+                 text FROM documents
+        ), m AS (
+          SELECT media_id, kind, strlen(text) AS n_bytes,
+                 sha256(text || kind) AS hx FROM k0
+        ), b AS (
+          SELECT media_id, kind, n_bytes,
+                 list_transform(range(0, 32), j ->
+                   (strpos('0123456789abcdef',
+                           substr(hx, (2*j)::INT + 1, 1)) - 1) * 16 +
+                    strpos('0123456789abcdef',
+                           substr(hx, (2*j)::INT + 2, 1)) - 1) AS bs
+          FROM m
+        ), v AS (
+          SELECT media_id, kind, n_bytes,
+                 list_transform(range(0, 8), i ->
+                   (bs[(4*i)::INT + 1] + 256 * bs[(4*i)::INT + 2] +
+                    65536 * bs[(4*i)::INT + 3] +
+                    16777216 * bs[(4*i)::INT + 4]) % 10000) AS vs
+          FROM b
+        )
+        SELECT media_id, kind, n_bytes,
+               (2 * list_sum(list_transform(vs, x -> x * x)))::BIGINT
+                   AS feat_ss
+        FROM v
+    """,
+    # 1-fps frame offsets for video rows; duration = (bytes*131) % 60000
+    # as derived by multimodal.media_from_documents
+    "media_frames": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 (strlen(text) * 131) % 60000 AS duration_ms
+          FROM documents WHERE doc_id % 3 = 2
+        ), f AS (
+          SELECT media_id,
+                 unnest(range(0, greatest(duration_ms, 1), 1000)) AS off
+          FROM m
+        )
+        SELECT media_id, off::INTEGER AS frame_ms FROM f
+    """,
 }
 
 QUERIES = {
@@ -859,6 +972,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,       # rows-only (probabilistic index)
     "dedup_simhash": q_dedup_simhash,       # rows-only
     "dedup_ngram": q_dedup_ngram,           # rows-only
+    "dedup_jaccard": q_dedup_jaccard,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,                   # rows-only (approximate)
     "embed_dup_pairs": q_embed_dup_pairs,
@@ -869,5 +983,5 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
     "media_features": q_media_features,
-    "media_frames": q_media_frames,          # rows-only (stubbed demuxer)     # rows-only (stubbed decode)
+    "media_frames": q_media_frames,
 }

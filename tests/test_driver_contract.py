@@ -59,8 +59,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
     assert len(o) >= 15
     rows_only = set(q) - set(o)  # documented weaker checks
     assert rows_only <= {"dedup_minhash", "dedup_simhash",
-                         "dedup_ngram", "ann_ivf", "media_features",
-                         "media_frames"}
+                         "dedup_ngram", "ann_ivf"}
 
 
 @pytest.mark.parametrize("name", ["doc_edges", "doc_degree", "doc_edge_count",
@@ -68,7 +67,9 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "events_window", "events_sliding",
                                   "events_session", "doc_group_sizes",
                                   "text_langid", "tpch_pricing",
-                                  "tpch_top_orders", "tpch_nation_revenue"])
+                                  "tpch_top_orders", "tpch_nation_revenue",
+                                  "media_features", "media_frames",
+                                  "dedup_jaccard"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()

@@ -10,6 +10,7 @@ from linkgraph.dedup import (
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
     exact_dedup,
+    exact_jaccard_pairs,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_dedup_pairs,
@@ -111,6 +112,24 @@ def test_ngram_jaccard_pairs(near_dup_docs):
     assert {(0, 1), (0, 2), (1, 2)} <= found
 
 
+def test_exact_jaccard_pairs(near_dup_docs):
+    """Inverted-index candidates are deterministic: exact Jaccard values
+    must equal a brute-force python recomputation, pair for pair."""
+    pairs = exact_jaccard_pairs(near_dup_docs, threshold=0.6)
+    found = {(a, b): j for a, b, j in
+             pairs[["a", "b", "jaccard"]].to_numpy()}
+    assert {(0, 1), (0, 2), (1, 2)} <= set(found)
+    texts = {r["doc_id"]: r["text"] for r in near_dup_docs.take_all()}
+    for (a, b), j in found.items():
+        sa = {texts[a][i:i + 5] for i in range(len(texts[a]) - 4)}
+        sb = {texts[b][i:i + 5] for i in range(len(texts[b]) - 4)}
+        truth = len(sa & sb) / len(sa | sb)
+        assert abs(j - truth) < 1e-12
+        assert truth >= 0.6
+    # unrelated docs never pair with the dup cluster
+    assert not any((a in {3, 4, 5}) ^ (b in {3, 4, 5}) for a, b in found)
+
+
 @pytest.fixture(scope="module")
 def emb_ds():
     rng = np.random.default_rng(3)
@@ -208,3 +227,25 @@ def test_multimodal_decode_plumbing():
     assert frames["media_id"].nunique() == n_video
     with pytest.raises(NotImplementedError):
         MediaDecodeStage(use_stub=False)._decode(b"x", "image")
+
+
+def test_media_from_documents_derivation():
+    """media_from_documents must match its SQL-oracle contract exactly:
+    kind cycles with doc_id, payload is the utf-8 text, duration is
+    (bytes*131) % 60000."""
+    from linkgraph.multimodal import media_from_documents
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["alpha", "bravo charlie", "", "d", "e" * 500]),
+    }))
+    m = media_from_documents(docs).to_pandas().sort_values("media_id")
+    assert list(m["kind"]) == ["image", "audio", "video",
+                               "image", "audio"]
+    assert m["payload"].iloc[0] == b"alpha"
+    assert list(m["duration_ms"]) == [(len(t) * 131) % 60000
+                                      for t in ["alpha", "bravo charlie",
+                                                "", "d", "e" * 500]]
+    # frame sampling covers the zero-duration video row with one frame
+    frames = sample_frames(media_from_documents(docs), fps=1.0).to_pandas()
+    assert list(frames["media_id"]) == [2] and list(frames["frame_ms"]) == [0]
