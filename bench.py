@@ -55,8 +55,10 @@ def _gen_edges(n_vertices: int, n_edges: int, n_blocks: int = 64):
             src = (n_vertices * rng.random(m) ** 2).astype(np.int64)
             dst = (n_vertices * rng.random(m)).astype(np.int64)
             keep = src != dst
-            out.append(pa.table({"src": pa.array(src[keep]),
-                                 "dst": pa.array(dst[keep])}))
+            # int32 ids (|V| < 2^31 always at bench scale): halves the
+            # bytes this stage pushes through the object store
+            out.append(pa.table({"src": pa.array(src[keep].astype(np.int32)),
+                                 "dst": pa.array(dst[keep].astype(np.int32))}))
         return pa.concat_tables(out)
 
     blocks = rd.from_items([{"b": i} for i in range(n_blocks)]) \

@@ -116,7 +116,8 @@ def partition_offsets_from_edges(edges_ds, n_vertices: int,
                                  num_partitions: int,
                                  alpha: int | None = None,
                                  buckets_per_partition: int = 64,
-                                 src_col: str = "src") -> np.ndarray:
+                                 src_col: str = "src",
+                                 with_count: bool = False):
     """Shuffle-free offsets straight from the edge table.
 
     The partitioner only needs degree SUMS per fixed-width vertex bucket,
@@ -141,7 +142,12 @@ def partition_offsets_from_edges(edges_ds, n_vertices: int,
     rows = edges_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     sums = np.zeros(n_real, dtype=np.int64)
     np.add.at(sums, rows["bucket"].to_numpy(), rows["deg_sum"].to_numpy())
-    return choose_offsets(sums, n_vertices, num_partitions, alpha)
+    offsets = choose_offsets(sums, n_vertices, num_partitions, alpha)
+    if with_count:
+        # the bucket sums ARE the edge count — callers get |E| from this
+        # pass for free instead of a separate count() execution
+        return offsets, int(sums.sum())
+    return offsets
 
 
 def part_of(v: np.ndarray, offsets: np.ndarray) -> np.ndarray:

@@ -107,12 +107,10 @@ class GraphShard:
                                                  weighted)
         else:
             src, dst, w = read_part_edges(store_dir, "push", part, weighted)
-        self.push = build_compressed(src, dst, w)  # rows: src, nbrs: local dst
         if meta["symmetric"]:
             # symmetric edge set: pull partition == push partition with roles
             # swapped == the same compressed structure (graph.hpp:732-737)
-            self.pull = self.push
-            psrc, pdst = dst, src
+            psrc, pdst, pw = dst, src, w
         else:
             if block_refs is not None:
                 psrc, pdst, pw = part_edges_from_blocks(blocks, "pull",
@@ -120,7 +118,15 @@ class GraphShard:
             else:
                 psrc, pdst, pw = read_part_edges(store_dir, "pull", part,
                                                  weighted)
-            self.pull = build_compressed(pdst, psrc, pw)  # rows: dst, nbrs: local src
+        # LAZY CSR: each orientation is sorted on FIRST use — a static
+        # dense program (PageRank) never touches push-CSR and a
+        # pure-sparse run never touches pull-CSC, so boot skips those
+        # argsorts (the dominant shard-boot cost) entirely
+        self._push = None          # rows: src, nbrs: local dst
+        self._push_raw = (src, dst, w)
+        self._pull_is_push = bool(meta["symmetric"])
+        self._pull = None          # rows: dst, nbrs: local src
+        self._pull_raw = None if self._pull_is_push else (pdst, psrc, pw)
         # local degrees from the shard's own partitions:
         #   out_degree of local v = #edges with src==v  (all land in pull part)
         #   in_degree  of local v = #edges with dst==v  (all land in push part)
@@ -135,14 +141,41 @@ class GraphShard:
         self.active = np.zeros(n_local, dtype=bool)
         self.next_active = np.zeros(n_local, dtype=bool)
 
+    # -- lazy adjacency ------------------------------------------------------
+
+    @property
+    def push(self) -> CompressedRows:
+        if self._push is None:
+            k, v, w = self._push_raw
+            self._push = build_compressed(k, v, w)
+            self._push_raw = None
+        return self._push
+
+    @property
+    def pull(self) -> CompressedRows:
+        if self._pull_is_push:
+            return self.push
+        if self._pull is None:
+            k, v, w = self._pull_raw
+            self._pull = build_compressed(k, v, w)
+            self._pull_raw = None
+        return self._pull
+
+    def _side_stats(self, cr, raw):
+        if cr is not None:
+            return cr.n_edges, cr.nbytes()
+        return len(raw[0]), sum(a.nbytes for a in raw if a is not None)
+
     # -- lifecycle -----------------------------------------------------------
 
     def ping(self) -> dict:
+        push_e, push_b = self._side_stats(self._push, self._push_raw)
+        pull_e, pull_b = ((push_e, 0) if self._pull_is_push else
+                          self._side_stats(self._pull, self._pull_raw))
         return {
             "part": self.part, "lo": self.lo, "hi": self.hi,
-            "push_edges": self.push.n_edges, "pull_edges": self.pull.n_edges,
-            "bytes": self.push.nbytes() + (0 if self.pull is self.push
-                                           else self.pull.nbytes()),
+            "push_edges": push_e, "pull_edges": pull_e,
+            "bytes": push_b + pull_b,
         }
 
     def init_run(self, program, params: dict) -> int:
@@ -160,8 +193,12 @@ class GraphShard:
 
     def transpose(self):
         """Swap push/pull orientation + degrees (graph.hpp:759-768) —
-        pointer swap, zero-copy; BC's backward phase runs on G^T."""
-        self.push, self.pull = self.pull, self.push
+        pointer swap, zero-copy; BC's backward phase runs on G^T.
+        Swaps the lazy slots too, so an unbuilt orientation stays unbuilt
+        (symmetric graphs: pull aliases push, only degrees swap)."""
+        if not self._pull_is_push:
+            self._push, self._pull = self._pull, self._push
+            self._push_raw, self._pull_raw = self._pull_raw, self._push_raw
         self.out_deg, self.in_deg = self.in_deg, self.out_deg
         return self.part
 

@@ -157,15 +157,19 @@ def build_graph_store(edges_ds, n_vertices: int, num_partitions: int,
     tune_context()
 
     cols = ["src", "dst"] + (["weight"] if weighted else [])
-    # materialize once: the degree pass and the routing pass both consume
-    # it from the object store (spill-managed) — no parquet round-trip
-    ed = edges_ds.select_columns(cols).materialize()
-    n_edges = ed.count()
+    # TWO streaming passes, nothing materialized here: pass 1 computes
+    # the degree-bucket histogram (and |E|) map-side, pass 2 routes.
+    # The edge lineage executes once per pass — at 100TB that is the
+    # scale-correct trade (a pruned parquet re-read) versus pinning the
+    # whole edge table in the object store.  Callers with an EXPENSIVE
+    # derivation upstream materialize before calling (pipelines/bench
+    # do); a materialized input re-reads for free.
+    ed = edges_ds.select_columns(cols)
 
     # out-degree bucket sums (Gemini's balance cost basis) computed
     # map-only from the edge table — no per-vertex degree shuffle
-    offsets = partition_offsets_from_edges(ed, n_vertices, num_partitions,
-                                           alpha)
+    offsets, n_edges = partition_offsets_from_edges(
+        ed, n_vertices, num_partitions, alpha, with_count=True)
     offsets_ref = ray.put(offsets)
 
     narrow = int(n_vertices) < 2 ** 31
