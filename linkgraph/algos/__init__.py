@@ -5,8 +5,11 @@ triangle counting)."""
 from .bc import BCBackwardProgram, BCForwardProgram, betweenness
 from .bfs import BFSProgram, bfs
 from .cc import CCProgram, connected_components
+from .hits import hits, normalized_scores
+from .kcore import KCoreProgram, kcore
 from .labelprop import LabelPropProgram, label_propagation
-from .pagerank import PageRankProgram, pagerank
+from .pagerank import (PageRankProgram, PPRProgram, pagerank,
+                       personalized_pagerank)
 from .sssp import SSSPProgram, sssp
 from .triangles import triangle_count
 
@@ -14,8 +17,10 @@ __all__ = [
     "BCBackwardProgram", "BCForwardProgram", "betweenness",
     "BFSProgram", "bfs",
     "CCProgram", "connected_components",
+    "hits", "normalized_scores",
+    "KCoreProgram", "kcore",
     "LabelPropProgram", "label_propagation",
-    "PageRankProgram", "pagerank",
+    "PageRankProgram", "PPRProgram", "pagerank", "personalized_pagerank",
     "SSSPProgram", "sssp",
     "triangle_count",
 ]

@@ -36,6 +36,14 @@ CC_ROUNDS = 20
 LP_ROUNDS = 10
 BFS_ROUNDS = 20
 SSSP_ROUNDS = 25
+HITS_ITERS = 5
+PPR_ITERS = 15
+PPR_SOURCES = [0]
+# k=2 on the star-derived doc graph: the 2-core (cycle-bearing part) is
+# nontrivial at every sf; the 3-core is empty (stars are trees)
+KCORE_K = 2
+KCORE_ROUNDS = 30
+TOP_TOKENS_K = 50
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 5
 EMB_DUP_TAU = 0.4
@@ -335,6 +343,44 @@ def q_doc_sssp(sf_dir):
     return pdf
 
 
+def q_doc_hits(sf_dir):
+    """HITS hubs/authorities, 5 sweeps; L1-normalized float64 scores
+    (per-iteration normalization is a pure rescale of the linear
+    recurrence — see algos/hits.py).  Oracle: _hits_sql unrolled CTEs."""
+    from .algos import hits, normalized_scores
+
+    eng = documents_engine(sf_dir, "directed")
+    hits(eng, iterations=HITS_ITERS)
+    sa, sh = normalized_scores(eng)
+    pdf = eng.state_pandas(["auth", "hub"])
+    pdf["auth"] = (pdf["auth"] / sa).round(6)
+    pdf["hub"] = (pdf["hub"] / sh).round(6)
+    return pdf
+
+
+def q_doc_ppr(sf_dir):
+    """Personalized PageRank from doc 0 (Gemini rank conventions, teleport
+    restricted to the source set).  Oracle: _ppr_sql unrolled CTEs."""
+    from .algos import personalized_pagerank
+
+    eng = documents_engine(sf_dir, "directed")
+    personalized_pagerank(eng, sources=PPR_SOURCES, iterations=PPR_ITERS)
+    return _state_result(eng, "rank", "rank", round_to=9)
+
+
+def q_doc_kcore(sf_dir):
+    """Vertices of the 2-core of the symmetrized doc graph (synchronous
+    peeling, algos/kcore.py).  Oracle: _kcore_sql unrolled alive-set
+    recurrence."""
+    from .algos import kcore
+
+    eng = documents_engine(sf_dir, "undirected")
+    rep = kcore(eng, k=KCORE_K)
+    _check_unroll(rep, KCORE_ROUNDS, "doc_kcore")
+    pdf = _state_result(eng, "in_core", "in_core")
+    return pdf[pdf["in_core"] == 1][["v"]].reset_index(drop=True)
+
+
 # ------------------------------------------------------------- text queries
 
 def q_text_tokens(sf_dir):
@@ -346,6 +392,38 @@ def q_text_tokens(sf_dir):
                            columns=["doc_id", "text"])
     return docs.map_batches(add_token_count, batch_format="pyarrow") \
                .select_columns(["doc_id", "n_tokens"])
+
+
+def q_text_top_tokens(sf_dir):
+    """Top-50 most frequent whitespace tokens (corpus heavy hitters):
+    map-side per-batch value_counts partials (the combiner), ONE small
+    groupby over (token, partial-count), then the per-block top-k +
+    driver reduce pattern of q_doc_top_degree — at 100 TB only the
+    distinct-token table shuffles, never the token stream."""
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(_arr(b["text"]), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = _arr(toks.value_counts())
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").sum("n")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().rename(columns={"sum(n)": "n"})
+        pdf = pdf.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort").head(TOP_TOKENS_K)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    parts = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    return parts.sort_values(["n", "token"], ascending=[False, True],
+                             kind="mergesort").head(TOP_TOKENS_K) \
+                .reset_index(drop=True)
 
 
 def q_text_stats(sf_dir):
@@ -709,6 +787,74 @@ def _sssp_sql(rounds: int, round_to: int) -> str:
             f"distance FROM d{rounds} WHERE dep < {inf}")
 
 
+def _hits_sql(iters: int, round_to: int) -> str:
+    """Unrolled HITS (matches algos/hits.py): auth_i from hub_{i-1} over
+    in-edges, hub_i from auth_i over out-edges, L1 normalization once at
+    the end (a pure rescale of the linear recurrence)."""
+    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            "h0 AS (SELECT v, 1.0 AS h FROM allv)"]
+    for i in range(1, iters + 1):
+        p = f"h{i - 1}"
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT allv.v, coalesce(m.s, 0.0) AS a "
+            f"FROM allv LEFT JOIN (SELECT e.dst AS v, sum({p}.h) AS s "
+            f"FROM e JOIN {p} ON {p}.v = e.src GROUP BY e.dst) m USING (v))")
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT allv.v, coalesce(m.s, 0.0) AS h "
+            f"FROM allv LEFT JOIN (SELECT e.src AS v, sum(a{i}.a) AS s "
+            f"FROM e JOIN a{i} ON a{i}.v = e.dst GROUP BY e.src) m USING (v))")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT a{iters}.v AS v, "
+            f"round(a / (SELECT sum(a) FROM a{iters}), {round_to}) AS auth, "
+            f"round(h / (SELECT sum(h) FROM h{iters}), {round_to}) AS hub "
+            f"FROM a{iters} JOIN h{iters} USING (v)")
+
+
+def _ppr_sql(iters: int, round_to: int, sources: list[int]) -> str:
+    """Unrolled personalized PageRank (matches algos/pagerank.PPRProgram):
+    same chain as _pagerank_sql but rank mass and teleport restricted to
+    the source set."""
+    src = ", ".join(map(str, sources))
+    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+            "outd AS MATERIALIZED (SELECT src AS v, count(*) AS od FROM e GROUP BY src)",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            (f"tele AS MATERIALIZED (SELECT v, CASE WHEN v IN ({src}) "
+             "THEN 1.0 ELSE 0.0 END AS t FROM allv)"),
+            ("c0 AS (SELECT tele.v, CASE WHEN coalesce(od, 0) > 0 "
+             "THEN t/od ELSE t END AS r FROM tele "
+             "LEFT JOIN outd USING (v))")]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e.dst AS v, sum({prev}.r) AS sm FROM e "
+            f"JOIN {prev} ON {prev}.v = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"raw{i} AS MATERIALIZED (SELECT tele.v, 0.15 * t + 0.85 * "
+            f"coalesce(sm, 0.0) AS r FROM tele LEFT JOIN s{i} USING (v))")
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT raw{i}.v, CASE WHEN coalesce(od, 0) > 0 "
+            f"THEN r/od ELSE r END AS r FROM raw{i} LEFT JOIN outd USING (v))")
+    return (f"WITH {', '.join(ctes)} SELECT raw{iters}.v AS v, "
+            f"round(r, {round_to}) AS rank FROM raw{iters}")
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronous peeling (matches algos/kcore.py):
+    a_{i+1} = {v in a_i : |N(v) ∩ a_i| >= k}; extra rounds past the
+    fixpoint are no-ops (idempotent recurrence)."""
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "a0 AS MATERIALIZED (SELECT doc_id AS v FROM documents)"]
+    for i in range(1, rounds + 1):
+        p = f"a{i - 1}"
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT d.v FROM ("
+            f"SELECT sym.dst AS v, count(*) AS deg FROM sym "
+            f"JOIN {p} s ON s.v = sym.src JOIN {p} t ON t.v = sym.dst "
+            f"GROUP BY sym.dst) d WHERE deg >= {k})")
+    return f"WITH {', '.join(ctes)} SELECT v FROM a{rounds}"
+
+
 TRIANGLES_SQL = f"""
     WITH e AS ({DOC_EDGES_SQL})
     SELECT count(*) AS n_triangles
@@ -776,6 +922,18 @@ ORACLE_SQL: dict[str, str] = {
     "doc_bfs": _bfs_sql(BFS_ROUNDS),
     "doc_bc": _bc_sql(BFS_ROUNDS, 6),
     "doc_sssp": _sssp_sql(SSSP_ROUNDS, 9),
+    "doc_hits": _hits_sql(HITS_ITERS, 6),
+    "doc_ppr": _ppr_sql(PPR_ITERS, 9, PPR_SOURCES),
+    "doc_kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+    "text_top_tokens": f"""
+        WITH t AS (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS token
+          FROM documents
+        ), c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+        SELECT token, n FROM c ORDER BY n DESC, token ASC
+        LIMIT {TOP_TOKENS_K}
+    """,
     "text_tokens": ("SELECT doc_id, length(list_filter(regexp_split_to_array("
                     "text, '\\s+'), x -> x <> '')) AS n_tokens "
                     "FROM documents"),
@@ -964,7 +1122,11 @@ QUERIES = {
     "doc_bfs": q_doc_bfs,
     "doc_bc": q_doc_bc,
     "doc_sssp": q_doc_sssp,
+    "doc_hits": q_doc_hits,
+    "doc_ppr": q_doc_ppr,
+    "doc_kcore": q_doc_kcore,
     "text_tokens": q_text_tokens,
+    "text_top_tokens": q_text_top_tokens,
     "text_stats": q_text_stats,
     "text_fingerprint": q_text_fingerprint,
     "text_langid": q_text_langid,

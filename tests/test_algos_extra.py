@@ -1,0 +1,159 @@
+"""Oracle tests for the round-2 coverage-widening algorithms: HITS,
+personalized PageRank, k-core — engine vs short numpy references on the
+seeded micro graphs (same pattern as tests/test_algos.py)."""
+
+import numpy as np
+import pytest
+
+from linkgraph.algos import hits, kcore, personalized_pagerank
+from linkgraph.algos.hits import normalized_scores
+from linkgraph.edges import edges_from_arrays
+from linkgraph.graph import load_directed, load_undirected
+from linkgraph.synth import micro_graph
+
+
+def _n(e):
+    return int(e.max()) + 1
+
+
+def _dedup(e):
+    return np.unique(e, axis=0)
+
+
+# ---------------------------------------------------------------- oracles
+
+def hits_oracle(e, n, iters):
+    hub = np.ones(n)
+    auth = np.zeros(n)
+    for _ in range(iters):
+        auth = np.zeros(n)
+        np.add.at(auth, e[:, 1], hub[e[:, 0]])
+        hub = np.zeros(n)
+        np.add.at(hub, e[:, 0], auth[e[:, 1]])
+    return auth, hub
+
+
+def ppr_oracle(e, n, sources, iters, d=0.85):
+    outdeg = np.bincount(e[:, 0], minlength=n)
+    nz = outdeg > 0
+    tele = np.zeros(n)
+    tele[sources] = 1.0
+    curr = tele.copy()
+    curr[nz] /= outdeg[nz]
+    raw = curr.copy()
+    for _ in range(iters):
+        s = np.zeros(n)
+        np.add.at(s, e[:, 1], curr[e[:, 0]])
+        raw = (1 - d) * tele + d * s
+        curr = raw.copy()
+        curr[nz] = raw[nz] / outdeg[nz]
+    return raw
+
+
+def kcore_oracle(e, n, k):
+    """Synchronous peeling: alive_{i+1} = {v in alive_i :
+    |N(v) ∩ alive_i| >= k} over the simple symmetric graph."""
+    both = np.vstack([e, e[:, ::-1]])
+    both = both[both[:, 0] != both[:, 1]]
+    s = np.unique(both, axis=0)
+    alive = np.ones(n, dtype=bool)
+    while True:
+        m = alive[s[:, 0]] & alive[s[:, 1]]
+        deg = np.bincount(s[m, 1], minlength=n)
+        new = alive & (deg >= k)
+        if np.array_equal(new, alive):
+            return alive
+        alive = new
+
+
+# ------------------------------------------------------------------ tests
+
+@pytest.mark.parametrize("name", ["path_8", "star_1_50", "two_cliques_k5",
+                                  "er_1k"])
+def test_hits_matches_numpy(name, tmp_path):
+    e = _dedup(micro_graph(name))
+    n = _n(e)
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        hits(eng, iterations=4)
+        pdf = eng.state_pandas(["auth", "hub"])
+        oa, oh = hits_oracle(e, n, 4)
+        sa, sh = normalized_scores(eng)
+        assert np.allclose(pdf["auth"].to_numpy() / sa, oa / max(oa.sum(), 1e-300),
+                           atol=1e-9)
+        assert np.allclose(pdf["hub"].to_numpy() / sh, oh / max(oh.sum(), 1e-300),
+                           atol=1e-9)
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.parametrize("name,sources", [("er_1k", [0]),
+                                          ("two_cliques_k5", [0, 7]),
+                                          ("star_1_50", [0])])
+def test_ppr_matches_numpy(name, sources, tmp_path):
+    e = _dedup(micro_graph(name))
+    n = _n(e)
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        rep = personalized_pagerank(eng, sources, iterations=10)
+        assert rep["n_steps"] == 10
+        got = eng.state_pandas(["rank"])["rank"].to_numpy()
+        assert np.allclose(got, ppr_oracle(e, n, sources, 10), atol=1e-9)
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.parametrize("name,k", [("path_8", 2), ("two_cliques_k5", 3),
+                                    ("two_cliques_k5", 4), ("er_1k", 8),
+                                    ("star_1_50", 2)])
+def test_kcore_matches_peeling(name, k, tmp_path):
+    e = micro_graph(name)
+    n = _n(e)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        kcore(eng, k=k)
+        got = eng.state_pandas(["in_core"])["in_core"].to_numpy().astype(bool)
+        want = kcore_oracle(e, n, k)
+        assert np.array_equal(got, want), (
+            f"{name} k={k}: {np.flatnonzero(got ^ want)}")
+    finally:
+        eng.shutdown()
+
+
+def test_hits_rerun_on_cached_engine_resets(tmp_path):
+    """A second hits() on the same (cached) engine must not resume from
+    the first run's converged vectors."""
+    e = _dedup(micro_graph("two_cliques_k5"))
+    n = _n(e)
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=2, store_dir=str(tmp_path / "g"))
+    try:
+        hits(eng, iterations=3)
+        first = eng.state_pandas(["auth", "hub"])
+        hits(eng, iterations=3)
+        second = eng.state_pandas(["auth", "hub"])
+        assert np.allclose(first["auth"], second["auth"])
+        assert np.allclose(first["hub"], second["hub"])
+    finally:
+        eng.shutdown()
+
+
+def test_kcore_partition_invariance(tmp_path):
+    e = micro_graph("er_1k")
+    n = _n(e)
+    results = []
+    for p in (1, 2, 5):
+        eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                              num_partitions=p,
+                              store_dir=str(tmp_path / f"g{p}"))
+        try:
+            kcore(eng, k=8)
+            results.append(
+                eng.state_pandas(["in_core"])["in_core"].to_numpy())
+        finally:
+            eng.shutdown()
+    assert np.array_equal(results[0], results[1])
+    assert np.array_equal(results[0], results[2])
