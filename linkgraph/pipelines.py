@@ -44,6 +44,7 @@ PPR_SOURCES = [0]
 KCORE_K = 2
 KCORE_ROUNDS = 30
 TOP_TOKENS_K = 50
+QUOTA_N = 5
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 5
 EMB_DUP_TAU = 0.4
@@ -424,6 +425,25 @@ def q_text_top_tokens(sf_dir):
     return parts.sort_values(["n", "token"], ascending=[False, True],
                              kind="mergesort").head(TOP_TOKENS_K) \
                 .reset_index(drop=True)
+
+
+def q_sample_quota(sf_dir):
+    """Deterministic per-group quota sample: at most 5 docs per
+    lang:source group, chosen by (sha256(doc_id), doc_id) priority
+    (sampling.quota_sample — per-domain caps without a seeded RNG)."""
+    from .sampling import quota_sample
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "lang", "source"])
+
+    def key(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"doc_id": b["doc_id"],
+                         "k": pc.binary_join_element_wise(
+                             b["lang"], pa.array([":"] * n), b["source"], "")})
+
+    return quota_sample(docs.map_batches(key, batch_format="pyarrow"),
+                        key="k", id_col="doc_id", n=QUOTA_N)
 
 
 def q_text_stats(sf_dir):
@@ -925,6 +945,18 @@ ORACLE_SQL: dict[str, str] = {
     "doc_hits": _hits_sql(HITS_ITERS, 6),
     "doc_ppr": _ppr_sql(PPR_ITERS, 9, PPR_SOURCES),
     "doc_kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+    "sample_quota": f"""
+        WITH p AS (
+          SELECT doc_id, lang || ':' || source AS k,
+                 sha256(CAST(doc_id AS VARCHAR)) AS pri
+          FROM documents
+        ), r AS (
+          SELECT doc_id, k, row_number() OVER
+                 (PARTITION BY k ORDER BY pri, doc_id) AS rn
+          FROM p
+        )
+        SELECT doc_id, k FROM r WHERE rn <= {QUOTA_N}
+    """,
     "text_top_tokens": f"""
         WITH t AS (
           SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -1127,6 +1159,7 @@ QUERIES = {
     "doc_kcore": q_doc_kcore,
     "text_tokens": q_text_tokens,
     "text_top_tokens": q_text_top_tokens,
+    "sample_quota": q_sample_quota,
     "text_stats": q_text_stats,
     "text_fingerprint": q_text_fingerprint,
     "text_langid": q_text_langid,
