@@ -1,0 +1,169 @@
+"""Deterministic random walks over an edge Dataset (graph-sampling
+operator for training-data pipelines: node2vec-style corpus generation,
+neighborhood sampling, graph-aware shuffling).
+
+"Random" choice is a seeded-free DETERMINISTIC hash rule so runs are
+reproducible and SQL-checkable (same convention as sampling.py): at step
+t a walk at vertex `cur` moves to the out-neighbor `n` minimizing the
+hex string ``md5(f"{walk_id}:{t}:{cur}:{n}")`` (ties — md5 collisions —
+broken by `n` asc); a walk at a sink vertex stays put.  md5 is the
+cross-system hash both hashlib and DuckDB implement bit-identically; a
+polynomial hash would be the cheaper scale choice but is not available
+to the SQL oracle.
+
+Scale shape: walks are the parallel dimension (millions of walks stream
+through `map_batches`; each step touches O(frontier-adjacent) edges).
+Two physical plans behind one result (tested equal,
+tests/test_walks.py):
+
+  broadcast  adjacency (sorted src + CSR offsets) <= WALK_ADJ_CAP rows:
+             ray.put once, every step is ONE map_batches over the walk
+             set — no shuffle.
+  shuffle    larger graphs: per step, walk rows and edge rows are
+             co-grouped by vertex (union + groupby — robust to the
+             Ray 2.49 empty-hash-partition join crash, same pattern as
+             algos/triangles.py closure), candidates then reduce to the
+             min-hash neighbor per walk via a second groupby.
+
+Reference scope: GeminiGraph has no walk toolkit; this is a north-rule
+training-data addition (task brief: graph-sampling ops).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+WALK_ADJ_CAP = 5_000_000  # edge rows; same gate scale as triangles.BROADCAST_DEG_CAP
+
+
+def _hash_pick(walk_id: int, step: int, cur: int, nbrs: np.ndarray) -> int:
+    """argmin over (md5 hex, neighbor id) — the deterministic step rule."""
+    best_h, best_n = None, None
+    for n in nbrs:
+        h = hashlib.md5(f"{walk_id}:{step}:{cur}:{n}".encode()).hexdigest()
+        if best_h is None or (h, n) < (best_h, best_n):
+            best_h, best_n = h, int(n)
+    return best_n
+
+
+def _adj_arrays(edges_pdf: pd.DataFrame):
+    """Sorted-src CSR view: (srcs sorted, dsts aligned) for searchsorted
+    neighbor slicing."""
+    s = edges_pdf["src"].to_numpy(np.int64)
+    d = edges_pdf["dst"].to_numpy(np.int64)
+    order = np.lexsort((d, s))
+    return s[order], d[order]
+
+
+def deterministic_walks(edges_ds, seeds: list[int], steps: int,
+                        num_partitions: int = 8):
+    """Walk `steps` steps from each seed over the DIRECTED edge Dataset
+    (pass the symmetrized edges for undirected walks).  Returns a Ray
+    Dataset with one row per (walk, step): (walk_id, step, v), step 0 =
+    seed.  walk_id = index into `seeds`.
+
+    Per-step frontier state is O(#walks) (NOT O(graph)); the trajectory
+    result here is collected (O(walks * steps)) — a 100-TB run would
+    `write_parquet` each step's frontier instead and never collect.
+    """
+    from ..io import from_pandas_clean
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= WALK_ADJ_CAP:
+        trail = _walks_broadcast(edges_ds, seeds, steps)
+    else:
+        trail = _walks_shuffle(edges_ds, seeds, steps, num_partitions)
+    return from_pandas_clean(trail)
+
+
+def _walks_broadcast(edges_ds, seeds: list[int], steps: int) -> pd.DataFrame:
+    import ray
+
+    srcs, dsts = _adj_arrays(edges_ds.to_pandas())
+    adj_ref = ray.put((srcs, dsts))
+    from ..io import from_pandas_clean
+
+    state = pd.DataFrame({"walk_id": np.arange(len(seeds), dtype=np.int64),
+                          "v": np.asarray(seeds, dtype=np.int64)})
+    rows = [state.assign(step=0)]
+    walks = from_pandas_clean(state)
+    for t in range(1, steps + 1):
+        def advance(b: pa.Table, _t=t) -> pa.Table:
+            s, d = ray.get(adj_ref)
+            wid = b["walk_id"].to_numpy(zero_copy_only=False)
+            cur = b["v"].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(s, cur, "left")
+            hi = np.searchsorted(s, cur, "right")
+            nxt = np.empty(len(cur), np.int64)
+            for i in range(len(cur)):
+                if lo[i] == hi[i]:       # sink: stay
+                    nxt[i] = cur[i]
+                else:
+                    nxt[i] = _hash_pick(int(wid[i]), _t, int(cur[i]),
+                                        d[lo[i]:hi[i]])
+            return pa.table({"walk_id": pa.array(wid, pa.int64()),
+                             "v": pa.array(nxt, pa.int64())})
+
+        # materialize per step: the trajectory snapshot below is a second
+        # consumer of this node (diamond-lineage rule, CLAUDE.md)
+        walks = walks.map_batches(advance, batch_format="pyarrow") \
+                     .materialize()
+        rows.append(walks.to_pandas().assign(step=t))
+    out = pd.concat(rows, ignore_index=True)[["walk_id", "step", "v"]]
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+def _walks_shuffle(edges_ds, seeds: list[int], steps: int,
+                   num_partitions: int) -> pd.DataFrame:
+    """Co-group walks and edges by vertex per step (no broadcast):
+    union walk rows (key=v, walk_id, is_edge=0) with edge rows
+    (key=src, nbr=dst, is_edge=1), groupby(key) emits candidates,
+    groupby(walk_id) reduces to the min-hash choice."""
+    from ..io import from_pandas_clean
+    from ..runtime import tune_context
+
+    tune_context()
+    tagged_edges = edges_ds.map_batches(
+        lambda b: pa.table({
+            "key": pa.Array.from_pandas(
+                b["src"].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "walk_id": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "nbr": pa.Array.from_pandas(
+                b["dst"].to_numpy(zero_copy_only=False).astype(np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    state = pd.DataFrame({"walk_id": np.arange(len(seeds), dtype=np.int64),
+                          "v": np.asarray(seeds, dtype=np.int64)})
+    rows = [state.assign(step=0)]
+    for t in range(1, steps + 1):
+        walks_tagged = from_pandas_clean(pd.DataFrame({
+            "key": state["v"].to_numpy(np.int64),
+            "walk_id": state["walk_id"].to_numpy(np.int64),
+            "nbr": np.full(len(state), -1, np.int64)}))
+
+        def candidates(g: pd.DataFrame, _t=t) -> pd.DataFrame:
+            wids = g.loc[g["walk_id"] >= 0, ["walk_id", "key"]]
+            nbrs = g.loc[(g["walk_id"] < 0) & (g["nbr"] >= 0), "nbr"] \
+                    .to_numpy(np.int64)
+            out = []
+            for wid, cur in wids.itertuples(index=False):
+                if len(nbrs) == 0:
+                    out.append((wid, int(cur)))   # sink: stay
+                else:
+                    out.append((wid, _hash_pick(int(wid), _t, int(cur),
+                                                nbrs)))
+            return pd.DataFrame(out, columns=["walk_id", "v"]) \
+                if out else pd.DataFrame({"walk_id": np.empty(0, np.int64),
+                                          "v": np.empty(0, np.int64)})
+
+        nxt = walks_tagged.union(tagged_edges).groupby("key").map_groups(
+            candidates, batch_format="pandas")
+        state = nxt.to_pandas().sort_values("walk_id") \
+                   .reset_index(drop=True)
+        rows.append(state.assign(step=t))
+    out = pd.concat(rows, ignore_index=True)[["walk_id", "step", "v"]]
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)

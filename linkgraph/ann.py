@@ -75,6 +75,54 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
     return top[["query_id", "neighbor_id", "rnk", "cosine"]]
 
 
+def label_centroids(ds, label_col: str = "label",
+                    vec_col: str = "embedding"):
+    """Per-label centroid of L2-NORMALIZED embeddings (cosine-space class
+    prototype — classifier priors, cluster summaries, semantic-dedup
+    seeds).  Fully distributed map-side partials: each batch emits one
+    (label, dim, partial_sum, count) row per label-dim it saw, a small
+    groupby(label, i) Sum reduces them, mean = sum/count.  Long output
+    (label, i, c, n), i 1-based, c rounded to 6 — nothing corpus-sized
+    reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    from .runtime import tune_context
+
+    tune_context()
+
+    def partial(b: pa.Table) -> pa.Table:
+        labels = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dim = m.shape[1]
+        sums = np.zeros((len(uniq), dim), np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq))
+        lab = np.repeat(uniq, dim)
+        idx = np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uniq))
+        return pa.table({
+            "label": pa.array(lab, pa.int64()),
+            "i": pa.array(idx, pa.int64()),
+            "psum": pa.array(sums.reshape(-1), pa.float64()),
+            "n": pa.array(np.repeat(counts, dim).astype(np.int64)),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["label", "i"]) \
+            .aggregate(Sum("psum", alias_name="psum"),
+                       Sum("n", alias_name="n"))
+
+    def post(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.round(pc.divide(b["psum"],
+                               pc.cast(b["n"], pa.float64())), 6)
+        return pa.table({"label": b["label"], "i": b["i"],
+                         "c": c, "n": pc.cast(b["n"], pa.int64())})
+
+    return agg.map_batches(post, batch_format="pyarrow")
+
+
 def queries_from_ids(ds, ids: list[int], id_col: str = "vec_id",
                      vec_col: str = "embedding"):
     """Fetch query vectors for given ids (small driver-side result)."""

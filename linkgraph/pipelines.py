@@ -45,6 +45,12 @@ KCORE_K = 2
 KCORE_ROUNDS = 30
 TOP_TOKENS_K = 50
 QUOTA_N = 5
+WALK_SEEDS = [0, 1, 2, 3, 4, 5]
+WALK_STEPS = 8
+AA_TOPK = 20
+# stratified sampling rates per lang (default covers the rest)
+STRAT_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+STRAT_DEFAULT = 0.3
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 5
 EMB_DUP_TAU = 0.4
@@ -382,6 +388,25 @@ def q_doc_kcore(sf_dir):
     return pdf[pdf["in_core"] == 1][["v"]].reset_index(drop=True)
 
 
+def q_doc_walks(sf_dir):
+    """Deterministic random walks (algos/walks.py): 8 steps from docs
+    0-5 over the symmetrized doc graph; next hop = min-md5 neighbor.
+    Oracle: _walks_sql unrolled per-step argmin CTEs."""
+    from .algos.walks import deterministic_walks
+    from .edges import symmetrize
+
+    sym = symmetrize(documents_edges(sf_dir))
+    return deterministic_walks(sym, seeds=WALK_SEEDS, steps=WALK_STEPS)
+
+
+def q_doc_adamic_adar(sf_dir):
+    """Top-20 distance-2 pairs by Adamic-Adar score (algos/linkpred.py:
+    bucketed wedge expansion + groupby sum + distributed sort/limit)."""
+    from .algos.linkpred import adamic_adar_topk
+
+    return adamic_adar_topk(documents_edges(sf_dir), k=AA_TOPK)
+
+
 # ------------------------------------------------------------- text queries
 
 def q_text_tokens(sf_dir):
@@ -444,6 +469,29 @@ def q_sample_quota(sf_dir):
 
     return quota_sample(docs.map_batches(key, batch_format="pyarrow"),
                         key="k", id_col="doc_id", n=QUOTA_N)
+
+
+def q_sample_stratified(sf_dir):
+    """Deterministic per-language fraction sampling
+    (sampling.stratified_sample): keep rate(lang) of each stratum by an
+    integer sha256-prefix threshold — one shuffle-free map_batches."""
+    from .sampling import stratified_sample
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "lang"])
+    return stratified_sample(docs, id_col="doc_id", strata_col="lang",
+                             rates=STRAT_RATES, default_rate=STRAT_DEFAULT)
+
+
+def q_text_quality(sf_dir):
+    """Composite quality score + keep flag (text.add_quality): length,
+    stopword density, punctuation density — the heuristic pre-filter."""
+    from .text import add_quality
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return docs.map_batches(add_quality, batch_format="pyarrow") \
+               .select_columns(["doc_id", "quality", "keep"])
 
 
 def q_text_stats(sf_dir):
@@ -567,6 +615,17 @@ def q_embed_dup_pairs(sf_dir):
     return out
 
 
+def q_embed_centroids(sf_dir):
+    """Per-label centroids of L2-normalized embeddings
+    (ann.label_centroids): map-side partial sums, one small groupby;
+    long output (label, i, c, n)."""
+    from .ann import label_centroids
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding", "label"])
+    return label_centroids(emb)
+
+
 # --------------------------------------------------------- relational (TPC-H)
 
 def q_tpch_pricing(sf_dir):
@@ -585,6 +644,15 @@ def q_tpch_nation_revenue(sf_dir):
     from .relational import nation_revenue
 
     return nation_revenue(sf_dir)
+
+
+def q_tpch_order_rank(sf_dir):
+    """Windowed relational query: top-3 orders per customer via map-side
+    prune + one groupby(custkey).map_groups re-rank (the Ray-native
+    row_number-over-partition shape, relational.top_orders_per_customer)."""
+    from .relational import top_orders_per_customer
+
+    return top_orders_per_customer(sf_dir)
 
 
 # ------------------------------------------------------------ events window
@@ -922,6 +990,109 @@ def _langid_sql() -> str:
         FROM b
     """
 
+def _walks_sql(seeds: list[int], steps: int) -> str:
+    """Unrolled deterministic-walk recurrence: per step, each walk moves
+    to the out-neighbor minimizing (md5(walk:step:cur:nbr), nbr); sinks
+    stay (LEFT JOIN + coalesce) — the exact rule of algos/walks.py."""
+    seed_rows = ", ".join(f"({i}, {s})" for i, s in enumerate(seeds))
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            f"w0 AS MATERIALIZED (SELECT * FROM (VALUES {seed_rows}) "
+            "t(walk_id, v))"]
+    for t in range(1, steps + 1):
+        p = f"w{t - 1}"
+        ctes.append(f"""w{t} AS MATERIALIZED (
+          SELECT {p}.walk_id, coalesce(c.nxt, {p}.v) AS v
+          FROM {p} LEFT JOIN (
+            SELECT walk_id, nxt FROM (
+              SELECT {p}.walk_id, sym.dst AS nxt,
+                     row_number() OVER (PARTITION BY {p}.walk_id
+                       ORDER BY md5({p}.walk_id::VARCHAR || ':{t}:' ||
+                                    {p}.v::VARCHAR || ':' ||
+                                    sym.dst::VARCHAR), sym.dst) AS rn
+              FROM {p} JOIN sym ON sym.src = {p}.v)
+            WHERE rn = 1) c USING (walk_id))""")
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, v FROM w{t}"
+        for t in range(steps + 1))
+    return f"WITH {', '.join(ctes)} {selects}"
+
+
+ADAMIC_ADAR_SQL = f"""
+    WITH sym AS MATERIALIZED ({DOC_SYM_SQL}),
+    deg AS MATERIALIZED (
+      SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+    pairs AS (
+      SELECT a.dst AS u, b.dst AS w, a.src AS c
+      FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst),
+    sc AS (
+      SELECT u, w, round(sum(1.0 / ln(d)), 6) AS aa
+      FROM pairs JOIN deg ON pairs.c = deg.v GROUP BY u, w)
+    SELECT u, w, aa FROM sc ORDER BY aa DESC, u ASC, w ASC
+    LIMIT {AA_TOPK}
+"""
+
+
+def _stratified_sql() -> str:
+    """Integer-exact twin of sampling.stratified_sample: same sha256
+    prefix, same floor(rate * 2^32) thresholds."""
+    from .sampling import _HASH_SPACE
+
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * _HASH_SPACE)}"
+        for lang, rate in sorted(STRAT_RATES.items()))
+    default_thr = int(STRAT_DEFAULT * _HASH_SPACE)
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(sha256('strat:' || doc_id::VARCHAR), 1, 8))
+              ::UBIGINT
+              < CASE lang {cases} ELSE {default_thr} END
+    """
+
+
+def _quality_sql() -> str:
+    from .text import PUNCT_RE, QUALITY_STOPWORD_RE, TOKEN_RE
+
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{TOKEN_RE}'))::DOUBLE
+                     AS n_tok,
+                 len(regexp_extract_all(lower(text),
+                     '{QUALITY_STOPWORD_RE}'))::DOUBLE AS n_stop,
+                 len(regexp_extract_all(text, '{PUNCT_RE}'))::DOUBLE
+                     AS n_punct
+          FROM documents
+        ), q AS (
+          SELECT doc_id,
+                 round(0.4 * least(1.0, n_tok / 50.0)
+                     + 0.4 * least(1.0, 5.0 * n_stop / greatest(n_tok, 1.0))
+                     + 0.2 * (1.0 - least(1.0,
+                                          n_punct / greatest(n_tok, 1.0))),
+                       6) AS quality
+          FROM s
+        )
+        SELECT doc_id, quality, quality >= 0.5 AS keep FROM q
+    """
+
+
+EMBED_CENTROIDS_SQL = """
+    WITH e AS (
+      SELECT label::BIGINT AS label, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ), n AS (
+      SELECT label, list_sum(list_transform(emb, x -> x * x)) AS sq, emb
+      FROM e
+    ), u AS (
+      SELECT label, generate_subscripts(emb, 1)::BIGINT AS i,
+             unnest(emb) /
+             (CASE WHEN sq = 0 THEN 1.0 ELSE sqrt(sq) END) AS x
+      FROM n
+    )
+    SELECT label, i, round(sum(x) / count(*), 6) AS c, count(*) AS n
+    FROM u GROUP BY label, i
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_edges": DOC_EDGES_SQL,
     "doc_degree": (f"WITH sym AS ({DOC_SYM_SQL}) SELECT src AS v, "
@@ -945,6 +1116,12 @@ ORACLE_SQL: dict[str, str] = {
     "doc_hits": _hits_sql(HITS_ITERS, 6),
     "doc_ppr": _ppr_sql(PPR_ITERS, 9, PPR_SOURCES),
     "doc_kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+    "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
+    "doc_adamic_adar": ADAMIC_ADAR_SQL,
+    "sample_stratified": _stratified_sql(),
+    "text_quality": _quality_sql(),
+    "embed_centroids": EMBED_CENTROIDS_SQL,
+    "tpch_order_rank": _REL.TOP_ORDERS_PER_CUSTOMER_SQL,
     "sample_quota": f"""
         WITH p AS (
           SELECT doc_id, lang || ':' || source AS k,
@@ -1157,10 +1334,14 @@ QUERIES = {
     "doc_hits": q_doc_hits,
     "doc_ppr": q_doc_ppr,
     "doc_kcore": q_doc_kcore,
+    "doc_walks": q_doc_walks,
+    "doc_adamic_adar": q_doc_adamic_adar,
     "text_tokens": q_text_tokens,
     "text_top_tokens": q_text_top_tokens,
     "sample_quota": q_sample_quota,
+    "sample_stratified": q_sample_stratified,
     "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_langid": q_text_langid,
     "dedup_exact": q_dedup_exact,
@@ -1171,9 +1352,11 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,                   # rows-only (approximate)
     "embed_dup_pairs": q_embed_dup_pairs,
+    "embed_centroids": q_embed_centroids,
     "tpch_pricing": q_tpch_pricing,
     "tpch_top_orders": q_tpch_top_orders,
     "tpch_nation_revenue": q_tpch_nation_revenue,
+    "tpch_order_rank": q_tpch_order_rank,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,

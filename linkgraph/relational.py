@@ -203,6 +203,65 @@ TOP_ORDERS_SQL = f"""
 """
 
 
+# ------------------------------------------------- per-customer order rank
+
+ORDER_RANK_TOPN = 3
+
+
+def top_orders_per_customer(sf_dir: str, n: int = ORDER_RANK_TOPN):
+    """Windowed relational query (SQL `row_number() OVER (PARTITION BY
+    ...)`): the top-n orders per customer by (totalprice desc, orderkey
+    asc).  Ray Data has no window operator; the scale shape is a
+    map-side per-block prune (each block keeps its local per-customer
+    top-n — at most n * n_custs_in_block rows survive) followed by ONE
+    groupby(custkey).map_groups exact cut that re-ranks each customer's
+    <= n * n_blocks candidates.  No sort of the full table, no driver
+    materialization."""
+    import os
+
+    import pandas as pd
+
+    from .runtime import tune_context
+
+    tune_context()
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _cut(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out = pdf.groupby("o_custkey", sort=False).head(n).copy()
+        out["rnk"] = out.groupby("o_custkey", sort=False).cumcount() + 1
+        return out
+
+    def local_prune(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            _cut(b.to_pandas()).drop(columns=["rnk"]),
+            preserve_index=False).replace_schema_metadata(None)
+
+    cand = orders.map_batches(local_prune, batch_format="pyarrow")
+    ranked = cand.groupby("o_custkey").map_groups(
+        _cut, batch_format="pandas")
+    return ranked.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "o_totalprice",
+                            "rnk"]).set_column(
+            3, "rnk", pc.cast(b["rnk"], pa.int64())),
+        batch_format="pyarrow")
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = f"""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+                 AS rnk
+          FROM orders)
+    WHERE rnk <= {ORDER_RANK_TOPN}
+"""
+
+
 # --------------------------------------------------------- nation revenue
 
 Q5_REGION = "ASIA"

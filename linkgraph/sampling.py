@@ -1,6 +1,8 @@
-"""Per-group quota sampling: keep at most n documents per group, chosen
-by a DETERMINISTIC hash priority (training-data per-domain / per-language
-caps without a seeded RNG, so runs are reproducible and SQL-checkable).
+"""Deterministic sampling operators for training-data pipelines:
+per-group quota sampling (keep at most n per group) and stratified
+fraction sampling (keep rate(stratum) of each stratum).  Both use hash
+priorities instead of a seeded RNG, so runs are reproducible and
+SQL-checkable.
 
 Selection rule: within each group keep the n smallest
 (sha256(str(id)), id) — a uniform-at-scale but fully deterministic
@@ -29,6 +31,39 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 QUOTA_DRIVER_CAP = 2_000_000  # candidate rows; ~100MB of (id, key, pri)
+
+# stratified_sample: 32-bit hash space; per-stratum keep threshold =
+# floor(rate * 2^32), compared against the first 8 hex chars of
+# sha256(tag:id) — integer-exact on both the engine and SQL sides
+_HASH_SPACE = 1 << 32
+
+
+def stratified_sample(ds, id_col: str, strata_col: str,
+                      rates: dict[str, float], default_rate: float,
+                      tag: str = "strat"):
+    """Deterministic per-stratum fraction sampling (training-data mixture
+    reweighting): keep a row iff
+        int(sha256(f"{tag}:{id}")[:8 hex], 16) < floor(rate(stratum) * 2^32).
+
+    Embarrassingly parallel — ONE stateless map_batches, no shuffle, no
+    RNG state; the sha prefix is uniform so the kept fraction converges
+    to `rate` per stratum, and membership is stable across runs,
+    partitionings and cluster sizes.  Returns a Dataset of the surviving
+    rows (same columns as input)."""
+    thresholds = {k: int(v * _HASH_SPACE) for k, v in rates.items()}
+    default_thr = int(default_rate * _HASH_SPACE)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        strata = b[strata_col].to_pylist()
+        hv = np.fromiter(
+            (int(hashlib.sha256(f"{tag}:{v}".encode()).hexdigest()[:8], 16)
+             for v in ids), np.int64, len(ids))
+        thr = np.fromiter((thresholds.get(s, default_thr) for s in strata),
+                          np.int64, len(strata))
+        return b.filter(pa.array(hv < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def _with_priority(id_col: str):

@@ -39,6 +39,40 @@ def add_text_stats(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch
 
 
+# quality scoring: RE2 word-boundary stopword pattern shared verbatim
+# with the SQL oracle (DuckDB regexp_* is RE2 too, so hit counts match)
+QUALITY_STOPWORD_RE = r"\b(the|a|of|and|to|in|is|it|that|was|for)\b"
+
+
+def add_quality(batch: pa.Table, col: str = "text",
+                out: str = "quality", keep_out: str = "keep",
+                threshold: float = 0.5) -> pa.Table:
+    """Composite document quality score in [0, 1] + keep flag — the
+    classic heuristic pre-filter of large-scale text pipelines (length,
+    stopword density, punctuation density), fully vectorized:
+
+        quality = 0.4 * min(1, n_tokens / 50)
+                + 0.4 * min(1, 5 * stop_hits / max(n_tokens, 1))
+                + 0.2 * (1 - min(1, n_punct / max(n_tokens, 1)))
+
+    All arithmetic in float64, rounded to 6 (value-hash convention)."""
+    t = batch[col]
+    low = pc.utf8_lower(t)
+    n_tok = pc.cast(pc.count_substring_regex(t, TOKEN_RE),
+                    pa.float64()).to_numpy(zero_copy_only=False)
+    n_stop = pc.cast(pc.count_substring_regex(low, QUALITY_STOPWORD_RE),
+                     pa.float64()).to_numpy(zero_copy_only=False)
+    n_punct = pc.cast(pc.count_substring_regex(t, PUNCT_RE),
+                      pa.float64()).to_numpy(zero_copy_only=False)
+    denom = np.maximum(n_tok, 1.0)
+    q = (0.4 * np.minimum(1.0, n_tok / 50.0)
+         + 0.4 * np.minimum(1.0, 5.0 * n_stop / denom)
+         + 0.2 * (1.0 - np.minimum(1.0, n_punct / denom)))
+    q = np.round(q, 6)
+    batch = batch.append_column(out, pa.array(q, pa.float64()))
+    return batch.append_column(keep_out, pa.array(q >= threshold))
+
+
 def normalize_text(col: pa.ChunkedArray) -> pa.ChunkedArray:
     """Lowercase, collapse whitespace runs to single spaces, trim."""
     x = pc.utf8_lower(col)

@@ -53,3 +53,38 @@ def test_quota_sample_partition_invariance():
             for p in (1, 3, 8)]
     pd.testing.assert_frame_equal(outs[0], outs[1])
     pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+# ------------------------------------------------------- stratified sample
+
+def test_stratified_sample_membership_rule_and_determinism():
+    from linkgraph.sampling import _HASH_SPACE, stratified_sample
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(1000, dtype=np.int64),
+        "lang": rng.choice(["en", "de", "zh", "fr"], 1000),
+    })
+    rates = {"en": 0.5, "de": 0.25, "zh": 0.1}
+    got = stratified_sample(from_pandas_clean(pdf).repartition(4),
+                            id_col="doc_id", strata_col="lang",
+                            rates=rates, default_rate=0.3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def keep(row):
+        thr = int(rates.get(row["lang"], 0.3) * _HASH_SPACE)
+        hv = int(hashlib.sha256(
+            f"strat:{row['doc_id']}".encode()).hexdigest()[:8], 16)
+        return hv < thr
+
+    want = pdf[pdf.apply(keep, axis=1)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # partition invariance (membership is row-local)
+    again = stratified_sample(from_pandas_clean(pdf).repartition(9),
+                              id_col="doc_id", strata_col="lang",
+                              rates=rates, default_rate=0.3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, again)
+    # kept fraction tracks the rate per stratum (uniform hash)
+    fr = got.groupby("lang").size() / pdf.groupby("lang").size()
+    assert abs(fr["en"] - 0.5) < 0.15 and abs(fr["zh"] - 0.1) < 0.1

@@ -249,3 +249,59 @@ def test_media_from_documents_derivation():
     # frame sampling covers the zero-duration video row with one frame
     frames = sample_frames(media_from_documents(docs), fps=1.0).to_pandas()
     assert list(frames["media_id"]) == [2] and list(frames["frame_ms"]) == [0]
+
+
+def test_add_quality_formula():
+    """quality = 0.4*len + 0.4*stopword + 0.2*(1-punct) vs a naive
+    re-implementation; keep flag thresholds the rounded score."""
+    import re
+
+    from linkgraph.text import add_quality
+
+    texts = ["the cat sat on the mat, and it was good.",
+             "x",
+             "",
+             " ".join(["the"] * 100),
+             "no stop words here!!! ;;; ...",
+             "a b c d e f g h i j " * 10]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = add_quality(t).to_pandas()
+    stop_re = re.compile(r"\b(the|a|of|and|to|in|is|it|that|was|for)\b")
+    for i, txt in enumerate(texts):
+        n_tok = len(re.findall(r"\S+", txt))
+        n_stop = len(stop_re.findall(txt.lower()))
+        n_punct = len(re.findall(r"[.,;:!?]", txt))
+        den = max(n_tok, 1)
+        q = round(0.4 * min(1.0, n_tok / 50.0)
+                  + 0.4 * min(1.0, 5.0 * n_stop / den)
+                  + 0.2 * (1.0 - min(1.0, n_punct / den)), 6)
+        assert got["quality"][i] == q, (i, txt)
+        assert bool(got["keep"][i]) == (q >= 0.5)
+
+
+def test_label_centroids_matches_numpy():
+    import ray.data as rd
+
+    from linkgraph.ann import label_centroids
+
+    rng = np.random.default_rng(5)
+    n, dim = 200, 8
+    vecs = rng.standard_normal((n, dim))
+    labels = rng.integers(0, 4, n)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "label": pa.array(labels.astype(np.int32), pa.int32()),
+        "embedding": pa.array(list(vecs.astype(np.float32)),
+                              pa.list_(pa.float32(), dim)),
+    })).repartition(5)
+    got = label_centroids(ds).to_pandas() \
+        .sort_values(["label", "i"]).reset_index(drop=True)
+    m = vecs.astype(np.float32).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for lab in range(4):
+        sel = m[labels == lab]
+        want = np.round(sel.mean(axis=0), 6)
+        rows = got[got["label"] == lab].sort_values("i")
+        assert np.allclose(rows["c"].to_numpy(), want, atol=2e-6)
+        assert (rows["n"] == sel.shape[0]).all()

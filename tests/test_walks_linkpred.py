@@ -1,0 +1,108 @@
+"""Deterministic walks (algos/walks.py) and Adamic-Adar link prediction
+(algos/linkpred.py): oracle parity on small graphs, path equality for
+the size-gated walk plans, determinism, sink behavior."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from linkgraph.algos.linkpred import adamic_adar_topk
+from linkgraph.algos.walks import (
+    _walks_broadcast, _walks_shuffle, deterministic_walks,
+)
+from linkgraph.io import from_pandas_clean
+
+
+def _edges(pairs):
+    pdf = pd.DataFrame(pairs, columns=["src", "dst"]).astype(np.int64)
+    return from_pandas_clean(pdf).repartition(3)
+
+
+def _sym(pairs):
+    return pairs + [(b, a) for a, b in pairs]
+
+
+def _walk_oracle(pairs, seeds, steps):
+    """Single-thread reference of the min-md5 step rule."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    rows = []
+    for wid, seed in enumerate(seeds):
+        cur = seed
+        rows.append((wid, 0, cur))
+        for t in range(1, steps + 1):
+            nbrs = adj.get(cur, [])
+            if nbrs:
+                cur = min(nbrs, key=lambda n: (
+                    hashlib.md5(f"{wid}:{t}:{cur}:{n}".encode()).hexdigest(),
+                    n))
+            rows.append((wid, t, cur))
+    return pd.DataFrame(rows, columns=["walk_id", "step", "v"]) \
+        .sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+PAIRS = _sym([(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (4, 0)])
+
+
+def test_walks_match_single_thread_oracle():
+    got = deterministic_walks(_edges(PAIRS), seeds=[0, 2, 4], steps=6) \
+        .to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+    want = _walk_oracle(PAIRS, [0, 2, 4], 6)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_walks_sink_stays():
+    # vertex 9 has no out-edges: the walk parks there forever
+    pairs = [(7, 9)]
+    got = deterministic_walks(_edges(pairs), seeds=[7], steps=3).to_pandas()
+    assert got.sort_values("step")["v"].tolist() == [7, 9, 9, 9]
+
+
+def test_walks_broadcast_equals_shuffle_path():
+    b = _walks_broadcast(_edges(PAIRS), seeds=[0, 1, 2, 3], steps=5)
+    s = _walks_shuffle(_edges(PAIRS), seeds=[0, 1, 2, 3], steps=5,
+                       num_partitions=4)
+    pd.testing.assert_frame_equal(b.reset_index(drop=True),
+                                  s.reset_index(drop=True))
+
+
+def _aa_oracle(pairs, k):
+    """Brute-force Adamic-Adar over the undirected simple graph."""
+    sym = set()
+    for a, b in pairs:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    scores = {}
+    for v, nbrs in adj.items():
+        w = 1.0 / math.log(len(nbrs)) if len(nbrs) >= 2 else 0.0
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                scores[(ns[i], ns[j])] = scores.get((ns[i], ns[j]), 0.0) + w
+    rows = [(u, wv, round(s, 6)) for (u, wv), s in scores.items()]
+    pdf = pd.DataFrame(rows, columns=["u", "w", "aa"])
+    return pdf.sort_values(["aa", "u", "w"], ascending=[False, True, True]) \
+        .head(k).reset_index(drop=True)
+
+
+def test_adamic_adar_matches_bruteforce():
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0), (1, 4), (5, 0)]
+    got = adamic_adar_topk(_edges(pairs), k=10).to_pandas() \
+        .reset_index(drop=True).astype({"u": np.int64, "w": np.int64})
+    want = _aa_oracle(pairs, 10)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_adamic_adar_partition_invariant():
+    pairs = [(i, (i * 3 + 1) % 17) for i in range(17)] + [(2, 9), (4, 11)]
+    a = adamic_adar_topk(_edges(pairs).repartition(1), k=8).to_pandas()
+    b = adamic_adar_topk(_edges(pairs).repartition(6), k=8).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
