@@ -198,8 +198,49 @@ def run_bench(num_cpus: int, sf_dir: str, scratch: str) -> dict:
     q["sf_queries"] = time.perf_counter() - t0
 
     ray.shutdown()
+    # hardware calibration AFTER shutdown so the probe has the box to
+    # itself; probe seconds are NOT part of the benchmark total
+    detail["hw_probe"] = {
+        "nproc": min(8, num_cpus),
+        "kernel_edges_per_sec": _hw_probe(min(8, num_cpus)),
+    }
     return {"queries": {k: round(v, 3) for k, v in q.items()},
             "detail": detail, "total": round(sum(q.values()), 3)}
+
+
+def _hw_probe(nproc: int = 8, n_iter: int = 4) -> float:
+    """Calibration line: aggregate edges/s of the raw dense-signal kernel
+    (gather + segment reduceat, the same kernel tools/bw_probe.py runs)
+    on `nproc` independent processes.  This is CODE-INDEPENDENT — it
+    measures what the box's DRAM can do at this moment.  The sandbox
+    host shows multi-x run-to-run variance (shared tenancy); recording
+    the probe next to every engine number lets any reader separate
+    host conditions from engine regressions (engine superstep throughput
+    is typically 60-80% of this ceiling, BENCH/BASELINE.md)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(q):
+        from linkgraph.csr import segment_reduce
+
+        rng = np.random.default_rng(0)
+        E, n_local = 3_000_000, 250_000
+        idx = rng.integers(0, n_local, E)
+        indptr = np.sort(rng.integers(0, E, 2_400_000))
+        indptr = np.concatenate([[0], indptr, [E]])
+        vals = rng.random(n_local)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            segment_reduce(vals[idx], indptr, "add")
+        q.put(E * n_iter / (time.perf_counter() - t0))
+
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(q,)) for _ in range(nproc)]
+    [p.start() for p in ps]
+    rates = [q.get() for _ in ps]
+    [p.join() for p in ps]
+    return round(sum(rates), 1)
 
 
 def _timed_repeats(algo, eng, n: int = 3):
@@ -290,6 +331,10 @@ def main():
                     cwd=os.path.dirname(os.path.abspath(__file__)))
                 runs.append(json.loads(r.stdout.strip().splitlines()[-1]))
             best = dict(runs[0])
+            # per-level hardware calibration: best probe across the runs
+            best["hw_probe_edges_per_sec"] = max(
+                r.get("detail", {}).get("hw_probe", {})
+                 .get("kernel_edges_per_sec", 0) for r in runs)
             best["queries"] = {
                 k: min(r["queries"][k] for r in runs)
                 for k in runs[0]["queries"]}
@@ -322,6 +367,11 @@ def main():
             "per_stage_speedup": per_stage,
             "queries_8": out[8]["queries"], "queries_32": out[32]["queries"],
             "raw_totals": raw, "runs_per_level": n_runs,
+            # code-independent DRAM-kernel ceiling at each level (see
+            # _hw_probe): normalizes engine numbers against whatever the
+            # shared host was doing during the measurement
+            "hw_probe_edges_per_sec": {
+                n: out[n]["hw_probe_edges_per_sec"] for n in (8, 32)},
         }))
         return
 
@@ -339,7 +389,8 @@ def main():
         "pagerank": res["detail"]["pagerank"],
         "pagerank_synth": res["detail"]["pagerank_synth"],
         "detail": {k: v for k, v in res["detail"].items()
-                   if k in ("corpus", "cc", "triangles", "minhash")},
+                   if k in ("corpus", "cc", "triangles", "minhash",
+                            "hw_probe")},
     }))
 
 
