@@ -102,6 +102,12 @@ def adamic_adar_topk(edges_ds, k: int = 20, num_partitions: int = 8):
     rounded = scores.map_batches(
         lambda b: pa.table({"u": b["u"], "w": b["w"],
                             "aa": pc.round(b["aa"], 6)}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    if rounded.count() == 0:  # schema-less empty Dataset breaks sort
+        from ..io import from_pandas_clean
+
+        return from_pandas_clean(pd.DataFrame({
+            "u": np.empty(0, np.int64), "w": np.empty(0, np.int64),
+            "aa": np.empty(0, np.float64)}))
     return rounded.sort(["aa", "u", "w"],
                         descending=[True, False, False]).limit(k)

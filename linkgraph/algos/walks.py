@@ -73,7 +73,17 @@ def deterministic_walks(edges_ds, seeds: list[int], steps: int,
     from ..io import from_pandas_clean
 
     edges_ds = edges_ds.materialize()
-    if edges_ds.count() <= WALK_ADJ_CAP:
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        # empty graphs lose their Arrow schema on to_pandas (known Ray
+        # gotcha, see edges.build_link_edges): every walk just parks
+        wid = np.repeat(np.arange(len(seeds), dtype=np.int64), steps + 1)
+        trail = pd.DataFrame({
+            "walk_id": wid,
+            "step": np.tile(np.arange(steps + 1, dtype=np.int64),
+                            len(seeds)),
+            "v": np.repeat(np.asarray(seeds, dtype=np.int64), steps + 1)})
+    elif n_edges <= WALK_ADJ_CAP:
         trail = _walks_broadcast(edges_ds, seeds, steps)
     else:
         trail = _walks_shuffle(edges_ds, seeds, steps, num_partitions)

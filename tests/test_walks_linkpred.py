@@ -106,3 +106,13 @@ def test_adamic_adar_partition_invariant():
     b = adamic_adar_topk(_edges(pairs).repartition(6), k=8).to_pandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_empty_and_wedgeless_inputs():
+    empty = from_pandas_clean(pd.DataFrame(
+        {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}))
+    w = deterministic_walks(empty, seeds=[3], steps=2).to_pandas()
+    assert w["v"].tolist() == [3, 3, 3]
+    assert adamic_adar_topk(empty, k=5).to_pandas().empty
+    single = from_pandas_clean(pd.DataFrame({"src": [1], "dst": [2]}))
+    assert adamic_adar_topk(single, k=5).to_pandas().empty
