@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import relational as _REL
+from . import sketch as _SK
 
 PR_ITERS = 20
 CC_ROUNDS = 20
@@ -469,6 +470,17 @@ def q_sample_quota(sf_dir):
 
     return quota_sample(docs.map_batches(key, batch_format="pyarrow"),
                         key="k", id_col="doc_id", n=QUOTA_N)
+
+
+def q_sketch_distinct(sf_dir):
+    """KMV distinct-token-count sketch (sketch.kmv_distinct_tokens):
+    per-block k-smallest sha256 partials, tiny driver merge; the k-th
+    digest and the estimate are exactly reproduced by the SQL oracle."""
+    from .sketch import kmv_distinct_tokens
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+    return kmv_distinct_tokens(docs)
 
 
 def q_sample_stratified(sf_dir):
@@ -1119,6 +1131,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
     "sample_stratified": _stratified_sql(),
+    "sketch_distinct": _SK.kmv_sql(),
     "text_quality": _quality_sql(),
     "embed_centroids": EMBED_CENTROIDS_SQL,
     "tpch_order_rank": _REL.TOP_ORDERS_PER_CUSTOMER_SQL,
@@ -1340,6 +1353,7 @@ QUERIES = {
     "text_top_tokens": q_text_top_tokens,
     "sample_quota": q_sample_quota,
     "sample_stratified": q_sample_stratified,
+    "sketch_distinct": q_sketch_distinct,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,

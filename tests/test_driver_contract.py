@@ -71,7 +71,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "media_features", "media_frames",
                                   "dedup_jaccard", "sample_stratified",
                                   "text_quality", "embed_centroids",
-                                  "tpch_order_rank", "doc_walks"])
+                                  "tpch_order_rank", "doc_walks",
+                                  "sketch_distinct"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()

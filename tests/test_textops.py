@@ -1,6 +1,7 @@
 """Tests: text analysis, dedup family, ANN, multimodal plumbing."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -305,3 +306,26 @@ def test_label_centroids_matches_numpy():
         rows = got[got["label"] == lab].sort_values("i")
         assert np.allclose(rows["c"].to_numpy(), want, atol=2e-6)
         assert (rows["n"] == sel.shape[0]).all()
+
+
+def test_kmv_distinct_sketch():
+    """KMV sketch: exact below k distinct, ~10-20% accurate above, and
+    partition-count invariant (order statistics merge losslessly)."""
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.sketch import kmv_distinct_tokens
+
+    # small corpus: fewer distinct tokens than k -> exact count
+    small = from_pandas_clean(pd.DataFrame(
+        {"text": ["a b c", "b c d", "d e"]}))
+    out = kmv_distinct_tokens(small, k=256)
+    assert out["est_distinct"].iloc[0] == 5.0
+
+    # large distinct set: estimate within 20% of truth
+    n = 20000
+    texts = [" ".join(f"tok{j}" for j in range(i * 20, (i + 1) * 20))
+             for i in range(n // 20)]
+    big = from_pandas_clean(pd.DataFrame({"text": texts}))
+    est = kmv_distinct_tokens(big.repartition(6), k=256)
+    assert abs(est["est_distinct"].iloc[0] - n) / n < 0.2
+    est2 = kmv_distinct_tokens(big.repartition(2), k=256)
+    pd.testing.assert_frame_equal(est, est2)
