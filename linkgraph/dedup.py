@@ -621,6 +621,12 @@ def embedding_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
                          "cosine": pa.array(sims[ai[m], bi[m]], pa.float64())})
 
     pdf = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    if len(pdf) == 0:  # schema-less empty Dataset: rebuild typed frame
+        return pd.DataFrame({"a": np.empty(0, np.int64),
+                             "b": np.empty(0, np.int64),
+                             "cosine": np.empty(0, np.float64)})
+    # all-empty leading blocks can promote the id columns to float
+    pdf = pdf.astype({"a": np.int64, "b": np.int64})
     return pdf.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -718,3 +724,49 @@ def _load_matrix(ds, id_col, vec_col):
     mat = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
     order = np.argsort(ids)
     return mat[order], ids[order]
+
+
+# ------------------------------------------------- semantic dedup
+
+def semantic_dedup_ids(emb_ds, n_vertices: int, store_dir: str,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       threshold: float = 0.95,
+                       fingerprint: str | None = None):
+    """Semantic (embedding-space) deduplication, the full composition:
+    cosine-similarity pairs >= threshold -> similarity GRAPH -> connected
+    components via the superstep engine -> keep each component's minimum
+    id (isolated vectors keep themselves).  Returns (kept DataFrame
+    [id_col], cc_report | None).
+
+    This is transitive semantic dedup (A~B, B~C collapses all three even
+    when A!~C) — the standard cluster-then-keep-one shape, here running
+    the SAME sparse/dense superstep machinery as the link-graph CC so
+    the clustering scales with the graph engine rather than a driver
+    union-find.
+    """
+    from .graph import load_undirected, suggest_partitions
+    from .io import from_pandas_clean
+
+    pairs = embedding_dup_pairs(emb_ds, id_col=id_col, vec_col=vec_col,
+                                threshold=threshold)
+    if len(pairs) == 0:
+        ids = emb_ds.select_columns([id_col]).to_pandas() \
+            .sort_values(id_col).reset_index(drop=True)
+        return ids, None
+    edges = from_pandas_clean(
+        pairs[["a", "b"]].rename(columns={"a": "src", "b": "dst"}))
+    eng = load_undirected(edges, n_vertices,
+                          suggest_partitions(2 * len(pairs), 4),
+                          store_dir, fingerprint=fingerprint)
+    from .algos import connected_components
+
+    rep = connected_components(eng)
+    labels = eng.state_pandas(["label"])
+    eng.shutdown()
+    kept = labels[labels["label"] == labels["v"]][["v"]] \
+        .rename(columns={"v": id_col})
+    # vertices outside the embedding table (dense id range gaps) keep
+    # their own label; intersect with the actual ids
+    ids = emb_ds.select_columns([id_col]).to_pandas()[id_col]
+    kept = kept[kept[id_col].isin(set(ids))]
+    return kept.sort_values(id_col).reset_index(drop=True), rep

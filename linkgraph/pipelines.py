@@ -638,6 +638,30 @@ def q_embed_centroids(sf_dir):
     return label_centroids(emb)
 
 
+SEMDEDUP_ROUNDS = 15
+
+
+def q_semantic_dedup(sf_dir):
+    """Transitive semantic dedup over the embedding table: cosine pairs
+    >= EMB_DUP_TAU -> similarity graph -> connected components on the
+    SUPERSTEP ENGINE -> keep each component's min vec_id
+    (dedup.semantic_dedup_ids — the two-subsystem composition).
+    Oracle: _semdedup_sql (pair join + unrolled min-label CC)."""
+    from .dedup import semantic_dedup_ids
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+    n = int(emb.max("vec_id")) + 1
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    kept, rep = semantic_dedup_ids(
+        emb, n, _store_root(sf_dir, "semdedup"), threshold=EMB_DUP_TAU,
+        fingerprint=f"{st.st_mtime_ns}:{st.st_size}")
+    if rep is not None:
+        _check_unroll(rep, SEMDEDUP_ROUNDS, "semantic_dedup")
+    return kept
+
+
 # --------------------------------------------------------- relational (TPC-H)
 
 def q_tpch_pricing(sf_dir):
@@ -1087,6 +1111,35 @@ def _quality_sql() -> str:
     """
 
 
+def _semdedup_sql(rounds: int) -> str:
+    """Cosine pairs >= tau as an undirected graph, then the same
+    unrolled min-label CC recurrence as _cc_sql, finally one row per
+    component representative (lab == v)."""
+    ctes = [f"""vv AS MATERIALIZED (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings)""",
+            f"""pairs AS MATERIALIZED (
+              SELECT a.vec_id AS src, b.vec_id AS dst
+              FROM vv a JOIN vv b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.emb, b.emb)
+                    >= {EMB_DUP_TAU})""",
+            """sym AS MATERIALIZED (
+              SELECT src, dst FROM pairs
+              UNION ALL SELECT dst AS src, src AS dst FROM pairs)""",
+            "allv AS MATERIALIZED (SELECT vec_id AS v FROM embeddings)",
+            "l0 AS (SELECT v, v AS lab FROM allv)"]
+    for i in range(1, rounds + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT allv.v, least({p}.lab, "
+            f"coalesce(m.lab, {p}.lab)) AS lab FROM allv "
+            f"JOIN {p} USING (v) LEFT JOIN "
+            f"(SELECT sym.dst AS v, min({p}.lab) AS lab FROM sym "
+            f"JOIN {p} ON {p}.v = sym.src GROUP BY sym.dst) m USING (v))")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT v AS vec_id FROM l{rounds} WHERE lab = v")
+
+
 EMBED_CENTROIDS_SQL = """
     WITH e AS (
       SELECT label::BIGINT AS label, CAST(embedding AS DOUBLE[]) AS emb
@@ -1134,6 +1187,7 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_distinct": _SK.kmv_sql(),
     "text_quality": _quality_sql(),
     "embed_centroids": EMBED_CENTROIDS_SQL,
+    "semantic_dedup": _semdedup_sql(SEMDEDUP_ROUNDS),
     "tpch_order_rank": _REL.TOP_ORDERS_PER_CUSTOMER_SQL,
     "sample_quota": f"""
         WITH p AS (
@@ -1367,6 +1421,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,                   # rows-only (approximate)
     "embed_dup_pairs": q_embed_dup_pairs,
     "embed_centroids": q_embed_centroids,
+    "semantic_dedup": q_semantic_dedup,
     "tpch_pricing": q_tpch_pricing,
     "tpch_top_orders": q_tpch_top_orders,
     "tpch_nation_revenue": q_tpch_nation_revenue,

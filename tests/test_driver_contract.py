@@ -72,7 +72,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "dedup_jaccard", "sample_stratified",
                                   "text_quality", "embed_centroids",
                                   "tpch_order_rank", "doc_walks",
-                                  "sketch_distinct"])
+                                  "sketch_distinct", "semantic_dedup"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()

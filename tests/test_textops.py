@@ -329,3 +329,36 @@ def test_kmv_distinct_sketch():
     assert abs(est["est_distinct"].iloc[0] - n) / n < 0.2
     est2 = kmv_distinct_tokens(big.repartition(2), k=256)
     pd.testing.assert_frame_equal(est, est2)
+
+
+def test_semantic_dedup_transitive_clusters():
+    """Planted chain A~B~C (A!~C) must collapse to one representative —
+    the transitive property the CC composition provides."""
+    import tempfile
+
+    from linkgraph.dedup import semantic_dedup_ids
+    from linkgraph.io import from_pandas_clean
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    # chain: v1 close to v0, v2 close to v1 (but farther from v0)
+    v0 = base
+    v1 = base + 0.12 * rng.standard_normal(16)
+    v2 = v1 + 0.12 * rng.standard_normal(16)
+    others = rng.standard_normal((5, 16))
+    mat = np.vstack([v0, v1, v2, others]).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(mat))),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32(), 16)),
+    })).repartition(3)
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        kept, rep = semantic_dedup_ids(ds, len(mat), d + "/store",
+                                       threshold=0.97)
+        ids = kept["vec_id"].tolist()
+        # the chain keeps only vec 0; isolated vectors keep themselves
+        assert 0 in ids and 1 not in ids and 2 not in ids
+        assert set(range(3, 8)) <= set(ids)
+        # no-pair corpus: everything kept, no engine run
+        kept2, rep2 = semantic_dedup_ids(ds, len(mat), d + "/store2",
+                                         threshold=1.01)
+        assert kept2["vec_id"].tolist() == list(range(8)) and rep2 is None
