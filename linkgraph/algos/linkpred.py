@@ -70,10 +70,76 @@ def _aa_wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
                          "aa": weight[seg[i_idx]]})
 
 
+# edge sets up to this size score on one driver numpy kernel (exact,
+# same pair/weight rule); larger graphs run the distributed pipeline —
+# the standard size-gate (triangles.DRIVER_TRI_CAP rule)
+DRIVER_AA_CAP = 500_000
+
+
+def _adamic_adar_local(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """In-process exact kernel: canonical edges -> symmetric segments ->
+    weighted neighbor pairs -> composite-key reduceat sum -> top-k."""
+    s = pdf["src"].to_numpy(np.int64)
+    d = pdf["dst"].to_numpy(np.int64)
+    keep = s != d
+    lo = np.minimum(s[keep], d[keep])
+    hi = np.maximum(s[keep], d[keep])
+    empty = pd.DataFrame({"u": np.empty(0, np.int64),
+                          "w": np.empty(0, np.int64),
+                          "aa": np.empty(0, np.float64)})
+    if len(lo) == 0:
+        return empty
+    edges = np.unique((lo << 32) | hi)
+    lo, hi = edges >> 32, edges & 0xFFFFFFFF
+    c = np.concatenate([lo, hi])
+    n = np.concatenate([hi, lo])
+    order = np.lexsort((n, c))
+    c, n = c[order], n[order]
+    starts = np.flatnonzero(np.concatenate([[True], c[1:] != c[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(c)]]))
+    seg = np.repeat(np.arange(len(starts)), lens)
+    pos = np.arange(len(c)) - starts[seg]
+    reps = lens[seg] - pos - 1
+    total = int(reps.sum())
+    if total == 0:
+        return empty
+    i_idx = np.repeat(np.arange(len(c)), reps)
+    csum = np.cumsum(reps) - reps
+    j_idx = i_idx + 1 + (np.arange(total) - csum[i_idx])
+    lf = lens.astype(np.float64)
+    wt = np.where(lens >= 2, 1.0 / np.log(np.maximum(lf, 2.0)), 0.0)
+    key = (n[i_idx].astype(np.int64) << 32) | n[j_idx]
+    ks = np.argsort(key, kind="stable")
+    key_s = key[ks]
+    w_s = wt[seg[i_idx]][ks]
+    st = np.flatnonzero(np.concatenate([[True], key_s[1:] != key_s[:-1]]))
+    aa = np.round(np.add.reduceat(w_s, st), 6)
+    uu = key_s[st] >> 32
+    ww = key_s[st] & 0xFFFFFFFF
+    sel = np.lexsort((ww, uu, -aa))[:k]
+    return pd.DataFrame({"u": uu[sel].astype(np.int64),
+                         "w": ww[sel].astype(np.int64),
+                         "aa": aa[sel]})
+
+
 def adamic_adar_topk(edges_ds, k: int = 20, num_partitions: int = 8):
     """Top-k distance-2 pairs by Adamic-Adar score.  Returns a Ray
     Dataset (u, w, aa) with u < w, aa rounded to 6, ordered by
     (aa desc, u asc, w asc), k rows."""
+    from ..io import from_pandas_clean
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= DRIVER_AA_CAP:
+        pdf = edges_ds.to_pandas()
+        if len(pdf) == 0 or max(pdf["src"].max(), pdf["dst"].max()) < 2 ** 31:
+            out = _adamic_adar_local(pdf, k) if len(pdf) else pd.DataFrame(
+                {"u": np.empty(0, np.int64), "w": np.empty(0, np.int64),
+                 "aa": np.empty(0, np.float64)})
+            return from_pandas_clean(out)
+    return _adamic_adar_distributed(edges_ds, k, num_partitions)
+
+
+def _adamic_adar_distributed(edges_ds, k: int, num_partitions: int):
     from ray.data.aggregate import Sum
 
     from ..runtime import tune_context

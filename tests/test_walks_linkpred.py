@@ -116,3 +116,15 @@ def test_empty_and_wedgeless_inputs():
     assert adamic_adar_topk(empty, k=5).to_pandas().empty
     single = from_pandas_clean(pd.DataFrame({"src": [1], "dst": [2]}))
     assert adamic_adar_topk(single, k=5).to_pandas().empty
+
+
+def test_adamic_adar_driver_equals_distributed():
+    from linkgraph.algos.linkpred import _adamic_adar_distributed
+
+    pairs = [(i, (i * 5 + 2) % 23) for i in range(23)] + \
+            [(1, 7), (3, 12), (6, 18)]
+    ds = _edges(pairs)
+    a = adamic_adar_topk(ds, k=12).to_pandas().reset_index(drop=True)
+    b = _adamic_adar_distributed(ds.materialize(), 12, 4).to_pandas() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
