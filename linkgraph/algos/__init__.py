@@ -8,6 +8,7 @@ from .cc import CCProgram, connected_components
 from .hits import hits, normalized_scores
 from .kcore import KCoreProgram, kcore
 from .labelprop import LabelPropProgram, label_propagation
+from .mis import MISProgram, maximal_independent_set
 from .pagerank import (PageRankProgram, PPRProgram, pagerank,
                        personalized_pagerank)
 from .sssp import SSSPProgram, sssp
@@ -20,6 +21,7 @@ __all__ = [
     "hits", "normalized_scores",
     "KCoreProgram", "kcore",
     "LabelPropProgram", "label_propagation",
+    "MISProgram", "maximal_independent_set",
     "PageRankProgram", "PPRProgram", "pagerank", "personalized_pagerank",
     "SSSPProgram", "sssp",
     "triangle_count",

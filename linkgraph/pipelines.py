@@ -389,6 +389,22 @@ def q_doc_kcore(sf_dir):
     return pdf[pdf["in_core"] == 1][["v"]].reset_index(drop=True)
 
 
+MIS_ROUNDS = 8  # unrolled select+broadcast pairs in the SQL oracle
+
+
+def q_doc_mis(sf_dir):
+    """Deterministic-Luby maximal independent set on the symmetrized doc
+    graph (algos/mis.py: sha-priority select + dropout broadcast, two
+    supersteps per round).  Oracle: _mis_sql unrolled recurrence."""
+    from .algos import maximal_independent_set
+
+    eng = documents_engine(sf_dir, "undirected")
+    rep = maximal_independent_set(eng)
+    _check_unroll(rep, 2 * MIS_ROUNDS, "doc_mis")
+    pdf = _state_result(eng, "in_mis", "in_mis")
+    return pdf[pdf["in_mis"] == 1][["v"]].reset_index(drop=True)
+
+
 def q_doc_walks(sf_dir):
     """Deterministic random walks (algos/walks.py): 8 steps from docs
     0-5 over the symmetrized doc graph; next hop = min-md5 neighbor.
@@ -1026,6 +1042,44 @@ def _langid_sql() -> str:
         FROM b
     """
 
+def _mis_sql(rounds: int) -> str:
+    """Unrolled deterministic-Luby recurrence (algos/mis.py): per round,
+    undecided vertices below the min undecided-neighbor priority join;
+    their undecided neighbors drop out."""
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            """p AS MATERIALIZED (
+              SELECT doc_id AS v,
+                     ('0x' || substr(sha256(doc_id::VARCHAR), 1, 13))
+                     ::UBIGINT AS pri
+              FROM documents)""",
+            "u0 AS MATERIALIZED (SELECT v FROM p)"]
+    for i in range(1, rounds + 1):
+        pu = f"u{i - 1}"
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+              SELECT s.src AS v, min(p2.pri) AS mn
+              FROM sym s
+              JOIN {pu} a ON a.v = s.src
+              JOIN {pu} b ON b.v = s.dst
+              JOIN p p2 ON p2.v = s.dst
+              GROUP BY s.src)""")
+        ctes.append(
+            f"""i{i} AS MATERIALIZED (
+              SELECT u.v FROM {pu} u
+              JOIN p ON p.v = u.v
+              LEFT JOIN m{i} ON m{i}.v = u.v
+              WHERE mn IS NULL OR p.pri < mn)""")
+        ctes.append(
+            f"""u{i} AS MATERIALIZED (
+              SELECT u.v FROM {pu} u
+              WHERE u.v NOT IN (SELECT v FROM i{i})
+                AND NOT EXISTS (SELECT 1 FROM sym s JOIN i{i} x
+                                ON x.v = s.dst WHERE s.src = u.v))""")
+    selects = " UNION ".join(f"SELECT v FROM i{t}"
+                             for t in range(1, rounds + 1))
+    return f"WITH {', '.join(ctes)} {selects}"
+
+
 def _walks_sql(seeds: list[int], steps: int) -> str:
     """Unrolled deterministic-walk recurrence: per step, each walk moves
     to the out-neighbor minimizing (md5(walk:step:cur:nbr), nbr); sinks
@@ -1181,6 +1235,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_hits": _hits_sql(HITS_ITERS, 6),
     "doc_ppr": _ppr_sql(PPR_ITERS, 9, PPR_SOURCES),
     "doc_kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+    "doc_mis": _mis_sql(MIS_ROUNDS),
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
     "sample_stratified": _stratified_sql(),
@@ -1401,6 +1456,7 @@ QUERIES = {
     "doc_hits": q_doc_hits,
     "doc_ppr": q_doc_ppr,
     "doc_kcore": q_doc_kcore,
+    "doc_mis": q_doc_mis,
     "doc_walks": q_doc_walks,
     "doc_adamic_adar": q_doc_adamic_adar,
     "text_tokens": q_text_tokens,

@@ -157,3 +157,52 @@ def test_kcore_partition_invariance(tmp_path):
             eng.shutdown()
     assert np.array_equal(results[0], results[1])
     assert np.array_equal(results[0], results[2])
+
+
+# ------------------------------------------------------------------- MIS
+
+def mis_oracle(e, n):
+    import hashlib
+
+    adj = {v: set() for v in range(n)}
+    for a, b in e:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    pri = {v: int(hashlib.sha256(str(v).encode()).hexdigest()[:13], 16)
+           for v in range(n)}
+    status = {v: 0 for v in range(n)}
+    while any(s == 0 for s in status.values()):
+        join = [v for v in range(n) if status[v] == 0 and
+                all(pri[v] < pri[u] for u in adj[v] if status[u] == 0)]
+        for v in join:
+            status[v] = 1
+            for u in adj[v]:
+                if status[u] == 0:
+                    status[u] = 2
+    return np.array([status[v] == 1 for v in range(n)])
+
+
+@pytest.mark.parametrize("name", ["path_8", "cycle_5", "star_1_50",
+                                  "two_cliques_k5", "er_1k"])
+def test_mis_matches_luby_oracle(name, tmp_path):
+    from linkgraph.algos import maximal_independent_set
+
+    e = micro_graph(name)
+    n = _n(e)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        maximal_independent_set(eng)
+        got = eng.state_pandas(["in_mis"])["in_mis"].to_numpy().astype(bool)
+        want = mis_oracle(e, n)
+        assert np.array_equal(got, want), np.flatnonzero(got ^ want)
+        # independence + maximality (structural invariants)
+        und = np.unique(np.sort(e[e[:, 0] != e[:, 1]], axis=1), axis=0)
+        assert not (got[und[:, 0]] & got[und[:, 1]]).any()
+        covered = got.copy()
+        np.logical_or.at(covered, und[:, 0], got[und[:, 1]])
+        np.logical_or.at(covered, und[:, 1], got[und[:, 0]])
+        assert covered.all()
+    finally:
+        eng.shutdown()
