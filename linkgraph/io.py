@@ -67,6 +67,35 @@ def read_edges(path: str):
     return rd.read_parquet(path, columns=["src", "dst"])
 
 
+def read_edges_csv(path: str, src_col: str = "src", dst_col: str = "dst"):
+    """Edge list from CSV (header row) — the interchange format of most
+    public graph datasets.  Columns are cast to int64 and renamed to the
+    engine's (src, dst) contract; extra columns are dropped at the read
+    via a fused map stage (CSV has no column pushdown)."""
+
+    def canon(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "src": pc.cast(b[src_col], pa.int64()),
+            "dst": pc.cast(b[dst_col], pa.int64())})
+
+    return rd.read_csv(path).map_batches(canon, batch_format="pyarrow")
+
+
+def read_edges_json(path: str, src_col: str = "src", dst_col: str = "dst"):
+    """Edge list from newline-delimited JSON (one object per line)."""
+
+    def canon(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "src": pc.cast(b[src_col], pa.int64()),
+            "dst": pc.cast(b[dst_col], pa.int64())})
+
+    return rd.read_json(path).map_batches(canon, batch_format="pyarrow")
+
+
 def write_json(obj, path: str):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"

@@ -69,3 +69,27 @@ def test_in_mem_store_matches_persisted(tmp_path):
     finally:
         e1.shutdown()
         e2.shutdown()
+
+
+def test_csv_and_json_edge_sources(tmp_path):
+    """CSV / NDJSON edge lists load into the same (src, dst) contract and
+    drive the engine identically to the parquet path."""
+    import json
+
+    import pandas as pd
+
+    from linkgraph.io import read_edges_csv, read_edges_json
+
+    pdf = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0],
+                        "weight": [1.0, 2.0, 3.0, 4.0]})
+    csv_p = tmp_path / "e.csv"
+    pdf.to_csv(csv_p, index=False)
+    jl_p = tmp_path / "e.jsonl"
+    with open(jl_p, "w") as f:
+        for r in pdf.to_dict("records"):
+            f.write(json.dumps(r) + "\n")
+    want = pdf[["src", "dst"]].astype("int64")
+    for reader, p in ((read_edges_csv, csv_p), (read_edges_json, jl_p)):
+        got = reader(str(p)).to_pandas().sort_values(["src", "dst"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
