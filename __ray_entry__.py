@@ -12,13 +12,15 @@ this module nor the linkgraph library calls ``ray.init()`` /
 ``ray.shutdown()``.
 
 Query inventory: linkgraph.pipelines (one entry per operator family from
-SURVEY.md §2 + the training-data additions).  Keys present in
-``queries()`` but absent from ``oracle_sql()`` are the documented
-rows-only checks (probabilistic/approximate operators: dedup_minhash,
-dedup_simhash, dedup_ngram, ann_ivf).  The near-dup family's
-oracle-checked member is dedup_jaccard (exact inverted-index candidates,
-deterministic end to end); the media stub-decode pipeline is
-oracle-checked too (sha256-derived lanes reproduced in SQL).
+SURVEY.md §2 + the training-data additions).  The only key present in
+``queries()`` but absent from ``oracle_sql()`` is ``ann_ivf`` (k-means
+centroid training is the one genuinely-iterative float pipeline not
+reproduced in SQL; its recall vs the exact ``ann_topk`` is pytest-
+checked instead).  The whole near-dup family IS oracle-checked: the
+MinHash/SimHash index arithmetic is deterministic uint64 math that the
+oracles reproduce exactly in DuckDB HUGEINT (pipelines._minhash_sql /
+_simhash_sql); the media stub-decode pipeline likewise (sha256-derived
+lanes reproduced in SQL).
 """
 
 from __future__ import annotations

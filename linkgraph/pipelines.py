@@ -1212,6 +1212,167 @@ EMBED_CENTROIDS_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# MinHash / SimHash oracles: the LSH index arithmetic is DETERMINISTIC
+# (uint64 polynomial shingle hashes, multiply-add permutations, FNV band
+# folds, splitmix64 word avalanche), so the full candidate pipeline is
+# reproducible in DuckDB with HUGEINT (int128) modular arithmetic:
+# every product is kept < 2^127 (a_i, b_i < 2^61; 64x64-bit wraparound
+# multiplies are split into 32-bit halves) and reduced % 2^64 exactly
+# where numpy uint64 wraps.  Verified term-for-term against the engine
+# kernels (MinHashStage.signature / SimHashStage.batch_sigs).
+
+_W64 = "18446744073709551616::HUGEINT"  # 2^64, the uint64 wraparound modulus
+_FNV = 1099511628211                    # polynomial / band-fold base
+
+
+def _gram_hash_sql(col: str, k: int) -> str:
+    """HUGEINT expression reproducing text.rolling_hashes for ONE shingle
+    string in `col`: closed-form k-term polynomial for full-length grams,
+    list_reduce fold for the short-text (whole-string) shingle."""
+    w = 1 << 64
+    closed = " + ".join(
+        f"{pow(_FNV, k - 1 - i, w)}::HUGEINT*unicode(substr({col},{i + 1},1))"
+        for i in range(k))
+    fold = (f"list_reduce(list_transform(range(1, length({col}) + 1), "
+            f"j -> unicode(substr({col}, j::INT, 1))::HUGEINT), "
+            f"(acc, c) -> (acc * {_FNV} + c) % {_W64})")
+    return (f"(CASE WHEN length({col}) = {k} THEN ({closed}) % {_W64} "
+            f"WHEN length({col}) = 0 THEN 0::HUGEINT ELSE ({fold}) END)")
+
+
+def _mulmod64_sql(x: str, c: int) -> str:
+    """(x * c) mod 2^64 for x < 2^64 and a full-range 64-bit constant c,
+    without overflowing int128: split c into 32-bit halves."""
+    lo, hi = c & 0xFFFFFFFF, c >> 32
+    return (f"((({x})::HUGEINT * {lo} + ((({x})::HUGEINT * {hi}) % "
+            f"4294967296::HUGEINT) * 4294967296::HUGEINT) % {_W64})")
+
+
+def _shingles_sql(k: int) -> str:
+    """Distinct (doc_id, sh) char-k-gram shingle strings, matching
+    rolling_hashes' enumeration (whole text when len < k)."""
+    return f"""
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(
+                   CASE WHEN length(text) < {k} THEN [text]
+                   ELSE list_transform(range(1, length(text) - {k - 2}),
+                                       j -> substr(text, j::INT, {k}))
+                   END) AS sh
+          FROM documents)"""
+
+
+def _minhash_sql(num_perm: int, bands: int, k: int, threshold: float,
+                 cap: int, seed: int = 42) -> str:
+    """Full MinHash+LSH near-dup oracle (dedup.minhash_dedup_pairs /
+    ngram_jaccard_pairs): shingle hashes -> num_perm permutation minima
+    -> per-band FNV fold -> bucket groups -> df-capped pairs -> exact
+    Jaccard >= threshold over the full (string) shingle sets."""
+    mers = np.uint64((1 << 61) - 1)
+    rng = np.random.default_rng(seed)
+    pa_ = rng.integers(1, mers, num_perm, dtype=np.uint64)
+    pb_ = rng.integers(0, mers, num_perm, dtype=np.uint64)
+    perms = ", ".join(f"({i}, {int(pa_[i])}::HUGEINT, {int(pb_[i])}::HUGEINT)"
+                      for i in range(num_perm))
+    rpb = num_perm // bands
+    # band fold over the rpb signature minima, ordered by permutation id:
+    # bh_0 = s_0; bh_r = (bh_{r-1} * FNV + s_r) mod 2^64
+    fold = "l[1]"
+    for r in range(1, rpb):
+        fold = f"(({fold}) * {_FNV} + l[{r + 1}]) % {_W64}"
+    return f"""
+        WITH shd AS MATERIALIZED ({_shingles_sql(k)}),
+        hs AS MATERIALIZED (
+          SELECT DISTINCT doc_id, {_gram_hash_sql('sh', k)} AS h FROM shd),
+        perms(i, pa, pb) AS (VALUES {perms}),
+        sigs AS MATERIALIZED (
+          SELECT doc_id, i, min((h * pa + pb) % {_W64}) AS s
+          FROM hs CROSS JOIN perms GROUP BY doc_id, i),
+        bnd AS MATERIALIZED (
+          SELECT doc_id, band, {fold} AS bh FROM (
+            SELECT doc_id, i // {rpb} AS band, list(s ORDER BY i) AS l
+            FROM sigs GROUP BY doc_id, i // {rpb})),
+        capped AS (
+          SELECT doc_id, band, bh FROM (
+            SELECT doc_id, band, bh, row_number() OVER
+                   (PARTITION BY band, bh ORDER BY doc_id) AS rn
+            FROM bnd) WHERE rn <= {cap}),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM capped x JOIN capped y
+            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        sizes AS MATERIALIZED (
+          SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+        inter AS MATERIALIZED (
+          SELECT c.a, c.b, count(*) AS i
+          FROM cand c
+          JOIN shd sa ON sa.doc_id = c.a
+          JOIN shd sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+          GROUP BY c.a, c.b)
+        SELECT i.a, i.b
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.a
+        JOIN sizes zb ON zb.doc_id = i.b
+        WHERE i.i::DOUBLE / (za.sz + zb.sz - i.i) >= {threshold}
+    """
+
+
+def _simhash_sql(max_hamming: int, cap: int, word_prefix: int = 16) -> str:
+    """SimHash near-dup oracle (dedup.simhash_dedup_pairs): per-word
+    prefix polynomial hash + splitmix64 avalanche, per-doc 64-bit
+    majority signature, 4x16-bit block buckets, capped in-bucket pairs
+    with popcount hamming <= max_hamming.  Word split: the corpus is
+    ASCII (space/tab/newline separators), where Python isspace ==
+    the [ \\t\\n]+ character class."""
+    fold = "0::HUGEINT"
+    for j in range(word_prefix):
+        fold = (f"(CASE WHEN length(w) > {j} THEN (({fold}) * {_FNV} + "
+                f"unicode(substr(w,{j + 1},1))) % {_W64} "
+                f"ELSE ({fold}) END)")
+    return f"""
+        WITH words AS MATERIALIZED (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split_regex(lower(text),
+                   '[ \t\n]+')) AS w
+            FROM documents)
+          WHERE length(w) > 0),
+        wh0 AS (SELECT doc_id, ({fold})::UBIGINT AS h0 FROM words),
+        wh1 AS (SELECT doc_id, xor(h0, h0 >> 33) AS h1 FROM wh0),
+        wh2 AS (SELECT doc_id,
+                {_mulmod64_sql('h1', 0xFF51AFD7ED558CCD)}::UBIGINT AS h2
+                FROM wh1),
+        wh3 AS (SELECT doc_id, xor(h2, h2 >> 29) AS h3 FROM wh2),
+        wh4 AS (SELECT doc_id,
+                {_mulmod64_sql('h3', 0xC4CEB9FE1A85EC53)}::UBIGINT AS h4
+                FROM wh3),
+        wh AS MATERIALIZED (
+          SELECT doc_id, xor(h4, h4 >> 32) AS h FROM wh4),
+        bits AS (
+          SELECT doc_id, j, sum(((h >> j::INT) & 1)::BIGINT) AS c,
+                 count(*) AS n
+          FROM wh CROSS JOIN (SELECT unnest(range(64)) AS j)
+          GROUP BY doc_id, j),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+                 sum(CASE WHEN 2 * c > n
+                     THEN (1::HUGEINT << j::INT) ELSE 0::HUGEINT
+                     END)::UBIGINT AS s
+          FROM bits GROUP BY doc_id),
+        blocks AS MATERIALIZED (
+          SELECT doc_id, s, t, (s >> (16 * t)::INT) & 65535 AS bh
+          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS t)),
+        capped AS (
+          SELECT doc_id, s, t, bh FROM (
+            SELECT doc_id, s, t, bh, row_number() OVER
+                   (PARTITION BY t, bh ORDER BY doc_id) AS rn
+            FROM blocks) WHERE rn <= {cap})
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM capped x JOIN capped y
+          ON x.t = y.t AND x.bh = y.bh AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.s, y.s)) <= {max_hamming}
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_edges": DOC_EDGES_SQL,
     "doc_degree": (f"WITH sym AS ({DOC_SYM_SQL}) SELECT src AS v, "
@@ -1347,6 +1508,17 @@ ORACLE_SQL: dict[str, str] = {
                CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us
         FROM s GROUP BY 1, 2
     """,
+    # MinHash+LSH near-dup pairs (dedup.minhash_dedup_pairs defaults:
+    # 64 perms, 16 bands, char-5-grams, cap 64; q threshold 0.5) — the
+    # whole deterministic index reproduced in HUGEINT arithmetic
+    "dedup_minhash": _minhash_sql(num_perm=64, bands=16, k=5,
+                                  threshold=0.5, cap=64),
+    # n-gram Jaccard via high-recall MinHash banding (32 bands of 2;
+    # q threshold 0.4), exact-verified — same generator, narrower bands
+    "dedup_ngram": _minhash_sql(num_perm=64, bands=32, k=5,
+                                threshold=0.4, cap=64),
+    # SimHash 64-bit signatures, 4x16-bit blocks, hamming <= 8 (q args)
+    "dedup_simhash": _simhash_sql(max_hamming=8, cap=256),
     # exact inverted-index n-gram Jaccard (dedup.exact_jaccard_pairs):
     # shingles = distinct char-5-grams (whole text when len < 5, matching
     # text.rolling_hashes), candidates = docs sharing a shingle with the
@@ -1469,9 +1641,9 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_langid": q_text_langid,
     "dedup_exact": q_dedup_exact,
-    "dedup_minhash": q_dedup_minhash,       # rows-only (probabilistic index)
-    "dedup_simhash": q_dedup_simhash,       # rows-only
-    "dedup_ngram": q_dedup_ngram,           # rows-only
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
     "dedup_jaccard": q_dedup_jaccard,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,                   # rows-only (approximate)

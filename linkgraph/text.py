@@ -155,14 +155,23 @@ def langid_stage(ds, col: str = "text", out: str = "lang_pred",
 
 def rolling_hashes(text: str, k: int = 5) -> np.ndarray:
     """Deterministic 64-bit polynomial rolling hashes of char k-grams —
-    shingle set for minhash / n-gram Jaccard (linkgraph.dedup)."""
-    if len(text) < k:
-        data = text.encode("utf-8", "surrogatepass")
-        return np.array([int.from_bytes(hashlib.blake2b(
-            data, digest_size=8).digest(), "little")], dtype=np.uint64)
+    shingle set for minhash / n-gram Jaccard (linkgraph.dedup).
+
+    A text shorter than `k` yields ONE shingle: the same polynomial fold
+    over all its codepoints (uniform scheme, so every shingle hash —
+    short-text case included — is reproducible by the SQL oracles in
+    pipelines._minhash_sql via HUGEINT arithmetic)."""
+    B = np.uint64(1099511628211)
+    if len(text) == 0:
+        return np.zeros(1, dtype=np.uint64)
     codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
               .astype(np.uint64)
-    B = np.uint64(1099511628211)
+    if len(text) < k:
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for c in codes:
+                h = h * B + c
+        return np.array([h], dtype=np.uint64)
     h = np.zeros(len(codes) - k + 1, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for i in range(k):  # k tiny (5): vectorized over all positions

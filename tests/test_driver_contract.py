@@ -58,8 +58,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
     assert len(q) >= 20          # operator-coverage floor
     assert len(o) >= 15
     rows_only = set(q) - set(o)  # documented weaker checks
-    assert rows_only <= {"dedup_minhash", "dedup_simhash",
-                         "dedup_ngram", "ann_ivf"}
+    assert rows_only <= {"ann_ivf"}
 
 
 @pytest.mark.parametrize("name", ["doc_edges", "doc_degree", "doc_edge_count",
@@ -72,7 +71,9 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "dedup_jaccard", "sample_stratified",
                                   "text_quality", "embed_centroids",
                                   "tpch_order_rank", "doc_walks",
-                                  "sketch_distinct", "semantic_dedup"])
+                                  "sketch_distinct", "semantic_dedup",
+                                  "dedup_minhash", "dedup_ngram",
+                                  "dedup_simhash"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
