@@ -33,10 +33,23 @@ class CompressedRows:
     indptr: np.ndarray
     indices: np.ndarray
     weights: np.ndarray | None = None
+    _row_rep: np.ndarray | None = None
 
     @property
     def n_edges(self) -> int:
         return len(self.indices)
+
+    @property
+    def row_rep(self) -> np.ndarray:
+        """int32[n_edges] row index per edge, built lazily ONCE per shard
+        (the structure is static): feeds the bincount fast path of
+        segment_reduce — measured 4x over np.add.reduceat, whose
+        per-segment C loop (not DRAM) was the dense-superstep floor."""
+        if self._row_rep is None:
+            lens = np.diff(self.indptr)
+            object.__setattr__(self, "_row_rep", np.repeat(
+                np.arange(len(lens), dtype=np.int32), lens))
+        return self._row_rep
 
     def nbytes(self) -> int:
         n = self.row_vertex.nbytes + self.indptr.nbytes + self.indices.nbytes
@@ -130,17 +143,28 @@ def expand_rows(cr: CompressedRows, row_pos: np.ndarray):
 
 
 def segment_reduce(values: np.ndarray, indptr: np.ndarray, op: str,
-                   mask: np.ndarray | None = None) -> np.ndarray:
+                   mask: np.ndarray | None = None,
+                   row_rep: np.ndarray | None = None) -> np.ndarray:
     """Per-row reduce over CSR segments; identity-filled for masked-out edges.
 
     op='add' -> sum (identity 0); op='min' -> min (identity +inf).
     The vectorized analog of Gemini's dense_signal inner loops
     (e.g. pagerank.cpp:63-68 sum, cc.cpp:60-66 min).
+
+    Pass the (static) `row_rep` edge->row index to unlock the bincount
+    fast path for float add: ~4x over np.add.reduceat, whose per-segment
+    C loop is the measured floor of the dense superstep.  (Summation
+    association changes from reduceat's partial unrolling to strictly
+    sequential — a <=1e-15 relative difference, the same order the
+    cross-engine oracle comparisons already tolerate.)
     """
     if op == "add":
         ident = 0
         ufunc = np.add
         vals = np.where(mask, values, ident) if mask is not None else values
+        if row_rep is not None and vals.dtype == np.float64:
+            return np.bincount(row_rep, weights=vals,
+                               minlength=len(indptr) - 1)
     elif op == "min":
         ident = np.inf if values.dtype.kind == "f" else np.iinfo(values.dtype).max
         ufunc = np.minimum

@@ -297,7 +297,8 @@ class GraphShard:
         edge_vals = prog.edge_transform(edge_vals, w)
         vmask = prog.dense_src_mask(self.ctx, self.state, self.active)
         emask = vmask[cr.indices - self.lo] if vmask is not None else None
-        partial = segment_reduce(edge_vals, cr.indptr, prog.combine, emask)
+        partial = segment_reduce(edge_vals, cr.indptr, prog.combine, emask,
+                                 row_rep=cr.row_rep)
         emit = prog.dense_emit_mask(self.ctx, cr.row_vertex, partial)
         return _split_sorted(cr.row_vertex[emit], self.offsets, partial[emit])
 
