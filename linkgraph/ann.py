@@ -183,6 +183,122 @@ def build_ivf_index(ds, cent: np.ndarray, index_dir: str | None = None,
     return index_dir
 
 
+def make_hyperplanes(dim: int, n_planes: int = 6,
+                     seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH bucketing."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def build_lsh_index(ds, planes: np.ndarray, index_dir: str | None = None,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> str:
+    """Physical sign-LSH layout: ONE pass assigns every vector its
+    hyperplane sign code (bucket), partitioned parquet write
+    (`bucket=<c>/` dirs).  Query time READS only the probed buckets —
+    the same pruned-scan shape as build_ivf_index, but the quantizer is
+    non-iterative (fixed seeded hyperplanes), which keeps the whole
+    operator SQL-oracle-checkable end to end (pipelines 'ann_lsh')."""
+    import tempfile
+
+    import ray
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="linkgraph_lsh_", dir="/tmp")
+    pref = ray.put(planes)
+
+    def assign(b: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        m = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        bits = (m @ pl.T) > 0
+        code = (bits * (1 << np.arange(pl.shape[0]))).sum(axis=1)
+        return b.select([id_col, vec_col]).append_column(
+            "bucket", pa.array(code.astype(np.int64)))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"], mode="overwrite")
+    return index_dir
+
+
+def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
+             n_planes: int = 6, seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding", exclude_self: bool = True,
+             stats: dict | None = None) -> pd.DataFrame:
+    """Sign-LSH ANN: vectors physically bucketed by hyperplane sign code,
+    queries probe their own bucket plus all hamming-1 neighbors (a
+    DETERMINISTIC probe set — no float ranking decides which buckets are
+    read), pruned scan + one masked matmul per batch.  Approximate
+    (recall < 1), but every step is deterministic integer/float64 math,
+    so the full operator has an exact DuckDB oracle."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    planes = make_hyperplanes(np.asarray(queries).shape[1], n_planes, seed)
+    index_dir = build_lsh_index(ds, planes, id_col=id_col, vec_col=vec_col)
+
+    qraw = np.asarray(queries, dtype=np.float64)
+    qm = _normalize(qraw)
+    qids_arr = np.asarray(query_ids, dtype=np.int64)
+    qcodes = (((qraw @ planes.T) > 0)
+              * (1 << np.arange(n_planes))).sum(axis=1)
+    # probe set: own bucket + every hamming-1 bucket (bit flips)
+    n_buckets = 1 << n_planes
+    probe_mat = np.zeros((len(qm), n_buckets), dtype=bool)
+    for qi, c in enumerate(qcodes):
+        probe_mat[qi, c] = True
+        for b in range(n_planes):
+            probe_mat[qi, c ^ (1 << b)] = True
+
+    paths = []
+    for c in np.flatnonzero(probe_mat.any(axis=0)):
+        paths.extend(sorted(glob.glob(
+            os.path.join(index_dir, f"bucket={c}", "*.parquet"))))
+    scanned = rd.read_parquet(paths, columns=[id_col, vec_col])
+    if stats is not None:
+        stats["rows_scanned"] = scanned.count()
+        stats["rows_total"] = ds.count()
+        stats["index_dir"] = index_dir
+
+    pref = ray.put(planes)
+    qref = ray.put((qm, qids_arr, probe_mat))
+    kk = k + (1 if exclude_self else 0)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        q, qids, pm = ray.get(qref)
+        vids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        code = (((raw @ pl.T) > 0)
+                * (1 << np.arange(pl.shape[0]))).sum(axis=1)
+        sims = q @ _normalize(raw).T          # (nq, nb)
+        allowed = pm[:, code]                 # (nq, nb)
+        sims = np.where(allowed, sims, -2.0)
+        nq, nb = sims.shape
+        kb = min(kk, nb)
+        ids_row = np.broadcast_to(vids, (nq, nb))
+        part = np.lexsort((ids_row, -sims), axis=1)[:, :kb]
+        rows = np.repeat(np.arange(nq), kb)
+        cols = part.reshape(-1)
+        keep = allowed[rows, cols]
+        return pa.table({
+            "query_id": pa.array(qids[rows][keep], pa.int64()),
+            "neighbor_id": pa.array(vids[cols][keep]),
+            "cosine": pa.array(sims[rows, cols][keep], pa.float64()),
+        })
+
+    parts = scanned.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if exclude_self:
+        parts = parts[parts["query_id"] != parts["neighbor_id"]]
+    top = _topk_frame(parts["query_id"].to_numpy(),
+                      parts["neighbor_id"].to_numpy(),
+                      parts["cosine"].to_numpy(), k)
+    top["rnk"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rnk", "cosine"]]
+
+
 def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4, sample_n: int = 2048,
              seed: int = 42, id_col: str = "vec_id",

@@ -54,6 +54,7 @@ STRAT_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
 STRAT_DEFAULT = 0.3
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 5
+ANN_LSH_PLANES = 6
 EMB_DUP_TAU = 0.4
 
 
@@ -616,6 +617,21 @@ def q_ann_topk(sf_dir):
                           columns=["vec_id", "embedding"])
     q, qi = queries_from_ids(emb, ANN_QUERY_IDS)
     out = brute_force_topk(emb, q, qi, k=ANN_K)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def q_ann_lsh(sf_dir):
+    """Sign-LSH ANN over the physically bucketed index (ann.lsh_topk):
+    probe = own bucket + hamming-1 neighbors.  Deterministic end to end,
+    so unlike ann_ivf the scale path itself is oracle-checked: _ann_lsh_sql
+    recomputes codes from the same literal hyperplanes."""
+    from .ann import lsh_topk, queries_from_ids
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+    q, qi = queries_from_ids(emb, ANN_QUERY_IDS)
+    out = lsh_topk(emb, q, qi, k=ANN_K, n_planes=ANN_LSH_PLANES)
     out["cosine"] = out["cosine"].round(6)
     return out
 
@@ -1373,6 +1389,41 @@ def _simhash_sql(max_hamming: int, cap: int, word_prefix: int = 16) -> str:
     """
 
 
+def _ann_lsh_sql(n_planes: int, k: int, seed: int = 42,
+                 dim: int = 64) -> str:
+    """Sign-LSH ANN oracle (ann.lsh_topk): the seeded hyperplanes are
+    injected as exact round-trip double literals, codes recomputed with
+    list_dot_product sign tests, probe set = hamming distance <= 1 via
+    popcount, cosine top-k ranked like ann_topk."""
+    from .ann import make_hyperplanes
+
+    planes = make_hyperplanes(dim, n_planes, seed)
+    code_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in planes[i])}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes))
+    return f"""
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        code AS MATERIALIZED (
+          SELECT vec_id, v, ({code_expr})::BIGINT AS c FROM emb),
+        q AS (SELECT vec_id AS query_id, v AS qv, c AS qc FROM code
+              WHERE vec_id IN ({', '.join(map(str, ANN_QUERY_IDS))})),
+        sims AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qv, e.v) AS cos
+          FROM q JOIN code e
+            ON e.vec_id <> q.query_id
+           AND bit_count(xor(q.qc, e.c)) <= 1),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                   FROM sims)
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+        FROM ranked WHERE rnk <= {k}
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_edges": DOC_EDGES_SQL,
     "doc_degree": (f"WITH sym AS ({DOC_SYM_SQL}) SELECT src AS v, "
@@ -1458,6 +1509,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
         FROM ranked WHERE rnk <= {ANN_K}
     """,
+    "ann_lsh": _ann_lsh_sql(ANN_LSH_PLANES, ANN_K),
     "embed_dup_pairs": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                    FROM embeddings)
@@ -1646,6 +1698,7 @@ QUERIES = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_jaccard": q_dedup_jaccard,
     "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,                   # rows-only (approximate)
     "embed_dup_pairs": q_embed_dup_pairs,
     "embed_centroids": q_embed_centroids,

@@ -212,6 +212,22 @@ def test_ivf_pruned_scan(emb_ds):
     assert 1 in out[out["query_id"] == 0]["neighbor_id"].tolist()
 
 
+def test_lsh_topk_pruned_scan_and_recall(emb_ds):
+    """Sign-LSH ANN: physically pruned scan (hamming<=1 probe reads a
+    strict subset) and the planted near-identical neighbor is found."""
+    from linkgraph.ann import lsh_topk
+
+    q, qi = queries_from_ids(emb_ds, [0, 6])
+    stats = {}
+    approx = lsh_topk(emb_ds, q, qi, k=3, n_planes=4, stats=stats)
+    assert stats["rows_scanned"] < stats["rows_total"] == 40
+    assert 1 in approx[approx["query_id"] == 0]["neighbor_id"].tolist()
+    exact = brute_force_topk(emb_ds, q, qi, k=3)
+    inter = len(set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+                & set(map(tuple, approx[["query_id", "neighbor_id"]].values)))
+    assert inter >= 3
+
+
 def test_multimodal_decode_plumbing():
     t = synth_media_table(100)
     ds = rd.from_arrow(t)
