@@ -523,6 +523,17 @@ def q_text_quality(sf_dir):
                .select_columns(["doc_id", "quality", "keep"])
 
 
+def q_text_repetition(sf_dir):
+    """Gopher-style repetition filters (text.add_repetition_stats):
+    duplicate-word fraction, top-word fraction, top-bigram fraction —
+    word-level (corpus has no line structure)."""
+    from .text import add_repetition_stats
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return docs.map_batches(add_repetition_stats, batch_format="pyarrow")
+
+
 def q_text_stats(sf_dir):
     import ray.data as rd
 
@@ -1571,6 +1582,44 @@ ORACLE_SQL: dict[str, str] = {
                                 threshold=0.4, cap=64),
     # SimHash 64-bit signatures, 4x16-bit blocks, hamming <= 8 (q args)
     "dedup_simhash": _simhash_sql(max_hamming=8, cap=256),
+    # word-level repetition metrics (text.add_repetition_stats): word
+    # split mirrors the engine's isspace segmentation on this ASCII
+    # corpus; bigram keys are order-sensitive concat (chr(31) separator,
+    # a codepoint outside the corpus charset)
+    "text_repetition": """
+        WITH wl AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[ \t\n]+'), x -> length(x) > 0) AS l
+          FROM documents),
+        w AS MATERIALIZED (
+          SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+          FROM wl),
+        wg AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        ws AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+                      count(*)::BIGINT AS n_dist, max(c) AS max_w
+               FROM wg GROUP BY doc_id),
+        big AS (SELECT doc_id, w || chr(31) || w2 AS bg FROM (
+                  SELECT doc_id, w, lead(w) OVER
+                         (PARTITION BY doc_id ORDER BY i) AS w2 FROM w)
+                WHERE w2 IS NOT NULL),
+        bgg AS (SELECT doc_id, bg, count(*) AS c
+                FROM big GROUP BY doc_id, bg),
+        bs AS (SELECT doc_id, max(c) AS max_b FROM bgg GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(ws.n_words, 0) AS n_words,
+               round(CASE WHEN coalesce(ws.n_words, 0) > 0
+                     THEN 1 - (ws.n_dist::DOUBLE / ws.n_words)
+                     ELSE 0 END, 6) AS dup_word_frac,
+               round(CASE WHEN coalesce(ws.n_words, 0) > 0
+                     THEN ws.max_w::DOUBLE / ws.n_words
+                     ELSE 0 END, 6) AS top_word_frac,
+               round(CASE WHEN coalesce(ws.n_words, 0) > 1
+                     THEN bs.max_b::DOUBLE / (ws.n_words - 1)
+                     ELSE 0 END, 6) AS top_bigram_frac
+        FROM documents d
+        LEFT JOIN ws ON ws.doc_id = d.doc_id
+        LEFT JOIN bs ON bs.doc_id = d.doc_id
+    """,
     # exact inverted-index n-gram Jaccard (dedup.exact_jaccard_pairs):
     # shingles = distinct char-5-grams (whole text when len < 5, matching
     # text.rolling_hashes), candidates = docs sharing a shingle with the
@@ -1690,6 +1739,7 @@ QUERIES = {
     "sketch_distinct": q_sketch_distinct,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
     "text_fingerprint": q_text_fingerprint,
     "text_langid": q_text_langid,
     "dedup_exact": q_dedup_exact,

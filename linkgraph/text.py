@@ -73,6 +73,113 @@ def add_quality(batch: pa.Table, col: str = "text",
     return batch.append_column(keep_out, pa.array(q >= threshold))
 
 
+def _batch_word_hashes(texts: list) -> tuple[np.ndarray, np.ndarray, int]:
+    """(word_doc, word_hash, n_docs): full-word 64-bit hashes of every
+    whitespace-separated lowercased word, vectorized across the batch
+    (one concat, boolean run detection, per-char polynomial rounds to the
+    LONGEST word, splitmix64 avalanche).  Hashes are internal distinct
+    keys only — equivalence with string-keyed SQL holds up to 2^-64
+    collisions (same note as the shingle hashing)."""
+    n_docs = len(texts)
+    lowered = [(t or "").lower() for t in texts]
+    joined = "\x00".join(lowered)
+    if not joined:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64), n_docs)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    doc_end = np.cumsum(np.array([len(t) + 1 for t in lowered],
+                                 dtype=np.int64)) - 1
+    # whitespace = any Python-isspace codepoint (corpus charset: space,
+    # tab, newline); \x00 doubles as the doc separator
+    ws = np.array([0, 9, 10, 11, 12, 13, 28, 29, 30, 31, 32, 133, 160],
+                  dtype=np.uint32)
+    nonspace = ~np.isin(codes, ws)
+    prev = np.concatenate([[False], nonspace[:-1]])
+    nxt = np.concatenate([nonspace[1:], [False]])
+    w_start = np.flatnonzero(nonspace & ~prev)
+    w_end = np.flatnonzero(nonspace & ~nxt)
+    if len(w_start) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64), n_docs)
+    lens = w_end - w_start + 1
+    h = np.zeros(len(w_start), dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for k in range(int(lens.max())):
+            m = lens > k
+            if not m.any():
+                break
+            h[m] = h[m] * B + codes[w_start[m] + k].astype(np.uint64)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(32)
+    word_doc = np.searchsorted(doc_end, w_start, side="left")
+    return word_doc.astype(np.int64), h, n_docs
+
+
+def _per_doc_max_and_distinct(doc: np.ndarray, key: np.ndarray,
+                              n_docs: int):
+    """(max_count[d], n_distinct[d]) of `key` values per doc, vectorized:
+    one lexsort + boundary scans."""
+    max_c = np.zeros(n_docs, dtype=np.int64)
+    n_dist = np.zeros(n_docs, dtype=np.int64)
+    if len(doc) == 0:
+        return max_c, n_dist
+    order = np.lexsort((key, doc))
+    d, k = doc[order], key[order]
+    new = np.empty(len(d), dtype=bool)
+    new[0] = True
+    new[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.concatenate([starts, [len(d)]]))
+    gd = d[starts]
+    np.maximum.at(max_c, gd, counts)
+    n_dist += np.bincount(gd, minlength=n_docs)
+    return max_c, n_dist
+
+
+def add_repetition_stats(batch: pa.Table, id_col: str = "doc_id",
+                         col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality metrics per document (the
+    standard pre-training repetition filters, word-level because the
+    corpus has no line structure):
+
+        n_words         whitespace word count
+        dup_word_frac   1 - distinct_words / n_words        (0 if empty)
+        top_word_frac   max single-word count / n_words     (0 if empty)
+        top_bigram_frac max word-bigram count / (n_words-1) (0 if <2)
+
+    Fully vectorized across the batch; fraction arithmetic is float64
+    rounded to 6, reproduced string-for-string by the SQL oracle
+    (pipelines 'text_repetition')."""
+    texts = batch[col].to_pylist()
+    word_doc, h, n_docs = _batch_word_hashes(texts)
+    n_words = np.bincount(word_doc, minlength=n_docs).astype(np.int64)
+    max_w, dist_w = _per_doc_max_and_distinct(word_doc, h, n_docs)
+    # bigrams: consecutive words of the SAME doc, combined with an
+    # order-sensitive mix
+    same = word_doc[1:] == word_doc[:-1] if len(word_doc) else \
+        np.empty(0, bool)
+    with np.errstate(over="ignore"):
+        bh = (h[:-1] * np.uint64(0x9E3779B97F4A7C15)) ^ h[1:] \
+            if len(h) else np.empty(0, np.uint64)
+    bdoc = word_doc[:-1][same] if len(word_doc) else word_doc
+    max_b, _ = _per_doc_max_and_distinct(bdoc, bh[same] if len(h) else bh,
+                                         n_docs)
+    nw = n_words.astype(np.float64)
+    dup_word = np.where(n_words > 0, 1.0 - dist_w / np.maximum(nw, 1.0), 0.0)
+    top_word = np.where(n_words > 0, max_w / np.maximum(nw, 1.0), 0.0)
+    nb = np.maximum(n_words - 1, 1).astype(np.float64)
+    top_bigram = np.where(n_words > 1, max_b / nb, 0.0)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(n_words),
+        "dup_word_frac": pa.array(np.round(dup_word, 6), pa.float64()),
+        "top_word_frac": pa.array(np.round(top_word, 6), pa.float64()),
+        "top_bigram_frac": pa.array(np.round(top_bigram, 6), pa.float64()),
+    })
+
+
 def normalize_text(col: pa.ChunkedArray) -> pa.ChunkedArray:
     """Lowercase, collapse whitespace runs to single spaces, trim."""
     x = pc.utf8_lower(col)

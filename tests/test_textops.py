@@ -268,6 +268,35 @@ def test_media_from_documents_derivation():
     assert list(frames["media_id"]) == [2] and list(frames["frame_ms"]) == [0]
 
 
+def test_add_repetition_stats_vs_naive():
+    from collections import Counter
+
+    from linkgraph.text import add_repetition_stats
+
+    texts = ["the cat sat on the mat the cat", "solo",
+             "", "a a a a", "x y", "one two three two one two"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = add_repetition_stats(t).to_pandas()
+    for i, txt in enumerate(texts):
+        words = txt.lower().split()
+        n = len(words)
+        row = got[got["doc_id"] == i].iloc[0]
+        assert row["n_words"] == n
+        if n:
+            wc = Counter(words)
+            assert row["dup_word_frac"] == round(1.0 - len(wc) / n, 6)
+            assert row["top_word_frac"] == round(max(wc.values()) / n, 6)
+        else:
+            assert row["dup_word_frac"] == 0.0
+        if n > 1:
+            bc = Counter(zip(words, words[1:]))
+            assert row["top_bigram_frac"] == round(
+                max(bc.values()) / (n - 1), 6)
+        else:
+            assert row["top_bigram_frac"] == 0.0
+
+
 def test_add_quality_formula():
     """quality = 0.4*len + 0.4*stopword + 0.2*(1-punct) vs a naive
     re-implementation; keep flag thresholds the rounded score."""
