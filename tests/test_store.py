@@ -93,3 +93,35 @@ def test_csv_and_json_edge_sources(tmp_path):
         got = reader(str(p)).to_pandas().sort_values(["src", "dst"]) \
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_binary_edgeunit_source_roundtrip(tmp_path):
+    """The reference's packed EdgeUnit binary format (type.hpp:28-42)
+    round-trips through write_edges_binary/read_edges_binary, unweighted
+    and weighted, including multi-block parallel reads."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from linkgraph.io import read_edges_binary, write_edges_binary
+
+    rng = np.random.default_rng(7)
+    n = 10_000
+    pdf = pd.DataFrame({
+        "src": rng.integers(0, 1000, n).astype("int64"),
+        "dst": rng.integers(0, 1000, n).astype("int64"),
+        "weight": rng.random(n).astype(np.float32).astype(np.float64)})
+    for weighted in (False, True):
+        cols = ["src", "dst"] + (["weight"] if weighted else [])
+        p = tmp_path / f"edges_{weighted}.bin"
+        write_edges_binary(rd.from_pandas(pdf[cols]), str(p),
+                           weighted=weighted)
+        unit = 12 if weighted else 8
+        assert p.stat().st_size == n * unit
+        got = read_edges_binary(str(p), weighted=weighted,
+                                edges_per_block=3000).to_pandas()
+        # block arrival order is not guaranteed (preserve_order off);
+        # the engine's edge contract is order-free
+        pd.testing.assert_frame_equal(
+            got.sort_values(cols).reset_index(drop=True),
+            pdf[cols].sort_values(cols).reset_index(drop=True))
