@@ -534,6 +534,17 @@ def q_text_repetition(sf_dir):
     return docs.map_batches(add_repetition_stats, batch_format="pyarrow")
 
 
+def q_text_tfidf(sf_dir):
+    """Top-5 TF-IDF terms per document (text.tfidf_top_terms): one
+    distributed word-count pass for document frequencies, vocabulary
+    broadcast back, per-doc scoring + rank."""
+    from .text import tfidf_top_terms
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, k=5)
+
+
 def q_text_stats(sf_dir):
     import ray.data as rd
 
@@ -1582,6 +1593,34 @@ ORACLE_SQL: dict[str, str] = {
                                 threshold=0.4, cap=64),
     # SimHash 64-bit signatures, 4x16-bit blocks, hamming <= 8 (q args)
     "dedup_simhash": _simhash_sql(max_hamming=8, cap=256),
+    # top-5 TF-IDF terms per doc (text.tfidf_top_terms): tf = c/doc_len,
+    # idf = ln(N/df) over ALL documents; ties (tfidf desc, term asc)
+    "text_tfidf": """
+        WITH wl AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[ \t\n]+'), x -> length(x) > 0) AS l
+          FROM documents),
+        w AS MATERIALIZED (
+          SELECT doc_id, unnest(l) AS term FROM wl),
+        tc AS MATERIALIZED (
+          SELECT doc_id, term, count(*) AS c FROM w GROUP BY doc_id, term),
+        nw AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
+        df AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+        nd AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.term,
+                 (t.c::DOUBLE / nw.n) * ln(nd.nd / df.df) AS s
+          FROM tc t
+          JOIN nw ON nw.doc_id = t.doc_id
+          JOIN df ON df.term = t.term
+          CROSS JOIN nd),
+        ranked AS (
+          SELECT doc_id, term, s, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rnk
+          FROM scored)
+        SELECT doc_id, term, rnk, round(s, 6) AS tfidf
+        FROM ranked WHERE rnk <= 5
+    """,
     # word-level repetition metrics (text.add_repetition_stats): word
     # split mirrors the engine's isspace segmentation on this ASCII
     # corpus; bigram keys are order-sensitive concat (chr(31) separator,
@@ -1740,6 +1779,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
+    "text_tfidf": q_text_tfidf,
     "text_fingerprint": q_text_fingerprint,
     "text_langid": q_text_langid,
     "dedup_exact": q_dedup_exact,

@@ -180,6 +180,88 @@ def add_repetition_stats(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+def _word_count_table(batch: pa.Table, id_col: str,
+                      col: str) -> pa.Table:
+    """(doc_id, term, c, n) rows: per-document term counts + word total,
+    fully vectorized in Arrow (split -> flatten with parent indices ->
+    C++ group_by).  A document is one row, so its counts are always
+    complete within the batch."""
+    low = pc.utf8_lower(batch[col])
+    words = pc.split_pattern_regex(low, r"[ \t\n]+")
+    parent = pc.list_parent_indices(words)
+    flat = pc.list_flatten(words)
+    ids = pc.take(batch[id_col], parent)
+    t = pa.table({"doc_id": ids, "term": flat})
+    t = t.filter(pc.greater(pc.utf8_length(t["term"]), 0))
+    tc = t.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+    tc = tc.rename_columns(["doc_id", "term", "c"])
+    nw = tc.group_by(["doc_id"]).aggregate([("c", "sum")]) \
+           .rename_columns(["doc_id", "n"])
+    pdf = tc.to_pandas().merge(nw.to_pandas(), on="doc_id")
+    return pa.table({
+        "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+        "term": pa.array(pdf["term"], pa.string()),
+        "c": pa.array(pdf["c"], pa.int64()),
+        "n": pa.array(pdf["n"], pa.int64()),
+    })
+
+
+def tfidf_top_terms(ds, id_col: str = "doc_id", col: str = "text",
+                    k: int = 5):
+    """Top-k terms per document by TF-IDF (tf = count/doc_len, idf =
+    ln(N/df)), the classic per-document keyword extraction:
+
+      1. ONE distributed pass builds the (doc, term, count, len) table
+         (Arrow C++ group_by inside map_batches), materialized once.
+      2. Document frequencies reduce via a distributed groupby; the
+         (term, df) vocabulary — bounded by the language, not the corpus
+         — is broadcast back (ray.put) with the corpus size N.
+      3. A second pass over the word-count table scores and ranks
+         locally per document (a doc's terms never span batches).
+
+    Deterministic: ties break (tfidf desc, term asc).  Returns a Dataset
+    (doc_id, term, rnk, tfidf) with tfidf rounded to 6."""
+    import pandas as pd
+    import ray
+
+    from .runtime import tune_context
+    tune_context()
+
+    ds = ds.materialize()  # word-count pass + scoring pass share lineage
+    n_docs = ds.count()
+    wc = ds.map_batches(
+        lambda b: _word_count_table(b, id_col, col),
+        batch_format="pyarrow")
+    df = (wc.groupby("term").count()
+            .to_pandas())  # vocabulary-sized, not corpus-sized
+    vocab = np.sort(df["term"].to_numpy())
+    dfc = df.set_index("term").loc[vocab, "count()"].to_numpy(np.int64)
+    vref = ray.put((vocab, dfc, float(n_docs)))
+
+    # scoring maps over the DOCUMENTS (one doc = one row), recomputing
+    # the doc's counts locally — a doc's terms can therefore never be
+    # split across batches by Ray's re-batching, which would corrupt a
+    # per-batch top-k over a (doc, term) row table
+    def score(b: pa.Table) -> pa.Table:
+        vcb, dfv, nd = ray.get(vref)
+        pdf = _word_count_table(b, id_col, col).to_pandas()
+        pos = np.searchsorted(vcb, pdf["term"].to_numpy())
+        idf = np.log(nd / dfv[pos])
+        s = (pdf["c"].to_numpy() / pdf["n"].to_numpy(np.float64)) * idf
+        pdf["tfidf"] = s
+        pdf = pdf.sort_values(["doc_id", "tfidf", "term"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = pdf.groupby("doc_id").head(k).copy()
+        top["rnk"] = top.groupby("doc_id").cumcount() + 1
+        top["tfidf"] = top["tfidf"].round(6)
+        return pa.Table.from_pandas(
+            top[["doc_id", "term", "rnk", "tfidf"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def normalize_text(col: pa.ChunkedArray) -> pa.ChunkedArray:
     """Lowercase, collapse whitespace runs to single spaces, trim."""
     x = pc.utf8_lower(col)

@@ -297,6 +297,31 @@ def test_add_repetition_stats_vs_naive():
             assert row["top_bigram_frac"] == 0.0
 
 
+def test_tfidf_top_terms_vs_naive():
+    import math
+    from collections import Counter
+
+    from linkgraph.text import tfidf_top_terms
+
+    texts = ["apple banana apple cherry", "banana cherry cherry date",
+             "apple date", "unique words only here"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = tfidf_top_terms(rd.from_arrow(t), k=2).to_pandas()
+    # naive oracle
+    docs = [t.lower().split() for t in texts]
+    df = Counter(w for d in docs for w in set(d))
+    N = len(docs)
+    for i, d in enumerate(docs):
+        wc = Counter(d)
+        scores = sorted(((c / len(d)) * math.log(N / df[w]), w)
+                        for w, c in wc.items())
+        want = sorted((w for s, w in
+                       sorted(scores, key=lambda x: (-x[0], x[1]))[:2]))
+        mine = sorted(got[got["doc_id"] == i]["term"].tolist())
+        assert mine == want, (i, mine, want)
+
+
 def test_add_quality_formula():
     """quality = 0.4*len + 0.4*stopword + 0.2*(1-punct) vs a naive
     re-implementation; keep flag thresholds the rounded score."""
