@@ -5,6 +5,7 @@ triangle counting)."""
 from .bc import BCBackwardProgram, BCForwardProgram, betweenness
 from .bfs import BFSProgram, bfs
 from .cc import CCProgram, connected_components
+from .coloring import ColoringProgram, greedy_coloring
 from .hits import hits, normalized_scores
 from .kcore import KCoreProgram, kcore
 from .labelprop import LabelPropProgram, label_propagation
@@ -18,6 +19,7 @@ __all__ = [
     "BCBackwardProgram", "BCForwardProgram", "betweenness",
     "BFSProgram", "bfs",
     "CCProgram", "connected_components",
+    "ColoringProgram", "greedy_coloring",
     "hits", "normalized_scores",
     "KCoreProgram", "kcore",
     "LabelPropProgram", "label_propagation",

@@ -391,6 +391,8 @@ def q_doc_kcore(sf_dir):
 
 
 MIS_ROUNDS = 8  # unrolled select+broadcast pairs in the SQL oracle
+COLORING_ROUNDS = 12      # unrolled JP rounds in the SQL oracle
+COLORING_MAX_COLORS = 128  # oracle color-search range (engine asserts)
 
 
 def q_doc_mis(sf_dir):
@@ -404,6 +406,21 @@ def q_doc_mis(sf_dir):
     _check_unroll(rep, 2 * MIS_ROUNDS, "doc_mis")
     pdf = _state_result(eng, "in_mis", "in_mis")
     return pdf[pdf["in_mis"] == 1][["v"]].reset_index(drop=True)
+
+
+def q_doc_coloring(sf_dir):
+    """Deterministic Jones-Plassmann greedy coloring on the symmetrized
+    doc graph (algos/coloring.py: sha-priority select + color broadcast,
+    two supersteps per round) — equals sequential greedy coloring in
+    priority order.  Oracle: _coloring_sql unrolled recurrence."""
+    from .algos.coloring import greedy_coloring
+
+    eng = documents_engine(sf_dir, "undirected")
+    rep = greedy_coloring(eng)
+    _check_unroll(rep, 2 * COLORING_ROUNDS, "doc_coloring")
+    pdf = _state_result(eng, "color", "color")
+    assert pdf["color"].max() < COLORING_MAX_COLORS  # oracle range() bound
+    return pdf
 
 
 def q_doc_walks(sf_dir):
@@ -1118,6 +1135,62 @@ def _mis_sql(rounds: int) -> str:
     return f"WITH {', '.join(ctes)} {selects}"
 
 
+def _coloring_sql(rounds: int, max_colors: int) -> str:
+    """Unrolled deterministic Jones-Plassmann recurrence
+    (algos/coloring.py): per round, uncolored vertices below the min
+    uncolored-neighbor priority take the smallest color absent from
+    their colored neighborhood."""
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            """p AS MATERIALIZED (
+              SELECT doc_id AS v,
+                     ('0x' || substr(sha256(doc_id::VARCHAR), 1, 13))
+                     ::UBIGINT AS pri
+              FROM documents)""",
+            "u0 AS MATERIALIZED (SELECT v FROM p)",
+            """c0 AS MATERIALIZED (
+              SELECT CAST(NULL AS BIGINT) AS v,
+                     CAST(NULL AS BIGINT) AS color WHERE false)"""]
+    for i in range(1, rounds + 1):
+        pu, pc = f"u{i - 1}", f"c{i - 1}"
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+              SELECT s.src AS v, min(p2.pri) AS mn
+              FROM sym s
+              JOIN {pu} a ON a.v = s.src
+              JOIN {pu} b ON b.v = s.dst
+              JOIN p p2 ON p2.v = s.dst
+              GROUP BY s.src)""")
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+              SELECT u.v FROM {pu} u
+              JOIN p ON p.v = u.v
+              LEFT JOIN m{i} ON m{i}.v = u.v
+              WHERE mn IS NULL OR p.pri < mn)""")
+        ctes.append(
+            f"""f{i} AS MATERIALIZED (
+              SELECT DISTINCT x.v, c.color
+              FROM s{i} x
+              JOIN sym s2 ON s2.src = x.v
+              JOIN {pc} c ON c.v = s2.dst)""")
+        ctes.append(
+            f"""n{i} AS MATERIALIZED (
+              SELECT x.v, min(r.range)::BIGINT AS color
+              FROM s{i} x CROSS JOIN range(0, {max_colors}) r
+              WHERE NOT EXISTS (SELECT 1 FROM f{i} f
+                                WHERE f.v = x.v AND f.color = r.range)
+              GROUP BY x.v)""")
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+              SELECT v, color FROM {pc}
+              UNION ALL SELECT v, color FROM n{i})""")
+        ctes.append(
+            f"""u{i} AS MATERIALIZED (
+              SELECT u.v FROM {pu} u
+              WHERE u.v NOT IN (SELECT v FROM s{i}))""")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT v, color FROM c{rounds}")
+
+
 def _walks_sql(seeds: list[int], steps: int) -> str:
     """Unrolled deterministic-walk recurrence: per step, each walk moves
     to the out-neighbor minimizing (md5(walk:step:cur:nbr), nbr); sinks
@@ -1470,6 +1543,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_ppr": _ppr_sql(PPR_ITERS, 9, PPR_SOURCES),
     "doc_kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
     "doc_mis": _mis_sql(MIS_ROUNDS),
+    "doc_coloring": _coloring_sql(COLORING_ROUNDS, COLORING_MAX_COLORS),
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
     "sample_stratified": _stratified_sql(),
@@ -1769,6 +1843,7 @@ QUERIES = {
     "doc_ppr": q_doc_ppr,
     "doc_kcore": q_doc_kcore,
     "doc_mis": q_doc_mis,
+    "doc_coloring": q_doc_coloring,
     "doc_walks": q_doc_walks,
     "doc_adamic_adar": q_doc_adamic_adar,
     "text_tokens": q_text_tokens,

@@ -342,6 +342,11 @@ class GraphShard:
         edge_labels = labels[cr.indices - self.lo]
         row_id = np.repeat(np.arange(len(cr.row_vertex), dtype=np.int64),
                            np.diff(cr.indptr))
+        vmask = self.program.dense_src_mask(self.ctx, self.state,
+                                            self.active)
+        if vmask is not None:  # phase-gated hist sources (e.g. coloring)
+            em = vmask[cr.indices - self.lo]
+            row_id, edge_labels = row_id[em], edge_labels[em]
         ur, ul, counts = count_pairs(row_id, edge_labels)
         # count_pairs returns groups lexsorted by row id -> sorted rows
         return _split_sorted(cr.row_vertex[ur], self.offsets, ul, counts)
@@ -405,6 +410,13 @@ class GraphShard:
         if len(ids) == 0:
             return 0
         uid, ulab, ucnt = count_pairs(ids, labels, counts)
+        if hasattr(self.program, "hist_apply"):
+            # raw-histogram programs (e.g. JP coloring) consume the full
+            # merged (dst, label, count) triples instead of the LP argmax
+            changed = self.program.hist_apply(
+                self.ctx, self.state, uid - self.lo, ulab, ucnt)
+            self.next_active[(uid - self.lo)[changed]] = True
+            return int(changed.sum())
         # per dst: max count, tie-break smallest label (deterministic,
         # SURVEY.md §2.3 LP design)
         order = np.lexsort((ulab, -ucnt, uid))

@@ -206,3 +206,49 @@ def test_mis_matches_luby_oracle(name, tmp_path):
         assert covered.all()
     finally:
         eng.shutdown()
+
+
+# ------------------------------------------------------------- coloring
+
+def coloring_oracle(e, n):
+    """Sequential greedy coloring in sha-priority order — exactly what
+    parallel JP rounds must reproduce."""
+    import hashlib
+
+    adj = {v: set() for v in range(n)}
+    for a, b in e:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    pri = {v: int(hashlib.sha256(str(v).encode()).hexdigest()[:13], 16)
+           for v in range(n)}
+    color = {}
+    for v in sorted(range(n), key=lambda x: pri[x]):
+        used = {color[u] for u in adj[v] if u in color}
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+    return np.array([color[v] for v in range(n)])
+
+
+@pytest.mark.parametrize("name", ["path_8", "cycle_5", "star_1_50",
+                                  "two_cliques_k5", "er_1k"])
+def test_coloring_matches_greedy_oracle(name, tmp_path):
+    from linkgraph.algos.coloring import greedy_coloring
+
+    e = micro_graph(name)
+    n = _n(e)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        greedy_coloring(eng)
+        got = eng.state_pandas(["color"])["color"].to_numpy()
+        want = coloring_oracle(e, n)
+        assert np.array_equal(got, want), np.flatnonzero(got != want)
+        # proper coloring invariant
+        und = np.unique(np.sort(e[e[:, 0] != e[:, 1]], axis=1), axis=0)
+        assert (got[und[:, 0]] != got[und[:, 1]]).all()
+        assert got.min() >= 0
+    finally:
+        eng.shutdown()
