@@ -10,8 +10,9 @@ from .hits import hits, normalized_scores
 from .kcore import KCoreProgram, kcore
 from .labelprop import LabelPropProgram, label_propagation
 from .mis import MISProgram, maximal_independent_set
-from .pagerank import (PageRankProgram, PPRProgram, pagerank,
-                       personalized_pagerank)
+from .pagerank import (PageRankProgram, PPRProgram,
+                       WeightedPageRankProgram, pagerank,
+                       personalized_pagerank, weighted_pagerank)
 from .sssp import SSSPProgram, sssp
 from .triangles import triangle_count
 
@@ -24,7 +25,8 @@ __all__ = [
     "KCoreProgram", "kcore",
     "LabelPropProgram", "label_propagation",
     "MISProgram", "maximal_independent_set",
-    "PageRankProgram", "PPRProgram", "pagerank", "personalized_pagerank",
+    "PageRankProgram", "PPRProgram", "WeightedPageRankProgram",
+    "pagerank", "personalized_pagerank", "weighted_pagerank",
     "SSSPProgram", "sssp",
     "triangle_count",
 ]

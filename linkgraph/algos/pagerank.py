@@ -107,6 +107,66 @@ class PPRProgram(PageRankProgram):
         return {"delta": delta / ctx.n_vertices}
 
 
+class WeightedPageRankProgram(PageRankProgram):
+    """Edge-weighted PageRank: rank mass flows proportionally to edge
+    weight (curr = raw / out_weight_sum; each edge ships curr*w via
+    edge_transform), all other Gemini conventions unchanged — init 1,
+    dangling (zero out-weight) keep rank, same delta reducer with the
+    out-weight sum as the mass factor.  Requires a weighted store
+    (load_directed(..., weighted=True)); ctx.out_wsum is the per-vertex
+    out-edge weight sum computed at shard boot."""
+
+    def _wsum(self, ctx):
+        if ctx.out_wsum is None:
+            raise ValueError("weighted_pagerank needs a weighted store")
+        return ctx.out_wsum
+
+    def init_state(self, ctx):
+        d = ctx.params.get("damping", 0.85)
+        w = self._wsum(ctx)
+        curr = np.ones(ctx.n_local, dtype=np.float64)
+        nz = w > 0
+        curr[nz] /= w[nz]
+        return {"curr": curr,
+                "next": np.zeros(ctx.n_local, dtype=np.float64),
+                "_damping": np.full(1, d)}
+
+    def edge_transform(self, vals, weights):
+        return vals * weights if weights is not None else vals
+
+    def post_step(self, ctx, state, active, step, final):
+        d = float(state["_damping"][0])
+        w = self._wsum(ctx)
+        nxt, curr = state["next"], state["curr"]
+        nxt *= d
+        nxt += 1.0 - d
+        nz = w > 0
+        nxt[nz] /= w[nz]
+        diff = np.abs(nxt - curr)
+        delta = float((diff[nz] * w[nz]).sum() + diff[~nz].sum())
+        state["curr"], state["next"] = nxt, curr
+        curr[:] = 0.0
+        return {"delta": delta / ctx.n_vertices}
+
+    def finalize(self, ctx, state):
+        w = self._wsum(ctx)
+        rank = state["curr"].copy()
+        nz = w > 0
+        rank[nz] *= w[nz]
+        state["rank"] = rank
+
+
+def weighted_pagerank(engine: GraphEngine, iterations: int = 20,
+                      damping: float = 0.85, tol: float = 0.0) -> dict:
+    """Edge-weighted PageRank on a weighted store; results in `rank`."""
+    return engine.run(
+        WeightedPageRankProgram(), params={"damping": damping},
+        max_steps=iterations,
+        stop_reducer="delta" if tol > 0 else None, stop_tol=tol,
+        run_name="wpagerank",
+    )
+
+
 def personalized_pagerank(engine: GraphEngine, sources: list[int],
                           iterations: int = 20, damping: float = 0.85,
                           tol: float = 0.0) -> dict:

@@ -352,6 +352,18 @@ def q_doc_sssp(sf_dir):
     return pdf
 
 
+def q_doc_wpagerank(sf_dir):
+    """Edge-weighted PageRank (algos/pagerank.WeightedPageRankProgram)
+    on the weighted doc graph: rank flows proportionally to the
+    deterministic synthetic weights (_add_weight).  Oracle:
+    _wpagerank_sql unrolled with the same weight expression."""
+    from .algos.pagerank import weighted_pagerank
+
+    eng = documents_engine(sf_dir, "weighted")
+    weighted_pagerank(eng, iterations=PR_ITERS)
+    return _state_result(eng, "rank", "rank", round_to=6)
+
+
 def q_doc_hits(sf_dir):
     """HITS hubs/authorities, 5 sweeps; L1-normalized float64 scores
     (per-iteration normalization is a pure rescale of the linear
@@ -848,6 +860,36 @@ def _pagerank_sql(iters: int, round_to: int) -> str:
         ctes.append(
             f"c{i} AS MATERIALIZED (SELECT raw{i}.v, CASE WHEN coalesce(od, 0) > 0 "
             f"THEN r/od ELSE r END AS r FROM raw{i} LEFT JOIN outd USING (v))")
+    return (f"WITH {', '.join(ctes)} SELECT raw{iters}.v AS v, "
+            f"round(r, {round_to}) AS rank FROM raw{iters}")
+
+
+def _wpagerank_sql(iters: int, round_to: int) -> str:
+    """Weighted-PageRank unroll: _pagerank_sql with the out-DEGREE
+    renormalizer replaced by the out-weight SUM and per-edge rank flow
+    scaled by weight (algos/pagerank.WeightedPageRankProgram)."""
+    ctes = [f"e AS MATERIALIZED (SELECT src, dst, {_WEIGHT_SQL} AS w "
+            f"FROM ({DOC_EDGES_SQL}))",
+            "outw AS MATERIALIZED (SELECT src AS v, sum(w) AS ow "
+            "FROM e GROUP BY src)",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            ("c0 AS (SELECT allv.v, CASE WHEN coalesce(ow, 0) > 0 "
+             "THEN 1.0/ow ELSE 1.0 END AS r FROM allv "
+             "LEFT JOIN outw USING (v))")]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"sum({prev}.r * e.w) AS sm FROM e "
+            f"JOIN {prev} ON {prev}.v = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"raw{i} AS MATERIALIZED (SELECT allv.v, "
+            f"0.15 + 0.85 * coalesce(sm, 0.0) AS r "
+            f"FROM allv LEFT JOIN s{i} USING (v))")
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT raw{i}.v, "
+            f"CASE WHEN coalesce(ow, 0) > 0 THEN r/ow ELSE r END AS r "
+            f"FROM raw{i} LEFT JOIN outw USING (v))")
     return (f"WITH {', '.join(ctes)} SELECT raw{iters}.v AS v, "
             f"round(r, {round_to}) AS rank FROM raw{iters}")
 
@@ -1533,6 +1575,7 @@ ORACLE_SQL: dict[str, str] = {
                        "SELECT count(*) AS n_edges FROM e"),
     "doc_triangles": TRIANGLES_SQL,
     "doc_pagerank": _pagerank_sql(PR_ITERS, 6),
+    "doc_wpagerank": _wpagerank_sql(PR_ITERS, 6),
     "doc_pagerank_iter1": _pagerank_sql(1, 9),
     "doc_cc": _cc_sql(CC_ROUNDS),
     "doc_labelprop": _lp_sql(LP_ROUNDS),
@@ -1833,6 +1876,7 @@ QUERIES = {
     "doc_edge_count": q_doc_edge_count,
     "doc_triangles": q_doc_triangles,
     "doc_pagerank": q_doc_pagerank,
+    "doc_wpagerank": q_doc_wpagerank,
     "doc_pagerank_iter1": q_doc_pagerank_iter1,
     "doc_cc": q_doc_cc,
     "doc_labelprop": q_doc_labelprop,

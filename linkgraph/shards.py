@@ -51,6 +51,7 @@ class ShardCtx:
     n_edges: int
     out_deg: np.ndarray  # int64[hi-lo]
     in_deg: np.ndarray
+    out_wsum: np.ndarray | None = None  # float64[hi-lo], weighted stores
     params: dict = field(default_factory=dict)
 
     @property
@@ -135,6 +136,12 @@ class GraphShard:
             if len(psrc) else np.zeros(n_local, dtype=np.int64)
         self.in_deg = np.bincount(dst - self.lo, minlength=n_local).astype(np.int64) \
             if len(dst) else np.zeros(n_local, dtype=np.int64)
+        # out-edge weight sums (weighted PageRank's renormalizer): all
+        # out-edges of a local v live in this shard's pull partition
+        self.out_wsum = (
+            np.bincount(psrc - self.lo, weights=pw, minlength=n_local)
+            if weighted and len(psrc)
+            else (np.zeros(n_local, dtype=np.float64) if weighted else None))
 
         self.program = None
         self.state: dict[str, np.ndarray] = {}
@@ -182,7 +189,8 @@ class GraphShard:
         self.program = program
         self.ctx = ShardCtx(self.part, self.lo, self.hi,
                             self.meta["n_vertices"], self.meta["n_edges"],
-                            self.out_deg, self.in_deg, params)
+                            self.out_deg, self.in_deg, self.out_wsum,
+                            params)
         if getattr(program, "continues", False):
             self.state = program.init_state(self.ctx, self.state)
         else:

@@ -252,3 +252,47 @@ def test_coloring_matches_greedy_oracle(name, tmp_path):
         assert got.min() >= 0
     finally:
         eng.shutdown()
+
+
+# ------------------------------------------------------- weighted pagerank
+
+def wpr_oracle(e, w, n, iters, d=0.85):
+    ow = np.zeros(n)
+    np.add.at(ow, e[:, 0], w)
+    nz = ow > 0
+    curr = np.ones(n)
+    curr[nz] /= ow[nz]
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        np.add.at(nxt, e[:, 1], curr[e[:, 0]] * w)
+        nxt = (1 - d) + d * nxt
+        nxt[nz] /= ow[nz]
+        curr = nxt
+    raw = curr.copy()
+    raw[nz] *= ow[nz]
+    return raw
+
+
+@pytest.mark.parametrize("name", ["path_8", "star_1_50", "er_1k"])
+def test_weighted_pagerank_matches_numpy(name, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.algos import weighted_pagerank
+
+    e = micro_graph(name)
+    n = _n(e)
+    w = 1.0 + ((e[:, 0] + e[:, 1]) % 7) / 10.0
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(e[:, 0], pa.int64()),
+        "dst": pa.array(e[:, 1], pa.int64()),
+        "weight": pa.array(w, pa.float64())}))
+    eng = load_directed(ds, n, num_partitions=3,
+                        store_dir=str(tmp_path / "g"), weighted=True)
+    try:
+        weighted_pagerank(eng, iterations=15)
+        got = eng.state_pandas(["rank"])["rank"].to_numpy()
+        want = wpr_oracle(e, w, n, 15)
+        assert np.allclose(got, want, atol=1e-9)
+    finally:
+        eng.shutdown()
