@@ -435,6 +435,24 @@ def q_doc_coloring(sf_dir):
     return pdf
 
 
+TRUSS_K = 3
+TRUSS_ROUNDS = 6  # unrolled support-filter rounds in the SQL oracle
+
+
+def q_doc_truss(sf_dir):
+    """3-truss of the doc graph (algos/ktruss.py): every surviving edge
+    is in >= 1 triangle within the surviving subgraph — the unique
+    peel fixpoint.  Oracle: _ktruss_sql unrolled support-filter rounds."""
+    from .algos.ktruss import ktruss_edges
+
+    out, rounds = ktruss_edges(documents_edges(sf_dir), k=TRUSS_K)
+    if rounds > TRUSS_ROUNDS:
+        raise AssertionError(
+            f"doc_truss peeled {rounds} rounds but the SQL oracle unrolls "
+            f"only {TRUSS_ROUNDS} — raise the unroll")
+    return out
+
+
 def q_doc_walks(sf_dir):
     """Deterministic random walks (algos/walks.py): 8 steps from docs
     0-5 over the symmetrized doc graph; next hop = min-md5 neighbor.
@@ -1233,6 +1251,36 @@ def _coloring_sql(rounds: int, max_colors: int) -> str:
             f"SELECT v, color FROM c{rounds}")
 
 
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel (algos/ktruss.py): per round keep edges
+    whose within-subgraph common-neighbor count >= k-2.  The fixpoint
+    is unique, so any sufficient unroll converges to the engine's
+    result (engine asserts its round count <= the unroll)."""
+    ctes = [f"""e0 AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS src,
+                     greatest(src, dst) AS dst
+              FROM ({DOC_EDGES_SQL}) WHERE src <> dst)"""]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+              SELECT src AS a, dst AS b FROM {p}
+              UNION ALL SELECT dst AS a, src AS b FROM {p})""")
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+              SELECT t.src, t.dst, count(*) AS c
+              FROM {p} t
+              JOIN a{i} p1 ON p1.a = t.src
+              JOIN a{i} p2 ON p2.a = t.dst AND p2.b = p1.b
+              GROUP BY t.src, t.dst)""")
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+              SELECT t.src, t.dst FROM {p} t
+              LEFT JOIN s{i} s ON s.src = t.src AND s.dst = t.dst
+              WHERE coalesce(s.c, 0) >= {k - 2})""")
+    return f"WITH {', '.join(ctes)} SELECT src, dst FROM e{rounds}"
+
+
 def _walks_sql(seeds: list[int], steps: int) -> str:
     """Unrolled deterministic-walk recurrence: per step, each walk moves
     to the out-neighbor minimizing (md5(walk:step:cur:nbr), nbr); sinks
@@ -1574,6 +1622,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_edge_count": (f"WITH e AS ({DOC_EDGES_SQL}) "
                        "SELECT count(*) AS n_edges FROM e"),
     "doc_triangles": TRIANGLES_SQL,
+    "doc_truss": _ktruss_sql(TRUSS_K, TRUSS_ROUNDS),
     "doc_pagerank": _pagerank_sql(PR_ITERS, 6),
     "doc_wpagerank": _wpagerank_sql(PR_ITERS, 6),
     "doc_pagerank_iter1": _pagerank_sql(1, 9),
@@ -1875,6 +1924,7 @@ QUERIES = {
     "doc_group_sizes": q_doc_group_sizes,
     "doc_edge_count": q_doc_edge_count,
     "doc_triangles": q_doc_triangles,
+    "doc_truss": q_doc_truss,
     "doc_pagerank": q_doc_pagerank,
     "doc_wpagerank": q_doc_wpagerank,
     "doc_pagerank_iter1": q_doc_pagerank_iter1,

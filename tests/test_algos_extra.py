@@ -296,3 +296,44 @@ def test_weighted_pagerank_matches_numpy(name, tmp_path):
         assert np.allclose(got, want, atol=1e-9)
     finally:
         eng.shutdown()
+
+
+# --------------------------------------------------------------- k-truss
+
+def ktruss_oracle(e, n, k):
+    """Set-based peel to the unique fixpoint."""
+    edges = {(min(a, b), max(a, b)) for a, b in e if a != b}
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        supp = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        drop = {ed for ed, s in supp.items() if s < k - 2}
+        if not drop:
+            return sorted(edges)
+        edges -= drop
+
+
+@pytest.mark.parametrize("name", ["two_cliques_k5", "er_1k", "cycle_5"])
+def test_ktruss_matches_peel_oracle(name):
+    from linkgraph.algos.ktruss import ktruss_edges
+
+    e = micro_graph(name)
+    n = _n(e)
+    ds = edges_from_arrays(e[:, 0], e[:, 1])
+    for k in (3, 4):
+        got, _ = ktruss_edges(ds, k=k)
+        want = ktruss_oracle(e, n, k)
+        assert list(map(tuple, got[["src", "dst"]].to_numpy())) == want, \
+            (name, k)
+
+
+def test_ktruss_paths_equal():
+    from linkgraph.algos.ktruss import ktruss_edges
+
+    e = micro_graph("two_cliques_k5")
+    ds = edges_from_arrays(e[:, 0], e[:, 1])
+    a, ra = ktruss_edges(ds, k=4)
+    b, rb = ktruss_edges(ds, k=4, force_distributed=True)
+    assert a.equals(b)
