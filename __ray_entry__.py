@@ -12,15 +12,14 @@ this module nor the linkgraph library calls ``ray.init()`` /
 ``ray.shutdown()``.
 
 Query inventory: linkgraph.pipelines (one entry per operator family from
-SURVEY.md §2 + the training-data additions).  The only key present in
-``queries()`` but absent from ``oracle_sql()`` is ``ann_ivf`` (k-means
-centroid training is the one genuinely-iterative float pipeline not
-reproduced in SQL; its recall vs the exact ``ann_topk`` is pytest-
-checked instead).  The whole near-dup family IS oracle-checked: the
-MinHash/SimHash index arithmetic is deterministic uint64 math that the
-oracles reproduce exactly in DuckDB HUGEINT (pipelines._minhash_sql /
-_simhash_sql); the media stub-decode pipeline likewise (sha256-derived
-lanes reproduced in SQL).
+SURVEY.md §2 + the training-data additions).  EVERY query has a SQL
+oracle — including the probabilistic/approximate family: the
+MinHash/SimHash index arithmetic is deterministic uint64 math
+reproduced exactly in DuckDB HUGEINT (pipelines._minhash_sql /
+_simhash_sql), the sign-LSH and IVF ANN paths re-derive their
+hyperplanes / unrolled k-means centroids from the same seeds
+(_ann_lsh_sql / _ann_ivf_sql), and the media stub-decode lanes are
+sha256-derived in SQL.
 """
 
 from __future__ import annotations

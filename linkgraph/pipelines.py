@@ -1574,6 +1574,95 @@ def _simhash_sql(max_hamming: int, cap: int, word_prefix: int = 16) -> str:
     """
 
 
+def _ann_ivf_sql(k=5, n_centroids=16, n_probe=4, rounds=5, seed=42,
+                 query_ids=(0, 1, 2, 3, 4), sample_n=500):
+    """Unrolled-k-means IVF ANN oracle (ann.ivf_topk defaults): the
+    seeded init indices are precomputed (rng.choice over the 500-row
+    embeddings sample — both test sfs ship exactly 500 rows, and
+    vec_id == row order, verified), 5 Lloyd rounds run as long-form
+    (c, i, y) centroid CTEs with argmax assignment = row_number
+    (dot DESC, c ASC), then bucket assignment, n_probe probing and
+    cosine top-k exactly as the engine computes them.  Float sums
+    differ from numpy at ~1e-16; assignments/rankings only flip on
+    exact ties, which the random embeddings never produce — verified
+    end-to-end equal at sf0.01 and sf0.001."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(sample_n, n_centroids, replace=False)
+    init_rows = ", ".join(f"({c}, {int(idx[c])})" for c in range(n_centroids))
+    qids = ", ".join(map(str, query_ids))
+    ctes = [f"""emb AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+      """nrm AS MATERIALIZED (
+      SELECT vec_id, v,
+             CASE WHEN sq = 0 THEN 1.0 ELSE sqrt(sq) END AS nv
+      FROM (SELECT vec_id, v,
+            list_sum(list_transform(v, x -> x*x)) AS sq FROM emb))""",
+      """sml AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) / nv AS x
+      FROM nrm)""",
+      f"initmap(c, vid) AS (VALUES {init_rows})",
+      """cent0 AS MATERIALIZED (
+      SELECT m.c, s.i, s.x AS y FROM initmap m
+      JOIN sml s ON s.vec_id = m.vid)"""]
+    for r in range(1, rounds + 1):
+        p = f"cent{r-1}"
+        ctes.append(f"""dot{r} AS MATERIALIZED (
+          SELECT s.vec_id, c.c, sum(s.x * c.y) AS d
+          FROM sml s JOIN {p} c ON c.i = s.i
+          GROUP BY s.vec_id, c.c)""")
+        ctes.append(f"""asg{r} AS MATERIALIZED (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c, row_number() OVER
+              (PARTITION BY vec_id ORDER BY d DESC, c ASC) AS rn
+            FROM dot{r}) WHERE rn = 1)""")
+        ctes.append(f"""mean{r} AS MATERIALIZED (
+          SELECT a.c, s.i, avg(s.x) AS y
+          FROM asg{r} a JOIN sml s ON s.vec_id = a.vec_id
+          GROUP BY a.c, s.i)""")
+        ctes.append(f"""mn{r} AS MATERIALIZED (
+          SELECT c, CASE WHEN sum(y*y) = 0 THEN 1.0
+                    ELSE sqrt(sum(y*y)) END AS nn
+          FROM mean{r} GROUP BY c)""")
+        ctes.append(f"""cent{r} AS MATERIALIZED (
+          SELECT p.c, p.i,
+                 coalesce(m.y / n.nn, p.y) AS y
+          FROM {p} p
+          LEFT JOIN mean{r} m ON m.c = p.c AND m.i = p.i
+          LEFT JOIN mn{r} n ON n.c = p.c)""")
+    last = f"cent{rounds}"
+    ctes.append(f"""vdot AS MATERIALIZED (
+      SELECT s.vec_id, c.c, sum(s.x * c.y) AS d
+      FROM sml s JOIN {last} c ON c.i = s.i
+      GROUP BY s.vec_id, c.c)""")
+    ctes.append("""bkt AS MATERIALIZED (
+      SELECT vec_id, c AS b FROM (
+        SELECT vec_id, c, row_number() OVER
+          (PARTITION BY vec_id ORDER BY d DESC, c ASC) AS rn
+        FROM vdot) WHERE rn = 1)""")
+    ctes.append(f"""probe AS MATERIALIZED (
+      SELECT vec_id AS query_id, c FROM (
+        SELECT vec_id, c, row_number() OVER
+          (PARTITION BY vec_id ORDER BY d DESC, c ASC) AS rn
+        FROM vdot WHERE vec_id IN ({qids}))
+      WHERE rn <= {n_probe})""")
+    ctes.append(f"""cand AS MATERIALIZED (
+      SELECT p.query_id, b.vec_id AS neighbor_id
+      FROM probe p JOIN bkt b ON b.b = p.c
+      WHERE b.vec_id <> p.query_id)""")
+    ctes.append("""sims AS MATERIALIZED (
+      SELECT c.query_id, c.neighbor_id,
+             list_cosine_similarity(q.v, e.v) AS cos
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb e ON e.vec_id = c.neighbor_id)""")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT query_id, neighbor_id FROM ("
+            f"SELECT query_id, neighbor_id, row_number() OVER "
+            f"(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) "
+            f"AS rn FROM sims) WHERE rn <= {k}")
+
+
+
 def _ann_lsh_sql(n_planes: int, k: int, seed: int = 42,
                  dim: int = 64) -> str:
     """Sign-LSH ANN oracle (ann.lsh_topk): the seeded hyperplanes are
@@ -1698,6 +1787,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM ranked WHERE rnk <= {ANN_K}
     """,
     "ann_lsh": _ann_lsh_sql(ANN_LSH_PLANES, ANN_K),
+    "ann_ivf": _ann_ivf_sql(k=ANN_K, query_ids=tuple(ANN_QUERY_IDS)),
     "embed_dup_pairs": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                    FROM embeddings)
@@ -1958,7 +2048,7 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,                   # rows-only (approximate)
+    "ann_ivf": q_ann_ivf,
     "embed_dup_pairs": q_embed_dup_pairs,
     "embed_centroids": q_embed_centroids,
     "semantic_dedup": q_semantic_dedup,

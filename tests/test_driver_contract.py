@@ -57,8 +57,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
     assert set(o) <= set(q)
     assert len(q) >= 20          # operator-coverage floor
     assert len(o) >= 15
-    rows_only = set(q) - set(o)  # documented weaker checks
-    assert rows_only <= {"ann_ivf"}
+    assert set(q) == set(o)  # every query is oracle-checked
 
 
 @pytest.mark.parametrize("name", ["doc_edges", "doc_degree", "doc_edge_count",
@@ -75,7 +74,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "dedup_minhash", "dedup_ngram",
                                   "dedup_simhash", "ann_lsh",
                                   "text_repetition", "text_tfidf",
-                                  "doc_truss"])
+                                  "doc_truss", "ann_ivf"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
