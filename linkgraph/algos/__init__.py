@@ -6,6 +6,7 @@ from .bc import BCBackwardProgram, BCForwardProgram, betweenness
 from .bfs import BFSProgram, bfs
 from .cc import CCProgram, connected_components
 from .coloring import ColoringProgram, greedy_coloring
+from .harmonic import HarmonicProgram, harmonic_centrality
 from .hits import hits, normalized_scores
 from .kcore import KCoreProgram, kcore
 from .labelprop import LabelPropProgram, label_propagation
@@ -21,6 +22,7 @@ __all__ = [
     "BFSProgram", "bfs",
     "CCProgram", "connected_components",
     "ColoringProgram", "greedy_coloring",
+    "HarmonicProgram", "harmonic_centrality",
     "hits", "normalized_scores",
     "KCoreProgram", "kcore",
     "LabelPropProgram", "label_propagation",

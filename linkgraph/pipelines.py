@@ -420,6 +420,23 @@ def q_doc_mis(sf_dir):
     return pdf[pdf["in_mis"] == 1][["v"]].reset_index(drop=True)
 
 
+HARMONIC_SEEDS = [0, 1, 2, 3]
+
+
+def q_doc_harmonic(sf_dir):
+    """Sampled harmonic centrality from 4 seeds on the symmetrized doc
+    graph (algos/harmonic.py): one BFS-with-depth run per seed, the
+    1/d accumulator carried in engine state across runs.  Oracle:
+    _harmonic_sql — per-seed unrolled BFS chains summed in seed order."""
+    from .algos.harmonic import harmonic_centrality
+
+    eng = documents_engine(sf_dir, "undirected")
+    reports = harmonic_centrality(eng, HARMONIC_SEEDS)
+    for s, rep in zip(HARMONIC_SEEDS, reports):
+        _check_unroll(rep, BFS_ROUNDS, f"doc_harmonic seed {s}")
+    return _state_result(eng, "harmonic", "harmonic", round_to=6)
+
+
 def q_doc_coloring(sf_dir):
     """Deterministic Jones-Plassmann greedy coloring on the symmetrized
     doc graph (algos/coloring.py: sha-priority select + color broadcast,
@@ -1195,6 +1212,38 @@ def _mis_sql(rounds: int) -> str:
     return f"WITH {', '.join(ctes)} {selects}"
 
 
+def _harmonic_sql(seeds: list[int], rounds: int, round_to: int) -> str:
+    """Sampled harmonic centrality oracle (algos/harmonic.py): one
+    unrolled BFS depth chain per seed on the symmetric graph, terms
+    summed LEFT-TO-RIGHT in seed order (the engine's accumulation
+    order, so float association matches bit-for-bit)."""
+    big = 10 ** 9
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)"]
+    for si, s in enumerate(seeds):
+        ctes.append(
+            f"d{si}_0 AS MATERIALIZED (SELECT v, CASE WHEN v = {s} "
+            f"THEN 0 ELSE {big} END AS dep FROM allv)")
+        for i in range(1, rounds + 1):
+            p = f"d{si}_{i - 1}"
+            ctes.append(
+                f"d{si}_{i} AS MATERIALIZED (SELECT allv.v, "
+                f"least({p}.dep, coalesce(m.dep, {big})) AS dep "
+                f"FROM allv JOIN {p} USING (v) LEFT JOIN "
+                f"(SELECT sym.dst AS v, min({p}.dep) + 1 AS dep FROM sym "
+                f"JOIN {p} ON {p}.v = sym.src WHERE {p}.dep < {big} "
+                f"GROUP BY sym.dst) m USING (v))")
+    terms = " + ".join(
+        f"(CASE WHEN d{si}_{rounds}.dep > 0 AND d{si}_{rounds}.dep < {big} "
+        f"THEN 1.0 / d{si}_{rounds}.dep ELSE 0.0 END)"
+        for si in range(len(seeds)))
+    joins = " ".join(f"JOIN d{si}_{rounds} ON d{si}_{rounds}.v = allv.v"
+                     for si in range(len(seeds)))
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT allv.v, round({terms}, {round_to}) AS harmonic "
+            f"FROM allv {joins}")
+
+
 def _coloring_sql(rounds: int, max_colors: int) -> str:
     """Unrolled deterministic Jones-Plassmann recurrence
     (algos/coloring.py): per round, uncolored vertices below the min
@@ -1725,6 +1774,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
     "doc_mis": _mis_sql(MIS_ROUNDS),
     "doc_coloring": _coloring_sql(COLORING_ROUNDS, COLORING_MAX_COLORS),
+    "doc_harmonic": _harmonic_sql(HARMONIC_SEEDS, BFS_ROUNDS, 6),
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
     "sample_stratified": _stratified_sql(),
@@ -2028,6 +2078,7 @@ QUERIES = {
     "doc_kcore": q_doc_kcore,
     "doc_mis": q_doc_mis,
     "doc_coloring": q_doc_coloring,
+    "doc_harmonic": q_doc_harmonic,
     "doc_walks": q_doc_walks,
     "doc_adamic_adar": q_doc_adamic_adar,
     "text_tokens": q_text_tokens,

@@ -337,3 +337,52 @@ def test_ktruss_paths_equal():
     a, ra = ktruss_edges(ds, k=4)
     b, rb = ktruss_edges(ds, k=4, force_distributed=True)
     assert a.equals(b)
+
+
+# ------------------------------------------------------ harmonic centrality
+
+def harmonic_oracle(e, n, seeds):
+    from collections import deque
+
+    adj = {v: set() for v in range(n)}
+    for a, b in e:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    h = np.zeros(n)
+    for s in seeds:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        for v, d in dist.items():
+            if d > 0:
+                h[v] += 1.0 / d
+    return h
+
+
+@pytest.mark.parametrize("name", ["path_8", "two_cliques_k5", "er_1k"])
+def test_harmonic_matches_bfs_oracle(name, tmp_path):
+    from linkgraph.algos import harmonic_centrality
+
+    e = micro_graph(name)
+    n = _n(e)
+    seeds = [0, 1, 2]
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        harmonic_centrality(eng, seeds)
+        got = eng.state_pandas(["harmonic"])["harmonic"].to_numpy()
+        want = harmonic_oracle(e, n, seeds)
+        assert np.allclose(got, want, atol=1e-12)
+        # a second sweep on the same (cached-style) engine must NOT
+        # accumulate on top of the first
+        harmonic_centrality(eng, seeds)
+        got2 = eng.state_pandas(["harmonic"])["harmonic"].to_numpy()
+        assert np.array_equal(got, got2)
+    finally:
+        eng.shutdown()
