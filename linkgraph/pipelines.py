@@ -609,6 +609,48 @@ def q_text_tfidf(sf_dir):
     return tfidf_top_terms(docs, k=5)
 
 
+def q_corpus_clean(sf_dir):
+    """FLAGSHIP training-data cleaning composition, end to end:
+
+        quality filter (add_quality keep)
+        -> exact dedup (min doc_id per sha256 of text)
+        -> MinHash+LSH near-dup removal (drop the larger id of every
+           exact-verified pair, the standard LSH-dedupe rule)
+        -> surviving doc ids.
+
+    Every stage is one of the repo's oracle-checked operators; the
+    oracle composes their SQL fragments in the same order."""
+    import pyarrow.compute as pc
+
+    from .dedup import _join_parts, exact_dedup, minhash_dedup_pairs
+    from .hashing import add_sha256
+    from .text import add_quality
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+    def quality_keep(b: pa.Table) -> pa.Table:
+        t = add_quality(b)
+        return t.filter(t["keep"]).select(["doc_id", "text"])
+
+    # q1 feeds the sha pass AND the survivor join: materialize the
+    # shared node (Ray 2.49 diamond-lineage rule)
+    q1 = docs.map_batches(quality_keep, batch_format="pyarrow") \
+             .materialize()
+    sha = q1.map_batches(lambda b: add_sha256(b, col="text"),
+                         batch_format="pyarrow")
+    surv = exact_dedup(sha, key="sha256", id_col="doc_id")
+    q2 = q1.join(surv, join_type="inner",
+                 num_partitions=_join_parts(q1.count()),
+                 on=("doc_id",)).materialize()
+    pairs = minhash_dedup_pairs(q2, threshold=0.5)
+    ids = q2.select_columns(["doc_id"]).to_pandas()
+    drop = set(pairs["b"].tolist())
+    out = ids[~ids["doc_id"].isin(drop)].sort_values("doc_id") \
+        .reset_index(drop=True)
+    return out
+
+
 def q_text_stats(sf_dir):
     import ray.data as rd
 
@@ -1212,6 +1254,44 @@ def _mis_sql(rounds: int) -> str:
     return f"WITH {', '.join(ctes)} {selects}"
 
 
+def _corpus_clean_sql() -> str:
+    """Composed oracle for the flagship cleaning pipeline: the quality
+    fragment, the exact-dedup min-id rule, and the FULL minhash pair
+    oracle (nested WITH, src=q2) glued in the engine's stage order."""
+    from .text import PUNCT_RE, QUALITY_STOPWORD_RE, TOKEN_RE
+
+    pairs = _minhash_sql(num_perm=64, bands=16, k=5, threshold=0.5,
+                         cap=64, src="q2")
+    return f"""
+        WITH ql AS MATERIALIZED (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   round(0.4 * least(1.0, n_tok / 50.0)
+                       + 0.4 * least(1.0,
+                                     5.0 * n_stop / greatest(n_tok, 1.0))
+                       + 0.2 * (1.0 - least(1.0,
+                                    n_punct / greatest(n_tok, 1.0))),
+                         6) AS quality
+            FROM (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '{TOKEN_RE}'))::DOUBLE
+                         AS n_tok,
+                     len(regexp_extract_all(lower(text),
+                         '{QUALITY_STOPWORD_RE}'))::DOUBLE AS n_stop,
+                     len(regexp_extract_all(text, '{PUNCT_RE}'))::DOUBLE
+                         AS n_punct
+              FROM documents))
+          WHERE quality >= 0.5),
+        q2 AS MATERIALIZED (
+          SELECT doc_id, text FROM ql WHERE doc_id IN (
+            SELECT min(doc_id) FROM (
+              SELECT doc_id, sha256(text) AS h FROM ql) GROUP BY h)),
+        pairs AS MATERIALIZED ({pairs})
+        SELECT doc_id FROM q2
+        WHERE doc_id NOT IN (SELECT b FROM pairs)
+    """
+
+
 def _harmonic_sql(seeds: list[int], rounds: int, round_to: int) -> str:
     """Sampled harmonic centrality oracle (algos/harmonic.py): one
     unrolled BFS depth chain per seed on the symmetric graph, terms
@@ -1499,7 +1579,7 @@ def _mulmod64_sql(x: str, c: int) -> str:
             f"4294967296::HUGEINT) * 4294967296::HUGEINT) % {_W64})")
 
 
-def _shingles_sql(k: int) -> str:
+def _shingles_sql(k: int, src: str = "documents") -> str:
     """Distinct (doc_id, sh) char-k-gram shingle strings, matching
     rolling_hashes' enumeration (whole text when len < k)."""
     return f"""
@@ -1509,11 +1589,11 @@ def _shingles_sql(k: int) -> str:
                    ELSE list_transform(range(1, length(text) - {k - 2}),
                                        j -> substr(text, j::INT, {k}))
                    END) AS sh
-          FROM documents)"""
+          FROM {src})"""
 
 
 def _minhash_sql(num_perm: int, bands: int, k: int, threshold: float,
-                 cap: int, seed: int = 42) -> str:
+                 cap: int, seed: int = 42, src: str = "documents") -> str:
     """Full MinHash+LSH near-dup oracle (dedup.minhash_dedup_pairs /
     ngram_jaccard_pairs): shingle hashes -> num_perm permutation minima
     -> per-band FNV fold -> bucket groups -> df-capped pairs -> exact
@@ -1531,7 +1611,7 @@ def _minhash_sql(num_perm: int, bands: int, k: int, threshold: float,
     for r in range(1, rpb):
         fold = f"(({fold}) * {_FNV} + l[{r + 1}]) % {_W64}"
     return f"""
-        WITH shd AS MATERIALIZED ({_shingles_sql(k)}),
+        WITH shd AS MATERIALIZED ({_shingles_sql(k, src)}),
         hs AS MATERIALIZED (
           SELECT DISTINCT doc_id, {_gram_hash_sql('sh', k)} AS h FROM shd),
         perms(i, pa, pb) AS (VALUES {perms}),
@@ -1814,6 +1894,7 @@ ORACLE_SQL: dict[str, str] = {
                    "AS n_punct FROM documents"),
     "text_fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
     "text_langid": _langid_sql(),
+    "corpus_clean": _corpus_clean_sql(),
     "dedup_exact": (f"SELECT min(doc_id) AS doc_id FROM documents "
                     f"GROUP BY {_FP_SQL}"),
     # embedding is list<float>; cast to DOUBLE[] so DuckDB computes the
@@ -2093,6 +2174,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_langid": q_text_langid,
     "dedup_exact": q_dedup_exact,
+    "corpus_clean": q_corpus_clean,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,

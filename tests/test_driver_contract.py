@@ -75,7 +75,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "dedup_simhash", "ann_lsh",
                                   "text_repetition", "text_tfidf",
                                   "doc_truss", "ann_ivf",
-                                  "doc_harmonic"])
+                                  "doc_harmonic", "corpus_clean"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
