@@ -860,6 +860,12 @@ def _events(sf_dir):
                            columns=["user_id", "ts", "value"])
 
 
+def q_tpch_large_orders(sf_dir):
+    """TPC-H Q18-like: per-order quantity sums (combiner pushdown) +
+    HAVING filter + one hash join for the customer key."""
+    return _REL.large_orders(sf_dir)
+
+
 def q_events_window(sf_dir):
     from .windows import tumbling_window
 
@@ -1863,6 +1869,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_centroids": EMBED_CENTROIDS_SQL,
     "semantic_dedup": _semdedup_sql(SEMDEDUP_ROUNDS),
     "tpch_order_rank": _REL.TOP_ORDERS_PER_CUSTOMER_SQL,
+    "tpch_large_orders": _REL.LARGE_ORDERS_SQL,
     "sample_quota": f"""
         WITH p AS (
           SELECT doc_id, lang || ':' || source AS k,
@@ -2189,6 +2196,7 @@ QUERIES = {
     "tpch_top_orders": q_tpch_top_orders,
     "tpch_nation_revenue": q_tpch_nation_revenue,
     "tpch_order_rank": q_tpch_order_rank,
+    "tpch_large_orders": q_tpch_large_orders,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,

@@ -360,3 +360,58 @@ NATION_REVENUE_SQL = f"""
     WHERE c_nationkey = s_nationkey AND r_name = '{Q5_REGION}'
     GROUP BY n_name
 """
+
+
+Q18_MIN_QTY = 250
+
+
+def large_orders(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q18-like large-volume orders: per-order quantity sums with
+    combiner pushdown, a HAVING-style filter, then ONE hash join against
+    the orders table for the customer key — the aggregate-then-semi-join
+    shape (the filtered aggregate is tiny, so the join's build side
+    stays small at any scale)."""
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .runtime import tune_context
+    tune_context()
+
+    li = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_orderkey", "l_quantity"])
+    qty = (li.groupby("l_orderkey")
+             .aggregate(Sum("l_quantity", alias_name="qty")))
+    big = qty.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["qty"],
+                                            pa.scalar(float(Q18_MIN_QTY)))),
+        batch_format="pyarrow")
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    ord_k = orders.map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"],
+                            "o_custkey": b["o_custkey"],
+                            "o_totalprice": b["o_totalprice"]}),
+        batch_format="pyarrow")
+    j = big.join(ord_k, join_type="inner", num_partitions=num_partitions,
+                 on=("l_orderkey",))
+    return j.map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["l_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "qty": pc.round(b["qty"], 6),
+            "o_totalprice": pc.round(b["o_totalprice"], 6)}),
+        batch_format="pyarrow")
+
+
+LARGE_ORDERS_SQL = f"""
+    SELECT o_orderkey, o_custkey, round(q.qty, 6) AS qty,
+           round(o_totalprice, 6) AS o_totalprice
+    FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) >= {Q18_MIN_QTY}) q
+    JOIN orders ON o_orderkey = q.l_orderkey
+"""
