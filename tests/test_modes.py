@@ -79,3 +79,23 @@ def test_cc_dense_equals_sparse(tmp_path, force_mode):
         finally:
             eng.shutdown()
     assert np.array_equal(out["dense"], out["sparse"])
+
+
+def test_harmonic_dense_equals_sparse(tmp_path, force_mode):
+    from linkgraph.algos import harmonic_centrality
+
+    e = micro_graph("powerlaw_1k")
+    n = int(e.max()) + 1
+    out = {}
+    for mode in ("dense", "sparse"):
+        force_mode(mode)
+        eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                              num_partitions=3,
+                              store_dir=str(tmp_path / f"h{mode}"))
+        try:
+            harmonic_centrality(eng, [0, 3, 7])
+            out[mode] = eng.state_pandas(["harmonic"])["harmonic"] \
+                .to_numpy()
+        finally:
+            eng.shutdown()
+    assert np.array_equal(out["dense"], out["sparse"])
