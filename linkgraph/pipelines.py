@@ -216,6 +216,46 @@ def q_doc_degree(sf_dir):
                      batch_format="pyarrow")
 
 
+def q_doc_assortativity(sf_dir):
+    """Degree assortativity coefficient of the symmetrized doc graph
+    (Newman's Pearson correlation of endpoint degrees over directed
+    edge ends).  The five moment sums are exact int64 (degrees are
+    ints), so the final float formula is bit-identical between engine
+    and SQL — no summation-order exposure at all.  Partial sums are
+    map-side per batch (broadcast degree lookup), one tiny driver
+    combine: scale-safe."""
+    import ray
+
+    from .edges import degree_table, symmetrize
+
+    sym = symmetrize(documents_edges(sf_dir)).materialize()
+    deg = degree_table(sym, "src").to_pandas()
+    vs = deg["v"].to_numpy()
+    order = np.argsort(vs)
+    dref = ray.put((vs[order], deg["degree"].to_numpy()[order]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        v, d = ray.get(dref)
+        x = d[np.searchsorted(v, b["src"].to_numpy(zero_copy_only=False))]
+        y = d[np.searchsorted(v, b["dst"].to_numpy(zero_copy_only=False))]
+        return pa.table({
+            "m": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+        })
+
+    p = sym.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    m = float(p["m"])
+    cov = p["sxy"] / m - (p["sx"] / m) * (p["sy"] / m)
+    vx = p["sxx"] / m - (p["sx"] / m) ** 2
+    vy = p["syy"] / m - (p["sy"] / m) ** 2
+    r = cov / np.sqrt(vx * vy)
+    return pd.DataFrame({"assortativity": [round(float(r), 6)]})
+
+
 def q_doc_top_degree(sf_dir):
     """Distributed top-k: each block emits its local top-10 (vectorized
     lexsort), the driver reduces <= 10*n_blocks rows — never |V| rows on
@@ -435,6 +475,47 @@ def q_doc_harmonic(sf_dir):
     for s, rep in zip(HARMONIC_SEEDS, reports):
         _check_unroll(rep, BFS_ROUNDS, f"doc_harmonic seed {s}")
     return _state_result(eng, "harmonic", "harmonic", round_to=6)
+
+
+def q_doc_diameter(sf_dir):
+    """Double-sweep diameter lower bound (the standard BFS heuristic):
+    BFS from vertex 0, take the farthest reached vertex u (tie: min id),
+    BFS from u; report u, its eccentricity bound, and the first sweep's
+    eccentricity.  Farthest-vertex selection is a per-block partial
+    top-1 + tiny driver reduce (never |V| rows on the driver).  Oracle:
+    _diameter_sql — two unrolled BFS chains, the second rooted at a
+    scalar subquery."""
+    from .algos.harmonic import HarmonicProgram, _INF
+
+    eng = documents_engine(sf_dir, "undirected")
+
+    def _sweep(root):
+        eng.run(HarmonicProgram(), params={"root": int(root),
+                                           "reset": True},
+                run_name=f"sweep_{int(root)}")
+
+        def local_far(b: pa.Table) -> pa.Table:
+            d = b["depth"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            fin = d < int(_INF)
+            if not fin.any():
+                return pa.table({"v": pa.array([], pa.int64()),
+                                 "depth": pa.array([], pa.int64())})
+            d, v = d[fin], v[fin]
+            sel = np.lexsort((v, -d))[:1]
+            return pa.table({"v": pa.array(v[sel]),
+                             "depth": pa.array(d[sel])})
+
+        parts = eng.state_dataset(["depth"]).map_batches(
+            local_far, batch_format="pyarrow").to_pandas()
+        parts = parts.sort_values(["depth", "v"],
+                                  ascending=[False, True])
+        return int(parts.iloc[0]["v"]), int(parts.iloc[0]["depth"])
+
+    u, ecc0 = _sweep(0)
+    _, ecc1 = _sweep(u)
+    return pd.DataFrame({"far_v": [u], "ecc_root": [ecc0],
+                         "diameter_lb": [ecc1]})
 
 
 def q_doc_coloring(sf_dir):
@@ -1330,6 +1411,41 @@ def _harmonic_sql(seeds: list[int], rounds: int, round_to: int) -> str:
             f"FROM allv {joins}")
 
 
+def _diameter_sql(rounds: int) -> str:
+    """Double-sweep oracle: unrolled BFS from 0, farthest vertex u
+    (max depth, tie min id) as a scalar subquery rooting the second
+    unrolled chain."""
+    big = 10 ** 9
+
+    def chain(tag: str, root_expr: str) -> list[str]:
+        ctes = [f"{tag}0 AS MATERIALIZED (SELECT v, CASE WHEN "
+                f"v = ({root_expr}) THEN 0 ELSE {big} END AS dep "
+                f"FROM allv)"]
+        for i in range(1, rounds + 1):
+            p = f"{tag}{i - 1}"
+            ctes.append(
+                f"{tag}{i} AS MATERIALIZED (SELECT allv.v, "
+                f"least({p}.dep, coalesce(m.dep, {big})) AS dep "
+                f"FROM allv JOIN {p} USING (v) LEFT JOIN "
+                f"(SELECT sym.dst AS v, min({p}.dep) + 1 AS dep FROM sym "
+                f"JOIN {p} ON {p}.v = sym.src WHERE {p}.dep < {big} "
+                f"GROUP BY sym.dst) m USING (v))")
+        return ctes
+
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)"]
+    ctes += chain("a", "0")
+    ctes.append(
+        f"""pick AS MATERIALIZED (
+          SELECT v AS u, dep AS ecc FROM a{rounds}
+          WHERE dep < {big} ORDER BY dep DESC, v ASC LIMIT 1)""")
+    ctes += chain("b", "SELECT u FROM pick")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT pick.u AS far_v, pick.ecc AS ecc_root, "
+            f"(SELECT max(dep) FROM b{rounds} WHERE dep < {big}) "
+            f"AS diameter_lb FROM pick")
+
+
 def _coloring_sql(rounds: int, max_colors: int) -> str:
     """Unrolled deterministic Jones-Plassmann recurrence
     (algos/coloring.py): per round, uncolored vertices below the min
@@ -1841,6 +1957,28 @@ ORACLE_SQL: dict[str, str] = {
                        "count(*) AS degree FROM sym GROUP BY src) "
                        "SELECT v, degree FROM d "
                        "ORDER BY degree DESC, v ASC LIMIT 10"),
+    # degree assortativity: exact int64 moment sums, identical float
+    # formula both sides (no summation-order exposure)
+    "doc_assortativity": f"""
+        WITH sym AS MATERIALIZED ({DOC_SYM_SQL}),
+        d AS MATERIALIZED (
+          SELECT src AS v, count(*) AS dg FROM sym GROUP BY src),
+        s AS (
+          SELECT count(*)::BIGINT AS m,
+                 sum(dx.dg)::BIGINT AS sx, sum(dy.dg)::BIGINT AS sy,
+                 sum(dx.dg * dy.dg)::BIGINT AS sxy,
+                 sum(dx.dg * dx.dg)::BIGINT AS sxx,
+                 sum(dy.dg * dy.dg)::BIGINT AS syy
+          FROM sym
+          JOIN d dx ON dx.v = sym.src
+          JOIN d dy ON dy.v = sym.dst)
+        SELECT round(
+          (sxy / m::DOUBLE - (sx / m::DOUBLE) * (sy / m::DOUBLE)) /
+          sqrt((sxx / m::DOUBLE - (sx / m::DOUBLE) * (sx / m::DOUBLE)) *
+               (syy / m::DOUBLE - (sy / m::DOUBLE) * (sy / m::DOUBLE))),
+          6) AS assortativity
+        FROM s
+    """,
     "doc_group_sizes": ("SELECT lang || ':' || source AS k, "
                         "count(*) AS n_docs FROM documents GROUP BY 1"),
     "doc_edge_count": (f"WITH e AS ({DOC_EDGES_SQL}) "
@@ -1861,6 +1999,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_mis": _mis_sql(MIS_ROUNDS),
     "doc_coloring": _coloring_sql(COLORING_ROUNDS, COLORING_MAX_COLORS),
     "doc_harmonic": _harmonic_sql(HARMONIC_SEEDS, BFS_ROUNDS, 6),
+    "doc_diameter": _diameter_sql(BFS_ROUNDS),
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
     "sample_stratified": _stratified_sql(),
@@ -2148,6 +2287,7 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "doc_edges": q_doc_edges,
     "doc_degree": q_doc_degree,
+    "doc_assortativity": q_doc_assortativity,
     "doc_top_degree": q_doc_top_degree,
     "doc_group_sizes": q_doc_group_sizes,
     "doc_edge_count": q_doc_edge_count,
@@ -2167,6 +2307,7 @@ QUERIES = {
     "doc_mis": q_doc_mis,
     "doc_coloring": q_doc_coloring,
     "doc_harmonic": q_doc_harmonic,
+    "doc_diameter": q_doc_diameter,
     "doc_walks": q_doc_walks,
     "doc_adamic_adar": q_doc_adamic_adar,
     "text_tokens": q_text_tokens,

@@ -76,7 +76,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "text_repetition", "text_tfidf",
                                   "doc_truss", "ann_ivf",
                                   "doc_harmonic", "corpus_clean",
-                                  "tpch_large_orders"])
+                                  "tpch_large_orders",
+                                  "doc_assortativity", "doc_diameter"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
