@@ -140,6 +140,105 @@ class FrameSampleStage:
                          "frame_ms": pa.array(offs, pa.int32())})
 
 
+# --------------------------------------------------------- real WAV codec
+#
+# Unlike image/video (whose codec libraries are absent here), RIFF/WAVE
+# 16-bit PCM needs nothing beyond numpy: the audio lane therefore ships a
+# REAL decoder, exercised end to end by an oracle-checked query — the
+# payload generator is deterministic integer arithmetic, so the oracle
+# verifies decode(encode(x)) against the closed form.
+
+WAV_SR = 8000  # synthetic corpus sample rate (1 channel, 16-bit PCM)
+
+
+def synth_wav_payload(media_id: int, n_samples: int,
+                      sr: int = WAV_SR) -> bytes:
+    """Minimal valid RIFF/WAVE file: 16-bit mono PCM whose samples are
+    deterministic integer arithmetic on (media_id, i) — exactly
+    reproducible in SQL."""
+    import struct
+
+    i = np.arange(n_samples, dtype=np.int64)
+    s = (((media_id + 1) * 2654435761 + i * 97003) % 65536 - 32768) \
+        .astype(np.int16)
+    data = s.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+class WavDecodeStage:
+    """REAL audio decode: parses RIFF chunks, validates 16-bit mono PCM,
+    and extracts (sample_rate, n_samples, duration_ms, peak, rms).  The
+    sum of squares is exact int64, so rms is reproducible bit-for-bit
+    by the SQL oracle's closed form."""
+
+    def _decode(self, payload: bytes):
+        import struct
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, sr, bits, channels, data = 12, None, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+            body = payload[pos + 8:pos + 8 + sz]
+            if cid == b"fmt ":
+                fmt, channels, sr, _, _, bits = struct.unpack("<HHIIHH",
+                                                              body[:16])
+                if fmt != 1:
+                    raise ValueError("only PCM supported")
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)
+        if sr is None or data is None or bits != 16 or channels != 1:
+            raise ValueError("unsupported WAV layout")
+        s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        n = len(s)
+        sumsq = int((s * s).sum())
+        return (int(sr), n, n * 1000 // sr, int(np.abs(s).max(initial=0)),
+                float(np.sqrt(sumsq / n)) if n else 0.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._decode(p) for p in batch["payload"].to_pylist()]
+        sr, n, dur, peak, rms = (list(x) for x in zip(*out)) if out else \
+            ([], [], [], [], [])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "sample_rate": pa.array(sr, pa.int64()),
+            "n_samples": pa.array(n, pa.int64()),
+            "duration_ms": pa.array(dur, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+            "rms": pa.array(np.round(np.array(rms, np.float64), 6),
+                            pa.float64()),
+        })
+
+
+def audio_from_documents(docs_ds):
+    """Deterministic REAL-WAV media rows derived from documents: sample
+    count from the text length, payload a valid RIFF/WAVE PCM file."""
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.array([len((t or "").encode())
+                         for t in b["text"].to_pylist()], dtype=np.int64)
+        n = 400 + (lens * 7) % 800
+        payloads = [synth_wav_payload(int(i), int(k))
+                    for i, k in zip(ids, n)]
+        return pa.table({"media_id": pa.array(ids),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    return docs_ds.map_batches(derive, batch_format="pyarrow")
+
+
+def decode_audio(ds, concurrency: int = 4, batch_size: int = 256):
+    """audio media table -> per-clip stats via the real WAV decoder."""
+    return ds.map_batches(WavDecodeStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=pool_size(concurrency))
+
+
 def decode_features(ds, concurrency: int = 4, batch_size: int = 256,
                     use_stub: bool = True):
     """media table -> (media_id, kind, n_bytes, features) via actor pool."""

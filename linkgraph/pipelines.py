@@ -947,6 +947,19 @@ def q_tpch_large_orders(sf_dir):
     return _REL.large_orders(sf_dir)
 
 
+def q_media_audio(sf_dir):
+    """REAL audio decode lane: deterministic RIFF/WAVE 16-bit PCM files
+    derived from the documents (multimodal.audio_from_documents), parsed
+    by the actual WAV decoder (multimodal.WavDecodeStage) in an actor
+    pool — not the stub seam.  The oracle recomputes every stat from the
+    generator's closed form, so the gate verifies decode(encode(x))."""
+    from .multimodal import audio_from_documents, decode_audio
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return decode_audio(audio_from_documents(docs))
+
+
 def q_events_window(sf_dir):
     from .windows import tumbling_window
 
@@ -2239,6 +2252,29 @@ ORACLE_SQL: dict[str, str] = {
     # byte values -> 16 little-endian uint32 lanes (digest repeats, so
     # lanes 8..15 == 0..7) -> v = lane % 10000; checksum = sum v^2 exact
     # in int64 (multimodal.MediaDecodeStage._decode)
+    # REAL WAV decode lane: every stat recomputed from the generator's
+    # integer closed form (16-bit PCM samples are deterministic in
+    # (doc_id, i); sum of squares exact in int64 both sides)
+    "media_audio": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 400 + (strlen(text) * 7) % 800 AS n
+          FROM documents
+        ), s AS (
+          SELECT media_id, n,
+                 ((media_id + 1) * 2654435761 + unnest(range(n)) * 97003)
+                   % 65536 - 32768 AS v
+          FROM m
+        ), a AS (
+          SELECT media_id, n, sum(v * v)::BIGINT AS sumsq,
+                 max(abs(v))::BIGINT AS peak
+          FROM s GROUP BY media_id, n
+        )
+        SELECT media_id, 8000::BIGINT AS sample_rate, n AS n_samples,
+               (n * 1000) // 8000 AS duration_ms, peak,
+               round(sqrt(sumsq / n::DOUBLE), 6) AS rms
+        FROM a
+    """,
     "media_features": """
         WITH k0 AS (
           SELECT doc_id AS media_id,
@@ -2341,6 +2377,7 @@ QUERIES = {
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
+    "media_audio": q_media_audio,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
