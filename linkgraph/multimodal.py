@@ -239,6 +239,95 @@ def decode_audio(ds, concurrency: int = 4, batch_size: int = 256):
                           concurrency=pool_size(concurrency))
 
 
+# --------------------------------------------------------- real BMP codec
+#
+# Uncompressed 24-bit BMP is likewise numpy-parseable: the image lane
+# ships a REAL decoder too (only video keeps the stub seam — demuxers
+# genuinely are not in this container).
+
+def synth_bmp_payload(media_id: int, width: int, height: int) -> bytes:
+    """Minimal valid 24-bit bottom-up BMP whose pixel bytes are
+    deterministic integer arithmetic on (media_id, x, y, channel)."""
+    import struct
+
+    y, x, c = np.meshgrid(np.arange(height), np.arange(width),
+                          np.arange(3), indexing="ij")
+    px = ((media_id * 131 + y * 17 + x * 7 + c * 3) % 256).astype(np.uint8)
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    rows = []
+    for yy in range(height - 1, -1, -1):  # bottom-up storage
+        rows.append(px[yy].tobytes() + b"\x00" * pad)
+    data = b"".join(rows)
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                         len(data), 2835, 2835, 0, 0))
+    return hdr + data
+
+
+class BmpDecodeStage:
+    """REAL image decode: parses the BMP headers, validates 24-bit
+    uncompressed layout, un-pads the bottom-up pixel rows, and extracts
+    (width, height, per-channel means).  Channel sums are exact int64,
+    so the means are reproducible bit-for-bit by the SQL oracle."""
+
+    def _decode(self, payload: bytes):
+        import struct
+
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        off = struct.unpack("<I", payload[10:14])[0]
+        (hsz, w, h, planes, bpp, comp) = struct.unpack(
+            "<IiiHHI", payload[14:34])
+        if bpp != 24 or comp != 0 or planes != 1 or h <= 0:
+            raise ValueError("unsupported BMP layout")
+        row_bytes = w * 3
+        stride = row_bytes + ((-row_bytes) % 4)
+        raw = np.frombuffer(payload, dtype=np.uint8,
+                            count=stride * h, offset=off)
+        rows = raw.reshape(h, stride)[:, :row_bytes]
+        img = rows.reshape(h, w, 3)[::-1]  # bottom-up -> top-down, BGR
+        n = w * h
+        sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        return (w, h, float(sums[0] / n), float(sums[1] / n),
+                float(sums[2] / n))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._decode(p) for p in batch["payload"].to_pylist()]
+        w, h, b_, g, r = (list(x) for x in zip(*out)) if out else \
+            ([], [], [], [], [])
+        rnd = lambda v: pa.array(np.round(np.array(v, np.float64), 6),
+                                 pa.float64())
+        return pa.table({
+            "media_id": batch["media_id"],
+            "width": pa.array(w, pa.int64()),
+            "height": pa.array(h, pa.int64()),
+            "mean_b": rnd(b_), "mean_g": rnd(g), "mean_r": rnd(r),
+        })
+
+
+def images_from_documents(docs_ds):
+    """Deterministic REAL-BMP media rows derived from documents."""
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = 8 + ids % 16
+        h = 8 + ids % 12
+        payloads = [synth_bmp_payload(int(i), int(ww), int(hh))
+                    for i, ww, hh in zip(ids, w, h)]
+        return pa.table({"media_id": pa.array(ids),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    return docs_ds.map_batches(derive, batch_format="pyarrow")
+
+
+def decode_images(ds, concurrency: int = 4, batch_size: int = 256):
+    """image media table -> per-image stats via the real BMP decoder."""
+    return ds.map_batches(BmpDecodeStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=pool_size(concurrency))
+
+
 def decode_features(ds, concurrency: int = 4, batch_size: int = 256,
                     use_stub: bool = True):
     """media table -> (media_id, kind, n_bytes, features) via actor pool."""

@@ -960,6 +960,18 @@ def q_media_audio(sf_dir):
     return decode_audio(audio_from_documents(docs))
 
 
+def q_media_image(sf_dir):
+    """REAL image decode lane: deterministic 24-bit BMP files derived
+    from the documents, parsed by the actual BMP decoder
+    (multimodal.BmpDecodeStage) in an actor pool.  Oracle recomputes
+    width/height/channel means from the generator's closed form."""
+    from .multimodal import decode_images, images_from_documents
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return decode_images(images_from_documents(docs))
+
+
 def q_events_window(sf_dir):
     from .windows import tumbling_window
 
@@ -2275,6 +2287,37 @@ ORACLE_SQL: dict[str, str] = {
                round(sqrt(sumsq / n::DOUBLE), 6) AS rms
         FROM a
     """,
+    # REAL BMP decode lane: width/height/channel means recomputed from
+    # the generator's closed form (exact int64 channel sums both sides)
+    "media_image": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+          FROM documents
+        ), px AS (
+          -- NOTE multiple unnests ZIP in DuckDB; the pixel grid needs a
+          -- true cross product, bounded by the max w/h then filtered
+          SELECT media_id, w, h, gx.x, gy.y
+          FROM m
+          CROSS JOIN (SELECT unnest(range(24)) AS x) gx
+          CROSS JOIN (SELECT unnest(range(20)) AS y) gy
+          WHERE gx.x < w AND gy.y < h
+        ), s AS (
+          SELECT media_id, w, h,
+                 sum((media_id * 131 + y * 17 + x * 7 + 0) % 256)
+                     ::BIGINT AS sb,
+                 sum((media_id * 131 + y * 17 + x * 7 + 3) % 256)
+                     ::BIGINT AS sg,
+                 sum((media_id * 131 + y * 17 + x * 7 + 6) % 256)
+                     ::BIGINT AS sr
+          FROM px GROUP BY media_id, w, h
+        )
+        SELECT media_id, w AS width, h AS height,
+               round(sb / (w * h)::DOUBLE, 6) AS mean_b,
+               round(sg / (w * h)::DOUBLE, 6) AS mean_g,
+               round(sr / (w * h)::DOUBLE, 6) AS mean_r
+        FROM s
+    """,
     "media_features": """
         WITH k0 AS (
           SELECT doc_id AS media_id,
@@ -2378,6 +2421,7 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
     "media_audio": q_media_audio,
+    "media_image": q_media_image,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }

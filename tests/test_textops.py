@@ -472,3 +472,25 @@ def test_decode_audio_stage(sf_dir):
     assert len(out) == docs.count()
     assert (out["sample_rate"] == 8000).all()
     assert (out["rms"] > 0).all()
+
+
+def test_bmp_decoder_real_roundtrip():
+    """The image lane is a REAL 24-bit BMP parser: decode(encode(x))
+    recovers exact channel means (including padded row widths) and
+    malformed payloads raise."""
+    import numpy as np
+
+    from linkgraph.multimodal import BmpDecodeStage, synth_bmp_payload
+
+    st = BmpDecodeStage()
+    for mid, w, h in ((3, 9, 5), (11, 8, 12), (0, 23, 19)):
+        got = st._decode(synth_bmp_payload(mid, w, h))
+        y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3),
+                              indexing="ij")
+        px = (mid * 131 + y * 17 + x * 7 + c * 3) % 256
+        n = w * h
+        want = (w, h, float(px[:, :, 0].sum() / n),
+                float(px[:, :, 1].sum() / n), float(px[:, :, 2].sum() / n))
+        assert got == want, (mid, w, h)
+    with pytest.raises(ValueError):
+        st._decode(b"NOPE" * 20)
