@@ -972,6 +972,18 @@ def q_media_image(sf_dir):
     return decode_images(images_from_documents(docs))
 
 
+def q_media_video(sf_dir):
+    """REAL video demux lane: deterministic YUV4MPEG2 (raw planar
+    YUV420) streams derived from the documents, demuxed frame by frame
+    by multimodal.Y4mFrameStage, sampling every 2nd frame and emitting
+    exact mean luma.  Oracle recomputes from the generator closed form."""
+    from .multimodal import demux_video_frames, videos_from_documents
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return demux_video_frames(videos_from_documents(docs))
+
+
 def q_events_window(sf_dir):
     from .windows import tumbling_window
 
@@ -2318,6 +2330,36 @@ ORACLE_SQL: dict[str, str] = {
                round(sr / (w * h)::DOUBLE, 6) AS mean_r
         FROM s
     """,
+    # REAL Y4M demux lane: per-sampled-frame mean luma recomputed from
+    # the generator closed form (bounded cross joins; multiple unnests
+    # ZIP in DuckDB so true products need explicit joins)
+    "media_video": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 8 + 2 * (doc_id % 8) AS w,
+                 8 + 2 * (doc_id % 6) AS h,
+                 3 + doc_id % 5 AS nf
+          FROM documents
+        ), fr AS (
+          SELECT media_id, w, h, gf.f
+          FROM m CROSS JOIN (SELECT unnest(range(7)) AS f) gf
+          WHERE gf.f < nf AND gf.f % 2 = 0
+        ), px AS (
+          SELECT media_id, w, h, f, gx.x, gy.y
+          FROM fr
+          CROSS JOIN (SELECT unnest(range(22)) AS x) gx
+          CROSS JOIN (SELECT unnest(range(18)) AS y) gy
+          WHERE gx.x < w AND gy.y < h
+        ), s AS (
+          SELECT media_id, w, h, f,
+                 sum((media_id * 131 + f * 29 + y * 17 + x * 7) % 256)
+                     ::BIGINT AS sy
+          FROM px GROUP BY media_id, w, h, f
+        )
+        SELECT media_id, w AS width, h AS height, f AS frame_idx,
+               round(sy / (w * h)::DOUBLE, 6) AS mean_y
+        FROM s
+    """,
     "media_features": """
         WITH k0 AS (
           SELECT doc_id AS media_id,
@@ -2422,6 +2464,7 @@ QUERIES = {
     "events_session": q_events_session,
     "media_audio": q_media_audio,
     "media_image": q_media_image,
+    "media_video": q_media_video,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }

@@ -494,3 +494,25 @@ def test_bmp_decoder_real_roundtrip():
         assert got == want, (mid, w, h)
     with pytest.raises(ValueError):
         st._decode(b"NOPE" * 20)
+
+
+def test_y4m_demuxer_real_roundtrip():
+    """The video lane is a REAL YUV4MPEG2 demuxer: frame walk, C420
+    plane sizes, sampling stride, exact luma means; malformed payloads
+    raise."""
+    import numpy as np
+
+    from linkgraph.multimodal import Y4mFrameStage, synth_y4m_payload
+
+    st = Y4mFrameStage(sample_every=2)
+    w, h, nf = 10, 8, 5
+    payload = synth_y4m_payload(4, w, h, nf)
+    gw, gh, frames = st._frames(payload)
+    assert (gw, gh) == (w, h)
+    assert [f for f, _, _ in frames] == [0, 2, 4]
+    for f, s, n in frames:
+        y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        want = int(((4 * 131 + f * 29 + y * 17 + x * 7) % 256).sum())
+        assert (s, n) == (want, w * h)
+    with pytest.raises(ValueError):
+        st._frames(b"YUV4MPEG2 W4 H4 F25:1 C420\nNOTFRAME" + b"\x00" * 64)
