@@ -386,3 +386,24 @@ def test_harmonic_matches_bfs_oracle(name, tmp_path):
         assert np.array_equal(got, got2)
     finally:
         eng.shutdown()
+
+
+def test_ktruss_and_coloring_edge_cases(tmp_path):
+    """Degenerate inputs: triangle-free graphs peel to empty trusses;
+    a singleton graph colors trivially."""
+    from linkgraph.algos.coloring import greedy_coloring
+    from linkgraph.algos.ktruss import ktruss_edges
+
+    e = micro_graph("path_8")  # triangle-free
+    out, rounds = ktruss_edges(edges_from_arrays(e[:, 0], e[:, 1]), k=3)
+    assert len(out) == 0 and rounds == 1
+
+    eng = load_undirected(edges_from_arrays(
+        np.array([0]), np.array([1])), 2, num_partitions=2,
+        store_dir=str(tmp_path / "tiny"))
+    try:
+        greedy_coloring(eng)
+        got = eng.state_pandas(["color"])["color"].to_numpy()
+        assert sorted(got.tolist()) == [0, 1]
+    finally:
+        eng.shutdown()
