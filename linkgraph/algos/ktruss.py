@@ -99,8 +99,6 @@ def _support_ds(edges_ds, num_partitions: int):
     """Distributed per-edge support: oriented wedges carrying their apex
     join the oriented edge set; closed triangles explode into three
     canonical edges; groupby counts."""
-    import pyarrow.compute as pc
-
     from ..dedup import _join_parts
     from .triangles import WEDGE_BUCKETS
 
@@ -183,8 +181,6 @@ def ktruss_edges(edges_ds, k: int = 3, num_partitions: int = 16,
                 rounds
 
     # distributed peel: canonicalize once, then support-filter rounds
-    from ray.data.aggregate import Sum
-
     from .triangles import _canonical
 
     cur = (edges_ds.map_batches(_canonical, batch_format="pyarrow")

@@ -701,8 +701,6 @@ def q_corpus_clean(sf_dir):
 
     Every stage is one of the repo's oracle-checked operators; the
     oracle composes their SQL fragments in the same order."""
-    import pyarrow.compute as pc
-
     from .dedup import _join_parts, exact_dedup, minhash_dedup_pairs
     from .hashing import add_sha256
     from .text import add_quality
