@@ -217,3 +217,58 @@ def betweenness(engine: GraphEngine, root: int, compact: bool = False) -> dict:
     finally:
         ray.get([s.transpose.remote() for s in engine.shards])
     return {"forward": fwd, "backward": bwd}
+
+
+class BCForwardAccum(BCForwardProgram):
+    """Forward phase that CARRIES a cross-root dependency accumulator
+    (`bc_acc`) through its continues-state — sampled betweenness runs
+    one Brandes pass per root without ever collecting |V| rows on the
+    driver between roots (same accumulator pattern as
+    algos/harmonic.py)."""
+
+    continues = True
+
+    def init_state(self, ctx, prev=None):
+        state = super().init_state(ctx, prev)
+        fresh = ctx.params.get("reset", False) or not (
+            prev and "bc_acc" in prev)
+        state["bc_acc"] = (np.zeros(ctx.n_local, dtype=np.float64)
+                           if fresh else prev["bc_acc"])
+        return state
+
+
+class BCBackwardAccum(BCBackwardProgram):
+    """Backward phase that folds this root's finite dependencies into
+    the running accumulator."""
+
+    result_columns = ["bc"]
+
+    def finalize(self, ctx, state):
+        super().finalize(ctx, state)
+        d = state["dependencies"]
+        fin = np.isfinite(d)
+        state["bc_acc"][fin] += d[fin]
+        state["bc"] = state["bc_acc"]
+
+
+def betweenness_sampled(engine: GraphEngine, roots: list[int]) -> list[dict]:
+    """Sampled betweenness (the standard scalable estimator: Brandes
+    from a root sample, dependencies summed): one forward+backward pass
+    per root, accumulator carried in engine state.  Read the result via
+    engine.state_pandas(["bc"])."""
+    import ray
+
+    reports = []
+    for i, r in enumerate(roots):
+        params = {"root": int(r), "reset": i == 0}
+        fwd = engine.run(BCForwardAccum(), params=params,
+                         run_name=f"bcs_fwd_root{r}")
+        ray.get([s.transpose.remote() for s in engine.shards])
+        try:
+            bwd = engine.run(BCBackwardAccum(), params=params,
+                             max_steps=max(1, fwd["n_steps"]),
+                             run_name=f"bcs_bwd_root{r}")
+        finally:
+            ray.get([s.transpose.remote() for s in engine.shards])
+        reports.append({"forward": fwd, "backward": bwd})
+    return reports

@@ -379,6 +379,23 @@ def q_doc_bc(sf_dir):
     return pdf
 
 
+BC_SAMPLE_ROOTS = [0, 1, 2]
+
+
+def q_doc_bc_sampled(sf_dir):
+    """Sampled betweenness (algos/bc.betweenness_sampled): Brandes from
+    3 roots, per-vertex dependencies accumulated in engine state (never
+    |V| rows per root on the driver).  Oracle: _bc_sampled_sql — one
+    prefixed unrolled chain per root, summed in root order."""
+    from .algos.bc import betweenness_sampled
+
+    eng = documents_engine(sf_dir, "directed")
+    reports = betweenness_sampled(eng, BC_SAMPLE_ROOTS)
+    for r, rep in zip(BC_SAMPLE_ROOTS, reports):
+        _check_unroll(rep["forward"], BFS_ROUNDS, f"doc_bc_sampled {r}")
+    return _state_result(eng, "bc", "bc", round_to=6)
+
+
 def q_doc_sssp(sf_dir):
     from .algos import sssp
     from .algos.sssp import INF_DIST
@@ -1204,6 +1221,70 @@ def _bc_sql(rounds: int, round_to: int) -> str:
             f"FROM lev JOIN b0 USING (v) JOIN {sig} USING (v)")
 
 
+def _bc_root_chain(tag: str, root: int, rounds: int) -> list[str]:
+    """One root's unrolled Brandes CTE chain (levels, sigma, backward
+    deltas), every CTE name prefixed with `tag` — the building block of
+    the sampled-betweenness oracle."""
+    big = 10 ** 9
+    ctes = [f"{tag}d0 AS MATERIALIZED (SELECT v, CASE WHEN v = {root} "
+            f"THEN 0 ELSE {big} END AS dep FROM allv)"]
+    for i in range(1, rounds + 1):
+        p = f"{tag}d{i - 1}"
+        ctes.append(
+            f"{tag}d{i} AS MATERIALIZED (SELECT allv.v, "
+            f"least({p}.dep, coalesce(m.dep, {big})) AS dep "
+            f"FROM allv JOIN {p} USING (v) LEFT JOIN "
+            f"(SELECT e.dst AS v, min({p}.dep) + 1 AS dep FROM e "
+            f"JOIN {p} ON {p}.v = e.src WHERE {p}.dep < {big} "
+            f"GROUP BY e.dst) m USING (v))")
+    ctes.append(f"{tag}lev AS MATERIALIZED (SELECT v, dep AS dist "
+                f"FROM {tag}d{rounds} WHERE dep < {big})")
+    ctes.append(f"{tag}s0 AS MATERIALIZED (SELECT v, 1.0 AS sigma "
+                f"FROM {tag}lev WHERE dist = 0)")
+    for i in range(1, rounds + 1):
+        p = f"{tag}s{i - 1}"
+        ctes.append(
+            f"{tag}s{i} AS MATERIALIZED (SELECT * FROM {p} UNION ALL "
+            f"SELECT e.dst AS v, sum(sp.sigma) AS sigma FROM e "
+            f"JOIN {p} sp ON sp.v = e.src "
+            f"JOIN {tag}lev lu ON lu.v = e.src AND lu.dist = {i - 1} "
+            f"JOIN {tag}lev lv ON lv.v = e.dst AND lv.dist = {i} "
+            f"GROUP BY e.dst)")
+    sig = f"{tag}s{rounds}"
+    ctes.append(f"{tag}b{rounds} AS MATERIALIZED (SELECT v, 0.0 AS dl "
+                f"FROM {tag}lev WHERE dist = {rounds})")
+    for i in range(rounds - 1, -1, -1):
+        nx = f"{tag}b{i + 1}"
+        ctes.append(
+            f"{tag}b{i} AS MATERIALIZED (SELECT * FROM {nx} UNION ALL "
+            f"SELECT l.v, coalesce(m.s, 0.0) AS dl FROM {tag}lev l "
+            f"LEFT JOIN "
+            f"(SELECT e.src AS v, sum(sg.sigma / sw.sigma * (1.0 + d.dl))"
+            f" AS s FROM e JOIN {nx} d ON d.v = e.dst "
+            f"JOIN {tag}lev lw ON lw.v = e.dst AND lw.dist = {i + 1} "
+            f"JOIN {sig} sw ON sw.v = e.dst "
+            f"JOIN {sig} sg ON sg.v = e.src "
+            f"GROUP BY e.src) m USING (v) WHERE l.dist = {i})")
+    return ctes
+
+
+def _bc_sampled_sql(roots: list[int], rounds: int, round_to: int) -> str:
+    """Sampled-betweenness oracle: one prefixed Brandes chain per root,
+    per-vertex dependencies summed LEFT-TO-RIGHT in root order (the
+    engine accumulator's association)."""
+    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)"]
+    for ri, r in enumerate(roots):
+        ctes += _bc_root_chain(f"r{ri}", r, rounds)
+    terms = " + ".join(f"coalesce(r{ri}b0.dl, 0.0)"
+                       for ri in range(len(roots)))
+    joins = " ".join(f"LEFT JOIN r{ri}b0 ON r{ri}b0.v = allv.v"
+                     for ri in range(len(roots)))
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT allv.v, round({terms}, {round_to}) AS bc "
+            f"FROM allv {joins}")
+
+
 def _sssp_sql(rounds: int, round_to: int) -> str:
     inf = "1000000000.0"
     ctes = [f"ce AS MATERIALIZED ({DOC_EDGES_SQL})",
@@ -2027,6 +2108,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_labelprop": _lp_sql(LP_ROUNDS),
     "doc_bfs": _bfs_sql(BFS_ROUNDS),
     "doc_bc": _bc_sql(BFS_ROUNDS, 6),
+    "doc_bc_sampled": _bc_sampled_sql(BC_SAMPLE_ROOTS, BFS_ROUNDS, 6),
     "doc_sssp": _sssp_sql(SSSP_ROUNDS, 9),
     "doc_hits": _hits_sql(HITS_ITERS, 6),
     "doc_ppr": _ppr_sql(PPR_ITERS, 9, PPR_SOURCES),
@@ -2419,6 +2501,7 @@ QUERIES = {
     "doc_labelprop": q_doc_labelprop,
     "doc_bfs": q_doc_bfs,
     "doc_bc": q_doc_bc,
+    "doc_bc_sampled": q_doc_bc_sampled,
     "doc_sssp": q_doc_sssp,
     "doc_hits": q_doc_hits,
     "doc_ppr": q_doc_ppr,

@@ -355,3 +355,29 @@ def test_triangles_distributed_path_matches_driver():
     finally:
         T.DRIVER_TRI_CAP = old
     assert fast == slow == tri_oracle(e, _n(e))
+
+
+@pytest.mark.parametrize("name", ["powerlaw_1k", "two_cliques_k5"])
+def test_betweenness_sampled_matches_summed_brandes(name, tmp_path):
+    """Sampled BC == sum of single-root Brandes dependencies over the
+    root sample; a second sweep on the same engine must not accumulate."""
+    from linkgraph.algos.bc import betweenness_sampled
+
+    e = micro_graph(name)
+    n = _n(e)
+    roots = [0, 1, 2]
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        betweenness_sampled(eng, roots)
+        got = eng.state_pandas(["bc"])["bc"].to_numpy()
+        want = np.zeros(n)
+        for r in roots:
+            d, _, dep = bc_oracle(e, n, r)
+            want[dep >= 0] += d[dep >= 0]
+        assert np.allclose(got, want, atol=1e-9)
+        betweenness_sampled(eng, roots)
+        got2 = eng.state_pandas(["bc"])["bc"].to_numpy()
+        assert np.array_equal(got, got2)
+    finally:
+        eng.shutdown()
