@@ -158,6 +158,26 @@ DRIVER_PAIR_CAP = 2_000_000
 # hash-count groupby takes over — the same shape rule as DRIVER_PAIR_CAP
 HOT_DRIVER_CAP = 10_000_000
 
+# bucket tables up to this row count (~48MB of (band,bhash,id) int64)
+# run the ENTIRE pairing on the driver with the same numpy kernel —
+# skipping the hot-filter map and the groupby(band).map_groups shuffle
+# entirely (each costs 1-3s of fixed stage latency that dominates small
+# jobs); bigger tables take the distributed path below
+BUCKET_DRIVER_CAP = 2_000_000
+
+
+def _pairs_driver(pdf: pd.DataFrame, id_col: str, cap: int) -> pd.DataFrame:
+    """Driver pairing over the whole bucket frame: one numpy kernel per
+    band (<= a few dozen), identical bucket/cap/dedup semantics to the
+    distributed plan (tests assert path equality)."""
+    kern = _band_pairs_factory(id_col, cap)
+    outs = [kern(g) for _, g in pdf.groupby("band", sort=True)]
+    allp = (pd.concat(outs, ignore_index=True) if outs else
+            pd.DataFrame({"a": np.empty(0, np.int64),
+                          "b": np.empty(0, np.int64)}))
+    return (allp.drop_duplicates(["a", "b"])
+                .sort_values(["a", "b"]).reset_index(drop=True))
+
 
 def _candidate_pairs_impl(bucket_ds, id_col: str,
                           bucket_cols, cap: int):
@@ -178,6 +198,22 @@ def _candidate_pairs_impl(bucket_ds, id_col: str,
     # signature actor pool runs ONCE, not once per consumer
     bucket_ds = bucket_ds.materialize()
     n_rows = bucket_ds.count()
+    if n_rows <= BUCKET_DRIVER_CAP:
+        # whole-table driver plan: the (band, bhash, id) frame is tiny
+        # (<=~48MB), so pairing runs the SAME numpy kernel locally and
+        # skips the hot-filter map + groupby(band) shuffle (1-3s fixed
+        # latency each at this scale) — unless the capped pair estimate
+        # exceeds DRIVER_PAIR_CAP, in which case fall through to the
+        # distributed plan (tests assert path equality)
+        pdf = bucket_ds.to_pandas().rename(
+            columns={b0: "band", b1: "bhash"})
+        k = _mix_key(pdf["band"].to_numpy(), pdf["bhash"].to_numpy())
+        _, cc = np.unique(k, return_counts=True)
+        cc = np.minimum(cc[cc > 1], cap).astype(np.int64)
+        if int((cc * (cc - 1) // 2).sum()) <= DRIVER_PAIR_CAP:
+            out = _pairs_driver(pdf, id_col, cap)
+            return (from_pandas_clean(out) if len(out)
+                    else rd.from_arrow(_EMPTY_PAIRS)), out
     if n_rows <= HOT_DRIVER_CAP:
         # map-side partial (key, count) per batch + tiny driver merge —
         # skips a whole hash-shuffle round of fixed overhead

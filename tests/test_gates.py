@@ -27,14 +27,22 @@ def _docs_table(n=60, seed=3):
 
 
 def test_minhash_driver_vs_distributed_paths(monkeypatch):
+    """Three plans, identical output: whole-bucket-table driver pairing
+    (default at this size), hot-filter + driver pair-dedup, and the
+    fully distributed groupby projection."""
     import linkgraph.dedup as D
 
     ds = rd.from_arrow(_docs_table())
     small = D.minhash_dedup_pairs(ds, threshold=0.6, concurrency=2)
+    monkeypatch.setattr(D, "BUCKET_DRIVER_CAP", -1)
+    mid = D.minhash_dedup_pairs(rd.from_arrow(_docs_table()),
+                                threshold=0.6, concurrency=2)
     monkeypatch.setattr(D, "DRIVER_PAIR_CAP", -1)
     monkeypatch.setattr(D, "HOT_DRIVER_CAP", -1)
     big = D.minhash_dedup_pairs(rd.from_arrow(_docs_table()),
                                 threshold=0.6, concurrency=2)
+    pd.testing.assert_frame_equal(
+        small.reset_index(drop=True), mid.reset_index(drop=True))
     pd.testing.assert_frame_equal(
         small.reset_index(drop=True), big.reset_index(drop=True))
 
