@@ -97,6 +97,27 @@ def read_edges_json(path: str, src_col: str = "src", dst_col: str = "dst"):
     return rd.read_json(path).map_batches(canon, batch_format="pyarrow")
 
 
+def read_edges_text(path: str):
+    """Edge list from SNAP-style whitespace-separated text ("src dst"
+    per line, '#' comment lines skipped) — the interchange format of the
+    big public graph repositories.  Parallel line-based read via
+    ray.data.read_text, vectorized int parse per batch."""
+
+    def canon(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lines = pc.utf8_trim_whitespace(b["text"])
+        keep = pc.and_(pc.greater(pc.utf8_length(lines), 0),
+                       pc.invert(pc.starts_with(lines, "#")))
+        lines = lines.filter(keep)
+        parts = pc.split_pattern_regex(lines, r"\s+")
+        src = pc.cast(pc.list_element(parts, 0), pa.int64())
+        dst = pc.cast(pc.list_element(parts, 1), pa.int64())
+        return pa.table({"src": src, "dst": dst})
+
+    return rd.read_text(path).map_batches(canon, batch_format="pyarrow")
+
+
 def read_edges_binary(path: str, weighted: bool = False,
                       edges_per_block: int = 4_000_000):
     """Edge list from the reference's packed binary EdgeUnit format

@@ -685,6 +685,50 @@ def q_text_quality(sf_dir):
                .select_columns(["doc_id", "quality", "keep"])
 
 
+GROUP_TOKENS_K = 10
+
+
+def q_text_top_tokens_by_lang(sf_dir):
+    """Per-GROUP heavy hitters: top-10 tokens per lang — the grouped
+    variant of q_text_top_tokens.  Map-side (lang, token) value_counts
+    partials, one groupby over the distinct (lang, token) table, then
+    per-block per-group partial top-k + a tiny driver reduce (partials
+    are safe: each post-groupby row carries its FINAL count)."""
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(_arr(b["text"]), r"\s+")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        langs = pc.take(b["lang"], parent)
+        t = pa.table({"lang": langs, "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by(["lang", "token"]).aggregate([("token", "count")])
+        return g.rename_columns(["lang", "token", "n"])
+
+    counts = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "token"]).sum("n")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().rename(columns={"sum(n)": "n"})
+        pdf = pdf.sort_values(["lang", "n", "token"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return pa.Table.from_pandas(
+            pdf.groupby("lang").head(GROUP_TOKENS_K),
+            preserve_index=False).replace_schema_metadata(None)
+
+    parts = counts.map_batches(local_top, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts.sort_values(["lang", "n", "token"],
+                            ascending=[True, False, True],
+                            kind="mergesort") \
+        .groupby("lang").head(GROUP_TOKENS_K).reset_index(drop=True)
+    out["rnk"] = out.groupby("lang").cumcount() + 1
+    return out[["lang", "token", "rnk", "n"]]
+
+
 def q_text_repetition(sf_dir):
     """Gopher-style repetition filters (text.add_repetition_stats):
     duplicate-word fraction, top-word fraction, top-bigram fraction —
@@ -2138,6 +2182,18 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, k FROM r WHERE rn <= {QUOTA_N}
     """,
+    "text_top_tokens_by_lang": f"""
+        WITH t AS (
+          SELECT lang, unnest(list_filter(regexp_split_to_array(text,
+                 '\\s+'), x -> x <> '')) AS token
+          FROM documents
+        ), c AS (SELECT lang, token, count(*) AS n
+                 FROM t GROUP BY lang, token),
+        r AS (SELECT lang, token, n, row_number() OVER
+               (PARTITION BY lang ORDER BY n DESC, token ASC) AS rnk
+              FROM c)
+        SELECT lang, token, rnk, n FROM r WHERE rnk <= {GROUP_TOKENS_K}
+    """,
     "text_top_tokens": f"""
         WITH t AS (
           SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -2514,6 +2570,7 @@ QUERIES = {
     "doc_adamic_adar": q_doc_adamic_adar,
     "text_tokens": q_text_tokens,
     "text_top_tokens": q_text_top_tokens,
+    "text_top_tokens_by_lang": q_text_top_tokens_by_lang,
     "sample_quota": q_sample_quota,
     "sample_stratified": q_sample_stratified,
     "sketch_distinct": q_sketch_distinct,

@@ -79,7 +79,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "tpch_large_orders",
                                   "doc_assortativity", "doc_diameter",
                                   "media_audio", "media_image",
-                                  "media_video", "doc_bc_sampled"])
+                                  "media_video", "doc_bc_sampled",
+                                  "text_top_tokens_by_lang"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()

@@ -95,6 +95,28 @@ def test_csv_and_json_edge_sources(tmp_path):
         pd.testing.assert_frame_equal(got, want)
 
 
+def test_snap_text_edge_source(tmp_path):
+    """SNAP-style whitespace edge lists load into the (src, dst)
+    contract: comments and blank lines skipped, tabs and runs of spaces
+    both accepted."""
+    import pandas as pd
+
+    from linkgraph.io import read_edges_text
+
+    p = tmp_path / "graph.txt"
+    p.write_text("# Directed graph: test\n"
+                 "# src\tdst\n"
+                 "0\t1\n"
+                 "1 2\n"
+                 "\n"
+                 "2   3\n"
+                 "3\t0\n")
+    got = read_edges_text(str(p)).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    want = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0]})
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_binary_edgeunit_source_roundtrip(tmp_path):
     """The reference's packed EdgeUnit binary format (type.hpp:28-42)
     round-trips through write_edges_binary/read_edges_binary, unweighted
