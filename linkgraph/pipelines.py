@@ -507,9 +507,13 @@ def q_doc_diameter(sf_dir):
     eng = documents_engine(sf_dir, "undirected")
 
     def _sweep(root):
-        eng.run(HarmonicProgram(), params={"root": int(root),
-                                           "reset": True},
-                run_name=f"sweep_{int(root)}")
+        rep = eng.run(HarmonicProgram(), params={"root": int(root),
+                                                 "reset": True},
+                      run_name=f"sweep_{int(root)}")
+        # same loud-unroll convention as doc_harmonic/doc_bc_sampled: an
+        # eccentricity beyond the oracle's unroll must error, not surface
+        # as a silent driver-gate hash mismatch (ADVICE r2)
+        _check_unroll(rep, BFS_ROUNDS, f"doc_diameter sweep {int(root)}")
 
         def local_far(b: pa.Table) -> pa.Table:
             d = b["depth"].to_numpy(zero_copy_only=False)

@@ -254,6 +254,34 @@ def test_coloring_matches_greedy_oracle(name, tmp_path):
         eng.shutdown()
 
 
+def test_coloring_priority_collision_raises(tmp_path):
+    """Adjacent vertices with COLLIDING priorities must fail fast with a
+    RuntimeError (zero-progress select round), not livelock for
+    max_steps supersteps (ADVICE r2)."""
+    from linkgraph.algos.coloring import ColoringProgram, greedy_coloring
+
+    class CollidingColoring(ColoringProgram):
+        def init_state(self, ctx):
+            st = super().init_state(ctx)
+            st["pri"][:] = 1  # every vertex collides
+            return st
+
+    import linkgraph.algos.coloring as coloring_mod
+
+    e = micro_graph("path_8")
+    n = _n(e)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=2, store_dir=str(tmp_path / "g"))
+    orig = coloring_mod.ColoringProgram
+    try:
+        coloring_mod.ColoringProgram = CollidingColoring
+        with pytest.raises(RuntimeError, match="zero-progress"):
+            greedy_coloring(eng)
+    finally:
+        coloring_mod.ColoringProgram = orig
+        eng.shutdown()
+
+
 # ------------------------------------------------------- weighted pagerank
 
 def wpr_oracle(e, w, n, iters, d=0.85):

@@ -117,6 +117,20 @@ def test_snap_text_edge_source(tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_snap_text_malformed_line_raises(tmp_path):
+    """A single-token line raises a descriptive ValueError, not an
+    opaque Arrow list-index error (ADVICE r2)."""
+    import pytest
+
+    from linkgraph.io import read_edges_text
+
+    p = tmp_path / "bad.txt"
+    p.write_text("0 1\n42\n2 3\n")
+    with pytest.raises(Exception) as ei:
+        read_edges_text(str(p)).to_pandas()
+    assert "malformed edge line" in str(ei.value)
+
+
 def test_binary_edgeunit_source_roundtrip(tmp_path):
     """The reference's packed EdgeUnit binary format (type.hpp:28-42)
     round-trips through write_edges_binary/read_edges_binary, unweighted

@@ -228,6 +228,28 @@ def test_lsh_topk_pruned_scan_and_recall(emb_ds):
     assert inter >= 3
 
 
+def test_lsh_topk_empty_probe_buckets(emb_ds):
+    """External query vectors whose own + hamming-1 probe buckets are all
+    empty return an empty top-k frame instead of crashing on
+    read_parquet([]) (ADVICE r2).  The corpus is collapsed onto one
+    direction so its vectors share one bucket; the query is the exact
+    negation, whose code is the bitwise complement — hamming distance
+    n_planes (4) > 1 from every occupied bucket."""
+    from linkgraph.ann import lsh_topk
+
+    rows = emb_ds.take_all()
+    v = np.array(rows[0]["embedding"], dtype=np.float64)
+    one_dir = rd.from_arrow(pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+        "embedding": pa.array([v.tolist()] * len(rows),
+                              pa.list_(pa.float64())),
+    }))
+    out = lsh_topk(one_dir, np.array([-v]), np.array([999]), k=3,
+                   n_planes=4)
+    assert len(out) == 0
+    assert list(out.columns) == ["query_id", "neighbor_id", "rnk", "cosine"]
+
+
 def test_multimodal_decode_plumbing():
     t = synth_media_table(100)
     ds = rd.from_arrow(t)
@@ -458,6 +480,13 @@ def test_wav_decoder_real_roundtrip():
             w.getnframes()) == (8000, 1, 2, 1200)
     with pytest.raises(ValueError):
         st._decode(b"JUNKJUNKJUNKJUNK")
+    # truncated fmt chunk: documented ValueError, not struct.error
+    import struct
+
+    trunc = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+             + b"fmt " + struct.pack("<I", 8) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="truncated fmt"):
+        st._decode(trunc)
 
 
 def test_decode_audio_stage(sf_dir):
