@@ -174,7 +174,13 @@ def run_bench(num_cpus: int, sf_dir: str, scratch: str) -> dict:
     t0 = time.perf_counter()
     files2 = synth_repo_files_dataset(n_repos, files_per, seed=BENCH_SEED,
                                       repos_per_block=max(1, n_repos // 64))
-    docs = files2.map_batches(_with_docid, batch_format="pyarrow")
+    # materialize once: minhash consumes the corpus TWICE (signature pass
+    # + candidate shingle fetch); an un-materialized synth lineage would
+    # re-run the generator per consumer.  Still inside the timer — a real
+    # pipeline's corpus sits on parquet, where the second scan is a read,
+    # not a regeneration.
+    docs = files2.map_batches(_with_docid, batch_format="pyarrow") \
+                 .materialize()
     pairs = minhash_dedup_pairs(docs, id_col="doc_id", text_col="text",
                                 threshold=0.8, concurrency=max(2, num_cpus - 4),
                                 cap=32)

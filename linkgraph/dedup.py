@@ -29,14 +29,13 @@ hash-joins keep pair-sized data off the driver entirely.
 from __future__ import annotations
 
 from .io import from_pandas_clean
-from .runtime import pool_size
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .text import rolling_hashes
+from .text import batch_shingle_sets, batch_shingles, rolling_hashes
 
 MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -79,10 +78,28 @@ class MinHashStage:
             m = sh[None, :] * self.a[:, None] + self.b[:, None]
         return m.min(axis=1)  # uint64[num_perm]
 
+    def batch_signatures(self, texts: list) -> np.ndarray:
+        """All signatures of a batch at once: ONE vectorized shingle pass
+        (text.batch_shingles) + per-perm contiguous mul/add into a reused
+        buffer + segment-min reduceat — identical values to
+        `signature(t)` per doc (tests assert equality), without the
+        per-doc Python loop (VERDICT r2 #7).  A (perms x shingles)
+        broadcast was measured 100x slower than this contiguous loop
+        (numpy's strided uint64 outer product hits a scalar path)."""
+        counts, hcat = batch_shingles(texts, self.k)
+        starts = np.cumsum(counts) - counts
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        buf = np.empty(len(hcat), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for p in range(self.num_perm):
+                np.multiply(hcat, self.a[p], out=buf)
+                np.add(buf, self.b[p], out=buf)
+                sigs[:, p] = np.minimum.reduceat(buf, starts)
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sigs = np.stack([self.signature(t)
-                         for t in batch[self.text_col].to_pylist()])
+        sigs = self.batch_signatures(batch[self.text_col].to_pylist())
         # fold each band's rows into one uint64 band hash
         band_hash = np.zeros((len(ids), self.bands), dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -167,16 +184,49 @@ BUCKET_DRIVER_CAP = 2_000_000
 
 
 def _pairs_driver(pdf: pd.DataFrame, id_col: str, cap: int) -> pd.DataFrame:
-    """Driver pairing over the whole bucket frame: one numpy kernel per
-    band (<= a few dozen), identical bucket/cap/dedup semantics to the
-    distributed plan (tests assert path equality)."""
-    kern = _band_pairs_factory(id_col, cap)
-    outs = [kern(g) for _, g in pdf.groupby("band", sort=True)]
-    allp = (pd.concat(outs, ignore_index=True) if outs else
-            pd.DataFrame({"a": np.empty(0, np.int64),
-                          "b": np.empty(0, np.int64)}))
-    return (allp.drop_duplicates(["a", "b"])
-                .sort_values(["a", "b"]).reset_index(drop=True))
+    """Driver pairing over the whole bucket frame: ONE global
+    (band, bhash, id) lexsort + segment pair expansion — identical
+    bucket/cap/dedup semantics to the distributed plan (tests assert
+    path equality), without pandas group splits or np.unique(axis=0)
+    (measured 4x faster at 1M bucket rows)."""
+    empty = pd.DataFrame({"a": np.empty(0, np.int64),
+                          "b": np.empty(0, np.int64)})
+    band = pdf["band"].to_numpy(np.int64)
+    bh = pdf["bhash"].to_numpy(np.int64)
+    ids = pdf[id_col].to_numpy(np.int64)
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    if len(ids) == 0:
+        return empty
+    keep = np.ones(len(ids), dtype=bool)   # drop duplicate member rows
+    keep[1:] = ((band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+                | (ids[1:] != ids[:-1]))
+    band, bh, ids = band[keep], bh[keep], ids[keep]
+    newseg = np.ones(len(ids), dtype=bool)
+    newseg[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(newseg)
+    lens = np.diff(np.concatenate([starts, [len(ids)]]))
+    # skew cap: keep the `cap` smallest ids of each bucket (ids ascend
+    # within a segment, so position < cap == smallest-cap rule)
+    pos = np.arange(len(ids)) - np.repeat(starts, lens)
+    inkeep = pos < cap
+    ids, seg = ids[inkeep], np.repeat(np.arange(len(starts)), lens)[inkeep]
+    k = np.bincount(seg, minlength=len(starts))
+    starts2 = np.concatenate([[0], np.cumsum(k)[:-1]])
+    pos2 = np.arange(len(ids)) - starts2[seg]
+    reps = k[seg] - pos2 - 1
+    total = int(reps.sum())
+    if total == 0:
+        return empty
+    a_idx = np.repeat(np.arange(len(ids)), reps)
+    csum = np.cumsum(reps) - reps
+    b_idx = a_idx + 1 + (np.arange(total) - csum[a_idx])
+    a, b = ids[a_idx], ids[b_idx]          # a < b within each bucket
+    o2 = np.lexsort((b, a))                 # cross-band dedup, sorted out
+    a, b = a[o2], b[o2]
+    k2 = np.ones(len(a), dtype=bool)
+    k2[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pd.DataFrame({"a": a[k2], "b": b[k2]})
 
 
 def _candidate_pairs_impl(bucket_ds, id_col: str,
@@ -322,7 +372,12 @@ def _shingle_table(ds, involved: np.ndarray, id_col: str, text_col: str,
         pos_c = np.minimum(pos, max(0, len(want) - 1))
         keep = np.flatnonzero(want[pos_c] == bid)
         texts = batch[text_col].to_pylist()
-        blobs = [rolling_hashes(texts[i] or "", k).tobytes() for i in keep]
+        # batched unique shingles for the kept docs, then sliced into
+        # per-doc blobs (bytes stay sorted+unique for intersect1d)
+        doc_idx, hh = batch_shingle_sets([texts[i] for i in keep], k)
+        cnt = np.bincount(doc_idx, minlength=len(keep))
+        ends = np.cumsum(cnt)
+        blobs = [hh[e - c:e].tobytes() for c, e in zip(cnt, ends)]
         return pa.table({id_col: pa.array(bid[keep].astype(np.int64)),
                          "sh": pa.array(blobs, pa.binary())})
 
@@ -335,15 +390,42 @@ def _join_parts(n_rows: int) -> int:
     return int(min(32, max(2, n_rows // 50_000 + 2)))
 
 
+def _pair_jaccard(xcat: np.ndarray, la: np.ndarray,
+                  ycat: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Vectorized exact Jaccard for a batch of pairs whose shingle sets
+    arrive concatenated (each set sorted+unique): tag every hash with
+    its pair index, one lexsort, count adjacent duplicates — a value
+    occurring twice within a pair is exactly one intersection hit.  No
+    per-pair Python (VERDICT r2 #7)."""
+    npair = len(la)
+    allp = np.concatenate([np.repeat(np.arange(npair), la),
+                           np.repeat(np.arange(npair), lb)])
+    allh = np.concatenate([xcat, ycat])
+    order = np.lexsort((allh, allp))
+    p, h = allp[order], allh[order]
+    dup = (p[1:] == p[:-1]) & (h[1:] == h[:-1]) if len(p) else \
+        np.empty(0, bool)
+    inter = np.bincount(p[1:][dup], minlength=npair)
+    return inter / np.maximum(la + lb - inter, 1)
+
+
+def _gather_segments(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat indices of the concatenation hcat[starts[i]:starts[i]+lens[i]]."""
+    total = int(lens.sum())
+    return (np.repeat(starts, lens) + np.arange(total)
+            - np.repeat(np.cumsum(lens) - lens, lens))
+
+
 def _verify_jaccard_small(cands_pdf: pd.DataFrame, ds, id_col: str,
                           text_col: str, k: int,
                           threshold: float) -> pd.DataFrame:
     """Small-candidate verify: shingle blobs of the involved ids are
-    collected into ONE broadcast dict (bounded by the candidate count,
-    already known < DRIVER_PAIR_CAP), pairs verify distributed via
-    map_batches.  Skips the involved-id groupby and the two hash joins
-    of the large path — those cost ~30s of fixed shuffle overhead that
-    dominates at test scale."""
+    collected into ONE broadcast flat (ids, offsets, lens, hashes)
+    layout (bounded by the candidate count, already known <
+    DRIVER_PAIR_CAP), pairs verify distributed via map_batches with the
+    vectorized _pair_jaccard kernel.  Skips the involved-id groupby and
+    the two hash joins of the large path — those cost ~30s of fixed
+    shuffle overhead that dominates at test scale."""
     import ray
     import ray.data as rd
 
@@ -351,23 +433,30 @@ def _verify_jaccard_small(cands_pdf: pd.DataFrame, ds, id_col: str,
         [cands_pdf["a"].to_numpy(), cands_pdf["b"].to_numpy()])
     ).astype(np.int64)
     rows = _shingle_table(ds, involved, id_col, text_col, k).take_all()
-    sh_ref = ray.put({r[id_col]: np.frombuffer(r["sh"], dtype=np.uint64)
-                      for r in rows})
+    rows.sort(key=lambda r: r[id_col])
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    cnt = np.array([len(r["sh"]) // 8 for r in rows], dtype=np.int64)
+    hcat = np.frombuffer(b"".join(r["sh"] for r in rows), dtype=np.uint64)
+    offs = np.cumsum(cnt) - cnt
+    sh_ref = ray.put((ids, offs, cnt, hcat))
 
     def verify(b: pa.Table) -> pa.Table:
-        table = ray.get(sh_ref)
+        ids_, offs_, cnt_, hcat_ = ray.get(sh_ref)
         a_ids = b["a"].to_numpy(zero_copy_only=False)
         b_ids = b["b"].to_numpy(zero_copy_only=False)
-        jac = np.empty(len(a_ids), dtype=np.float64)
-        for i, (x_id, y_id) in enumerate(zip(a_ids, b_ids)):
-            x, y = table[x_id], table[y_id]
-            inter = len(np.intersect1d(x, y, assume_unique=True))
-            jac[i] = inter / max(1, len(x) + len(y) - inter)
+        ai = np.searchsorted(ids_, a_ids)
+        bi = np.searchsorted(ids_, b_ids)
+        la, lb = cnt_[ai], cnt_[bi]
+        jac = _pair_jaccard(hcat_[_gather_segments(offs_[ai], la)], la,
+                            hcat_[_gather_segments(offs_[bi], lb)], lb)
         keep = jac >= threshold
         return pa.table({"a": pa.array(a_ids[keep]),
                          "b": pa.array(b_ids[keep]),
                          "jaccard": pa.array(jac[keep])})
 
+    # small blocks on purpose: the lexsort inside _pair_jaccard is
+    # memory-bound, and many cache-sized blocks across the pool beat a
+    # few DRAM-sized ones (this box's measured DRAM ceiling is low)
     n_blocks = max(1, len(cands_pdf) // 2000)
     out = (from_pandas_clean(cands_pdf).repartition(n_blocks)
            .map_batches(verify, batch_format="pyarrow").to_pandas())
@@ -398,12 +487,11 @@ def _verify_jaccard_ds(cands_ds, sh_ds, id_col: str,
         b_ids = b["b"].to_numpy(zero_copy_only=False)
         sa = b["sh_a"].to_pylist()
         sb = b["sh_b"].to_pylist()
-        jac = np.empty(len(a_ids), dtype=np.float64)
-        for i in range(len(a_ids)):
-            x = np.frombuffer(sa[i], dtype=np.uint64)
-            y = np.frombuffer(sb[i], dtype=np.uint64)
-            inter = len(np.intersect1d(x, y, assume_unique=True))
-            jac[i] = inter / max(1, len(x) + len(y) - inter)
+        xcat = np.frombuffer(b"".join(sa), dtype=np.uint64)
+        ycat = np.frombuffer(b"".join(sb), dtype=np.uint64)
+        la = np.array([len(x) // 8 for x in sa], dtype=np.int64)
+        lb = np.array([len(y) // 8 for y in sb], dtype=np.int64)
+        jac = _pair_jaccard(xcat, la, ycat, lb)
         keep = jac >= threshold
         return pa.table({"a": pa.array(a_ids[keep]),
                          "b": pa.array(b_ids[keep]),
@@ -414,13 +502,18 @@ def _verify_jaccard_ds(cands_ds, sh_ds, id_col: str,
 
 
 def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", num_perm=64,
-                        bands=16, k=5, threshold=0.7, concurrency=4,
+                        bands=16, k=5, threshold=0.7, concurrency=None,
                         cap=64, seed=42) -> pd.DataFrame:
-    """Near-dup pairs (a, b, jaccard) with exact-verified Jaccard >= threshold."""
-    buckets = ds.map_batches(
-        MinHashStage, fn_constructor_args=(id_col, text_col, num_perm,
-                                           bands, k, seed),
-        batch_format="pyarrow", concurrency=pool_size(concurrency))
+    """Near-dup pairs (a, b, jaccard) with exact-verified Jaccard >= threshold.
+
+    The signature stage runs as plain TASKS, not an actor pool:
+    MinHashStage.__init__ is 64 rng draws, so there is no setup to
+    amortize, and a cold pool of N actors costs seconds of spawn time
+    that tasks (reusing warm workers) never pay.  `concurrency` is kept
+    for API compatibility and ignored."""
+    del concurrency
+    stage = MinHashStage(id_col, text_col, num_perm, bands, k, seed)
+    buckets = ds.map_batches(stage.__call__, batch_format="pyarrow")
     return _lsh_verify_jaccard(ds, buckets, id_col, text_col, k,
                                threshold, cap)
 
@@ -528,10 +621,15 @@ class SimHashStage:
 
 
 def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text",
-                        max_hamming=3, concurrency=4, cap=256) -> pd.DataFrame:
-    """Near-dup pairs (a, b, hamming) with hamming(sig_a, sig_b) <= max_hamming."""
-    sigged = ds.map_batches(SimHashStage, fn_constructor_args=(id_col, text_col),
-                            batch_format="pyarrow", concurrency=pool_size(concurrency))
+                        max_hamming=3, concurrency=None,
+                        cap=256) -> pd.DataFrame:
+    """Near-dup pairs (a, b, hamming) with hamming(sig_a, sig_b) <= max_hamming.
+
+    Task-based signature stage (cheap __init__ — see minhash_dedup_pairs);
+    `concurrency` kept for API compatibility and ignored."""
+    del concurrency
+    sim_stage = SimHashStage(id_col, text_col)
+    sigged = ds.map_batches(sim_stage.__call__, batch_format="pyarrow")
 
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
         gu = g.drop_duplicates(id_col).sort_values(id_col)
@@ -576,7 +674,7 @@ def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text",
 
 def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", k=5,
                         threshold=0.5, num_perm=64, bands=32, cap=64,
-                        concurrency=4, seed=42) -> pd.DataFrame:
+                        concurrency=None, seed=42) -> pd.DataFrame:
     """Exact n-gram Jaccard near-dups.
 
     Candidates come from a HIGH-RECALL MinHash banding (many narrow bands:
@@ -585,10 +683,9 @@ def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", k=5,
     the full char-k-gram shingle sets, so reported jaccard values are not
     approximations.
     """
-    buckets = ds.map_batches(
-        MinHashStage, fn_constructor_args=(id_col, text_col, num_perm,
-                                           bands, k, seed),
-        batch_format="pyarrow", concurrency=pool_size(concurrency))
+    del concurrency  # tasks, not an actor pool (cheap __init__; see above)
+    stage = MinHashStage(id_col, text_col, num_perm, bands, k, seed)
+    buckets = ds.map_batches(stage.__call__, batch_format="pyarrow")
     return _lsh_verify_jaccard(ds, buckets, id_col, text_col, k,
                                threshold, cap)
 
@@ -613,10 +710,10 @@ def exact_jaccard_pairs(ds, id_col="doc_id", text_col="text", k=5,
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch[text_col].to_pylist()
-        hs = [rolling_hashes(t or "", k) for t in texts]
-        n = np.array([len(h) for h in hs], dtype=np.int64)
-        hcat = (np.concatenate(hs) if hs else
-                np.empty(0, np.uint64)).view(np.int64)
+        # batched distinct-shingle rows (VERDICT r2 #7: no per-doc loop)
+        doc_idx, hcat = batch_shingle_sets(texts, k)
+        n = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
+        hcat = hcat.view(np.int64)
         return pa.table({
             # spread the bucket groupby over 256 groups; _mix_key(band,
             # bhash) keeps the bucket identity exact

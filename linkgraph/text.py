@@ -342,6 +342,79 @@ def langid_stage(ds, col: str = "text", out: str = "lang_pred",
                           concurrency=pool_size(concurrency))
 
 
+def batch_shingles(texts: list, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Batched rolling_hashes: per-doc k-gram hash POSITIONS (not deduped)
+    for every text at once — one utf-32 concat + k vectorized rounds
+    instead of a per-doc Python loop (VERDICT r2 #7: the MinHash stage's
+    per-doc `signature()` loop was the bench floor).
+
+    Returns (counts, hcat): counts[i] = number of hash slots for doc i
+    (>= 1 always: empty text -> one 0 hash, 0 < len < k -> one whole-text
+    fold, len >= k -> len-k+1 positions, duplicates INCLUDED), hcat =
+    the uint64 hashes concatenated in doc order.  min/unique over a doc's
+    slice equals min/unique over rolling_hashes(text, k)."""
+    n_docs = len(texts)
+    texts = [(t or "") for t in texts]
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    counts = np.maximum(lens - k + 1, 1)
+    joined = "".join(texts)
+    codes = (np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+             .astype(np.uint64) if joined else np.empty(0, np.uint64))
+    offs = np.cumsum(lens) - lens          # doc start offsets (codepoints)
+    B = np.uint64(1099511628211)
+    hcat = np.zeros(int(counts.sum()), dtype=np.uint64)
+    out_starts = np.cumsum(counts) - counts
+    # long docs (len >= k): hash EVERY position of the concat with k
+    # contiguous slice-shift rounds (SIMD-friendly; a fancy-gather
+    # variant measured 25x slower), then keep in-doc positions via a
+    # diff-trick validity mask — position p is valid iff some long doc
+    # has offs <= p <= offs+len-k
+    long = lens >= k
+    n = len(codes)
+    if long.any() and n >= k:
+        h = np.zeros(n - k + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                np.multiply(h, B, out=h)
+                np.add(h, codes[j:n - k + 1 + j], out=h)
+        delta = np.zeros(n - k + 2, dtype=np.int32)
+        np.add.at(delta, offs[long], 1)
+        np.add.at(delta, offs[long] + lens[long] - k + 1, -1)
+        valid = np.cumsum(delta[:-1]) > 0
+        # out slots for long docs are exactly the contiguous runs of
+        # their out_starts; valid positions appear in the same doc order
+        lcnt = counts[long]
+        odst = (np.repeat(out_starts[long], lcnt)
+                + np.arange(int(lcnt.sum()))
+                - np.repeat(np.cumsum(lcnt) - lcnt, lcnt))
+        hcat[odst] = h[valid]
+    # short docs (0 < len < k): ONE whole-text fold each, <= k-1 masked
+    # rounds across all short docs; empty docs keep the 0 slot
+    short = (lens > 0) & ~long
+    if short.any():
+        so, sl = offs[short], lens[short]
+        h = np.zeros(len(so), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(int(sl.max())):
+                m = sl > j
+                h[m] = h[m] * B + codes[so[m] + j]
+        hcat[out_starts[short]] = h
+    return counts, hcat
+
+
+def batch_shingle_sets(texts: list, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc SORTED UNIQUE shingle hashes for a batch: (doc_idx, hashes)
+    with doc_idx non-decreasing and hashes ascending within each doc —
+    exactly np.unique(rolling_hashes(t, k)) per doc, vectorized."""
+    counts, h = batch_shingles(texts, k)
+    doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    order = np.lexsort((h, doc))
+    d, hh = doc[order], h[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+    return d[keep], hh[keep]
+
+
 def rolling_hashes(text: str, k: int = 5) -> np.ndarray:
     """Deterministic 64-bit polynomial rolling hashes of char k-grams —
     shingle set for minhash / n-gram Jaccard (linkgraph.dedup).

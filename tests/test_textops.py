@@ -88,6 +88,35 @@ def test_exact_dedup():
     assert got == [0, 2, 9]
 
 
+def test_batched_shingles_match_per_doc():
+    """batch_shingles / batch_shingle_sets / batch_signatures must equal
+    the per-doc rolling_hashes / signature() results exactly — the
+    batched kernels are pure vectorizations (VERDICT r2 #7)."""
+    from linkgraph.dedup import MinHashStage
+    from linkgraph.text import batch_shingle_sets, batch_shingles
+
+    texts = ["", "ab", "abcd", "abcde", "hello world hello world",
+             "the quick brown fox jumps over the lazy dog",
+             "aaaaaaaaaa", "héllø wörld ünïcode 中文文本重复 中文文本重复",
+             "x" * 4 + "y", "short", " ", "\t\n"]
+    k = 5
+    counts, hcat = batch_shingles(texts, k)
+    pos = 0
+    for t, c in zip(texts, counts):
+        want = rolling_hashes(t, k)
+        got = hcat[pos:pos + c]
+        # positions include duplicates; the SET must match exactly
+        assert np.array_equal(np.unique(got), want), t
+        pos += c
+    d, hh = batch_shingle_sets(texts, k)
+    for i, t in enumerate(texts):
+        assert np.array_equal(hh[d == i], rolling_hashes(t, k)), t
+    st = MinHashStage(num_perm=64, bands=16, k=k)
+    batched = st.batch_signatures(texts)
+    for i, t in enumerate(texts):
+        assert np.array_equal(batched[i], st.signature(t)), t
+
+
 def test_minhash_finds_planted_near_dups(near_dup_docs):
     pairs = minhash_dedup_pairs(near_dup_docs, threshold=0.6, concurrency=2)
     found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
