@@ -109,7 +109,20 @@ def oriented_edges(edges_ds, num_partitions: int = 16):
     return j.map_batches(_orient, batch_format="pyarrow")
 
 
-WEDGE_BUCKETS = 64
+# wedge-stage salt: scale the bucket count with the edge set so a
+# map_groups task holds ~TARGET_EDGES_PER_WEDGE_BUCKET oriented edges
+# instead of |E|/64 (VERDICT r2 #4: a fixed 64-way salt is a memory
+# cliff at 100x).  Per-task wedge emission is bounded in expectation by
+# the orientation's O(sqrt m) out-degree cap; a single source's wedges
+# never split across tasks (closure correctness needs no co-location,
+# this is purely a memory bound).
+WEDGE_BUCKETS = 64  # floor
+TARGET_EDGES_PER_WEDGE_BUCKET = 100_000
+
+
+def wedge_buckets_for(n_edges: int) -> int:
+    return max(WEDGE_BUCKETS,
+               int(n_edges) // TARGET_EDGES_PER_WEDGE_BUCKET)
 
 
 def _wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -215,9 +228,10 @@ def triangle_count(edges_ds, num_partitions: int = 16) -> int:
                             "wc": pa.array(np.zeros(b.num_rows, np.int64)),
                             "ec": pa.array(np.ones(b.num_rows, np.int64))}),
         batch_format="pyarrow")
+    nb = wedge_buckets_for(oe.count())
     salted = oe.map_batches(
         lambda b: b.append_column("wb", pa.array(
-            (b["a"].to_numpy(zero_copy_only=False) % WEDGE_BUCKETS)
+            (b["a"].to_numpy(zero_copy_only=False) % nb)
             .astype(np.int64))),
         batch_format="pyarrow")
     wedges = salted.groupby("wb").map_groups(_wedges_bucket,

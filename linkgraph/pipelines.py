@@ -216,38 +216,74 @@ def q_doc_degree(sf_dir):
                      batch_format="pyarrow")
 
 
+def _moment_sums(x: np.ndarray, y: np.ndarray) -> pa.Table:
+    """One-row partial of the five assortativity moment sums (+ count);
+    exact int64, so the driver combine has no summation-order exposure."""
+    return pa.table({
+        "m": pa.array([len(x)], pa.int64()),
+        "sx": pa.array([int(x.sum())], pa.int64()),
+        "sy": pa.array([int(y.sum())], pa.int64()),
+        "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        "sxx": pa.array([int((x * x).sum())], pa.int64()),
+        "syy": pa.array([int((y * y).sum())], pa.int64()),
+    })
+
+
 def q_doc_assortativity(sf_dir):
     """Degree assortativity coefficient of the symmetrized doc graph
     (Newman's Pearson correlation of endpoint degrees over directed
     edge ends).  The five moment sums are exact int64 (degrees are
     ints), so the final float formula is bit-identical between engine
     and SQL — no summation-order exposure at all.  Partial sums are
-    map-side per batch (broadcast degree lookup), one tiny driver
-    combine: scale-safe."""
+    map-side per batch, one tiny driver combine.
+
+    SIZE-GATED degree attach (VERDICT r2 #3, same rule as
+    triangles.BROADCAST_DEG_CAP): below the cap the degree table is
+    ray.put once and looked up per batch; above it two hash joins
+    attach endpoint degrees before the same map-side partials."""
     import ray
 
+    from .algos.triangles import BROADCAST_DEG_CAP
     from .edges import degree_table, symmetrize
 
     sym = symmetrize(documents_edges(sf_dir)).materialize()
-    deg = degree_table(sym, "src").to_pandas()
-    vs = deg["v"].to_numpy()
-    order = np.argsort(vs)
-    dref = ray.put((vs[order], deg["degree"].to_numpy()[order]))
+    deg_ds = degree_table(sym, "src")
+    if deg_ds.count() <= BROADCAST_DEG_CAP:
+        deg = deg_ds.to_pandas()
+        vs = deg["v"].to_numpy()
+        order = np.argsort(vs)
+        dref = ray.put((vs[order], deg["degree"].to_numpy()[order]))
 
-    def partial(b: pa.Table) -> pa.Table:
-        v, d = ray.get(dref)
-        x = d[np.searchsorted(v, b["src"].to_numpy(zero_copy_only=False))]
-        y = d[np.searchsorted(v, b["dst"].to_numpy(zero_copy_only=False))]
-        return pa.table({
-            "m": pa.array([len(x)], pa.int64()),
-            "sx": pa.array([int(x.sum())], pa.int64()),
-            "sy": pa.array([int(y.sum())], pa.int64()),
-            "sxy": pa.array([int((x * y).sum())], pa.int64()),
-            "sxx": pa.array([int((x * x).sum())], pa.int64()),
-            "syy": pa.array([int((y * y).sum())], pa.int64()),
-        })
+        def partial(b: pa.Table) -> pa.Table:
+            v, d = ray.get(dref)
+            x = d[np.searchsorted(
+                v, b["src"].to_numpy(zero_copy_only=False))]
+            y = d[np.searchsorted(
+                v, b["dst"].to_numpy(zero_copy_only=False))]
+            return _moment_sums(x, y)
 
-    p = sym.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+        parts = sym.map_batches(partial, batch_format="pyarrow")
+    else:
+        from .dedup import _join_parts
+
+        deg_ds = deg_ds.materialize()  # feeds both join sides
+        sdeg = deg_ds.map_batches(
+            lambda b: pa.table({"src": b["v"], "src_deg": b["degree"]}),
+            batch_format="pyarrow")
+        ddeg = deg_ds.map_batches(
+            lambda b: pa.table({"dst": b["v"], "dst_deg": b["degree"]}),
+            batch_format="pyarrow")
+        parts_n = _join_parts(sym.count())
+        j = sym.join(sdeg, join_type="inner", num_partitions=parts_n,
+                     on=("src",))
+        j = j.join(ddeg, join_type="inner", num_partitions=parts_n,
+                   on=("dst",))
+        parts = j.map_batches(
+            lambda b: _moment_sums(
+                b["src_deg"].to_numpy(zero_copy_only=False),
+                b["dst_deg"].to_numpy(zero_copy_only=False)),
+            batch_format="pyarrow")
+    p = parts.to_pandas().sum()
     m = float(p["m"])
     cov = p["sxy"] / m - (p["sx"] / m) * (p["sy"] / m)
     vx = p["sxx"] / m - (p["sx"] / m) ** 2
@@ -788,11 +824,30 @@ def q_corpus_clean(sf_dir):
                  num_partitions=_join_parts(q1.count()),
                  on=("doc_id",)).materialize()
     pairs = minhash_dedup_pairs(q2, threshold=0.5)
-    ids = q2.select_columns(["doc_id"]).to_pandas()
-    drop = set(pairs["b"].tolist())
-    out = ids[~ids["doc_id"].isin(drop)].sort_values("doc_id") \
-        .reset_index(drop=True)
-    return out
+    # the drop set (pair `b` ids) is the SMALL side: reduce it to a
+    # sorted array, ray.put once, filter survivors inside map_batches —
+    # no corpus-sized to_pandas in the lineage (VERDICT r2 #2)
+    import ray
+
+    if isinstance(pairs, pd.DataFrame):
+        drop = np.unique(pairs["b"].to_numpy().astype(np.int64))
+    else:
+        drop = np.unique(
+            pairs.select_columns(["b"]).groupby("b").count()
+                 .select_columns(["b"]).to_pandas()["b"].to_numpy()
+                 .astype(np.int64))
+    drop_ref = ray.put(drop)
+
+    def keep_rows(b: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        if len(d) == 0:
+            return b
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+        return b.filter(pa.array(d[pos] != ids))
+
+    return q2.select_columns(["doc_id"]).map_batches(
+        keep_rows, batch_format="pyarrow")
 
 
 def q_text_stats(sf_dir):
@@ -922,11 +977,15 @@ def q_ann_ivf(sf_dir):
 def q_embed_dup_pairs(sf_dir):
     import ray.data as rd
 
-    from .dedup import embedding_dup_pairs
+    from .dedup import embedding_dup_pairs_gated
 
     emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
-    out = embedding_dup_pairs(emb, threshold=EMB_DUP_TAU)
+    # gated: exact broadcast matmul at sf scale, LSH-bucketed above
+    # EMBED_BROADCAST_ELEMS (VERDICT r2 #1)
+    out = embedding_dup_pairs_gated(emb, threshold=EMB_DUP_TAU)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     out["cosine"] = out["cosine"].round(6)
     return out
 

@@ -26,37 +26,106 @@ def _docs_table(n=60, seed=3):
                      "text": pa.array(texts)})
 
 
+def _norm_pairs(x, cols=("a", "b")):
+    """Dataset-or-frame -> canonical sorted DataFrame (pair operators
+    return a Dataset on the distributed path, pandas under the cap)."""
+    if not isinstance(x, pd.DataFrame):
+        x = x.to_pandas()
+    return x.sort_values(list(cols)).reset_index(drop=True)
+
+
 def test_minhash_driver_vs_distributed_paths(monkeypatch):
     """Three plans, identical output: whole-bucket-table driver pairing
     (default at this size), hot-filter + driver pair-dedup, and the
-    fully distributed groupby projection."""
+    fully distributed groupby projection (which returns a Dataset)."""
     import linkgraph.dedup as D
 
     ds = rd.from_arrow(_docs_table())
-    small = D.minhash_dedup_pairs(ds, threshold=0.6, concurrency=2)
+    small = D.minhash_dedup_pairs(ds, threshold=0.6)
     monkeypatch.setattr(D, "BUCKET_DRIVER_CAP", -1)
     mid = D.minhash_dedup_pairs(rd.from_arrow(_docs_table()),
-                                threshold=0.6, concurrency=2)
+                                threshold=0.6)
     monkeypatch.setattr(D, "DRIVER_PAIR_CAP", -1)
     monkeypatch.setattr(D, "HOT_DRIVER_CAP", -1)
     big = D.minhash_dedup_pairs(rd.from_arrow(_docs_table()),
-                                threshold=0.6, concurrency=2)
-    pd.testing.assert_frame_equal(
-        small.reset_index(drop=True), mid.reset_index(drop=True))
-    pd.testing.assert_frame_equal(
-        small.reset_index(drop=True), big.reset_index(drop=True))
+                                threshold=0.6)
+    assert not isinstance(big, pd.DataFrame)  # Dataset above the cap
+    pd.testing.assert_frame_equal(_norm_pairs(small), _norm_pairs(mid))
+    pd.testing.assert_frame_equal(_norm_pairs(small), _norm_pairs(big))
 
 
 def test_simhash_driver_vs_distributed_dedup(monkeypatch):
     import linkgraph.dedup as D
 
     ds = rd.from_arrow(_docs_table())
-    small = D.simhash_dedup_pairs(ds, concurrency=2)
+    small = D.simhash_dedup_pairs(ds)
     monkeypatch.setattr(D, "DRIVER_PAIR_CAP", -1)
-    big = D.simhash_dedup_pairs(rd.from_arrow(_docs_table()),
-                                concurrency=2)
+    big = D.simhash_dedup_pairs(rd.from_arrow(_docs_table()))
+    assert not isinstance(big, pd.DataFrame)  # Dataset above the cap
     pd.testing.assert_frame_equal(
-        small.reset_index(drop=True), big.reset_index(drop=True))
+        _norm_pairs(small), _norm_pairs(big)[["a", "b", "hamming"]])
+
+
+def test_embed_pairs_broadcast_vs_lsh_paths(monkeypatch):
+    """embedding_dup_pairs_gated routes by matrix size: the broadcast
+    matmul below EMBED_BROADCAST_ELEMS, the LSH-bucketed path above.
+    With threshold-appropriate LSH knobs (few planes, many tables) both
+    plans find IDENTICAL pairs on the sf0.01 embeddings (VERDICT r2 #1:
+    path-equality test).  The forced-LSH run must never take_all the
+    corpus — asserted by routing through the gated dispatcher with the
+    cap at -1, which cannot reach _load_matrix."""
+    import linkgraph.dedup as D
+
+    from linkgraph.io import read_parquet_clean
+
+    emb = read_parquet_clean("/root/testdata/sf0.01/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    exact = D.embedding_dup_pairs_gated(emb, threshold=0.4)
+    assert isinstance(exact, pd.DataFrame) and len(exact) > 0
+    monkeypatch.setattr(D, "EMBED_BROADCAST_ELEMS", -1)
+    approx = D.embedding_dup_pairs_gated(emb, threshold=0.4, n_planes=2,
+                                         n_tables=16, cap=2048)
+    pd.testing.assert_frame_equal(
+        _norm_pairs(exact)[["a", "b"]],
+        _norm_pairs(approx)[["a", "b"]])
+    # cosine values agree too (both exact-verified float64 row products)
+    np.testing.assert_allclose(_norm_pairs(exact)["cosine"],
+                               _norm_pairs(approx)["cosine"], rtol=1e-12)
+
+
+def test_semantic_dedup_gate_paths_equal(tmp_path, monkeypatch):
+    """semantic_dedup_ids keeps the same survivors whether the pair
+    stage runs the broadcast matmul or the forced LSH scale path."""
+    import linkgraph.dedup as D
+
+    from linkgraph.io import read_parquet_clean
+
+    emb = read_parquet_clean("/root/testdata/sf0.01/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    n = 500
+    k1, rep1 = D.semantic_dedup_ids(emb, n, str(tmp_path / "s1"),
+                                    threshold=0.4)
+    ids1 = sorted(k1.to_pandas()["vec_id"].tolist())
+    monkeypatch.setattr(D, "EMBED_BROADCAST_ELEMS", -1)
+    k2, rep2 = D.semantic_dedup_ids(emb, n, str(tmp_path / "s2"),
+                                    threshold=0.4, lsh_planes=2,
+                                    lsh_tables=16, lsh_cap=2048)
+    ids2 = sorted(k2.to_pandas()["vec_id"].tolist())
+    assert ids1 == ids2 and rep1 is not None and rep2 is not None
+
+
+def test_assortativity_broadcast_vs_join_paths(sf_dir, monkeypatch):
+    """q_doc_assortativity: degree-broadcast plan below
+    BROADCAST_DEG_CAP equals the hash-join fallback above it (the moment
+    sums are exact int64 on both paths, so equality is bitwise)."""
+    import linkgraph.algos.triangles as T
+
+    from linkgraph.pipelines import q_doc_assortativity
+
+    bc = q_doc_assortativity(sf_dir)
+    monkeypatch.setattr(T, "BROADCAST_DEG_CAP", -1)
+    join = q_doc_assortativity(sf_dir)
+    assert bc["assortativity"].iloc[0] == join["assortativity"].iloc[0]
 
 
 def test_star_edges_broadcast_vs_distributed():

@@ -70,6 +70,44 @@ def test_langid_deterministic(sf_dir):
     assert set(out1["lang_pred"]) <= {"de", "en", "es", "fr", "zh", "und"}
 
 
+def test_langid_vectorized_matches_scalar(sf_dir):
+    """The vectorized LangId must be prediction-identical to the scalar
+    heuristic it replaced (regex word findall + dict membership + CJK
+    char scan) — the SQL oracle mirrors that scalar definition."""
+    import re
+
+    from linkgraph.text import _LANG_WORDS, LangId
+
+    def scalar_pred(t):
+        word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        t = (t or "").lower()
+        words = word_re.findall(t)
+        n_cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+        best_lang, best = "und", 0.0
+        for lang, vocab in sorted(_LANG_WORDS.items()):
+            if lang == "zh":
+                score = n_cjk / max(1, len(t))
+            else:
+                score = sum(1 for w in words if w in vocab) / max(1, len(words))
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").head(400)
+    extra = ["", "   ", "the of and to in", "der und die das ist",
+             "el la de que y", "le la de et les", "这是中文文本",
+             "mixed the 中文 der", "1234 5678 !!!", "_under_score_",
+             None]
+    texts = docs["text"].tolist() + extra
+    st = LangId()
+    got = st(pa.table({"text": pa.array(texts, pa.string())}))[
+        "lang_pred"].to_pylist()
+    want = [scalar_pred(t) for t in texts]
+    assert got == want
+
+
 def test_rolling_hashes_properties():
     h1 = rolling_hashes("abcdefgh", 5)
     h2 = rolling_hashes("abcdefgh", 5)
@@ -475,14 +513,15 @@ def test_semantic_dedup_transitive_clusters():
     with tempfile.TemporaryDirectory(dir="/tmp") as d:
         kept, rep = semantic_dedup_ids(ds, len(mat), d + "/store",
                                        threshold=0.97)
-        ids = kept["vec_id"].tolist()
+        ids = sorted(kept.to_pandas()["vec_id"].tolist())
         # the chain keeps only vec 0; isolated vectors keep themselves
         assert 0 in ids and 1 not in ids and 2 not in ids
         assert set(range(3, 8)) <= set(ids)
         # no-pair corpus: everything kept, no engine run
         kept2, rep2 = semantic_dedup_ids(ds, len(mat), d + "/store2",
                                          threshold=1.01)
-        assert kept2["vec_id"].tolist() == list(range(8)) and rep2 is None
+        assert sorted(kept2.to_pandas()["vec_id"].tolist()) \
+            == list(range(8)) and rep2 is None
 
 
 def test_wav_decoder_real_roundtrip():
