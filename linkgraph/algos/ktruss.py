@@ -97,10 +97,16 @@ def _ktruss_local(pdf: pd.DataFrame, k: int) -> tuple[pd.DataFrame, int]:
 
 def _support_ds(edges_ds, num_partitions: int):
     """Distributed per-edge support: oriented wedges carrying their apex
-    join the oriented edge set; closed triangles explode into three
-    canonical edges; groupby counts."""
-    from ..dedup import _join_parts
-    from .triangles import WEDGE_BUCKETS
+    probe the oriented edge set for closure (broadcast packed-key
+    membership under triangles.EDGE_KEY_BROADCAST_CAP, coarse-bucket
+    pandas merge above); closed triangles explode into three canonical
+    edges whose support counts come from per-batch partials + one
+    coarse-bucket merge — never a per-edge-key hash aggregate (25x
+    slower on Ray 2.49, see triangles.TARGET_ROWS_PER_BUCKET)."""
+    import ray
+
+    from .triangles import (EDGE_KEY_BROADCAST_CAP, _pair_bucket,
+                            _run_counts, n_buckets_for, wedge_buckets_for)
 
     oe = oriented_edges(edges_ds, num_partitions).materialize()
 
@@ -127,27 +133,18 @@ def _support_ds(edges_ds, num_partitions: int):
         return pd.DataFrame({"apex": a[i_idx], "wa": b[i_idx],
                              "wb": b[j_idx]})
 
+    n_oe = oe.count()
     salted = oe.map_batches(
         lambda t: t.append_column("bkt", pa.array(
-            (t["a"].to_numpy(zero_copy_only=False) % WEDGE_BUCKETS)
-            .astype(np.int64))),
+            (t["a"].to_numpy(zero_copy_only=False)
+             % wedge_buckets_for(n_oe)).astype(np.int64))),
         batch_format="pyarrow")
     wedges = salted.groupby("bkt").map_groups(wedges_with_apex,
                                               batch_format="pandas")
-    oe_keyed = oe.map_batches(
-        lambda t: pa.table({"wa": t["a"], "wb": t["b"]}),
-        batch_format="pyarrow")
-    n_w = wedges.count()
-    closed = wedges.join(oe_keyed, join_type="inner",
-                         num_partitions=_join_parts(max(1, n_w)),
-                         on=("wa", "wb"))
 
-    def explode(t: pa.Table) -> pa.Table:
-        ap = t["apex"].to_numpy(zero_copy_only=False)
-        x = t["wa"].to_numpy(zero_copy_only=False)
-        y = t["wb"].to_numpy(zero_copy_only=False)
+    def _explode(ap, x, y) -> pa.Table:
         # wedge endpoints are (deg, id)-ordered — id-canonicalize ALL
-        # three triangle edges for the support groupby
+        # three triangle edges for the support count
         u = np.concatenate([np.minimum(ap, x), np.minimum(ap, y),
                             np.minimum(x, y)])
         v = np.concatenate([np.maximum(ap, x), np.maximum(ap, y),
@@ -155,8 +152,89 @@ def _support_ds(edges_ds, num_partitions: int):
         return pa.table({"src": pa.array(u, pa.int64()),
                          "dst": pa.array(v, pa.int64())})
 
-    return closed.map_batches(explode, batch_format="pyarrow") \
-                 .groupby(["src", "dst"]).count()
+    use_bc = False
+    if 0 < n_oe <= EDGE_KEY_BROADCAST_CAP:
+        use_bc = max(int(oe.max("a")), int(oe.max("b"))) < 2 ** 31
+    if use_bc:
+        keys = np.sort(np.concatenate(
+            [(t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+              << np.uint64(32))
+             | t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             for t in oe.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)]))
+        kref = ray.put(keys)
+
+        def closed_explode(b: pa.Table) -> pa.Table:
+            k = ray.get(kref)
+            x = b["wa"].to_numpy(zero_copy_only=False)
+            y = b["wb"].to_numpy(zero_copy_only=False)
+            ap = b["apex"].to_numpy(zero_copy_only=False)
+            wk = (x.astype(np.uint64) << np.uint64(32)) \
+                | y.astype(np.uint64)
+            p = np.minimum(np.searchsorted(k, wk), len(k) - 1)
+            keep = k[p] == wk
+            return _explode(ap[keep], x[keep], y[keep])
+
+        tri_edges = wedges.map_batches(closed_explode,
+                                       batch_format="pyarrow")
+    else:
+        cbn = n_buckets_for(n_oe)
+
+        def tag_e(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            return pa.table({"apex": pa.array(np.zeros(len(a), np.int64)),
+                             "wa": pa.array(a, pa.int64()),
+                             "wb": pa.array(b, pa.int64()),
+                             "t": pa.array(np.zeros(len(a), np.int8)),
+                             "ub": pa.array(_pair_bucket(a, b, cbn))})
+
+        def tag_w(t: pa.Table) -> pa.Table:
+            x = t["wa"].to_numpy(zero_copy_only=False)
+            y = t["wb"].to_numpy(zero_copy_only=False)
+            return pa.table({"apex": t["apex"],
+                             "wa": pa.array(x, pa.int64()),
+                             "wb": pa.array(y, pa.int64()),
+                             "t": pa.array(np.ones(len(x), np.int8)),
+                             "ub": pa.array(_pair_bucket(x, y, cbn))})
+
+        def bucket_closed(g: pd.DataFrame) -> pd.DataFrame:
+            is_e = g["t"].to_numpy() == 0
+            e = g.loc[is_e, ["wa", "wb"]]
+            w = g.loc[~is_e, ["apex", "wa", "wb"]]
+            if len(e) == 0 or len(w) == 0:
+                return pd.DataFrame({"src": np.empty(0, np.int64),
+                                     "dst": np.empty(0, np.int64)})
+            m = w.merge(e, on=["wa", "wb"], how="inner")
+            t = _explode(m["apex"].to_numpy(np.int64),
+                         m["wa"].to_numpy(np.int64),
+                         m["wb"].to_numpy(np.int64))
+            return t.to_pandas()
+
+        tri_edges = (wedges.map_batches(tag_w, batch_format="pyarrow")
+                     .union(oe.map_batches(tag_e, batch_format="pyarrow"))
+                     .groupby("ub").map_groups(bucket_closed,
+                                               batch_format="pandas"))
+
+    sbn = n_buckets_for(n_oe)
+
+    def support_partial(b: pa.Table) -> pa.Table:
+        us, ud, c = _run_counts(
+            b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["dst"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"src": pa.array(us), "dst": pa.array(ud),
+                         "cnt": pa.array(c),
+                         "ub": pa.array(_pair_bucket(us, ud, sbn))})
+
+    def support_merge(g: pd.DataFrame) -> pd.DataFrame:
+        us, ud, c = _run_counts(g["src"].to_numpy(np.int64),
+                                g["dst"].to_numpy(np.int64),
+                                g["cnt"].to_numpy(np.int64))
+        return pd.DataFrame({"src": us, "dst": ud, "support": c})
+
+    return (tri_edges.map_batches(support_partial, batch_format="pyarrow")
+            .groupby("ub").map_groups(support_merge,
+                                      batch_format="pandas"))
 
 
 def ktruss_edges(edges_ds, k: int = 3, num_partitions: int = 16,
@@ -181,11 +259,9 @@ def ktruss_edges(edges_ds, k: int = 3, num_partitions: int = 16,
                 rounds
 
     # distributed peel: canonicalize once, then support-filter rounds
-    from .triangles import _canonical
+    from .triangles import canon_dedup_ds
 
-    cur = (edges_ds.map_batches(_canonical, batch_format="pyarrow")
-           .groupby(["src", "dst"]).count()
-           .select_columns(["src", "dst"]).materialize())
+    cur = canon_dedup_ds(edges_ds, edges_ds.count()).materialize()
     rounds = 0
     for _ in range(max_rounds):
         n_edges = cur.count()
@@ -194,7 +270,7 @@ def ktruss_edges(edges_ds, k: int = 3, num_partitions: int = 16,
         supp = _support_ds(cur, num_partitions)
         qual = supp.map_batches(
             lambda t: t.filter(
-                pa.compute.greater_equal(t["count()"], k - 2))
+                pa.compute.greater_equal(t["support"], k - 2))
             .select(["src", "dst"]),
             batch_format="pyarrow").materialize()
         n_next = qual.count()

@@ -24,7 +24,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def _canonical(b: pa.Table) -> pa.Table:
@@ -35,17 +34,102 @@ def _canonical(b: pa.Table) -> pa.Table:
     return pa.table({"src": np.minimum(s, d), "dst": np.maximum(s, d)})
 
 
-def _vertex_degrees(canon_ds):
-    def both(b: pa.Table) -> pa.Table:
-        return pa.table({"v": pa.concat_arrays(
-            [pc.cast(b["src"], pa.int64()).combine_chunks(),
-             pc.cast(b["dst"], pa.int64()).combine_chunks()])})
+# Ray 2.49's hash aggregate spins per-KEY machinery: a
+# groupby(["src","dst"]).count() over millions of distinct edge keys
+# measured 25x slower than a coarse-bucket groupby + vectorized
+# in-bucket kernel on the same rows (49s vs 2s at 2M edges).  All
+# wide steps below therefore shuffle on ~|rows|/TARGET_ROWS_PER_BUCKET
+# coarse hash buckets and run numpy/pandas kernels per bucket.
+TARGET_ROWS_PER_BUCKET = 200_000
 
-    deg = canon_ds.map_batches(both, batch_format="pyarrow").groupby("v").count()
-    return deg.map_batches(
-        lambda b: pa.table({"v": b["v"],
-                            "degree": pc.cast(b["count()"], pa.int64())}),
-        batch_format="pyarrow")
+
+def n_buckets_for(n_rows: int, floor: int = 32) -> int:
+    return max(floor, int(n_rows) // TARGET_ROWS_PER_BUCKET)
+
+
+def _pair_bucket(s: np.ndarray, d: np.ndarray, nb: int) -> np.ndarray:
+    """Coarse hash bucket of an id pair (uint64 mix, overflow wraps)."""
+    with np.errstate(over="ignore"):
+        h = (s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ) ^ d.astype(np.uint64)
+        h ^= h >> np.uint64(31)
+    return (h % np.uint64(nb)).astype(np.int64)
+
+
+def _run_dedup(lo: np.ndarray, hi: np.ndarray):
+    """Sorted first-of-run dedup of an id-pair list (any int64 ids)."""
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    if len(lo) == 0:
+        return lo, hi
+    first = np.concatenate(
+        [[True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
+    return lo[first], hi[first]
+
+
+def _run_counts(s: np.ndarray, d: np.ndarray, w: np.ndarray | None = None):
+    """(unique (s, d) pairs, per-pair summed weight) via lexsort runs —
+    integer weights only, so reduceat order is irrelevant."""
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    if len(s) == 0:
+        return s, d, np.zeros(0, np.int64)
+    starts = np.flatnonzero(np.concatenate(
+        [[True], (s[1:] != s[:-1]) | (d[1:] != d[:-1])]))
+    if w is None:
+        cnt = np.diff(np.concatenate([starts, [len(s)]])).astype(np.int64)
+    else:
+        cnt = np.add.reduceat(w[order].astype(np.int64), starts)
+    return s[starts], d[starts], cnt
+
+
+def canon_dedup_ds(edges_ds, n_edges: int):
+    """Canonical (src<dst, no loops) DEDUPED simple edge set, as a
+    Dataset.  Per-batch dedup combiner, then one coarse-bucket shuffle
+    with a vectorized in-bucket dedup — never a per-edge-key hash
+    aggregate (see TARGET_ROWS_PER_BUCKET note)."""
+    nb = n_buckets_for(n_edges)
+
+    def salt(b: pa.Table) -> pa.Table:
+        c = _canonical(b)
+        lo, hi = _run_dedup(c["src"].to_numpy(zero_copy_only=False),
+                            c["dst"].to_numpy(zero_copy_only=False))
+        return pa.table({"src": pa.array(lo, pa.int64()),
+                         "dst": pa.array(hi, pa.int64()),
+                         "cb": pa.array(_pair_bucket(lo, hi, nb))})
+
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = _run_dedup(g["src"].to_numpy(np.int64),
+                            g["dst"].to_numpy(np.int64))
+        return pd.DataFrame({"src": lo, "dst": hi})
+
+    return (edges_ds.map_batches(salt, batch_format="pyarrow")
+            .groupby("cb").map_groups(bucket_dedup, batch_format="pandas"))
+
+
+def _vertex_degrees(canon_ds, n_edges: int):
+    """(v, degree) over both endpoints: per-batch unique-count partials
+    (combiner), then one coarse-bucket shuffle keyed v % nb with an
+    in-bucket bincount merge."""
+    nb = n_buckets_for(2 * n_edges)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+             b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)])
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64)),
+                         "db": pa.array((u % nb).astype(np.int64))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u, inv = np.unique(g["v"].to_numpy(np.int64), return_inverse=True)
+        deg = np.bincount(inv, weights=g["cnt"].to_numpy(np.float64),
+                          minlength=len(u)).astype(np.int64)
+        return pd.DataFrame({"v": u, "degree": deg})
+
+    return (canon_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("db").map_groups(merge, batch_format="pandas"))
 
 
 # degree tables up to this row count ride the broadcast path (ray.put a
@@ -73,10 +157,10 @@ def oriented_edges(edges_ds, num_partitions: int = 16):
     """Canonical simple edges -> (a, b, b_deg) oriented low->high (deg, id)."""
     from ..runtime import tune_context
     tune_context()
-    canon = (edges_ds.map_batches(_canonical, batch_format="pyarrow")
-             .groupby(["src", "dst"]).count()
-             .select_columns(["src", "dst"]).materialize())
-    deg = _vertex_degrees(canon)
+    edges_ds = edges_ds.materialize()
+    canon = canon_dedup_ds(edges_ds, edges_ds.count()).materialize()
+    n_canon = canon.count()
+    deg = _vertex_degrees(canon, n_canon).materialize()  # gate + consume
     if deg.count() <= BROADCAST_DEG_CAP:
         import ray
 
@@ -197,18 +281,30 @@ def _triangle_count_local(pdf: pd.DataFrame) -> int:
     return int((okey[p] == wkey).sum())
 
 
+# oriented edge sets up to this many rows broadcast their packed
+# (a<<32)|b key array once (ray.put, 8 bytes/edge — 160MB at the cap)
+# and the closure becomes a shuffle-free per-batch membership filter;
+# larger edge sets (or ids >= 2^31) run the coarse-bucket merge
+EDGE_KEY_BROADCAST_CAP = 20_000_000
+
+
 def triangle_count(edges_ds, num_partitions: int = 16) -> int:
     """Exact global triangle count of the undirected simple graph.
 
     Edge sets under DRIVER_TRI_CAP (and ids < 2^31) run the vectorized
-    driver kernel; larger graphs run the distributed pipeline: closure
-    check is a union + groupby(["src","dst"]) aggregate rather than a
-    hash join: wedge rows carry wc=1, oriented-edge rows ec=1; a wedge
-    (b,c) closes iff its group contains an edge row.  The groupby runs
-    with partial (combiner) aggregation and, unlike Dataset.join, is
-    robust to empty hash partitions on tiny inputs.
+    driver kernel.  Larger graphs run the distributed pipeline; the
+    closure (does wedge (b,c) exist as an oriented edge?) is size-gated:
+
+    - <= EDGE_KEY_BROADCAST_CAP oriented edges with ids < 2^31: the
+      sorted packed edge-key array is ray.put once and every wedge batch
+      filters via searchsorted — zero shuffles, one int64 count partial
+      per batch.
+    - above: wedges and edges union under a coarse pair-hash bucket;
+      each bucket counts membership with one vectorized pandas merge —
+      a ~|rows|/TARGET_ROWS_PER_BUCKET-key shuffle, never a per-edge-key
+      hash aggregate (measured 25x slower, see TARGET_ROWS_PER_BUCKET).
     """
-    from ray.data.aggregate import Sum
+    import ray
 
     edges_ds = edges_ds.materialize()
     if edges_ds.count() <= DRIVER_TRI_CAP:
@@ -219,16 +315,14 @@ def triangle_count(edges_ds, num_partitions: int = 16) -> int:
         if mx < 2 ** 31:
             return _triangle_count_local(pdf)
 
-    # materialized: `oe` feeds BOTH union branches below — a diamond over
-    # un-materialized lineage deadlocks the streaming executor (observed
-    # on Ray 2.49); O(|E|) blocks, object store spills if needed
+    # materialized: `oe` feeds the wedge stage AND the closure side — a
+    # diamond over un-materialized lineage deadlocks the streaming
+    # executor (observed on Ray 2.49); O(|E|) blocks, spills if needed
     oe = oriented_edges(edges_ds, num_partitions).materialize()
-    oe_tagged = oe.map_batches(
-        lambda b: pa.table({"src": b["a"], "dst": b["b"],
-                            "wc": pa.array(np.zeros(b.num_rows, np.int64)),
-                            "ec": pa.array(np.ones(b.num_rows, np.int64))}),
-        batch_format="pyarrow")
-    nb = wedge_buckets_for(oe.count())
+    n_oe = oe.count()
+    if n_oe == 0:
+        return 0
+    nb = wedge_buckets_for(n_oe)
     salted = oe.map_batches(
         lambda b: b.append_column("wb", pa.array(
             (b["a"].to_numpy(zero_copy_only=False) % nb)
@@ -236,16 +330,66 @@ def triangle_count(edges_ds, num_partitions: int = 16) -> int:
         batch_format="pyarrow")
     wedges = salted.groupby("wb").map_groups(_wedges_bucket,
                                              batch_format="pandas")
-    w_tagged = wedges.map_batches(
-        lambda b: pa.table({"src": b["src"], "dst": b["dst"],
-                            "wc": pa.array(np.ones(b.num_rows, np.int64)),
-                            "ec": pa.array(np.zeros(b.num_rows, np.int64))}),
-        batch_format="pyarrow")
-    grouped = w_tagged.union(oe_tagged).groupby(["src", "dst"]).aggregate(
-        Sum("wc", alias_name="wc"), Sum("ec", alias_name="ec"))
-    closed = grouped.map_batches(
-        lambda b: pa.table({"tri": pc.multiply(
-            b["wc"], pc.min_element_wise(b["ec"], pa.scalar(1, pa.int64())))}),
-        batch_format="pyarrow")
+
+    if n_oe <= EDGE_KEY_BROADCAST_CAP:
+        mx = max(int(oe.max("a")), int(oe.max("b")))
+        if mx < 2 ** 31:
+            keys = np.sort(np.concatenate(
+                [(t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                  << np.uint64(32))
+                 | t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                 for t in oe.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)] or
+                [np.empty(0, np.uint64)]))
+            kref = ray.put(keys)
+
+            def member_count(b: pa.Table) -> pa.Table:
+                k = ray.get(kref)
+                wk = (b["src"].to_numpy(zero_copy_only=False)
+                      .astype(np.uint64) << np.uint64(32)) \
+                    | b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                if len(k) == 0:
+                    n = 0
+                else:
+                    p = np.minimum(np.searchsorted(k, wk), len(k) - 1)
+                    n = int((k[p] == wk).sum())
+                return pa.table({"tri": pa.array([n], pa.int64())})
+
+            total = wedges.map_batches(
+                member_count, batch_format="pyarrow").sum("tri")
+            return int(total) if total is not None else 0
+
+    # coarse-bucket merge closure (huge graphs / 64-bit ids)
+    cb = n_buckets_for(n_oe)
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(a, pa.int64()),
+                         "dst": pa.array(bb, pa.int64()),
+                         "t": pa.array(np.zeros(len(a), np.int8)),
+                         "ub": pa.array(_pair_bucket(a, bb, cb))})
+
+    def tag_wedges(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64()),
+                         "t": pa.array(np.ones(len(s), np.int8)),
+                         "ub": pa.array(_pair_bucket(s, d, cb))})
+
+    def bucket_closure(g: pd.DataFrame) -> pd.DataFrame:
+        is_e = g["t"].to_numpy() == 0
+        e = g.loc[is_e, ["src", "dst"]]
+        w = g.loc[~is_e, ["src", "dst"]]
+        if len(e) == 0 or len(w) == 0:
+            return pd.DataFrame({"tri": [0]})
+        return pd.DataFrame(
+            {"tri": [len(w.merge(e, on=["src", "dst"], how="inner"))]})
+
+    tagged = wedges.map_batches(tag_wedges, batch_format="pyarrow").union(
+        oe.map_batches(tag_edges, batch_format="pyarrow"))
+    closed = tagged.groupby("ub").map_groups(bucket_closure,
+                                             batch_format="pandas")
     total = closed.sum("tri")
     return int(total) if total is not None else 0

@@ -367,6 +367,22 @@ def test_ktruss_paths_equal():
     assert a.equals(b)
 
 
+def test_ktruss_bucket_closure_path_equal(monkeypatch):
+    """Forcing past EDGE_KEY_BROADCAST_CAP exercises the coarse-bucket
+    merge closure + bucketed support merge — same fixpoint."""
+    import linkgraph.algos.triangles as T
+
+    from linkgraph.algos.ktruss import ktruss_edges
+
+    e = micro_graph("two_cliques_k5")
+    ds = edges_from_arrays(e[:, 0], e[:, 1])
+    a, _ = ktruss_edges(ds, k=4)
+    monkeypatch.setattr(T, "EDGE_KEY_BROADCAST_CAP", -1)
+    b, _ = ktruss_edges(edges_from_arrays(e[:, 0], e[:, 1]), k=4,
+                        force_distributed=True)
+    assert a.equals(b)
+
+
 # ------------------------------------------------------ harmonic centrality
 
 def harmonic_oracle(e, n, seeds):

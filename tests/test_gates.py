@@ -170,13 +170,15 @@ def test_triangles_paths_equal_random():
     s = rng.integers(0, 120, 900)
     d = rng.integers(0, 120, 900)
     fast = T.triangle_count(edges_from_arrays(s, d))
-    old = T.DRIVER_TRI_CAP
+    old, old_bc = T.DRIVER_TRI_CAP, T.EDGE_KEY_BROADCAST_CAP
     T.DRIVER_TRI_CAP = 0
     try:
         slow = T.triangle_count(edges_from_arrays(s, d))
+        T.EDGE_KEY_BROADCAST_CAP = -1  # coarse-bucket merge closure
+        bucket = T.triangle_count(edges_from_arrays(s, d))
     finally:
-        T.DRIVER_TRI_CAP = old
-    assert fast == slow
+        T.DRIVER_TRI_CAP, T.EDGE_KEY_BROADCAST_CAP = old, old_bc
+    assert fast == slow == bucket
 
 
 def test_load_undirected_dedup_paths(tmp_path, monkeypatch):
