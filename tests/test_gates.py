@@ -114,6 +114,27 @@ def test_semantic_dedup_gate_paths_equal(tmp_path, monkeypatch):
     assert ids1 == ids2 and rep1 is not None and rep2 is not None
 
 
+def test_tfidf_broadcast_vs_distributed_vocab(sf_dir, monkeypatch):
+    """tfidf_top_terms: vocab-broadcast scoring below VOCAB_BROADCAST_CAP
+    equals the distributed term-bucket join + doc-bucket rank path above
+    it (same float ops on both: idf lookup then (c/n)*idf)."""
+    import linkgraph.text as X
+
+    from linkgraph.io import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    a = X.tfidf_top_terms(docs, k=3).to_pandas()
+    monkeypatch.setattr(X, "VOCAB_BROADCAST_CAP", -1)
+    docs2 = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    b = X.tfidf_top_terms(docs2, k=3).to_pandas()
+    key = ["doc_id", "rnk"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+
+
 def test_assortativity_broadcast_vs_join_paths(sf_dir, monkeypatch):
     """q_doc_assortativity: degree-broadcast plan below
     BROADCAST_DEG_CAP equals the hash-join fallback above it (the moment
