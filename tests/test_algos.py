@@ -341,6 +341,49 @@ def test_checkpoint_resume_identical(tmp_path):
         eng2.shutdown()
 
 
+def test_actor_kill_mid_run_attach_resume(tmp_path):
+    """North rule (resumable with per-partition lineage), failure
+    injection: hard-kill a GraphShard actor between supersteps, prove
+    the dead pool is detected, then re-attach a FRESH shard pool from
+    the persisted store and resume from the latest complete manifest —
+    final state identical to an uninterrupted run."""
+    import ray
+
+    from linkgraph.graph import attach
+
+    e = micro_graph("er_1k")
+    n = _n(e)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=2, store_dir=str(tmp_path / "g"),
+                          persist=True)
+    try:
+        connected_components(eng)
+        full = eng.state_pandas(["label"])["label"].to_numpy()
+    finally:
+        eng.shutdown()
+
+    ck = str(tmp_path / "ck")
+    eng2 = attach(str(tmp_path / "g"))
+    rep = connected_components(eng2, max_steps=2, ckpt_dir=ck)
+    assert rep["n_steps"] == 2
+    ray.kill(eng2.shards[0], no_restart=True)  # injected failure
+    with pytest.raises(Exception):  # dead pool surfaces, never hangs
+        connected_components(eng2, resume=True, ckpt_dir=ck)
+    try:
+        eng2.shutdown()
+    except Exception:
+        pass
+
+    eng3 = attach(str(tmp_path / "g"))
+    try:
+        rep3 = connected_components(eng3, resume=True, ckpt_dir=ck)
+        assert rep3["start_step"] == 2
+        resumed = eng3.state_pandas(["label"])["label"].to_numpy()
+        assert np.array_equal(full, resumed)
+    finally:
+        eng3.shutdown()
+
+
 def test_triangles_distributed_path_matches_driver():
     """The distributed pipeline (forced) and the driver kernel agree."""
     import linkgraph.algos.triangles as T
