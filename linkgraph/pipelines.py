@@ -1124,6 +1124,76 @@ def q_events_session(sf_dir):
     return session_window(_events(sf_dir), gap_s=1800)
 
 
+def _events_typed(sf_dir, event_type: str, columns: list[str]):
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=columns + ["event_type"])
+    want = event_type
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(b["event_type"], want)).select(columns)
+
+    return ev.map_batches(keep, batch_format="pyarrow")
+
+
+def q_events_asof(sf_dir):
+    """As-of join (joins.asof_join): each click event attaches the
+    user's latest purchase at-or-before its timestamp; ties at the same
+    ts break toward the largest purchase event_id.  -1 / 0.0 sentinel
+    where no purchase precedes (so both sides hash as non-null
+    int64/float64)."""
+    import pyarrow.compute as pc
+
+    from .joins import asof_join
+
+    left = _events_typed(sf_dir, "click", ["event_id", "user_id", "ts"])
+    right = _events_typed(sf_dir, "purchase",
+                          ["event_id", "user_id", "ts", "value"])
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    left_cols=["event_id"],
+                    right_cols={"event_id": "match_id",
+                                "value": "match_value"},
+                    tie_col="event_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "match_id": pc.cast(
+                pc.fill_null(pc.round(b["match_id"], 0), -1), pa.int64()),
+            "match_value": pc.round(
+                pc.fill_null(b["match_value"], 0.0), 6)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_range(sf_dir):
+    """Range join + aggregate (joins.range_agg_join): each error event
+    counts and sums the same user's view events in the trailing 10
+    minutes (both interval ends inclusive)."""
+    import pyarrow.compute as pc
+
+    from .joins import range_agg_join
+
+    left = _events_typed(sf_dir, "error", ["event_id", "user_id", "ts"])
+    right = _events_typed(sf_dir, "view", ["user_id", "ts", "value"])
+    out = range_agg_join(left, right, key="user_id", ts="ts",
+                         left_cols=["event_id"], value_col="value",
+                         window_us=600 * 1_000_000)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "n_matches": b["n_matches"],
+            "sum_value": pc.round(b["sum_value"], 6)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _media(sf_dir):
     from .multimodal import media_from_documents
 
@@ -2351,6 +2421,50 @@ ORACLE_SQL: dict[str, str] = {
                CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us
         FROM s GROUP BY 1, 2
     """,
+    # as-of join: latest purchase at-or-before each click, ties toward
+    # the largest purchase id — mirrored portably with last_value
+    # IGNORE NULLS over (ts, side, id) ordering (right rows sort before
+    # left at equal ts = inclusive match)
+    "events_asof": """
+        WITH u AS (
+          SELECT user_id, ts, event_id, value, 0 AS is_left
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, event_id, value, 1
+          FROM events WHERE event_type = 'click'
+        ), w AS (
+          SELECT is_left, event_id, user_id, ts,
+            last_value(CASE WHEN is_left = 0 THEN event_id END
+                       IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, is_left, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS mid,
+            last_value(CASE WHEN is_left = 0 THEN value END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, is_left, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS mval
+          FROM u
+        )
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(coalesce(mid, -1) AS BIGINT) AS match_id,
+               round(coalesce(mval, 0), 6) AS match_value
+        FROM w WHERE is_left = 1
+    """,
+    # range join + aggregate: trailing-10-min same-user view count/sum
+    # per error event, both interval ends inclusive
+    "events_range": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'error'),
+             r AS (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'view')
+        SELECT l.event_id, l.user_id,
+               CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+               count(r.user_id) AS n_matches,
+               round(coalesce(sum(r.value), 0), 6) AS sum_value
+        FROM l LEFT JOIN r ON r.user_id = l.user_id
+           AND r.ts BETWEEN l.ts - INTERVAL 10 MINUTE AND l.ts
+        GROUP BY 1, 2, 3
+    """,
     # MinHash+LSH near-dup pairs (dedup.minhash_dedup_pairs defaults:
     # 64 perms, 16 bands, char-5-grams, cap 64; q threshold 0.5) — the
     # whole deterministic index reproduced in HUGEINT arithmetic
@@ -2663,6 +2777,8 @@ QUERIES = {
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
+    "events_asof": q_events_asof,
+    "events_range": q_events_range,
     "media_audio": q_media_audio,
     "media_image": q_media_image,
     "media_video": q_media_video,

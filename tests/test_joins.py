@@ -1,0 +1,106 @@
+"""as-of join and range-aggregate join (linkgraph/joins.py): tie
+breaks, boundary inclusivity, key isolation, schema guards."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from linkgraph.joins import asof_join, range_agg_join
+
+
+def _ts(us_list):
+    return pa.array(np.array(us_list, dtype="datetime64[us]"))
+
+
+def _mk(ids, users, us, vals=None):
+    cols = {"event_id": pa.array(ids, pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": _ts(us)}
+    if vals is not None:
+        cols["value"] = pa.array(vals, pa.float64())
+    return rd.from_arrow(pa.table(cols))
+
+
+def test_asof_backward_inclusive_and_ties():
+    # user 1: right rows at t=10 (ids 100, 101 — tie -> max id wins),
+    # t=30; left at t=10 (exact match inclusive), t=25, t=5 (no match)
+    left = _mk([1, 2, 3], [1, 1, 1], [10, 25, 5])
+    right = _mk([100, 101, 102], [1, 1, 1], [10, 10, 30],
+                [1.0, 2.0, 3.0])
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    left_cols=["event_id"],
+                    right_cols={"event_id": "match_id",
+                                "value": "match_value"},
+                    tie_col="event_id").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out.loc[0, "match_id"] == 101  # exact ts, tie -> largest id
+    assert out.loc[0, "match_value"] == 2.0
+    assert out.loc[1, "match_id"] == 101  # t=25 sees t=10, not t=30
+    assert np.isnan(out.loc[2, "match_id"])  # t=5 precedes everything
+
+
+def test_asof_keys_isolated():
+    left = _mk([1, 2], [1, 2], [50, 50])
+    right = _mk([100, 200], [1, 2], [10, 20], [1.0, 2.0])
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    left_cols=["event_id"],
+                    right_cols={"event_id": "match_id",
+                                "value": "match_value"}).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["match_id"].tolist() == [100, 200]  # never cross-user
+
+
+def test_asof_rejects_shared_payload_names():
+    left = _mk([1], [1], [10])
+    right = _mk([2], [1], [5], [1.0])
+    with pytest.raises(ValueError, match="disjoint"):
+        asof_join(left, right, key="user_id", ts="ts",
+                  left_cols=["event_id"],
+                  right_cols={"event_id": "event_id"})
+
+
+def test_range_agg_boundaries_inclusive():
+    # window = 10us trailing; left at t=20 must include right rows at
+    # t=10 (lower bound) and t=20 (upper bound), exclude t=9 and t=21
+    left = _mk([1], [7], [20])
+    right = _mk([0, 0, 0, 0], [7, 7, 7, 7], [9, 10, 20, 21],
+                [100.0, 1.0, 2.0, 100.0])
+    out = range_agg_join(left, right, key="user_id", ts="ts",
+                         left_cols=["event_id"], value_col="value",
+                         window_us=10).to_pandas()
+    assert out.loc[0, "n_matches"] == 2
+    assert out.loc[0, "sum_value"] == 3.0
+
+
+def test_range_agg_zero_matches_and_isolation():
+    left = _mk([1, 2], [1, 2], [100, 100])
+    right = _mk([0], [1], [50], [5.0])  # outside user-1 window; user 2 none
+    out = range_agg_join(left, right, key="user_id", ts="ts",
+                         left_cols=["event_id"], value_col="value",
+                         window_us=10).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["n_matches"].tolist() == [0, 0]
+    assert out["sum_value"].tolist() == [0.0, 0.0]
+
+
+def test_range_agg_matches_pandas_oracle():
+    rng = np.random.default_rng(5)
+    n_l, n_r = 300, 800
+    lus = rng.integers(0, 12, n_l)
+    rus = rng.integers(0, 12, n_r)
+    lts = rng.integers(0, 10_000, n_l)
+    rts = rng.integers(0, 10_000, n_r)
+    vals = rng.random(n_r).round(3)
+    w = 500
+    left = _mk(np.arange(n_l), lus, np.sort(lts) * 0 + lts)
+    right = _mk(np.zeros(n_r, np.int64), rus, rts, vals)
+    out = range_agg_join(left, right, key="user_id", ts="ts",
+                         left_cols=["event_id"], value_col="value",
+                         window_us=w).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    for i in [0, 17, 123, 299]:
+        m = (rus == lus[i]) & (rts >= lts[i] - w) & (rts <= lts[i])
+        assert out.loc[i, "n_matches"] == int(m.sum())
+        assert abs(out.loc[i, "sum_value"] - vals[m].sum()) < 1e-9
