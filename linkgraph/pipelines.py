@@ -1124,6 +1124,21 @@ def q_events_session(sf_dir):
     return session_window(_events(sf_dir), gap_s=1800)
 
 
+EVENT_QUANTILES = [0.01, 0.25, 0.5, 0.9, 0.99]
+
+
+def q_events_quantiles(sf_dir):
+    """Exact event-value quantiles via iterative histogram bracketing
+    (quantiles.exact_quantiles) — order statistics without a global
+    sort; index rule identical to DuckDB quantile_disc so the oracle is
+    exact."""
+    from .quantiles import exact_quantiles
+
+    out = exact_quantiles(_events(sf_dir), "value", EVENT_QUANTILES)
+    out["val"] = out["val"].round(6)
+    return out
+
+
 def _events_typed(sf_dir, event_type: str, columns: list[str]):
     ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                             columns=columns + ["event_type"])
@@ -2421,6 +2436,14 @@ ORACLE_SQL: dict[str, str] = {
                CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us
         FROM s GROUP BY 1, 2
     """,
+    # exact order statistics: same element both sides, so round-6 is
+    # bit-identical (quantile_disc index rule = ceil(q*n)-1, 0-based)
+    "events_quantiles": f"""
+        WITH v AS (SELECT quantile_disc(value,
+                     {list(EVENT_QUANTILES)}) AS vals FROM events)
+        SELECT unnest({list(EVENT_QUANTILES)}) AS q,
+               round(unnest(vals), 6) AS val FROM v
+    """,
     # as-of join: latest purchase at-or-before each click, ties toward
     # the largest purchase id — mirrored portably with last_value
     # IGNORE NULLS over (ts, side, id) ordering (right rows sort before
@@ -2779,6 +2802,7 @@ QUERIES = {
     "events_session": q_events_session,
     "events_asof": q_events_asof,
     "events_range": q_events_range,
+    "events_quantiles": q_events_quantiles,
     "media_audio": q_media_audio,
     "media_image": q_media_image,
     "media_video": q_media_video,

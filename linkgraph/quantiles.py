@@ -1,0 +1,165 @@
+"""Exact distributed quantiles (order statistics) WITHOUT a global
+sort: iterative histogram bracketing.
+
+Pass 0 reduces (n, min, max) from per-batch partials.  Each subsequent
+pass histograms every still-active quantile's bracket [lo, hi) into
+`bins` equal-width cells (one shared map_batches over the column emits
+sparse per-(quantile, bin) count partials + in-bracket min/max), the
+driver walks the cumulative counts to the cell containing the target
+rank, and the bracket shrinks by ~`bins`x.  A quantile resolves when
+its bracket holds one distinct value, or few enough rows to collect
+and select exactly (<= max_driver_rows, the standard size gate).
+
+log_bins(n / max_driver_rows) passes total — 2 histogram passes cover
+1e12 rows at the defaults — each pass a column-pruned streaming scan;
+nothing corpus-sized ever lands on the driver.
+
+Index rule matches DuckDB's quantile_disc: k = max(0, ceil(q*n) - 1),
+0-based in ascending order — so the SQL oracle is exact, not
+approximate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _minmax_count(ds, col: str):
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(p) == 0 or p["n"].sum() == 0:
+        return 0, math.nan, math.nan
+    return int(p["n"].sum()), float(p["lo"].min()), float(p["hi"].max())
+
+
+class _Bracket:
+    __slots__ = ("k", "lo", "hi", "hi_incl", "before", "count", "value")
+
+    def __init__(self, k, lo, hi):
+        self.k = k          # global 0-based target rank
+        self.lo, self.hi = lo, hi
+        self.hi_incl = True  # outermost bracket includes its max
+        self.before = 0     # rows strictly left of the bracket
+        self.count = None   # rows inside the bracket (set per pass)
+        self.value = None   # resolved exact value
+
+
+def exact_quantiles(ds, col: str, qs: list[float], bins: int = 8192,
+                    max_driver_rows: int = 500_000,
+                    max_passes: int = 12) -> pd.DataFrame:
+    """Exact q-quantiles of `ds[col]` (DataFrame (q, val)).  NaNs are
+    ignored (SQL semantics).  See module docstring for the plan shape."""
+    ds = ds.materialize()  # one lineage, several scans
+    n, glo, ghi = _minmax_count(ds, col)
+    if n == 0:
+        return pd.DataFrame({"q": list(qs),
+                             "val": [math.nan] * len(qs)})
+    brs = [_Bracket(max(0, math.ceil(q * n) - 1), glo, ghi) for q in qs]
+    for b in brs:
+        b.count = n
+
+    for _ in range(max_passes):
+        live = [b for b in brs if b.value is None
+                and b.count > max_driver_rows and b.lo < b.hi]
+        if not live:
+            break
+        # brackets sharing a range (every quantile starts with the full
+        # [min, max]) share ONE histogram
+        spec = sorted({(b.lo, b.hi, b.hi_incl) for b in live})
+        sidx = {s: i for i, s in enumerate(spec)}
+
+        def hist_partial(t: pa.Table, spec=spec) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ki, bi, cn, vlo, vhi = [], [], [], [], []
+            for i, (lo, hi, hincl) in enumerate(spec):
+                m = (v >= lo) & ((v <= hi) if hincl else (v < hi))
+                x = v[m]
+                if len(x) == 0:
+                    continue
+                h, edges = np.histogram(x, bins=bins, range=(lo, hi))
+                nz = np.flatnonzero(h)
+                ki.append(np.full(len(nz), i, np.int64))
+                bi.append(nz.astype(np.int64))
+                cn.append(h[nz].astype(np.int64))
+                vlo.append(np.full(len(nz), x.min()))
+                vhi.append(np.full(len(nz), x.max()))
+            if not ki:
+                return pa.table({"ki": pa.array([], pa.int64()),
+                                 "bi": pa.array([], pa.int64()),
+                                 "cn": pa.array([], pa.int64()),
+                                 "vlo": pa.array([], pa.float64()),
+                                 "vhi": pa.array([], pa.float64())})
+            return pa.table({"ki": pa.array(np.concatenate(ki)),
+                             "bi": pa.array(np.concatenate(bi)),
+                             "cn": pa.array(np.concatenate(cn)),
+                             "vlo": pa.array(np.concatenate(vlo)),
+                             "vhi": pa.array(np.concatenate(vhi))})
+
+        p = ds.map_batches(hist_partial,
+                           batch_format="pyarrow").to_pandas()
+        for b in live:
+            rows = p[p["ki"] == sidx[(b.lo, b.hi, b.hi_incl)]]
+            if len(rows) == 0:
+                raise RuntimeError(
+                    f"quantile bracket emptied unexpectedly (k={b.k})")
+            vmin, vmax = rows["vlo"].min(), rows["vhi"].max()
+            if vmin == vmax:  # one distinct value left: resolved
+                b.value = float(vmin)
+                continue
+            counts = np.zeros(bins, np.int64)
+            np.add.at(counts, rows["bi"].to_numpy(),
+                      rows["cn"].to_numpy())
+            cum = np.cumsum(counts)
+            r_local = b.k - b.before
+            cell = int(np.searchsorted(cum, r_local + 1))
+            edges = np.linspace(b.lo, b.hi, bins + 1)
+            b.before += int(cum[cell - 1]) if cell > 0 else 0
+            b.count = int(counts[cell])
+            b.lo = float(edges[cell])
+            b.hi = float(edges[cell + 1])
+            # np.histogram folds values == hi into the LAST cell only
+            b.hi_incl = (cell == bins - 1) and b.hi_incl
+
+    # collect every unresolved bracket's rows in ONE filter pass
+    live = [b for b in brs if b.value is None]
+    if live:
+        spec = sorted({(b.lo, b.hi, b.hi_incl) for b in live})
+        sidx = {s: i for i, s in enumerate(spec)}
+
+        def collect(t: pa.Table, spec=spec) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ki, vv = [], []
+            for i, (lo, hi, hincl) in enumerate(spec):
+                m = (v >= lo) & ((v <= hi) if hincl else (v < hi))
+                x = v[m]
+                ki.append(np.full(len(x), i, np.int64))
+                vv.append(x)
+            return pa.table({"ki": pa.array(np.concatenate(ki)),
+                             "v": pa.array(np.concatenate(vv))})
+
+        got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+        for b in live:
+            i = sidx[(b.lo, b.hi, b.hi_incl)]
+            x = np.sort(got.loc[got["ki"] == i, "v"].to_numpy())
+            if b.k - b.before >= len(x):
+                raise RuntimeError(
+                    f"quantile rank {b.k} fell outside its bracket "
+                    f"(before={b.before}, in-bracket={len(x)})")
+            b.value = float(x[b.k - b.before])
+
+    return pd.DataFrame({"q": list(qs),
+                         "val": [b.value for b in brs]})

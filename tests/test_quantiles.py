@@ -1,0 +1,62 @@
+"""Exact distributed quantiles (linkgraph/quantiles.py): numpy-oracle
+equality, forced iterative bracketing, duplicates, NaN handling."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from linkgraph.quantiles import exact_quantiles
+
+
+def _kth(vals, q):
+    """DuckDB quantile_disc rule: k = max(0, ceil(q*n) - 1)."""
+    x = np.sort(vals)
+    return float(x[max(0, math.ceil(q * len(x)) - 1)])
+
+
+def _ds(vals):
+    return rd.from_arrow(pa.table({"value": pa.array(vals, pa.float64())})
+                         ).repartition(4)
+
+
+QS = [0.0, 0.01, 0.25, 0.5, 0.9, 1.0]
+
+
+def test_quantiles_match_numpy_oracle():
+    rng = np.random.default_rng(7)
+    vals = rng.normal(50, 20, 20_000)
+    out = exact_quantiles(_ds(vals), "value", QS)
+    for q, v in zip(out["q"], out["val"]):
+        assert v == _kth(vals, q), q
+
+
+def test_quantiles_forced_iterative_bracketing():
+    """max_driver_rows=50 forces several histogram passes before the
+    final collect — still exact."""
+    rng = np.random.default_rng(11)
+    vals = rng.exponential(10, 30_000)  # skewed tail
+    out = exact_quantiles(_ds(vals), "value", [0.5, 0.999],
+                          bins=16, max_driver_rows=50)
+    assert out["val"].tolist() == [_kth(vals, 0.5), _kth(vals, 0.999)]
+
+
+def test_quantiles_heavy_duplicates_resolve():
+    """A single distinct value dominating a bracket resolves via the
+    one-distinct-value rule, never an endless shrink."""
+    vals = np.concatenate([np.full(10_000, 5.0), [1.0, 2.0, 99.0]])
+    qs = [0.5, 0.0001, 1.0]
+    out = exact_quantiles(_ds(vals), "value", qs,
+                          bins=8, max_driver_rows=10)
+    assert out["val"].tolist() == [_kth(vals, q) for q in qs] \
+        == [5.0, 2.0, 99.0]
+
+
+def test_quantiles_nan_and_empty():
+    vals = np.array([np.nan, 3.0, np.nan, 1.0, 2.0])
+    out = exact_quantiles(_ds(vals), "value", [0.5])
+    assert out["val"].tolist() == [2.0]  # NaNs ignored
+    empty = exact_quantiles(_ds(np.array([], np.float64)), "value", [0.5])
+    assert math.isnan(empty["val"].iloc[0])
