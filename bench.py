@@ -198,7 +198,7 @@ def run_bench(num_cpus: int, sf_dir: str, scratch: str) -> dict:
     )
 
     t0 = time.perf_counter()
-    q_doc_pagerank(sf_dir)
+    q_doc_pagerank(sf_dir).materialize()  # Dataset results are lazy
     q_doc_triangles(sf_dir)
     q_events_window(sf_dir).count()
     q["sf_queries"] = time.perf_counter() - t0

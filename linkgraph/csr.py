@@ -70,19 +70,34 @@ def build_compressed(keys: np.ndarray, values: np.ndarray,
     Deterministic: edges sorted by (key, value) regardless of input order.
     Duplicate edges are preserved (reference keeps multi-edges, SURVEY §2).
     """
-    keys = np.asarray(keys, dtype=np.int64)
-    values = np.asarray(values, dtype=np.int64)
-    narrow = bool(len(keys)) and keys.max(initial=0) < 2 ** 31 \
-        and values.max(initial=0) < 2 ** 31
-    if narrow:
-        # composite-key fast path: one argsort of (key<<32 | value)
-        # instead of a two-pass lexsort — shard boot is sort-bound
-        order = np.argsort((keys << 32) | values, kind="stable")
+    keys = np.asarray(keys)
+    values = np.asarray(values)
+    narrow = bool(len(keys)) and int(keys.max(initial=0)) < 2 ** 31 \
+        and int(values.max(initial=0)) < 2 ** 31
+    if narrow and weights is None:
+        # composite VALUE sort: np.sort of (key<<32 | value) then split —
+        # no index array, no payload gathers.  The CSR build is DRAM-
+        # bound (32 concurrent shard builds measured 2-10s each at 96M
+        # edges vs ~0.4s alone); dropping the argsort+two-gather pattern
+        # roughly halves the bytes it moves
+        comp = np.sort((keys.astype(np.int64) << 32)
+                       | values.astype(np.int64), kind="stable")
+        keys = comp >> 32
+        values = comp & np.int64(0xFFFFFFFF)
+        w = None
     else:
-        order = np.lexsort((values, keys))
-    keys = keys[order]
-    values = values[order]
-    w = None if weights is None else np.asarray(weights, dtype=np.float64)[order]
+        keys = keys.astype(np.int64, copy=False)
+        values = values.astype(np.int64, copy=False)
+        if narrow:
+            # composite-key fast path: one argsort of (key<<32 | value)
+            # instead of a two-pass lexsort — shard boot is sort-bound
+            order = np.argsort((keys << 32) | values, kind="stable")
+        else:
+            order = np.lexsort((values, keys))
+        keys = keys[order]
+        values = values[order]
+        w = None if weights is None \
+            else np.asarray(weights, dtype=np.float64)[order]
     # boundary scan instead of np.unique (which re-sorts internally)
     if len(keys):
         bound = np.empty(len(keys), dtype=bool)

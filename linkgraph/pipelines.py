@@ -340,10 +340,17 @@ def q_doc_triangles(sf_dir):
 
 
 def _state_result(eng, col, out_col, round_to=None):
-    pdf = eng.state_pandas([col]).rename(columns={col: out_col})
-    if round_to is not None:
-        pdf[out_col] = pdf[out_col].round(round_to)
-    return pdf
+    """Vertex state as a DATASET (v, out_col) — |V|-sized results stay
+    off the driver (VERDICT r2 #7); one block per shard, zero-copy."""
+    ds = eng.state_dataset([col])
+
+    def fin(b: pa.Table) -> pa.Table:
+        x = b[col]
+        if round_to is not None:
+            x = pc.round(x, ndigits=round_to)
+        return pa.table({"v": b["v"], out_col: x})
+
+    return ds.map_batches(fin, batch_format="pyarrow")
 
 
 def q_doc_pagerank(sf_dir):
@@ -397,8 +404,10 @@ def q_doc_bfs(sf_dir):
     eng = documents_engine(sf_dir, "directed")
     rep = bfs(eng, root=0)
     _check_unroll(rep, BFS_ROUNDS, "doc_bfs")
-    pdf = _state_result(eng, "parent", "parent")
-    return pdf[pdf["parent"] < eng.meta["n_vertices"]].reset_index(drop=True)
+    n = eng.meta["n_vertices"]
+    return _state_result(eng, "parent", "parent").map_batches(
+        lambda b: b.filter(pc.less(b["parent"], n)),
+        batch_format="pyarrow")
 
 
 def q_doc_bc(sf_dir):
@@ -409,10 +418,18 @@ def q_doc_bc(sf_dir):
     eng = documents_engine(sf_dir, "directed")
     rep = betweenness(eng, root=0)
     _check_unroll(rep["forward"], BFS_ROUNDS, "doc_bc")
-    pdf = eng.state_pandas(["dependencies", "num_paths"])
-    pdf = pdf[np.isfinite(pdf["dependencies"])].reset_index(drop=True)
-    pdf["dependencies"] = pdf["dependencies"].round(6)
-    return pdf
+
+    def fin(b: pa.Table) -> pa.Table:
+        keep = np.isfinite(
+            b["dependencies"].to_numpy(zero_copy_only=False))
+        t = b.filter(pa.array(keep))
+        return pa.table({"v": t["v"],
+                         "dependencies": pc.round(t["dependencies"],
+                                                  ndigits=6),
+                         "num_paths": t["num_paths"]})
+
+    return eng.state_dataset(["dependencies", "num_paths"]).map_batches(
+        fin, batch_format="pyarrow")
 
 
 BC_SAMPLE_ROOTS = [0, 1, 2]
@@ -439,10 +456,14 @@ def q_doc_sssp(sf_dir):
     eng = documents_engine(sf_dir, "weighted")
     rep = sssp(eng, root=0)
     _check_unroll(rep, SSSP_ROUNDS, "doc_sssp")
-    pdf = _state_result(eng, "distance", "distance")
-    pdf = pdf[pdf["distance"] < INF_DIST].reset_index(drop=True)
-    pdf["distance"] = pdf["distance"].round(9)
-    return pdf
+
+    def fin(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b["distance"], INF_DIST))
+        return pa.table({"v": t["v"],
+                         "distance": pc.round(t["distance"], ndigits=9)})
+
+    return eng.state_dataset(["distance"]).map_batches(
+        fin, batch_format="pyarrow")
 
 
 def q_doc_wpagerank(sf_dir):
@@ -466,10 +487,15 @@ def q_doc_hits(sf_dir):
     eng = documents_engine(sf_dir, "directed")
     hits(eng, iterations=HITS_ITERS)
     sa, sh = normalized_scores(eng)
-    pdf = eng.state_pandas(["auth", "hub"])
-    pdf["auth"] = (pdf["auth"] / sa).round(6)
-    pdf["hub"] = (pdf["hub"] / sh).round(6)
-    return pdf
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": b["v"],
+            "auth": pc.round(pc.divide(b["auth"], sa), ndigits=6),
+            "hub": pc.round(pc.divide(b["hub"], sh), ndigits=6)})
+
+    return eng.state_dataset(["auth", "hub"]).map_batches(
+        fin, batch_format="pyarrow")
 
 
 def q_doc_ppr(sf_dir):
@@ -491,8 +517,9 @@ def q_doc_kcore(sf_dir):
     eng = documents_engine(sf_dir, "undirected")
     rep = kcore(eng, k=KCORE_K)
     _check_unroll(rep, KCORE_ROUNDS, "doc_kcore")
-    pdf = _state_result(eng, "in_core", "in_core")
-    return pdf[pdf["in_core"] == 1][["v"]].reset_index(drop=True)
+    return _state_result(eng, "in_core", "in_core").map_batches(
+        lambda b: b.filter(pc.equal(b["in_core"], 1)).select(["v"]),
+        batch_format="pyarrow")
 
 
 MIS_ROUNDS = 8  # unrolled select+broadcast pairs in the SQL oracle
@@ -509,8 +536,9 @@ def q_doc_mis(sf_dir):
     eng = documents_engine(sf_dir, "undirected")
     rep = maximal_independent_set(eng)
     _check_unroll(rep, 2 * MIS_ROUNDS, "doc_mis")
-    pdf = _state_result(eng, "in_mis", "in_mis")
-    return pdf[pdf["in_mis"] == 1][["v"]].reset_index(drop=True)
+    return _state_result(eng, "in_mis", "in_mis").map_batches(
+        lambda b: b.filter(pc.equal(b["in_mis"], 1)).select(["v"]),
+        batch_format="pyarrow")
 
 
 HARMONIC_SEEDS = [0, 1, 2, 3]
@@ -585,9 +613,9 @@ def q_doc_coloring(sf_dir):
     eng = documents_engine(sf_dir, "undirected")
     rep = greedy_coloring(eng)
     _check_unroll(rep, 2 * COLORING_ROUNDS, "doc_coloring")
-    pdf = _state_result(eng, "color", "color")
-    assert pdf["color"].max() < COLORING_MAX_COLORS  # oracle range() bound
-    return pdf
+    ds = _state_result(eng, "color", "color").materialize()
+    assert ds.max("color") < COLORING_MAX_COLORS  # oracle range() bound
+    return ds
 
 
 TRUSS_K = 3
@@ -1137,6 +1165,23 @@ def q_events_quantiles(sf_dir):
     out = exact_quantiles(_events(sf_dir), "value", EVENT_QUANTILES)
     out["val"] = out["val"].round(6)
     return out
+
+
+USER_QUANTILES = [0.5, 0.9]
+
+
+def q_events_user_quantiles(sf_dir):
+    """Exact per-user value quantiles (quantiles.grouped_quantiles):
+    one coarse key-bucket shuffle, one sort per bucket, vectorized
+    per-segment rank selection."""
+    from .quantiles import grouped_quantiles
+
+    out = grouped_quantiles(_events(sf_dir), "user_id", "value",
+                            USER_QUANTILES)
+    return out.map_batches(
+        lambda b: pa.table({"user_id": b["user_id"], "q": b["q"],
+                            "val": pc.round(b["val"], ndigits=6)}),
+        batch_format="pyarrow")
 
 
 def _events_typed(sf_dir, event_type: str, columns: list[str]):
@@ -2444,6 +2489,14 @@ ORACLE_SQL: dict[str, str] = {
         SELECT unnest({list(EVENT_QUANTILES)}) AS q,
                round(unnest(vals), 6) AS val FROM v
     """,
+    # per-user exact order statistics (same element both sides)
+    "events_user_quantiles": f"""
+        WITH v AS (SELECT user_id, quantile_disc(value,
+                     {list(USER_QUANTILES)}) AS vals
+                   FROM events GROUP BY user_id)
+        SELECT user_id, unnest({list(USER_QUANTILES)}) AS q,
+               round(unnest(vals), 6) AS val FROM v
+    """,
     # as-of join: latest purchase at-or-before each click, ties toward
     # the largest purchase id — mirrored portably with last_value
     # IGNORE NULLS over (ts, side, id) ordering (right rows sort before
@@ -2803,6 +2856,7 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_range": q_events_range,
     "events_quantiles": q_events_quantiles,
+    "events_user_quantiles": q_events_user_quantiles,
     "media_audio": q_media_audio,
     "media_image": q_media_image,
     "media_video": q_media_video,

@@ -163,3 +163,58 @@ def exact_quantiles(ds, col: str, qs: list[float], bins: int = 8192,
 
     return pd.DataFrame({"q": list(qs),
                          "val": [b.value for b in brs]})
+
+
+GROUP_BUCKET_ROWS = 200_000
+
+
+def grouped_quantiles(ds, key: str, col: str, qs: list[float]):
+    """Exact per-key quantiles (Dataset of key, q, val): one coarse
+    deterministic key-hash bucket shuffle co-locates each key's rows,
+    then a vectorized segment kernel (ONE sort per bucket, per-segment
+    rank offsets) selects every key's order statistics.
+
+    Partitioning assumption (same as joins.py): all rows of one KEY fit
+    in one bucket task — buckets scale with total rows, keys never
+    split.  For the global (single-group) case use exact_quantiles,
+    which needs no such assumption.  Index rule = DuckDB quantile_disc.
+    """
+    ds = ds.materialize()
+    nb = max(32, ds.count() // GROUP_BUCKET_ROWS)
+    qarr = np.asarray(qs, np.float64)
+
+    def salt(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        if np.issubdtype(k.dtype, np.integer):
+            with np.errstate(over="ignore"):
+                h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                h ^= h >> np.uint64(31)
+            kb = (h % np.uint64(nb)).astype(np.int64)
+        else:
+            kb = (pd.util.hash_array(np.asarray(k, object))
+                  % np.uint64(nb)).astype(np.int64)
+        return pa.table({key: b[key], col: b[col],
+                         "kb": pa.array(kb)})
+
+    def bucket_q(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy()
+        v = g[col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        k, v = k[ok], v[ok]
+        if len(k) == 0:
+            return pd.DataFrame({key: k, "q": np.empty(0, np.float64),
+                                 "val": np.empty(0, np.float64)})
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(k)]]))
+        # per (segment, q): rank = start + max(0, ceil(q*len)-1)
+        kk = np.repeat(k[starts], len(qarr))
+        ql = np.tile(qarr, len(starts))
+        ll = np.repeat(lens, len(qarr))
+        ss = np.repeat(starts, len(qarr))
+        idx = ss + np.maximum(0, np.ceil(ql * ll).astype(np.int64) - 1)
+        return pd.DataFrame({key: kk, "q": ql, "val": v[idx]})
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+            .groupby("kb").map_groups(bucket_q, batch_format="pandas"))

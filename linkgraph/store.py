@@ -217,8 +217,11 @@ def load_meta(store_dir: str) -> dict:
 
 
 def _cols_out(t: pa.Table, weighted: bool):
-    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    # keep the STORED width (int32 for narrow graphs): shard boot and
+    # the CSR build are DRAM-bound, and an int64 upcast here doubled
+    # every byte they copy (build_compressed/bincount accept int32)
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
     w = (t["weight"].to_numpy(zero_copy_only=False).astype(np.float64,
                                                            copy=False)
          if weighted else None)

@@ -54,6 +54,22 @@ def test_quantiles_heavy_duplicates_resolve():
         == [5.0, 2.0, 99.0]
 
 
+def test_grouped_quantiles_match_numpy_oracle():
+    from linkgraph.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 9, 5_000)
+    vals = rng.normal(0, 1, 5_000)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64()),
+                                 "value": pa.array(vals, pa.float64())})
+                       ).repartition(4)
+    out = grouped_quantiles(ds, "k", "value", [0.25, 0.5, 1.0]) \
+        .to_pandas().sort_values(["k", "q"]).reset_index(drop=True)
+    assert len(out) == 9 * 3
+    for _, r in out.iterrows():
+        assert r["val"] == _kth(vals[keys == r["k"]], r["q"])
+
+
 def test_quantiles_nan_and_empty():
     vals = np.array([np.nan, 3.0, np.nan, 1.0, 2.0])
     out = exact_quantiles(_ds(vals), "value", [0.5])
