@@ -205,3 +205,75 @@ def write_table(table: pa.Table, path: str):
     tmp = path + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
+
+
+_SUCCESS = "_SUCCESS"
+
+
+def write_partitioned_resumable(ds, path: str, partition_col: str) -> dict:
+    """Resumable partitioned-parquet sink (task brief: a failed run must
+    skip finished partitions, never one giant file).
+
+    Layout: `path/<partition_col>=<v>/…parquet` + an empty `_SUCCESS`
+    marker per COMPLETE partition directory.  On re-run:
+
+      1. partitions with `_SUCCESS` are filtered out of the input
+         stream (broadcast id set, map-side — nothing re-shuffled);
+      2. partition dirs WITHOUT the marker (a crash mid-write) are
+         cleared, so re-written partitions can never double up;
+      3. after the streaming write returns, every marker-less dir is
+         stamped — the write call completing means they are complete.
+
+    Returns {"written": n_new_partitions, "skipped": n_done}.
+    """
+    import shutil
+
+    import ray
+
+    def _part_dirs():
+        if not os.path.isdir(path):
+            return []
+        return [d for d in os.listdir(path)
+                if d.startswith(partition_col + "=")]
+
+    def _val(dirname: str):
+        return dirname.split("=", 1)[1]
+
+    done_vals, stale = [], []
+    for d in _part_dirs():
+        if os.path.exists(os.path.join(path, d, _SUCCESS)):
+            done_vals.append(_val(d))
+        else:
+            stale.append(d)
+    for d in stale:  # crash mid-write: clear, will be re-written whole
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+    if done_vals:
+        first = ds.take(1)
+        as_str = bool(first) and isinstance(
+            first[0].get(partition_col), str)
+        done_arr = (np.sort(np.array(done_vals))
+                    if as_str else np.sort(np.array(
+                        [int(v) for v in done_vals], dtype=np.int64)))
+        dref = ray.put(done_arr)
+
+        def drop_done(b: pa.Table) -> pa.Table:
+            dv = ray.get(dref)
+            vals = b[partition_col].to_numpy(zero_copy_only=False)
+            if not as_str:
+                vals = vals.astype(np.int64)
+            else:
+                vals = vals.astype(str)
+            pos = np.minimum(np.searchsorted(dv, vals), len(dv) - 1)
+            return b.filter(pa.array(dv[pos] != vals))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    ds.write_parquet(path, partition_cols=[partition_col])
+    written = 0
+    for d in _part_dirs():
+        marker = os.path.join(path, d, _SUCCESS)
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            written += 1
+    return {"written": written, "skipped": len(done_vals)}

@@ -161,3 +161,42 @@ def test_binary_edgeunit_source_roundtrip(tmp_path):
         pd.testing.assert_frame_equal(
             got.sort_values(cols).reset_index(drop=True),
             pdf[cols].sort_values(cols).reset_index(drop=True))
+
+
+def test_write_partitioned_resumable(tmp_path):
+    """Resumable sink: completed partitions (with _SUCCESS) are skipped
+    and left untouched on re-run; a crash-torn partition (no marker) is
+    cleared and rewritten whole; final data equals a clean write."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from linkgraph.io import write_partitioned_resumable
+
+    def mk():
+        return rd.from_arrow(pa.table({
+            "g": pa.array([0, 0, 1, 1, 2, 2], pa.int64()),
+            "x": pa.array([1, 2, 3, 4, 5, 6], pa.int64())}))
+
+    out = str(tmp_path / "sink")
+    r1 = write_partitioned_resumable(mk(), out, "g")
+    assert r1 == {"written": 3, "skipped": 0}
+
+    # simulate a crash in partition g=1: marker gone, torn file left
+    os.remove(os.path.join(out, "g=1", "_SUCCESS"))
+    with open(os.path.join(out, "g=1", "torn.parquet"), "w") as f:
+        f.write("garbage")
+    mt0 = {d: os.path.getmtime(os.path.join(out, d, "_SUCCESS"))
+           for d in ("g=0", "g=2")}
+
+    r2 = write_partitioned_resumable(mk(), out, "g")
+    assert r2 == {"written": 1, "skipped": 2}
+    # finished partitions untouched, torn file gone
+    for d, t in mt0.items():
+        assert os.path.getmtime(os.path.join(out, d, "_SUCCESS")) == t
+    assert not os.path.exists(os.path.join(out, "g=1", "torn.parquet"))
+    got = pq.read_table(out).to_pandas().sort_values(["g", "x"])
+    assert got["x"].tolist() == [1, 2, 3, 4, 5, 6]
+    assert got["g"].astype(int).tolist() == [0, 0, 1, 1, 2, 2]
