@@ -6,8 +6,10 @@ from .bc import BCBackwardProgram, BCForwardProgram, betweenness
 from .bfs import BFSProgram, bfs
 from .cc import CCProgram, connected_components
 from .coloring import ColoringProgram, greedy_coloring
-from .harmonic import HarmonicProgram, harmonic_centrality
+from .harmonic import (HarmonicProgram, closeness_from_seeds,
+                       harmonic_centrality)
 from .hits import hits, normalized_scores
+from .katz import KatzProgram, katz_centrality
 from .kcore import KCoreProgram, kcore
 from .labelprop import LabelPropProgram, label_propagation
 from .mis import MISProgram, maximal_independent_set
@@ -22,8 +24,9 @@ __all__ = [
     "BFSProgram", "bfs",
     "CCProgram", "connected_components",
     "ColoringProgram", "greedy_coloring",
-    "HarmonicProgram", "harmonic_centrality",
+    "HarmonicProgram", "closeness_from_seeds", "harmonic_centrality",
     "hits", "normalized_scores",
+    "KatzProgram", "katz_centrality",
     "KCoreProgram", "kcore",
     "LabelPropProgram", "label_propagation",
     "MISProgram", "maximal_independent_set",

@@ -88,3 +88,32 @@ def harmonic_centrality(engine: GraphEngine, seeds: list[int]) -> list[dict]:
                                   params={"root": int(s), "reset": i == 0},
                                   run_name=f"harmonic_{int(s)}"))
     return reports
+
+
+def _count_reached(ctx, state, active):
+    return float((state["depth"] < _INF).sum())
+
+
+def _sum_depth(ctx, state, active):
+    d = state["depth"]
+    return float(d[d < _INF].sum())
+
+
+def closeness_from_seeds(engine: GraphEngine, seeds: list[int]):
+    """Sampled closeness centrality: one BFS-with-depth run per seed;
+    closeness(s) = (n_reached - 1) / sum of finite depths (the standard
+    per-source closeness; at web scale seeds are a vertex sample).
+
+    Both reductions are EXACT integer counts gathered via the
+    process_vertices analog (engine.map_vertices — graph.hpp:1406-1468),
+    so the final float division is bit-identical between the engine and
+    the SQL oracle.  Returns [(seed, n_reached, sum_depth, report)]."""
+    out = []
+    for s in seeds:
+        rep = engine.run(HarmonicProgram(),
+                         params={"root": int(s), "reset": True},
+                         run_name=f"closeness_{int(s)}")
+        reached = int(engine.map_vertices(_count_reached))
+        sumd = int(engine.map_vertices(_sum_depth))
+        out.append((int(s), reached, sumd, rep))
+    return out

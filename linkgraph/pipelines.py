@@ -542,6 +542,40 @@ def q_doc_mis(sf_dir):
 
 
 HARMONIC_SEEDS = [0, 1, 2, 3]
+CLOSENESS_SEEDS = [0, 1, 2, 3]
+KATZ_ITERS = 10
+KATZ_ALPHA = 0.1
+
+
+def q_doc_closeness(sf_dir):
+    """Sampled closeness centrality from 4 seeds on the symmetrized doc
+    graph (algos/harmonic.closeness_from_seeds): one BFS-with-depth run
+    per seed; closeness(s) = (n_reached - 1) / sum(depth).  Both sums
+    are exact integers (map_vertices reductions), so the float division
+    is bit-identical to the oracle's.  Oracle: _closeness_sql — per-seed
+    unrolled BFS chains + the same aggregate."""
+    from .algos.harmonic import closeness_from_seeds
+
+    eng = documents_engine(sf_dir, "undirected")
+    rows = []
+    for s, reached, sumd, rep in closeness_from_seeds(eng, CLOSENESS_SEEDS):
+        _check_unroll(rep, BFS_ROUNDS, f"doc_closeness seed {s}")
+        c = (reached - 1) / sumd if sumd > 0 else 0.0
+        rows.append({"v": s, "n_reached": reached,
+                     "closeness": round(float(c), 6)})
+    return pd.DataFrame(rows)
+
+
+def q_doc_katz(sf_dir):
+    """Katz centrality, 10 fixed iterations at alpha=0.1 on the directed
+    doc graph (algos/katz.py: x = 1 + alpha * A^T x, the damped
+    eigenvector family member that is well-defined on this DAG-shaped
+    star graph).  Oracle: _katz_sql unrolled recurrence."""
+    from .algos import katz_centrality
+
+    eng = documents_engine(sf_dir, "directed")
+    katz_centrality(eng, iterations=KATZ_ITERS, alpha=KATZ_ALPHA)
+    return _state_result(eng, "katz", "katz", round_to=6)
 
 
 def q_doc_harmonic(sf_dir):
@@ -1764,6 +1798,58 @@ def _harmonic_sql(seeds: list[int], rounds: int, round_to: int) -> str:
             f"FROM allv {joins}")
 
 
+def _closeness_sql(seeds: list[int], rounds: int, round_to: int) -> str:
+    """Sampled closeness oracle (algos/harmonic.closeness_from_seeds):
+    one unrolled BFS depth chain per seed on the symmetric graph, then
+    the identical exact-integer aggregate — n_reached counts finite
+    depths (the seed itself included at depth 0), closeness =
+    (n_reached - 1) / sum(depth), 0 for isolated seeds."""
+    big = 10 ** 9
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)"]
+    for si, s in enumerate(seeds):
+        ctes.append(
+            f"d{si}_0 AS MATERIALIZED (SELECT v, CASE WHEN v = {s} "
+            f"THEN 0 ELSE {big} END AS dep FROM allv)")
+        for i in range(1, rounds + 1):
+            p = f"d{si}_{i - 1}"
+            ctes.append(
+                f"d{si}_{i} AS MATERIALIZED (SELECT allv.v, "
+                f"least({p}.dep, coalesce(m.dep, {big})) AS dep "
+                f"FROM allv JOIN {p} USING (v) LEFT JOIN "
+                f"(SELECT sym.dst AS v, min({p}.dep) + 1 AS dep FROM sym "
+                f"JOIN {p} ON {p}.v = sym.src WHERE {p}.dep < {big} "
+                f"GROUP BY sym.dst) m USING (v))")
+    sels = []
+    for si, s in enumerate(seeds):
+        sels.append(
+            f"SELECT CAST({s} AS BIGINT) AS v, "
+            f"(count(*) FILTER (WHERE dep < {big}))::BIGINT AS n_reached, "
+            f"round(CASE WHEN coalesce(sum(dep) FILTER (WHERE dep < {big}),"
+            f" 0) > 0 THEN (count(*) FILTER (WHERE dep < {big}) - 1) / "
+            f"(sum(dep) FILTER (WHERE dep < {big}))::DOUBLE "
+            f"ELSE 0.0 END, {round_to}) AS closeness "
+            f"FROM d{si}_{rounds}")
+    return f"WITH {', '.join(ctes)} {' UNION ALL '.join(sels)}"
+
+
+def _katz_sql(iters: int, alpha: float, round_to: int) -> str:
+    """Katz unroll (algos/katz.py): x_0 = 1,
+    x_i = 1 + alpha * sum of x_{i-1} over in-edges (coalesce 0)."""
+    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            "k0 AS (SELECT v, 1.0 AS x FROM allv)"]
+    for i in range(1, iters + 1):
+        p = f"k{i - 1}"
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT allv.v, "
+            f"1.0 + {alpha!r} * coalesce(m.sm, 0.0) AS x FROM allv "
+            f"LEFT JOIN (SELECT e.dst AS v, sum({p}.x) AS sm FROM e "
+            f"JOIN {p} ON {p}.v = e.src GROUP BY e.dst) m USING (v))")
+    return (f"WITH {', '.join(ctes)} SELECT v, round(x, {round_to}) "
+            f"AS katz FROM k{iters}")
+
+
 def _diameter_sql(rounds: int) -> str:
     """Double-sweep oracle: unrolled BFS from 0, farthest vertex u
     (max depth, tie min id) as a scalar subquery rooting the second
@@ -2353,6 +2439,8 @@ ORACLE_SQL: dict[str, str] = {
     "doc_mis": _mis_sql(MIS_ROUNDS),
     "doc_coloring": _coloring_sql(COLORING_ROUNDS, COLORING_MAX_COLORS),
     "doc_harmonic": _harmonic_sql(HARMONIC_SEEDS, BFS_ROUNDS, 6),
+    "doc_closeness": _closeness_sql(CLOSENESS_SEEDS, BFS_ROUNDS, 6),
+    "doc_katz": _katz_sql(KATZ_ITERS, KATZ_ALPHA, 6),
     "doc_diameter": _diameter_sql(BFS_ROUNDS),
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
@@ -2818,6 +2906,8 @@ QUERIES = {
     "doc_mis": q_doc_mis,
     "doc_coloring": q_doc_coloring,
     "doc_harmonic": q_doc_harmonic,
+    "doc_closeness": q_doc_closeness,
+    "doc_katz": q_doc_katz,
     "doc_diameter": q_doc_diameter,
     "doc_walks": q_doc_walks,
     "doc_adamic_adar": q_doc_adamic_adar,

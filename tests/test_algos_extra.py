@@ -451,3 +451,91 @@ def test_ktruss_and_coloring_edge_cases(tmp_path):
         assert sorted(got.tolist()) == [0, 1]
     finally:
         eng.shutdown()
+
+
+# --------------------------------------------------- closeness centrality
+
+def closeness_oracle(e, n, seeds):
+    from collections import deque
+
+    adj = {v: set() for v in range(n)}
+    for a, b in e:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    out = []
+    for s in seeds:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        sumd = sum(dist.values())
+        out.append((s, len(dist), sumd,
+                    (len(dist) - 1) / sumd if sumd > 0 else 0.0))
+    return out
+
+
+@pytest.mark.parametrize("name", ["path_8", "two_cliques_k5", "er_1k"])
+def test_closeness_matches_bfs_oracle(name, tmp_path):
+    from linkgraph.algos import closeness_from_seeds
+
+    e = micro_graph(name)
+    n = _n(e)
+    seeds = [0, 1, 2]
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        got = closeness_from_seeds(eng, seeds)
+        for (s, reached, sumd, _), (ws, wr, wd, wc) in zip(
+                got, closeness_oracle(e, n, seeds)):
+            assert (s, reached, sumd) == (ws, wr, wd)
+            c = (reached - 1) / sumd if sumd > 0 else 0.0
+            assert abs(c - wc) < 1e-15
+    finally:
+        eng.shutdown()
+
+
+def test_closeness_isolated_seed(tmp_path):
+    """A seed with no edges reaches only itself: closeness 0, reached 1."""
+    from linkgraph.algos import closeness_from_seeds
+
+    eng = load_undirected(edges_from_arrays(
+        np.array([1]), np.array([2])), 3, num_partitions=2,
+        store_dir=str(tmp_path / "iso"))
+    try:
+        [(s, reached, sumd, _)] = closeness_from_seeds(eng, [0])
+        assert (s, reached, sumd) == (0, 1, 0)
+    finally:
+        eng.shutdown()
+
+
+# --------------------------------------------------------- katz centrality
+
+def katz_oracle(e, n, iters, alpha):
+    x = np.ones(n)
+    for _ in range(iters):
+        s = np.zeros(n)
+        np.add.at(s, e[:, 1], x[e[:, 0]])
+        x = 1.0 + alpha * s
+    return x
+
+
+@pytest.mark.parametrize("name", ["path_8", "star_1_50", "er_1k"])
+def test_katz_matches_power_oracle(name, tmp_path):
+    from linkgraph.algos import katz_centrality
+
+    e = _dedup(micro_graph(name))
+    n = _n(e)
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        katz_centrality(eng, iterations=6, alpha=0.1)
+        got = eng.state_pandas(["katz"])["katz"].to_numpy()
+        want = katz_oracle(e, n, 6, 0.1)
+        assert np.allclose(got, want, rtol=1e-12)
+    finally:
+        eng.shutdown()
