@@ -16,6 +16,8 @@ from .mis import MISProgram, maximal_independent_set
 from .pagerank import (PageRankProgram, PPRProgram,
                        WeightedPageRankProgram, pagerank,
                        personalized_pagerank, weighted_pagerank)
+from .scc import (SCCBackwardProgram, SCCForwardProgram,
+                  strongly_connected_components)
 from .sssp import SSSPProgram, sssp
 from .triangles import triangle_count
 
@@ -32,6 +34,8 @@ __all__ = [
     "MISProgram", "maximal_independent_set",
     "PageRankProgram", "PPRProgram", "WeightedPageRankProgram",
     "pagerank", "personalized_pagerank", "weighted_pagerank",
+    "SCCBackwardProgram", "SCCForwardProgram",
+    "strongly_connected_components",
     "SSSPProgram", "sssp",
     "triangle_count",
 ]

@@ -103,6 +103,18 @@ DOC_SYM_SQL = f"""
     SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce
 """
 
+# cycle-augmented edges for SCC: the canonical star edges are a DAG by
+# construction (src = min doc_id of the key group < dst), so SCC over
+# them is trivially all singletons; adding the reverse edge on a
+# deterministic third of the pairs creates 2-cycles and longer mixed
+# cycles (~60% of vertices land in nontrivial SCCs at sf0.01)
+SCC_EDGES_SQL = f"""
+    WITH ce AS ({DOC_EDGES_SQL})
+    SELECT src, dst FROM ce
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM ce WHERE (src + dst) % 3 = 0
+"""
+
 
 def documents_edges(sf_dir: str, num_partitions: int = 8):
     """The derived (src, dst) edge Dataset, canonical src < dst, deduped.
@@ -185,10 +197,24 @@ def documents_engine(sf_dir: str, kind: str = "directed",
         w = edges.map_batches(_add_weight, batch_format="pyarrow")
         eng = load_directed(w, n, num_partitions, store, weighted=True,
                             fingerprint=fp)
+    elif kind == "scc":
+        aug = edges.map_batches(_aug_cycles, batch_format="pyarrow")
+        eng = load_directed(aug, n, num_partitions, store, fingerprint=fp)
     else:
         eng = load_undirected(edges, n, num_partitions, store, fingerprint=fp)
     _CACHE[key] = eng
     return eng
+
+
+def _aug_cycles(b: pa.Table) -> pa.Table:
+    """Add the reverse edge where (src+dst)%3==0 (SCC_EDGES_SQL twin).
+    Canonical edges have src < dst, so no reverse edge duplicates an
+    existing one."""
+    s = b["src"].to_numpy(zero_copy_only=False)
+    d = b["dst"].to_numpy(zero_copy_only=False)
+    m = (s + d) % 3 == 0
+    return pa.table({"src": pa.array(np.concatenate([s, d[m]])),
+                     "dst": pa.array(np.concatenate([d, s[m]]))})
 
 
 def _add_weight(b: pa.Table) -> pa.Table:
@@ -576,6 +602,20 @@ def q_doc_katz(sf_dir):
     eng = documents_engine(sf_dir, "directed")
     katz_centrality(eng, iterations=KATZ_ITERS, alpha=KATZ_ALPHA)
     return _state_result(eng, "katz", "katz", round_to=6)
+
+
+def q_doc_scc(sf_dir):
+    """Strongly connected components over the cycle-augmented doc graph
+    (SCC_EDGES_SQL: canonical edges + reverse where (src+dst)%3==0 —
+    the canonical star edges alone are a DAG).  Label = min vertex id
+    in the SCC (algos/scc.py forward-min / backward-confirm rounds).
+    Oracle: _scc_sql — exact WITH RECURSIVE transitive closure, so no
+    unroll-depth dependency."""
+    from .algos import strongly_connected_components
+
+    eng = documents_engine(sf_dir, "scc")
+    strongly_connected_components(eng)
+    return _state_result(eng, "scc", "scc")
 
 
 def q_doc_harmonic(sf_dir):
@@ -1850,6 +1890,27 @@ def _katz_sql(iters: int, alpha: float, round_to: int) -> str:
             f"AS katz FROM k{iters}")
 
 
+def _scc_sql() -> str:
+    """Exact SCC oracle: DuckDB recursive transitive closure (UNION
+    dedup fixpoint — terminates on the finite pair domain), then
+    scc(v) = least(v, min mutual-reach partner).  Unlike the unrolled
+    iterative oracles this is depth-independent, so no _check_unroll."""
+    return f"""
+    WITH RECURSIVE e AS MATERIALIZED (
+        SELECT src, dst FROM ({SCC_EDGES_SQL}) aug),
+    reach(a, b) AS (
+        SELECT src AS a, dst AS b FROM e
+        UNION
+        SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b
+    ),
+    mn AS (SELECT r1.a AS v, min(r1.b) AS mn
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+           GROUP BY r1.a)
+    SELECT d.doc_id AS v, least(d.doc_id, coalesce(mn.mn, d.doc_id)) AS scc
+    FROM documents d LEFT JOIN mn ON mn.v = d.doc_id
+    """
+
+
 def _diameter_sql(rounds: int) -> str:
     """Double-sweep oracle: unrolled BFS from 0, farthest vertex u
     (max depth, tie min id) as a scalar subquery rooting the second
@@ -2441,6 +2502,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_harmonic": _harmonic_sql(HARMONIC_SEEDS, BFS_ROUNDS, 6),
     "doc_closeness": _closeness_sql(CLOSENESS_SEEDS, BFS_ROUNDS, 6),
     "doc_katz": _katz_sql(KATZ_ITERS, KATZ_ALPHA, 6),
+    "doc_scc": _scc_sql(),
     "doc_diameter": _diameter_sql(BFS_ROUNDS),
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
@@ -2908,6 +2970,7 @@ QUERIES = {
     "doc_harmonic": q_doc_harmonic,
     "doc_closeness": q_doc_closeness,
     "doc_katz": q_doc_katz,
+    "doc_scc": q_doc_scc,
     "doc_diameter": q_doc_diameter,
     "doc_walks": q_doc_walks,
     "doc_adamic_adar": q_doc_adamic_adar,

@@ -539,3 +539,62 @@ def test_katz_matches_power_oracle(name, tmp_path):
         assert np.allclose(got, want, rtol=1e-12)
     finally:
         eng.shutdown()
+
+
+# -------------------------------------------------------------------- scc
+
+def scc_oracle(e, n):
+    """Exact SCC labels (min id per component) via boolean-closure
+    squaring — small-n reference for the round-based engine algorithm."""
+    R = np.zeros((n, n), dtype=np.float32)
+    R[e[:, 0], e[:, 1]] = 1.0
+    np.fill_diagonal(R, 1.0)
+    while True:
+        R2 = ((R @ R) > 0).astype(np.float32)
+        if np.array_equal(R2, R):
+            break
+        R = R2
+    mutual = (R > 0) & (R.T > 0)
+    return np.argmax(mutual, axis=1).astype(np.int64)  # first True = min id
+
+
+@pytest.mark.parametrize("name", ["cycle_5", "path_8", "two_cliques_k5",
+                                  "er_1k", "multi_edge"])
+def test_scc_matches_closure(name, tmp_path):
+    from linkgraph.algos import strongly_connected_components
+
+    e = _dedup(micro_graph(name))
+    e = e[e[:, 0] != e[:, 1]]  # engine stores drop self-loops upstream
+    n = _n(e)
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        rep = strongly_connected_components(eng)
+        assert rep["n_rounds"] >= 1
+        got = eng.state_pandas(["scc"])["scc"].to_numpy()
+        assert np.array_equal(got, scc_oracle(e, n))
+    finally:
+        eng.shutdown()
+
+
+def test_scc_hand_case_partition_invariant(tmp_path):
+    """Two directed cycles, a DAG tail and an isolated vertex; identical
+    labels at 2 and 5 partitions."""
+    from linkgraph.algos import strongly_connected_components
+
+    e = np.array([(0, 1), (1, 2), (2, 0),     # 3-cycle {0,1,2}
+                  (3, 4), (4, 3),             # 2-cycle {3,4}
+                  (2, 3), (4, 5), (5, 6)],    # DAG tail 5 -> 6, isolated 7
+                 dtype=np.int64)
+    n = 8
+    want = np.array([0, 0, 0, 3, 3, 5, 6, 7], dtype=np.int64)
+    for parts in (2, 5):
+        eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                            num_partitions=parts,
+                            store_dir=str(tmp_path / f"g{parts}"))
+        try:
+            strongly_connected_components(eng)
+            got = eng.state_pandas(["scc"])["scc"].to_numpy()
+            assert np.array_equal(got, want), (parts, got.tolist())
+        finally:
+            eng.shutdown()

@@ -99,3 +99,23 @@ def test_harmonic_dense_equals_sparse(tmp_path, force_mode):
         finally:
             eng.shutdown()
     assert np.array_equal(out["dense"], out["sparse"])
+
+
+def test_scc_dense_equals_sparse(tmp_path, force_mode):
+    from linkgraph.algos import strongly_connected_components
+
+    e = micro_graph("er_1k")
+    e = e[e[:, 0] != e[:, 1]]
+    n = int(e.max()) + 1
+    out = {}
+    for mode in ("dense", "sparse"):
+        force_mode(mode)
+        eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                            num_partitions=3,
+                            store_dir=str(tmp_path / f"scc{mode}"))
+        try:
+            strongly_connected_components(eng)
+            out[mode] = eng.state_pandas(["scc"])["scc"].to_numpy()
+        finally:
+            eng.shutdown()
+    assert np.array_equal(out["dense"], out["sparse"])
