@@ -193,3 +193,93 @@ def range_agg_join(left_ds, right_ds, key: str, ts: str,
              "sum_value": csum[hi] - csum[lo]})
 
     return u.groupby("kb").map_groups(bucket_range, batch_format="pandas")
+
+
+# --------------------------------------------------- semi / anti join
+
+# right-side row cap for the broadcast plan: a distinct-key array of
+# this size is ~16 MB of int64 — ray.put once, read zero-copy per task
+SEMI_BROADCAST_CAP = 2_000_000
+
+
+def semi_join(left_ds, right_ds, key: str):
+    """Left rows whose key appears in `right_ds` (EXISTS)."""
+    return _key_filter_join(left_ds, right_ds, key, anti=False)
+
+
+def anti_join(left_ds, right_ds, key: str):
+    """Left rows whose key appears nowhere in `right_ds` (NOT EXISTS)."""
+    return _key_filter_join(left_ds, right_ds, key, anti=True)
+
+
+def _key_filter_join(left_ds, right_ds, key: str, anti: bool,
+                     broadcast_cap: int | None = None):
+    """Size-gated key-membership filter (the semi/anti-join pair Ray
+    Data lacks natively).  Below the cap the right side's DISTINCT keys
+    are broadcast once (ray.put, sorted array + searchsorted inside
+    map_batches — the small-side-broadcast rule instead of a shuffle
+    join); above it, ONE coarse key-hash bucket shuffle co-locates both
+    sides and a vectorized in-bucket membership test filters the left
+    rows.  Output schema == left schema in both plans."""
+    import ray
+
+    cap = SEMI_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    right_keys = right_ds.select_columns([key])
+    n_right = right_ds.count()
+    if n_right == 0:
+        # empty datasets lose their schema (repo gotcha) — short-circuit:
+        # nothing matches, so anti keeps everything and semi keeps nothing
+        if anti:
+            return left_ds
+        return left_ds.map_batches(lambda b: b.slice(0, 0),
+                                   batch_format="pyarrow")
+    if n_right <= cap:
+        kp = right_keys.to_pandas()[key].to_numpy()
+        if not np.issubdtype(kp.dtype, np.number):
+            kp = kp.astype(object)
+        keys_ref = ray.put(np.unique(kp))
+
+        def filt(b: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)  # zero-copy; sorted by np.unique
+            v = b[key].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, v)
+            pos_c = np.minimum(pos, max(len(ks) - 1, 0))
+            hit = (len(ks) > 0) & (pos < len(ks)) & (ks[pos_c] == v) \
+                if len(ks) else np.zeros(len(v), dtype=bool)
+            return b.filter(pa.array(~hit if anti else hit))
+
+        return left_ds.map_batches(filt, batch_format="pyarrow")
+
+    # distributed plan: tag-union on a deterministic coarse key bucket
+    from .runtime import tune_context
+    tune_context()
+    left_ds = left_ds.materialize()
+    nb = _n_buckets(left_ds.count() + right_ds.count())
+    l_schema = left_ds.schema()
+    l_names = list(l_schema.names)
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+
+    def tag(is_left: bool):
+        def f(b: pa.Table) -> pa.Table:
+            k = b[key].to_numpy(zero_copy_only=False)
+            cols = {"kb": pa.array(_key_bucket(k, nb)),
+                    "t": pa.array(np.full(b.num_rows,
+                                          1 if is_left else 0, np.int8))}
+            for c in l_names:
+                cols[c] = b[c] if is_left or c == key else \
+                    pa.nulls(b.num_rows, l_types[c])
+            return pa.table(cols)
+
+        return f
+
+    u = (left_ds.map_batches(tag(True), batch_format="pyarrow")
+         .union(right_keys.map_batches(tag(False), batch_format="pyarrow")))
+
+    def bucket_filter(g: pd.DataFrame) -> pd.DataFrame:
+        is_l = g["t"].to_numpy() == 1
+        lf = g.loc[is_l, l_names]
+        rk = g.loc[~is_l, key].to_numpy()
+        hit = np.isin(lf[key].to_numpy(), rk)
+        return lf.loc[~hit if anti else hit].reset_index(drop=True)
+
+    return u.groupby("kb").map_groups(bucket_filter, batch_format="pandas")

@@ -1171,6 +1171,75 @@ def q_tpch_large_orders(sf_dir):
     return _REL.large_orders(sf_dir)
 
 
+NO_ORDERS_MIN_PRICE = 400_000.0
+
+
+def q_tpch_cust_no_orders(sf_dir):
+    """Anti-join (joins.anti_join, TPC-H Q22 shape): customers with no
+    large order (o_totalprice > 400k — every customer has SOME order in
+    this synth data, so the unfiltered anti-join would be empty).
+    Size-gated: broadcast distinct order custkeys under
+    SEMI_BROADCAST_CAP (this scale), coarse key-bucket shuffle above —
+    both plans asserted equal in tests/test_joins.py."""
+    import pyarrow.compute as pc
+
+    from .joins import anti_join
+
+    cust = read_parquet_clean(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey", "c_name", "c_acctbal"])
+    ords = read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey", "o_totalprice"])
+    ords = ords.map_batches(
+        lambda b: pa.table({"c_custkey": b.filter(pc.greater(
+            b["o_totalprice"], NO_ORDERS_MIN_PRICE))["o_custkey"]}),
+        batch_format="pyarrow")
+    out = anti_join(cust, ords, key="c_custkey")
+    return out.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"],
+                            "c_name": b["c_name"],
+                            "c_acctbal": pc.round(b["c_acctbal"], 6)}),
+        batch_format="pyarrow")
+
+
+def q_tpch_parts_shipped(sf_dir):
+    """Semi-join (joins.semi_join): parts with at least one lineitem
+    (EXISTS), same size-gated plan pair as the anti-join."""
+    import pyarrow.compute as pc
+
+    from .joins import semi_join
+
+    part = read_parquet_clean(os.path.join(sf_dir, "part.parquet"),
+                              columns=["p_partkey", "p_retailprice"])
+    li = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_partkey"])
+    li = li.map_batches(
+        lambda b: pa.table({"p_partkey": b["l_partkey"]}),
+        batch_format="pyarrow")
+    out = semi_join(part, li, key="p_partkey")
+    return out.map_batches(
+        lambda b: pa.table({"p_partkey": b["p_partkey"],
+                            "p_retailprice": pc.round(b["p_retailprice"],
+                                                      6)}),
+        batch_format="pyarrow")
+
+
+PACK_SEQ_LEN = 512
+
+
+def q_pack_sequences(sf_dir):
+    """Sequence packing (packing.pack_sequences): concatenate-and-chunk
+    token spans over documents in doc_id order, seq_len=512.  Oracle:
+    window cumsum over doc_id + chunk arithmetic."""
+    from .packing import pack_sequences
+    from .text import add_token_count
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    counted = docs.map_batches(add_token_count, batch_format="pyarrow") \
+                  .select_columns(["doc_id", "n_tokens"])
+    return pack_sequences(counted, seq_len=PACK_SEQ_LEN)
+
+
 def q_media_audio(sf_dir):
     """REAL audio decode lane: deterministic RIFF/WAVE 16-bit PCM files
     derived from the documents (multimodal.audio_from_documents), parsed
@@ -2513,6 +2582,37 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_dedup": _semdedup_sql(SEMDEDUP_ROUNDS),
     "tpch_order_rank": _REL.TOP_ORDERS_PER_CUSTOMER_SQL,
     "tpch_large_orders": _REL.LARGE_ORDERS_SQL,
+    "tpch_cust_no_orders": f"""
+        SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > {NO_ORDERS_MIN_PRICE!r})
+    """,
+    "tpch_parts_shipped": """
+        SELECT p_partkey, round(p_retailprice, 6) AS p_retailprice
+        FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey)
+    """,
+    "pack_sequences": f"""
+        WITH t AS (SELECT doc_id,
+            length(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> ''))::BIGINT AS n_tokens
+            FROM documents),
+        s AS (SELECT doc_id, n_tokens,
+            coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS start
+            FROM t)
+        SELECT doc_id, n_tokens, start,
+               start // {PACK_SEQ_LEN} AS seq_first,
+               greatest(start, start + n_tokens - 1) // {PACK_SEQ_LEN}
+                   AS seq_last,
+               greatest(start, start + n_tokens - 1) // {PACK_SEQ_LEN}
+                   - start // {PACK_SEQ_LEN} + 1 AS n_pieces
+        FROM s
+    """,
     "sample_quota": f"""
         WITH p AS (
           SELECT doc_id, lang || ':' || source AS k,
@@ -3003,6 +3103,9 @@ QUERIES = {
     "tpch_nation_revenue": q_tpch_nation_revenue,
     "tpch_order_rank": q_tpch_order_rank,
     "tpch_large_orders": q_tpch_large_orders,
+    "tpch_cust_no_orders": q_tpch_cust_no_orders,
+    "tpch_parts_shipped": q_tpch_parts_shipped,
+    "pack_sequences": q_pack_sequences,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,

@@ -104,3 +104,67 @@ def test_range_agg_matches_pandas_oracle():
         m = (rus == lus[i]) & (rts >= lts[i] - w) & (rts <= lts[i])
         assert out.loc[i, "n_matches"] == int(m.sum())
         assert abs(out.loc[i, "sum_value"] - vals[m].sum()) < 1e-9
+
+
+# ----------------------------------------------------- semi / anti join
+
+def _semi_fixture():
+    rng = np.random.default_rng(7)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(rng.integers(0, 200, 500), pa.int64()),
+        "payload": pa.array(rng.normal(size=500))}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(rng.integers(100, 300, 300), pa.int64()),
+        "other": pa.array(rng.integers(0, 9, 300), pa.int64())}))
+    return left, right
+
+
+def test_semi_anti_partition_left_exactly():
+    from linkgraph.joins import anti_join, semi_join
+
+    left, right = _semi_fixture()
+    lp = left.to_pandas()
+    rk = set(right.to_pandas()["k"])
+    semi = semi_join(left, right, "k").to_pandas()
+    anti = anti_join(left, right, "k").to_pandas()
+    assert len(semi) + len(anti) == len(lp)
+    assert set(semi.columns) == set(lp.columns) == set(anti.columns)
+    assert semi["k"].isin(rk).all()
+    assert not anti["k"].isin(rk).any()
+    # exact row multiset: every left row lands on exactly one side
+    key = lambda df: sorted(map(tuple, df[["k", "payload"]].to_numpy()))
+    assert key(pd.concat([semi, anti])) == key(lp)
+
+
+def test_semi_anti_plans_equal(monkeypatch):
+    """Broadcast plan == distributed coarse-bucket plan."""
+    import linkgraph.joins as joins_mod
+
+    left, right = _semi_fixture()
+    outs = {}
+    for plan, cap in (("bcast", 10 ** 9), ("dist", 0)):
+        monkeypatch.setattr(joins_mod, "SEMI_BROADCAST_CAP", cap)
+        outs[plan] = {
+            kind: fn(left, right, "k").to_pandas()
+            .sort_values(["k", "payload"]).reset_index(drop=True)
+            for kind, fn in (("semi", joins_mod.semi_join),
+                             ("anti", joins_mod.anti_join))}
+    for kind in ("semi", "anti"):
+        pd.testing.assert_frame_equal(outs["bcast"][kind],
+                                      outs["dist"][kind])
+
+
+def test_semi_anti_string_keys_and_empty_right():
+    from linkgraph.joins import anti_join, semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c", "a"]),
+        "x": pa.array([1, 2, 3, 4], pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array(["a", "z"])}))
+    semi = semi_join(left, right, "k").to_pandas()
+    assert sorted(semi["x"]) == [1, 4]
+    anti = anti_join(left, right, "k").to_pandas()
+    assert sorted(anti["x"]) == [2, 3]
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
+    assert semi_join(left, empty, "k").count() == 0
+    assert anti_join(left, empty, "k").count() == 4
