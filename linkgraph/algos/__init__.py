@@ -10,7 +10,7 @@ from .harmonic import (HarmonicProgram, closeness_from_seeds,
                        harmonic_centrality)
 from .hits import hits, normalized_scores
 from .katz import KatzProgram, katz_centrality
-from .kcore import KCoreProgram, kcore
+from .kcore import CorenessProgram, KCoreProgram, coreness, kcore
 from .labelprop import LabelPropProgram, label_propagation
 from .mis import MISProgram, maximal_independent_set
 from .pagerank import (PageRankProgram, PPRProgram,
@@ -29,7 +29,7 @@ __all__ = [
     "HarmonicProgram", "closeness_from_seeds", "harmonic_centrality",
     "hits", "normalized_scores",
     "KatzProgram", "katz_centrality",
-    "KCoreProgram", "kcore",
+    "CorenessProgram", "KCoreProgram", "coreness", "kcore",
     "LabelPropProgram", "label_propagation",
     "MISProgram", "maximal_independent_set",
     "PageRankProgram", "PPRProgram", "WeightedPageRankProgram",

@@ -71,3 +71,58 @@ def kcore(engine: GraphEngine, k: int, max_steps: int = 10 ** 9) -> dict:
     Requires a symmetric store (load_undirected)."""
     return engine.run(KCoreProgram(), params={"k": int(k)},
                       max_steps=max_steps, run_name=f"kcore_{k}")
+
+
+class CorenessProgram(VertexProgram):
+    """Full core decomposition via H-index iteration (Lü et al. 2016,
+    "The H-index of a network node and its relation to degree and
+    coreness", Nat. Commun. 7:10168 — public result: iterating
+    c(v) <- H({c(u) : u in N(v)}) from c = degree converges to the core
+    number).  Same execution shape as label propagation: static
+    frontier, histogram combine (per-(dst, value) neighbor counts),
+    stop when no value changes.  Values are monotone non-increasing, so
+    the iteration is deterministic and partition-count invariant."""
+
+    combine = "hist"
+    supports_sparse = False
+    static_frontier = True
+    result_columns = ["core"]
+
+    def init_state(self, ctx):
+        return {"core": ctx.out_deg.astype(np.int64).copy()}
+
+    def dense_src_values(self, ctx, state):
+        return state["core"]
+
+    def hist_apply(self, ctx, state, tgt_idx, labels, counts):
+        """Per-target H-index of the neighbor-core multiset:
+        h = max over distinct values L of min(L, #neighbors with
+        core >= L).  Triples arrive lexsorted by (target, label asc)
+        (csr.count_pairs), so the >=L counts are per-segment suffix
+        sums — fully vectorized."""
+        n = len(tgt_idx)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        newt = np.empty(n, dtype=bool)
+        newt[0] = True
+        newt[1:] = tgt_idx[1:] != tgt_idx[:-1]
+        seg_starts = np.flatnonzero(newt)
+        seg_id = np.cumsum(newt) - 1
+        cum = np.cumsum(counts)
+        last = np.append(seg_starts[1:], n) - 1
+        suffix = cum[last][seg_id] - (cum - counts)
+        cand = np.minimum(labels, suffix)
+        h = np.maximum.reduceat(cand, seg_starts)
+        t = tgt_idx[seg_starts]
+        old = state["core"][t]
+        new = np.minimum(old, h)  # monotone non-increasing
+        ch = new < old
+        state["core"][t[ch]] = new[ch]
+        return ch[seg_id]  # activate every row of a changed target
+
+
+def coreness(engine: GraphEngine, max_steps: int = 10 ** 9) -> dict:
+    """Core number per vertex (state column `core`).  Requires a
+    symmetric simple store (load_undirected)."""
+    return engine.run(CorenessProgram(), max_steps=max_steps,
+                      stop_on_no_activation=True, run_name="coreness")

@@ -604,6 +604,22 @@ def q_doc_katz(sf_dir):
     return _state_result(eng, "katz", "katz", round_to=6)
 
 
+CORENESS_ROUNDS = 30
+
+
+def q_doc_coreness(sf_dir):
+    """Full core decomposition on the symmetrized doc graph
+    (algos/kcore.CorenessProgram: H-index iteration from degree —
+    converges to the core number).  Oracle: _coreness_sql, the same
+    recurrence unrolled with a window-rank H-index per round."""
+    from .algos import coreness
+
+    eng = documents_engine(sf_dir, "undirected")
+    rep = coreness(eng)
+    _check_unroll(rep, CORENESS_ROUNDS, "doc_coreness")
+    return _state_result(eng, "core", "core")
+
+
 def q_doc_scc(sf_dir):
     """Strongly connected components over the cycle-augmented doc graph
     (SCC_EDGES_SQL: canonical edges + reverse where (src+dst)%3==0 —
@@ -1959,6 +1975,34 @@ def _katz_sql(iters: int, alpha: float, round_to: int) -> str:
             f"AS katz FROM k{iters}")
 
 
+def _coreness_sql(rounds: int) -> str:
+    """Coreness oracle (algos/kcore.CorenessProgram): c0 = degree, then
+    per round c_i(v) = least(c_{i-1}(v), H-index of neighbor values).
+    H-index via window rank: sort neighbor values desc, h =
+    max(least(value, row_number)) — ties contribute their full count at
+    the group's last row, identical to the engine's suffix-sum kernel."""
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            ("c0 AS MATERIALIZED (SELECT allv.v, coalesce(d.dg, 0) AS c "
+             "FROM allv LEFT JOIN (SELECT src AS v, count(*) AS dg "
+             "FROM sym GROUP BY src) d USING (v))")]
+    for i in range(1, rounds + 1):
+        p = f"c{i - 1}"
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT src AS v, "
+            f"max(least(c, rn)) AS h FROM ("
+            f"SELECT sym.src AS src, {p}.c AS c, "
+            f"row_number() OVER (PARTITION BY sym.src "
+            f"ORDER BY {p}.c DESC) AS rn "
+            f"FROM sym JOIN {p} ON {p}.v = sym.dst) GROUP BY src)")
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT allv.v, "
+            f"least({p}.c, coalesce(h{i}.h, 0)) AS c "
+            f"FROM allv JOIN {p} USING (v) LEFT JOIN h{i} USING (v))")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT v, c AS core FROM c{rounds}")
+
+
 def _scc_sql() -> str:
     """Exact SCC oracle: DuckDB recursive transitive closure (UNION
     dedup fixpoint — terminates on the finite pair domain), then
@@ -2572,6 +2616,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_closeness": _closeness_sql(CLOSENESS_SEEDS, BFS_ROUNDS, 6),
     "doc_katz": _katz_sql(KATZ_ITERS, KATZ_ALPHA, 6),
     "doc_scc": _scc_sql(),
+    "doc_coreness": _coreness_sql(CORENESS_ROUNDS),
     "doc_diameter": _diameter_sql(BFS_ROUNDS),
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
@@ -3071,6 +3116,7 @@ QUERIES = {
     "doc_closeness": q_doc_closeness,
     "doc_katz": q_doc_katz,
     "doc_scc": q_doc_scc,
+    "doc_coreness": q_doc_coreness,
     "doc_diameter": q_doc_diameter,
     "doc_walks": q_doc_walks,
     "doc_adamic_adar": q_doc_adamic_adar,

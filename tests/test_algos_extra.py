@@ -598,3 +598,64 @@ def test_scc_hand_case_partition_invariant(tmp_path):
             assert np.array_equal(got, want), (parts, got.tolist())
         finally:
             eng.shutdown()
+
+
+# --------------------------------------------------------------- coreness
+
+def coreness_oracle(e, n):
+    """Exact core numbers via textbook peeling on the symmetric simple
+    graph."""
+    both = np.vstack([e, e[:, ::-1]])
+    both = both[both[:, 0] != both[:, 1]]
+    s = np.unique(both, axis=0)
+    core = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    k = 1
+    while alive.any():
+        while True:
+            m = alive[s[:, 0]] & alive[s[:, 1]]
+            deg = np.bincount(s[m, 1], minlength=n)
+            kill = alive & (deg < k)
+            if not kill.any():
+                break
+            core[kill] = k - 1
+            alive &= ~kill
+        k += 1
+    return core
+
+
+@pytest.mark.parametrize("name", ["path_8", "star_1_50", "two_cliques_k5",
+                                  "er_1k", "powerlaw_1k"])
+def test_coreness_matches_peeling(name, tmp_path):
+    from linkgraph.algos import coreness
+
+    e = micro_graph(name)
+    n = _n(e)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        coreness(eng)
+        got = eng.state_pandas(["core"])["core"].to_numpy()
+        want = coreness_oracle(e, n)
+        assert np.array_equal(got, want), (
+            name, got[got != want][:5], want[got != want][:5])
+    finally:
+        eng.shutdown()
+
+
+def test_coreness_partition_invariant(tmp_path):
+    from linkgraph.algos import coreness
+
+    e = micro_graph("er_1k")
+    n = _n(e)
+    out = {}
+    for parts in (2, 6):
+        eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                              num_partitions=parts,
+                              store_dir=str(tmp_path / f"g{parts}"))
+        try:
+            coreness(eng)
+            out[parts] = eng.state_pandas(["core"])["core"].to_numpy()
+        finally:
+            eng.shutdown()
+    assert np.array_equal(out[2], out[6])
