@@ -758,6 +758,17 @@ def q_text_tokens(sf_dir):
                .select_columns(["doc_id", "n_tokens"])
 
 
+def q_text_tokens_bpe(sf_dir):
+    """BPE-ish pretoken counts (text.add_bpe_token_count): the same
+    RE2 pattern evaluated by pyarrow and the DuckDB oracle."""
+    from .text import add_bpe_token_count
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return docs.map_batches(add_bpe_token_count, batch_format="pyarrow") \
+               .select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def q_text_top_tokens(sf_dir):
     """Top-50 most frequent whitespace tokens (corpus heavy hitters):
     map-side per-batch value_counts partials (the combiner), ONE small
@@ -2694,6 +2705,11 @@ ORACLE_SQL: dict[str, str] = {
     "text_tokens": ("SELECT doc_id, length(list_filter(regexp_split_to_array("
                     "text, '\\s+'), x -> x <> '')) AS n_tokens "
                     "FROM documents"),
+    # the SAME RE2 pattern as text.BPE_TOKEN_RE (both engines use RE2)
+    "text_tokens_bpe": (
+        "SELECT doc_id, length(regexp_extract_all(text, "
+        "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+        "|\\s+')) AS n_bpe_tokens FROM documents"),
     "text_stats": ("SELECT doc_id, length(text) AS n_chars2, "
                    "length(list_filter(regexp_split_to_array(text, '\\s+'), "
                    "x -> x <> '')) AS n_tokens, "
@@ -3121,6 +3137,7 @@ QUERIES = {
     "doc_walks": q_doc_walks,
     "doc_adamic_adar": q_doc_adamic_adar,
     "text_tokens": q_text_tokens,
+    "text_tokens_bpe": q_text_tokens_bpe,
     "text_top_tokens": q_text_top_tokens,
     "text_top_tokens_by_lang": q_text_top_tokens_by_lang,
     "sample_quota": q_sample_quota,

@@ -27,6 +27,22 @@ def add_token_count(batch: pa.Table, col: str = "text",
         out, pc.cast(pc.count_substring_regex(batch[col], TOKEN_RE), pa.int64()))
 
 
+# GPT-2-style pretokenizer, restricted to RE2 syntax (no lookahead) so
+# the SAME pattern runs in pyarrow (RE2) and DuckDB (RE2): contraction
+# suffixes, space-prefixed letter/digit/punctuation runs, whitespace runs
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def add_bpe_token_count(batch: pa.Table, col: str = "text",
+                        out: str = "n_bpe_tokens") -> pa.Table:
+    """BPE-ish pretoken count (the task brief's 'BPE-ish regex' lane):
+    non-overlapping leftmost matches of BPE_TOKEN_RE — a stable proxy
+    for tokenizer cost without shipping a vocab."""
+    return batch.append_column(
+        out, pc.cast(pc.count_substring_regex(batch[col], BPE_TOKEN_RE),
+                     pa.int64()))
+
+
 def add_text_stats(batch: pa.Table, col: str = "text") -> pa.Table:
     """Quality-scoring stats: char length, token count, punctuation count."""
     t = batch[col]

@@ -613,3 +613,16 @@ def test_y4m_demuxer_real_roundtrip():
         assert (s, n) == (want, w * h)
     with pytest.raises(ValueError):
         st._frames(b"YUV4MPEG2 W4 H4 F25:1 C420\nNOTFRAME" + b"\x00" * 64)
+
+
+def test_bpe_token_count_hand_values():
+    import pyarrow as pa
+
+    from linkgraph.text import add_bpe_token_count
+
+    t = pa.table({"text": ["Hello, world! It's 2026",
+                           "don't you'll we've",
+                           "", "  spaced  out  "]})
+    got = add_bpe_token_count(t)["n_bpe_tokens"].to_pylist()
+    # Hello|,| world|!| It|'s| 2026 = 7; don|'t| you|'ll| we|'ve = 6
+    assert got == [7, 6, 0, 5]
