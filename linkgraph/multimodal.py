@@ -278,28 +278,34 @@ def synth_bmp_payload(media_id: int, width: int, height: int) -> bytes:
     return hdr + data
 
 
+def parse_bmp(payload: bytes) -> np.ndarray:
+    """REAL BMP parse: validate the 24-bit uncompressed layout, un-pad
+    the bottom-up rows, return a top-down (h, w, 3) uint8 BGR array."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack("<I", payload[10:14])[0]
+    (hsz, w, h, planes, bpp, comp) = struct.unpack(
+        "<IiiHHI", payload[14:34])
+    if bpp != 24 or comp != 0 or planes != 1 or h <= 0:
+        raise ValueError("unsupported BMP layout")
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, :row_bytes]
+    return rows.reshape(h, w, 3)[::-1]  # bottom-up -> top-down, BGR
+
+
 class BmpDecodeStage:
-    """REAL image decode: parses the BMP headers, validates 24-bit
-    uncompressed layout, un-pads the bottom-up pixel rows, and extracts
-    (width, height, per-channel means).  Channel sums are exact int64,
-    so the means are reproducible bit-for-bit by the SQL oracle."""
+    """REAL image decode: parse_bmp + (width, height, per-channel
+    means).  Channel sums are exact int64, so the means are
+    reproducible bit-for-bit by the SQL oracle."""
 
     def _decode(self, payload: bytes):
-        import struct
-
-        if payload[:2] != b"BM":
-            raise ValueError("not a BMP payload")
-        off = struct.unpack("<I", payload[10:14])[0]
-        (hsz, w, h, planes, bpp, comp) = struct.unpack(
-            "<IiiHHI", payload[14:34])
-        if bpp != 24 or comp != 0 or planes != 1 or h <= 0:
-            raise ValueError("unsupported BMP layout")
-        row_bytes = w * 3
-        stride = row_bytes + ((-row_bytes) % 4)
-        raw = np.frombuffer(payload, dtype=np.uint8,
-                            count=stride * h, offset=off)
-        rows = raw.reshape(h, stride)[:, :row_bytes]
-        img = rows.reshape(h, w, 3)[::-1]  # bottom-up -> top-down, BGR
+        img = parse_bmp(payload)
+        h, w = img.shape[:2]
         n = w * h
         sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
         return (w, h, float(sums[0] / n), float(sums[1] / n),
@@ -338,6 +344,53 @@ def decode_images(ds, concurrency: int = 4, batch_size: int = 256):
     """image media table -> per-image stats via the real BMP decoder."""
     return ds.map_batches(BmpDecodeStage, batch_format="pyarrow",
                           batch_size=batch_size,
+                          concurrency=pool_size(concurrency))
+
+
+class BmpResizeStage:
+    """REAL image resize (the brief's resize lane): parse_bmp, then a
+    nearest-neighbor downsample to a fixed target grid via vectorized
+    index gathers (sy = ty*h//T, sx = tx*w//T), then exact-int64
+    channel means of the RESIZED image — closed-form reproducible by
+    the SQL oracle because the gather picks generator pixels."""
+
+    def __init__(self, target: int = 8):
+        self.target = int(target)
+
+    def _resize_stats(self, payload: bytes):
+        img = parse_bmp(payload)
+        h, w = img.shape[:2]
+        T = self.target
+        sy = (np.arange(T, dtype=np.int64) * h) // T
+        sx = (np.arange(T, dtype=np.int64) * w) // T
+        res = img[sy][:, sx]  # (T, T, 3) nearest-neighbor
+        sums = res.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        n = T * T
+        return (float(sums[0] / n), float(sums[1] / n),
+                float(sums[2] / n))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._resize_stats(p)
+               for p in batch["payload"].to_pylist()]
+        b_, g, r = (list(x) for x in zip(*out)) if out else ([], [], [])
+        rnd = lambda v: pa.array(np.round(np.array(v, np.float64), 6),
+                                 pa.float64())
+        return pa.table({
+            "media_id": batch["media_id"],
+            "width": pa.array(np.full(batch.num_rows, self.target,
+                                      np.int64)),
+            "height": pa.array(np.full(batch.num_rows, self.target,
+                                       np.int64)),
+            "mean_b": rnd(b_), "mean_g": rnd(g), "mean_r": rnd(r),
+        })
+
+
+def resize_images(ds, target: int = 8, concurrency: int = 4,
+                  batch_size: int = 256):
+    """image media table -> fixed-grid nearest-neighbor resize stats
+    (actor pool; target bound once per actor via fn_constructor_args)."""
+    return ds.map_batches(BmpResizeStage, fn_constructor_args=(target,),
+                          batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency))
 
 

@@ -1292,6 +1292,22 @@ def q_media_image(sf_dir):
     return decode_images(images_from_documents(docs))
 
 
+MEDIA_RESIZE_TARGET = 8
+
+
+def q_media_resize(sf_dir):
+    """REAL image resize lane: BMP decode + nearest-neighbor downsample
+    to an 8x8 grid (multimodal.BmpResizeStage, actor pool) + exact
+    channel means of the resized image.  Oracle recomputes the gathered
+    generator pixels (sy = ty*h//8, sx = tx*w//8) in closed form."""
+    from .multimodal import images_from_documents, resize_images
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return resize_images(images_from_documents(docs),
+                         target=MEDIA_RESIZE_TARGET)
+
+
 def q_media_video(sf_dir):
     """REAL video demux lane: deterministic YUV4MPEG2 (raw planar
     YUV420) streams derived from the documents, demuxed frame by frame
@@ -3030,6 +3046,39 @@ ORACLE_SQL: dict[str, str] = {
                round(sr / (w * h)::DOUBLE, 6) AS mean_r
         FROM s
     """,
+    # REAL resize lane: channel means of the 8x8 nearest-neighbor
+    # downsample — the gather indexes (ty*h//8, tx*w//8) pick generator
+    # pixels, so the sums are the same closed form over the target grid
+    "media_resize": f"""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+          FROM documents
+        ), px AS (
+          SELECT media_id,
+                 ((gy.ty * h) // {MEDIA_RESIZE_TARGET}) AS sy,
+                 ((gx.tx * w) // {MEDIA_RESIZE_TARGET}) AS sx
+          FROM m
+          CROSS JOIN (SELECT unnest(range({MEDIA_RESIZE_TARGET})) AS tx) gx
+          CROSS JOIN (SELECT unnest(range({MEDIA_RESIZE_TARGET})) AS ty) gy
+        ), s AS (
+          SELECT media_id,
+                 sum((media_id * 131 + sy * 17 + sx * 7 + 0) % 256)
+                     ::BIGINT AS sb,
+                 sum((media_id * 131 + sy * 17 + sx * 7 + 3) % 256)
+                     ::BIGINT AS sg,
+                 sum((media_id * 131 + sy * 17 + sx * 7 + 6) % 256)
+                     ::BIGINT AS sr
+          FROM px GROUP BY media_id
+        )
+        SELECT media_id,
+               {MEDIA_RESIZE_TARGET}::BIGINT AS width,
+               {MEDIA_RESIZE_TARGET}::BIGINT AS height,
+               round(sb / {MEDIA_RESIZE_TARGET * MEDIA_RESIZE_TARGET}::DOUBLE, 6) AS mean_b,
+               round(sg / {MEDIA_RESIZE_TARGET * MEDIA_RESIZE_TARGET}::DOUBLE, 6) AS mean_g,
+               round(sr / {MEDIA_RESIZE_TARGET * MEDIA_RESIZE_TARGET}::DOUBLE, 6) AS mean_r
+        FROM s
+    """,
     # REAL Y4M demux lane: per-sampled-frame mean luma recomputed from
     # the generator closed form (bounded cross joins; multiple unnests
     # ZIP in DuckDB so true products need explicit joins)
@@ -3178,6 +3227,7 @@ QUERIES = {
     "events_user_quantiles": q_events_user_quantiles,
     "media_audio": q_media_audio,
     "media_image": q_media_image,
+    "media_resize": q_media_resize,
     "media_video": q_media_video,
     "media_features": q_media_features,
     "media_frames": q_media_frames,

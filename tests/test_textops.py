@@ -626,3 +626,29 @@ def test_bpe_token_count_hand_values():
     got = add_bpe_token_count(t)["n_bpe_tokens"].to_pylist()
     # Hello|,| world|!| It|'s| 2026 = 7; don|'t| you|'ll| we|'ve = 6
     assert got == [7, 6, 0, 5]
+
+
+def test_bmp_resize_nearest_neighbor_exact():
+    """The resize lane gathers generator pixels at (ty*h//T, tx*w//T):
+    stats of the resized image match the closed form, and resizing an
+    already-target-sized image is the identity (means equal decode's)."""
+    import numpy as np
+
+    from linkgraph.multimodal import (BmpDecodeStage, BmpResizeStage,
+                                      synth_bmp_payload)
+
+    T = 8
+    st = BmpResizeStage(T)
+    for mid, w, h in ((3, 9, 5), (11, 8, 12), (0, 23, 19)):
+        got = st._resize_stats(synth_bmp_payload(mid, w, h))
+        ty, tx, c = np.meshgrid(np.arange(T), np.arange(T), np.arange(3),
+                                indexing="ij")
+        sy, sx = (ty * h) // T, (tx * w) // T
+        px = (mid * 131 + sy * 17 + sx * 7 + c * 3) % 256
+        want = tuple(float(px[:, :, i].sum() / (T * T)) for i in range(3))
+        assert got == want, (mid, w, h)
+    # identity case: an 8x8 source resized to 8x8 == plain decode means
+    pay = synth_bmp_payload(7, 8, 8)
+    assert st._resize_stats(pay) == BmpDecodeStage()._decode(pay)[2:]
+    with pytest.raises(ValueError):
+        st._resize_stats(b"NOPE" * 20)
