@@ -19,7 +19,7 @@ from .pagerank import (PageRankProgram, PPRProgram,
 from .scc import (SCCBackwardProgram, SCCForwardProgram,
                   strongly_connected_components)
 from .sssp import SSSPProgram, sssp
-from .triangles import triangle_count
+from .triangles import clustering_coefficients, triangle_count
 
 __all__ = [
     "BCBackwardProgram", "BCForwardProgram", "betweenness",
@@ -37,5 +37,5 @@ __all__ = [
     "SCCBackwardProgram", "SCCForwardProgram",
     "strongly_connected_components",
     "SSSPProgram", "sssp",
-    "triangle_count",
+    "triangle_count", "clustering_coefficients",
 ]

@@ -393,3 +393,230 @@ def triangle_count(edges_ds, num_partitions: int = 16) -> int:
                                              batch_format="pandas")
     total = closed.sum("tri")
     return int(total) if total is not None else 0
+
+
+def _tri_endpoints_local(pdf: pd.DataFrame):
+    """Driver kernel: matched triangle endpoint arrays (a, b, c) of the
+    canonical simple graph — same orientation/wedge/closure recurrence
+    as _triangle_count_local, returning the triples instead of a count."""
+    s = pdf["src"].to_numpy(np.int64)
+    d = pdf["dst"].to_numpy(np.int64)
+    keep = s != d
+    lo = np.minimum(s[keep], d[keep])
+    hi = np.maximum(s[keep], d[keep])
+    z = np.empty(0, np.int64)
+    if len(lo) == 0:
+        return z, z, z
+    edges = np.unique((lo << 32) | hi)
+    lo, hi = edges >> 32, edges & 0xFFFFFFFF
+    deg = np.bincount(lo, minlength=int(hi.max()) + 1) \
+        + np.bincount(hi, minlength=int(hi.max()) + 1)
+    src_first = (deg[lo] < deg[hi]) | ((deg[lo] == deg[hi]) & (lo < hi))
+    a = np.where(src_first, lo, hi)
+    b = np.where(src_first, hi, lo)
+    order = np.lexsort((b, deg[b], a))
+    a, b = a[order], b[order]
+    starts = np.flatnonzero(np.concatenate([[True], a[1:] != a[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(a)]]))
+    seg = np.repeat(np.arange(len(starts)), lens)
+    pos = np.arange(len(a)) - starts[seg]
+    reps = lens[seg] - pos - 1
+    total = int(reps.sum())
+    if total == 0:
+        return z, z, z
+    i_idx = np.repeat(np.arange(len(a)), reps)
+    csum = np.cumsum(reps) - reps
+    j_idx = i_idx + 1 + (np.arange(total) - csum[i_idx])
+    wkey = (b[i_idx].astype(np.int64) << 32) | b[j_idx]
+    okey = np.sort((a.astype(np.int64) << 32) | b)
+    p = np.minimum(np.searchsorted(okey, wkey), len(okey) - 1)
+    m = okey[p] == wkey
+    return a[i_idx[m]], b[i_idx[m]], b[j_idx[m]]
+
+
+def _wedges_bucket_v(g: pd.DataFrame) -> pd.DataFrame:
+    """_wedges_bucket carrying the wedge source vertex `wa` (needed to
+    credit the triangle to all three endpoints)."""
+    empty = pd.DataFrame({"wa": np.empty(0, np.int64),
+                          "src": np.empty(0, np.int64),
+                          "dst": np.empty(0, np.int64)})
+    a = g["a"].to_numpy(np.int64)
+    b = g["b"].to_numpy(np.int64)
+    bd = g["b_deg"].to_numpy(np.int64)
+    order = np.lexsort((b, bd, a))
+    a, b = a[order], b[order]
+    starts = np.flatnonzero(np.concatenate([[True], a[1:] != a[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(a)]]))
+    seg = np.repeat(np.arange(len(starts)), lens)
+    pos = np.arange(len(a)) - starts[seg]
+    reps = lens[seg] - pos - 1
+    total = int(reps.sum())
+    if total == 0:
+        return empty
+    i_idx = np.repeat(np.arange(len(a)), reps)
+    csum = np.cumsum(reps) - reps
+    j_idx = i_idx + 1 + (np.arange(total) - csum[i_idx])
+    return pd.DataFrame({"wa": a[i_idx], "src": b[i_idx], "dst": b[j_idx]})
+
+
+def _count_partial(vs: np.ndarray, nb: int) -> pa.Table:
+    u, c = np.unique(vs, return_counts=True)
+    return pa.table({"v": pa.array(u, pa.int64()),
+                     "cnt": pa.array(c.astype(np.int64)),
+                     "vb": pa.array((u % nb).astype(np.int64))})
+
+
+def clustering_coefficients(edges_ds, num_partitions: int = 16):
+    """Per-vertex local clustering coefficient of the undirected simple
+    graph: clustering(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)),
+    0.0 when deg < 2, over every vertex incident to an edge.
+
+    Same size gates as triangle_count: a driver numpy kernel under
+    DRIVER_TRI_CAP, else the distributed wedge pipeline with the wedge
+    source carried through the (broadcast | coarse-bucket) closure, a
+    coarse-bucket per-vertex sum of matched-endpoint partials, and one
+    final bucket merge against the degree table.  Returns a Dataset
+    (doc_id, clustering) — or a pandas frame on the driver path.
+    """
+    import ray
+    import ray.data as rd
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                             "clustering": np.empty(0, np.float64)})
+    if n_edges <= DRIVER_TRI_CAP:
+        pdf = edges_ds.to_pandas()
+        mx = max(pdf["src"].max(), pdf["dst"].max())
+        if mx < 2 ** 31:
+            ta, tb, tc = _tri_endpoints_local(pdf)
+            s = pdf["src"].to_numpy(np.int64)
+            d = pdf["dst"].to_numpy(np.int64)
+            keep = s != d
+            lo = np.minimum(s[keep], d[keep])
+            hi = np.maximum(s[keep], d[keep])
+            edges = np.unique((lo << 32) | hi)
+            lo, hi = edges >> 32, edges & 0xFFFFFFFF
+            n = int(mx) + 1
+            deg = np.bincount(lo, minlength=n) + np.bincount(hi, minlength=n)
+            t = np.bincount(np.concatenate([ta, tb, tc]), minlength=n)
+            v = np.flatnonzero(deg > 0)
+            dv = deg[v].astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cl = np.where(dv >= 2, 2.0 * t[v] / (dv * (dv - 1.0)), 0.0)
+            return pd.DataFrame({"doc_id": v.astype(np.int64),
+                                 "clustering": np.round(cl, 6)})
+
+    canon = canon_dedup_ds(edges_ds, n_edges).materialize()
+    n_ce = canon.count()
+    degrees = _vertex_degrees(canon, n_ce)
+    oe = oriented_edges(edges_ds, num_partitions).materialize()
+    n_oe = oe.count()
+    nb = wedge_buckets_for(n_oe)
+    vb = n_buckets_for(2 * n_oe)
+    salted = oe.map_batches(
+        lambda b: b.append_column("wb", pa.array(
+            (b["a"].to_numpy(zero_copy_only=False) % nb)
+            .astype(np.int64))),
+        batch_format="pyarrow")
+    wedges = salted.groupby("wb").map_groups(_wedges_bucket_v,
+                                             batch_format="pandas")
+
+    mx = max(int(oe.max("a")), int(oe.max("b")))
+    if n_oe <= EDGE_KEY_BROADCAST_CAP and mx < 2 ** 31:
+        keys = np.sort(np.concatenate(
+            [(t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+              << np.uint64(32))
+             | t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             for t in oe.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)] or
+            [np.empty(0, np.uint64)]))
+        kref = ray.put(keys)
+
+        def member_partial(b: pa.Table) -> pa.Table:
+            k = ray.get(kref)
+            s = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            d = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            wk = (s << np.uint64(32)) | d
+            if len(k) == 0:
+                m = np.zeros(len(wk), bool)
+            else:
+                p = np.minimum(np.searchsorted(k, wk), len(k) - 1)
+                m = k[p] == wk
+            wa = b["wa"].to_numpy(zero_copy_only=False)
+            vs = np.concatenate([wa[m], s[m].astype(np.int64),
+                                 d[m].astype(np.int64)])
+            return _count_partial(vs, vb)
+
+        partials = wedges.map_batches(member_partial, batch_format="pyarrow")
+    else:
+        cb = n_buckets_for(n_oe)
+
+        def tag_edges(b: pa.Table) -> pa.Table:
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            return pa.table({"wa": pa.array(np.full(len(a), -1, np.int64)),
+                             "src": pa.array(a, pa.int64()),
+                             "dst": pa.array(bb, pa.int64()),
+                             "ub": pa.array(_pair_bucket(a, bb, cb))})
+
+        def tag_wedges(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            return pa.table({"wa": b["wa"],
+                             "src": pa.array(s, pa.int64()),
+                             "dst": pa.array(d, pa.int64()),
+                             "ub": pa.array(_pair_bucket(s, d, cb))})
+
+        def bucket_closure_v(g: pd.DataFrame) -> pd.DataFrame:
+            is_e = g["wa"].to_numpy() < 0
+            e = g.loc[is_e, ["src", "dst"]]
+            w = g.loc[~is_e, ["wa", "src", "dst"]]
+            if len(e) == 0 or len(w) == 0:
+                return pd.DataFrame({"v": np.empty(0, np.int64),
+                                     "cnt": np.empty(0, np.int64),
+                                     "vb": np.empty(0, np.int64)})
+            m = w.merge(e, on=["src", "dst"], how="inner")
+            vs = np.concatenate([m["wa"].to_numpy(np.int64),
+                                 m["src"].to_numpy(np.int64),
+                                 m["dst"].to_numpy(np.int64)])
+            return _count_partial(vs, vb).to_pandas()
+
+        tagged = wedges.map_batches(tag_wedges, batch_format="pyarrow") \
+            .union(oe.map_batches(tag_edges, batch_format="pyarrow"))
+        partials = tagged.groupby("ub").map_groups(
+            bucket_closure_v, batch_format="pandas") \
+            .map_batches(lambda b: b, batch_format="pyarrow")  # arrow blocks
+        # (the later union with the degree side asserts matching block types)
+
+    # per-vertex triangle sums + degree merge, one coarse-bucket shuffle:
+    # tag degree rows cnt=-1-degree so the in-bucket kernel can split them
+    def tag_deg(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = b["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(v), "cnt": pa.array(-1 - dg),
+                         "vb": pa.array((v % vb).astype(np.int64))})
+
+    def merge_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        is_deg = c < 0
+        dv_ids = v[is_deg]
+        dv = (-1 - c[is_deg]).astype(np.float64)
+        u, inv = np.unique(v[~is_deg], return_inverse=True)
+        t = np.bincount(inv, weights=c[~is_deg].astype(np.float64),
+                        minlength=len(u))
+        pos = np.searchsorted(u, dv_ids)
+        tt = np.zeros(len(dv_ids), np.float64)
+        ok = (pos < len(u))
+        ok[ok] &= u[pos[ok]] == dv_ids[ok]
+        tt[ok] = t[pos[ok]]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cl = np.where(dv >= 2, 2.0 * tt / (dv * (dv - 1.0)), 0.0)
+        return pd.DataFrame({"doc_id": dv_ids, "clustering": np.round(cl, 6)})
+
+    both = partials.union(degrees.map_batches(tag_deg,
+                                              batch_format="pyarrow"))
+    return both.groupby("vb").map_groups(merge_cluster,
+                                         batch_format="pandas")

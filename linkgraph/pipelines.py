@@ -365,6 +365,13 @@ def q_doc_triangles(sf_dir):
         {"n_triangles": [int(triangle_count(documents_edges(sf_dir)))]})
 
 
+def q_doc_clustering(sf_dir):
+    """Per-vertex local clustering coefficient (doc_id, clustering)."""
+    from .algos.triangles import clustering_coefficients
+
+    return clustering_coefficients(documents_edges(sf_dir))
+
+
 def _state_result(eng, col, out_col, round_to=None):
     """Vertex state as a DATASET (v, out_col) — |V|-sized results stay
     off the driver (VERDICT r2 #7); one block per shard, zero-copy."""
@@ -990,6 +997,47 @@ def q_text_stats(sf_dir):
                .select_columns(["doc_id", "n_chars2", "n_tokens", "n_punct"])
 
 
+def _inject_pii(batch: pa.Table) -> pa.Table:
+    """Deterministic synthetic-PII append on doc_id % 7 == 0 (the corpus
+    itself contains no PII; the injection is reproduced verbatim in the
+    SQL oracle so the redaction regexes are exercised on real matches)."""
+    d = batch["doc_id"]
+    dn = d.to_numpy(zero_copy_only=False).astype(np.int64)
+    s = pc.cast
+    sfx = pc.binary_join_element_wise(
+        batch["text"], " contact user", s(d, pa.string()),
+        "@mail.example.com ip 10.",
+        s(pa.array(dn % 256), pa.string()), ".0.",
+        s(pa.array(dn % 100), pa.string()), " tel +1-555-",
+        s(pa.array(1000000 + dn % 100000), pa.string()),
+        "")
+    inj = pc.if_else(pa.array(dn % 7 == 0), sfx, batch["text"])
+    return pa.table({"doc_id": d, "text": inj})
+
+
+def q_text_redact(sf_dir):
+    """PII scrub over the (synthetically PII-salted) corpus: per-doc
+    match counts + the fully redacted text."""
+    from .text import redact_pii
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return docs.map_batches(_inject_pii, batch_format="pyarrow") \
+               .map_batches(redact_pii, batch_format="pyarrow") \
+               .select_columns(["doc_id", "n_email", "n_ipv4", "n_phone",
+                                "text_redacted"])
+
+
+def q_decontaminate(sf_dir):
+    """Benchmark decontamination: (doc_id, n_hits) for corpus docs
+    sharing any word 8-gram with the benchmark slice (doc_id % 53)."""
+    from .decontam import contamination
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return contamination(docs)
+
+
 def q_text_fingerprint(sf_dir):
     import ray.data as rd
 
@@ -1336,6 +1384,18 @@ def q_events_session(sf_dir):
     from .windows import session_window
 
     return session_window(_events(sf_dir), gap_s=1800)
+
+
+def q_events_rollup(sf_dir):
+    """Three-level ROLLUP aggregate (type x day -> type -> grand total);
+    exact integer-cents sums, map-side partials, no shuffle."""
+    import ray.data as rd
+
+    from .windows import rollup_events
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type", "value"])
+    return rollup_events(ev)
 
 
 EVENT_QUANTILES = [0.01, 0.25, 0.5, 0.9, 0.99]
@@ -1800,6 +1860,27 @@ TRIANGLES_SQL = f"""
     SELECT count(*) AS n_triangles
     FROM e ab JOIN e bc ON bc.src = ab.dst
            JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+"""
+
+# per-vertex twin of TRIANGLES_SQL: each canonical triangle (x<y<z)
+# matched once credits all three endpoints; clustering = 2t/(d(d-1))
+# with the SAME float64 expression as triangles.clustering_coefficients
+CLUSTERING_SQL = f"""
+    WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+    tri AS MATERIALIZED (
+      SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+      FROM e ab JOIN e bc ON bc.src = ab.dst
+             JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+    tv AS (SELECT v, count(*) AS t FROM (
+        SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+        UNION ALL SELECT c AS v FROM tri) GROUP BY v),
+    deg AS (SELECT src AS v, count(*) AS d
+            FROM ({DOC_SYM_SQL}) GROUP BY src)
+    SELECT deg.v AS doc_id,
+           round(CASE WHEN d >= 2
+                 THEN 2.0 * coalesce(t, 0) / (d * (d - 1.0))
+                 ELSE 0.0 END, 6) AS clustering
+    FROM deg LEFT JOIN tv ON tv.v = deg.v
 """
 
 _FP_SQL = "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
@@ -2589,6 +2670,34 @@ def _ann_lsh_sql(n_planes: int, k: int, seed: int = 42,
     """
 
 
+def _redact_sql() -> str:
+    """SQL twin of q_text_redact: the identical PII injection concat,
+    then the identical RE2 patterns applied in the identical order
+    (Arrow replace_substring_regex and DuckDB regexp_replace are both
+    RE2; counts are staged — each pattern counted on the text AFTER the
+    previous pattern's replacement, exactly as text.redact_pii does)."""
+    from .text import PII_PATTERNS
+
+    inj = ("CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || "
+           "CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.' || "
+           "CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+           "CAST(doc_id % 100 AS VARCHAR) || ' tel +1-555-' || "
+           "CAST(1000000 + doc_id % 100000 AS VARCHAR) "
+           "ELSE text END")
+    sql = f"WITH s0 AS (SELECT doc_id, {inj} AS t FROM documents)"
+    prev, counts = "s0", []
+    for i, (name, pat, tok) in enumerate(PII_PATTERNS, 1):
+        carried = (", ".join(counts) + ", ") if counts else ""
+        sql += (f", s{i} AS (SELECT doc_id, {carried}"
+                f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name},"
+                f" regexp_replace(t, '{pat}', '{tok}', 'g') AS t"
+                f" FROM {prev})")
+        counts.append(f"n_{name}")
+        prev = f"s{i}"
+    return (f"{sql} SELECT doc_id, {', '.join(counts)}, "
+            f"t AS text_redacted FROM {prev}")
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_edges": DOC_EDGES_SQL,
     "doc_degree": (f"WITH sym AS ({DOC_SYM_SQL}) SELECT src AS v, "
@@ -2624,6 +2733,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_edge_count": (f"WITH e AS ({DOC_EDGES_SQL}) "
                        "SELECT count(*) AS n_edges FROM e"),
     "doc_triangles": TRIANGLES_SQL,
+    "doc_clustering": CLUSTERING_SQL,
     "doc_truss": _ktruss_sql(TRUSS_K, TRUSS_ROUNDS),
     "doc_pagerank": _pagerank_sql(PR_ITERS, 6),
     "doc_wpagerank": _wpagerank_sql(PR_ITERS, 6),
@@ -2732,6 +2842,26 @@ ORACLE_SQL: dict[str, str] = {
                    "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) "
                    "AS n_punct FROM documents"),
     "text_fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+    "text_redact": _redact_sql(),
+    # decontamination: string-keyed gram twin of decontam.contamination
+    # (hash-keyed on the Ray side, same 2^-64 note as the word hashes);
+    # l[i:i+3] is 1-based END-INCLUSIVE = 4 words (decontam.NGRAM_WORDS)
+    "decontaminate": """
+        WITH wl AS MATERIALIZED (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[ \t\n]+'), x -> length(x) > 0) AS l
+          FROM documents),
+        gi AS (SELECT doc_id, l,
+                      unnest(range(1, greatest(len(l) - 2, 1))) AS i
+               FROM wl),
+        grams AS MATERIALIZED (
+          SELECT DISTINCT doc_id, array_to_string(l[i:i+3], ' ') AS g
+          FROM gi),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 53 = 0),
+        corp AS (SELECT doc_id, g FROM grams WHERE doc_id % 53 <> 0)
+        SELECT c.doc_id, count(*)::BIGINT AS n_hits
+        FROM corp c JOIN bench b USING (g) GROUP BY c.doc_id
+    """,
     "text_langid": _langid_sql(),
     "corpus_clean": _corpus_clean_sql(),
     "dedup_exact": (f"SELECT min(doc_id) AS doc_id FROM documents "
@@ -2769,6 +2899,20 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_pricing": _REL.PRICING_SUMMARY_SQL,
     "tpch_top_orders": _REL.TOP_ORDERS_SQL,
     "tpch_nation_revenue": _REL.NATION_REVENUE_SQL,
+    # exact integer-cents sums: floor(v*100+0.5) is the IDENTICAL float64
+    # expression on both sides, so totals match bit-for-bit at any scale
+    "events_rollup": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(day, -1) AS day,
+               count(*)::BIGINT AS n_events,
+               sum(cents) / 100.0 AS total_value
+        FROM c GROUP BY ROLLUP(event_type, day)
+    """,
     "events_window": """
         SELECT user_id,
                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win,
@@ -3162,6 +3306,7 @@ QUERIES = {
     "doc_group_sizes": q_doc_group_sizes,
     "doc_edge_count": q_doc_edge_count,
     "doc_triangles": q_doc_triangles,
+    "doc_clustering": q_doc_clustering,
     "doc_truss": q_doc_truss,
     "doc_pagerank": q_doc_pagerank,
     "doc_wpagerank": q_doc_wpagerank,
@@ -3197,6 +3342,8 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_tfidf": q_text_tfidf,
     "text_fingerprint": q_text_fingerprint,
+    "text_redact": q_text_redact,
+    "decontaminate": q_decontaminate,
     "text_langid": q_text_langid,
     "dedup_exact": q_dedup_exact,
     "corpus_clean": q_corpus_clean,
@@ -3218,6 +3365,7 @@ QUERIES = {
     "tpch_cust_no_orders": q_tpch_cust_no_orders,
     "tpch_parts_shipped": q_tpch_parts_shipped,
     "pack_sequences": q_pack_sequences,
+    "events_rollup": q_events_rollup,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,

@@ -607,3 +607,31 @@ def rolling_hashes(text: str, k: int = 5) -> np.ndarray:
         for i in range(k):  # k tiny (5): vectorized over all positions
             h = h * B + codes[i:len(codes) - k + 1 + i]
     return np.unique(h)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing): RE2 patterns applied in a fixed
+# order — email first (its domain would otherwise survive as ip-like
+# dotted tokens), then IPv4, then phone.  Arrow's replace_substring_regex
+# and DuckDB's regexp_replace are BOTH RE2, so the SQL oracle applies the
+# identical patterns in the identical order.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\-]{7,14}\d", "<PHONE>"),
+)
+
+
+def redact_pii(batch: pa.Table, col: str = "text",
+               out: str = "text_redacted") -> pa.Table:
+    """Vectorized PII scrub: appends n_email / n_ipv4 / n_phone match
+    counts (counted on the text as it stands BEFORE that pattern's own
+    replacement, i.e. staged) and the fully redacted text column."""
+    s = batch[col]
+    for name, pat, tok in PII_PATTERNS:
+        batch = batch.append_column(
+            f"n_{name}",
+            pc.cast(pc.count_substring_regex(s, pat), pa.int64()))
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=tok)
+    return batch.append_column(out, s)

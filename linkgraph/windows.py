@@ -100,3 +100,54 @@ def session_window(ds, gap_s: int, key: str = "user_id", ts: str = "ts",
 
     return ds.select_columns([key, ts, value]).groupby(key).map_groups(
         sessions, batch_format="pandas")
+
+
+def rollup_events(ds, ts: str = "ts", key: str = "event_type",
+                  value: str = "value"):
+    """GROUP BY ROLLUP((key, day) -> (key) -> ()) over an event stream:
+    (event_type, day, n_events, total_value) at all three levels, the
+    subtotal rows labeled key='ALL' / day=-1.
+
+    The fine key domain is BOUNDED (types x days), so this is the
+    map-side-partial + driver-merge shape (CLAUDE.md: replace count
+    groupbys with partials where only aggregates are needed) — one pass,
+    no shuffle.  Values sum as integer cents (floor(v*100 + 0.5), the
+    identical float expression in the SQL oracle), so totals are exact
+    int64 sums — no float-association divergence at any scale.
+    """
+    DAY = 86400 * US
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // DAY
+        k = b[key].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            b[value].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"k": k, "day": day, "cents": cents})
+        g = df.groupby(["k", "day"], sort=True).agg(
+            n=("cents", "size"), c=("cents", "sum")).reset_index()
+        return pa.table({"event_type": pa.array(g["k"], pa.string()),
+                         "day": pa.array(g["day"], pa.int64()),
+                         "n": pa.array(g["n"].astype(np.int64)),
+                         "c": pa.array(g["c"].astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                             "day": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "total_value": pd.Series([], dtype=float)})
+    lvl2 = parts.groupby(["event_type", "day"], sort=True).agg(
+        n_events=("n", "sum"), cents=("c", "sum")).reset_index()
+    lvl1 = lvl2.groupby("event_type", sort=True).agg(
+        n_events=("n_events", "sum"), cents=("cents", "sum")).reset_index()
+    lvl1["day"] = np.int64(-1)
+    lvl0 = pd.DataFrame({"event_type": ["ALL"], "day": np.int64(-1),
+                         "n_events": [lvl1["n_events"].sum()],
+                         "cents": [lvl1["cents"].sum()]})
+    out = pd.concat([lvl2, lvl1, lvl0], ignore_index=True)
+    out["total_value"] = out["cents"].astype(np.int64) / 100.0
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["day"] = out["day"].astype(np.int64)
+    return out[["event_type", "day", "n_events", "total_value"]]

@@ -224,3 +224,129 @@ def test_load_undirected_dedup_paths(tmp_path, monkeypatch):
     l2 = eng.state_pandas(["label"])["label"].to_numpy()
     eng.shutdown()
     assert np.array_equal(l1, l2)
+
+
+def test_clustering_paths_and_values():
+    """Driver kernel vs broadcast-closure vs coarse-bucket closure, all
+    equal — and exact on a hand graph: triangle 0-1-2 plus pendant 3."""
+    import linkgraph.algos.triangles as T
+
+    from linkgraph.edges import edges_from_arrays
+
+    def norm(x):
+        if not isinstance(x, pd.DataFrame):
+            x = x.to_pandas()
+        return x.sort_values("doc_id").reset_index(drop=True)
+
+    # hand graph: deg(0)=3 -> 2*1/(3*2)=1/3; deg(1)=deg(2)=2 -> 1.0
+    hand = norm(T.clustering_coefficients(
+        edges_from_arrays(np.array([0, 0, 1, 0]),
+                          np.array([1, 2, 2, 3]))))
+    assert hand["doc_id"].tolist() == [0, 1, 2, 3]
+    assert hand["clustering"].tolist() == [
+        round(1 / 3, 6), 1.0, 1.0, 0.0]
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(0, 120, 900)
+    d = rng.integers(0, 120, 900)
+    fast = norm(T.clustering_coefficients(edges_from_arrays(s, d)))
+    old, old_bc = T.DRIVER_TRI_CAP, T.EDGE_KEY_BROADCAST_CAP
+    T.DRIVER_TRI_CAP = 0
+    try:
+        slow = norm(T.clustering_coefficients(edges_from_arrays(s, d)))
+        T.EDGE_KEY_BROADCAST_CAP = -1
+        bucket = norm(T.clustering_coefficients(edges_from_arrays(s, d)))
+    finally:
+        T.DRIVER_TRI_CAP, T.EDGE_KEY_BROADCAST_CAP = old, old_bc
+    pd.testing.assert_frame_equal(fast, slow)
+    pd.testing.assert_frame_equal(fast, bucket)
+
+
+def test_decontamination_planted_and_paths(monkeypatch):
+    """Planted word overlap is flagged with the right distinct-gram hit
+    count (9 shared words = 6 shared 4-grams); broadcast and
+    coarse-bucket join paths agree."""
+    import linkgraph.decontam as DC
+
+    bench_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts, ids = [], []
+    for i in range(40):
+        ids.append(i)
+        if i == 53 * 0:  # doc 0 is the benchmark doc (0 % 53 == 0)
+            texts.append(bench_txt)
+        elif i == 7:
+            texts.append("xx " + " ".join(bench_txt.split()[0:9]) + " yy")
+        elif i == 11:
+            texts.append("unrelated words only here none shared at all")
+        else:
+            texts.append(f"filler{i} " * 12)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}))
+
+    def norm(x):
+        if not isinstance(x, pd.DataFrame):
+            x = x.to_pandas()
+        return x.sort_values("doc_id").reset_index(drop=True)
+
+    got = norm(DC.contamination(ds))
+    assert got["doc_id"].tolist() == [7]
+    assert got["n_hits"].tolist() == [6]
+
+    monkeypatch.setattr(DC, "BENCH_GRAM_BROADCAST_CAP", -1)
+    dist = norm(DC.contamination(ds))
+    pd.testing.assert_frame_equal(got, dist)
+
+
+def test_redact_pii_planted():
+    from linkgraph.text import redact_pii
+
+    t = pa.table({"text": pa.array([
+        "mail bob.smith+x@corp.example.org now",
+        "server at 10.1.255.3 port",
+        "call +1-555-0100123 thanks",
+        "none of the above",
+        "a@b.io and 1.2.3.4 and +12-3456-7890",
+    ])})
+    out = redact_pii(t)
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0, 1]
+    assert out["n_ipv4"].to_pylist() == [0, 1, 0, 0, 1]
+    assert out["n_phone"].to_pylist() == [0, 0, 1, 0, 1]
+    red = out["text_redacted"].to_pylist()
+    assert red[0] == "mail <EMAIL> now"
+    assert red[1] == "server at <IP> port"
+    assert red[2] == "call <PHONE> thanks"
+    assert red[3] == "none of the above"
+    assert red[4] == "<EMAIL> and <IP> and <PHONE>"
+
+
+def test_rollup_events_naive_parity():
+    import pandas as pd_
+    from linkgraph.windows import rollup_events
+
+    rng = np.random.default_rng(5)
+    n = 500
+    ts = pa.array((rng.integers(0, 40, n) * 86400_000_000
+                   + rng.integers(0, 86400_000_000, n)).astype("int64"),
+                  pa.timestamp("us"))
+    et = pa.array(rng.choice(["a", "b", "c"], n))
+    val = pa.array(np.round(rng.random(n) * 100, 2))
+    ds = rd.from_arrow(pa.table({"ts": ts, "event_type": et, "value": val}))
+    out = rollup_events(ds).sort_values(
+        ["event_type", "day"]).reset_index(drop=True)
+
+    df = pd_.DataFrame({
+        "day": (pa.compute.cast(ts, pa.int64()).to_numpy()
+                // 86400_000_000),
+        "event_type": et.to_pylist(),
+        "cents": np.floor(val.to_numpy() * 100 + 0.5).astype(np.int64)})
+    l2 = df.groupby(["event_type", "day"]).agg(
+        n_events=("cents", "size"), c=("cents", "sum")).reset_index()
+    total_rows = 3 + 1 + len(l2)
+    assert len(out) == total_rows
+    grand = out[(out.event_type == "ALL")]
+    assert grand["n_events"].tolist() == [n]
+    assert grand["total_value"].tolist() == [df["cents"].sum() / 100.0]
+    m = out.merge(l2, on=["event_type", "day"], how="inner")
+    assert len(m) == len(l2)
+    assert (m["n_events_x"] == m["n_events_y"]).all()
+    assert np.allclose(m["total_value"], m["c"] / 100.0)
