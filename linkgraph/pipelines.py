@@ -372,6 +372,25 @@ def q_doc_clustering(sf_dir):
     return clustering_coefficients(documents_edges(sf_dir))
 
 
+NS_SEEDS = (0, 1, 2, 3, 4)
+NS_FANOUTS = (3, 2)
+
+
+def q_doc_neighbor_sample(sf_dir):
+    """GraphSAGE-style deterministic 2-hop neighbor sampling from fixed
+    seeds on the symmetric doc graph (hop, src, dst)."""
+    from .neighbors import sample_neighbors
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([s, d])),
+                         "dst": pa.array(np.concatenate([d, s]))})
+
+    edges = documents_edges(sf_dir).map_batches(sym, batch_format="pyarrow")
+    return sample_neighbors(edges, NS_SEEDS, NS_FANOUTS)
+
+
 def _state_result(eng, col, out_col, round_to=None):
     """Vertex state as a DATASET (v, out_col) — |V|-sized results stay
     off the driver (VERDICT r2 #7); one block per shard, zero-copy."""
@@ -2670,6 +2689,44 @@ def _ann_lsh_sql(n_planes: int, k: int, seed: int = 42,
     """
 
 
+def _neighbor_sample_sql(seeds=NS_SEEDS, fanouts=NS_FANOUTS) -> str:
+    """SQL twin of neighbors.sample_neighbors on the symmetric doc
+    graph: the identical murmur finalizer over (src << 32 | dst) in
+    HUGEINT (bijective => collision-free priorities, so the bare
+    ORDER BY z is total), then per-hop row_number <= fanout."""
+    sel = ", ".join(str(s) for s in seeds)
+    ctes = [
+        f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+        f"z0 AS (SELECT src, dst, ((src::HUGEINT * 4294967296 + "
+        f"dst::HUGEINT) % {_W64})::UBIGINT AS z FROM sym)",
+        "z1 AS (SELECT src, dst, xor(z, z >> 33) AS z FROM z0)",
+        f"z2 AS (SELECT src, dst, "
+        f"{_mulmod64_sql('z', 0xFF51AFD7ED558CCD)}::UBIGINT AS z FROM z1)",
+        "z3 AS (SELECT src, dst, xor(z, z >> 29) AS z FROM z2)",
+        f"z4 AS (SELECT src, dst, "
+        f"{_mulmod64_sql('z', 0xC4CEB9FE1A85EC53)}::UBIGINT AS z FROM z3)",
+        "pri AS MATERIALIZED "
+        "(SELECT src, dst, xor(z, z >> 32) AS z FROM z4)",
+        f"""h1 AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY z) AS rn
+            FROM pri WHERE src IN ({sel})) WHERE rn <= {fanouts[0]})""",
+    ]
+    unions = ["SELECT 1::BIGINT AS hop, src, dst FROM h1"]
+    prev = "h1"
+    for i, k in enumerate(fanouts[1:], start=2):
+        ctes.append(f"""h{i} AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY z) AS rn
+            FROM pri WHERE src IN (SELECT DISTINCT dst FROM {prev}))
+          WHERE rn <= {k})""")
+        unions.append(f"SELECT {i}::BIGINT AS hop, src, dst FROM h{i}")
+        prev = f"h{i}"
+    return f"WITH {', '.join(ctes)} {' UNION ALL '.join(unions)}"
+
+
 def _redact_sql() -> str:
     """SQL twin of q_text_redact: the identical PII injection concat,
     then the identical RE2 patterns applied in the identical order
@@ -2734,6 +2791,7 @@ ORACLE_SQL: dict[str, str] = {
                        "SELECT count(*) AS n_edges FROM e"),
     "doc_triangles": TRIANGLES_SQL,
     "doc_clustering": CLUSTERING_SQL,
+    "doc_neighbor_sample": _neighbor_sample_sql(),
     "doc_truss": _ktruss_sql(TRUSS_K, TRUSS_ROUNDS),
     "doc_pagerank": _pagerank_sql(PR_ITERS, 6),
     "doc_wpagerank": _wpagerank_sql(PR_ITERS, 6),
@@ -3307,6 +3365,7 @@ QUERIES = {
     "doc_edge_count": q_doc_edge_count,
     "doc_triangles": q_doc_triangles,
     "doc_clustering": q_doc_clustering,
+    "doc_neighbor_sample": q_doc_neighbor_sample,
     "doc_truss": q_doc_truss,
     "doc_pagerank": q_doc_pagerank,
     "doc_wpagerank": q_doc_wpagerank,

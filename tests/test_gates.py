@@ -350,3 +350,40 @@ def test_rollup_events_naive_parity():
     assert len(m) == len(l2)
     assert (m["n_events_x"] == m["n_events_y"]).all()
     assert np.allclose(m["total_value"], m["c"] / 100.0)
+
+
+def test_neighbor_sampling_deterministic():
+    """Fanout bounds, hop-2 frontier consistency, partition-count
+    invariance, and the per-source selection is EXACTLY the k smallest
+    avalanche priorities (independently recomputed)."""
+    from linkgraph.neighbors import _pair_priority, sample_neighbors
+
+    rng = np.random.default_rng(13)
+    s = rng.integers(0, 60, 500).astype(np.int64)
+    d = rng.integers(0, 60, 500).astype(np.int64)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    # dedup directed pairs
+    u = np.unique(s * 64 + d)
+    s, d = u // 64, u % 64
+    t = pa.table({"src": pa.array(s), "dst": pa.array(d)})
+    seeds = [0, 1, 2]
+
+    out1 = sample_neighbors(rd.from_arrow(t), seeds, (3, 2))
+    out4 = sample_neighbors(rd.from_arrow(t).repartition(4), seeds, (3, 2))
+    k1 = out1.sort_values(["hop", "src", "dst"]).reset_index(drop=True)
+    k4 = out4.sort_values(["hop", "src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(k1, k4)
+
+    h1 = out1[out1.hop == 1]
+    h2 = out1[out1.hop == 2]
+    assert h1.groupby("src").size().max() <= 3
+    assert h2.groupby("src").size().max() <= 2
+    assert set(h1.src).issubset(set(seeds))
+    assert set(h2.src).issubset(set(h1.dst))
+    # independent recompute for one hop-1 source
+    src0 = int(h1.src.iloc[0])
+    nbrs = d[s == src0]
+    pri = _pair_priority(np.full(len(nbrs), src0, np.int64), nbrs)
+    want = set(nbrs[np.argsort(pri)][:3].tolist())
+    assert set(h1[h1.src == src0].dst.tolist()) == want
