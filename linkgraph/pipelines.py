@@ -1047,6 +1047,16 @@ def q_text_redact(sf_dir):
                                 "text_redacted"])
 
 
+def q_text_perplexity(sf_dir):
+    """Per-doc add-one bigram-LM quality scores (the CCNet/Dolma
+    perplexity-filter signal), model trained on the corpus itself."""
+    from .lm import perplexity_scores
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return perplexity_scores(docs)
+
+
 def q_decontaminate(sf_dir):
     """Benchmark decontamination: (doc_id, n_hits) for corpus docs
     sharing any word 8-gram with the benchmark slice (doc_id % 53)."""
@@ -2901,6 +2911,43 @@ ORACLE_SQL: dict[str, str] = {
                    "AS n_punct FROM documents"),
     "text_fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
     "text_redact": _redact_sql(),
+    # add-one bigram LM over the corpus itself (lm.perplexity_scores):
+    # same double expression (cb+1)/(cu+V) and ln/exp; per-doc float sums
+    # associate differently (numpy vs DuckDB order), equal after round-6
+    "text_perplexity": """
+        WITH wl AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[ \t\n]+'), x -> length(x) > 0) AS l
+          FROM documents),
+        w AS MATERIALIZED (
+          SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+          FROM wl),
+        uni AS MATERIALIZED (SELECT w, count(*) AS cu FROM w GROUP BY w),
+        vv AS (SELECT count(*) AS v FROM uni),
+        big AS MATERIALIZED (
+          SELECT doc_id, w AS w1, w2 FROM (
+            SELECT doc_id, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+            FROM w) WHERE w2 IS NOT NULL),
+        bi AS MATERIALIZED (
+          SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+        lp AS (
+          SELECT b.doc_id,
+                 ln((bi.cb + 1.0) / (uni.cu + vv.v)) AS lp
+          FROM big b
+          JOIN bi ON bi.w1 = b.w1 AND bi.w2 = b.w2
+          JOIN uni ON uni.w = b.w1
+          CROSS JOIN vv),
+        s AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                     sum(lp) / count(*) AS avg
+              FROM lp GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_bigrams, 0) AS n_bigrams,
+               round(coalesce(s.avg, 0.0), 6) AS avg_logprob,
+               round(CASE WHEN s.doc_id IS NULL THEN 0.0
+                     ELSE exp(-s.avg) END, 6) AS ppl
+        FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+    """,
     # decontamination: string-keyed gram twin of decontam.contamination
     # (hash-keyed on the Ray side, same 2^-64 note as the word hashes);
     # l[i:i+3] is 1-based END-INCLUSIVE = 4 words (decontam.NGRAM_WORDS)
@@ -3403,6 +3450,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_redact": q_text_redact,
     "decontaminate": q_decontaminate,
+    "text_perplexity": q_text_perplexity,
     "text_langid": q_text_langid,
     "dedup_exact": q_dedup_exact,
     "corpus_clean": q_corpus_clean,
