@@ -376,19 +376,35 @@ NS_SEEDS = (0, 1, 2, 3, 4)
 NS_FANOUTS = (3, 2)
 
 
+def _sym_batch(b: pa.Table) -> pa.Table:
+    """Both directions of a canonical edge batch (symmetric closure)."""
+    s = b["src"].to_numpy(zero_copy_only=False)
+    d = b["dst"].to_numpy(zero_copy_only=False)
+    return pa.table({"src": pa.array(np.concatenate([s, d])),
+                     "dst": pa.array(np.concatenate([d, s]))})
+
+
 def q_doc_neighbor_sample(sf_dir):
     """GraphSAGE-style deterministic 2-hop neighbor sampling from fixed
     seeds on the symmetric doc graph (hop, src, dst)."""
     from .neighbors import sample_neighbors
 
-    def sym(b: pa.Table) -> pa.Table:
-        s = b["src"].to_numpy(zero_copy_only=False)
-        d = b["dst"].to_numpy(zero_copy_only=False)
-        return pa.table({"src": pa.array(np.concatenate([s, d])),
-                         "dst": pa.array(np.concatenate([d, s]))})
-
-    edges = documents_edges(sf_dir).map_batches(sym, batch_format="pyarrow")
+    edges = documents_edges(sf_dir).map_batches(_sym_batch,
+                                                batch_format="pyarrow")
     return sample_neighbors(edges, NS_SEEDS, NS_FANOUTS)
+
+
+def q_doc_sage(sf_dir):
+    """GraphSAGE mean aggregator over the symmetric doc graph: each
+    vertex's component-wise mean of its neighbors' embedding vectors
+    (vec_id == doc_id in the testdata), long form (v, i, mean_x)."""
+    from .neighbors import mean_neighbor_features
+
+    edges = documents_edges(sf_dir).map_batches(_sym_batch,
+                                                batch_format="pyarrow")
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+    return mean_neighbor_features(edges, emb)
 
 
 def _state_result(eng, col, out_col, round_to=None):
@@ -2802,6 +2818,18 @@ ORACLE_SQL: dict[str, str] = {
     "doc_triangles": TRIANGLES_SQL,
     "doc_clustering": CLUSTERING_SQL,
     "doc_neighbor_sample": _neighbor_sample_sql(),
+    # SAGE mean aggregator: inner join on dst keeps only feature-having
+    # neighbors; float32 -> DOUBLE on both sides, round-6 means
+    "doc_sage": f"""
+        WITH sym AS ({DOC_SYM_SQL}),
+        ex AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding)::DOUBLE AS x
+          FROM embeddings)
+        SELECT s.src AS v, e.i, round(avg(e.x), 6) AS mean_x
+        FROM sym s JOIN ex e ON e.vec_id = s.dst
+        GROUP BY s.src, e.i
+    """,
     "doc_truss": _ktruss_sql(TRUSS_K, TRUSS_ROUNDS),
     "doc_pagerank": _pagerank_sql(PR_ITERS, 6),
     "doc_wpagerank": _wpagerank_sql(PR_ITERS, 6),
@@ -3413,6 +3441,7 @@ QUERIES = {
     "doc_triangles": q_doc_triangles,
     "doc_clustering": q_doc_clustering,
     "doc_neighbor_sample": q_doc_neighbor_sample,
+    "doc_sage": q_doc_sage,
     "doc_truss": q_doc_truss,
     "doc_pagerank": q_doc_pagerank,
     "doc_wpagerank": q_doc_wpagerank,

@@ -387,3 +387,49 @@ def test_neighbor_sampling_deterministic():
     pri = _pair_priority(np.full(len(nbrs), src0, np.int64), nbrs)
     want = set(nbrs[np.argsort(pri)][:3].tolist())
     assert set(h1[h1.src == src0].dst.tolist()) == want
+
+
+def test_sage_mean_features_paths(monkeypatch):
+    """Naive numpy parity + broadcast vs bucketed-join path equality
+    (float sums associate per plan -> allclose, counts exact)."""
+    import linkgraph.neighbors as NB
+
+    rng = np.random.default_rng(3)
+    dim, nv = 5, 30
+    ids = np.arange(nv, dtype=np.int64)
+    feats = rng.standard_normal((nv, dim)).astype(np.float32)
+    s = rng.integers(0, nv, 200).astype(np.int64)
+    d = rng.integers(0, nv, 200).astype(np.int64)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    ft = pa.table({"vec_id": pa.array(ids),
+                   "embedding": pa.array([list(map(float, r))
+                                          for r in feats],
+                                         pa.list_(pa.float32()))})
+    et = pa.table({"src": pa.array(s), "dst": pa.array(d)})
+
+    def norm(x):
+        if not isinstance(x, pd.DataFrame):
+            x = x.to_pandas()
+        return x.sort_values(["v", "i"]).reset_index(drop=True)
+
+    got = norm(NB.mean_neighbor_features(rd.from_arrow(et),
+                                         rd.from_arrow(ft)))
+    # naive
+    rows = []
+    for v in np.unique(s):
+        nb = d[s == v]
+        m = feats[nb].astype(np.float64).mean(axis=0)
+        for i in range(dim):
+            rows.append((v, i + 1, m[i]))
+    want = pd.DataFrame(rows, columns=["v", "i", "mean_x"])
+    want = want.sort_values(["v", "i"]).reset_index(drop=True)
+    assert got["v"].tolist() == want["v"].tolist()
+    assert got["i"].tolist() == want["i"].tolist()
+    np.testing.assert_allclose(got["mean_x"], want["mean_x"], atol=2e-6)
+
+    monkeypatch.setattr(NB, "FEATURE_BROADCAST_ELEMS", -1)
+    dist = norm(NB.mean_neighbor_features(rd.from_arrow(et),
+                                          rd.from_arrow(ft)))
+    assert got["v"].tolist() == dist["v"].tolist()
+    np.testing.assert_allclose(got["mean_x"], dist["mean_x"], atol=2e-6)
