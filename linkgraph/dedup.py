@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from .io import from_pandas_clean
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -984,3 +986,111 @@ def semantic_dedup_ids(emb_ds, n_vertices: int, store_dir: str,
     kept = emb_ds.select_columns([id_col]).map_batches(
         keep_rows, batch_format="pyarrow")
     return kept, rep
+
+
+# ------------------------------------------------- incremental exact dedup
+
+# fingerprint-index bucket fanout: one directory per bucket, each ingest
+# appends at most one (idempotent, tmp+rename) parquet file per bucket
+FP_INDEX_BUCKETS = 64
+
+
+def _fp_bucket(fps, nb: int) -> np.ndarray:
+    """Stable string-key bucket (pd.util.hash_array — builtin hash is
+    PYTHONHASHSEED-unstable across workers, see triangles)."""
+    arr = np.asarray(fps, dtype=object)
+    return (pd.util.hash_array(arr) % np.uint64(nb)).astype(np.int64)
+
+
+def build_fp_index(fp_ds, index_dir: str, fp_col: str = "fp") -> dict:
+    """Initial fingerprint-index build: DISTINCT fps, hive-partitioned
+    `index_dir/fpb=<b>/` via the resumable sink (a crashed build re-run
+    skips finished buckets)."""
+    from .io import write_partitioned_resumable
+
+    def tag(b: pa.Table) -> pa.Table:
+        fps = b[fp_col].to_pylist()
+        return pa.table({fp_col: b[fp_col],
+                         "fpb": pa.array(_fp_bucket(fps,
+                                                    FP_INDEX_BUCKETS))})
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g[fp_col].to_numpy(object))
+        return pd.DataFrame({
+            fp_col: u,
+            "fpb": np.full(len(u), int(g["fpb"].iloc[0]), np.int64)})
+
+    ds = fp_ds.map_batches(tag, batch_format="pyarrow") \
+              .groupby("fpb").map_groups(distinct, batch_format="pandas")
+    return write_partitioned_resumable(ds, index_dir, "fpb")
+
+
+def incremental_dedup(new_fp_ds, index_dir: str, id_col: str = "doc_id",
+                      fp_col: str = "fp", ingest_tag: str = "ingest1",
+                      update_index: bool = True):
+    """Exact dedup of a NEW document batch against a persisted
+    fingerprint index (the 100-TB incremental-ingest shape: the corpus
+    fingerprints live on disk, each ingest streams once).
+
+    ONE coarse shuffle does both halves: new (id, fp) rows and the
+    matching index buckets union under the fp bucket; each bucket keeps
+    the min-id row per novel fp (present in the batch, absent from the
+    index) and — when update_index — appends those fps to its bucket
+    directory as `<ingest_tag>.parquet` (tmp+rename, so task retries
+    are idempotent; re-running the same ingest_tag overwrites, never
+    doubles).  Returns the novel survivor Dataset (doc_id, fp).
+    """
+    import ray.data as rd
+
+    from .io import read_parquet_clean, write_table
+
+    def tag_new(b: pa.Table) -> pa.Table:
+        fps = b[fp_col].to_pylist()
+        return pa.table({
+            id_col: pa.array(b[id_col].to_numpy(zero_copy_only=False)
+                             .astype(np.int64)),
+            fp_col: b[fp_col],
+            "fpb": pa.array(_fp_bucket(fps, FP_INDEX_BUCKETS))})
+
+    def tag_idx(b: pa.Table) -> pa.Table:
+        fps = b[fp_col].to_pylist()
+        return pa.table({
+            id_col: pa.array(np.full(len(fps), -1, np.int64)),
+            fp_col: b[fp_col],
+            "fpb": pa.array(_fp_bucket(fps, FP_INDEX_BUCKETS))})
+
+    sides = [new_fp_ds.map_batches(tag_new, batch_format="pyarrow")]
+    if os.path.isdir(index_dir) and any(
+            d.startswith("fpb=") for d in os.listdir(index_dir)):
+        idx = read_parquet_clean(index_dir, columns=[fp_col])
+        sides.append(idx.map_batches(tag_idx, batch_format="pyarrow"))
+    both = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(np.int64)
+        fps = g[fp_col].to_numpy(object)
+        is_idx = ids < 0
+        seen = np.unique(fps[is_idx])
+        nid, nfp = ids[~is_idx], fps[~is_idx]
+        if len(nid) == 0:
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 fp_col: pd.Series([], dtype=object)})
+        # min id per fp among the new rows
+        order = np.lexsort((nid, nfp))
+        nid, nfp = nid[order], nfp[order]
+        first = np.concatenate([[True], nfp[1:] != nfp[:-1]])
+        nid, nfp = nid[first], nfp[first]
+        if len(seen):
+            p = np.minimum(np.searchsorted(seen, nfp), len(seen) - 1)
+            novel = seen[p] != nfp
+            nid, nfp = nid[novel], nfp[novel]
+        out = pd.DataFrame({id_col: nid, fp_col: nfp})
+        if update_index and len(out):
+            bid = int(g["fpb"].iloc[0])
+            write_table(
+                pa.table({fp_col: pa.array(list(nfp), pa.string())}),
+                os.path.join(index_dir, f"fpb={bid}",
+                             f"{ingest_tag}.parquet"))
+        return out
+
+    return both.groupby("fpb").map_groups(bucket, batch_format="pandas")

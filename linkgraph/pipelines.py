@@ -1110,6 +1110,30 @@ def q_dedup_exact(sf_dir):
     return exact_dedup(q_text_fingerprint(sf_dir), key="fp", id_col="doc_id")
 
 
+def q_dedup_incremental(sf_dir):
+    """Two-phase incremental exact dedup: even doc_ids build a persisted
+    bucketed fingerprint index, odd doc_ids then ingest against it —
+    novel survivors (min id per unseen fp) come back, and their fps are
+    appended to the index (idempotent per-bucket files)."""
+    import tempfile
+
+    from .dedup import build_fp_index, incremental_dedup
+
+    fp = q_text_fingerprint(sf_dir).materialize()  # two consumers
+
+    def half(even: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 2 == 0) == even))
+        return f
+
+    idx_dir = tempfile.mkdtemp(prefix="fpindex_", dir="/tmp")
+    build_fp_index(fp.map_batches(half(True), batch_format="pyarrow"),
+                   idx_dir)
+    return incremental_dedup(
+        fp.map_batches(half(False), batch_format="pyarrow"), idx_dir)
+
+
 def q_dedup_minhash(sf_dir):
     import ray.data as rd
 
@@ -2999,6 +3023,17 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_clean": _corpus_clean_sql(),
     "dedup_exact": (f"SELECT min(doc_id) AS doc_id FROM documents "
                     f"GROUP BY {_FP_SQL}"),
+    # incremental two-phase dedup: evens are the persisted index, odds
+    # ingest against it (dedup.incremental_dedup)
+    "dedup_incremental": f"""
+        WITH f AS MATERIALIZED (
+          SELECT doc_id, {_FP_SQL} AS fp FROM documents),
+        idx AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+        nw AS (SELECT min(doc_id) AS doc_id, fp
+               FROM f WHERE doc_id % 2 = 1 GROUP BY fp)
+        SELECT doc_id, fp FROM nw
+        WHERE fp NOT IN (SELECT fp FROM idx)
+    """,
     # embedding is list<float>; cast to DOUBLE[] so DuckDB computes the
     # cosine in float64 like the engine (float32 diverges in the 6th
     # rounded digit -> value-hash mismatch, VERDICT r1 #1)
@@ -3482,6 +3517,7 @@ QUERIES = {
     "text_perplexity": q_text_perplexity,
     "text_langid": q_text_langid,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "corpus_clean": q_corpus_clean,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,

@@ -433,3 +433,36 @@ def test_sage_mean_features_paths(monkeypatch):
                                           rd.from_arrow(ft)))
     assert got["v"].tolist() == dist["v"].tolist()
     np.testing.assert_allclose(got["mean_x"], dist["mean_x"], atol=2e-6)
+
+
+def test_incremental_dedup_index_roundtrip(tmp_path):
+    """Novel survivors match the naive two-phase rule; the appended
+    index makes an identical second ingest come back EMPTY; a crashed
+    partial build resumes without doubling."""
+    from linkgraph.dedup import build_fp_index, incremental_dedup
+
+    def fp_table(ids, fps):
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(fps, pa.string())})
+
+    idx_dir = str(tmp_path / "fpidx")
+    phase_a = fp_table([0, 2, 4, 6], ["A", "B", "A", "C"])
+    rep = build_fp_index(rd.from_arrow(phase_a), idx_dir)
+    assert rep["written"] > 0
+    # resume: re-running the finished build writes nothing new
+    rep2 = build_fp_index(rd.from_arrow(phase_a), idx_dir)
+    assert rep2["written"] == 0 and rep2["skipped"] == rep["written"]
+
+    # new batch: B is already indexed; D dups inside the batch (min id
+    # 3 survives); E is novel
+    phase_b = fp_table([1, 3, 5, 7, 9], ["B", "D", "D", "E", "A"])
+    novel = incremental_dedup(rd.from_arrow(phase_b), idx_dir,
+                              ingest_tag="t1").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert novel["doc_id"].tolist() == [3, 7]
+    assert novel["fp"].tolist() == ["D", "E"]
+
+    # the ingest appended D and E: the same batch again is all dups
+    again = incremental_dedup(rd.from_arrow(phase_b), idx_dir,
+                              ingest_tag="t2").to_pandas()
+    assert len(again) == 0
