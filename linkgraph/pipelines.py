@@ -1110,6 +1110,20 @@ def q_dedup_exact(sf_dir):
     return exact_dedup(q_text_fingerprint(sf_dir), key="fp", id_col="doc_id")
 
 
+SHARD_SIZE = 100
+
+
+def q_shuffle_shards(sf_dir):
+    """Deterministic global shuffle + training-shard assignment over the
+    corpus (doc_id, shard, pos) — rank via ordered hash-range buckets,
+    no global sort."""
+    from .shuffle import shuffle_shard_ranks
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+    return shuffle_shard_ranks(docs, shard_size=SHARD_SIZE)
+
+
 def q_dedup_incremental(sf_dir):
     """Two-phase incremental exact dedup: even doc_ids build a persisted
     bucketed fingerprint index, odd doc_ids then ingest against it —
@@ -2777,6 +2791,32 @@ def _neighbor_sample_sql(seeds=NS_SEEDS, fanouts=NS_FANOUTS) -> str:
     return f"WITH {', '.join(ctes)} {' UNION ALL '.join(unions)}"
 
 
+def _shuffle_shards_sql(shard_size=None) -> str:
+    """SQL twin of shuffle.shuffle_shard_ranks (seed 0): the identical
+    murmur finalizer on doc_id in HUGEINT; the hash is bijective so
+    ORDER BY z is total and row_number is deterministic."""
+    if shard_size is None:
+        shard_size = SHARD_SIZE
+    return f"""
+        WITH z0 AS (SELECT doc_id,
+                           (doc_id::HUGEINT % {_W64})::UBIGINT AS z
+                    FROM documents),
+        z1 AS (SELECT doc_id, xor(z, z >> 33) AS z FROM z0),
+        z2 AS (SELECT doc_id,
+                      {_mulmod64_sql('z', 0xFF51AFD7ED558CCD)}::UBIGINT
+                      AS z FROM z1),
+        z3 AS (SELECT doc_id, xor(z, z >> 29) AS z FROM z2),
+        z4 AS (SELECT doc_id,
+                      {_mulmod64_sql('z', 0xC4CEB9FE1A85EC53)}::UBIGINT
+                      AS z FROM z3),
+        zf AS (SELECT doc_id, xor(z, z >> 32) AS z FROM z4)
+        SELECT doc_id, (pos // {shard_size})::BIGINT AS shard, pos
+        FROM (SELECT doc_id,
+                     (row_number() OVER (ORDER BY z) - 1)::BIGINT AS pos
+              FROM zf)
+    """
+
+
 def _redact_sql() -> str:
     """SQL twin of q_text_redact: the identical PII injection concat,
     then the identical RE2 patterns applied in the identical order
@@ -3025,6 +3065,7 @@ ORACLE_SQL: dict[str, str] = {
                     f"GROUP BY {_FP_SQL}"),
     # incremental two-phase dedup: evens are the persisted index, odds
     # ingest against it (dedup.incremental_dedup)
+    "shuffle_shards": _shuffle_shards_sql(),
     "dedup_incremental": f"""
         WITH f AS MATERIALIZED (
           SELECT doc_id, {_FP_SQL} AS fp FROM documents),
@@ -3518,6 +3559,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
+    "shuffle_shards": q_shuffle_shards,
     "corpus_clean": q_corpus_clean,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,

@@ -466,3 +466,37 @@ def test_incremental_dedup_index_roundtrip(tmp_path):
     again = incremental_dedup(rd.from_arrow(phase_b), idx_dir,
                               ingest_tag="t2").to_pandas()
     assert len(again) == 0
+
+
+def test_shuffle_shards_rank_and_export(tmp_path):
+    """Global positions are a permutation matching a single-process
+    argsort of the same hash; export writes resumable shard dirs and a
+    re-run skips them all."""
+    from linkgraph.shuffle import (_id_hash, export_shards,
+                                   shuffle_shard_ranks)
+
+    ids = np.arange(333, dtype=np.int64) * 7 % 1000  # non-contiguous
+    ids = np.unique(ids)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "text": pa.array([f"t{i}" for i in ids])})
+    ranks = shuffle_shard_ranks(rd.from_arrow(t.select(["doc_id"])),
+                                shard_size=50).to_pandas()
+    assert sorted(ranks["pos"]) == list(range(len(ids)))
+    want_order = ids[np.argsort(_id_hash(ids))]
+    got_order = ranks.sort_values("pos")["doc_id"].to_numpy()
+    assert (got_order == want_order).all()
+    assert (ranks["shard"] == ranks["pos"] // 50).all()
+    # different seed -> different permutation
+    r2 = shuffle_shard_ranks(rd.from_arrow(t.select(["doc_id"])),
+                             shard_size=50, seed=99).to_pandas()
+    assert (r2.sort_values("pos")["doc_id"].to_numpy()
+            != got_order).any()
+
+    out = str(tmp_path / "shards")
+    rep = export_shards(rd.from_arrow(t), ranks, out)
+    n_shards = ranks["shard"].nunique()
+    assert rep["written"] == n_shards
+    rep2 = export_shards(rd.from_arrow(t), ranks, out)
+    assert rep2["written"] == 0 and rep2["skipped"] == n_shards
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == len(ids)
