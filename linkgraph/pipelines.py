@@ -843,6 +843,49 @@ def q_text_top_tokens(sf_dir):
                 .reset_index(drop=True)
 
 
+TOP_BIGRAMS_K = 20
+
+
+def q_text_top_bigrams(sf_dir):
+    """Top-20 word-bigram pairs by corpus count (the first BPE-style
+    merge-candidate scan): same combiner + distinct-key groupby +
+    partial-top-k shape as q_text_top_tokens, bigrams composed from the
+    flat token stream via list parent indices (no per-row loop)."""
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(_arr(b["text"]), r"\s+")
+        toks = pc.list_flatten(lists).to_pandas()
+        par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ok = (toks.to_numpy(object) != "")
+        toks, par = toks[ok].reset_index(drop=True), par[ok]
+        if len(par) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        m = par[:-1] == par[1:]
+        bg = (toks.iloc[:-1].reset_index(drop=True)[m] + " "
+              + toks.iloc[1:].reset_index(drop=True)[m])
+        vc = bg.value_counts()
+        return pa.table({"bigram": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    counts = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").sum("n")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().rename(columns={"sum(n)": "n"})
+        pdf = pdf.sort_values(["n", "bigram"], ascending=[False, True],
+                              kind="mergesort").head(TOP_BIGRAMS_K)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    parts = counts.map_batches(local_top,
+                               batch_format="pyarrow").to_pandas()
+    return parts.sort_values(["n", "bigram"], ascending=[False, True],
+                             kind="mergesort").head(TOP_BIGRAMS_K) \
+                .reset_index(drop=True)
+
+
 def q_sample_quota(sf_dir):
     """Deterministic per-group quota sample: at most 5 docs per
     lang:source group, chosen by (sha256(doc_id), doc_id) priority
@@ -1467,6 +1510,17 @@ def q_events_session(sf_dir):
     from .windows import session_window
 
     return session_window(_events(sf_dir), gap_s=1800)
+
+
+def q_events_running(sf_dir):
+    """Per-user running cumulative value (window scan), exact integer
+    cents, deterministic (ts, event_id) order."""
+    from .windows import running_user_totals
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "ts", "user_id",
+                                     "value"])
+    return running_user_totals(ev)
 
 
 def q_events_rollup(sf_dir):
@@ -3003,6 +3057,25 @@ ORACLE_SQL: dict[str, str] = {
                    "AS n_punct FROM documents"),
     "text_fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
     "text_redact": _redact_sql(),
+    # BPE merge-candidate scan: same \s+ split convention as
+    # text_top_tokens; ties broken (n DESC, bigram ASC) on both sides
+    "text_top_bigrams": f"""
+        WITH wl AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text,
+                 '\\s+'), x -> x <> '') AS l
+          FROM documents),
+        w AS (SELECT doc_id, unnest(l) AS w,
+                     generate_subscripts(l, 1) AS i FROM wl),
+        big AS (
+          SELECT w || ' ' || w2 AS bigram FROM (
+            SELECT doc_id, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+            FROM w) WHERE w2 IS NOT NULL),
+        c AS (SELECT bigram, count(*)::BIGINT AS n
+              FROM big GROUP BY bigram)
+        SELECT bigram, n FROM c ORDER BY n DESC, bigram
+        LIMIT {TOP_BIGRAMS_K}
+    """,
     # add-one bigram LM over the corpus itself (lm.perplexity_scores):
     # same double expression (cb+1)/(cu+V) and ln/exp; per-doc float sums
     # associate differently (numpy vs DuckDB order), equal after round-6
@@ -3110,6 +3183,19 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_nation_revenue": _REL.NATION_REVENUE_SQL,
     # exact integer-cents sums: floor(v*100+0.5) is the IDENTICAL float64
     # expression on both sides, so totals match bit-for-bit at any scale
+    # running window scan, exact integer cents (same floor(v*100+0.5))
+    "events_running": """
+        WITH c AS (SELECT event_id, user_id, ts,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          AS cents
+                   FROM events)
+        SELECT event_id, user_id,
+               row_number() OVER w AS rn,
+               sum(cents) OVER w / 100.0 AS running_value
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """,
     "events_rollup": """
         WITH c AS (
           SELECT event_type,
@@ -3544,6 +3630,7 @@ QUERIES = {
     "text_tokens": q_text_tokens,
     "text_tokens_bpe": q_text_tokens_bpe,
     "text_top_tokens": q_text_top_tokens,
+    "text_top_bigrams": q_text_top_bigrams,
     "text_top_tokens_by_lang": q_text_top_tokens_by_lang,
     "sample_quota": q_sample_quota,
     "sample_stratified": q_sample_stratified,
@@ -3580,6 +3667,7 @@ QUERIES = {
     "tpch_parts_shipped": q_tpch_parts_shipped,
     "pack_sequences": q_pack_sequences,
     "events_rollup": q_events_rollup,
+    "events_running": q_events_running,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,

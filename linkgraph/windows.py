@@ -151,3 +151,47 @@ def rollup_events(ds, ts: str = "ts", key: str = "event_type",
     out["n_events"] = out["n_events"].astype(np.int64)
     out["day"] = out["day"].astype(np.int64)
     return out[["event_type", "day", "n_events", "total_value"]]
+
+
+def running_user_totals(ds, key: str = "user_id", ts: str = "ts",
+                        value: str = "value", id_col: str = "event_id"):
+    """Per-key running cumulative aggregate (the streaming window-scan:
+    sum(value) OVER (PARTITION BY key ORDER BY ts, id)): one coarse
+    key-bucket shuffle, one in-bucket lexsort + per-segment cumsum.
+    Values accumulate as integer cents (exact at any scale); rn is the
+    1-based position within the key's timeline."""
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64())
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(b[value].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        return pa.table({id_col: b[id_col], key: pa.array(k),
+                         "us": us, "cents": pa.array(cents),
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        ev = g[id_col].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((ev, us, k))
+        k, us, ev, cents = k[order], us[order], ev[order], cents[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        seg_lens = np.diff(np.concatenate([starts, [len(k)]]))
+        run = np.cumsum(cents)
+        prev = np.concatenate([[0], run[starts[1:] - 1]]) \
+            if len(starts) else np.empty(0, np.int64)
+        base = np.repeat(prev, seg_lens)
+        pos = np.arange(len(k), dtype=np.int64)
+        seg0 = np.repeat(pos[starts], seg_lens)
+        return pd.DataFrame({id_col: ev, key: k,
+                             "rn": pos - seg0 + 1,
+                             "running_value": (run - base) / 100.0})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby("kb").map_groups(scan, batch_format="pandas")

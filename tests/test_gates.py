@@ -500,3 +500,28 @@ def test_shuffle_shards_rank_and_export(tmp_path):
     assert rep2["written"] == 0 and rep2["skipped"] == n_shards
     back = rd.read_parquet(out).to_pandas()
     assert len(back) == len(ids)
+
+
+def test_running_totals_naive_parity():
+    from linkgraph.windows import running_user_totals
+
+    rng = np.random.default_rng(9)
+    n = 400
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(rng.integers(0, 10**9, n).astype("int64"),
+                       pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 12, n).astype(np.int64)),
+        "value": pa.array(np.round(rng.random(n) * 200 - 50, 2))})
+    got = running_user_totals(rd.from_arrow(t)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    df = t.to_pandas()
+    df["cents"] = np.floor(df["value"] * 100 + 0.5).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["rn"] = df.groupby("user_id").cumcount() + 1
+    df["running_value"] = df.groupby("user_id")["cents"].cumsum() / 100.0
+    df = df.sort_values("event_id").reset_index(drop=True)
+    assert got["rn"].tolist() == df["rn"].tolist()
+    assert got["running_value"].tolist() == df["running_value"].tolist()
+    assert got["user_id"].tolist() == df["user_id"].tolist()
