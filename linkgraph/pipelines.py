@@ -905,6 +905,16 @@ def q_sample_quota(sf_dir):
                         key="k", id_col="doc_id", n=QUOTA_N)
 
 
+def q_sketch_cms(sf_dir):
+    """Count-Min sketch point estimates for a fixed probe list
+    (sketch.cms_token_counts): (token, est, true_n), est >= true_n."""
+    from .sketch import cms_token_counts
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+    return cms_token_counts(docs)
+
+
 def q_sketch_distinct(sf_dir):
     """KMV distinct-token-count sketch (sketch.kmv_distinct_tokens):
     per-block k-smallest sha256 partials, tiny driver merge; the k-th
@@ -2973,6 +2983,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
     "sample_stratified": _stratified_sql(),
     "sketch_distinct": _SK.kmv_sql(),
+    "sketch_cms": _SK.cms_sql(),
     "text_quality": _quality_sql(),
     "embed_centroids": EMBED_CENTROIDS_SQL,
     "semantic_dedup": _semdedup_sql(SEMDEDUP_ROUNDS),
@@ -3635,6 +3646,7 @@ QUERIES = {
     "sample_quota": q_sample_quota,
     "sample_stratified": q_sample_stratified,
     "sketch_distinct": q_sketch_distinct,
+    "sketch_cms": q_sketch_cms,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,

@@ -90,3 +90,170 @@ def kmv_sql(k: int = KMV_K) -> str:
                    AS est_distinct
         FROM kth
     """
+
+
+# ----------------------------------------------------------- count-min
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+# fixed row seeds (xor'd into the word hash before the finalizer)
+CMS_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)
+CMS_PROBES = ("batch", "data", "join", "merge", "spark", "the",
+              "zzz-not-in-corpus")
+
+
+def _finalize(z: np.ndarray) -> np.ndarray:
+    """Murmur3 finalizer (the shared avalanche, uint64 wraparound)."""
+    with np.errstate(over="ignore"):
+        z = z.astype(np.uint64).copy()
+        z ^= z >> np.uint64(33)
+        z *= np.uint64(0xFF51AFD7ED558CCD)
+        z ^= z >> np.uint64(29)
+        z *= np.uint64(0xC4CEB9FE1A85EC53)
+        z ^= z >> np.uint64(32)
+    return z
+
+
+def _cms_cell(h: np.ndarray, j: int, width: int) -> np.ndarray:
+    return (_finalize(h ^ np.uint64(CMS_SEEDS[j]))
+            % np.uint64(width)).astype(np.int64)
+
+
+def cms_token_counts(ds, probes=CMS_PROBES, text_col: str = "text",
+                     width: int = CMS_WIDTH) -> pd.DataFrame:
+    """Count-Min sketch over the corpus token stream (lowercased
+    whitespace words, the shared 64-bit word hash) + point estimates
+    for a fixed probe list: (token, est, true_n), est >= true_n always
+    (the classic overestimate bound).
+
+    The sketch is depth x width int64 cells (32 KB) — per-batch
+    bincount partials sum on the DRIVER, no shuffle at any corpus
+    size.  True counts ride the same pass (tiny probe set broadcast).
+    The SQL twin reproduces every cell count exactly (probe hashes and
+    cells injected as literals, same convention as the LSH planes).
+    """
+    from .text import _avalanche_poly, _batch_word_hashes
+
+    d, w = CMS_DEPTH, width
+    codes = np.frombuffer("".join(probes).encode("utf-32-le"),
+                          dtype=np.uint32)
+    lens = np.array([len(p) for p in probes], dtype=np.int64)
+    starts = np.cumsum(lens) - lens
+    ph = _avalanche_poly(codes, starts, lens)
+    ph_sorted = np.sort(ph)
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, h, _ = _batch_word_hashes(b[text_col].to_pylist())
+        idx = np.concatenate(
+            [j * w + _cms_cell(h, j, w) for j in range(d)]) \
+            if len(h) else np.empty(0, np.int64)
+        cells = np.bincount(idx, minlength=d * w).astype(np.int64)
+        p = np.minimum(np.searchsorted(ph_sorted, h),
+                       max(len(ph_sorted) - 1, 0))
+        hits = h[(len(ph_sorted) > 0) & (ph_sorted[p] == h)] \
+            if len(h) else np.empty(0, np.uint64)
+        tc = np.array([(hits == x).sum() for x in ph], dtype=np.int64)
+        return pa.table({"cells": pa.array([cells.tolist()],
+                                           pa.list_(pa.int64())),
+                         "tc": pa.array([tc.tolist()],
+                                        pa.list_(pa.int64()))})
+
+    cells = np.zeros(d * w, np.int64)
+    true_n = np.zeros(len(probes), np.int64)
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow", batch_size=None):
+        for row in t["cells"].to_pylist():
+            cells += np.asarray(row, dtype=np.int64)
+        for row in t["tc"].to_pylist():
+            true_n += np.asarray(row, dtype=np.int64)
+
+    est = np.array([min(cells[j * w + int(_cms_cell(
+        np.array([ph[i]], np.uint64), j, w)[0])] for j in range(d))
+        for i in range(len(probes))], dtype=np.int64)
+    out = pd.DataFrame({"token": list(probes), "est": est,
+                        "true_n": true_n})
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def cms_sql(probes=CMS_PROBES, width: int = CMS_WIDTH) -> str:
+    """SQL twin: word-occurrence hashes via the shared prefix fold
+    (words here are < 16 chars, where the 16-round fold == the
+    full-length fold), 4 finalizer chains (one per seed), exact cell
+    counts, probe hashes/cells as Python-computed literals."""
+    from .text import _avalanche_poly
+
+    codes = np.frombuffer("".join(probes).encode("utf-32-le"),
+                          dtype=np.uint32)
+    lens = np.array([len(p) for p in probes], dtype=np.int64)
+    starts = np.cumsum(lens) - lens
+    ph = _avalanche_poly(codes, starts, lens)
+    d, w = CMS_DEPTH, width
+
+    fnv = 1099511628211
+    w64 = "18446744073709551616::HUGEINT"
+
+    def mulmod(x, c):
+        lo = c & 0xFFFFFFFF
+        hi = c >> 32
+        return (f"(({x} % 4294967296) * {lo} + "
+                f"((({x} // 4294967296) * {lo} + ({x} % 4294967296) * {hi})"
+                f" % 4294967296) * 4294967296::HUGEINT) % {w64}")
+
+    fold = "0::HUGEINT"
+    for jj in range(16):
+        fold = (f"(CASE WHEN length(w) > {jj} THEN (({fold}) * {fnv} + "
+                f"unicode(substr(w,{jj + 1},1))) % {w64} "
+                f"ELSE ({fold}) END)")
+
+    cell_rows = []
+    for j in range(d):
+        seed = CMS_SEEDS[j]
+        z = f"xor(h, {seed}::UBIGINT)"
+        z = f"xor({z}, ({z}) >> 33)"
+        z = f"({mulmod(f'({z})::HUGEINT', 0xFF51AFD7ED558CCD)})::UBIGINT"
+        z = f"xor({z}, ({z}) >> 29)"
+        z = f"({mulmod(f'({z})::HUGEINT', 0xC4CEB9FE1A85EC53)})::UBIGINT"
+        z = f"xor({z}, ({z}) >> 32)"
+        cell_rows.append(
+            f"SELECT {j} AS j, (({z}) % {w})::BIGINT AS cell FROM wh")
+    cells_union = " UNION ALL ".join(cell_rows)
+
+    probe_vals = ",\n               ".join(
+        f"('{p}'," + ", ".join(
+            str(int(_cms_cell(np.array([ph[i]], np.uint64), j, w)[0]))
+            for j in range(d)) + ")"
+        for i, p in enumerate(probes))
+
+    est_exprs = " , ".join(
+        f"coalesce((SELECT c FROM counts WHERE j = {j} AND "
+        f"cell = pr.c{j}), 0)" for j in range(d))
+
+    return f"""
+        WITH words AS MATERIALIZED (
+          SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(text),
+                   '[ \t\n]+')) AS w
+            FROM documents) WHERE length(w) > 0),
+        wh0 AS (SELECT w, ({fold})::UBIGINT AS h0 FROM words),
+        wh1 AS (SELECT w, xor(h0, h0 >> 33) AS h1 FROM wh0),
+        wh2 AS (SELECT w,
+                ({mulmod('h1::HUGEINT', 0xFF51AFD7ED558CCD)})::UBIGINT
+                AS h2 FROM wh1),
+        wh3 AS (SELECT w, xor(h2, h2 >> 29) AS h3 FROM wh2),
+        wh4 AS (SELECT w,
+                ({mulmod('h3::HUGEINT', 0xC4CEB9FE1A85EC53)})::UBIGINT
+                AS h4 FROM wh3),
+        wh AS MATERIALIZED (SELECT w, xor(h4, h4 >> 32) AS h FROM wh4),
+        cells AS MATERIALIZED ({cells_union}),
+        counts AS MATERIALIZED (
+          SELECT j, cell, count(*)::BIGINT AS c
+          FROM cells GROUP BY j, cell),
+        pr(token, {', '.join(f'c{j}' for j in range(d))}) AS (
+          VALUES {probe_vals})
+        SELECT pr.token,
+               least({est_exprs}) AS est,
+               (SELECT count(*) FROM words ww
+                WHERE ww.w = pr.token)::BIGINT AS true_n
+        FROM pr ORDER BY pr.token
+    """

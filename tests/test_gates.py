@@ -525,3 +525,37 @@ def test_running_totals_naive_parity():
     assert got["rn"].tolist() == df["rn"].tolist()
     assert got["running_value"].tolist() == df["running_value"].tolist()
     assert got["user_id"].tolist() == df["user_id"].tolist()
+
+
+def test_cms_naive_parity_and_bound():
+    """The distributed sketch equals a single-process naive build
+    exactly; every estimate upper-bounds the true count; the absent
+    probe estimates whatever its cells collide with (>= 0)."""
+    from collections import Counter
+
+    from linkgraph.sketch import (CMS_DEPTH, CMS_WIDTH, _cms_cell,
+                                  cms_token_counts)
+    from linkgraph.text import _batch_word_hashes
+
+    texts = [f"tok{i % 17} tok{i % 5} shared common words here"
+             for i in range(50)]
+    t = pa.table({"text": pa.array(texts)})
+    got = cms_token_counts(rd.from_arrow(t),
+                           probes=("shared", "tok3", "absenttok"))
+
+    _, h, _ = _batch_word_hashes(texts)
+    cells = np.zeros(CMS_DEPTH * CMS_WIDTH, np.int64)
+    for j in range(CMS_DEPTH):
+        np.add.at(cells, j * CMS_WIDTH + _cms_cell(h, j, CMS_WIDTH), 1)
+    true = Counter(w for txt in texts for w in txt.lower().split())
+    for _, r in got.iterrows():
+        assert r.true_n == true.get(r.token, 0)
+        assert r.est >= r.true_n
+    # exact naive-vs-distributed cell parity via one probe's estimate
+    from linkgraph.text import _avalanche_poly
+    name = "shared"
+    codes = np.frombuffer(name.encode("utf-32-le"), dtype=np.uint32)
+    ph = _avalanche_poly(codes, np.array([0]), np.array([len(name)]))
+    want = min(int(cells[j * CMS_WIDTH + int(_cms_cell(
+        ph, j, CMS_WIDTH)[0])]) for j in range(CMS_DEPTH))
+    assert int(got.set_index("token").loc["shared", "est"]) == want
