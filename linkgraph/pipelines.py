@@ -458,6 +458,119 @@ def q_doc_cc(sf_dir):
     return _state_result(eng, "label", "label")
 
 
+COMP_TOP_K = 10
+LABEL_BROADCAST_CAP = 5_000_000
+
+
+def q_doc_component_stats(sf_dir):
+    """Top-10 connected components by size: (label, n_vertices,
+    n_edges) — the CC labels join back onto the canonical edge list
+    (every edge is intra-component, so grouping by the src's label is
+    exact).  Label table broadcasts under LABEL_BROADCAST_CAP, else a
+    coarse v-bucket lookup join; counts merge in one label-bucket
+    shuffle + partial top-k."""
+    import ray
+
+    from .algos import connected_components
+    from .algos.triangles import n_buckets_for
+
+    eng = documents_engine(sf_dir, "undirected")
+    rep = connected_components(eng)
+    _check_unroll(rep, CC_ROUNDS, "doc_component_stats")
+    labels = _state_result(eng, "label", "label").materialize()
+    edges = documents_edges(sf_dir)
+    nv = labels.count()
+    nb = n_buckets_for(2 * nv)
+
+    def count_tbl(lab: np.ndarray, col: str) -> pa.Table:
+        u, c = np.unique(lab, return_counts=True)
+        other = "ec" if col == "vc" else "vc"
+        z = np.zeros(len(u), np.int64)
+        cols = {"label": pa.array(u, pa.int64()),
+                col: pa.array(c.astype(np.int64)), other: pa.array(z),
+                "lb": pa.array((u % nb).astype(np.int64))}
+        return pa.table({k: cols[k] for k in ("label", "vc", "ec", "lb")})
+
+    def vpart(b: pa.Table) -> pa.Table:
+        return count_tbl(b["label"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64), "vc")
+
+    if nv <= LABEL_BROADCAST_CAP:
+        vs, ls = [], []
+        for t in labels.iter_batches(batch_format="pyarrow",
+                                     batch_size=None):
+            vs.append(t["v"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+            ls.append(t["label"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+        la = np.concatenate(ls) if ls else np.empty(0, np.int64)
+        o = np.argsort(v)
+        lref = ray.put((v[o], la[o]))
+
+        def epart(b: pa.Table) -> pa.Table:
+            v_, l_ = ray.get(lref)
+            s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lab = l_[np.searchsorted(v_, s)]  # every src is labeled
+            return count_tbl(lab, "ec")
+
+        eparts = edges.map_batches(epart, batch_format="pyarrow")
+    else:
+        vb = n_buckets_for(nv)
+
+        def tag_edge(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"v": pa.array(s),
+                             "label": pa.array(np.full(len(s), -1,
+                                                       np.int64)),
+                             "jb": pa.array((s % vb).astype(np.int64))})
+
+        def tag_lab(b: pa.Table) -> pa.Table:
+            vv = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"v": pa.array(vv), "label": b["label"],
+                             "jb": pa.array((vv % vb).astype(np.int64))})
+
+        def bucket_lookup(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g["label"].to_numpy(np.int64)
+            vv = g["v"].to_numpy(np.int64)
+            is_l = lab >= 0
+            lv, ll = vv[is_l], lab[is_l]
+            o = np.argsort(lv)
+            lv, ll = lv[o], ll[o]
+            ev = vv[~is_l]
+            if len(ev) == 0 or len(lv) == 0:
+                return count_tbl(np.empty(0, np.int64), "ec").to_pandas()
+            got = ll[np.searchsorted(lv, ev)]
+            return count_tbl(got, "ec").to_pandas()
+
+        both = edges.map_batches(tag_edge, batch_format="pyarrow").union(
+            labels.map_batches(tag_lab, batch_format="pyarrow"))
+        eparts = both.groupby("jb").map_groups(
+            bucket_lookup, batch_format="pandas") \
+            .map_batches(lambda b: b, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u, inv = np.unique(g["label"].to_numpy(np.int64),
+                           return_inverse=True)
+        vc = np.bincount(inv, weights=g["vc"].to_numpy(np.float64),
+                         minlength=len(u)).astype(np.int64)
+        ec = np.bincount(inv, weights=g["ec"].to_numpy(np.float64),
+                         minlength=len(u)).astype(np.int64)
+        out = pd.DataFrame({"label": u, "n_vertices": vc, "n_edges": ec})
+        return out.sort_values(["n_vertices", "label"],
+                               ascending=[False, True],
+                               kind="mergesort").head(COMP_TOP_K)
+
+    both_counts = labels.map_batches(vpart, batch_format="pyarrow") \
+        .union(eparts)
+    parts = both_counts.groupby("lb").map_groups(
+        merge, batch_format="pandas").to_pandas()
+    return parts.sort_values(["n_vertices", "label"],
+                             ascending=[False, True],
+                             kind="mergesort").head(COMP_TOP_K) \
+        .reset_index(drop=True)
+
+
 def q_doc_labelprop(sf_dir):
     from .algos import label_propagation
 
@@ -2963,6 +3076,19 @@ ORACLE_SQL: dict[str, str] = {
     "doc_wpagerank": _wpagerank_sql(PR_ITERS, 6),
     "doc_pagerank_iter1": _pagerank_sql(1, 9),
     "doc_cc": _cc_sql(CC_ROUNDS),
+    # component stats: the full unrolled CC oracle nested as a CTE
+    # (same convention as corpus_clean nesting the minhash oracle)
+    "doc_component_stats": f"""
+        WITH cc AS MATERIALIZED ({_cc_sql(CC_ROUNDS)}),
+        ecnt AS (SELECT cc.label, count(*)::BIGINT AS n_edges
+                 FROM ({DOC_EDGES_SQL}) e JOIN cc ON cc.v = e.src
+                 GROUP BY cc.label),
+        vcnt AS (SELECT label, count(*)::BIGINT AS n_vertices
+                 FROM cc GROUP BY label)
+        SELECT v.label, v.n_vertices, coalesce(e.n_edges, 0) AS n_edges
+        FROM vcnt v LEFT JOIN ecnt e USING (label)
+        ORDER BY v.n_vertices DESC, v.label LIMIT {COMP_TOP_K}
+    """,
     "doc_labelprop": _lp_sql(LP_ROUNDS),
     "doc_bfs": _bfs_sql(BFS_ROUNDS),
     "doc_bc": _bc_sql(BFS_ROUNDS, 6),
@@ -3620,6 +3746,7 @@ QUERIES = {
     "doc_wpagerank": q_doc_wpagerank,
     "doc_pagerank_iter1": q_doc_pagerank_iter1,
     "doc_cc": q_doc_cc,
+    "doc_component_stats": q_doc_component_stats,
     "doc_labelprop": q_doc_labelprop,
     "doc_bfs": q_doc_bfs,
     "doc_bc": q_doc_bc,

@@ -559,3 +559,14 @@ def test_cms_naive_parity_and_bound():
     want = min(int(cells[j * CMS_WIDTH + int(_cms_cell(
         ph, j, CMS_WIDTH)[0])]) for j in range(CMS_DEPTH))
     assert int(got.set_index("token").loc["shared", "est"]) == want
+
+
+def test_component_stats_paths_equal(sf_dir, monkeypatch):
+    import linkgraph.pipelines as P
+
+    a = P.q_doc_component_stats(sf_dir)
+    monkeypatch.setattr(P, "LABEL_BROADCAST_CAP", -1)
+    b = P.q_doc_component_stats(sf_dir)
+    pd.testing.assert_frame_equal(a, b)
+    # sanity: the vertex counts sum to <= |documents| and edges > 0
+    assert a["n_vertices"].iloc[0] > 1 and a["n_edges"].iloc[0] > 0
