@@ -579,6 +579,85 @@ def q_doc_labelprop(sf_dir):
     return _state_result(eng, "label", "label")
 
 
+def q_doc_modularity(sf_dir):
+    """Newman modularity of the label-propagation communities over the
+    undirected doc graph: Q = A/m - B/(4 m^2) with A = intra-community
+    edge count, B = sum over communities of (degree sum)^2, m = |E| —
+    all-integer aggregates, ONE float expression at the end (identical
+    on both sides, no association risk)."""
+    import ray
+
+    from .algos import label_propagation
+    from .algos.triangles import _vertex_degrees, n_buckets_for
+
+    eng = documents_engine(sf_dir, "undirected")
+    label_propagation(eng, max_iters=LP_ROUNDS)
+    labels = _state_result(eng, "label", "label").materialize()
+    edges = documents_edges(sf_dir).materialize()
+    m = edges.count()
+    if m == 0:
+        return pd.DataFrame({"modularity": [0.0]})
+    nv = labels.count()
+
+    # label lookup (broadcast under the same cap as component stats;
+    # the bucketed twin reuses that query's machinery — at doc-graph
+    # scale the |V|-sized label array is the canonical broadcast case)
+    vs, ls = [], []
+    for t in labels.iter_batches(batch_format="pyarrow", batch_size=None):
+        vs.append(t["v"].to_numpy(zero_copy_only=False).astype(np.int64))
+        ls.append(t["label"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+    v = np.concatenate(vs)
+    la = np.concatenate(ls)
+    o = np.argsort(v)
+    lref = ray.put((v[o], la[o]))
+    if nv > LABEL_BROADCAST_CAP:  # pragma: no cover - doc graphs are small
+        raise NotImplementedError(
+            "label table above broadcast cap: route through the "
+            "bucketed lookup in q_doc_component_stats")
+
+    def intra(b: pa.Table) -> pa.Table:
+        v_, l_ = ray.get(lref)
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = int((l_[np.searchsorted(v_, s)]
+                 == l_[np.searchsorted(v_, d)]).sum())
+        return pa.table({"a": pa.array([a], pa.int64())})
+
+    a_total = int(edges.map_batches(intra, batch_format="pyarrow")
+                  .sum("a") or 0)
+
+    nb = n_buckets_for(2 * nv)
+    degrees = _vertex_degrees(edges, m)
+
+    def dpart(b: pa.Table) -> pa.Table:
+        v_, l_ = ray.get(lref)
+        vv = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = b["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = l_[np.searchsorted(v_, vv)]
+        u, inv = np.unique(lab, return_inverse=True)
+        ds_ = np.bincount(inv, weights=dg.astype(np.float64),
+                          minlength=len(u)).astype(np.int64)
+        return pa.table({"label": pa.array(u, pa.int64()),
+                         "d": pa.array(ds_),
+                         "lb": pa.array((u % nb).astype(np.int64))})
+
+    def dmerge(g: pd.DataFrame) -> pd.DataFrame:
+        u, inv = np.unique(g["label"].to_numpy(np.int64),
+                           return_inverse=True)
+        dsum = np.bincount(inv, weights=g["d"].to_numpy(np.float64),
+                           minlength=len(u)).astype(np.int64)
+        return pd.DataFrame({"b": [int((dsum.astype(object) ** 2).sum())]})
+
+    b_total = int(degrees.map_batches(dpart, batch_format="pyarrow")
+                  .groupby("lb").map_groups(dmerge, batch_format="pandas")
+                  .to_pandas()["b"].sum())
+    q = a_total / m - b_total / (4.0 * m * m)
+    return pd.DataFrame({"m": [int(m)], "intra": [a_total],
+                         "deg_sq_sum": [b_total],
+                         "modularity": [round(q, 9)]})
+
+
 def q_doc_bfs(sf_dir):
     from .algos import bfs
 
@@ -3090,6 +3169,26 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY v.n_vertices DESC, v.label LIMIT {COMP_TOP_K}
     """,
     "doc_labelprop": _lp_sql(LP_ROUNDS),
+    # modularity: all-integer A/B/m aggregates (unrolled-LP CTE nested),
+    # ONE float expression at the end — identical on both sides
+    "doc_modularity": f"""
+        WITH lp AS MATERIALIZED ({_lp_sql(LP_ROUNDS)}),
+        e AS MATERIALIZED ({DOC_EDGES_SQL}),
+        mm AS (SELECT count(*)::BIGINT AS m FROM e),
+        aa AS (SELECT count(*)::BIGINT AS a FROM e
+               JOIN lp ls ON ls.v = e.src
+               JOIN lp ld ON ld.v = e.dst
+               WHERE ls.label = ld.label),
+        deg AS (SELECT src AS v, count(*)::BIGINT AS d
+                FROM ({DOC_SYM_SQL}) GROUP BY src),
+        dc AS (SELECT lp.label, sum(deg.d)::BIGINT AS dsum
+               FROM deg JOIN lp ON lp.v = deg.v GROUP BY lp.label),
+        bb AS (SELECT sum(dsum * dsum)::BIGINT AS b FROM dc)
+        SELECT mm.m, aa.a AS intra, bb.b AS deg_sq_sum,
+               round(aa.a / mm.m - bb.b / (4.0 * mm.m * mm.m), 9)
+                   AS modularity
+        FROM mm, aa, bb
+    """,
     "doc_bfs": _bfs_sql(BFS_ROUNDS),
     "doc_bc": _bc_sql(BFS_ROUNDS, 6),
     "doc_bc_sampled": _bc_sampled_sql(BC_SAMPLE_ROOTS, BFS_ROUNDS, 6),
@@ -3748,6 +3847,7 @@ QUERIES = {
     "doc_cc": q_doc_cc,
     "doc_component_stats": q_doc_component_stats,
     "doc_labelprop": q_doc_labelprop,
+    "doc_modularity": q_doc_modularity,
     "doc_bfs": q_doc_bfs,
     "doc_bc": q_doc_bc,
     "doc_bc_sampled": q_doc_bc_sampled,
