@@ -283,3 +283,123 @@ def _key_filter_join(left_ds, right_ds, key: str, anti: bool,
         return lf.loc[~hit if anti else hit].reset_index(drop=True)
 
     return u.groupby("kb").map_groups(bucket_filter, batch_format="pandas")
+
+
+ATTACH_BROADCAST_CAP = 5_000_000
+
+
+def attach_by_key(probe_ds, map_ds, probe_cols, key: str, value: str,
+                  out_prefix: str = ""):
+    """Gated lookup join: attach `value` from the (key, value) map table
+    onto each of `probe_cols` in the probe Dataset (every probe key must
+    exist in the map — an inner semantics with full coverage, e.g.
+    vertex -> CC/LP label, vertex -> degree).
+
+    Map tables under ATTACH_BROADCAST_CAP rows broadcast once (sorted
+    arrays, ray.put) and the attach is a per-batch searchsorted — zero
+    shuffles.  Larger maps co-group probes and map rows under a coarse
+    key bucket per probe column (one shuffle per column), the same
+    union + groupby shape as the other gated joins (robust to Ray
+    2.49's empty-hash-partition join crash).
+
+    Output columns: probe columns unchanged + `{out_prefix}{value}_<c>`
+    per probe column c.
+    """
+    import ray
+
+    map_ds = map_ds.materialize()
+    nmap = map_ds.count()
+
+    if nmap <= ATTACH_BROADCAST_CAP:
+        ks, vs = [], []
+        for t in map_ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=None):
+            ks.append(t[key].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+            vs.append(t[value].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        k = np.concatenate(ks) if ks else np.empty(0, np.int64)
+        v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+        o = np.argsort(k)
+        mref = ray.put((k[o], v[o]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            mk, mv = ray.get(mref)
+            for c in probe_cols:
+                p = b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                got = mv[np.searchsorted(mk, p)]
+                b = b.append_column(f"{out_prefix}{value}_{c}",
+                                    pa.array(got, pa.int64()))
+            return b
+
+        return probe_ds.map_batches(attach, batch_format="pyarrow")
+
+    # bucketed twin: one co-group pass per probe column
+    from .runtime import tune_context
+    tune_context()
+
+    out = probe_ds
+    nb = _n_buckets(nmap)
+    for c in probe_cols:
+        vcol = f"{out_prefix}{value}_{c}"
+
+        def tag_probe(b: pa.Table, c=c) -> pa.Table:
+            p = b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.append_column(
+                "__is_map", pa.array(np.zeros(b.num_rows, np.int8))) \
+                .append_column("__k", pa.array(p)) \
+                .append_column("__v", pa.array(
+                    np.zeros(b.num_rows, np.int64))) \
+                .append_column("__jb", pa.array(_key_bucket(p, nb)))
+
+        probe_tagged = out.map_batches(
+            tag_probe, batch_format="pyarrow").materialize()
+        # pad the map side to the probe schema (union needs one schema);
+        # capture (name, type) pairs EAGERLY — never close over a Dataset
+        schema = probe_tagged.schema().base_schema
+        fields = tuple((f.name, f.type) for f in schema)
+
+        def pad_map(b: pa.Table, fields=fields) -> pa.Table:
+            k_ = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            v_ = b[value].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(k_)
+            have = {"__is_map": pa.array(np.ones(n, np.int8)),
+                    "__k": pa.array(k_), "__v": pa.array(v_),
+                    "__jb": pa.array(_key_bucket(k_, nb))}
+
+            def zero(typ):
+                # typed zeros, NOT nulls: a null int column turns
+                # float64 through the pandas map_groups conversion
+                try:
+                    return pa.array(np.zeros(n, dtype=typ
+                                             .to_pandas_dtype()),
+                                    type=typ)
+                except (pa.ArrowNotImplementedError, TypeError,
+                        ValueError):
+                    return pa.nulls(n, typ)
+
+            cols = {name: have.get(name, zero(typ))
+                    for name, typ in fields}
+            return pa.table(cols)
+
+        def bucket(g: pd.DataFrame, vcol=vcol) -> pd.DataFrame:
+            is_map = g["__is_map"].to_numpy(np.int8) == 1
+            mk = g.loc[is_map, "__k"].to_numpy(np.int64)
+            mv = g.loc[is_map, "__v"].to_numpy(np.int64)
+            o = np.argsort(mk)
+            mk, mv = mk[o], mv[o]
+            pr = g.loc[~is_map].drop(columns=["__is_map", "__v", "__jb"])
+            if len(pr) == 0:
+                pr = pr.drop(columns=["__k"])
+                pr[vcol] = pd.Series([], dtype=np.int64)
+                return pr
+            pk = pr["__k"].to_numpy(np.int64)
+            pr = pr.drop(columns=["__k"])
+            pr[vcol] = mv[np.searchsorted(mk, pk)]
+            return pr
+
+        out = probe_tagged.union(map_ds.map_batches(
+            pad_map, batch_format="pyarrow")) \
+            .groupby("__jb").map_groups(bucket, batch_format="pandas") \
+            .map_batches(lambda b: b, batch_format="pyarrow")
+    return out

@@ -585,10 +585,9 @@ def q_doc_modularity(sf_dir):
     edge count, B = sum over communities of (degree sum)^2, m = |E| —
     all-integer aggregates, ONE float expression at the end (identical
     on both sides, no association risk)."""
-    import ray
-
     from .algos import label_propagation
     from .algos.triangles import _vertex_degrees, n_buckets_for
+    from .joins import attach_by_key
 
     eng = documents_engine(sf_dir, "undirected")
     label_propagation(eng, max_iters=LP_ROUNDS)
@@ -599,42 +598,26 @@ def q_doc_modularity(sf_dir):
         return pd.DataFrame({"modularity": [0.0]})
     nv = labels.count()
 
-    # label lookup (broadcast under the same cap as component stats;
-    # the bucketed twin reuses that query's machinery — at doc-graph
-    # scale the |V|-sized label array is the canonical broadcast case)
-    vs, ls = [], []
-    for t in labels.iter_batches(batch_format="pyarrow", batch_size=None):
-        vs.append(t["v"].to_numpy(zero_copy_only=False).astype(np.int64))
-        ls.append(t["label"].to_numpy(zero_copy_only=False)
-                  .astype(np.int64))
-    v = np.concatenate(vs)
-    la = np.concatenate(ls)
-    o = np.argsort(v)
-    lref = ray.put((v[o], la[o]))
-    if nv > LABEL_BROADCAST_CAP:  # pragma: no cover - doc graphs are small
-        raise NotImplementedError(
-            "label table above broadcast cap: route through the "
-            "bucketed lookup in q_doc_component_stats")
+    # labels attach through the gated lookup join (broadcast under
+    # joins.ATTACH_BROADCAST_CAP, coarse bucket co-group above)
+    lab_edges = attach_by_key(edges, labels, ["src", "dst"],
+                              key="v", value="label")
 
     def intra(b: pa.Table) -> pa.Table:
-        v_, l_ = ray.get(lref)
-        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a = int((l_[np.searchsorted(v_, s)]
-                 == l_[np.searchsorted(v_, d)]).sum())
+        a = int(pc.sum(pc.cast(pc.equal(b["label_src"], b["label_dst"]),
+                               pa.int64())).as_py() or 0)
         return pa.table({"a": pa.array([a], pa.int64())})
 
-    a_total = int(edges.map_batches(intra, batch_format="pyarrow")
+    a_total = int(lab_edges.map_batches(intra, batch_format="pyarrow")
                   .sum("a") or 0)
 
     nb = n_buckets_for(2 * nv)
-    degrees = _vertex_degrees(edges, m)
+    degrees = attach_by_key(_vertex_degrees(edges, m), labels, ["v"],
+                            key="v", value="label")
 
     def dpart(b: pa.Table) -> pa.Table:
-        v_, l_ = ray.get(lref)
-        vv = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         dg = b["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lab = l_[np.searchsorted(v_, vv)]
+        lab = b["label_v"].to_numpy(zero_copy_only=False).astype(np.int64)
         u, inv = np.unique(lab, return_inverse=True)
         ds_ = np.bincount(inv, weights=dg.astype(np.float64),
                           minlength=len(u)).astype(np.int64)

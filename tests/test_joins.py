@@ -168,3 +168,39 @@ def test_semi_anti_string_keys_and_empty_right():
     empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
     assert semi_join(left, empty, "k").count() == 0
     assert anti_join(left, empty, "k").count() == 4
+
+
+def test_attach_by_key_paths_equal(monkeypatch):
+    """Gated lookup join: broadcast path == bucketed co-group path,
+    multiple probe columns, int keys."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    import linkgraph.joins as J
+
+    rng = np.random.default_rng(4)
+    keys = np.arange(50, dtype=np.int64) * 3
+    vals = rng.integers(0, 7, 50).astype(np.int64)
+    mp = pa.table({"v": pa.array(keys), "label": pa.array(vals)})
+    s = keys[rng.integers(0, 50, 300)]
+    d = keys[rng.integers(0, 50, 300)]
+    probe = pa.table({"src": pa.array(s), "dst": pa.array(d)})
+
+    def norm(ds):
+        return ds.to_pandas().sort_values(["src", "dst"]) \
+            .reset_index(drop=True)
+
+    a = norm(J.attach_by_key(rd.from_arrow(probe), rd.from_arrow(mp),
+                             ["src", "dst"], key="v", value="label"))
+    monkeypatch.setattr(J, "ATTACH_BROADCAST_CAP", -1)
+    b = norm(J.attach_by_key(rd.from_arrow(probe), rd.from_arrow(mp),
+                             ["src", "dst"], key="v", value="label"))
+    lut = dict(zip(keys.tolist(), vals.tolist()))
+    want_src = a["src"].map(lut)
+    assert (a["label_src"] == want_src).all()
+    assert (a["label_dst"] == a["dst"].map(lut)).all()
+    pd.testing.assert_frame_equal(
+        a, b[a.columns.tolist()].sort_values(["src", "dst"])
+        .reset_index(drop=True), check_like=True)
