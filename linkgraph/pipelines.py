@@ -1291,6 +1291,21 @@ def q_text_redact(sf_dir):
                                 "text_redacted"])
 
 
+CHUNK_WORDS, CHUNK_OVERLAP = 32, 8
+
+
+def q_text_chunks(sf_dir):
+    """RAG-prep chunking: 32-word chunks with 8-word overlap
+    (doc_id, chunk_id, chunk, n_words), fully vectorized."""
+    from .text import chunk_documents
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: chunk_documents(b, CHUNK_WORDS, CHUNK_OVERLAP),
+        batch_format="pyarrow")
+
+
 def q_text_perplexity(sf_dir):
     """Per-doc add-one bigram-LM quality scores (the CCNet/Dolma
     perplexity-filter signal), model trained on the corpus itself."""
@@ -3295,6 +3310,31 @@ ORACLE_SQL: dict[str, str] = {
         SELECT bigram, n FROM c ORDER BY n DESC, bigram
         LIMIT {TOP_BIGRAMS_K}
     """,
+    # chunking: l[a:b] is 1-based end-inclusive; ceil float division
+    # matches np.ceil exactly (small integer ratios)
+    "text_chunks": f"""
+        WITH wl AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text,
+                 '\\s+'), x -> x <> '') AS l
+          FROM documents),
+        wn AS (SELECT doc_id, l, len(l) AS n FROM wl WHERE len(l) > 0),
+        ks AS (SELECT doc_id, l, n,
+                      unnest(range(0, 1 + CASE WHEN n > {CHUNK_WORDS}
+                             THEN CAST(ceil((n - {CHUNK_WORDS}) /
+                                  {CHUNK_WORDS - CHUNK_OVERLAP}.0)
+                                  AS BIGINT)
+                             ELSE 0 END)) AS k
+               FROM wn)
+        SELECT doc_id, k AS chunk_id,
+               array_to_string(
+                 l[k*{CHUNK_WORDS - CHUNK_OVERLAP}+1 :
+                   k*{CHUNK_WORDS - CHUNK_OVERLAP}+{CHUNK_WORDS}],
+                 ' ') AS chunk,
+               least({CHUNK_WORDS},
+                     n - k*{CHUNK_WORDS - CHUNK_OVERLAP})::BIGINT
+                   AS n_words
+        FROM ks
+    """,
     # add-one bigram LM over the corpus itself (lm.perplexity_scores):
     # same double expression (cb+1)/(cu+V) and ln/exp; per-doc float sums
     # associate differently (numpy vs DuckDB order), equal after round-6
@@ -3865,6 +3905,7 @@ QUERIES = {
     "text_redact": q_text_redact,
     "decontaminate": q_decontaminate,
     "text_perplexity": q_text_perplexity,
+    "text_chunks": q_text_chunks,
     "text_langid": q_text_langid,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,

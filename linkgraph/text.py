@@ -635,3 +635,58 @@ def redact_pii(batch: pa.Table, col: str = "text",
             pc.cast(pc.count_substring_regex(s, pat), pa.int64()))
         s = pc.replace_substring_regex(s, pattern=pat, replacement=tok)
     return batch.append_column(out, s)
+
+
+def chunk_documents(batch: pa.Table, chunk_words: int = 32,
+                    overlap: int = 8, id_col: str = "doc_id",
+                    col: str = "text") -> pa.Table:
+    """RAG-prep chunking: split each doc's whitespace words into
+    fixed-size chunks with overlap (stride = chunk_words - overlap).
+    n_chunks = 1 + ceil(max(n - chunk_words, 0) / stride); chunk k
+    covers words [k*stride, k*stride + chunk_words).  Fully vectorized:
+    one flat token gather (np.repeat + cumsum index trick) + one Arrow
+    binary_join_element_wise-free list join per batch.
+    """
+    assert 0 <= overlap < chunk_words
+    stride = chunk_words - overlap
+    lists = pc.split_pattern_regex(
+        batch[col].combine_chunks() if isinstance(batch[col],
+                                                  pa.ChunkedArray)
+        else batch[col], r"\s+")
+    flat = pc.list_flatten(lists)
+    par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    par = par[keep]
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(ids)
+    n_words = np.bincount(par, minlength=n_docs)
+    doc0 = np.cumsum(n_words) - n_words  # flat start per doc
+    extra = np.ceil(np.maximum(n_words - chunk_words, 0)
+                    / stride).astype(np.int64)
+    n_chunks = np.where(n_words > 0, 1 + extra, 0)
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "chunk_id": pa.array([], pa.int64()),
+                         "chunk": pa.array([], pa.string()),
+                         "n_words": pa.array([], pa.int64())})
+    cdoc = np.repeat(np.arange(n_docs), n_chunks)
+    c0 = np.cumsum(n_chunks) - n_chunks
+    k = np.arange(total) - c0[cdoc]          # chunk index within doc
+    start = k * stride
+    clen = np.minimum(chunk_words, n_words[cdoc] - start)
+    gstart = doc0[cdoc] + start
+    # flat gather indices for every chunk (overlaps duplicate tokens)
+    tot_tok = int(clen.sum())
+    cg0 = np.cumsum(clen) - clen
+    gidx = np.repeat(gstart - cg0, clen) + np.arange(tot_tok)
+    toks = flat.take(pa.array(gidx, pa.int64()))
+    offsets = np.concatenate([[0], np.cumsum(clen)]).astype(np.int32)
+    chunk_lists = pa.ListArray.from_arrays(pa.array(offsets,
+                                                    pa.int32()), toks)
+    chunks = pc.binary_join(chunk_lists, " ")
+    return pa.table({id_col: pa.array(ids[cdoc], pa.int64()),
+                     "chunk_id": pa.array(k, pa.int64()),
+                     "chunk": chunks,
+                     "n_words": pa.array(clen.astype(np.int64))})

@@ -652,3 +652,33 @@ def test_bmp_resize_nearest_neighbor_exact():
     assert st._resize_stats(pay) == BmpDecodeStage()._decode(pay)[2:]
     with pytest.raises(ValueError):
         st._resize_stats(b"NOPE" * 20)
+
+
+def test_chunk_documents_naive_parity():
+    import numpy as np
+    import pyarrow as pa
+
+    from linkgraph.text import chunk_documents
+
+    texts = ["w" + " w".join(str(i) for i in range(n)) if n else ""
+             for n in (0, 1, 5, 32, 33, 40, 80, 100)]
+    texts = [" ".join(f"t{i}" for i in range(n))
+             for n in (0, 1, 5, 32, 33, 40, 80, 100)]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = chunk_documents(t, 32, 8).to_pandas()
+    c, s = 32, 24
+    rows = []
+    for i, txt in enumerate(texts):
+        w = txt.split()
+        if not w:
+            continue
+        n = len(w)
+        nk = 1 + int(np.ceil(max(n - c, 0) / s))
+        for k in range(nk):
+            piece = w[k * s: k * s + c]
+            rows.append((i, k, " ".join(piece), len(piece)))
+    assert len(out) == len(rows)
+    for (i, k, piece, ln), (_, r) in zip(rows, out.iterrows()):
+        assert (r.doc_id, r.chunk_id, r.chunk, r.n_words) \
+            == (i, k, piece, ln)
