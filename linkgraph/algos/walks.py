@@ -177,3 +177,236 @@ def _walks_shuffle(edges_ds, seeds: list[int], steps: int,
         rows.append(state.assign(step=t))
     out = pd.concat(rows, ignore_index=True)[["walk_id", "step", "v"]]
     return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+# ------------------------------------------------ second-order (node2vec)
+
+def _tier(prev: int, n: int, srcs: np.ndarray, dsts: np.ndarray) -> int:
+    """node2vec neighbor class: 0 = distance-1 from prev (triadic,
+    preferred), 1 = return to prev, 2 = exploratory.  Membership test
+    on the (src-run, sorted dst) adjacency slice."""
+    lo = np.searchsorted(srcs, prev, "left")
+    hi = np.searchsorted(srcs, prev, "right")
+    if lo < hi:
+        p = np.searchsorted(dsts[lo:hi], n)
+        if p < hi - lo and dsts[lo + p] == n:
+            return 0
+    return 1 if n == prev else 2
+
+
+def _hash_pick_biased(walk_id: int, step: int, prev: int, cur: int,
+                      nbrs: np.ndarray, srcs: np.ndarray,
+                      dsts: np.ndarray) -> int:
+    """argmin over (tier, md5 hex, neighbor id) — the deterministic
+    second-order step rule (node2vec's p/q classes as a preference
+    ORDER instead of sampling weights, keeping runs reproducible and
+    SQL-checkable)."""
+    best = None
+    for n in nbrs:
+        t = _tier(prev, int(n), srcs, dsts)
+        h = hashlib.md5(
+            f"{walk_id}:{step}:{cur}:{n}".encode()).hexdigest()
+        k = (t, h, int(n))
+        if best is None or k < best:
+            best = k
+    return best[2]
+
+
+def node2vec_walks(edges_ds, seeds: list[int], steps: int,
+                   num_partitions: int = 8):
+    """Second-order deterministic walks: state is (prev, cur); among
+    cur's out-neighbors the walk prefers distance-1-from-prev (triadic
+    closure), then returning, then exploring, tie-breaking inside a
+    tier by the same md5 rule as deterministic_walks.  prev starts at
+    the seed itself (step 1 therefore reduces to the first-order
+    rule).  Sinks keep their whole state.  Returns (walk_id, step, v).
+
+    Plans: broadcast adjacency under WALK_ADJ_CAP (per-step
+    map_batches, tier checked against the same sorted arrays); above
+    the cap a 3-stage co-group per step (candidates by cur, tier marks
+    by prev, argmin by walk) — no broadcast of the edge set.
+    """
+    from ..io import from_pandas_clean
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        wid = np.repeat(np.arange(len(seeds), dtype=np.int64), steps + 1)
+        return from_pandas_clean(pd.DataFrame({
+            "walk_id": wid,
+            "step": np.tile(np.arange(steps + 1, dtype=np.int64),
+                            len(seeds)),
+            "v": np.repeat(np.asarray(seeds, dtype=np.int64),
+                           steps + 1)}))
+    if n_edges <= WALK_ADJ_CAP:
+        trail = _node2vec_broadcast(edges_ds, seeds, steps)
+    else:
+        trail = _node2vec_shuffle(edges_ds, seeds, steps)
+    return from_pandas_clean(trail)
+
+
+def _node2vec_broadcast(edges_ds, seeds, steps) -> pd.DataFrame:
+    import ray
+
+    srcs, dsts = _adj_arrays(edges_ds.to_pandas())
+    adj_ref = ray.put((srcs, dsts))
+    from ..io import from_pandas_clean
+
+    state = pd.DataFrame({
+        "walk_id": np.arange(len(seeds), dtype=np.int64),
+        "prev": np.asarray(seeds, dtype=np.int64),
+        "v": np.asarray(seeds, dtype=np.int64)})
+    rows = [state[["walk_id", "v"]].assign(step=0)]
+    walks = from_pandas_clean(state)
+    for t in range(1, steps + 1):
+        def advance(b: pa.Table, _t=t) -> pa.Table:
+            s, d = ray.get(adj_ref)
+            wid = b["walk_id"].to_numpy(zero_copy_only=False)
+            prev = b["prev"].to_numpy(zero_copy_only=False)
+            cur = b["v"].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(s, cur, "left")
+            hi = np.searchsorted(s, cur, "right")
+            nprev = prev.copy()
+            nxt = cur.copy()
+            for i in range(len(cur)):
+                if lo[i] < hi[i]:
+                    nprev[i] = cur[i]
+                    nxt[i] = _hash_pick_biased(
+                        int(wid[i]), _t, int(prev[i]), int(cur[i]),
+                        d[lo[i]:hi[i]], s, d)
+            return pa.table({"walk_id": pa.array(wid, pa.int64()),
+                             "prev": pa.array(nprev, pa.int64()),
+                             "v": pa.array(nxt, pa.int64())})
+
+        walks = walks.map_batches(advance, batch_format="pyarrow") \
+                     .materialize()
+        rows.append(walks.select_columns(["walk_id", "v"]).to_pandas()
+                    .assign(step=t))
+    out = pd.concat(rows, ignore_index=True)[["walk_id", "step", "v"]]
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+def _node2vec_shuffle(edges_ds, seeds, steps) -> pd.DataFrame:
+    """Per step: (A) co-group walks+edges by cur -> candidate rows;
+    (B) co-group candidates+edges by prev -> tier marks;
+    (C) groupby walk -> argmin (tier, md5, n)."""
+    from ..io import from_pandas_clean
+    from ..runtime import tune_context
+
+    tune_context()
+    e_by_src = edges_ds.map_batches(
+        lambda b: pa.table({
+            "key": pa.Array.from_pandas(
+                b["src"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "walk_id": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "prev": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "nbr": pa.Array.from_pandas(
+                b["dst"].to_numpy(zero_copy_only=False)
+                .astype(np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    state = pd.DataFrame({
+        "walk_id": np.arange(len(seeds), dtype=np.int64),
+        "prev": np.asarray(seeds, dtype=np.int64),
+        "v": np.asarray(seeds, dtype=np.int64)})
+    rows = [state[["walk_id", "v"]].assign(step=0)]
+    for t in range(1, steps + 1):
+        wt = from_pandas_clean(pd.DataFrame({
+            "key": state["v"].to_numpy(np.int64),
+            "walk_id": state["walk_id"].to_numpy(np.int64),
+            "prev": state["prev"].to_numpy(np.int64),
+            "nbr": np.full(len(state), -1, np.int64)}))
+
+        def cand(g: pd.DataFrame) -> pd.DataFrame:
+            ws = g.loc[g["walk_id"] >= 0, ["walk_id", "prev", "key"]]
+            nbrs = g.loc[(g["walk_id"] < 0) & (g["nbr"] >= 0), "nbr"] \
+                .to_numpy(np.int64)
+            out = []
+            for wid, prev, cur in ws.itertuples(index=False):
+                if len(nbrs) == 0:
+                    out.append((wid, prev, int(cur), -1))
+                else:
+                    out.extend((wid, prev, int(cur), int(n))
+                               for n in nbrs)
+            return pd.DataFrame(
+                out, columns=["walk_id", "prev", "cur", "n"]) if out \
+                else pd.DataFrame({"walk_id": np.empty(0, np.int64),
+                                   "prev": np.empty(0, np.int64),
+                                   "cur": np.empty(0, np.int64),
+                                   "n": np.empty(0, np.int64)})
+
+        cands = wt.union(e_by_src).groupby("key").map_groups(
+            cand, batch_format="pandas").materialize()
+
+        # stage B: mark tiers by prev (co-group with edges keyed src)
+        c_by_prev = cands.map_batches(
+            lambda b: pa.table({
+                "key": b["prev"], "walk_id": b["walk_id"],
+                "prev": b["prev"], "cur": b["cur"], "n": b["n"],
+                "is_edge": pa.array(np.zeros(b.num_rows, np.int8))}),
+            batch_format="pyarrow")
+        e2 = edges_ds.map_batches(
+            lambda b: pa.table({
+                "key": pa.Array.from_pandas(
+                    b["src"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)),
+                "walk_id": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "prev": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "cur": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "n": pa.Array.from_pandas(
+                    b["dst"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)),
+                "is_edge": pa.array(np.ones(b.num_rows, np.int8))}),
+            batch_format="pyarrow")
+
+        def mark(g: pd.DataFrame, _t=t) -> pd.DataFrame:
+            is_e = g["is_edge"].to_numpy(np.int8) == 1
+            pn = np.sort(g.loc[is_e, "n"].to_numpy(np.int64))
+            c = g.loc[~is_e]
+            if len(c) == 0:
+                return pd.DataFrame({
+                    "walk_id": np.empty(0, np.int64),
+                    "cur": np.empty(0, np.int64),
+                    "n": np.empty(0, np.int64),
+                    "tier": np.empty(0, np.int64),
+                    "h": pd.Series([], dtype=object)})
+            n_ = c["n"].to_numpy(np.int64)
+            prev_ = c["prev"].to_numpy(np.int64)
+            if len(pn):
+                p = np.minimum(np.searchsorted(pn, n_), len(pn) - 1)
+                isd1 = pn[p] == n_
+            else:
+                isd1 = np.zeros(len(n_), bool)
+            tier = np.where(isd1, 0, np.where(n_ == prev_, 1, 2))
+            tier = np.where(n_ < 0, -1, tier)  # sink marker rows
+            h = [hashlib.md5(f"{w}:{_t}:{cu}:{nn}".encode()).hexdigest()
+                 if nn >= 0 else ""
+                 for w, cu, nn in zip(c["walk_id"], c["cur"], n_)]
+            return pd.DataFrame({"walk_id": c["walk_id"].to_numpy(),
+                                 "cur": c["cur"].to_numpy(),
+                                 "n": n_, "tier": tier, "h": h})
+
+        marked = c_by_prev.union(e2).groupby("key").map_groups(
+            mark, batch_format="pandas")
+
+        def reduce_walk(g: pd.DataFrame) -> pd.DataFrame:
+            wid = int(g["walk_id"].iloc[0])
+            cur = int(g["cur"].iloc[0])
+            real = g[g["n"] >= 0]
+            if len(real) == 0:       # sink: keep whole state
+                prev_keep = state.loc[state.walk_id == wid, "prev"]
+                return pd.DataFrame({"walk_id": [wid],
+                                     "prev": prev_keep.to_numpy(np.int64),
+                                     "v": [cur]})
+            o = real.sort_values(["tier", "h", "n"]).iloc[0]
+            return pd.DataFrame({"walk_id": [wid], "prev": [cur],
+                                 "v": [int(o["n"])]})
+
+        nxt = marked.groupby("walk_id").map_groups(
+            reduce_walk, batch_format="pandas")
+        state = nxt.to_pandas().sort_values("walk_id") \
+            .reset_index(drop=True)
+        rows.append(state[["walk_id", "v"]].assign(step=t))
+    out = pd.concat(rows, ignore_index=True)[["walk_id", "step", "v"]]
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)

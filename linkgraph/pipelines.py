@@ -954,6 +954,20 @@ def q_doc_walks(sf_dir):
     return deterministic_walks(sym, seeds=WALK_SEEDS, steps=WALK_STEPS)
 
 
+N2V_STEPS = 6
+
+
+def q_doc_node2vec(sf_dir):
+    """Second-order (node2vec-style) deterministic walks: 6 steps from
+    docs 0-5, preference order triadic > return > exploratory with the
+    md5 rule inside a tier (algos/walks.node2vec_walks)."""
+    from .algos.walks import node2vec_walks
+    from .edges import symmetrize
+
+    sym = symmetrize(documents_edges(sf_dir))
+    return node2vec_walks(sym, seeds=WALK_SEEDS, steps=N2V_STEPS)
+
+
 def q_doc_adamic_adar(sf_dir):
     """Top-20 distance-2 pairs by Adamic-Adar score (algos/linkpred.py:
     bucketed wedge expansion + groupby sum + distributed sort/limit)."""
@@ -2617,6 +2631,42 @@ def _walks_sql(seeds: list[int], steps: int) -> str:
     return f"WITH {', '.join(ctes)} {selects}"
 
 
+def _node2vec_sql(seeds: list[int], steps: int) -> str:
+    """Unrolled second-order walk recurrence (algos/walks.node2vec_walks):
+    per step each walk ranks cur's out-neighbors by (tier, md5, n) with
+    tier 0 = edge(prev, n) exists, 1 = n == prev, 2 = else; sinks keep
+    their whole (prev, v) state; prev starts at the seed."""
+    seed_rows = ", ".join(f"({i}, {s}, {s})" for i, s in enumerate(seeds))
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            f"w0 AS MATERIALIZED (SELECT * FROM (VALUES {seed_rows}) "
+            "t(walk_id, prev, v))"]
+    for t in range(1, steps + 1):
+        p = f"w{t - 1}"
+        ctes.append(f"""w{t} AS MATERIALIZED (
+          SELECT {p}.walk_id,
+                 coalesce(c.nprev, {p}.prev) AS prev,
+                 coalesce(c.nxt, {p}.v) AS v
+          FROM {p} LEFT JOIN (
+            SELECT walk_id, nprev, nxt FROM (
+              SELECT {p}.walk_id, {p}.v AS nprev, sym.dst AS nxt,
+                     row_number() OVER (PARTITION BY {p}.walk_id
+                       ORDER BY CASE WHEN e.src IS NOT NULL THEN 0
+                                     WHEN sym.dst = {p}.prev THEN 1
+                                     ELSE 2 END,
+                                md5({p}.walk_id::VARCHAR || ':{t}:' ||
+                                    {p}.v::VARCHAR || ':' ||
+                                    sym.dst::VARCHAR),
+                                sym.dst) AS rn
+              FROM {p} JOIN sym ON sym.src = {p}.v
+              LEFT JOIN sym e ON e.src = {p}.prev
+                             AND e.dst = sym.dst)
+            WHERE rn = 1) c USING (walk_id))""")
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, v FROM w{t}"
+        for t in range(steps + 1))
+    return f"WITH {', '.join(ctes)} {selects}"
+
+
 ADAMIC_ADAR_SQL = f"""
     WITH sym AS MATERIALIZED ({DOC_SYM_SQL}),
     deg AS MATERIALIZED (
@@ -3203,6 +3253,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_coreness": _coreness_sql(CORENESS_ROUNDS),
     "doc_diameter": _diameter_sql(BFS_ROUNDS),
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
+    "doc_node2vec": _node2vec_sql(WALK_SEEDS, N2V_STEPS),
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
     "sample_stratified": _stratified_sql(),
     "sketch_distinct": _SK.kmv_sql(),
@@ -3887,6 +3938,7 @@ QUERIES = {
     "doc_coreness": q_doc_coreness,
     "doc_diameter": q_doc_diameter,
     "doc_walks": q_doc_walks,
+    "doc_node2vec": q_doc_node2vec,
     "doc_adamic_adar": q_doc_adamic_adar,
     "text_tokens": q_text_tokens,
     "text_tokens_bpe": q_text_tokens_bpe,

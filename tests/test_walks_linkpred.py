@@ -128,3 +128,37 @@ def test_adamic_adar_driver_equals_distributed():
     b = _adamic_adar_distributed(ds.materialize(), 12, 4).to_pandas() \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_node2vec_paths_and_step1(monkeypatch):
+    """Broadcast == shuffle plan; step 1 reduces to the first-order
+    rule (prev == seed makes every neighbor tier 0)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    import linkgraph.algos.walks as W
+
+    rng = np.random.default_rng(21)
+    s = rng.integers(0, 40, 300).astype(np.int64)
+    d = rng.integers(0, 40, 300).astype(np.int64)
+    keep = s != d
+    t = pa.table({"src": pa.array(np.concatenate([s[keep], d[keep]])),
+                  "dst": pa.array(np.concatenate([d[keep], s[keep]]))})
+    seeds, steps = [0, 1, 2], 4
+
+    a = W.node2vec_walks(rd.from_arrow(t), seeds, steps).to_pandas()
+    monkeypatch.setattr(W, "WALK_ADJ_CAP", -1)
+    b = W.node2vec_walks(rd.from_arrow(t), seeds, steps).to_pandas()
+    key = ["walk_id", "step"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+
+    monkeypatch.setattr(W, "WALK_ADJ_CAP", 5_000_000)
+    first = W.deterministic_walks(rd.from_arrow(t), seeds,
+                                  steps).to_pandas()
+    a1 = a[a.step <= 1].sort_values(key).reset_index(drop=True)
+    f1 = first[first.step <= 1].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a1, f1)
