@@ -177,3 +177,184 @@ def _adamic_adar_distributed(edges_ds, k: int, num_partitions: int):
             "aa": np.empty(0, np.float64)}))
     return rounded.sort(["aa", "u", "w"],
                         descending=[True, False, False]).limit(k)
+
+
+# --------------------------------------------------- multi-score widening
+#
+# The classic neighborhood link predictors share the SAME wedge set as
+# Adamic-Adar (Liben-Nowell & Kleinberg 2003): for each distance-2 pair
+# (u, w),
+#   cn  = |N(u) & N(w)|                       (common neighbors, exact int)
+#   aa  = sum 1/ln(deg(c)) over common c      (Adamic-Adar)
+#   jac = cn / (deg(u) + deg(w) - cn)         (Jaccard of neighborhoods;
+#         the denominator counts u/w themselves when adjacent — the
+#         standard set-of-neighbors definition, no self-exclusion)
+#   pref = deg(u) * deg(w)                    (preferential attachment)
+# so one pipeline computes all four: the wedge kernel emits per-pair
+# (cn, aa) partials pre-reduced inside each coarse center bucket, a
+# second coarse PAIR-bucket shuffle merges them (never a per-pair-key
+# hash aggregate), and degrees attach via the gated lookup join
+# (joins.attach_by_key: broadcast under ATTACH_BROADCAST_CAP, bucketed
+# co-group above).  Ranking: cn DESC, aa DESC (round-6 BEFORE ordering),
+# u ASC, w ASC — the integer primary key keeps the cut float-safe.
+
+def _lp_wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-pair (cn, aa) PARTIALS for one coarse center bucket, reduced
+    by composite pair key before leaving the task (combiner)."""
+    empty = pd.DataFrame({"u": np.empty(0, np.int64),
+                          "w": np.empty(0, np.int64),
+                          "cn": np.empty(0, np.int64),
+                          "aa": np.empty(0, np.float64)})
+    c = g["c"].to_numpy(np.int64)
+    n = g["n"].to_numpy(np.int64)
+    order = np.lexsort((n, c))
+    c, n = c[order], n[order]
+    starts = np.flatnonzero(np.concatenate([[True], c[1:] != c[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(c)]]))
+    seg = np.repeat(np.arange(len(starts)), lens)
+    pos = np.arange(len(c)) - starts[seg]
+    reps = lens[seg] - pos - 1
+    total = int(reps.sum())
+    if total == 0:
+        return empty
+    i_idx = np.repeat(np.arange(len(c)), reps)
+    csum = np.cumsum(reps) - reps
+    j_idx = i_idx + 1 + (np.arange(total) - csum[i_idx])
+    lf = lens.astype(np.float64)
+    wt = np.where(lens >= 2, 1.0 / np.log(np.maximum(lf, 2.0)), 0.0)
+    # lexsort on the raw (u, w) columns — no packed key, so full-range
+    # int64 ids are safe on the distributed path
+    u_, w_ = n[i_idx], n[j_idx]
+    ks = np.lexsort((w_, u_))
+    u_s, w_s = u_[ks], w_[ks]
+    a_s = wt[seg[i_idx]][ks]
+    st = np.flatnonzero(np.concatenate(
+        [[True], (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])]))
+    cn = np.diff(np.concatenate([st, [len(u_s)]])).astype(np.int64)
+    aa = np.add.reduceat(a_s, st)
+    return pd.DataFrame({"u": u_s[st], "w": w_s[st], "cn": cn, "aa": aa})
+
+
+def _lp_pair_merge(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge per-center-bucket pair partials inside one coarse pair
+    bucket (vectorized composite-key reduce; lexsort, no packed key)."""
+    u = g["u"].to_numpy(np.int64)
+    w = g["w"].to_numpy(np.int64)
+    o = np.lexsort((w, u))
+    u_s, w_s = u[o], w[o]
+    new = (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])
+    st = np.flatnonzero(np.concatenate([[True], new]))
+    seg_id = np.cumsum(np.concatenate([[0], new.astype(np.int64)]))
+    cn = np.bincount(seg_id, weights=g["cn"].to_numpy(np.float64)[o]) \
+        .astype(np.int64)
+    aa = np.bincount(seg_id, weights=g["aa"].to_numpy(np.float64)[o])
+    return pd.DataFrame({"u": u_s[st], "w": w_s[st], "cn": cn, "aa": aa})
+
+
+def _lp_finish(b: pa.Table) -> pa.Table:
+    du = b["degree_u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dw = b["degree_w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = b["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+    aa = b["aa"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "u": b["u"], "w": b["w"], "cn": pa.array(cn),
+        "aa": pa.array(np.round(aa, 6)),
+        "jac": pa.array(np.round(cn / (du + dw - cn), 6)),
+        "pref": pa.array(du * dw)})
+
+
+_LP_EMPTY = {"u": np.empty(0, np.int64), "w": np.empty(0, np.int64),
+             "cn": np.empty(0, np.int64), "aa": np.empty(0, np.float64),
+             "jac": np.empty(0, np.float64), "pref": np.empty(0, np.int64)}
+
+
+def _lp_local(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver twin of the distributed plan: same pair set, same scores,
+    same rounding/ordering (tested equal)."""
+    s = pdf["src"].to_numpy(np.int64)
+    d = pdf["dst"].to_numpy(np.int64)
+    keep = s != d
+    lo = np.minimum(s[keep], d[keep])
+    hi = np.maximum(s[keep], d[keep])
+    if len(lo) == 0:
+        return pd.DataFrame(_LP_EMPTY)
+    edges = np.unique((lo << 32) | hi)
+    lo, hi = edges >> 32, edges & 0xFFFFFFFF
+    c = np.concatenate([lo, hi]).astype(np.int64)
+    n = np.concatenate([hi, lo]).astype(np.int64)
+    part = _lp_wedges_bucket(pd.DataFrame({"c": c, "n": n}))
+    if len(part) == 0:
+        return pd.DataFrame(_LP_EMPTY)
+    # degrees: every endpoint appears as a center in the symmetric rows
+    vs, deg = np.unique(c, return_counts=True)
+    uu = part["u"].to_numpy(np.int64)
+    ww = part["w"].to_numpy(np.int64)
+    cn = part["cn"].to_numpy(np.int64)
+    aa = np.round(part["aa"].to_numpy(np.float64), 6)
+    du = deg[np.searchsorted(vs, uu)]
+    dw = deg[np.searchsorted(vs, ww)]
+    jac = np.round(cn / (du + dw - cn), 6)
+    pa_ = (du * dw).astype(np.int64)
+    sel = np.lexsort((ww, uu, -aa, -cn))[:k]
+    return pd.DataFrame({"u": uu[sel], "w": ww[sel], "cn": cn[sel],
+                         "aa": aa[sel], "jac": jac[sel],
+                         "pref": pa_[sel]})
+
+
+def link_prediction_topk(edges_ds, k: int = 20):
+    """Top-k distance-2 pairs by (cn desc, aa desc, u, w) with all four
+    neighborhood scores.  Size-gated: driver kernel under DRIVER_AA_CAP
+    edges, distributed twin above (coarse center buckets -> coarse pair
+    buckets -> gated degree attach -> sort/limit)."""
+    from ..io import from_pandas_clean
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges <= DRIVER_AA_CAP:
+        pdf = edges_ds.to_pandas()
+        if len(pdf) == 0 or max(pdf["src"].max(), pdf["dst"].max()) < 2 ** 31:
+            return from_pandas_clean(_lp_local(pdf, k))
+    return _lp_distributed(edges_ds, n_edges, k)
+
+
+def _lp_distributed(edges_ds, n_edges: int, k: int):
+    from ..io import from_pandas_clean
+    from ..joins import attach_by_key
+    from ..runtime import tune_context
+    from .triangles import _vertex_degrees, canon_dedup_ds, n_buckets_for
+
+    tune_context()
+    # 2 consumers (wedges + degrees): materialize the shared node
+    canon = canon_dedup_ds(edges_ds, n_edges).materialize()
+    nb = n_buckets_for(2 * n_edges)
+
+    def sym_tag(b: pa.Table) -> pa.Table:
+        t = _sym_rows(b)
+        return t.append_column("wb", pa.array(
+            (t["c"].to_numpy(zero_copy_only=False) % nb).astype(np.int64)))
+
+    parts = (canon.map_batches(sym_tag, batch_format="pyarrow")
+             .groupby("wb").map_groups(_lp_wedges_bucket,
+                                       batch_format="pandas")
+             .materialize())
+    n_parts = parts.count()
+    if n_parts == 0:
+        return from_pandas_clean(pd.DataFrame(_LP_EMPTY))
+    nb2 = n_buckets_for(n_parts)
+
+    def pb_tag(b: pa.Table) -> pa.Table:
+        from .triangles import _pair_bucket
+
+        return b.append_column("pb", pa.array(_pair_bucket(
+            b["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["w"].to_numpy(zero_copy_only=False).astype(np.int64), nb2)))
+
+    scored = (parts.map_batches(pb_tag, batch_format="pyarrow")
+              .groupby("pb").map_groups(_lp_pair_merge,
+                                        batch_format="pandas"))
+    deg = _vertex_degrees(canon, n_edges)
+    attached = attach_by_key(scored, deg, ["u", "w"],
+                             key="v", value="degree")
+    finished = attached.map_batches(_lp_finish, batch_format="pyarrow")
+    return finished.sort(["cn", "aa", "u", "w"],
+                         descending=[True, True, False, False]).limit(k)

@@ -988,6 +988,90 @@ def semantic_dedup_ids(emb_ds, n_vertices: int, store_dir: str,
     return kept, rep
 
 
+def minhash_cluster_ids(docs_ds, n_vertices: int, store_dir: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        threshold: float = 0.7,
+                        fingerprint: str | None = None):
+    """Near-dup CLUSTER ASSIGNMENT — the artifact a large-scale cleaning
+    pipeline actually materializes: (doc_id, cluster_id) for EVERY
+    document, where cluster_id is the minimum doc id reachable through
+    the MinHash+LSH verified near-dup graph (transitive closure via
+    connected components on the superstep engine, the same two-subsystem
+    composition as semantic_dedup_ids).  Documents in no near-dup pair
+    are their own cluster.
+
+    Scale shape: pairs are the size-gated LSH pipeline's output (never
+    all-pairs); CC runs on the engine (per-partition supersteps, not a
+    driver union-find); and the final attach is joins.attach_by_key with
+    missing="self" — the deviating-label map (only pair-involved docs
+    can deviate) broadcasts under ATTACH_BROADCAST_CAP and co-groups
+    under a coarse key bucket above it.  Returns (assignment Dataset
+    [id_col, cluster_id], cc_report | None).
+    """
+    import ray
+
+    from .graph import load_undirected, suggest_partitions
+    from .joins import attach_by_key
+
+    def self_clusters():
+        def ident(b: pa.Table) -> pa.Table:
+            ids = b[id_col]
+            return pa.table({id_col: ids,
+                             "cluster_id": pc.cast(ids, pa.int64())})
+
+        return docs_ds.select_columns([id_col]).map_batches(
+            ident, batch_format="pyarrow")
+
+    pairs = minhash_dedup_pairs(docs_ds, id_col=id_col, text_col=text_col,
+                                threshold=threshold)
+    pairs_is_ds = not isinstance(pairs, pd.DataFrame)
+    if pairs_is_ds:
+        pairs = pairs.materialize()
+        n_pairs = pairs.count()
+    else:
+        n_pairs = len(pairs)
+    if n_pairs == 0:
+        return self_clusters(), None
+    if pairs_is_ds:
+        edges = pairs.map_batches(
+            lambda b: pa.table({"src": b["a"], "dst": b["b"]}),
+            batch_format="pyarrow")
+        involved = _involved_ids(pairs)
+    else:
+        edges = from_pandas_clean(
+            pairs[["a", "b"]].rename(columns={"a": "src", "b": "dst"}))
+        involved = np.unique(np.concatenate(
+            [pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+        ).astype(np.int64)
+
+    eng = load_undirected(edges, n_vertices,
+                          suggest_partitions(2 * n_pairs, 4),
+                          store_dir, fingerprint=fingerprint)
+    from .algos import connected_components
+
+    rep = connected_components(eng)
+    inv_ref = ray.put(involved)
+
+    def deviating(b: pa.Table) -> pa.Table:
+        want = ray.get(inv_ref)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(want, v), len(want) - 1)
+        return b.filter(pa.array((want[pos] == v) & (lab != v)))
+
+    dev = eng.state_dataset(["label"]).map_batches(
+        deviating, batch_format="pyarrow")
+    out = attach_by_key(docs_ds.select_columns([id_col]), dev,
+                        [id_col], key="v", value="label", missing="self")
+    eng.shutdown()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b[id_col],
+                         "cluster_id": b[f"label_{id_col}"]})
+
+    return out.map_batches(rename, batch_format="pyarrow"), rep
+
+
 # ------------------------------------------------- incremental exact dedup
 
 # fingerprint-index bucket fanout: one directory per bucket, each ingest

@@ -164,6 +164,41 @@ class GraphEngine:
             ray.kill(s)
         self.shards = []
 
+    # ---------------------------------------------------- wave throttle
+    #
+    # Shards are num_cpus=0 actors (see __init__), so nothing stops a
+    # 32-shard wave from running 32-wide inside an 8-CPU session —
+    # oversubscribing the box and making any CPU-budget comparison
+    # meaningless.  Superstep waves therefore self-throttle to the
+    # session's CPU count with a sliding launch window: at most
+    # `_wave_cap()` shard tasks in flight, the next launched as one
+    # completes.  Sessions with CPUs >= shards (the normal sizing,
+    # graph.suggest_partitions) take the unthrottled fast path.
+
+    def _wave_cap(self) -> int:
+        try:
+            cap = int(ray.cluster_resources().get("CPU", 0))
+        except Exception:
+            cap = 0
+        return max(1, cap or self.n_parts)
+
+    def _wave(self, launch):
+        """launch(i) -> ref or num_returns-list for shard i; returns
+        [launch(i) for all i] with at most _wave_cap() in flight."""
+        n = self.n_parts
+        cap = self._wave_cap()
+        if cap >= n:
+            return [launch(i) for i in range(n)]
+        out, pending = [], []
+        for i in range(n):
+            r = launch(i)
+            out.append(r)
+            pending.append(r[0] if isinstance(r, list) else r)
+            if len(pending) >= cap:
+                _, pending = ray.wait(pending, num_returns=1,
+                                      fetch_local=False)
+        return out
+
     # ------------------------------------------------------------------
 
     def run(self, program: VertexProgram, params: dict | None = None,
@@ -230,9 +265,11 @@ class GraphEngine:
                       and active_edges < n_edges / SPARSE_DENOM)
             final = step == max_steps - 1
             if sparse:
-                msg_refs = [s.sparse_signal.remote() for s in self.shards]
-                results = ray.get([s.sparse_apply.remote(msg_refs, step, final)
-                                   for s in self.shards])
+                msg_refs = self._wave(
+                    lambda i: self.shards[i].sparse_signal.remote())
+                results = ray.get(self._wave(
+                    lambda i: self.shards[i].sparse_apply.remote(
+                        msg_refs, step, final)))
             else:
                 # dense-selective exchange (graph.hpp:1664-1689): each
                 # shard publishes a packed skip bitmap of its owned
@@ -244,23 +281,19 @@ class GraphEngine:
                     results = [ray.get(
                         self.shards[0].dense_apply.remote(sig, step, final))]
                 elif fused:
-                    sig = [s.dense_signal.remote(sel) for s in self.shards]
-                    results = ray.get([
-                        self.shards[i].dense_apply.remote(sig, step, final, i)
-                        for i in range(self.n_parts)
-                    ])
+                    sig = self._wave(
+                        lambda i: self.shards[i].dense_signal.remote(sel))
+                    results = ray.get(self._wave(
+                        lambda i: self.shards[i].dense_apply.remote(
+                            sig, step, final, i)))
                 else:
-                    sig = [
-                        s.dense_signal.options(
-                            num_returns=self.n_parts).remote(sel)
-                        for s in self.shards
-                    ]
-                    results = ray.get([
-                        self.shards[i].dense_apply.remote(
+                    sig = self._wave(
+                        lambda i: self.shards[i].dense_signal.options(
+                            num_returns=self.n_parts).remote(sel))
+                    results = ray.get(self._wave(
+                        lambda i: self.shards[i].dense_apply.remote(
                             [sig[j][i] for j in range(self.n_parts)],
-                            step, final)
-                        for i in range(self.n_parts)
-                    ])
+                            step, final)))
             activated = sum(r[0] for r in results)
             finish = [r[1] for r in results]
             stats = [(f["active"], f["active_out_deg"]) for f in finish]
@@ -309,19 +342,18 @@ class GraphEngine:
         fetches only the small meta objects between steps."""
         P = self.n_parts
         # initial signal (superstep `start_step`)
-        calls = [s.step_static.options(num_returns=2).remote(None, i, -1, False)
-                 for i, s in enumerate(self.shards)]
+        calls = self._wave(
+            lambda i: self.shards[i].step_static.options(
+                num_returns=2).remote(None, i, -1, False))
         pieces = [c[1] for c in calls]
         records = []
         step = start_step
         while step < max_steps:
             ts = time.perf_counter()
             final = step == max_steps - 1
-            calls = [
-                self.shards[i].step_static.options(num_returns=2).remote(
-                    pieces, i, step, final)
-                for i in range(P)
-            ]
+            calls = self._wave(
+                lambda i: self.shards[i].step_static.options(
+                    num_returns=2).remote(pieces, i, step, final))
             meta = ray.get([c[0] for c in calls])
             pieces = [c[1] for c in calls]
             activated = sum(m[0] for m in meta)

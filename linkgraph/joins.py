@@ -288,12 +288,26 @@ def _key_filter_join(left_ds, right_ds, key: str, anti: bool,
 ATTACH_BROADCAST_CAP = 5_000_000
 
 
+def _probe_values(mk: np.ndarray, mv: np.ndarray, p: np.ndarray,
+                  missing: str) -> np.ndarray:
+    """Sorted-map lookup for one probe array under the attach policy."""
+    if missing == "self":
+        if len(mk) == 0:
+            return p.copy()
+        pos = np.minimum(np.searchsorted(mk, p), len(mk) - 1)
+        return np.where(mk[pos] == p, mv[pos], p)
+    return mv[np.searchsorted(mk, p)]
+
+
 def attach_by_key(probe_ds, map_ds, probe_cols, key: str, value: str,
-                  out_prefix: str = ""):
+                  out_prefix: str = "", missing: str = "error"):
     """Gated lookup join: attach `value` from the (key, value) map table
-    onto each of `probe_cols` in the probe Dataset (every probe key must
-    exist in the map — an inner semantics with full coverage, e.g.
-    vertex -> CC/LP label, vertex -> degree).
+    onto each of `probe_cols` in the probe Dataset.  With the default
+    ``missing="error"`` every probe key must exist in the map — an inner
+    semantics with full coverage, e.g. vertex -> CC/LP label, vertex ->
+    degree.  ``missing="self"`` keeps the probe key itself as the value
+    when absent (the identity-default shape of sparse override maps,
+    e.g. doc -> dup-cluster representative).
 
     Map tables under ATTACH_BROADCAST_CAP rows broadcast once (sorted
     arrays, ray.put) and the attach is a per-batch searchsorted — zero
@@ -327,7 +341,7 @@ def attach_by_key(probe_ds, map_ds, probe_cols, key: str, value: str,
             mk, mv = ray.get(mref)
             for c in probe_cols:
                 p = b[c].to_numpy(zero_copy_only=False).astype(np.int64)
-                got = mv[np.searchsorted(mk, p)]
+                got = _probe_values(mk, mv, p, missing)
                 b = b.append_column(f"{out_prefix}{value}_{c}",
                                     pa.array(got, pa.int64()))
             return b
@@ -395,7 +409,7 @@ def attach_by_key(probe_ds, map_ds, probe_cols, key: str, value: str,
                 return pr
             pk = pr["__k"].to_numpy(np.int64)
             pr = pr.drop(columns=["__k"])
-            pr[vcol] = mv[np.searchsorted(mk, pk)]
+            pr[vcol] = _probe_values(mk, mv, pk, missing)
             return pr
 
         out = probe_tagged.union(map_ds.map_batches(

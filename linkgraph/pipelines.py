@@ -976,6 +976,16 @@ def q_doc_adamic_adar(sf_dir):
     return adamic_adar_topk(documents_edges(sf_dir), k=AA_TOPK)
 
 
+def q_doc_linkpred(sf_dir):
+    """All four classic neighborhood link predictors in one pipeline
+    (algos/linkpred.link_prediction_topk): common neighbors, Adamic-Adar,
+    neighborhood Jaccard and preferential attachment for the top-20
+    distance-2 pairs by (cn desc, aa desc, u, w)."""
+    from .algos.linkpred import link_prediction_topk
+
+    return link_prediction_topk(documents_edges(sf_dir), k=AA_TOPK)
+
+
 # ------------------------------------------------------------- text queries
 
 def q_text_tokens(sf_dir):
@@ -1542,6 +1552,29 @@ def q_semantic_dedup(sf_dir):
     return kept
 
 
+DUPCC_ROUNDS = 12
+
+
+def q_dedup_clusters(sf_dir):
+    """Near-dup cluster ASSIGNMENT for every document (the artifact a
+    100-TB cleaning run materializes): MinHash+LSH verified pairs ->
+    similarity graph -> connected components on the superstep engine ->
+    (doc_id, cluster_id = component min; singletons keep themselves).
+    Oracle: the full HUGEINT minhash pair SQL nested under the same
+    unrolled min-label CC recurrence as _semdedup_sql."""
+    from .dedup import minhash_cluster_ids
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    n = int(docs.max("doc_id")) + 1
+    clusters, rep = minhash_cluster_ids(
+        docs, n, _store_root(sf_dir, "dupcc"), threshold=0.5,
+        fingerprint=_input_fingerprint(sf_dir))
+    if rep is not None:
+        _check_unroll(rep, DUPCC_ROUNDS, "dedup_clusters")
+    return clusters
+
+
 # --------------------------------------------------------- relational (TPC-H)
 
 def q_tpch_pricing(sf_dir):
@@ -1762,6 +1795,17 @@ def q_events_quantiles(sf_dir):
     out = exact_quantiles(_events(sf_dir), "value", EVENT_QUANTILES)
     out["val"] = out["val"].round(6)
     return out
+
+
+def q_events_cont_quantiles(sf_dir):
+    """Interpolated (continuous) quantiles — percentile_cont semantics:
+    h = q*(n-1), linear interpolation between the two bracketing order
+    statistics, both resolved in ONE shared histogram-bracketing sweep
+    (quantiles.interpolated_quantiles)."""
+    from .quantiles import interpolated_quantiles
+
+    return interpolated_quantiles(_events(sf_dir), "value",
+                                  EVENT_QUANTILES)
 
 
 USER_QUANTILES = [0.5, 0.9]
@@ -2681,6 +2725,28 @@ ADAMIC_ADAR_SQL = f"""
     LIMIT {AA_TOPK}
 """
 
+# all four neighborhood predictors over the same wedge set; the integer
+# cn primary sort key keeps the top-k cut float-safe (aa/jac round-6
+# BEFORE ordering, matching linkpred._lp_finish)
+LINKPRED_SQL = f"""
+    WITH sym AS MATERIALIZED ({DOC_SYM_SQL}),
+    deg AS MATERIALIZED (
+      SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+    pairs AS (
+      SELECT a.dst AS u, b.dst AS w, a.src AS c
+      FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst),
+    sc AS (
+      SELECT u, w, count(*)::BIGINT AS cn,
+             round(sum(1.0 / ln(d)), 6) AS aa
+      FROM pairs JOIN deg ON pairs.c = deg.v GROUP BY u, w)
+    SELECT sc.u, sc.w, sc.cn, sc.aa,
+           round(sc.cn::DOUBLE / (du.d + dw.d - sc.cn), 6) AS jac,
+           (du.d * dw.d)::BIGINT AS pref
+    FROM sc JOIN deg du ON sc.u = du.v JOIN deg dw ON sc.w = dw.v
+    ORDER BY cn DESC, aa DESC, u ASC, w ASC
+    LIMIT {AA_TOPK}
+"""
+
 
 def _stratified_sql() -> str:
     """Integer-exact twin of sampling.stratified_sample: same sha256
@@ -2752,6 +2818,30 @@ def _semdedup_sql(rounds: int) -> str:
             f"JOIN {p} ON {p}.v = sym.src GROUP BY sym.dst) m USING (v))")
     return (f"WITH {', '.join(ctes)} "
             f"SELECT v AS vec_id FROM l{rounds} WHERE lab = v")
+
+
+def _dupcc_sql(rounds: int) -> str:
+    """dedup_clusters oracle: the FULL minhash pair SQL (nested WITH) as
+    the edge set, then the unrolled min-label CC recurrence over every
+    doc_id, emitting the (doc_id, cluster_id) assignment."""
+    pairs = _minhash_sql(num_perm=64, bands=16, k=5, threshold=0.5,
+                         cap=64)
+    ctes = [f"pr AS MATERIALIZED ({pairs})",
+            """sym AS MATERIALIZED (
+              SELECT a AS src, b AS dst FROM pr
+              UNION ALL SELECT b AS src, a AS dst FROM pr)""",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            "l0 AS (SELECT v, v AS lab FROM allv)"]
+    for i in range(1, rounds + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT allv.v, least({p}.lab, "
+            f"coalesce(m.lab, {p}.lab)) AS lab FROM allv "
+            f"JOIN {p} USING (v) LEFT JOIN "
+            f"(SELECT sym.dst AS v, min({p}.lab) AS lab FROM sym "
+            f"JOIN {p} ON {p}.v = sym.src GROUP BY sym.dst) m USING (v))")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT v AS doc_id, lab AS cluster_id FROM l{rounds}")
 
 
 EMBED_CENTROIDS_SQL = """
@@ -3255,6 +3345,8 @@ ORACLE_SQL: dict[str, str] = {
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
     "doc_node2vec": _node2vec_sql(WALK_SEEDS, N2V_STEPS),
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
+    "doc_linkpred": LINKPRED_SQL,
+    "dedup_clusters": _dupcc_sql(DUPCC_ROUNDS),
     "sample_stratified": _stratified_sql(),
     "sketch_distinct": _SK.kmv_sql(),
     "sketch_cms": _SK.cms_sql(),
@@ -3561,6 +3653,13 @@ ORACLE_SQL: dict[str, str] = {
     # bit-identical (quantile_disc index rule = ceil(q*n)-1, 0-based)
     "events_quantiles": f"""
         WITH v AS (SELECT quantile_disc(value,
+                     {list(EVENT_QUANTILES)}) AS vals FROM events)
+        SELECT unnest({list(EVENT_QUANTILES)}) AS q,
+               round(unnest(vals), 6) AS val FROM v
+    """,
+    # continuous (interpolated) quantiles, identical h = q*(n-1) rule
+    "events_cont_quantiles": f"""
+        WITH v AS (SELECT quantile_cont(value,
                      {list(EVENT_QUANTILES)}) AS vals FROM events)
         SELECT unnest({list(EVENT_QUANTILES)}) AS q,
                round(unnest(vals), 6) AS val FROM v
@@ -3940,6 +4039,7 @@ QUERIES = {
     "doc_walks": q_doc_walks,
     "doc_node2vec": q_doc_node2vec,
     "doc_adamic_adar": q_doc_adamic_adar,
+    "doc_linkpred": q_doc_linkpred,
     "text_tokens": q_text_tokens,
     "text_tokens_bpe": q_text_tokens_bpe,
     "text_top_tokens": q_text_top_tokens,
@@ -3964,6 +4064,7 @@ QUERIES = {
     "shuffle_shards": q_shuffle_shards,
     "corpus_clean": q_corpus_clean,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_jaccard": q_dedup_jaccard,
@@ -3989,6 +4090,7 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_range": q_events_range,
     "events_quantiles": q_events_quantiles,
+    "events_cont_quantiles": q_events_cont_quantiles,
     "events_user_quantiles": q_events_user_quantiles,
     "media_audio": q_media_audio,
     "media_image": q_media_image,

@@ -62,13 +62,56 @@ def exact_quantiles(ds, col: str, qs: list[float], bins: int = 8192,
                     max_driver_rows: int = 500_000,
                     max_passes: int = 12) -> pd.DataFrame:
     """Exact q-quantiles of `ds[col]` (DataFrame (q, val)).  NaNs are
-    ignored (SQL semantics).  See module docstring for the plan shape."""
+    ignored (SQL semantics).  Index rule = DuckDB quantile_disc:
+    k = max(0, ceil(q*n) - 1).  See module docstring for the plan."""
     ds = ds.materialize()  # one lineage, several scans
     n, glo, ghi = _minmax_count(ds, col)
     if n == 0:
         return pd.DataFrame({"q": list(qs),
                              "val": [math.nan] * len(qs)})
-    brs = [_Bracket(max(0, math.ceil(q * n) - 1), glo, ghi) for q in qs]
+    ks = [max(0, math.ceil(q * n) - 1) for q in qs]
+    vmap = _rank_values(ds, col, sorted(set(ks)), n, glo, ghi, bins,
+                        max_driver_rows, max_passes)
+    return pd.DataFrame({"q": list(qs), "val": [vmap[k] for k in ks]})
+
+
+def interpolated_quantiles(ds, col: str, qs: list[float],
+                           bins: int = 8192,
+                           max_driver_rows: int = 500_000,
+                           max_passes: int = 12) -> pd.DataFrame:
+    """Continuous (interpolated) quantiles — DuckDB quantile_cont /
+    SQL percentile_cont semantics: h = q*(n-1), linear interpolation
+    between the floor(h) and ceil(h) order statistics.  Same
+    histogram-bracketing passes as exact_quantiles (the two boundary
+    ranks per q resolve in ONE shared sweep), val rounded to 6."""
+    ds = ds.materialize()
+    n, glo, ghi = _minmax_count(ds, col)
+    if n == 0:
+        return pd.DataFrame({"q": list(qs),
+                             "val": [math.nan] * len(qs)})
+    hs = [q * (n - 1) for q in qs]
+    ks = sorted({int(math.floor(h)) for h in hs}
+                | {int(math.ceil(h)) for h in hs})
+    vmap = _rank_values(ds, col, ks, n, glo, ghi, bins,
+                        max_driver_rows, max_passes)
+    out = []
+    for h in hs:
+        lo = vmap[int(math.floor(h))]
+        hi = vmap[int(math.ceil(h))]
+        frac = h - math.floor(h)
+        # DuckDB's Interpolator: lo + delta * (hi - lo)
+        out.append(lo + frac * (hi - lo) if frac > 0 else lo)
+    return pd.DataFrame({"q": list(qs),
+                         "val": np.round(np.array(out, np.float64), 6)})
+
+
+def _rank_values(ds, col: str, ks: list[int], n: int, glo: float,
+                 ghi: float, bins: int, max_driver_rows: int,
+                 max_passes: int) -> dict[int, float]:
+    """Resolve the exact order statistics at the given 0-based ranks;
+    returns {rank: value}.  `ds` must be materialized, `n`/`glo`/`ghi`
+    from _minmax_count."""
+    brs = [_Bracket(k, glo, ghi) for k in ks]
     for b in brs:
         b.count = n
 
@@ -161,8 +204,7 @@ def exact_quantiles(ds, col: str, qs: list[float], bins: int = 8192,
                     f"(before={b.before}, in-bracket={len(x)})")
             b.value = float(x[b.k - b.before])
 
-    return pd.DataFrame({"q": list(qs),
-                         "val": [b.value for b in brs]})
+    return {b.k: b.value for b in brs}
 
 
 GROUP_BUCKET_ROWS = 200_000

@@ -570,3 +570,44 @@ def test_component_stats_paths_equal(sf_dir, monkeypatch):
     pd.testing.assert_frame_equal(a, b)
     # sanity: the vertex counts sum to <= |documents| and edges > 0
     assert a["n_vertices"].iloc[0] > 1 and a["n_edges"].iloc[0] > 0
+
+
+def test_minhash_cluster_assignment(tmp_path, monkeypatch):
+    """minhash_cluster_ids == union-find over minhash_dedup_pairs, one
+    row per doc, singletons keep themselves; and the attach path is
+    gate-invariant (broadcast vs bucketed deviating-label map)."""
+    import linkgraph.dedup as D
+    import linkgraph.joins as J
+
+    ds = rd.from_arrow(_docs_table())
+    pairs = D.minhash_dedup_pairs(ds, threshold=0.6)
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
+    parent = dict()
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(60)}
+    assert any(v != k for k, v in want.items())  # dups planted
+
+    got, rep = D.minhash_cluster_ids(
+        ds, 60, str(tmp_path / "store"), threshold=0.6,
+        fingerprint="t1")
+    gpdf = got.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert gpdf["doc_id"].tolist() == list(range(60))
+    assert gpdf["cluster_id"].tolist() == [want[i] for i in range(60)]
+
+    monkeypatch.setattr(J, "ATTACH_BROADCAST_CAP", -1)
+    got2, _ = D.minhash_cluster_ids(
+        rd.from_arrow(_docs_table()), 60, str(tmp_path / "store2"),
+        threshold=0.6, fingerprint="t2")
+    g2 = got2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(gpdf, g2)

@@ -204,3 +204,37 @@ def test_attach_by_key_paths_equal(monkeypatch):
     pd.testing.assert_frame_equal(
         a, b[a.columns.tolist()].sort_values(["src", "dst"])
         .reset_index(drop=True), check_like=True)
+
+
+def test_attach_by_key_missing_self_paths_equal(monkeypatch):
+    """missing="self": probe keys absent from the map keep themselves,
+    identically on the broadcast and bucketed plans."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    import linkgraph.joins as J
+
+    rng = np.random.default_rng(11)
+    keys = (np.arange(20, dtype=np.int64) * 5 + 1)
+    vals = rng.integers(100, 200, 20).astype(np.int64)
+    mp = pa.table({"v": pa.array(keys), "label": pa.array(vals)})
+    p = rng.integers(0, 110, 400).astype(np.int64)  # mostly unmapped
+    probe = pa.table({"id": pa.array(p)})
+
+    def norm(ds):
+        return ds.to_pandas().sort_values(["id", "label_id"]) \
+            .reset_index(drop=True)
+
+    a = norm(J.attach_by_key(rd.from_arrow(probe), rd.from_arrow(mp),
+                             ["id"], key="v", value="label",
+                             missing="self"))
+    monkeypatch.setattr(J, "ATTACH_BROADCAST_CAP", -1)
+    b = norm(J.attach_by_key(rd.from_arrow(probe), rd.from_arrow(mp),
+                             ["id"], key="v", value="label",
+                             missing="self"))
+    lut = dict(zip(keys.tolist(), vals.tolist()))
+    want = a["id"].map(lambda x: lut.get(x, x))
+    assert (a["label_id"] == want).all()
+    pd.testing.assert_frame_equal(a, b)

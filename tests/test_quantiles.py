@@ -76,3 +76,37 @@ def test_quantiles_nan_and_empty():
     assert out["val"].tolist() == [2.0]  # NaNs ignored
     empty = exact_quantiles(_ds(np.array([], np.float64)), "value", [0.5])
     assert math.isnan(empty["val"].iloc[0])
+
+
+def test_interpolated_quantiles_match_numpy():
+    from linkgraph.quantiles import interpolated_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = rng.normal(10, 4, 7_000)
+    got = interpolated_quantiles(_ds(vals), "value", QS)
+    want = np.round(np.percentile(vals, [q * 100 for q in QS],
+                                  method="linear"), 6)
+    assert np.allclose(got["val"].to_numpy(), want, atol=1e-6)
+
+
+def test_interpolated_quantiles_forced_bracketing():
+    from linkgraph.quantiles import interpolated_quantiles
+
+    rng = np.random.default_rng(10)
+    vals = rng.exponential(3.0, 30_000)
+    got = interpolated_quantiles(_ds(vals), "value", QS,
+                                 bins=16, max_driver_rows=100)
+    want = np.round(np.percentile(vals, [q * 100 for q in QS],
+                                  method="linear"), 6)
+    assert np.allclose(got["val"].to_numpy(), want, atol=1e-6)
+
+
+def test_interpolated_quantiles_tiny_and_empty():
+    from linkgraph.quantiles import interpolated_quantiles
+
+    got = interpolated_quantiles(_ds([5.0]), "value", [0.0, 0.5, 1.0])
+    assert got["val"].tolist() == [5.0, 5.0, 5.0]
+    got2 = interpolated_quantiles(_ds([2.0, 4.0]), "value", [0.25])
+    assert got2["val"].tolist() == [2.5]
+    empty = interpolated_quantiles(_ds([]), "value", [0.5])
+    assert math.isnan(empty["val"].iloc[0])

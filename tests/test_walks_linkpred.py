@@ -162,3 +162,66 @@ def test_node2vec_paths_and_step1(monkeypatch):
     a1 = a[a.step <= 1].sort_values(key).reset_index(drop=True)
     f1 = first[first.step <= 1].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a1, f1)
+
+
+def _lp_oracle(pairs, k):
+    """Brute-force all-four-score link prediction oracle."""
+    sym = set()
+    for a, b in pairs:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    rows = []
+    verts = sorted(adj)
+    for i, u in enumerate(verts):
+        for w in verts[i + 1:]:
+            common = adj[u] & adj[w]
+            if not common:
+                continue
+            cn = len(common)
+            aa = sum(1.0 / math.log(len(adj[c])) for c in common
+                     if len(adj[c]) >= 2)
+            du, dw = len(adj[u]), len(adj[w])
+            rows.append((u, w, cn, round(aa, 6),
+                         round(cn / (du + dw - cn), 6), du * dw))
+    pdf = pd.DataFrame(rows, columns=["u", "w", "cn", "aa", "jac", "pref"])
+    return pdf.sort_values(["cn", "aa", "u", "w"],
+                           ascending=[False, False, True, True]) \
+        .head(k).reset_index(drop=True)
+
+
+def test_linkpred_matches_bruteforce():
+    from linkgraph.algos.linkpred import link_prediction_topk
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0), (1, 4),
+             (5, 0), (5, 2), (6, 1), (6, 3)]
+    got = link_prediction_topk(_edges(pairs), k=15).to_pandas() \
+        .reset_index(drop=True)
+    want = _lp_oracle(pairs, 15)
+    pd.testing.assert_frame_equal(
+        got.astype({"u": np.int64, "w": np.int64, "cn": np.int64,
+                    "pref": np.int64}), want)
+
+
+def test_linkpred_driver_equals_distributed():
+    from linkgraph.algos.linkpred import (
+        _lp_distributed, link_prediction_topk,
+    )
+
+    pairs = [(i, (i * 5 + 2) % 23) for i in range(23)] + \
+            [(1, 7), (3, 12), (6, 18), (2, 2)]
+    ds = _edges(pairs).materialize()
+    a = link_prediction_topk(ds, k=14).to_pandas().reset_index(drop=True)
+    b = _lp_distributed(ds, ds.count(), 14).to_pandas() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_linkpred_empty():
+    from linkgraph.algos.linkpred import link_prediction_topk
+
+    single = from_pandas_clean(pd.DataFrame({"src": [1], "dst": [2]}))
+    assert link_prediction_topk(single, k=5).to_pandas().empty
