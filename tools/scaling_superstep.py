@@ -1,0 +1,127 @@
+"""Trimmed scaling measurement for the NORTH-RULE metric specifically:
+PageRank superstep throughput (edges/sec/superstep, 20 iters) at two
+session CPU budgets (8 vs 32) in fresh processes, with a DRAM-kernel
+probe IMMEDIATELY adjacent to each engine measurement.
+
+Why this exists: the full `bench.py --scaling` takes ~25 min/attempt;
+this sandbox's hypervisor throttles memory-bound throughput by up to
+100x on a seconds timescale (tools/cpu-vs-mem probes, BENCH/BASELINE.md
+round-3 notes), so long runs almost always straddle a degraded window.
+This tool measures ONLY the headline superstep metric (~4 min/level),
+maximizing the chance both levels land inside one clean window, and
+records the probe right next to each measurement for normalization.
+
+Usage:
+  python tools/scaling_superstep.py            # both levels, one JSON line
+  python tools/scaling_superstep.py --level 8  # one level (child mode)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+V = int(os.environ.get("GRAFT_SCALE_V", "8000000"))
+E = int(os.environ.get("GRAFT_SCALE_E", "96000000"))
+REPEATS = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
+
+
+def _probe(n_procs: int, seconds: float = 2.5) -> float:
+    """Aggregate e/s of the dense-signal-shaped DRAM kernel (gather +
+    bincount) across n_procs processes — the code-independent ceiling."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def kernel(q):
+        rng = np.random.default_rng(0)
+        state = rng.random(250_000)
+        idx = rng.integers(0, 250_000, 3_000_000)
+        rep = np.sort(rng.integers(0, 2_600_000, 3_000_000))
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < seconds:
+            vals = state[idx]
+            out = np.bincount(rep, weights=vals, minlength=2_600_000)
+            n += len(idx)
+        q.put(n / (time.perf_counter() - t0))
+
+    q = mp.Queue()
+    ps = [mp.Process(target=kernel, args=(q,)) for _ in range(n_procs)]
+    for p in ps:
+        p.start()
+    vals = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return sum(vals)
+
+
+def run_level(ncpu: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    from linkgraph.algos import pagerank
+    from linkgraph.graph import load_directed, suggest_partitions
+
+    scratch = f"/tmp/scale_superstep_{ncpu}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+    t0 = time.perf_counter()
+    se = bench._gen_edges(V, E)
+    eng = load_directed(se, V, num_partitions=suggest_partitions(E, ncpu),
+                        store_dir=os.path.join(scratch, "s"))
+    build_s = time.perf_counter() - t0
+    rep = pagerank(eng, iterations=20, tol=1e-6)  # warm-up (lazy CSC)
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        rep = pagerank(eng, iterations=20, tol=1e-6)
+        best = min(best, time.perf_counter() - t0)
+    steps = rep["n_steps"]
+    eng.shutdown()
+    ray.shutdown()
+    shutil.rmtree(scratch, ignore_errors=True)
+    return {"ncpu": ncpu, "build_s": round(build_s, 2),
+            "best_20it_s": round(best, 3), "n_steps": steps,
+            "edges_per_sec_per_superstep": round(E * steps / best, 1)}
+
+
+def main():
+    if "--level" in sys.argv:
+        ncpu = int(sys.argv[sys.argv.index("--level") + 1])
+        print("LEVEL " + json.dumps(run_level(ncpu)), flush=True)
+        return
+    out = {"V": V, "E": E, "repeats": REPEATS, "probe": {}, "level": {}}
+    for ncpu in (8, 32):
+        out["probe"][str(ncpu)] = round(_probe(ncpu), 1)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--level", str(ncpu)],
+            capture_output=True, text=True)
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("LEVEL ")]
+        if not line:
+            print(json.dumps({"error": r.stderr[-2000:]}))
+            return
+        out["level"][str(ncpu)] = json.loads(line[-1][6:])
+        out["probe"][str(ncpu) + "_post"] = round(_probe(ncpu), 1)
+    t8 = out["level"]["8"]["edges_per_sec_per_superstep"]
+    t32 = out["level"]["32"]["edges_per_sec_per_superstep"]
+    out["superstep_speedup"] = round(t32 / t8, 3)
+    out["scaling_efficiency_superstep"] = round(t32 / t8 / 4, 3)
+    p8 = max(out["probe"]["8"], out["probe"]["8_post"])
+    p32 = max(out["probe"]["32"], out["probe"]["32_post"])
+    out["engine_over_probe"] = {"8": round(t8 / p8, 3),
+                                "32": round(t32 / p32, 3)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
