@@ -34,6 +34,8 @@ class CompressedRows:
     indices: np.ndarray
     weights: np.ndarray | None = None
     _row_rep: np.ndarray | None = None
+    _local_idx: np.ndarray | None = None
+    _local_lo: int | None = None
 
     @property
     def n_edges(self) -> int:
@@ -50,6 +52,20 @@ class CompressedRows:
             object.__setattr__(self, "_row_rep", np.repeat(
                 np.arange(len(lens), dtype=np.int32), lens))
         return self._row_rep
+
+    def local_indices(self, lo: int) -> np.ndarray:
+        """`indices - lo` cached ONCE per shard (static structure): the
+        per-superstep subtract allocated a fresh n_edges array every
+        dense signal — pure DRAM traffic for an invariant value.  Kept
+        int32 when the local range allows (it always does: local ids
+        are < n_local < 2^31)."""
+        if self._local_idx is None or self._local_lo != lo:
+            li = self.indices - lo
+            if len(li) == 0 or li.max(initial=0) < 2 ** 31:
+                li = li.astype(np.int32, copy=False)
+            object.__setattr__(self, "_local_idx", li)
+            object.__setattr__(self, "_local_lo", lo)
+        return self._local_idx
 
     def nbytes(self) -> int:
         n = self.row_vertex.nbytes + self.indptr.nbytes + self.indices.nbytes

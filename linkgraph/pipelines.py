@@ -1782,6 +1782,28 @@ def q_events_rollup(sf_dir):
     return rollup_events(ev)
 
 
+def q_events_cube(sf_dir):
+    """Full CUBE(event_type, day) — all four grouping sets; same exact
+    integer-cents map-side-partial shape as the ROLLUP."""
+    from .windows import cube_events
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type", "value"])
+    return cube_events(ev)
+
+
+def q_events_lag(sf_dir):
+    """Per-user LAG deltas (value - LAG(value), ts - LAG(ts), both exact
+    int64 cents/us) over the deterministic (ts, event_id) order — the
+    LEAD/LAG window-scan shape (windows.lag_deltas)."""
+    from .windows import lag_deltas
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "ts", "user_id",
+                                     "value"])
+    return lag_deltas(ev)
+
+
 EVENT_QUANTILES = [0.01, 0.25, 0.5, 0.9, 0.99]
 
 
@@ -3610,6 +3632,33 @@ ORACLE_SQL: dict[str, str] = {
                sum(cents) / 100.0 AS total_value
         FROM c GROUP BY ROLLUP(event_type, day)
     """,
+    "events_cube": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(day, -1) AS day,
+               count(*)::BIGINT AS n_events,
+               sum(cents) / 100.0 AS total_value
+        FROM c GROUP BY CUBE(event_type, day)
+    """,
+    "events_lag": """
+        WITH c AS (SELECT event_id, user_id, ts,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          AS cents,
+                          CAST(epoch_us(ts) AS BIGINT) AS us
+                   FROM events)
+        SELECT event_id, user_id, rn, delta_cents, gap_us FROM (
+          SELECT event_id, user_id,
+                 row_number() OVER w AS rn,
+                 cents - lag(cents) OVER w AS delta_cents,
+                 us - lag(us) OVER w AS gap_us
+          FROM c
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WHERE rn >= 2
+    """,
     "events_window": """
         SELECT user_id,
                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win,
@@ -4084,6 +4133,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "events_rollup": q_events_rollup,
     "events_running": q_events_running,
+    "events_cube": q_events_cube,
+    "events_lag": q_events_lag,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,

@@ -300,14 +300,19 @@ class GraphShard:
         if sel_refs is not None:
             return self._dense_signal_selective(cr, sel_refs)
         src_vals = prog.dense_src_values(self.ctx, self.state)
-        edge_vals = src_vals[cr.indices - self.lo]
+        li = cr.local_indices(self.lo)
+        edge_vals = src_vals[li]
         w = cr.weights
         edge_vals = prog.edge_transform(edge_vals, w)
         vmask = prog.dense_src_mask(self.ctx, self.state, self.active)
-        emask = vmask[cr.indices - self.lo] if vmask is not None else None
+        emask = vmask[li] if vmask is not None else None
         partial = segment_reduce(edge_vals, cr.indptr, prog.combine, emask,
                                  row_rep=cr.row_rep)
         emit = prog.dense_emit_mask(self.ctx, cr.row_vertex, partial)
+        if emit.all():
+            # full emit (min-combine programs, near-full add graphs):
+            # skip the two mask-gathers — the split slices views
+            return _split_sorted(cr.row_vertex, self.offsets, partial)
         return _split_sorted(cr.row_vertex[emit], self.offsets, partial[emit])
 
     def _dense_signal_selective(self, cr, sel_refs):
@@ -347,13 +352,13 @@ class GraphShard:
                      np.empty(0, np.int64))
             return [empty] * self.n_parts
         labels = self.program.dense_src_values(self.ctx, self.state)
-        edge_labels = labels[cr.indices - self.lo]
+        edge_labels = labels[cr.local_indices(self.lo)]
         row_id = np.repeat(np.arange(len(cr.row_vertex), dtype=np.int64),
                            np.diff(cr.indptr))
         vmask = self.program.dense_src_mask(self.ctx, self.state,
                                             self.active)
         if vmask is not None:  # phase-gated hist sources (e.g. coloring)
-            em = vmask[cr.indices - self.lo]
+            em = vmask[cr.local_indices(self.lo)]
             row_id, edge_labels = row_id[em], edge_labels[em]
         ur, ul, counts = count_pairs(row_id, edge_labels)
         # count_pairs returns groups lexsorted by row id -> sorted rows

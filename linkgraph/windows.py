@@ -195,3 +195,94 @@ def running_user_totals(ds, key: str = "user_id", ts: str = "ts",
 
     return ds.map_batches(tag, batch_format="pyarrow") \
              .groupby("kb").map_groups(scan, batch_format="pandas")
+
+
+def lag_deltas(ds, key: str = "user_id", ts: str = "ts",
+               value: str = "value", id_col: str = "event_id"):
+    """Per-key LAG window scan (value - LAG(value), ts - LAG(ts) OVER
+    (PARTITION BY key ORDER BY ts, id)): same one-coarse-key-bucket
+    shuffle + in-bucket lexsort shape as running_user_totals.  Deltas
+    accumulate as integer cents / microseconds (exact int64 at any
+    scale); only rows with a predecessor are emitted (rn >= 2), so the
+    result carries no NULLs."""
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64())
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(b[value].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        return pa.table({id_col: b[id_col], key: pa.array(k),
+                         "us": us, "cents": pa.array(cents),
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        ev = g[id_col].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((ev, us, k))
+        k, us, ev, cents = k[order], us[order], ev[order], cents[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        seg_lens = np.diff(np.concatenate([starts, [len(k)]]))
+        pos = np.arange(len(k), dtype=np.int64)
+        rn = pos - np.repeat(pos[starts], seg_lens) + 1
+        keep = rn >= 2  # first event per key has no predecessor
+        return pd.DataFrame({
+            id_col: ev[keep], key: k[keep], "rn": rn[keep],
+            "delta_cents": (cents - np.concatenate([[0], cents[:-1]]))[keep],
+            "gap_us": (us - np.concatenate([[0], us[:-1]]))[keep]})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby("kb").map_groups(scan, batch_format="pandas")
+
+
+def cube_events(ds, ts: str = "ts", key: str = "event_type",
+                value: str = "value"):
+    """GROUP BY CUBE(key, day): all four grouping sets — (key, day),
+    (key), (day), () — subtotals labeled key='ALL' / day=-1.  Same
+    map-side-partial + driver-merge shape as rollup_events (the fine
+    domain is bounded by types x days); integer-cents sums are exact."""
+    DAY = 86400 * US
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // DAY
+        k = b[key].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            b[value].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"k": k, "day": day, "cents": cents})
+        g = df.groupby(["k", "day"], sort=True).agg(
+            n=("cents", "size"), c=("cents", "sum")).reset_index()
+        return pa.table({"event_type": pa.array(g["k"], pa.string()),
+                         "day": pa.array(g["day"], pa.int64()),
+                         "n": pa.array(g["n"].astype(np.int64)),
+                         "c": pa.array(g["c"].astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = ["event_type", "day", "n_events", "total_value"]
+    if len(parts) == 0:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                             "day": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "total_value": pd.Series([], dtype=float)})
+    fine = parts.groupby(["event_type", "day"], sort=True).agg(
+        n_events=("n", "sum"), cents=("c", "sum")).reset_index()
+    by_key = fine.groupby("event_type", sort=True).agg(
+        n_events=("n_events", "sum"), cents=("cents", "sum")).reset_index()
+    by_key["day"] = np.int64(-1)
+    by_day = fine.groupby("day", sort=True).agg(
+        n_events=("n_events", "sum"), cents=("cents", "sum")).reset_index()
+    by_day["event_type"] = "ALL"
+    total = pd.DataFrame({"event_type": ["ALL"], "day": np.int64(-1),
+                          "n_events": [fine["n_events"].sum()],
+                          "cents": [fine["cents"].sum()]})
+    out = pd.concat([fine, by_key, by_day, total], ignore_index=True)
+    out["total_value"] = out["cents"].astype(np.int64) / 100.0
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["day"] = out["day"].astype(np.int64)
+    return out[cols]

@@ -611,3 +611,75 @@ def test_minhash_cluster_assignment(tmp_path, monkeypatch):
         threshold=0.6, fingerprint="t2")
     g2 = got2.to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(gpdf, g2)
+
+
+def test_lag_deltas_naive_parity():
+    from linkgraph.windows import lag_deltas
+
+    rng = np.random.default_rng(13)
+    n = 400
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(rng.integers(0, 10**9, n).astype("int64"),
+                       pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 12, n).astype(np.int64)),
+        "value": pa.array(np.round(rng.random(n) * 200 - 50, 2))})
+    got = lag_deltas(rd.from_arrow(t)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    df = t.to_pandas()
+    df["cents"] = np.floor(df["value"] * 100 + 0.5).astype(np.int64)
+    df["us"] = df["ts"].astype("int64")
+    df = df.sort_values(["user_id", "us", "event_id"])
+    df["rn"] = df.groupby("user_id").cumcount() + 1
+    df["delta_cents"] = df.groupby("user_id")["cents"].diff()
+    df["gap_us"] = df.groupby("user_id")["us"].diff()
+    df = df[df["rn"] >= 2].sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == df["event_id"].tolist()
+    assert got["rn"].tolist() == df["rn"].tolist()
+    assert got["delta_cents"].tolist() == \
+        df["delta_cents"].astype(np.int64).tolist()
+    assert got["gap_us"].tolist() == df["gap_us"].astype(np.int64).tolist()
+
+
+def test_cube_events_naive_parity():
+    from linkgraph.windows import cube_events
+
+    rng = np.random.default_rng(14)
+    n = 500
+    t = pa.table({
+        "ts": pa.array(rng.integers(0, 20 * 86400 * 10**6, n)
+                       .astype("int64"), pa.timestamp("us")),
+        "event_type": pa.array(
+            np.array(["click", "view", "buy"])[rng.integers(0, 3, n)]),
+        "value": pa.array(np.round(rng.random(n) * 100, 2))})
+    got = cube_events(rd.from_arrow(t)) \
+        .sort_values(["event_type", "day"]).reset_index(drop=True)
+
+    df = t.to_pandas()
+    df["day"] = (df["ts"].astype("int64") // (86400 * 10**6)) \
+        .astype(np.int64)
+    df["cents"] = np.floor(df["value"] * 100 + 0.5).astype(np.int64)
+    frames = []
+    for keys, lab in ((["event_type", "day"], None),
+                      (["event_type"], ("day", -1)),
+                      (["day"], ("event_type", "ALL")),
+                      ([], None)):
+        if keys:
+            g = df.groupby(keys).agg(n_events=("cents", "size"),
+                                     cents=("cents", "sum")).reset_index()
+            if lab:
+                g[lab[0]] = lab[1]
+        else:
+            g = pd.DataFrame({"event_type": ["ALL"], "day": [-1],
+                              "n_events": [len(df)],
+                              "cents": [df["cents"].sum()]})
+        frames.append(g)
+    want = pd.concat(frames, ignore_index=True)
+    want["total_value"] = want["cents"] / 100.0
+    want["day"] = want["day"].astype(np.int64)
+    want = want[["event_type", "day", "n_events", "total_value"]] \
+        .sort_values(["event_type", "day"]).reset_index(drop=True)
+    got["n_events"] = got["n_events"].astype(np.int64)
+    want["n_events"] = want["n_events"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
