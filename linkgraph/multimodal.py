@@ -176,6 +176,37 @@ def synth_wav_payload(media_id: int, n_samples: int,
     return hdr + data
 
 
+def parse_wav(payload: bytes):
+    """REAL RIFF/WAVE parse: validate 16-bit mono PCM chunks, return
+    (sample_rate, int64 sample array).  Shared by the stats and
+    spectral-feature stages."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                # keep the documented ValueError contract: a truncated
+                # fmt chunk must not escape as struct.error (ADVICE r2)
+                raise ValueError(
+                    f"truncated fmt chunk ({len(body)} of 16 bytes)")
+            fmt, channels, sr, _, _, bits = struct.unpack("<HHIIHH",
+                                                          body[:16])
+            if fmt != 1:
+                raise ValueError("only PCM supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if sr is None or data is None or bits != 16 or channels != 1:
+        raise ValueError("unsupported WAV layout")
+    return int(sr), np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+
 class WavDecodeStage:
     """REAL audio decode: parses RIFF chunks, validates 16-bit mono PCM,
     and extracts (sample_rate, n_samples, duration_ms, peak, rms).  The
@@ -183,31 +214,7 @@ class WavDecodeStage:
     by the SQL oracle's closed form."""
 
     def _decode(self, payload: bytes):
-        import struct
-
-        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-            raise ValueError("not a RIFF/WAVE payload")
-        pos, sr, bits, channels, data = 12, None, None, None, None
-        while pos + 8 <= len(payload):
-            cid = payload[pos:pos + 4]
-            sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
-            body = payload[pos + 8:pos + 8 + sz]
-            if cid == b"fmt ":
-                if len(body) < 16:
-                    # keep the documented ValueError contract: a truncated
-                    # fmt chunk must not escape as struct.error (ADVICE r2)
-                    raise ValueError(
-                        f"truncated fmt chunk ({len(body)} of 16 bytes)")
-                fmt, channels, sr, _, _, bits = struct.unpack("<HHIIHH",
-                                                              body[:16])
-                if fmt != 1:
-                    raise ValueError("only PCM supported")
-            elif cid == b"data":
-                data = body
-            pos += 8 + sz + (sz & 1)
-        if sr is None or data is None or bits != 16 or channels != 1:
-            raise ValueError("unsupported WAV layout")
-        s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        sr, s = parse_wav(payload)
         n = len(s)
         sumsq = int((s * s).sum())
         return (int(sr), n, n * 1000 // sr, int(np.abs(s).max(initial=0)),
@@ -226,6 +233,53 @@ class WavDecodeStage:
             "rms": pa.array(np.round(np.array(rms, np.float64), 6),
                             pa.float64()),
         })
+
+
+SPECTRAL_BINS = (1, 2, 4, 8, 16)
+
+
+class SpectralStage:
+    """REAL DSP feature extraction: per-clip rfft over the decoded PCM
+    samples -> DC level and DFT magnitudes at a fixed bin set, each
+    normalized by the clip length (|X_k| / n) and rounded to 3.
+
+    Actor-pool stage (bin set fixed in __init__); the FFT itself is the
+    per-row kernel — numerically within ~1e-9 of the naive DFT sums the
+    SQL oracle computes with cos/sin aggregates, far inside the round-3
+    comparison slack."""
+
+    def __init__(self, bins=SPECTRAL_BINS):
+        self.bins = tuple(bins)
+
+    def _features(self, payload: bytes):
+        _, s = parse_wav(payload)
+        n = len(s)
+        if n == 0:
+            return 0, 0.0, [0.0] * len(self.bins)
+        x = np.fft.rfft(s.astype(np.float64))
+        dc = float(s.sum()) / n
+        mags = [float(np.abs(x[k])) / n if k < len(x) else 0.0
+                for k in self.bins]
+        return n, dc, mags
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._features(p) for p in batch["payload"].to_pylist()]
+        cols = {"media_id": batch["media_id"],
+                "n_samples": pa.array([r[0] for r in rows], pa.int64()),
+                "dc": pa.array(np.round(
+                    np.array([r[1] for r in rows], np.float64), 3))}
+        for j, k in enumerate(self.bins):
+            cols[f"m{k}"] = pa.array(np.round(
+                np.array([r[2][j] for r in rows], np.float64), 3))
+        return pa.table(cols)
+
+
+def spectral_features(ds, concurrency: int = 4, batch_size: int = 256):
+    """audio media table -> per-clip spectral features via the real WAV
+    parser + rfft (actor pool)."""
+    return ds.map_batches(SpectralStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=pool_size(concurrency))
 
 
 def audio_from_documents(docs_ds):

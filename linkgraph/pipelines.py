@@ -1713,6 +1713,20 @@ def q_media_image(sf_dir):
     return decode_images(images_from_documents(docs))
 
 
+def q_media_spectral(sf_dir):
+    """REAL DSP lane: WAV PCM decode -> per-clip rfft -> DC + DFT
+    magnitudes at bins {1,2,4,8,16}, |X_k|/n rounded to 3
+    (multimodal.SpectralStage).  The oracle recomputes every bin as
+    explicit cos/sin DFT sums over the generator's closed-form samples;
+    FFT-vs-naive float divergence is ~1e-9 abs against a 5e-4 rounding
+    slack."""
+    from .multimodal import audio_from_documents, spectral_features
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return spectral_features(audio_from_documents(docs))
+
+
 MEDIA_RESIZE_TARGET = 8
 
 
@@ -3912,6 +3926,41 @@ ORACLE_SQL: dict[str, str] = {
                round(sqrt(sumsq / n::DOUBLE), 6) AS rms
         FROM a
     """,
+    # REAL DSP lane: rfft magnitudes vs explicit cos/sin DFT sums over
+    # the same closed-form samples (round-3; fft-vs-naive ~1e-9 abs)
+    "media_spectral": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 400 + (strlen(text) * 7) % 800 AS n
+          FROM documents
+        ), s AS (
+          SELECT media_id, n, unnest(range(n)) AS i,
+                 ((media_id + 1) * 2654435761 + unnest(range(n)) * 97003)
+                   % 65536 - 32768 AS v
+          FROM m
+        ), f AS (
+          SELECT media_id, n, sum(v) AS sv,
+                 sum(v * cos(2 * pi() * 1 * i / n)) AS re1,
+                 sum(v * sin(2 * pi() * 1 * i / n)) AS im1,
+                 sum(v * cos(2 * pi() * 2 * i / n)) AS re2,
+                 sum(v * sin(2 * pi() * 2 * i / n)) AS im2,
+                 sum(v * cos(2 * pi() * 4 * i / n)) AS re4,
+                 sum(v * sin(2 * pi() * 4 * i / n)) AS im4,
+                 sum(v * cos(2 * pi() * 8 * i / n)) AS re8,
+                 sum(v * sin(2 * pi() * 8 * i / n)) AS im8,
+                 sum(v * cos(2 * pi() * 16 * i / n)) AS re16,
+                 sum(v * sin(2 * pi() * 16 * i / n)) AS im16
+          FROM s GROUP BY media_id, n
+        )
+        SELECT media_id, n AS n_samples,
+               round(sv / n, 3) AS dc,
+               round(sqrt(re1 * re1 + im1 * im1) / n, 3) AS m1,
+               round(sqrt(re2 * re2 + im2 * im2) / n, 3) AS m2,
+               round(sqrt(re4 * re4 + im4 * im4) / n, 3) AS m4,
+               round(sqrt(re8 * re8 + im8 * im8) / n, 3) AS m8,
+               round(sqrt(re16 * re16 + im16 * im16) / n, 3) AS m16
+        FROM f
+    """,
     # REAL BMP decode lane: width/height/channel means recomputed from
     # the generator's closed form (exact int64 channel sums both sides)
     "media_image": """
@@ -4144,6 +4193,7 @@ QUERIES = {
     "events_cont_quantiles": q_events_cont_quantiles,
     "events_user_quantiles": q_events_user_quantiles,
     "media_audio": q_media_audio,
+    "media_spectral": q_media_spectral,
     "media_image": q_media_image,
     "media_resize": q_media_resize,
     "media_video": q_media_video,

@@ -682,3 +682,34 @@ def test_chunk_documents_naive_parity():
     for (i, k, piece, ln), (_, r) in zip(rows, out.iterrows()):
         assert (r.doc_id, r.chunk_id, r.chunk, r.n_words) \
             == (i, k, piece, ln)
+
+
+def test_spectral_stage_matches_naive_dft():
+    """SpectralStage (rfft) agrees with the explicit cos/sin DFT sums
+    the SQL oracle computes, at round-3, for several clip lengths."""
+    import numpy as np
+    import pyarrow as pa
+
+    from linkgraph.multimodal import (
+        SPECTRAL_BINS, SpectralStage, synth_wav_payload,
+    )
+
+    st = SpectralStage()
+    ids = [3, 11, 42]
+    lens = [400, 777, 1199]
+    batch = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([synth_wav_payload(m, n)
+                             for m, n in zip(ids, lens)], pa.binary())})
+    got = st(batch).to_pandas()
+    for r, (m, n) in enumerate(zip(ids, lens)):
+        i = np.arange(n, dtype=np.int64)
+        v = ((m + 1) * 2654435761 + i * 97003) % 65536 - 32768
+        assert got.loc[r, "n_samples"] == n
+        assert got.loc[r, "dc"] == round(v.sum() / n, 3)
+        for k in SPECTRAL_BINS:
+            th = 2 * np.pi * k * i / n
+            re = float((v * np.cos(th)).sum())
+            im = float((v * np.sin(th)).sum())
+            want = round(np.sqrt(re * re + im * im) / n, 3)
+            assert abs(got.loc[r, f"m{k}"] - want) < 2e-3, (k, n)

@@ -30,25 +30,31 @@ E = int(os.environ.get("GRAFT_SCALE_E", "96000000"))
 REPEATS = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
 
 
-def _probe(n_procs: int, seconds: float = 2.5) -> float:
-    """Aggregate e/s of the dense-signal-shaped DRAM kernel (gather +
-    bincount) across n_procs processes — the code-independent ceiling."""
+def _probe(n_procs: int, n_iter: int = 8) -> float:
+    """Aggregate e/s of tools/bw_probe.py's EXACT kernel (gather +
+    segment_reduce) across n_procs processes — the code-independent
+    ceiling, same accounting as every prior round's probe so the
+    engine/probe ratios stay comparable."""
     import multiprocessing as mp
 
     import numpy as np
 
     def kernel(q):
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from linkgraph.csr import segment_reduce
+
         rng = np.random.default_rng(0)
-        state = rng.random(250_000)
-        idx = rng.integers(0, 250_000, 3_000_000)
-        rep = np.sort(rng.integers(0, 2_600_000, 3_000_000))
+        E, n_local = 3_000_000, 250_000
+        idx = rng.integers(0, n_local, E)
+        indptr = np.sort(rng.integers(0, E, 2_400_000))
+        indptr = np.concatenate([[0], indptr, [E]])
+        vals = rng.random(n_local)
         t0 = time.perf_counter()
-        n = 0
-        while time.perf_counter() - t0 < seconds:
-            vals = state[idx]
-            out = np.bincount(rep, weights=vals, minlength=2_600_000)
-            n += len(idx)
-        q.put(n / (time.perf_counter() - t0))
+        for _ in range(n_iter):
+            ev = vals[idx]
+            segment_reduce(ev, indptr, "add")
+        q.put(E * n_iter / (time.perf_counter() - t0))
 
     q = mp.Queue()
     ps = [mp.Process(target=kernel, args=(q,)) for _ in range(n_procs)]
