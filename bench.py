@@ -8,10 +8,10 @@ Plain run: times the headline pipelines over $GRAFT_SF_DIR (default
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "pagerank": {...superstep throughput detail...}}
 
---scaling: runs the SAME job in two fresh processes (num_cpus=8 then
-32) on the same input and prints throughput at both + scaling
-efficiency = (T8/T32)/4 (the sandbox evidence for the N vs 4N-node
-criterion, see BASELINE.md).
+--scaling: runs the SAME job in two fresh processes (num_cpus=N then
+4N; default 8,32, override GRAFT_SCALE_LEVELS="2,8") on the same input
+and prints throughput at both + scaling efficiency = (T_lo/T_hi)/ratio
+(the sandbox evidence for the N vs 4N-node criterion, see BASELINE.md).
 
 Headline components:
   edge_build      synth repo-files corpus -> sha/id/star-edge derivation
@@ -315,7 +315,10 @@ def main():
         out = {}
         raw = {}
         n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
-        for ncpu in (8, 32):
+        levels = tuple(int(x) for x in os.environ.get(
+            "GRAFT_SCALE_LEVELS", "8,32").split(","))
+        lo, hi = levels
+        for ncpu in levels:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             # scaling runs use a compute-heavier config so per-stage work
             # dominates fixed shuffle/superstep latency (see BASELINE.md);
@@ -351,33 +354,37 @@ def main():
                     key=lambda d: d["edges_per_sec_per_superstep"])
             raw[ncpu] = [r["value"] for r in runs]
             out[ncpu] = best
-        t8 = out[8]["value"]
-        t32 = out[32]["value"]
-        tp8 = out[8]["pagerank"]["edges_per_sec_per_superstep"]
-        tp32 = out[32]["pagerank"]["edges_per_sec_per_superstep"]
-        tps8 = out[8]["pagerank_synth"]["edges_per_sec_per_superstep"]
-        tps32 = out[32]["pagerank_synth"]["edges_per_sec_per_superstep"]
+        ratio = hi / lo
+        t8 = out[lo]["value"]
+        t32 = out[hi]["value"]
+        tp8 = out[lo]["pagerank"]["edges_per_sec_per_superstep"]
+        tp32 = out[hi]["pagerank"]["edges_per_sec_per_superstep"]
+        tps8 = out[lo]["pagerank_synth"]["edges_per_sec_per_superstep"]
+        tps32 = out[hi]["pagerank_synth"]["edges_per_sec_per_superstep"]
         per_stage = {
-            k: round(out[8]["queries"][k] / max(1e-9, out[32]["queries"][k]), 2)
-            for k in out[32]["queries"]
+            k: round(out[lo]["queries"][k] / max(1e-9, out[hi]["queries"][k]), 2)
+            for k in out[hi]["queries"]
         }
         print(json.dumps({
-            "sec_8": t8, "sec_32": t32,
+            "levels": list(levels),
+            f"sec_{lo}": t8, f"sec_{hi}": t32,
             "speedup_total": round(t8 / t32, 3),
-            "scaling_efficiency_total": round((t8 / t32) / 4, 3),
-            "pagerank_synth_throughput_8": tps8,
-            "pagerank_synth_throughput_32": tps32,
-            "scaling_efficiency_pagerank_synth": round((tps32 / tps8) / 4, 3),
-            "pagerank_derived_throughput_8": tp8,
-            "pagerank_derived_throughput_32": tp32,
+            "scaling_efficiency_total": round((t8 / t32) / ratio, 3),
+            f"pagerank_synth_throughput_{lo}": tps8,
+            f"pagerank_synth_throughput_{hi}": tps32,
+            "scaling_efficiency_pagerank_synth": round(
+                (tps32 / tps8) / ratio, 3),
+            f"pagerank_derived_throughput_{lo}": tp8,
+            f"pagerank_derived_throughput_{hi}": tp32,
             "per_stage_speedup": per_stage,
-            "queries_8": out[8]["queries"], "queries_32": out[32]["queries"],
+            f"queries_{lo}": out[lo]["queries"],
+            f"queries_{hi}": out[hi]["queries"],
             "raw_totals": raw, "runs_per_level": n_runs,
             # code-independent DRAM-kernel ceiling at each level (see
             # _hw_probe): normalizes engine numbers against whatever the
             # shared host was doing during the measurement
             "hw_probe_edges_per_sec": {
-                n: out[n]["hw_probe_edges_per_sec"] for n in (8, 32)},
+                n: out[n]["hw_probe_edges_per_sec"] for n in levels},
         }))
         return
 

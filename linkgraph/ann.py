@@ -337,6 +337,14 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
     for c in sorted(set(probe.reshape(-1).tolist())):
         paths.extend(sorted(glob.glob(
             os.path.join(index_dir, f"centroid={c}", "*.parquet"))))
+    if not paths:
+        # every probed centroid owned zero vectors (possible when
+        # k-means leaves empty cells): an empty top-k, not a
+        # read_parquet([]) crash — same guard as lsh_topk (ADVICE r2)
+        return pd.DataFrame({"query_id": np.empty(0, np.int64),
+                             "neighbor_id": np.empty(0, np.int64),
+                             "rnk": np.empty(0, np.int64),
+                             "cosine": np.empty(0, np.float64)})
     scanned = rd.read_parquet(paths, columns=[id_col, vec_col])
     if stats is not None:
         stats["rows_scanned"] = scanned.count()
@@ -377,3 +385,39 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
                       parts["cosine"].to_numpy(), k)
     top["rnk"] = top.groupby("query_id").cumcount() + 1
     return top[["query_id", "neighbor_id", "rnk", "cosine"]]
+
+
+def gram_matrix(ds, vec_col: str = "embedding",
+                round_to: int = 6) -> pd.DataFrame:
+    """Distributed Gram matrix G = X^T X over the embedding column —
+    the one-pass building block for PCA / whitening / linear probes
+    (covariance follows from G and the column sums).
+
+    Map-side partials: each batch contributes its own d x d product
+    (one BLAS matmul); partials are d*d doubles regardless of row
+    count, so the driver merge is O(blocks * d^2) — nothing row-scaled
+    is ever collected.  Returns the upper triangle as (i, j, val)
+    rows, 0-based, val rounded."""
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:  # an empty block would emit a malformed 1x1 g
+            return pa.table({"g": pa.array([], pa.list_(pa.float64()))})
+        m = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        g = m.T @ m
+        return pa.table({"g": pa.array([g.reshape(-1)],
+                                       pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    if not parts:
+        return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                             "j": pd.Series([], dtype=np.int64),
+                             "val": pd.Series([], dtype=np.float64)})
+    flat = np.zeros(len(parts[0]["g"]), np.float64)
+    for r in parts:
+        flat += np.asarray(r["g"], dtype=np.float64)
+    d = int(round(len(flat) ** 0.5))
+    g = flat.reshape(d, d)
+    iu, ju = np.triu_indices(d)
+    return pd.DataFrame({"i": iu.astype(np.int64),
+                         "j": ju.astype(np.int64),
+                         "val": np.round(g[iu, ju], round_to)})

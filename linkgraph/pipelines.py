@@ -1931,6 +1931,61 @@ def q_events_range(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+FUNNEL_WINDOW_S = 86_400  # 24h conversion window from funnel entry
+
+
+def q_events_funnel(sf_dir):
+    """Ordered conversion funnel (windows.funnel_counts): users reaching
+    view -> click-after-view -> purchase-after-that, each within 24h of
+    the user's funnel entry (first view); disjoint user buckets,
+    per-bucket vectorized min-reductions, driver merge of the tiny
+    (bucket x stage) partials."""
+    from .windows import funnel_counts
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ev, FUNNEL_STAGES, window_s=FUNNEL_WINDOW_S)
+
+
+RETENTION_MAX_OFFSET = 7
+
+
+def q_events_retention(sf_dir):
+    """Cohort retention (windows.retention_cohorts): cohort_day = first
+    active epoch-day per user; users active at each day offset 0..7."""
+    from .windows import retention_cohorts
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+    return retention_cohorts(ev, max_offset=RETENTION_MAX_OFFSET)
+
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir):
+    """Wide per-user pivot (windows.pivot_user_counts): count +
+    integer-cents sum per event type as columns; map-side partial pivot,
+    coarse user-bucket merge, Dataset out."""
+    from .windows import pivot_user_counts
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "event_type", "value"])
+    return pivot_user_counts(ev, PIVOT_TYPES)
+
+
+def q_embed_gram(sf_dir):
+    """Distributed Gram matrix X^T X over the embeddings (ann.gram_matrix):
+    per-batch BLAS partials, O(blocks * d^2) driver merge, upper-triangle
+    (i, j, val) out."""
+    from .ann import gram_matrix
+
+    vecs = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["embedding"])
+    return gram_matrix(vecs)
+
+
 def _media(sf_dir):
     from .multimodal import media_from_documents
 
@@ -3779,6 +3834,86 @@ ORACLE_SQL: dict[str, str] = {
            AND r.ts BETWEEN l.ts - INTERVAL 10 MINUTE AND l.ts
         GROUP BY 1, 2, 3
     """,
+    # ordered funnel: stage k reached = an event of FUNNEL_STAGES[k]
+    # strictly after the ts at which stage k-1 was reached, within a
+    # 24h conversion window of the user's funnel entry (first view)
+    "events_funnel": """
+        WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+             s2 AS (SELECT e.user_id, min(e.ts) AS t, min(s1.t) AS t0
+                    FROM events e
+                    JOIN s1 ON e.user_id = s1.user_id
+                    WHERE e.event_type = 'click' AND e.ts > s1.t
+                      AND e.ts <= s1.t + INTERVAL 24 HOUR
+                    GROUP BY e.user_id),
+             s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                    JOIN s2 ON e.user_id = s2.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                      AND e.ts <= s2.t0 + INTERVAL 24 HOUR
+                    GROUP BY e.user_id)
+        SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+               (SELECT count(*) FROM s1) AS users
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+    # cohort retention: first-active epoch-day cohorts, distinct users
+    # active at each day offset 0..7
+    "events_retention": """
+        WITH ud AS (SELECT DISTINCT user_id,
+                    date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS day
+                    FROM events),
+             coh AS (SELECT user_id, min(day) AS cohort_day
+                     FROM ud GROUP BY user_id)
+        SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+               CAST(ud.day - c.cohort_day AS BIGINT) AS day_offset,
+               count(*) AS users
+        FROM ud JOIN coh c ON ud.user_id = c.user_id
+        WHERE ud.day - c.cohort_day <= 7
+        GROUP BY 1, 2
+    """,
+    # wide per-user pivot: count + exact integer-cents sum per type
+    "events_pivot": """
+        SELECT user_id,
+          count(*) FILTER (WHERE event_type = 'click') AS n_click,
+          count(*) FILTER (WHERE event_type = 'error') AS n_error,
+          count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+          count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+          count(*) FILTER (WHERE event_type = 'view') AS n_view,
+          CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   FILTER (WHERE event_type = 'click'), 0) AS BIGINT)
+                   AS cents_click,
+          CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   FILTER (WHERE event_type = 'error'), 0) AS BIGINT)
+                   AS cents_error,
+          CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+                   AS cents_purchase,
+          CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   FILTER (WHERE event_type = 'signup'), 0) AS BIGINT)
+                   AS cents_signup,
+          CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   FILTER (WHERE event_type = 'view'), 0) AS BIGINT)
+                   AS cents_view
+        FROM events GROUP BY user_id
+    """,
+    # Gram matrix X^T X over the embedding column, upper triangle,
+    # 0-based dims; float32 products exact in double, sum-order
+    # divergence ~1e-13 relative against round-6
+    "embed_gram": """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings
+        ), u AS (
+          SELECT vec_id,
+                 CAST(generate_subscripts(emb, 1) AS BIGINT) - 1 AS dim,
+                 unnest(emb) AS v
+          FROM e
+        )
+        SELECT a.dim AS i, b.dim AS j, round(sum(a.v * b.v), 6) AS val
+        FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    """,
     # MinHash+LSH near-dup pairs (dedup.minhash_dedup_pairs defaults:
     # 64 perms, 16 bands, char-5-grams, cap 64; q threshold 0.5) — the
     # whole deterministic index reproduced in HUGEINT arithmetic
@@ -4189,6 +4324,10 @@ QUERIES = {
     "events_session": q_events_session,
     "events_asof": q_events_asof,
     "events_range": q_events_range,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "events_pivot": q_events_pivot,
+    "embed_gram": q_embed_gram,
     "events_quantiles": q_events_quantiles,
     "events_cont_quantiles": q_events_cont_quantiles,
     "events_user_quantiles": q_events_user_quantiles,

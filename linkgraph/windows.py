@@ -286,3 +286,175 @@ def cube_events(ds, ts: str = "ts", key: str = "event_type",
     out["n_events"] = out["n_events"].astype(np.int64)
     out["day"] = out["day"].astype(np.int64)
     return out[cols]
+
+
+DAY_US = 86_400 * US
+
+
+def funnel_counts(ds, stages: list[str], key: str = "user_id",
+                  ts: str = "ts", type_col: str = "event_type",
+                  window_s: int | None = None) -> pd.DataFrame:
+    """Ordered conversion funnel: users reaching stage k = users with an
+    event of type stages[k] STRICTLY after the timestamp at which they
+    reached stage k-1 (stage 0 = their earliest stages[0] event), and —
+    when `window_s` is set — no later than `window_s` seconds after the
+    user entered the funnel (their stage-0 timestamp): the standard
+    conversion-window semantics.
+
+    Shape: one coarse user-bucket shuffle (buckets partition users, so
+    per-bucket reach counts are disjoint and sum exactly), a per-bucket
+    kernel that runs len(stages) vectorized min-reductions — never a
+    per-user Python loop — then a driver merge of the tiny
+    (bucket x stage) partial table.  Returns (stage 1-based, stage_name,
+    users)."""
+    from .algos.triangles import n_buckets_for
+
+    idx = {s: i for i, s in enumerate(stages)}
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        tcol = b[type_col]
+        st = np.full(len(tcol), -1, dtype=np.int64)
+        for s, i in idx.items():  # len(stages) vectorized compares
+            st[pc.equal(tcol, s).to_numpy(zero_copy_only=False)] = i
+        keep = st >= 0
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        us = pc.cast(b[ts], pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        return pa.table({key: pa.array(k), "us": pa.array(us),
+                         "stage": pa.array(st[keep]),
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    n_stages = len(stages)
+
+    window_us = None if window_s is None else window_s * US
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.empty(n_stages, dtype=np.int64)
+        reached = None  # Series: user -> us at which stage s was reached
+        entered = None  # Series: user -> stage-0 us (funnel entry)
+        for s in range(n_stages):
+            rows = g[g["stage"] == s]
+            if reached is not None:
+                prev = rows[key].map(reached)
+                keep = prev.notna() & (rows["us"] > prev)
+                if window_us is not None:
+                    keep &= rows["us"] <= rows[key].map(entered) + window_us
+                rows = rows[keep]
+            reached = rows.groupby(key)["us"].min()
+            if entered is None:
+                entered = reached
+            users[s] = len(reached)
+        return pd.DataFrame({"stage": np.arange(1, n_stages + 1,
+                                                dtype=np.int64),
+                             "users": users})
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+              .groupby("kb").map_groups(kern, batch_format="pandas") \
+              .to_pandas()  # nb x n_stages rows — tiny
+    out = parts.groupby("stage", sort=True)["users"].sum().reset_index()
+    out["stage_name"] = [stages[s - 1] for s in out["stage"]]
+    out["users"] = out["users"].astype(np.int64)
+    return out[["stage", "stage_name", "users"]]
+
+
+def retention_cohorts(ds, max_offset: int = 7, key: str = "user_id",
+                      ts: str = "ts") -> pd.DataFrame:
+    """Classic cohort retention: cohort_day = a user's first active
+    calendar day (UTC, epoch days); users(cohort_day, day_offset) =
+    distinct users of that cohort active on cohort_day + day_offset,
+    for offsets 0..max_offset.
+
+    Same disjoint-user-bucket shape as funnel_counts: activity is first
+    reduced to distinct (user, day) pairs inside each bucket, the
+    per-bucket kernel derives cohorts and offsets vectorized, and the
+    driver sums the tiny (cohort, offset) partials."""
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // DAY_US
+        return pa.table({key: pa.array(k), "day": pa.array(day),
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        ud = g[[key, "day"]].drop_duplicates()
+        cohort = ud.groupby(key)["day"].min()
+        coh = ud[key].map(cohort).to_numpy(np.int64)
+        off = ud["day"].to_numpy(np.int64) - coh
+        keep = off <= max_offset
+        part = pd.DataFrame({"cohort_day": coh[keep],
+                             "day_offset": off[keep]})
+        out = part.groupby(["cohort_day", "day_offset"], sort=True) \
+                  .size().rename("users").reset_index()
+        return out
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+              .groupby("kb").map_groups(kern, batch_format="pandas") \
+              .to_pandas()  # <= nb x days x offsets rows — small
+    if len(parts) == 0:
+        return pd.DataFrame({"cohort_day": pd.Series([], dtype=np.int64),
+                             "day_offset": pd.Series([], dtype=np.int64),
+                             "users": pd.Series([], dtype=np.int64)})
+    out = parts.groupby(["cohort_day", "day_offset"], sort=True) \
+               .agg(users=("users", "sum")).reset_index()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def pivot_user_counts(ds, types: list[str], key: str = "user_id",
+                      type_col: str = "event_type",
+                      value: str = "value"):
+    """Wide per-user pivot: one row per user with count + exact
+    integer-cents sum columns per event type (n_<t>, cents_<t>).
+
+    Map-side partial pivot per batch (in-batch pandas groupby — one
+    vectorized reduction), then the usual coarse user-bucket
+    groupby(kb).map_groups merge; per-user results stay distributed (a
+    Dataset out — the user domain is unbounded at scale)."""
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+    n_cols = [f"n_{t}" for t in types]
+    c_cols = [f"cents_{t}" for t in types]
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        tcol = b[type_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(b[value].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({key: k, "t": tcol, "cents": cents})
+        g = df.groupby([key, "t"], sort=False).agg(
+            n=("cents", "size"), c=("cents", "sum")).reset_index()
+        wide_n = g.pivot_table(index=key, columns="t", values="n",
+                               aggfunc="sum", fill_value=0)
+        wide_c = g.pivot_table(index=key, columns="t", values="c",
+                               aggfunc="sum", fill_value=0)
+        cols = {key: pa.array(wide_n.index.to_numpy(np.int64))}
+        for t in types:
+            n = (wide_n[t] if t in wide_n else
+                 pd.Series(0, index=wide_n.index))
+            c = (wide_c[t] if t in wide_c else
+                 pd.Series(0, index=wide_c.index))
+            cols[f"n_{t}"] = pa.array(n.to_numpy(np.int64))
+            cols[f"cents_{t}"] = pa.array(c.to_numpy(np.int64))
+        cols["kb"] = pa.array(
+            (wide_n.index.to_numpy(np.int64) % nb).astype(np.int64))
+        return pa.table(cols)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key, sort=True)[n_cols + c_cols].sum() \
+               .reset_index()
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("kb").map_groups(merge, batch_format="pandas")

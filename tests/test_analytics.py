@@ -1,0 +1,134 @@
+"""Naive-parity tests for the events-analytics operators (funnel,
+retention, pivot) and the distributed Gram matrix — each compared
+against a straightforward single-process pandas/numpy recomputation on
+the same synthetic input, plus partition-count invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+US = 1_000_000
+DAY_US = 86_400 * US
+
+
+def _events(n=800, n_users=40, seed=7):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, 30 * DAY_US, n).astype("int64"))
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, n).astype(np.int64)),
+        "event_type": pa.array(rng.choice(
+            ["view", "click", "purchase", "error"], n)),
+        "value": pa.array(np.round(rng.random(n) * 50, 2)),
+    })
+
+
+def _naive_funnel(df, stages, window_s=None):
+    reached = None
+    entered = None
+    counts = []
+    for s, st in enumerate(stages):
+        rows = df[df.event_type == st]
+        if reached is not None:
+            t = {}
+            for u, grp in rows.groupby("user_id"):
+                if u not in reached:
+                    continue
+                ok = grp[grp.us > reached[u]]
+                if window_s is not None:
+                    ok = ok[ok.us <= entered[u] + window_s * US]
+                if len(ok):
+                    t[u] = ok.us.min()
+            reached = t
+        else:
+            reached = rows.groupby("user_id")["us"].min().to_dict()
+            entered = dict(reached)
+        counts.append(len(reached))
+    return counts
+
+
+def test_funnel_counts_naive_parity():
+    from linkgraph.windows import funnel_counts
+
+    tbl = _events()
+    df = tbl.to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    stages = ["view", "click", "purchase"]
+    for window_s in (None, 86_400):
+        want = _naive_funnel(df, stages, window_s)
+        for nparts in (1, 7):
+            out = funnel_counts(rd.from_arrow(tbl).repartition(nparts),
+                                stages, window_s=window_s)
+            assert out["stage"].tolist() == [1, 2, 3]
+            assert out["stage_name"].tolist() == stages
+            assert out["users"].tolist() == want
+    # funnel must be monotone non-increasing and windowed <= unwindowed
+    assert want[0] >= want[1] >= want[2]
+
+
+def test_retention_cohorts_naive_parity():
+    from linkgraph.windows import retention_cohorts
+
+    tbl = _events(seed=11)
+    df = tbl.to_pandas()
+    df["day"] = df["ts"].astype("int64") // DAY_US
+    ud = df[["user_id", "day"]].drop_duplicates()
+    cohort = ud.groupby("user_id")["day"].min()
+    ud = ud.assign(coh=ud.user_id.map(cohort))
+    ud["off"] = ud["day"] - ud["coh"]
+    want = ud[ud["off"] <= 7].groupby(["coh", "off"]).size() \
+        .rename("users").reset_index()
+    for nparts in (1, 6):
+        out = retention_cohorts(rd.from_arrow(tbl).repartition(nparts),
+                                max_offset=7)
+        m = out.merge(want, left_on=["cohort_day", "day_offset"],
+                      right_on=["coh", "off"], how="outer")
+        assert len(m) == len(want) == len(out)
+        assert (m["users_x"] == m["users_y"]).all()
+    # offset 0 must count every user exactly once across cohorts
+    assert out[out.day_offset == 0]["users"].sum() == cohort.size
+
+
+def test_pivot_user_counts_naive_parity():
+    from linkgraph.windows import pivot_user_counts
+
+    tbl = _events(seed=13)
+    df = tbl.to_pandas()
+    df["cents"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(
+        np.int64)
+    types = ["view", "click", "purchase", "error"]
+    for nparts in (1, 5):
+        out = pivot_user_counts(rd.from_arrow(tbl).repartition(nparts),
+                                types).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        assert len(out) == df["user_id"].nunique()
+        for t in types:
+            sub = df[df.event_type == t].groupby("user_id")
+            n = out["user_id"].map(sub.size()).fillna(0).astype(np.int64)
+            c = out["user_id"].map(sub["cents"].sum()).fillna(0) \
+                .astype(np.int64)
+            assert (out[f"n_{t}"].to_numpy() == n.to_numpy()).all()
+            assert (out[f"cents_{t}"].to_numpy() == c.to_numpy()).all()
+
+
+def test_gram_matrix_naive_parity():
+    from linkgraph.ann import gram_matrix
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((120, 9)).astype(np.float32)
+    tbl = pa.table({"embedding": pa.array(list(m),
+                                          pa.list_(pa.float32()))})
+    g = m.astype(np.float64).T @ m.astype(np.float64)
+    for nparts in (1, 4):
+        out = gram_matrix(rd.from_arrow(tbl).repartition(nparts))
+        assert len(out) == 9 * 10 // 2
+        got = np.zeros((9, 9))
+        got[out["i"], out["j"]] = out["val"]
+        iu, ju = np.triu_indices(9)
+        assert np.allclose(got[iu, ju], g[iu, ju], atol=1e-6)
+    # empty input short-circuits
+    empty = rd.from_arrow(tbl.slice(0, 0))
+    out = gram_matrix(empty)
+    assert len(out) == 0 and list(out.columns) == ["i", "j", "val"]
