@@ -387,17 +387,11 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
     return top[["query_id", "neighbor_id", "rnk", "cosine"]]
 
 
-def gram_matrix(ds, vec_col: str = "embedding",
-                round_to: int = 6) -> pd.DataFrame:
-    """Distributed Gram matrix G = X^T X over the embedding column —
-    the one-pass building block for PCA / whitening / linear probes
-    (covariance follows from G and the column sums).
-
-    Map-side partials: each batch contributes its own d x d product
-    (one BLAS matmul); partials are d*d doubles regardless of row
-    count, so the driver merge is O(blocks * d^2) — nothing row-scaled
-    is ever collected.  Returns the upper triangle as (i, j, val)
-    rows, 0-based, val rounded."""
+def _gram_dense(ds, vec_col: str = "embedding") -> np.ndarray | None:
+    """Distributed G = X^T X: each batch contributes its own d x d BLAS
+    product; partials are d*d doubles regardless of row count, so the
+    driver merge is O(blocks * d^2) — nothing row-scaled is collected.
+    None when the dataset is empty."""
     def partial(b: pa.Table) -> pa.Table:
         if len(b) == 0:  # an empty block would emit a malformed 1x1 g
             return pa.table({"g": pa.array([], pa.list_(pa.float64()))})
@@ -409,15 +403,54 @@ def gram_matrix(ds, vec_col: str = "embedding",
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).take_all()
     if not parts:
-        return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
-                             "j": pd.Series([], dtype=np.int64),
-                             "val": pd.Series([], dtype=np.float64)})
+        return None
     flat = np.zeros(len(parts[0]["g"]), np.float64)
     for r in parts:
         flat += np.asarray(r["g"], dtype=np.float64)
     d = int(round(len(flat) ** 0.5))
-    g = flat.reshape(d, d)
+    return flat.reshape(d, d)
+
+
+def gram_matrix(ds, vec_col: str = "embedding",
+                round_to: int = 6) -> pd.DataFrame:
+    """Distributed Gram matrix G = X^T X over the embedding column —
+    the one-pass building block for PCA / whitening / linear probes
+    (covariance follows from G and the column sums).  See _gram_dense
+    for the partial-sum shape.  Returns the upper triangle as
+    (i, j, val) rows, 0-based, val rounded."""
+    g = _gram_dense(ds, vec_col)
+    if g is None:
+        return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                             "j": pd.Series([], dtype=np.int64),
+                             "val": pd.Series([], dtype=np.float64)})
+    d = g.shape[0]
     iu, ju = np.triu_indices(d)
     return pd.DataFrame({"i": iu.astype(np.int64),
                          "j": ju.astype(np.int64),
                          "val": np.round(g[iu, ju], round_to)})
+
+
+def pca_power_top(ds, vec_col: str = "embedding", iters: int = 8,
+                  round_to: int = 6) -> pd.DataFrame:
+    """Top principal direction of the (uncentered) Gram matrix via
+    `iters` deterministic power-iteration steps from the fixed init
+    v0 = 1/sqrt(d): ONE distributed pass builds G (_gram_dense), the
+    iteration itself is O(iters * d^2) driver math.  Returns one row
+    per dimension (i, loading, eigval) with the Rayleigh-quotient
+    eigenvalue repeated per row; exactly `iters` steps are taken (no
+    convergence test), so the SQL oracle can unroll the identical
+    matvec/normalize chain."""
+    g = _gram_dense(ds, vec_col)
+    if g is None:
+        return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                             "loading": pd.Series([], dtype=np.float64),
+                             "eigval": pd.Series([], dtype=np.float64)})
+    d = g.shape[0]
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        w = g @ v
+        v = w / np.sqrt((w * w).sum())
+    lam = float(v @ (g @ v))
+    return pd.DataFrame({"i": np.arange(d, dtype=np.int64),
+                         "loading": np.round(v, round_to),
+                         "eigval": np.round(lam, round_to)})

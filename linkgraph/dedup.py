@@ -1178,3 +1178,122 @@ def incremental_dedup(new_fp_ds, index_dir: str, id_col: str = "doc_id",
         return out
 
     return both.groupby("fpb").map_groups(bucket, batch_format="pandas")
+
+
+# ------------------------------------------------------- substring dedup
+
+SUBSTR_WINDOW = 30   # chars per sampled window
+SUBSTR_STRIDE = 7    # sample a window every `stride` positions
+SUBSTR_DF_CAP = 64   # drop windows shared by more docs (boilerplate);
+                     # deterministic recall trade, reproduced in the SQL
+
+
+def substring_dup_pairs(ds, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        window: int = SUBSTR_WINDOW,
+                        stride: int = SUBSTR_STRIDE,
+                        df_cap: int = SUBSTR_DF_CAP):
+    """Exact substring-duplication pairs — the window-sampled variant of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): two docs pair when they share
+    at least one identical `window`-char substring among the windows
+    sampled every `stride` positions of each doc.  Output Dataset
+    (a, b, n_shared), a < b, n_shared = number of DISTINCT shared
+    window hashes (uint64 polynomial — identical strings always hash
+    equal, and the SQL oracle reproduces the same hash in HUGEINT, so
+    the comparison is collision-proof by construction).
+
+    Scale shape: one vectorized hashing pass (text.batch_shingles at
+    k=window + stride subsampling — no per-doc Python), windows
+    co-located by ONE coarse hash-bucket groupby (each hash lives in
+    exactly one bucket, so per-bucket df caps and distinct-counts are
+    globally exact), numpy segment pair expansion in-bucket (the
+    _band_pairs trick), then a coarse pair-bucket groupby summing the
+    per-bucket partial counts.  Hot boilerplate windows (> df_cap docs)
+    are dropped, never paired — the standard quadratic-blowup guard."""
+    from .algos.triangles import n_buckets_for
+    from .text import batch_shingles
+
+    def win_hashes(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b[text_col].to_pylist()
+        lens = np.array([len(t or "") for t in texts], dtype=np.int64)
+        long = lens >= window
+        if not long.any():
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        counts, hcat = batch_shingles(texts, window)
+        out_starts = np.cumsum(counts) - counts
+        lcnt = counts[long]            # len - window + 1 per long doc
+        nw = (lcnt - 1) // stride + 1  # sampled windows per long doc
+        base = np.repeat(out_starts[long], nw)
+        local = (np.arange(int(nw.sum()))
+                 - np.repeat(np.cumsum(nw) - nw, nw)) * stride
+        hs = hcat[base + local]
+        return pa.table({"h": pa.array(hs.view(np.int64)),
+                         "d": pa.array(np.repeat(ids[long], nw))})
+
+    wins = ds.map_batches(win_hashes, batch_format="pyarrow") \
+             .materialize()
+    nb = n_buckets_for(wins.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy(zero_copy_only=False)
+        hb = (h.view(np.uint64) % np.uint64(nb)).astype(np.int64)
+        return b.append_column("hb", pa.array(hb))
+
+    def pair_kern(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": np.empty(0, np.int64),
+                              "b": np.empty(0, np.int64),
+                              "c": np.empty(0, np.int64)})
+        rows = np.unique(np.stack([g["h"].to_numpy(np.int64),
+                                   g["d"].to_numpy(np.int64)], axis=1),
+                         axis=0)
+        if len(rows) < 2:
+            return empty
+        h, ids = rows[:, 0], rows[:, 1]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(h)]]))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        ok = (lens >= 2) & (lens <= df_cap)  # df cap: DROP hot windows
+        keep = ok[seg]
+        ids, seg = ids[keep], seg[keep]
+        if len(ids) == 0:
+            return empty
+        seg = np.unique(seg, return_inverse=True)[1]  # compact seg ids
+        k = np.bincount(seg)
+        starts2 = np.concatenate([[0], np.cumsum(k)[:-1]])
+        pos = np.arange(len(ids)) - starts2[seg]
+        reps = k[seg] - pos - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(len(ids)), reps)
+        csum = np.cumsum(reps) - reps
+        off = np.arange(total) - csum[a_idx]
+        b_idx = a_idx + 1 + off
+        out = pd.DataFrame({"a": ids[a_idx], "b": ids[b_idx]})
+        return out.groupby(["a", "b"], sort=False).size() \
+                  .rename("c").reset_index()
+
+    parts = wins.map_batches(tag, batch_format="pyarrow") \
+                .groupby("hb").map_groups(pair_kern,
+                                          batch_format="pandas")
+
+    def tag_pair(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            pb = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                   + bb.astype(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return b.append_column("pb", pa.array(pb))
+
+    def sum_kern(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], sort=True)["c"].sum() \
+               .rename("n_shared").reset_index()
+        for col in out.columns:
+            out[col] = out[col].astype(np.int64)
+        return out
+
+    return parts.map_batches(tag_pair, batch_format="pyarrow") \
+                .groupby("pb").map_groups(sum_kern, batch_format="pandas")

@@ -1435,6 +1435,19 @@ def q_dedup_simhash(sf_dir):
     return simhash_dedup_pairs(docs, max_hamming=8)[["a", "b"]]
 
 
+def q_dedup_substr(sf_dir):
+    """Exact substring-duplication pairs (dedup.substring_dup_pairs):
+    30-char windows sampled every 7 positions, df-capped at 64 docs;
+    (a, b, n_shared) with n_shared = distinct shared window hashes.
+    Oracle re-derives the identical uint64 polynomial window hash in
+    HUGEINT (_substr_sql), so the match is collision-proof."""
+    from .dedup import substring_dup_pairs
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return substring_dup_pairs(docs)
+
+
 def q_dedup_ngram(sf_dir):
     import ray.data as rd
 
@@ -1973,6 +1986,17 @@ def q_events_pivot(sf_dir):
     ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                             columns=["user_id", "event_type", "value"])
     return pivot_user_counts(ev, PIVOT_TYPES)
+
+
+def q_embed_pca(sf_dir):
+    """Top principal direction via deterministic power iteration on the
+    distributed Gram matrix (ann.pca_power_top, PCA_ITERS steps from the
+    fixed 1/sqrt(d) init); oracle unrolls the identical matvec chain."""
+    from .ann import pca_power_top
+
+    vecs = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["embedding"])
+    return pca_power_top(vecs, iters=PCA_ITERS)
 
 
 def q_embed_gram(sf_dir):
@@ -3003,6 +3027,74 @@ def _shingles_sql(k: int, src: str = "documents") -> str:
           FROM {src})"""
 
 
+def _substr_sql(window: int, stride: int, df_cap: int,
+                src: str = "documents") -> str:
+    """Oracle for dedup.substring_dup_pairs: enumerate the same sampled
+    windows (1-based substr at positions 1 + j*stride, docs with
+    length >= window only), hash each window with the IDENTICAL uint64
+    polynomial in HUGEINT (_gram_hash_sql — every window is exactly
+    `window` chars so the closed-form branch applies: 40 terms of
+    constant*codepoint, each < 2^85, sum < 2^91, one final % 2^64),
+    drop hashes shared by > df_cap docs, pair and count distinct
+    shared hashes per (a, b)."""
+    gh = _gram_hash_sql("sh", window)
+    return f"""
+        WITH w AS MATERIALIZED (
+          SELECT DISTINCT doc_id, {gh} AS h FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(0, (length(text) - {window}) // {stride} + 1),
+                j -> substr(text, (j*{stride}+1)::INT, {window}))) AS sh
+            FROM {src} WHERE length(text) >= {window})),
+        ok AS (SELECT h FROM w GROUP BY h
+               HAVING count(*) >= 2 AND count(*) <= {df_cap})
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+        FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+        JOIN ok ON ok.h = a.h
+        GROUP BY 1, 2
+    """
+
+
+PCA_ITERS = 8
+
+
+def _pca_sql(iters: int = PCA_ITERS, src: str = "embeddings") -> str:
+    """Oracle for ann.pca_power_top: the SAME fixed-init power
+    iteration unrolled as materialized CTEs — G from an unnest
+    self-join, then `iters` matvec + L2-normalize rounds, then the
+    Rayleigh quotient computed matvec-first like the numpy side."""
+    parts = [f"""
+        u AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST(generate_subscripts(emb, 1) AS BIGINT) - 1 AS dim,
+                 unnest(emb) AS x
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM {src})),
+        g AS MATERIALIZED (
+          SELECT a.dim AS i, b.dim AS j, sum(a.x * b.x) AS val
+          FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        v0 AS MATERIALIZED (
+          SELECT dim AS i,
+                 1.0 / sqrt((SELECT count(DISTINCT dim) FROM u)) AS x
+          FROM (SELECT DISTINCT dim FROM u))"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        w{t} AS MATERIALIZED (
+          SELECT g.i AS i, sum(g.val * v{t - 1}.x) AS x
+          FROM g JOIN v{t - 1} ON g.j = v{t - 1}.i GROUP BY 1),
+        v{t} AS MATERIALIZED (
+          SELECT i, x / (SELECT sqrt(sum(x * x)) FROM w{t}) AS x
+          FROM w{t})""")
+    parts.append(f"""
+        wf AS (SELECT g.i AS i, sum(g.val * v{iters}.x) AS x
+               FROM g JOIN v{iters} ON g.j = v{iters}.i GROUP BY 1),
+        lam AS (SELECT sum(v{iters}.x * wf.x) AS l
+                FROM v{iters} JOIN wf ON v{iters}.i = wf.i)""")
+    return ("WITH " + ",".join(parts) + f"""
+        SELECT v{iters}.i AS i, round(v{iters}.x, 6) AS loading,
+               round((SELECT l FROM lam), 6) AS eigval
+        FROM v{iters}""")
+
+
 def _minhash_sql(num_perm: int, bands: int, k: int, threshold: float,
                  cap: int, seed: int = 42, src: str = "documents") -> str:
     """Full MinHash+LSH near-dup oracle (dedup.minhash_dedup_pairs /
@@ -3900,6 +3992,7 @@ ORACLE_SQL: dict[str, str] = {
     # Gram matrix X^T X over the embedding column, upper triangle,
     # 0-based dims; float32 products exact in double, sum-order
     # divergence ~1e-13 relative against round-6
+    "embed_pca": _pca_sql(),
     "embed_gram": """
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -3923,6 +4016,9 @@ ORACLE_SQL: dict[str, str] = {
     # q threshold 0.4), exact-verified — same generator, narrower bands
     "dedup_ngram": _minhash_sql(num_perm=64, bands=32, k=5,
                                 threshold=0.4, cap=64),
+    # window-sampled exact-substring duplication (30-char windows,
+    # stride 7, df cap 64) — collision-proof HUGEINT hash parity
+    "dedup_substr": _substr_sql(window=30, stride=7, df_cap=64),
     # SimHash 64-bit signatures, 4x16-bit blocks, hamming <= 8 (q args)
     "dedup_simhash": _simhash_sql(max_hamming=8, cap=256),
     # top-5 TF-IDF terms per doc (text.tfidf_top_terms): tf = c/doc_len,
@@ -4300,6 +4396,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
+    "dedup_substr": q_dedup_substr,
     "dedup_jaccard": q_dedup_jaccard,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -4328,6 +4425,7 @@ QUERIES = {
     "events_retention": q_events_retention,
     "events_pivot": q_events_pivot,
     "embed_gram": q_embed_gram,
+    "embed_pca": q_embed_pca,
     "events_quantiles": q_events_quantiles,
     "events_cont_quantiles": q_events_cont_quantiles,
     "events_user_quantiles": q_events_user_quantiles,

@@ -132,3 +132,60 @@ def test_gram_matrix_naive_parity():
     empty = rd.from_arrow(tbl.slice(0, 0))
     out = gram_matrix(empty)
     assert len(out) == 0 and list(out.columns) == ["i", "j", "val"]
+
+
+def test_substring_dup_pairs_naive_parity():
+    """Windows enumerated per the sampled-position rule, pairs and
+    distinct-shared-window counts vs a naive substring recomputation
+    (strings, not hashes — catches hashing bugs), df-cap honored,
+    partition-count invariance."""
+    from linkgraph.dedup import substring_dup_pairs
+
+    rng = np.random.default_rng(21)
+    W, S, CAP = 12, 5, 4
+    base = ["the quick brown fox jumps over the lazy dog " * 3,
+            "pack my box with five dozen liquor jugs " * 3,
+            "sphinx of black quartz judge my vow " * 3]
+    texts = []
+    for i in range(30):
+        t = base[i % 3]
+        if i % 5 == 0:  # exact dup of a base text
+            texts.append(t)
+        elif i % 5 == 1:  # shared prefix, distinct tail
+            texts.append(t[:40] + f" unique tail {i} " + str(rng.random()))
+        else:  # unique
+            texts.append(f"doc {i} " + " ".join(
+                str(rng.integers(0, 10 ** 9)) for _ in range(20)))
+    texts.append("short")  # < W: contributes nothing
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts),
+                                                 dtype=np.int64)),
+                    "text": pa.array(texts)})
+
+    # naive: sampled windows as STRINGS
+    from collections import defaultdict
+    win2docs = defaultdict(set)
+    for d, t in enumerate(texts):
+        if len(t) < W:
+            continue
+        for p in range(0, len(t) - W + 1, S):
+            win2docs[t[p:p + W]].add(d)
+    pair_n = defaultdict(int)
+    for docs in win2docs.values():
+        if 2 <= len(docs) <= CAP:
+            ds_ = sorted(docs)
+            for x in range(len(ds_)):
+                for y in range(x + 1, len(ds_)):
+                    pair_n[(ds_[x], ds_[y])] += 1
+    want = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(pair_n.items())],
+        columns=["a", "b", "n_shared"])
+    assert len(want) > 0  # the fixture must actually produce pairs
+
+    for nparts in (1, 6):
+        out = substring_dup_pairs(
+            rd.from_arrow(tbl).repartition(nparts),
+            window=W, stride=S, df_cap=CAP).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        assert out["a"].tolist() == want["a"].tolist()
+        assert out["b"].tolist() == want["b"].tolist()
+        assert out["n_shared"].tolist() == want["n_shared"].tolist()
