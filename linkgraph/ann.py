@@ -454,3 +454,84 @@ def pca_power_top(ds, vec_col: str = "embedding", iters: int = 8,
     return pd.DataFrame({"i": np.arange(d, dtype=np.int64),
                          "loading": np.round(v, round_to),
                          "eigval": np.round(lam, round_to)})
+
+
+def kmeans_full(ds, n_centroids: int = 8, iters: int = 4,
+                sample_n: int = 500, seed: int = 42,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_to: int = 6) -> pd.DataFrame:
+    """FULL-CORPUS distributed Lloyd k-means over L2-normalized vectors
+    (cosine k-means, the train_centroids conventions) — unlike
+    train_centroids, which iterates on a driver-side sample, every
+    round here is one distributed pass: centroids are ray.put ONCE per
+    round, each batch emits a single (k x d sums + k counts) partial
+    row, and the driver merge is O(blocks * k * d).  Deterministic:
+    seeded init rows (rng.choice over the first sample_n vec_ids, the
+    _ann_ivf_sql convention), argmax-dot assignment with ties to the
+    smallest centroid id, empty clusters keep their previous centroid,
+    new centroids are L2-normalized with the zero guard.
+
+    Returns long-form (c, i, y, n): centroid id, 1-based dim, rounded
+    coordinate, final-assignment cluster size."""
+    import ray
+
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(sample_n, n_centroids, replace=False)
+    q, qi = queries_from_ids(ds, [int(i) for i in idx],
+                             id_col=id_col, vec_col=vec_col)
+    pos = {int(v): p for p, v in enumerate(qi)}
+    cent = _normalize(q)[[pos[int(i)] for i in idx]]  # cent[c] = row idx[c]
+    d = cent.shape[1]
+
+    def make_part(cref, with_sums: bool):
+        def part(b: pa.Table) -> pa.Table:
+            cols = {"sums": pa.array([], pa.list_(pa.float64())),
+                    "counts": pa.array([], pa.list_(pa.int64()))}
+            if len(b) == 0:
+                return pa.table(cols)
+            c = ray.get(cref)
+            m = _normalize(np.array(b[vec_col].to_pylist(),
+                                    dtype=np.float64))
+            a = np.argmax(m @ c.T, axis=1)  # ties -> smallest c
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            if with_sums:
+                sums = np.zeros((len(c), m.shape[1]), np.float64)
+                np.add.at(sums, a, m)
+            else:
+                sums = np.zeros((len(c), 0), np.float64)
+            return pa.table({
+                "sums": pa.array([sums.reshape(-1)],
+                                 pa.list_(pa.float64())),
+                "counts": pa.array([counts], pa.list_(pa.int64()))})
+        return part
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+        parts = ds.map_batches(make_part(cref, True),
+                               batch_format="pyarrow").take_all()
+        sums = np.zeros((n_centroids, d), np.float64)
+        counts = np.zeros(n_centroids, np.int64)
+        for r in parts:
+            s = np.asarray(r["sums"], dtype=np.float64)
+            if s.size:
+                sums += s.reshape(n_centroids, d)
+            counts += np.asarray(r["counts"], dtype=np.int64)
+        new = cent.copy()  # empty clusters keep their previous centroid
+        nz = counts > 0
+        mean = sums[nz] / counts[nz, None]
+        nrm = np.sqrt((mean * mean).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        new[nz] = mean / nrm[:, None]
+        cent = new
+
+    cref = ray.put(cent)
+    parts = ds.map_batches(make_part(cref, False),
+                           batch_format="pyarrow").take_all()
+    counts = np.zeros(n_centroids, np.int64)
+    for r in parts:
+        counts += np.asarray(r["counts"], dtype=np.int64)
+    cc = np.repeat(np.arange(n_centroids, dtype=np.int64), d)
+    ii = np.tile(np.arange(1, d + 1, dtype=np.int64), n_centroids)
+    return pd.DataFrame({"c": cc, "i": ii,
+                         "y": np.round(cent.reshape(-1), round_to),
+                         "n": np.repeat(counts, d)})

@@ -1988,6 +1988,22 @@ def q_events_pivot(sf_dir):
     return pivot_user_counts(ev, PIVOT_TYPES)
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def q_embed_kmeans(sf_dir):
+    """Full-corpus distributed Lloyd k-means (ann.kmeans_full): one
+    distributed pass per round (broadcast centroids, map-side k x d
+    partial sums), KMEANS_ITERS rounds from the seeded init; oracle
+    unrolls the identical rounds (_kmeans_full_sql)."""
+    from .ann import kmeans_full
+
+    vecs = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+    return kmeans_full(vecs, n_centroids=KMEANS_K, iters=KMEANS_ITERS)
+
+
 def q_embed_pca(sf_dir):
     """Top principal direction via deterministic power iteration on the
     distributed Gram matrix (ann.pca_power_top, PCA_ITERS steps from the
@@ -3295,6 +3311,76 @@ def _ann_ivf_sql(k=5, n_centroids=16, n_probe=4, rounds=5, seed=42,
 
 
 
+def _kmeans_full_sql(n_centroids: int = 8, iters: int = 4,
+                     seed: int = 42, sample_n: int = 500) -> str:
+    """Oracle for ann.kmeans_full: the identical seeded init rows, then
+    `iters` FULL-CORPUS Lloyd rounds unrolled as materialized CTEs
+    (argmax-dot assignment via row_number (d DESC, c ASC), per-cluster
+    avg + L2 normalize with the zero guard, empty clusters keep the
+    previous centroid via coalesce), then final-assignment cluster
+    sizes.  Same float-tie caveat as _ann_ivf_sql: sums differ ~1e-16
+    from numpy, assignments only flip on exact ties, which the random
+    embeddings never produce."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(sample_n, n_centroids, replace=False)
+    init_rows = ", ".join(f"({c}, {int(idx[c])})"
+                          for c in range(n_centroids))
+    ctes = ["""emb AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+      """nrm AS MATERIALIZED (
+      SELECT vec_id, v,
+             CASE WHEN sq = 0 THEN 1.0 ELSE sqrt(sq) END AS nv
+      FROM (SELECT vec_id, v,
+            list_sum(list_transform(v, x -> x*x)) AS sq FROM emb))""",
+      """sml AS MATERIALIZED (
+      SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS i,
+             unnest(v) / nv AS x
+      FROM nrm)""",
+      f"initmap(c, vid) AS (VALUES {init_rows})",
+      """cent0 AS MATERIALIZED (
+      SELECT CAST(m.c AS BIGINT) AS c, s.i, s.x AS y FROM initmap m
+      JOIN sml s ON s.vec_id = m.vid)"""]
+    for r in range(1, iters + 1):
+        p = f"cent{r - 1}"
+        ctes.append(f"""dot{r} AS MATERIALIZED (
+          SELECT s.vec_id, c.c, sum(s.x * c.y) AS d
+          FROM sml s JOIN {p} c ON c.i = s.i
+          GROUP BY s.vec_id, c.c)""")
+        ctes.append(f"""asg{r} AS MATERIALIZED (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c, row_number() OVER
+              (PARTITION BY vec_id ORDER BY d DESC, c ASC) AS rn
+            FROM dot{r}) WHERE rn = 1)""")
+        ctes.append(f"""mean{r} AS MATERIALIZED (
+          SELECT a.c, s.i, avg(s.x) AS y
+          FROM asg{r} a JOIN sml s ON s.vec_id = a.vec_id
+          GROUP BY a.c, s.i)""")
+        ctes.append(f"""mn{r} AS MATERIALIZED (
+          SELECT c, CASE WHEN sum(y*y) = 0 THEN 1.0
+                    ELSE sqrt(sum(y*y)) END AS nn
+          FROM mean{r} GROUP BY c)""")
+        ctes.append(f"""cent{r} AS MATERIALIZED (
+          SELECT p.c, p.i, coalesce(m.y / n.nn, p.y) AS y
+          FROM {p} p
+          LEFT JOIN mean{r} m ON m.c = p.c AND m.i = p.i
+          LEFT JOIN mn{r} n ON n.c = p.c)""")
+    last = f"cent{iters}"
+    ctes.append(f"""fdot AS MATERIALIZED (
+      SELECT s.vec_id, c.c, sum(s.x * c.y) AS d
+      FROM sml s JOIN {last} c ON c.i = s.i
+      GROUP BY s.vec_id, c.c)""")
+    ctes.append("""fasg AS MATERIALIZED (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c, row_number() OVER
+          (PARTITION BY vec_id ORDER BY d DESC, c ASC) AS rn
+        FROM fdot) WHERE rn = 1)""")
+    ctes.append("cnt AS (SELECT c, count(*) AS n FROM fasg GROUP BY c)")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT p.c, p.i, round(p.y, 6) AS y, "
+            f"CAST(coalesce(cnt.n, 0) AS BIGINT) AS n "
+            f"FROM {last} p LEFT JOIN cnt ON cnt.c = p.c")
+
+
 def _ann_lsh_sql(n_planes: int, k: int, seed: int = 42,
                  dim: int = 64) -> str:
     """Sign-LSH ANN oracle (ann.lsh_topk): the seeded hyperplanes are
@@ -3993,6 +4079,7 @@ ORACLE_SQL: dict[str, str] = {
     # 0-based dims; float32 products exact in double, sum-order
     # divergence ~1e-13 relative against round-6
     "embed_pca": _pca_sql(),
+    "embed_kmeans": _kmeans_full_sql(n_centroids=8, iters=4),
     "embed_gram": """
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -4426,6 +4513,7 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "embed_gram": q_embed_gram,
     "embed_pca": q_embed_pca,
+    "embed_kmeans": q_embed_kmeans,
     "events_quantiles": q_events_quantiles,
     "events_cont_quantiles": q_events_cont_quantiles,
     "events_user_quantiles": q_events_user_quantiles,

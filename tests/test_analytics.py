@@ -189,3 +189,42 @@ def test_substring_dup_pairs_naive_parity():
         assert out["a"].tolist() == want["a"].tolist()
         assert out["b"].tolist() == want["b"].tolist()
         assert out["n_shared"].tolist() == want["n_shared"].tolist()
+
+
+def test_kmeans_full_naive_parity():
+    """Distributed per-round partial sums == single-process Lloyd on the
+    same normalized matrix (same seeded init, tie rule, empty-cluster
+    and zero-norm guards); partition-count invariance."""
+    from linkgraph.ann import kmeans_full
+
+    rng = np.random.default_rng(17)
+    n, d, K, IT = 200, 6, 5, 3
+    m = rng.standard_normal((n, d))
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(list(m.astype(np.float32)),
+                                          pa.list_(pa.float32()))})
+    mm = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    nr = np.linalg.norm(mm, axis=1, keepdims=True)
+    nr[nr == 0] = 1.0
+    mm = mm / nr
+    idx = np.random.default_rng(42).choice(n, K, replace=False)
+    cent = mm[idx].copy()
+    for _ in range(IT):
+        a = np.argmax(mm @ cent.T, axis=1)
+        new = cent.copy()
+        for c in range(K):
+            sel = a == c
+            if sel.any():
+                mu = mm[sel].sum(axis=0) / sel.sum()
+                nn = np.sqrt((mu * mu).sum()) or 1.0
+                new[c] = mu / nn
+        cent = new
+    counts = np.bincount(np.argmax(mm @ cent.T, axis=1), minlength=K)
+
+    for nparts in (1, 5):
+        out = kmeans_full(rd.from_arrow(tbl).repartition(nparts),
+                          n_centroids=K, iters=IT, sample_n=n) \
+            .sort_values(["c", "i"]).reset_index(drop=True)
+        assert (out["y"].to_numpy()
+                == np.round(cent.reshape(-1), 6)).all()
+        assert (out.groupby("c")["n"].first().to_numpy() == counts).all()
