@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _canonical(b: pa.Table) -> pa.Table:
@@ -620,3 +621,255 @@ def clustering_coefficients(edges_ds, num_partitions: int = 16):
                                               batch_format="pyarrow"))
     return both.groupby("vb").map_groups(merge_cluster,
                                          batch_format="pandas")
+
+
+def _four_clique_count_local(pdf: pd.DataFrame) -> int:
+    """Driver kernel: exact 4-clique count via the kClist recurrence on
+    the degree-ordered DAG — every 4-clique is counted once from its
+    lowest oriented triangle (a, b, c) as |N+(a) ∩ N+(b) ∩ N+(c)|,
+    with the triple intersection evaluated as packed-key membership of
+    (b, x) and (c, x) for each x in N+(a)."""
+    ta, tb, tc = _tri_endpoints_local(pdf)
+    if len(ta) == 0:
+        return 0
+    s = pdf["src"].to_numpy(np.int64)
+    d = pdf["dst"].to_numpy(np.int64)
+    keep = s != d
+    lo = np.minimum(s[keep], d[keep])
+    hi = np.maximum(s[keep], d[keep])
+    edges = np.unique((lo << 32) | hi)
+    lo, hi = edges >> 32, edges & 0xFFFFFFFF
+    deg = np.bincount(lo, minlength=int(hi.max()) + 1) \
+        + np.bincount(hi, minlength=int(hi.max()) + 1)
+    src_first = (deg[lo] < deg[hi]) | ((deg[lo] == deg[hi]) & (lo < hi))
+    a = np.where(src_first, lo, hi)
+    b = np.where(src_first, hi, lo)
+    okey = np.sort((a.astype(np.uint64) << np.uint64(32))
+                   | b.astype(np.uint64))
+    # N+(ta) slices via packed-key range search (no |V|-sized arrays)
+    lo_p = np.searchsorted(okey, ta.astype(np.uint64) << np.uint64(32))
+    hi_p = np.searchsorted(okey,
+                           (ta.astype(np.uint64) + 1) << np.uint64(32))
+    cnt = hi_p - lo_p
+    total = int(cnt.sum())
+    if total == 0:
+        return 0
+    row = np.repeat(np.arange(len(ta)), cnt)
+    gather = (np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+              + np.repeat(lo_p, cnt))
+    x = okey[gather] & np.uint64(0xFFFFFFFF)
+    k1 = (tb[row].astype(np.uint64) << np.uint64(32)) | x
+    k2 = (tc[row].astype(np.uint64) << np.uint64(32)) | x
+    p1 = np.minimum(np.searchsorted(okey, k1), len(okey) - 1)
+    p2 = np.minimum(np.searchsorted(okey, k2), len(okey) - 1)
+    return int(((okey[p1] == k1) & (okey[p2] == k2)).sum())
+
+
+def four_clique_count(edges_ds, num_partitions: int = 16) -> int:
+    """Exact global 4-clique count of the undirected simple graph
+    (motif counting) — the kClist recurrence one level above
+    triangle_count, with the same size gates:
+
+    - under DRIVER_TRI_CAP (ids < 2^31): the driver numpy kernel;
+    - under EDGE_KEY_BROADCAST_CAP oriented edges (ids < 2^31): the
+      sorted packed edge-key array is ray.put ONCE and doubles as both
+      the wedge-closure membership test and the N+(a) adjacency (range
+      search on the packed keys) — zero shuffles past the wedge stage;
+    - above: coarse-bucket merges all the way — triangle closure
+      bucketed by the wedge pair, candidate expansion bucketed by the
+      triangle's low vertex (adjacency co-located by the same key),
+      and the final (b,x)/(c,x) conjunction bucketed by x so BOTH
+      probes of a candidate land in one bucket (no per-candidate
+      groupby)."""
+    import ray
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= DRIVER_TRI_CAP:
+        pdf = edges_ds.to_pandas()
+        if len(pdf) == 0:
+            return 0
+        mx = max(pdf["src"].max(), pdf["dst"].max())
+        if mx < 2 ** 31:
+            return _four_clique_count_local(pdf)
+
+    oe = oriented_edges(edges_ds, num_partitions).materialize()
+    n_oe = oe.count()
+    if n_oe == 0:
+        return 0
+    nb = wedge_buckets_for(n_oe)
+    salted = oe.map_batches(
+        lambda b: b.append_column("wb", pa.array(
+            (b["a"].to_numpy(zero_copy_only=False) % nb)
+            .astype(np.int64))),
+        batch_format="pyarrow")
+    wedges = salted.groupby("wb").map_groups(_wedges_bucket_v,
+                                             batch_format="pandas")
+
+    if n_oe <= EDGE_KEY_BROADCAST_CAP:
+        mx = max(int(oe.max("a")), int(oe.max("b")))
+        if mx < 2 ** 31:
+            keys = np.sort(np.concatenate(
+                [(t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                  << np.uint64(32))
+                 | t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                 for t in oe.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)] or
+                [np.empty(0, np.uint64)]))
+            kref = ray.put(keys)
+
+            def count4(t: pa.Table) -> pa.Table:
+                k = ray.get(kref)
+                zero = pa.table({"c4": pa.array([0], pa.int64())})
+                if len(k) == 0 or len(t) == 0:
+                    return zero
+                wa = t["wa"].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                bb = t["src"].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                cc = t["dst"].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                wk = (bb << np.uint64(32)) | cc
+                p = np.minimum(np.searchsorted(k, wk), len(k) - 1)
+                m = k[p] == wk  # wedge closes -> oriented triangle
+                wa, bb, cc = wa[m], bb[m], cc[m]
+                if len(wa) == 0:
+                    return zero
+                lo_p = np.searchsorted(k, wa << np.uint64(32))
+                hi_p = np.searchsorted(k, (wa + np.uint64(1))
+                                       << np.uint64(32))
+                cnt = hi_p - lo_p
+                total = int(cnt.sum())
+                if total == 0:
+                    return zero
+                row = np.repeat(np.arange(len(wa)), cnt)
+                gather = (np.arange(total)
+                          - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                          + np.repeat(lo_p, cnt))
+                x = k[gather] & np.uint64(0xFFFFFFFF)
+                k1 = (bb[row] << np.uint64(32)) | x
+                k2 = (cc[row] << np.uint64(32)) | x
+                p1 = np.minimum(np.searchsorted(k, k1), len(k) - 1)
+                p2 = np.minimum(np.searchsorted(k, k2), len(k) - 1)
+                n = int(((k[p1] == k1) & (k[p2] == k2)).sum())
+                return pa.table({"c4": pa.array([n], pa.int64())})
+
+            total = wedges.map_batches(
+                count4, batch_format="pyarrow").sum("c4")
+            return int(total) if total is not None else 0
+
+    # coarse-bucket fallback (giant edge sets / 64-bit ids)
+    cb = n_buckets_for(n_oe)
+
+    def tag_edges_pair(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        z = np.full(len(a), -1, np.int64)
+        return pa.table({"wa": pa.array(z),
+                         "src": pa.array(a, pa.int64()),
+                         "dst": pa.array(bb, pa.int64()),
+                         "ub": pa.array(_pair_bucket(a, bb, cb))})
+
+    def tag_wedges_pair(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"wa": pc.cast(b["wa"], pa.int64()),
+                         "src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64()),
+                         "ub": pa.array(_pair_bucket(s, d, cb))})
+
+    def close_tri(g: pd.DataFrame) -> pd.DataFrame:
+        is_e = g["wa"].to_numpy() < 0
+        e = g.loc[is_e, ["src", "dst"]]
+        w = g.loc[~is_e, ["wa", "src", "dst"]]
+        if len(e) == 0 or len(w) == 0:
+            return pd.DataFrame({"wa": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "c": np.empty(0, np.int64)})
+        m = w.merge(e, on=["src", "dst"], how="inner")
+        return pd.DataFrame({"wa": m["wa"].to_numpy(np.int64),
+                             "b": m["src"].to_numpy(np.int64),
+                             "c": m["dst"].to_numpy(np.int64)})
+
+    tris = wedges.map_batches(tag_wedges_pair, batch_format="pyarrow") \
+        .union(oe.map_batches(tag_edges_pair, batch_format="pyarrow")) \
+        .groupby("ub").map_groups(close_tri, batch_format="pandas") \
+        .materialize()
+
+    def tag_adj(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        return pa.table({"wa": pa.array(a, pa.int64()),
+                         "b": pc.cast(b["b"], pa.int64()),
+                         "c": pa.array(np.full(len(a), -1, np.int64)),
+                         "ab": pa.array((a % cb).astype(np.int64))})
+
+    def tag_tri(b: pa.Table) -> pa.Table:
+        wa = b["wa"].to_numpy(zero_copy_only=False)
+        return pa.table({"wa": pa.array(wa, pa.int64()),
+                         "b": b["b"], "c": b["c"],
+                         "ab": pa.array((wa % cb).astype(np.int64))})
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"b": np.empty(0, np.int64),
+                              "c": np.empty(0, np.int64),
+                              "x": np.empty(0, np.int64)})
+        is_adj = g["c"].to_numpy() < 0
+        adj = g.loc[is_adj, ["wa", "b"]]
+        tri = g.loc[~is_adj, ["wa", "b", "c"]]
+        if len(adj) == 0 or len(tri) == 0:
+            return empty
+        av = adj["wa"].to_numpy(np.int64)
+        ax = adj["b"].to_numpy(np.int64)
+        o = np.argsort(av, kind="stable")
+        av, ax = av[o], ax[o]
+        tw = tri["wa"].to_numpy(np.int64)
+        lo_p = np.searchsorted(av, tw, "left")
+        hi_p = np.searchsorted(av, tw, "right")
+        cnt = hi_p - lo_p
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        row = np.repeat(np.arange(len(tw)), cnt)
+        gather = (np.arange(total)
+                  - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                  + np.repeat(lo_p, cnt))
+        return pd.DataFrame({
+            "b": tri["b"].to_numpy(np.int64)[row],
+            "c": tri["c"].to_numpy(np.int64)[row],
+            "x": ax[gather]})
+
+    cands = tris.map_batches(tag_tri, batch_format="pyarrow") \
+        .union(oe.map_batches(tag_adj, batch_format="pyarrow")) \
+        .groupby("ab").map_groups(expand, batch_format="pandas")
+
+    def tag_edges_x(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"b": pa.array(a, pa.int64()),
+                         "c": pa.array(np.full(len(a), -1, np.int64)),
+                         "x": pa.array(bb, pa.int64()),
+                         "xb": pa.array((bb % cb).astype(np.int64))})
+
+    def tag_cands_x(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        return pa.table({"b": b["b"], "c": b["c"], "x": b["x"],
+                         "xb": pa.array((x % cb).astype(np.int64))})
+
+    def conj(g: pd.DataFrame) -> pd.DataFrame:
+        is_e = g["c"].to_numpy() < 0
+        e = g.loc[is_e, ["b", "x"]].rename(columns={"b": "s", "x": "t"})
+        cd = g.loc[~is_e, ["b", "c", "x"]].reset_index(drop=True)
+        if len(e) == 0 or len(cd) == 0:
+            return pd.DataFrame({"c4": [0]})
+        cd2 = cd.reset_index()
+        m1 = cd2.merge(e, left_on=["b", "x"],
+                       right_on=["s", "t"])["index"].to_numpy()
+        m2 = cd2.merge(e, left_on=["c", "x"],
+                       right_on=["s", "t"])["index"].to_numpy()
+        return pd.DataFrame(
+            {"c4": [int(len(np.intersect1d(m1, m2)))]})
+
+    closed = cands.map_batches(tag_cands_x, batch_format="pyarrow") \
+        .union(oe.map_batches(tag_edges_x, batch_format="pyarrow")) \
+        .groupby("xb").map_groups(conj, batch_format="pandas")
+    total = closed.sum("c4")
+    return int(total) if total is not None else 0

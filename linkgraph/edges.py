@@ -215,3 +215,61 @@ def build_link_edges(files_ds, n_buckets: int = 256, join_partitions: int = 16):
     else:
         edges = dedup_edges(stars)
     return edges, n_vertices, mapping
+
+
+CLIQUE_GROUP_CAP = 6  # members per key group that form the clique
+
+
+def derive_clique_edges(ds, key_col: str, id_col: str = "vid",
+                        cap: int = CLIQUE_GROUP_CAP):
+    """groupby(key) -> CLIQUE edges among the `cap` smallest member ids
+    of each key group (canonical lo < hi, may contain cross-group
+    duplicates — dedup downstream).  The cap bounds a hot key's output
+    at C(cap, 2) pairs, the same determinism-over-sampling policy as
+    the star-edge skew cap: drop by id rank, reproducible in SQL as
+    row_number() OVER (ORDER BY id) <= cap.
+
+    Shape: one coarse string-hash-bucket groupby (pd.util.hash_array —
+    builtin hash is PYTHONHASHSEED-unstable across workers) with a
+    vectorized in-bucket kernel; a full group always lands in one
+    bucket, so the rank cut is globally exact."""
+    from .algos.triangles import n_buckets_for
+
+    proj = ds.select_columns([key_col, id_col]).materialize()
+    nb = n_buckets_for(proj.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        kb = (pd.util.hash_array(keys) % np.uint64(nb)).astype(np.int64)
+        return pa.table({key_col: b[key_col],
+                         id_col: pc.cast(b[id_col], pa.int64()),
+                         "kb": pa.array(kb)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": np.empty(0, np.int64),
+                              "dst": np.empty(0, np.int64)})
+        gg = g[[key_col, id_col]].drop_duplicates()
+        k = gg[key_col].to_numpy()
+        v = gg[id_col].to_numpy(np.int64)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(k)]]))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        pos = np.arange(len(k)) - starts[seg]
+        keep = pos < cap  # rank cut: the cap smallest ids per group
+        v, seg = v[keep], seg[keep]
+        n = np.bincount(seg, minlength=len(starts))
+        starts2 = np.concatenate([[0], np.cumsum(n)[:-1]])
+        pos2 = np.arange(len(v)) - starts2[seg]
+        reps = n[seg] - pos2 - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        i_idx = np.repeat(np.arange(len(v)), reps)
+        csum = np.cumsum(reps) - reps
+        j_idx = i_idx + 1 + (np.arange(total) - csum[i_idx])
+        return pd.DataFrame({"src": v[i_idx], "dst": v[j_idx]})
+
+    return proj.map_batches(tag, batch_format="pyarrow") \
+               .groupby("kb").map_groups(kern, batch_format="pandas")

@@ -372,6 +372,39 @@ def q_doc_clustering(sf_dir):
     return clustering_coefficients(documents_edges(sf_dir))
 
 
+def documents_clique_edges(sf_dir: str):
+    """Denser derived graph for motif counting: the CLIQUE_GROUP_CAP
+    smallest docs of each sharing-key group form a clique (the star
+    edges are too sparse for higher-order motifs — zero 4-cliques at
+    both test sfs).  Canonical deduped (src < dst); cached per sf_dir
+    like documents_edges."""
+    key = ("clique_edges", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    from .algos.triangles import canon_dedup_ds
+    from .edges import derive_clique_edges
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text", "lang",
+                                       "source"])
+    keyed = docs.map_batches(_doc_keys, batch_format="pyarrow")
+    pairs = derive_clique_edges(keyed, "gkey", id_col="vid").materialize()
+    out = canon_dedup_ds(pairs, pairs.count()).materialize()
+    _CACHE[key] = out
+    return out
+
+
+def q_doc_4cliques(sf_dir):
+    """Exact 4-clique count (motif counting, algos.triangles.
+    four_clique_count — kClist one level above triangles) over the
+    co-key clique graph."""
+    from .algos.triangles import four_clique_count
+
+    return pd.DataFrame(
+        {"n_4cliques": [int(four_clique_count(
+            documents_clique_edges(sf_dir)))]})
+
+
 NS_SEEDS = (0, 1, 2, 3, 4)
 NS_FANOUTS = (3, 2)
 
@@ -2388,6 +2421,29 @@ TRIANGLES_SQL = f"""
            JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
 """
 
+# co-key clique graph (documents_clique_edges): the 6 smallest docs per
+# sharing-key group pair up; 4-cliques counted once per value-ordered
+# quadruple via the 6-condition self-join
+FOURCLIQUES_SQL = f"""
+    WITH k AS ({_DOC_KEYS_SQL}),
+    topn AS (SELECT gkey, doc_id FROM (
+        SELECT gkey, doc_id,
+               row_number() OVER (PARTITION BY gkey ORDER BY doc_id)
+               AS rn
+        FROM (SELECT DISTINCT gkey, doc_id FROM k)) WHERE rn <= 6),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM topn a JOIN topn b
+        ON a.gkey = b.gkey AND a.doc_id < b.doc_id)
+    SELECT count(*) AS n_4cliques
+    FROM e ab
+    JOIN e ac ON ac.src = ab.src AND ac.dst > ab.dst
+    JOIN e ad ON ad.src = ab.src AND ad.dst > ac.dst
+    JOIN e bc ON bc.src = ab.dst AND bc.dst = ac.dst
+    JOIN e bd ON bd.src = ab.dst AND bd.dst = ad.dst
+    JOIN e cd ON cd.src = ac.dst AND cd.dst = ad.dst
+"""
+
 # per-vertex twin of TRIANGLES_SQL: each canonical triangle (x<y<z)
 # matched once credits all three endpoints; clustering = 2t/(d(d-1))
 # with the SAME float64 expression as triangles.clustering_coefficients
@@ -3543,6 +3599,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_edge_count": (f"WITH e AS ({DOC_EDGES_SQL}) "
                        "SELECT count(*) AS n_edges FROM e"),
     "doc_triangles": TRIANGLES_SQL,
+    "doc_4cliques": FOURCLIQUES_SQL,
     "doc_clustering": CLUSTERING_SQL,
     "doc_neighbor_sample": _neighbor_sample_sql(),
     # SAGE mean aggregator: inner join on dst keeps only feature-having
@@ -4426,6 +4483,7 @@ QUERIES = {
     "doc_group_sizes": q_doc_group_sizes,
     "doc_edge_count": q_doc_edge_count,
     "doc_triangles": q_doc_triangles,
+    "doc_4cliques": q_doc_4cliques,
     "doc_clustering": q_doc_clustering,
     "doc_neighbor_sample": q_doc_neighbor_sample,
     "doc_sage": q_doc_sage,

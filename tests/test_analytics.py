@@ -228,3 +228,40 @@ def test_kmeans_full_naive_parity():
         assert (out["y"].to_numpy()
                 == np.round(cent.reshape(-1), 6)).all()
         assert (out.groupby("c")["n"].first().to_numpy() == counts).all()
+
+
+def test_four_clique_count_paths_and_brute(monkeypatch):
+    """Driver kernel vs brute force on random graphs, then the
+    broadcast and coarse-bucket distributed paths forced via the caps —
+    all three must agree."""
+    from itertools import combinations
+
+    import linkgraph.algos.triangles as T
+
+    rng = np.random.default_rng(9)
+    for trial in range(3):
+        nv, ne = 40, 220
+        s = rng.integers(0, nv, ne)
+        d = rng.integers(0, nv, ne)
+        edges = list(zip(s.tolist(), d.tolist()))
+        # brute force: check all C(nv,4) quadruples
+        es = set()
+        for a, b in edges:
+            if a != b:
+                es.add((min(a, b), max(a, b)))
+        want = 0
+        for quad in combinations(range(nv), 4):
+            if all((x, y) in es for x, y in combinations(quad, 2)):
+                want += 1
+        tbl = pa.table({"src": pa.array(s, pa.int64()),
+                        "dst": pa.array(d, pa.int64())})
+        ds = rd.from_arrow(tbl).repartition(4)
+        got_driver = T.four_clique_count(ds)
+        assert got_driver == want
+        monkeypatch.setattr(T, "DRIVER_TRI_CAP", -1)
+        got_bc = T.four_clique_count(ds)
+        assert got_bc == want
+        monkeypatch.setattr(T, "EDGE_KEY_BROADCAST_CAP", -1)
+        got_bucket = T.four_clique_count(ds)
+        assert got_bucket == want
+        monkeypatch.undo()
