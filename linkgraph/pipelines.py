@@ -2048,6 +2048,35 @@ def q_embed_pca(sf_dir):
     return pca_power_top(vecs, iters=PCA_ITERS)
 
 
+PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value",
+                "props"]
+
+
+def q_events_profile(sf_dir):
+    """Table profiler (profile.profile_table): per-column row count,
+    null count and EXACT distinct count (coarse value-hash buckets,
+    in-bucket nunique over the actual values — globally exact at any
+    scale because a value lives in exactly one bucket)."""
+    from .profile import profile_table
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=PROFILE_COLS)
+    return profile_table(ev, PROFILE_COLS)
+
+
+HIST_WIDTH = 5.0
+
+
+def q_events_histogram(sf_dir):
+    """Fixed-width value histogram (profile.histogram): bounded bin
+    domain, map-side bincount partials, driver merge — no shuffle."""
+    from .profile import histogram
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["value"])
+    return histogram(ev, "value", HIST_WIDTH)
+
+
 def q_embed_gram(sf_dir):
     """Distributed Gram matrix X^T X over the embeddings (ann.gram_matrix):
     per-batch BLAS partials, O(blocks * d^2) driver merge, upper-triangle
@@ -4137,6 +4166,24 @@ ORACLE_SQL: dict[str, str] = {
     # divergence ~1e-13 relative against round-6
     "embed_pca": _pca_sql(),
     "embed_kmeans": _kmeans_full_sql(n_centroids=8, iters=4),
+    "events_profile": """
+        SELECT 'event_id' AS col, count(*) AS n_rows, count(*) - count(event_id) AS n_null, count(DISTINCT event_id) AS n_distinct FROM events
+        UNION ALL
+        SELECT 'ts' AS col, count(*) AS n_rows, count(*) - count(ts) AS n_null, count(DISTINCT ts) AS n_distinct FROM events
+        UNION ALL
+        SELECT 'user_id' AS col, count(*) AS n_rows, count(*) - count(user_id) AS n_null, count(DISTINCT user_id) AS n_distinct FROM events
+        UNION ALL
+        SELECT 'event_type' AS col, count(*) AS n_rows, count(*) - count(event_type) AS n_null, count(DISTINCT event_type) AS n_distinct FROM events
+        UNION ALL
+        SELECT 'value' AS col, count(*) AS n_rows, count(*) - count(value) AS n_null, count(DISTINCT value) AS n_distinct FROM events
+        UNION ALL
+        SELECT 'props' AS col, count(*) AS n_rows, count(*) - count(props) AS n_null, count(DISTINCT props) AS n_distinct FROM events
+    """,
+    "events_histogram": """
+        SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM events GROUP BY 1
+    """,
     "embed_gram": """
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -4569,6 +4616,8 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_pivot": q_events_pivot,
+    "events_profile": q_events_profile,
+    "events_histogram": q_events_histogram,
     "embed_gram": q_embed_gram,
     "embed_pca": q_embed_pca,
     "embed_kmeans": q_embed_kmeans,

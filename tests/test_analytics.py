@@ -265,3 +265,45 @@ def test_four_clique_count_paths_and_brute(monkeypatch):
         got_bucket = T.four_clique_count(ds)
         assert got_bucket == want
         monkeypatch.undo()
+
+
+def test_profile_table_naive_parity():
+    """Row/null/exact-distinct per column vs pandas, including a column
+    WITH nulls (the events table has none) and a float column; exact
+    distinct via value-identity buckets, partition invariance."""
+    from linkgraph.profile import profile_table
+
+    rng = np.random.default_rng(31)
+    n = 500
+    s = np.array([f"k{i}" for i in rng.integers(0, 37, n)], dtype=object)
+    s[rng.random(n) < 0.15] = None
+    f = np.round(rng.random(n) * 9, 2)
+    tbl = pa.table({
+        "sid": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "name": pa.array(s, pa.string()),
+        "score": pa.array(f),
+    })
+    df = tbl.to_pandas()
+    cols = ["sid", "name", "score"]
+    for nparts in (1, 6):
+        out = profile_table(rd.from_arrow(tbl).repartition(nparts), cols)
+        out = out.set_index("col")
+        for c in cols:
+            assert out.loc[c, "n_rows"] == n
+            assert out.loc[c, "n_null"] == df[c].isna().sum()
+            assert out.loc[c, "n_distinct"] == df[c].dropna().nunique()
+
+
+def test_histogram_naive_parity():
+    from linkgraph.profile import histogram
+
+    rng = np.random.default_rng(33)
+    v = np.round(rng.random(1000) * 100 - 20, 2)  # negatives too
+    tbl = pa.table({"value": pa.array(v)})
+    want = pd.Series(np.floor(v / 5.0).astype(np.int64)) \
+        .value_counts().sort_index()
+    for nparts in (1, 4):
+        out = histogram(rd.from_arrow(tbl).repartition(nparts),
+                        "value", 5.0)
+        assert out["bin"].tolist() == want.index.tolist()
+        assert out["n"].tolist() == want.tolist()
