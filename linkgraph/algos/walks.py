@@ -410,3 +410,118 @@ def _node2vec_shuffle(edges_ds, seeds, steps) -> pd.DataFrame:
         rows.append(state[["walk_id", "v"]].assign(step=t))
     out = pd.concat(rows, ignore_index=True)[["walk_id", "step", "v"]]
     return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+def walk_cooccurrence_pmi(edges_ds, seeds: list[int], steps: int,
+                          window: int = 2, round_to: int = 6):
+    """DeepWalk-style skip-gram statistics over the deterministic
+    walks: unordered co-occurrence counts of vertices within `window`
+    forward steps of the same walk (self-pairs excluded — parked sink
+    walks would otherwise dominate), plus PMI against the unigram
+    trajectory counts:
+
+        pmi(u, v) = ln( (n_uv * U * U) / (c_u * c_v * T) )
+
+    with U = total trajectory tokens and T = total pair count — every
+    factor an exact int64, one double division, one libm log, so the
+    SQL oracle is bit-identical before rounding.
+
+    Shape: trajectories grouped by ONE coarse walk-bucket (a walk lives
+    in one bucket; in-bucket vectorized offset alignment), pair counts
+    summed by one coarse pair-bucket, unigram counts are map-side
+    value_counts partials (trajectory-sized, same contract as the walk
+    collection itself).  Returns a Dataset (u, v, n, pmi)."""
+    import ray
+
+    from ..io import from_pandas_clean
+    from .triangles import n_buckets_for
+
+    traj = deterministic_walks(edges_ds, seeds, steps).materialize()
+    n_rows = traj.count()
+    nb = n_buckets_for(n_rows)
+
+    def tag(b: pa.Table) -> pa.Table:
+        w = b["walk_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "wbk", pa.array((w % nb).astype(np.int64)))
+
+    def pair_kern(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["walk_id"].to_numpy(np.int64)
+        st = g["step"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((st, w))
+        w, st, v = w[order], st[order], v[order]
+        us, vs = [], []
+        for o in range(1, window + 1):
+            same = (w[o:] == w[:-o]) & (st[o:] == st[:-o] + o) \
+                if len(w) > o else np.empty(0, bool)
+            a, b = v[:-o][same], v[o:][same]
+            ok = a != b
+            a, b = a[ok], b[ok]
+            us.append(np.minimum(a, b))
+            vs.append(np.maximum(a, b))
+        u = np.concatenate(us) if us else np.empty(0, np.int64)
+        vv = np.concatenate(vs) if vs else np.empty(0, np.int64)
+        out = pd.DataFrame({"u": u, "v": vv})
+        return out.groupby(["u", "v"], sort=False).size() \
+                  .rename("n").reset_index()
+
+    parts = traj.map_batches(tag, batch_format="pyarrow") \
+                .groupby("wbk").map_groups(pair_kern,
+                                           batch_format="pandas")
+
+    nb2 = n_buckets_for(n_rows)
+
+    def tag_pair(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            pb = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                   + v.astype(np.uint64)) % np.uint64(nb2)) \
+                .astype(np.int64)
+        return b.append_column("pb", pa.array(pb))
+
+    def sum_kern(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["u", "v"], sort=True)["n"].sum().reset_index()
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    pairs = parts.map_batches(tag_pair, batch_format="pyarrow") \
+                 .groupby("pb").map_groups(sum_kern,
+                                           batch_format="pandas") \
+                 .materialize()
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["v"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64), return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    uni = traj.map_batches(uni_partial, batch_format="pyarrow") \
+              .to_pandas().groupby("v", sort=True)["c"].sum()
+    total_t = int(pairs.sum("n") or 0)
+    if total_t == 0:
+        return from_pandas_clean(pd.DataFrame(
+            {"u": pd.Series([], dtype=np.int64),
+             "v": pd.Series([], dtype=np.int64),
+             "n": pd.Series([], dtype=np.int64),
+             "pmi": pd.Series([], dtype=np.float64)}))
+    uref = ray.put((uni.index.to_numpy(np.int64),
+                    uni.to_numpy(np.int64), int(n_rows), total_t))
+
+    def finish(b: pa.Table) -> pa.Table:
+        vs, cs, big_u, big_t = ray.get(uref)
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        cu = cs[np.searchsorted(vs, u)]
+        cv = cs[np.searchsorted(vs, v)]
+        pmi = np.log((n * big_u * big_u).astype(np.float64)
+                     / (cu * cv * big_t))
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "pmi": pa.array(np.round(pmi, round_to))})
+
+    return pairs.map_batches(finish, batch_format="pyarrow")

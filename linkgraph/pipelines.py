@@ -987,6 +987,23 @@ def q_doc_walks(sf_dir):
     return deterministic_walks(sym, seeds=WALK_SEEDS, steps=WALK_STEPS)
 
 
+PMI_SEEDS = list(range(32))
+PMI_WINDOW = 2
+
+
+def q_doc_walk_pmi(sf_dir):
+    """DeepWalk-style skip-gram statistics (algos/walks.
+    walk_cooccurrence_pmi): window-2 co-occurrence counts + PMI over 32
+    deterministic walks; exact-integer ratio -> one division -> one
+    libm log, bit-identical to the SQL before rounding."""
+    from .algos.walks import walk_cooccurrence_pmi
+    from .edges import symmetrize
+
+    sym = symmetrize(documents_edges(sf_dir))
+    return walk_cooccurrence_pmi(sym, seeds=PMI_SEEDS, steps=WALK_STEPS,
+                                 window=PMI_WINDOW)
+
+
 N2V_STEPS = 6
 
 
@@ -2891,6 +2908,33 @@ def _walks_sql(seeds: list[int], steps: int) -> str:
     return f"WITH {', '.join(ctes)} {selects}"
 
 
+def _walk_pmi_sql(seeds: list[int], steps: int, window: int) -> str:
+    """Skip-gram co-occurrence + PMI over the _walks_sql trajectories:
+    unordered within-window pairs (self-pairs excluded), unigram
+    counts, pmi = ln((n*U*U)::DOUBLE / (cu*cv*T)) — the identical
+    exact-integer ratio and log the Ray side computes."""
+    walks = _walks_sql(seeds, steps)
+    return f"""
+        WITH traj AS MATERIALIZED ({walks}),
+        pairs AS MATERIALIZED (
+          SELECT least(a.v, b.v) AS u, greatest(a.v, b.v) AS v,
+                 count(*) AS n
+          FROM traj a JOIN traj b ON a.walk_id = b.walk_id
+            AND b.step BETWEEN a.step + 1 AND a.step + {window}
+            AND a.v <> b.v
+          GROUP BY 1, 2),
+        tot AS (SELECT (SELECT count(*) FROM traj) AS bu,
+                       (SELECT CAST(sum(n) AS BIGINT) FROM pairs) AS bt),
+        uni AS (SELECT v, count(*) AS c FROM traj GROUP BY v)
+        SELECT p.u, p.v, p.n,
+               round(ln(CAST(p.n * tot.bu * tot.bu AS DOUBLE)
+                        / (ua.c * ub.c * tot.bt)), 6) AS pmi
+        FROM pairs p CROSS JOIN tot
+        JOIN uni ua ON ua.v = p.u
+        JOIN uni ub ON ub.v = p.v
+    """
+
+
 def _node2vec_sql(seeds: list[int], steps: int) -> str:
     """Unrolled second-order walk recurrence (algos/walks.node2vec_walks):
     per step each walk ranks cur's out-neighbors by (tier, md5, n) with
@@ -3698,6 +3742,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_coreness": _coreness_sql(CORENESS_ROUNDS),
     "doc_diameter": _diameter_sql(BFS_ROUNDS),
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
+    "doc_walk_pmi": _walk_pmi_sql(PMI_SEEDS, WALK_STEPS, PMI_WINDOW),
     "doc_node2vec": _node2vec_sql(WALK_SEEDS, N2V_STEPS),
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
     "doc_linkpred": LINKPRED_SQL,
@@ -4558,6 +4603,7 @@ QUERIES = {
     "doc_coreness": q_doc_coreness,
     "doc_diameter": q_doc_diameter,
     "doc_walks": q_doc_walks,
+    "doc_walk_pmi": q_doc_walk_pmi,
     "doc_node2vec": q_doc_node2vec,
     "doc_adamic_adar": q_doc_adamic_adar,
     "doc_linkpred": q_doc_linkpred,

@@ -307,3 +307,45 @@ def test_histogram_naive_parity():
                         "value", 5.0)
         assert out["bin"].tolist() == want.index.tolist()
         assert out["n"].tolist() == want.tolist()
+
+
+def test_walk_pmi_naive_parity():
+    """Pairs/PMI recomputed naively from the SAME trajectory (the walk
+    recurrence itself is covered by test_walks): window alignment,
+    self-pair exclusion, unordered canonicalization, exact-integer PMI
+    ratio; partition invariance via the walk machinery."""
+    from linkgraph.algos.walks import (deterministic_walks,
+                                       walk_cooccurrence_pmi)
+
+    rng = np.random.default_rng(41)
+    s = rng.integers(0, 60, 300)
+    d = rng.integers(0, 60, 300)
+    edges = pa.table({"src": pa.array(s, pa.int64()),
+                      "dst": pa.array(d, pa.int64())})
+    ds = rd.from_arrow(edges)
+    seeds, steps, window = list(range(10)), 6, 2
+
+    traj = deterministic_walks(ds, seeds, steps).to_pandas() \
+        .sort_values(["walk_id", "step"]).reset_index(drop=True)
+    from collections import Counter
+    pairs = Counter()
+    for _, g in traj.groupby("walk_id"):
+        vs = g["v"].tolist()
+        for i in range(len(vs)):
+            for o in range(1, window + 1):
+                if i + o < len(vs) and vs[i] != vs[i + o]:
+                    pairs[(min(vs[i], vs[i + o]),
+                           max(vs[i], vs[i + o]))] += 1
+    uni = Counter(traj["v"].tolist())
+    U = len(traj)
+    T = sum(pairs.values())
+
+    out = walk_cooccurrence_pmi(ds, seeds, steps, window) \
+        .to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    want = sorted(pairs.items())
+    assert [(r.u, r.v) for r in out.itertuples()] == [k for k, _ in want]
+    assert out["n"].tolist() == [n for _, n in want]
+    for r in out.itertuples():
+        expect = round(float(np.log(
+            (pairs[(r.u, r.v)] * U * U) / (uni[r.u] * uni[r.v] * T))), 6)
+        assert r.pmi == expect
