@@ -1676,6 +1676,20 @@ def _events(sf_dir):
                            columns=["user_id", "ts", "value"])
 
 
+def q_tpch_priority_count(sf_dir):
+    """TPC-H Q4-like: quarter-windowed orders with an EXISTS
+    large-quantity lineitem (size-gated semi join), counted per
+    priority (relational.order_priority_count)."""
+    return _REL.order_priority_count(sf_dir)
+
+
+def q_tpch_priority_buckets(sf_dir):
+    """TPC-H Q12-like: year of lineitems joined to orders via the gated
+    lookup join, CASE-bucketed high/low priority line counts per
+    returnflag (relational.shipmode_priority_buckets)."""
+    return _REL.shipmode_priority_buckets(sf_dir)
+
+
 def q_tpch_large_orders(sf_dir):
     """TPC-H Q18-like: per-order quantity sums (combiner pushdown) +
     HAVING filter + one hash join for the customer key."""
@@ -3755,6 +3769,8 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_dedup": _semdedup_sql(SEMDEDUP_ROUNDS),
     "tpch_order_rank": _REL.TOP_ORDERS_PER_CUSTOMER_SQL,
     "tpch_large_orders": _REL.LARGE_ORDERS_SQL,
+    "tpch_priority_count": _REL.ORDER_PRIORITY_SQL,
+    "tpch_priority_buckets": _REL.SHIPMODE_PRIORITY_SQL,
     "tpch_cust_no_orders": f"""
         SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
         FROM customer c
@@ -4647,6 +4663,8 @@ QUERIES = {
     "tpch_nation_revenue": q_tpch_nation_revenue,
     "tpch_order_rank": q_tpch_order_rank,
     "tpch_large_orders": q_tpch_large_orders,
+    "tpch_priority_count": q_tpch_priority_count,
+    "tpch_priority_buckets": q_tpch_priority_buckets,
     "tpch_cust_no_orders": q_tpch_cust_no_orders,
     "tpch_parts_shipped": q_tpch_parts_shipped,
     "pack_sequences": q_pack_sequences,

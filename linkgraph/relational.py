@@ -29,6 +29,7 @@ from __future__ import annotations
 from .io import read_parquet_clean
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -414,4 +415,157 @@ LARGE_ORDERS_SQL = f"""
           FROM lineitem GROUP BY l_orderkey
           HAVING sum(l_quantity) >= {Q18_MIN_QTY}) q
     JOIN orders ON o_orderkey = q.l_orderkey
+"""
+
+
+# ------------------------------------------------- Q4-like priority count
+
+Q4_START, Q4_END = "1996-01-01", "1996-04-01"
+Q4_QTY = 45.0
+
+
+def order_priority_count(sf_dir: str):
+    """TPC-H Q4 shape: orders of one quarter having at least one
+    large-quantity lineitem (EXISTS — joins.semi_join, size-gated
+    broadcast / bucket membership), counted per o_orderpriority.
+    Bounded output domain -> map-side partial counts + driver merge."""
+    import os
+
+    from .io import read_parquet_clean
+    from .joins import semi_join
+    from .runtime import tune_context
+    tune_context()
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    lo, hi = _ts(Q4_START), _ts(Q4_END)
+
+    def window(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        return b.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"])
+
+    def big(b: pa.Table) -> pa.Table:
+        k = b.filter(pc.greater(b["l_quantity"], pa.scalar(Q4_QTY)))
+        return pa.table({"o_orderkey": k["l_orderkey"]})
+
+    windowed = orders.map_batches(window, batch_format="pyarrow")
+    keys = li.map_batches(big, batch_format="pyarrow")
+    kept = semi_join(windowed, keys, "o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["o_orderpriority"].to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({"o_orderpriority": pa.array(u, pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = kept.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype=str),
+            "n_orders": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("o_orderpriority", sort=True)["n"].sum() \
+               .rename("n_orders").reset_index()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
+
+
+ORDER_PRIORITY_SQL = f"""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Q4_START}'
+      AND o_orderdate < TIMESTAMP '{Q4_END}'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_quantity > {Q4_QTY})
+    GROUP BY 1
+"""
+
+
+# --------------------------------------------- Q12-like priority buckets
+
+Q12_START, Q12_END = "1996-01-01", "1997-01-01"
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def shipmode_priority_buckets(sf_dir: str):
+    """TPC-H Q12 shape: one year of lineitems joined to their orders
+    (joins.attach_by_key — the small orders side broadcast under the
+    cap), CASE-bucketed high/low order-priority line counts per
+    l_returnflag.  Bounded domain -> map-side partials + driver merge."""
+    import os
+
+    from .io import read_parquet_clean
+    from .joins import attach_by_key
+    from .runtime import tune_context
+    tune_context()
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"])
+
+    def to_map(b: pa.Table) -> pa.Table:
+        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = np.isin(pr, np.array(HIGH_PRIORITIES)).astype(np.int64)
+        return pa.table({"o_orderkey": pc.cast(b["o_orderkey"],
+                                               pa.int64()),
+                         "is_high": pa.array(high)})
+
+    omap = orders.map_batches(to_map, batch_format="pyarrow")
+    lo, hi = _ts(Q12_START), _ts(Q12_END)
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def window(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi)))
+        return b.filter(m).select(["l_orderkey", "l_returnflag"])
+
+    probe = li.map_batches(window, batch_format="pyarrow")
+    joined = attach_by_key(probe, omap, ["l_orderkey"], "o_orderkey",
+                           "is_high")
+
+    def partial(b: pa.Table) -> pa.Table:
+        rf = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        ih = b["is_high_l_orderkey"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"rf": rf, "ih": ih})
+        g = df.groupby(["rf", "ih"], sort=False).size() \
+              .rename("n").reset_index()
+        return pa.table({"rf": pa.array(g["rf"], pa.string()),
+                         "ih": pa.array(g["ih"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow") \
+                  .to_pandas()
+    flags = sorted(parts["rf"].unique()) if len(parts) else []
+    rows = []
+    for f in flags:
+        sub = parts[parts["rf"] == f]
+        rows.append((f,
+                     int(sub.loc[sub["ih"] == 1, "n"].sum()),
+                     int(sub.loc[sub["ih"] == 0, "n"].sum())))
+    return pd.DataFrame(rows, columns=["l_returnflag",
+                                       "high_line_count",
+                                       "low_line_count"]) \
+        .astype({"high_line_count": np.int64,
+                 "low_line_count": np.int64})
+
+
+SHIPMODE_PRIORITY_SQL = f"""
+    SELECT l_returnflag,
+           count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (o_orderpriority NOT IN ('1-URGENT',
+                                                    '2-HIGH'))
+             AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '{Q12_START}'
+      AND l_shipdate < TIMESTAMP '{Q12_END}'
+    GROUP BY 1
 """
