@@ -2108,6 +2108,17 @@ def q_events_histogram(sf_dir):
     return histogram(ev, "value", HIST_WIDTH)
 
 
+def q_sketch_distinct_by_lang(sf_dir):
+    """Per-language KMV distinct-token estimate (sketch.
+    kmv_distinct_by_group): <= k digests per group per block, driver
+    merge O(groups * k * blocks); exact below k."""
+    from .sketch import kmv_distinct_by_group
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["lang", "text"])
+    return kmv_distinct_by_group(docs, "lang", "text")
+
+
 def q_embed_gram(sf_dir):
     """Distributed Gram matrix X^T X over the embeddings (ann.gram_matrix):
     per-batch BLAS partials, O(blocks * d^2) driver merge, upper-triangle
@@ -4227,6 +4238,7 @@ ORACLE_SQL: dict[str, str] = {
     # divergence ~1e-13 relative against round-6
     "embed_pca": _pca_sql(),
     "embed_kmeans": _kmeans_full_sql(n_centroids=8, iters=4),
+    "sketch_distinct_by_lang": _SK.kmv_by_group_sql("lang"),
     "events_profile": """
         SELECT 'event_id' AS col, count(*) AS n_rows, count(*) - count(event_id) AS n_null, count(DISTINCT event_id) AS n_distinct FROM events
         UNION ALL
@@ -4681,6 +4693,7 @@ QUERIES = {
     "events_retention": q_events_retention,
     "events_pivot": q_events_pivot,
     "events_profile": q_events_profile,
+    "sketch_distinct_by_lang": q_sketch_distinct_by_lang,
     "events_histogram": q_events_histogram,
     "embed_gram": q_embed_gram,
     "embed_pca": q_embed_pca,

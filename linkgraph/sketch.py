@@ -92,6 +92,86 @@ def kmv_sql(k: int = KMV_K) -> str:
     """
 
 
+def kmv_distinct_by_group(ds, group_col: str = "lang",
+                          text_col: str = "text",
+                          k: int = KMV_K) -> pd.DataFrame:
+    """Per-group KMV: distinct-token estimate per value of `group_col`
+    (the per-language cardinality profile a corpus report needs).
+    Same scale shape as kmv_distinct_tokens — each block emits at most
+    k digests PER GROUP it saw, the driver merge is
+    O(groups * k * blocks) — plus the same exactness property below k.
+    Returns (group, k, kth, est_distinct), one row per group."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray)             else col
+        toks = pc.split_pattern_regex(col, r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        groups = np.repeat(b[group_col].to_numpy(zero_copy_only=False),
+                           lens)[keep.to_numpy(zero_copy_only=False)]
+        words = flat.filter(keep).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"g": groups, "w": words}).drop_duplicates()
+        outs_g, outs_h = [], []
+        for g, grp in df.groupby("g", sort=True):
+            digests = np.sort(np.array(
+                [hashlib.sha256(t.encode()).hexdigest()
+                 for t in grp["w"]]))[:k]
+            outs_g.append(np.full(len(digests), g, dtype=object))
+            outs_h.append(digests)
+        gg = np.concatenate(outs_g) if outs_g else np.empty(0, object)
+        hh = np.concatenate(outs_h) if outs_h else np.empty(0, object)
+        return pa.table({"g": pa.array(gg, pa.string()),
+                         "hx": pa.array(hh, pa.string())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for g, grp in parts.groupby("g", sort=True):
+        merged = np.sort(grp["hx"].unique())[:k]
+        kth = merged[-1]
+        rows.append((g, k, kth,
+                     round(_estimate(kth, len(merged), k), 3)))
+    out = pd.DataFrame(rows, columns=[group_col, "k", "kth",
+                                      "est_distinct"])
+    if len(out):
+        out["k"] = out["k"].astype(np.int64)
+    else:
+        out = pd.DataFrame({group_col: pd.Series([], dtype=str),
+                            "k": pd.Series([], dtype=np.int64),
+                            "kth": pd.Series([], dtype=str),
+                            "est_distinct": pd.Series([], dtype=float)})
+    return out
+
+
+def kmv_by_group_sql(group_col: str = "lang", k: int = KMV_K) -> str:
+    """DuckDB twin of kmv_distinct_by_group (per-group order
+    statistics via row_number)."""
+    return f"""
+        WITH t AS (
+          SELECT DISTINCT {group_col}, unnest(list_filter(
+              regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+              AS token
+          FROM documents
+        ), h AS (
+          SELECT {group_col}, sha256(token) AS hx FROM t
+        ), r AS (
+          SELECT {group_col}, hx, row_number() OVER
+                 (PARTITION BY {group_col} ORDER BY hx) AS rn
+          FROM h
+        ), kth AS (
+          SELECT {group_col}, hx FROM r WHERE rn <= {k}
+        )
+        SELECT {group_col}, {k}::BIGINT AS k, max(hx) AS kth,
+               round(CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+                     ELSE ({k} - 1) /
+                          (('0x' || substr(max(hx), 1, 16))::UBIGINT
+                           / 18446744073709551616.0) END, 3)
+                   AS est_distinct
+        FROM kth GROUP BY {group_col}
+    """
+
+
 # ----------------------------------------------------------- count-min
 
 CMS_DEPTH = 4
