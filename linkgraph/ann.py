@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -535,3 +536,36 @@ def kmeans_full(ds, n_centroids: int = 8, iters: int = 4,
     return pd.DataFrame({"c": cc, "i": ii,
                          "y": np.round(cent.reshape(-1), round_to),
                          "n": np.repeat(counts, d)})
+
+
+def pca_project(ds, vec_col: str = "embedding",
+                id_col: str = "vec_id", iters: int = 8,
+                round_to: int = 6):
+    """Project every vector onto the PCA top direction (pca_power_top's
+    deterministic power iteration): one distributed Gram pass, the
+    d-vector broadcast once, then a stateless per-batch dot product —
+    the embedding-compression / 1-D ordering primitive.  Dataset out
+    (id, proj)."""
+    import ray
+
+    g = _gram_dense(ds, vec_col)
+    if g is None:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "proj": pa.array([], pa.float64())}))
+    d = g.shape[0]
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        w = g @ v
+        v = w / np.sqrt((w * w).sum())
+    vref = ray.put(v)
+
+    def project(b: pa.Table) -> pa.Table:
+        vec = ray.get(vref)
+        m = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        proj = m @ vec if len(m) else np.empty(0, np.float64)
+        return pa.table({id_col: pc.cast(b[id_col], pa.int64()),
+                         "proj": pa.array(np.round(proj, round_to))})
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -2068,6 +2068,17 @@ def q_embed_kmeans(sf_dir):
     return kmeans_full(vecs, n_centroids=KMEANS_K, iters=KMEANS_ITERS)
 
 
+def q_embed_project(sf_dir):
+    """Per-vector projection onto the PCA top direction
+    (ann.pca_project): Gram pass + broadcast direction + stateless
+    per-batch dot; Dataset out."""
+    from .ann import pca_project
+
+    vecs = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+    return pca_project(vecs, iters=PCA_ITERS)
+
+
 def q_embed_pca(sf_dir):
     """Top principal direction via deterministic power iteration on the
     distributed Gram matrix (ann.pca_power_top, PCA_ITERS steps from the
@@ -3227,11 +3238,9 @@ def _substr_sql(window: int, stride: int, df_cap: int,
 PCA_ITERS = 8
 
 
-def _pca_sql(iters: int = PCA_ITERS, src: str = "embeddings") -> str:
-    """Oracle for ann.pca_power_top: the SAME fixed-init power
-    iteration unrolled as materialized CTEs — G from an unnest
-    self-join, then `iters` matvec + L2-normalize rounds, then the
-    Rayleigh quotient computed matvec-first like the numpy side."""
+def _pca_ctes(iters: int, src: str) -> list:
+    """Shared CTE chain for _pca_sql / _pca_project_sql: G from an
+    unnest self-join, then `iters` matvec + L2-normalize rounds."""
     parts = [f"""
         u AS MATERIALIZED (
           SELECT vec_id,
@@ -3254,6 +3263,14 @@ def _pca_sql(iters: int = PCA_ITERS, src: str = "embeddings") -> str:
         v{t} AS MATERIALIZED (
           SELECT i, x / (SELECT sqrt(sum(x * x)) FROM w{t}) AS x
           FROM w{t})""")
+    return parts
+
+
+def _pca_sql(iters: int = PCA_ITERS, src: str = "embeddings") -> str:
+    """Oracle for ann.pca_power_top: the fixed-init power iteration
+    unrolled (_pca_ctes), then the Rayleigh quotient computed
+    matvec-first like the numpy side."""
+    parts = _pca_ctes(iters, src)
     parts.append(f"""
         wf AS (SELECT g.i AS i, sum(g.val * v{iters}.x) AS x
                FROM g JOIN v{iters} ON g.j = v{iters}.i GROUP BY 1),
@@ -3263,6 +3280,17 @@ def _pca_sql(iters: int = PCA_ITERS, src: str = "embeddings") -> str:
         SELECT v{iters}.i AS i, round(v{iters}.x, 6) AS loading,
                round((SELECT l FROM lam), 6) AS eigval
         FROM v{iters}""")
+
+
+def _pca_project_sql(iters: int = PCA_ITERS,
+                     src: str = "embeddings") -> str:
+    """Oracle for ann.pca_project: the same iteration chain, final
+    select = per-vector dot with the converged direction."""
+    parts = _pca_ctes(iters, src)
+    return ("WITH " + ",".join(parts) + f"""
+        SELECT u.vec_id, round(sum(u.x * v{iters}.x), 6) AS proj
+        FROM u JOIN v{iters} ON v{iters}.i = u.dim
+        GROUP BY u.vec_id""")
 
 
 def _minhash_sql(num_perm: int, bands: int, k: int, threshold: float,
@@ -4237,6 +4265,7 @@ ORACLE_SQL: dict[str, str] = {
     # 0-based dims; float32 products exact in double, sum-order
     # divergence ~1e-13 relative against round-6
     "embed_pca": _pca_sql(),
+    "embed_project": _pca_project_sql(),
     "embed_kmeans": _kmeans_full_sql(n_centroids=8, iters=4),
     "sketch_distinct_by_lang": _SK.kmv_by_group_sql("lang"),
     "events_profile": """
@@ -4697,6 +4726,7 @@ QUERIES = {
     "events_histogram": q_events_histogram,
     "embed_gram": q_embed_gram,
     "embed_pca": q_embed_pca,
+    "embed_project": q_embed_project,
     "embed_kmeans": q_embed_kmeans,
     "events_quantiles": q_events_quantiles,
     "events_cont_quantiles": q_events_cont_quantiles,
