@@ -2090,6 +2090,21 @@ def q_embed_pca(sf_dir):
     return pca_power_top(vecs, iters=PCA_ITERS)
 
 
+OUTLIER_T = 3.0
+
+
+def q_events_outliers(sf_dir):
+    """Per-user z-score outliers (windows.zscore_outliers): |v - mean|
+    > 3 * population std, moments AND filter in one coarse user-bucket
+    kernel; explicit sum/sumsq formula so the oracle is the identical
+    expression."""
+    from .windows import zscore_outliers
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "user_id", "value"])
+    return zscore_outliers(ev, threshold=OUTLIER_T)
+
+
 PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value",
                 "props"]
 
@@ -4268,6 +4283,21 @@ ORACLE_SQL: dict[str, str] = {
     "embed_project": _pca_project_sql(),
     "embed_kmeans": _kmeans_full_sql(n_centroids=8, iters=4),
     "sketch_distinct_by_lang": _SK.kmv_by_group_sql("lang"),
+    # per-user z-score outliers: explicit sum/sumsq population-variance
+    # expression (NOT var_pop's Welford path) matching the kernel
+    "events_outliers": """
+        WITH m AS (SELECT user_id, sum(value) AS s,
+                          sum(value * value) AS ss,
+                          count(*) AS n
+                   FROM events GROUP BY user_id)
+        SELECT e.event_id, e.user_id,
+               round((e.value - m.s / m.n)
+                     / sqrt((m.ss - m.s * m.s / m.n) / m.n), 6) AS z
+        FROM events e JOIN m ON e.user_id = m.user_id
+        WHERE m.n >= 2 AND (m.ss - m.s * m.s / m.n) / m.n > 0
+          AND abs(e.value - m.s / m.n)
+              > 3.0 * sqrt((m.ss - m.s * m.s / m.n) / m.n)
+    """,
     "events_profile": """
         SELECT 'event_id' AS col, count(*) AS n_rows, count(*) - count(event_id) AS n_null, count(DISTINCT event_id) AS n_distinct FROM events
         UNION ALL
@@ -4724,6 +4754,7 @@ QUERIES = {
     "events_profile": q_events_profile,
     "sketch_distinct_by_lang": q_sketch_distinct_by_lang,
     "events_histogram": q_events_histogram,
+    "events_outliers": q_events_outliers,
     "embed_gram": q_embed_gram,
     "embed_pca": q_embed_pca,
     "embed_project": q_embed_project,

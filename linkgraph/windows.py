@@ -458,3 +458,53 @@ def pivot_user_counts(ds, types: list[str], key: str = "user_id",
 
     return ds.map_batches(partial, batch_format="pyarrow") \
              .groupby("kb").map_groups(merge, batch_format="pandas")
+
+
+def zscore_outliers(ds, key: str = "user_id", value: str = "value",
+                    id_col: str = "event_id", threshold: float = 3.0,
+                    round_to: int = 6):
+    """Per-key z-score outliers: events with |v - mean_k| > t * std_k
+    (population std, the explicit sum/sumsq formula — NOT a builtin
+    Welford variance, so the SQL oracle computes the identical
+    expression).  Keys with n < 2 or zero variance emit nothing.
+
+    ONE coarse key-bucket shuffle: all of a key's rows land in one
+    bucket, so the in-bucket kernel derives the moments AND filters in
+    the same vectorized pass — no separate moments stage, nothing
+    key-domain-sized on the driver.  Dataset out (id, key, z)."""
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pc.cast(b[id_col], pa.int64()),
+                         key: pa.array(k),
+                         value: pc.cast(b[value], pa.float64()),
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy(np.int64)
+        v = g[value].to_numpy(np.float64)
+        ev = g[id_col].to_numpy(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, v, ev = k[order], v[order], ev[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(k)]]))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        s = np.add.reduceat(v, starts)
+        ss = np.add.reduceat(v * v, starts)
+        n = lens.astype(np.float64)
+        mean = s / n
+        var = (ss - s * s / n) / n
+        ok_seg = (lens >= 2) & (var > 0)
+        std = np.sqrt(np.where(var > 0, var, 1.0))
+        z = (v - mean[seg]) / std[seg]
+        keep = ok_seg[seg] & (np.abs(v - mean[seg])
+                              > threshold * std[seg])
+        return pd.DataFrame({id_col: ev[keep], key: k[keep],
+                             "z": np.round(z[keep], round_to)})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby("kb").map_groups(kern, batch_format="pandas")

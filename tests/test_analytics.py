@@ -349,3 +349,36 @@ def test_walk_pmi_naive_parity():
         expect = round(float(np.log(
             (pairs[(r.u, r.v)] * U * U) / (uni[r.u] * uni[r.v] * T))), 6)
         assert r.pmi == expect
+
+
+def test_zscore_outliers_naive_parity():
+    from linkgraph.windows import zscore_outliers
+
+    rng = np.random.default_rng(51)
+    n = 600
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 25, n).astype(np.int64)),
+        "value": pa.array(np.round(rng.exponential(20, n), 2)),
+    })
+    df = tbl.to_pandas()
+    g = df.groupby("user_id")["value"]
+    s, ss, cnt = g.sum(), g.apply(lambda x: (x * x).sum()), g.size()
+    mean = s / cnt
+    var = (ss - s * s / cnt) / cnt
+    std = np.sqrt(var)
+    m = df["user_id"].map(mean)
+    sd = df["user_id"].map(std)
+    nn = df["user_id"].map(cnt)
+    keep = (nn >= 2) & (df["user_id"].map(var) > 0) \
+        & ((df["value"] - m).abs() > 2.0 * sd)
+    want = df[keep].assign(z=((df["value"] - m) / sd).round(6)) \
+        .sort_values("event_id")
+    assert len(want) > 0
+    for nparts in (1, 5):
+        out = zscore_outliers(rd.from_arrow(tbl).repartition(nparts),
+                              threshold=2.0).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert out["event_id"].tolist() == want["event_id"].tolist()
+        assert out["user_id"].tolist() == want["user_id"].tolist()
+        assert np.allclose(out["z"], want["z"], atol=2e-6)
