@@ -358,3 +358,187 @@ def _lp_distributed(edges_ds, n_edges: int, k: int):
     finished = attached.map_batches(_lp_finish, batch_format="pyarrow")
     return finished.sort(["cn", "aa", "u", "w"],
                          descending=[True, True, False, False]).limit(k)
+
+
+NEG_K = 5           # negatives per source
+NEG_PROBES = 36     # deterministic probe budget per source
+NEG_EDGE_BROADCAST_CAP = 20_000_000  # same scale as triangles' cap
+
+
+def _neg_finalize(z: np.ndarray) -> np.ndarray:
+    """Murmur3 finalizer (the repo's shared avalanche; uint64 wrap)."""
+    with np.errstate(over="ignore"):
+        z = z.astype(np.uint64).copy()
+        z ^= z >> np.uint64(33)
+        z *= np.uint64(0xFF51AFD7ED558CCD)
+        z ^= z >> np.uint64(29)
+        z *= np.uint64(0xC4CEB9FE1A85EC53)
+        z ^= z >> np.uint64(32)
+    return z
+
+
+def negative_samples(edges_ds, k: int = NEG_K, probes: int = NEG_PROBES,
+                     num_partitions: int = 8):
+    """Deterministic negative sampling for link-prediction / GNN
+    training data: for every vertex of the canonical edge set, the
+    first `k` probe candidates that are NOT neighbors (and not self),
+    where probe j's candidate is murmur_finalize(src * 2^32 + j) mod
+    n_vertices — a fixed hash sequence, so both the sample AND its SQL
+    twin are reproducible with no RNG state.  Duplicate candidates keep
+    their first probe; sources that exhaust the probe budget emit fewer
+    than k rows (deterministic, mirrored by the oracle).  Returns
+    (src, rnk, neg), rnk 1-based in probe order.
+
+    Shape: candidate expansion is per-batch vectorized (a source's
+    whole probe sequence stays in its batch); membership against the
+    edge set is size-gated — the sorted packed key array broadcast once
+    under NEG_EDGE_BROADCAST_CAP (ids < 2^31), making the whole
+    operator shuffle-free, else ONE coarse pair-bucket merge for the
+    membership bits plus ONE src-bucket pass for the rank cut."""
+    import ray
+
+    from ..io import from_pandas_clean
+    from .triangles import _pair_bucket, canon_dedup_ds, n_buckets_for
+
+    edges_ds = edges_ds.materialize()
+    n_e = edges_ds.count()
+    if n_e == 0:
+        return from_pandas_clean(pd.DataFrame(
+            {"src": pd.Series([], dtype=np.int64),
+             "rnk": pd.Series([], dtype=np.int64),
+             "neg": pd.Series([], dtype=np.int64)}))
+    canon = canon_dedup_ds(edges_ds, n_e).materialize()
+    nv = int(max(canon.max("src"), canon.max("dst"))) + 1
+
+    def verts(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            [b["src"].to_numpy(zero_copy_only=False),
+             b["dst"].to_numpy(zero_copy_only=False)])).astype(np.int64)
+        return pa.table({"v": pa.array(u)})
+
+    # distinct vertices via one coarse bucket (unbounded domain rule)
+    nb = n_buckets_for(2 * canon.count())
+    vs = canon.map_batches(verts, batch_format="pyarrow") \
+        .map_batches(lambda b: b.append_column(
+            "vb", pa.array((b["v"].to_numpy(zero_copy_only=False)
+                            % nb).astype(np.int64))),
+            batch_format="pyarrow") \
+        .groupby("vb").map_groups(
+            lambda g: pd.DataFrame(
+                {"v": np.unique(g["v"].to_numpy(np.int64))}),
+            batch_format="pandas").materialize()
+
+    def expand(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(v, probes)
+        j = np.tile(np.arange(probes, dtype=np.int64), len(v))
+        with np.errstate(over="ignore"):
+            z = (src.astype(np.uint64) * np.uint64(1 << 32)
+                 + j.astype(np.uint64))
+        cand = (_neg_finalize(z) % np.uint64(nv)).astype(np.int64)
+        return pa.table({"src": pa.array(src), "j": pa.array(j),
+                         "cand": pa.array(cand)})
+
+    cands = vs.map_batches(expand, batch_format="pyarrow")
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        """Dedupe-by-first-probe + first-k rank cut, vectorized; rows
+        must contain each source's full surviving probe list."""
+        s = df["src"].to_numpy(np.int64)
+        j = df["j"].to_numpy(np.int64)
+        c = df["cand"].to_numpy(np.int64)
+        o = np.lexsort((j, c, s))
+        s, j, c = s[o], j[o], c[o]
+        first = np.concatenate(
+            [[True], (s[1:] != s[:-1]) | (c[1:] != c[:-1])])
+        s, j, c = s[first], j[first], c[first]
+        o = np.lexsort((j, s))
+        s, j, c = s[o], j[o], c[o]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                s[1:] != s[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(s)]]))
+        pos = np.arange(len(s)) - np.repeat(starts, lens)
+        keep = pos < k
+        return pd.DataFrame({"src": s[keep],
+                             "rnk": (pos[keep] + 1).astype(np.int64),
+                             "neg": c[keep]})
+
+    mx = nv - 1
+    if canon.count() <= NEG_EDGE_BROADCAST_CAP and mx < 2 ** 31:
+        keys = np.sort(np.concatenate(
+            [(t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+              << np.uint64(32))
+             | t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             for t in canon.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)] or
+            [np.empty(0, np.uint64)]))
+        kref = ray.put(keys)
+
+        def filter_rank(b: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            s = b["src"].to_numpy(zero_copy_only=False)
+            j = b["j"].to_numpy(zero_copy_only=False)
+            c = b["cand"].to_numpy(zero_copy_only=False)
+            lo = np.minimum(s, c).astype(np.uint64)
+            hi = np.maximum(s, c).astype(np.uint64)
+            wk = (lo << np.uint64(32)) | hi
+            ok = s != c
+            if len(ks):
+                p = np.minimum(np.searchsorted(ks, wk), len(ks) - 1)
+                ok &= ks[p] != wk
+            out = cut(pd.DataFrame({"src": s[ok], "j": j[ok],
+                                    "cand": c[ok]}))
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return cands.map_batches(filter_rank, batch_format="pyarrow")
+
+    # coarse-bucket membership + src-bucket rank cut (64-bit ids /
+    # giant edge sets)
+    cb = n_buckets_for(canon.count())
+
+    def tag_probe(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        c = b["cand"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, c)
+        hi = np.maximum(s, c)
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "j": b["j"], "cand": pa.array(c, pa.int64()),
+                         "lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64()),
+                         "ub": pa.array(_pair_bucket(lo, hi, cb))})
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        z = np.full(len(s), -1, np.int64)
+        return pa.table({"src": pa.array(z), "j": pa.array(z),
+                         "cand": pa.array(z),
+                         "lo": pa.array(s, pa.int64()),
+                         "hi": pa.array(d, pa.int64()),
+                         "ub": pa.array(_pair_bucket(s, d, cb))})
+
+    def member_filter(g: pd.DataFrame) -> pd.DataFrame:
+        is_e = g["src"].to_numpy() < 0
+        e = g.loc[is_e, ["lo", "hi"]]
+        p = g.loc[~is_e, ["src", "j", "cand", "lo", "hi"]]
+        p = p[p["src"] != p["cand"]]
+        if len(p) == 0:
+            return pd.DataFrame({"src": np.empty(0, np.int64),
+                                 "j": np.empty(0, np.int64),
+                                 "cand": np.empty(0, np.int64)})
+        m = p.merge(e.assign(hit=1), on=["lo", "hi"], how="left")
+        m = m[m["hit"].isna()]
+        return m[["src", "j", "cand"]].astype(np.int64)
+
+    surv = cands.map_batches(tag_probe, batch_format="pyarrow") \
+        .union(canon.map_batches(tag_edge, batch_format="pyarrow")) \
+        .groupby("ub").map_groups(member_filter, batch_format="pandas")
+
+    nb3 = n_buckets_for(canon.count())
+    return surv.map_batches(
+        lambda b: b.append_column("sb", pa.array(
+            (b["src"].to_numpy(zero_copy_only=False) % nb3)
+            .astype(np.int64))), batch_format="pyarrow") \
+        .groupby("sb").map_groups(
+            lambda g: cut(g[["src", "j", "cand"]]),
+            batch_format="pandas")

@@ -1026,6 +1026,17 @@ def q_doc_adamic_adar(sf_dir):
     return adamic_adar_topk(documents_edges(sf_dir), k=AA_TOPK)
 
 
+def q_doc_negatives(sf_dir):
+    """Deterministic negative sampling for link-prediction training
+    (algos/linkpred.negative_samples): first-5-of-36 murmur probe
+    candidates per vertex that are NOT edges; shuffle-free under the
+    broadcast cap."""
+    from .algos.linkpred import NEG_K, NEG_PROBES, negative_samples
+
+    return negative_samples(documents_edges(sf_dir), k=NEG_K,
+                            probes=NEG_PROBES)
+
+
 def q_doc_linkpred(sf_dir):
     """All four classic neighborhood link predictors in one pipeline
     (algos/linkpred.link_prediction_topk): common neighbors, Adamic-Adar,
@@ -3613,6 +3624,49 @@ def _ann_lsh_sql(n_planes: int, k: int, seed: int = 42,
     """
 
 
+def _negative_samples_sql(k: int, probes: int) -> str:
+    """SQL twin of linkpred.negative_samples over the canonical doc
+    edges: probe hash = murmur finalizer of (src * 2^32 + j) in
+    HUGEINT, candidate = hash mod n_vertices, NOT-EXISTS edge filter,
+    first-probe dedupe, first-k rank cut — identical integer math."""
+    return f"""
+        WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+        vs AS MATERIALIZED (SELECT DISTINCT v FROM
+            (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+        nv AS (SELECT max(v) + 1 AS n FROM vs),
+        p0 AS (SELECT vs.v AS src, t.j AS j,
+                      ((vs.v::HUGEINT * 4294967296 + t.j) % {_W64})
+                      ::UBIGINT AS z
+               FROM vs CROSS JOIN range({probes}) t(j)),
+        p1 AS (SELECT src, j, xor(z, z >> 33) AS z FROM p0),
+        p2 AS (SELECT src, j,
+                      {_mulmod64_sql('z', 0xFF51AFD7ED558CCD)}::UBIGINT
+                      AS z FROM p1),
+        p3 AS (SELECT src, j, xor(z, z >> 29) AS z FROM p2),
+        p4 AS (SELECT src, j,
+                      {_mulmod64_sql('z', 0xC4CEB9FE1A85EC53)}::UBIGINT
+                      AS z FROM p3),
+        pr AS MATERIALIZED (SELECT src, j, xor(z, z >> 32) AS z FROM p4),
+        cand AS MATERIALIZED (
+          SELECT src, j,
+                 (z % ((SELECT n FROM nv))::UBIGINT)::BIGINT AS cand
+          FROM pr),
+        ok AS MATERIALIZED (
+          SELECT c.src, c.j, c.cand FROM cand c
+          WHERE c.cand <> c.src AND NOT EXISTS (
+            SELECT 1 FROM e WHERE e.src = least(c.src, c.cand)
+                              AND e.dst = greatest(c.src, c.cand))),
+        ded AS (SELECT src, j, cand FROM (
+          SELECT src, j, cand, row_number() OVER
+            (PARTITION BY src, cand ORDER BY j) AS rn FROM ok)
+          WHERE rn = 1)
+        SELECT src, rnk, neg FROM (
+          SELECT src, cand AS neg, row_number() OVER
+            (PARTITION BY src ORDER BY j) AS rnk FROM ded)
+        WHERE rnk <= {k}
+    """
+
+
 def _neighbor_sample_sql(seeds=NS_SEEDS, fanouts=NS_FANOUTS) -> str:
     """SQL twin of neighbors.sample_neighbors on the symmetric doc
     graph: the identical murmur finalizer over (src << 32 | dst) in
@@ -3811,6 +3865,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_diameter": _diameter_sql(BFS_ROUNDS),
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
     "doc_walk_pmi": _walk_pmi_sql(PMI_SEEDS, WALK_STEPS, PMI_WINDOW),
+    "doc_negatives": _negative_samples_sql(k=5, probes=36),
     "doc_node2vec": _node2vec_sql(WALK_SEEDS, N2V_STEPS),
     "doc_adamic_adar": ADAMIC_ADAR_SQL,
     "doc_linkpred": LINKPRED_SQL,
@@ -4691,6 +4746,7 @@ QUERIES = {
     "doc_diameter": q_doc_diameter,
     "doc_walks": q_doc_walks,
     "doc_walk_pmi": q_doc_walk_pmi,
+    "doc_negatives": q_doc_negatives,
     "doc_node2vec": q_doc_node2vec,
     "doc_adamic_adar": q_doc_adamic_adar,
     "doc_linkpred": q_doc_linkpred,

@@ -382,3 +382,46 @@ def test_zscore_outliers_naive_parity():
         assert out["event_id"].tolist() == want["event_id"].tolist()
         assert out["user_id"].tolist() == want["user_id"].tolist()
         assert np.allclose(out["z"], want["z"], atol=2e-6)
+
+
+def test_negative_samples_paths_and_naive(monkeypatch):
+    """Broadcast and forced coarse-bucket membership paths equal, and
+    both equal a naive per-source probe replay (hash sequence, edge
+    exclusion, first-probe dedupe, first-k cut)."""
+    import linkgraph.algos.linkpred as L
+
+    rng = np.random.default_rng(61)
+    s = rng.integers(0, 50, 150)
+    d = rng.integers(0, 50, 150)
+    tbl = pa.table({"src": pa.array(s, pa.int64()),
+                    "dst": pa.array(d, pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(4)
+    K, J = 3, 24
+
+    # naive replay
+    es = {(min(a, b), max(a, b)) for a, b in zip(s.tolist(), d.tolist())
+          if a != b}
+    vs = sorted({v for e in es for v in e})
+    nv = max(vs) + 1
+    want = []
+    for v in vs:
+        seen, got = set(), []
+        for j in range(J):
+            z = np.uint64((v << 32) + j)
+            c = int(L._neg_finalize(np.array([z]))[0] % np.uint64(nv))
+            if c == v or (min(v, c), max(v, c)) in es or c in seen:
+                continue
+            seen.add(c)
+            got.append(c)
+            if len(got) == K:
+                break
+        for r, c in enumerate(got, 1):
+            want.append((v, r, c))
+
+    bc = L.negative_samples(ds, k=K, probes=J).to_pandas() \
+        .sort_values(["src", "rnk"]).reset_index(drop=True)
+    assert list(map(tuple, bc.to_numpy())) == want
+    monkeypatch.setattr(L, "NEG_EDGE_BROADCAST_CAP", -1)
+    bk = L.negative_samples(ds, k=K, probes=J).to_pandas() \
+        .sort_values(["src", "rnk"]).reset_index(drop=True)
+    assert list(map(tuple, bk.to_numpy())) == want
