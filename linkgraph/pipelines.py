@@ -1103,6 +1103,42 @@ def q_text_top_tokens(sf_dir):
                 .reset_index(drop=True)
 
 
+TOP_STEMS_K = 30
+
+
+def q_text_top_stems(sf_dir):
+    """Top-30 corpus heavy hitters AFTER light suffix stemming
+    (text.STEM_RULES — an anchored RE2 chain applied identically by
+    pyarrow and DuckDB): same combiner + distinct-key groupby +
+    partial-top-k shape as q_text_top_tokens."""
+    from .text import stem_array
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(_arr(b["text"]),
+                                                      r"\s+"))
+        toks = stem_array(toks.filter(pc.not_equal(toks, "")))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = _arr(toks.value_counts())
+        return pa.table({"stem": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = docs.map_batches(partial, batch_format="pyarrow")         .groupby("stem").sum("n")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().rename(columns={"sum(n)": "n"})
+        pdf = pdf.sort_values(["n", "stem"], ascending=[False, True],
+                              kind="mergesort").head(TOP_STEMS_K)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    parts = counts.map_batches(local_top,
+                               batch_format="pyarrow").to_pandas()
+    return parts.sort_values(["n", "stem"], ascending=[False, True],
+                             kind="mergesort").head(TOP_STEMS_K)                 .reset_index(drop=True)
+
+
 TOP_BIGRAMS_K = 20
 
 
@@ -4401,6 +4437,15 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": _simhash_sql(max_hamming=8, cap=256),
     # top-5 TF-IDF terms per doc (text.tfidf_top_terms): tf = c/doc_len,
     # idf = ln(N/df) over ALL documents; ties (tfidf desc, term asc)
+    "text_top_stems": """
+        WITH toks AS (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        st AS (SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(w, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\1'), '^(\w{3,})ing$', '\1'), '^(\w{2,})ed$', '\1') AS stem FROM toks)
+        SELECT stem, count(*) AS n FROM st WHERE stem <> ''
+        GROUP BY stem ORDER BY n DESC, stem ASC LIMIT 30
+    """,
     "text_tfidf": """
         WITH wl AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text),
@@ -4763,6 +4808,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "text_tfidf": q_text_tfidf,
+    "text_top_stems": q_text_top_stems,
     "text_fingerprint": q_text_fingerprint,
     "text_redact": q_text_redact,
     "decontaminate": q_decontaminate,

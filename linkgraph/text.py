@@ -690,3 +690,38 @@ def chunk_documents(batch: pa.Table, chunk_words: int = 32,
                      "chunk_id": pa.array(k, pa.int64()),
                      "chunk": chunks,
                      "n_words": pa.array(clen.astype(np.int64))})
+
+
+# light suffix stemmer (Porter step-1-style): anchored RE2 rules applied
+# as a CHAIN (each to the previous result) — pyarrow
+# replace_substring_regex and DuckDB regexp_replace are both RE2 with
+# backref replacements, so the SQL oracle applies the identical chain
+# (the PII-redaction parity pattern).  The ([^s])s$ form emulates
+# Porter's first-match-only s-rules under chaining: sses$->ss leaves a
+# double s the single-s rule then keeps.
+STEM_RULES = (
+    (r"sses$", "ss"),
+    (r"ies$", "i"),
+    (r"([^s])s$", r"\1"),
+    (r"^(\w{3,})ing$", r"\1"),
+    (r"^(\w{2,})ed$", r"\1"),
+)
+
+
+def stem_array(arr):
+    """Apply the STEM_RULES chain to a pyarrow string array."""
+    import pyarrow.compute as _pc
+
+    for pat, repl in STEM_RULES:
+        arr = _pc.replace_substring_regex(arr, pattern=pat,
+                                          replacement=repl)
+    return arr
+
+
+def stem_sql_expr(col: str) -> str:
+    """The identical chain as nested DuckDB regexp_replace calls."""
+    expr = col
+    for pat, repl in STEM_RULES:
+        r = repl.replace("\\1", "\\1")
+        expr = f"regexp_replace({expr}, '{pat}', '{r}')"
+    return expr
