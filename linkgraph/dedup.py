@@ -1297,3 +1297,133 @@ def substring_dup_pairs(ds, id_col: str = "doc_id",
 
     return parts.map_batches(tag_pair, batch_format="pyarrow") \
                 .groupby("pb").map_groups(sum_kern, batch_format="pandas")
+
+
+# ------------------------------------------------------ edit-distance
+
+EDIT_SIM_THRESHOLD = 0.8
+
+
+def _lev_bytes(a: bytes, b: bytes) -> int:
+    """Exact Levenshtein over UTF-8 BYTES (DuckDB's levenshtein() is
+    byte-based — 'é' vs 'e' is distance 2 — so the oracle parity is over
+    bytes, with octet lengths in the similarity denominator).  One
+    vectorized DP row per byte of `a`: the sequential insertion chain
+    cur[j] = min(x[j], cur[j-1]+1) resolves exactly as
+    accumulate(x - j) + j."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    bv = np.frombuffer(b, np.uint8).astype(np.int64)
+    av = np.frombuffer(a, np.uint8)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    full = np.empty(lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        full[0] = i
+        np.minimum(prev[:-1] + (bv != av[i - 1]), prev[1:] + 1,
+                   out=full[1:])
+        prev = np.minimum.accumulate(full - idx) + idx
+    return int(prev[-1])
+
+
+def edit_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                   num_perm: int = 64, bands: int = 16, k: int = 5,
+                   jaccard_floor: float = 0.5,
+                   sim_threshold: float = EDIT_SIM_THRESHOLD,
+                   cap: int = 64):
+    """Edit-similarity near-dups: MinHash+LSH candidates (exact-Jaccard
+    floored at `jaccard_floor` — the standard cheap prefilter) RE-VERIFIED
+    by exact byte-level Levenshtein similarity
+    1 - lev / max(octet_len) >= sim_threshold.  Output (a, b, lev, sim);
+    the per-pair DP is O(len_a) vectorized rows, run distributed over
+    pair blocks — only candidate pairs ever pay it, never the corpus
+    cross product."""
+    import ray
+    import ray.data as rd
+
+    from .io import from_pandas_clean
+
+    pairs = minhash_dedup_pairs(ds, id_col, text_col, num_perm, bands,
+                                k, jaccard_floor, cap=cap)
+    if not isinstance(pairs, pd.DataFrame):
+        # distributed tail: attach both texts via the pair hash-join
+        # shape of _verify_jaccard_ds
+        pairs = pairs.materialize()
+        parts = _join_parts(pairs.count())
+        docs = ds.select_columns([id_col, text_col]).materialize()
+        ta = docs.map_batches(
+            lambda b: pa.table({"a": b[id_col], "text_a": b[text_col]}),
+            batch_format="pyarrow")
+        tb = docs.map_batches(
+            lambda b: pa.table({"b": b[id_col], "text_b": b[text_col]}),
+            batch_format="pyarrow")
+        j = pairs.join(ta, join_type="inner", num_partitions=parts,
+                       on=("a",))
+        j = j.join(tb, join_type="inner", num_partitions=parts,
+                   on=("b",))
+
+        def verify_ds(b: pa.Table) -> pa.Table:
+            return _edit_verify(b["a"], b["b"],
+                                b["text_a"].to_pylist(),
+                                b["text_b"].to_pylist(), sim_threshold)
+
+        return j.map_batches(verify_ds, batch_format="pyarrow")
+
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64),
+                             "lev": pd.Series([], dtype=np.int64),
+                             "sim": pd.Series([], dtype=np.float64)})
+    involved = np.unique(np.concatenate(
+        [pairs["a"].to_numpy(), pairs["b"].to_numpy()])).astype(np.int64)
+    iv = set(involved.tolist())
+
+    def collect(b: pa.Table) -> pa.Table:
+        m = np.isin(b[id_col].to_numpy(zero_copy_only=False), involved)
+        return pa.table({id_col: pa.array(
+            b[id_col].to_numpy(zero_copy_only=False)[m]),
+            text_col: b[text_col].filter(pa.array(m))})
+
+    rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+    texts = {int(r[id_col]): (r[text_col] or "") for r in rows}
+    assert iv <= set(texts), "candidate ids missing from the corpus"
+    tref = ray.put(texts)
+
+    def verify(b: pa.Table) -> pa.Table:
+        t = ray.get(tref)
+        a_ids = b["a"].to_numpy(zero_copy_only=False)
+        b_ids = b["b"].to_numpy(zero_copy_only=False)
+        return _edit_verify(pa.array(a_ids), pa.array(b_ids),
+                            [t[int(x)] for x in a_ids],
+                            [t[int(x)] for x in b_ids], sim_threshold)
+
+    n_blocks = max(1, len(pairs) // 500)
+    out = from_pandas_clean(pairs[["a", "b"]]).repartition(n_blocks) \
+        .map_batches(verify, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _edit_verify(a_arr, b_arr, texts_a, texts_b,
+                 sim_threshold: float) -> pa.Table:
+    a_ids = np.asarray(a_arr, dtype=np.int64) \
+        if not hasattr(a_arr, "to_numpy") \
+        else a_arr.to_numpy(zero_copy_only=False)
+    b_ids = np.asarray(b_arr, dtype=np.int64) \
+        if not hasattr(b_arr, "to_numpy") \
+        else b_arr.to_numpy(zero_copy_only=False)
+    levs = np.empty(len(a_ids), dtype=np.int64)
+    mx = np.empty(len(a_ids), dtype=np.int64)
+    for i in range(len(a_ids)):
+        ba = (texts_a[i] or "").encode("utf-8")
+        bb = (texts_b[i] or "").encode("utf-8")
+        levs[i] = _lev_bytes(ba, bb)
+        mx[i] = max(len(ba), len(bb), 1)
+    sim = 1.0 - levs / mx
+    keep = sim >= sim_threshold
+    return pa.table({"a": pa.array(a_ids[keep], pa.int64()),
+                     "b": pa.array(b_ids[keep], pa.int64()),
+                     "lev": pa.array(levs[keep]),
+                     "sim": pa.array(np.round(sim[keep], 6))})

@@ -1545,6 +1545,18 @@ def q_dedup_substr(sf_dir):
     return substring_dup_pairs(docs)
 
 
+def q_dedup_edit(sf_dir):
+    """Edit-similarity near-dups (dedup.edit_dup_pairs): MinHash
+    candidates re-verified by exact byte-level Levenshtein similarity
+    >= 0.8 (DuckDB levenshtein() is byte-based; kernel parity is exact
+    integers + one division, so the filter can never disagree)."""
+    from .dedup import edit_dup_pairs
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return edit_dup_pairs(docs)
+
+
 def q_dedup_ngram(sf_dir):
     import ray.data as rd
 
@@ -4430,6 +4442,23 @@ ORACLE_SQL: dict[str, str] = {
     # q threshold 0.4), exact-verified — same generator, narrower bands
     "dedup_ngram": _minhash_sql(num_perm=64, bands=32, k=5,
                                 threshold=0.4, cap=64),
+    # MinHash candidates re-verified by byte Levenshtein >= 0.8 — the
+    # minhash CTE is the identical HUGEINT index, lev/octet math exact
+    "dedup_edit": f"""
+        WITH mh AS MATERIALIZED ({_minhash_sql(num_perm=64, bands=16,
+                                               k=5, threshold=0.5,
+                                               cap=64)}),
+        lv AS (
+          SELECT mh.a, mh.b,
+                 levenshtein(da.text, db.text) AS lev,
+                 greatest(strlen(da.text), strlen(db.text), 1) AS mx
+          FROM mh
+          JOIN documents da ON da.doc_id = mh.a
+          JOIN documents db ON db.doc_id = mh.b)
+        SELECT a, b, lev,
+               round(1.0 - lev::DOUBLE / mx, 6) AS sim
+        FROM lv WHERE 1.0 - lev::DOUBLE / mx >= 0.8
+    """,
     # window-sampled exact-substring duplication (30-char windows,
     # stride 7, df cap 64) — collision-proof HUGEINT hash parity
     "dedup_substr": _substr_sql(window=30, stride=7, df_cap=64),
@@ -4823,6 +4852,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
+    "dedup_edit": q_dedup_edit,
     "dedup_substr": q_dedup_substr,
     "dedup_jaccard": q_dedup_jaccard,
     "ann_topk": q_ann_topk,

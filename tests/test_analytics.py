@@ -425,3 +425,47 @@ def test_negative_samples_paths_and_naive(monkeypatch):
     bk = L.negative_samples(ds, k=K, probes=J).to_pandas() \
         .sort_values(["src", "rnk"]).reset_index(drop=True)
     assert list(map(tuple, bk.to_numpy())) == want
+
+
+def test_levenshtein_kernel_exact():
+    """_lev_bytes vs a classic O(n*m) scalar DP on random byte strings
+    (the vectorized prefix-min insertion chain is the tricky part)."""
+    from linkgraph.dedup import _lev_bytes
+
+    def slow(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    rng = np.random.default_rng(71)
+    for _ in range(40):
+        a = bytes(rng.integers(97, 103, rng.integers(0, 30)).tolist())
+        b = bytes(rng.integers(97, 103, rng.integers(0, 30)).tolist())
+        assert _lev_bytes(a, b) == slow(a, b), (a, b)
+
+
+def test_edit_dup_pairs_small():
+    """Candidates that are true near-dups pass the edit filter; a
+    shared-shingle but heavily-edited pair is dropped."""
+    from linkgraph.dedup import edit_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    texts = [base,
+             base[:-10] + " tail edit",            # near-dup of 0
+             base.replace("quick", "slow"),         # near-dup of 0
+             " ".join(sorted(base.split())),        # same words, reordered
+             "completely different content here " * 5]
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts),
+                                                 dtype=np.int64)),
+                    "text": pa.array(texts)})
+    out = edit_dup_pairs(rd.from_arrow(tbl), sim_threshold=0.8)
+    got = set(zip(out["a"], out["b"]))
+    assert (0, 1) in got and (0, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)
+    assert (out["sim"] >= 0.8).all()
