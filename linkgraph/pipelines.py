@@ -1245,6 +1245,32 @@ def q_text_quality(sf_dir):
                .select_columns(["doc_id", "quality", "keep"])
 
 
+QUALITY_CUT_Q = 0.10
+
+
+def q_corpus_quality_cut(sf_dir):
+    """Percentile-based quality filtering: keep docs whose composite
+    quality score reaches the corpus's exact P10 (quantiles.
+    exact_quantiles — the distributed order statistic, quantile_disc
+    index rule), the adaptive alternative to a fixed keep threshold.
+    Scores are round-6 identical on both sides, so the >= comparison
+    operates on identical doubles and cannot flip."""
+    from .quantiles import exact_quantiles
+    from .text import add_quality
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    scored = docs.map_batches(add_quality, batch_format="pyarrow")                  .select_columns(["doc_id", "quality"]).materialize()
+    p10 = float(exact_quantiles(scored, "quality",
+                                [QUALITY_CUT_Q])["val"].iloc[0])
+
+    def cut(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["quality"],
+                                         pa.scalar(p10)))
+
+    return scored.map_batches(cut, batch_format="pyarrow")
+
+
 GROUP_TOKENS_K = 10
 
 
@@ -3922,6 +3948,13 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_distinct": _SK.kmv_sql(),
     "sketch_cms": _SK.cms_sql(),
     "text_quality": _quality_sql(),
+    "corpus_quality_cut": f"""
+        WITH qq AS MATERIALIZED (
+          SELECT doc_id, quality FROM ({_quality_sql()})),
+        p AS (SELECT quantile_disc(quality, 0.10) AS p10 FROM qq)
+        SELECT qq.doc_id, qq.quality
+        FROM qq CROSS JOIN p WHERE qq.quality >= p.p10
+    """,
     "embed_centroids": EMBED_CENTROIDS_SQL,
     "semantic_dedup": _semdedup_sql(SEMDEDUP_ROUNDS),
     "tpch_order_rank": _REL.TOP_ORDERS_PER_CUSTOMER_SQL,
@@ -4835,6 +4868,7 @@ QUERIES = {
     "sketch_cms": q_sketch_cms,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
+    "corpus_quality_cut": q_corpus_quality_cut,
     "text_repetition": q_text_repetition,
     "text_tfidf": q_text_tfidf,
     "text_top_stems": q_text_top_stems,
