@@ -1775,6 +1775,14 @@ def q_tpch_priority_buckets(sf_dir):
     return _REL.shipmode_priority_buckets(sf_dir)
 
 
+def q_tpch_returned_revenue(sf_dir):
+    """TPC-H Q10-like: top-20 customers by revenue of returned items in
+    a half-year order window (relational.returned_revenue_topk — one
+    lineitem x orders shuffle join, one custkey aggregate, one customer
+    hash join, distributed sort + limit)."""
+    return _REL.returned_revenue_topk(sf_dir)
+
+
 def q_tpch_large_orders(sf_dir):
     """TPC-H Q18-like: per-order quantity sums (combiner pushdown) +
     HAVING filter + one hash join for the customer key."""
@@ -3960,6 +3968,7 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_order_rank": _REL.TOP_ORDERS_PER_CUSTOMER_SQL,
     "tpch_large_orders": _REL.LARGE_ORDERS_SQL,
     "tpch_priority_count": _REL.ORDER_PRIORITY_SQL,
+    "tpch_returned_revenue": _REL.RETURNED_REVENUE_SQL,
     "tpch_priority_buckets": _REL.SHIPMODE_PRIORITY_SQL,
     "tpch_cust_no_orders": f"""
         SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
@@ -4901,6 +4910,7 @@ QUERIES = {
     "tpch_order_rank": q_tpch_order_rank,
     "tpch_large_orders": q_tpch_large_orders,
     "tpch_priority_count": q_tpch_priority_count,
+    "tpch_returned_revenue": q_tpch_returned_revenue,
     "tpch_priority_buckets": q_tpch_priority_buckets,
     "tpch_cust_no_orders": q_tpch_cust_no_orders,
     "tpch_parts_shipped": q_tpch_parts_shipped,

@@ -569,3 +569,94 @@ SHIPMODE_PRIORITY_SQL = f"""
       AND l_shipdate < TIMESTAMP '{Q12_END}'
     GROUP BY 1
 """
+
+
+# -------------------------------------------- Q10-like returned revenue
+
+Q10_START, Q10_END = "1996-01-01", "1996-07-01"
+Q10_TOPK = 20
+
+
+def returned_revenue_topk(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    lineitems with l_returnflag = 'R' joined to a half-year order
+    window, ONE groupby(custkey) revenue sum, a hash join for the
+    customer attributes, then the top-20 customers by rounded revenue
+    (desc, custkey asc — rounding BEFORE ranking on both sides so the
+    cut is on identical doubles)."""
+    import os
+
+    from .runtime import tune_context
+    tune_context()
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+
+    def ret(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+
+    lo, hi = _ts(Q10_START), _ts(Q10_END)
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def window(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        k = b.filter(m)
+        return pa.table({"l_orderkey": k["o_orderkey"],
+                         "o_custkey": k["o_custkey"]})
+
+    from ray.data.aggregate import Sum
+
+    j = li.map_batches(ret, batch_format="pyarrow").join(
+        orders.map_batches(window, batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",))
+    per_cust = j.groupby("o_custkey").aggregate(
+        Sum("rev", alias_name="revenue"))
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"])
+    ck = cust.map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"],
+                            "c_name": b["c_name"],
+                            "c_acctbal": b["c_acctbal"]}),
+        batch_format="pyarrow")
+    out = per_cust.join(ck, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("o_custkey",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "c_name": b["c_name"],
+            "revenue": pc.round(b["revenue"], 6),
+            "c_acctbal": pc.round(b["c_acctbal"], 6)})
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "c_custkey"], descending=[True, False]) \
+        .limit(Q10_TOPK)
+
+
+RETURNED_REVENUE_SQL = f"""
+    WITH cr AS (
+      SELECT o.o_custkey,
+             sum(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '{Q10_START}'
+        AND o.o_orderdate < TIMESTAMP '{Q10_END}'
+      GROUP BY o.o_custkey)
+    SELECT c.c_custkey, c.c_name, round(cr.revenue, 6) AS revenue,
+           round(c.c_acctbal, 6) AS c_acctbal
+    FROM cr JOIN customer c ON c.c_custkey = cr.o_custkey
+    ORDER BY round(cr.revenue, 6) DESC, c.c_custkey
+    LIMIT {Q10_TOPK}
+"""
