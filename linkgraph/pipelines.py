@@ -870,6 +870,44 @@ def q_doc_coreness(sf_dir):
     return _state_result(eng, "core", "core")
 
 
+def q_doc_reciprocity(sf_dir):
+    """Directed-graph reciprocity over the cycle-augmented doc graph:
+    fraction of directed edges whose reverse also exists.  ONE coarse
+    unordered-pair bucket groupby — an edge and its reverse share a
+    bucket by construction, so the per-bucket reciprocal counts sum
+    exactly; only the two counts reach the driver."""
+    from .algos.triangles import _pair_bucket, n_buckets_for
+
+    de = documents_edges(sf_dir)         .map_batches(_aug_cycles, batch_format="pyarrow").materialize()
+    n_edges = de.count()
+    if n_edges == 0:
+        return pd.DataFrame({"n_edges": [0], "n_reciprocal": [0],
+                             "reciprocity": [0.0]})
+    nb = n_buckets_for(n_edges)
+
+    def tag(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64()),
+                         "ub": pa.array(_pair_bucket(lo, hi, nb))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[["src", "dst"]]
+        rev = e.rename(columns={"src": "dst", "dst": "src"})
+        nr = len(e.merge(rev, on=["src", "dst"], how="inner"))
+        return pd.DataFrame({"nr": [nr]})
+
+    parts = de.map_batches(tag, batch_format="pyarrow")               .groupby("ub").map_groups(kern, batch_format="pandas")               .to_pandas()
+    nr = int(parts["nr"].sum())
+    return pd.DataFrame({
+        "n_edges": np.array([n_edges], np.int64),
+        "n_reciprocal": np.array([nr], np.int64),
+        "reciprocity": [round(nr / float(n_edges), 6)]})
+
+
 def q_doc_scc(sf_dir):
     """Strongly connected components over the cycle-augmented doc graph
     (SCC_EDGES_SQL: canonical edges + reverse where (src+dst)%3==0 —
@@ -2181,6 +2219,42 @@ def q_embed_pca(sf_dir):
     vecs = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                               columns=["embedding"])
     return pca_power_top(vecs, iters=PCA_ITERS)
+
+
+DECAY_REF = "2024-02-01"
+DECAY_TAU_S = 7 * 86_400
+
+
+def q_events_decay(sf_dir):
+    """Time-decayed per-user value sums at a fixed reference instant:
+    sum(value * exp(-(T - ts)/tau)) over events at/before T — the
+    recency-weighted aggregate a feature store keeps.  One pruned read,
+    one per-user Sum aggregate (map-side combiners); weight arithmetic
+    is the identical exact-integer microsecond expression + one libm
+    exp on both sides."""
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "value"])
+    # UTC-naive microseconds, same value as SQL epoch_us(TIMESTAMP ...)
+    ref_us = np.datetime64(DECAY_REF, "us").astype(np.int64)
+    tau_us = float(DECAY_TAU_S) * 1e6
+
+    def weight(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = us <= ref_us
+        us = us[keep]
+        v = b["value"].to_numpy(zero_copy_only=False)[keep]
+        u = b["user_id"].to_numpy(zero_copy_only=False)[keep]
+        w = v * np.exp(-((ref_us - us) / tau_us))
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "wv": pa.array(w, pa.float64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = ev.map_batches(weight, batch_format="pyarrow")             .groupby("user_id").aggregate(Sum("wv", alias_name="decayed"))
+    return agg.map_batches(
+        lambda b: pa.table({"user_id": b["user_id"],
+                            "decayed": pc.round(b["decayed"], 6)}),
+        batch_format="pyarrow")
 
 
 OUTLIER_T = 3.0
@@ -3942,6 +4016,16 @@ ORACLE_SQL: dict[str, str] = {
     "doc_harmonic": _harmonic_sql(HARMONIC_SEEDS, BFS_ROUNDS, 6),
     "doc_closeness": _closeness_sql(CLOSENESS_SEEDS, BFS_ROUNDS, 6),
     "doc_katz": _katz_sql(KATZ_ITERS, KATZ_ALPHA, 6),
+    "doc_reciprocity": f"""
+        WITH de AS MATERIALIZED ({SCC_EDGES_SQL}),
+        rc AS (SELECT count(*) AS nr FROM de a
+               JOIN de b ON b.src = a.dst AND b.dst = a.src)
+        SELECT (SELECT count(*) FROM de) AS n_edges,
+               rc.nr AS n_reciprocal,
+               round(rc.nr / (SELECT count(*) FROM de)::DOUBLE, 6)
+                   AS reciprocity
+        FROM rc
+    """,
     "doc_scc": _scc_sql(),
     "doc_coreness": _coreness_sql(CORENESS_ROUNDS),
     "doc_diameter": _diameter_sql(BFS_ROUNDS),
@@ -4443,6 +4527,18 @@ ORACLE_SQL: dict[str, str] = {
           AND abs(e.value - m.s / m.n)
               > 3.0 * sqrt((m.ss - m.s * m.s / m.n) / m.n)
     """,
+    # time-decayed per-user sums at T=2024-02-01, tau=7d: identical
+    # integer-us delta, one division, one libm exp per row
+    "events_decay": f"""
+        SELECT user_id,
+               round(sum(value * exp(-((epoch_us(TIMESTAMP '2024-02-01')
+                                        - epoch_us(ts))
+                                       / ({7 * 86400}.0 * 1e6)))), 6)
+                   AS decayed
+        FROM events
+        WHERE epoch_us(ts) <= epoch_us(TIMESTAMP '2024-02-01')
+        GROUP BY user_id
+    """,
     "events_profile": """
         SELECT 'event_id' AS col, count(*) AS n_rows, count(*) - count(event_id) AS n_null, count(DISTINCT event_id) AS n_distinct FROM events
         UNION ALL
@@ -4858,6 +4954,7 @@ QUERIES = {
     "doc_closeness": q_doc_closeness,
     "doc_katz": q_doc_katz,
     "doc_scc": q_doc_scc,
+    "doc_reciprocity": q_doc_reciprocity,
     "doc_coreness": q_doc_coreness,
     "doc_diameter": q_doc_diameter,
     "doc_walks": q_doc_walks,
@@ -4931,6 +5028,7 @@ QUERIES = {
     "sketch_distinct_by_lang": q_sketch_distinct_by_lang,
     "events_histogram": q_events_histogram,
     "events_outliers": q_events_outliers,
+    "events_decay": q_events_decay,
     "embed_gram": q_embed_gram,
     "embed_pca": q_embed_pca,
     "embed_project": q_embed_project,
