@@ -564,3 +564,46 @@ def sample_frames(ds, fps: float = 1.0, concurrency: int = 2,
     return ds.map_batches(FrameSampleStage, fn_constructor_args=(fps, use_stub),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency))
+
+
+DHASH_ROWS, DHASH_COLS = 8, 9  # 8x9 grid -> 64 horizontal-gradient bits
+
+
+class DHashStage:
+    """REAL perceptual image hash (dHash): parse_bmp -> channel-sum
+    "grayscale" (b+g+r — no float luma weights, so the SQL oracle is
+    exact integers) -> nearest-neighbor gather onto an 8x9 grid ->
+    64 horizontal-gradient bits (right > left).  Emits the hash as two
+    int64 halves (dhash_hi/lo, each < 2^32) + the popcount — the
+    image-dedup signature (near-dup images differ in a few bits)."""
+
+    def _dhash(self, payload: bytes):
+        img = parse_bmp(payload).astype(np.int64)
+        h, w = img.shape[:2]
+        g3 = img.sum(axis=2)
+        sy = (np.arange(DHASH_ROWS, dtype=np.int64) * h) // DHASH_ROWS
+        sx = (np.arange(DHASH_COLS, dtype=np.int64) * w) // DHASH_COLS
+        grid = g3[sy][:, sx]
+        bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64)
+        pos = np.arange(64, dtype=np.uint64).reshape(DHASH_ROWS,
+                                                     DHASH_COLS - 1)
+        val = int((bits << pos).sum())
+        return val >> 32, val & 0xFFFFFFFF, int(bits.sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._dhash(p) for p in batch["payload"].to_pylist()]
+        hi, lo, ones = (list(x) for x in zip(*out)) if out \
+            else ([], [], [])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "dhash_hi": pa.array(np.array(hi, np.int64)),
+            "dhash_lo": pa.array(np.array(lo, np.int64)),
+            "ones": pa.array(np.array(ones, np.int64))})
+
+
+def perceptual_hashes(ds, concurrency: int = 4, batch_size: int = 256):
+    """image media table -> dHash signatures via the real BMP decoder
+    (actor pool)."""
+    return ds.map_batches(DHashStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=pool_size(concurrency))

