@@ -1427,3 +1427,64 @@ def _edit_verify(a_arr, b_arr, texts_a, texts_b,
                      "b": pa.array(b_ids[keep], pa.int64()),
                      "lev": pa.array(levs[keep]),
                      "sim": pa.array(np.round(sim[keep], 6))})
+
+
+def hamming_dup_pairs(sig_ds, id_col: str = "media_id",
+                      hi_col: str = "dhash_hi", lo_col: str = "dhash_lo",
+                      max_hamming: int = 2, cap: int = 256):
+    """Near-dup pairs over ANY 64-bit signature table (two int64
+    halves) — the simhash block-bucket machinery generalized: 4x16-bit
+    block buckets, per-bucket id-rank cap, in-bucket vectorized xor
+    popcount, cross-block dedupe (driver below DRIVER_PAIR_CAP,
+    groupby-Min Dataset above).  With max_hamming <= 3 the block
+    recall is EXACT by pigeonhole (4 blocks, <= 3 differing bits =>
+    >= 1 identical block); the cap is the usual deterministic
+    hot-bucket trade, mirrored by the SQL."""
+    from ray.data.aggregate import Min
+
+    from .runtime import tune_context
+    tune_context()
+
+    def blocks(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = ((b[hi_col].to_numpy(zero_copy_only=False)
+                .astype(np.uint64) << np.uint64(32))
+               | b[lo_col].to_numpy(zero_copy_only=False)
+               .astype(np.uint64))
+        band = np.tile(np.arange(4, dtype=np.int64), len(ids))
+        s_rep = np.repeat(sig, 4)
+        bh = ((s_rep >> (np.uint64(16) * band.astype(np.uint64)))
+              & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({"band": pa.array(band), "bhash": pa.array(bh),
+                         id_col: pa.array(np.repeat(ids, 4)),
+                         "sig": pa.array(s_rep.view(np.int64))})
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        gu = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = gu[id_col].to_numpy()[:cap]
+        sigs = gu["sig"].to_numpy().astype(np.uint64)[:cap]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "hamming": np.empty(0, np.int64)})
+        iu, ju = np.triu_indices(len(ids), 1)
+        x = sigs[iu] ^ sigs[ju]
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        m = ham <= max_hamming
+        return pd.DataFrame({"a": ids[iu[m]].astype(np.int64),
+                             "b": ids[ju[m]].astype(np.int64),
+                             "hamming": ham[m]})
+
+    pairs = sig_ds.map_batches(blocks, batch_format="pyarrow") \
+        .groupby(["band", "bhash"]).map_groups(
+            block_pairs, batch_format="pandas").materialize()
+    if pairs.count() > DRIVER_PAIR_CAP:
+        return (pairs.groupby(["a", "b"])
+                     .aggregate(Min("hamming", alias_name="hamming")))
+    pdf = pairs.to_pandas().drop_duplicates(["a", "b"])
+    if len(pdf) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64),
+                             "hamming": pd.Series([], dtype=np.int64)})
+    return pdf.sort_values(["a", "b"]).reset_index(drop=True)

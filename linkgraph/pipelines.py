@@ -1963,6 +1963,23 @@ def q_media_phash(sf_dir):
     return perceptual_hashes(images_from_documents(docs))
 
 
+MEDIA_DEDUP_HAMMING = 2
+
+
+def q_media_dedup(sf_dir):
+    """Image near-dup pairs: dHash signatures (real BMP decode) ->
+    4x16-bit block buckets -> hamming <= 2 (dedup.hamming_dup_pairs —
+    recall EXACT by pigeonhole at this threshold, cap mirrored in
+    SQL)."""
+    from .dedup import hamming_dup_pairs
+    from .multimodal import images_from_documents, perceptual_hashes
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    sigs = perceptual_hashes(images_from_documents(docs))
+    return hamming_dup_pairs(sigs, max_hamming=MEDIA_DEDUP_HAMMING)
+
+
 def q_media_video(sf_dir):
     """REAL video demux lane: deterministic YUV4MPEG2 (raw planar
     YUV420) streams derived from the documents, demuxed frame by frame
@@ -3927,6 +3944,39 @@ def _redact_sql() -> str:
             f"t AS text_redacted FROM {prev}")
 
 
+ORACLE_PHASH = """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+          FROM documents
+        ), g AS (
+          SELECT media_id, gy.ty, gx.tx,
+                 ((media_id * 131 + ((gy.ty * h) // 8) * 17
+                   + ((gx.tx * w) // 9) * 7 + 0) % 256
+                  + (media_id * 131 + ((gy.ty * h) // 8) * 17
+                     + ((gx.tx * w) // 9) * 7 + 3) % 256
+                  + (media_id * 131 + ((gy.ty * h) // 8) * 17
+                     + ((gx.tx * w) // 9) * 7 + 6) % 256) AS g3
+          FROM m
+          CROSS JOIN (SELECT unnest(range(9)) AS tx) gx
+          CROSS JOIN (SELECT unnest(range(8)) AS ty) gy
+        ), bits AS (
+          SELECT a.media_id, (a.ty * 8 + a.tx)::INT AS p,
+                 CASE WHEN b.g3 > a.g3 THEN 1::BIGINT ELSE 0 END AS bit
+          FROM g a JOIN g b ON b.media_id = a.media_id
+                           AND b.ty = a.ty AND b.tx = a.tx + 1
+          WHERE a.tx < 8
+        )
+        SELECT media_id,
+               sum(CASE WHEN p >= 32 THEN bit << (p - 32)
+                   ELSE 0 END)::BIGINT AS dhash_hi,
+               sum(CASE WHEN p < 32 THEN bit << p
+                   ELSE 0 END)::BIGINT AS dhash_lo,
+               sum(bit)::BIGINT AS ones
+        FROM bits GROUP BY media_id
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_edges": DOC_EDGES_SQL,
     "doc_degree": (f"WITH sym AS ({DOC_SYM_SQL}) SELECT src AS v, "
@@ -4862,36 +4912,28 @@ ORACLE_SQL: dict[str, str] = {
     # nearest-neighbor grid of the channel-sum image — pure integer
     # closed form (pixels, gathers, comparisons), hash split in two
     # int64 halves
-    "media_phash": """
-        WITH m AS (
-          SELECT doc_id AS media_id,
-                 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
-          FROM documents
-        ), g AS (
-          SELECT media_id, gy.ty, gx.tx,
-                 ((media_id * 131 + ((gy.ty * h) // 8) * 17
-                   + ((gx.tx * w) // 9) * 7 + 0) % 256
-                  + (media_id * 131 + ((gy.ty * h) // 8) * 17
-                     + ((gx.tx * w) // 9) * 7 + 3) % 256
-                  + (media_id * 131 + ((gy.ty * h) // 8) * 17
-                     + ((gx.tx * w) // 9) * 7 + 6) % 256) AS g3
-          FROM m
-          CROSS JOIN (SELECT unnest(range(9)) AS tx) gx
-          CROSS JOIN (SELECT unnest(range(8)) AS ty) gy
-        ), bits AS (
-          SELECT a.media_id, (a.ty * 8 + a.tx)::INT AS p,
-                 CASE WHEN b.g3 > a.g3 THEN 1::BIGINT ELSE 0 END AS bit
-          FROM g a JOIN g b ON b.media_id = a.media_id
-                           AND b.ty = a.ty AND b.tx = a.tx + 1
-          WHERE a.tx < 8
-        )
-        SELECT media_id,
-               sum(CASE WHEN p >= 32 THEN bit << (p - 32)
-                   ELSE 0 END)::BIGINT AS dhash_hi,
-               sum(CASE WHEN p < 32 THEN bit << p
-                   ELSE 0 END)::BIGINT AS dhash_lo,
-               sum(bit)::BIGINT AS ones
-        FROM bits GROUP BY media_id
+    "media_phash": ORACLE_PHASH,
+    # image near-dup pairs over the dHash signatures: same block/cap
+    # rule as _simhash_sql; recall exact by pigeonhole at hamming <= 2
+    "media_dedup": """
+        WITH ph0 AS MATERIALIZED (
+          SELECT media_id,
+                 ((dhash_hi::HUGEINT * 4294967296 + dhash_lo))::UBIGINT
+                     AS s
+          FROM (""" + ORACLE_PHASH + """)),
+        blocks AS MATERIALIZED (
+          SELECT media_id, s, t, (s >> (16 * t)::INT) & 65535 AS bh
+          FROM ph0 CROSS JOIN (SELECT unnest(range(4)) AS t)),
+        capped AS (
+          SELECT media_id, s, t, bh FROM (
+            SELECT media_id, s, t, bh, row_number() OVER
+                   (PARTITION BY t, bh ORDER BY media_id) AS rn
+            FROM blocks) WHERE rn <= 256)
+        SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+               bit_count(xor(x.s, y.s))::BIGINT AS hamming
+        FROM capped x JOIN capped y
+          ON x.t = y.t AND x.bh = y.bh AND x.media_id < y.media_id
+        WHERE bit_count(xor(x.s, y.s)) <= 2
     """,
     # REAL Y4M demux lane: per-sampled-frame mean luma recomputed from
     # the generator closed form (bounded cross joins; multiple unnests
@@ -5089,6 +5131,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_video": q_media_video,
     "media_phash": q_media_phash,
+    "media_dedup": q_media_dedup,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
