@@ -1963,6 +1963,18 @@ def q_media_phash(sf_dir):
     return perceptual_hashes(images_from_documents(docs))
 
 
+def q_media_scenes(sf_dir):
+    """REAL temporal video analysis: Y4M demux of every frame ->
+    scene-cut detection via all-integer mean-luma deltas
+    (multimodal.SceneCutStage, actor pool); per clip
+    (n_frames, n_cuts, first_cut)."""
+    from .multimodal import detect_scene_cuts, videos_from_documents
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return detect_scene_cuts(videos_from_documents(docs))
+
+
 MEDIA_DEDUP_HAMMING = 2
 
 
@@ -4935,6 +4947,44 @@ ORACLE_SQL: dict[str, str] = {
           ON x.t = y.t AND x.bh = y.bh AND x.media_id < y.media_id
         WHERE bit_count(xor(x.s, y.s)) <= 2
     """,
+    # scene cuts over EVERY Y4M frame: |sum_f - sum_{f-1}| > 8*w*h —
+    # all-integer, the generator closed form per frame
+    "media_scenes": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 8 + 2 * (doc_id % 8) AS w,
+                 8 + 2 * (doc_id % 6) AS h,
+                 3 + doc_id % 5 AS nf
+          FROM documents
+        ), fr AS (
+          SELECT media_id, w, h, nf, gf.f
+          FROM m CROSS JOIN (SELECT unnest(range(7)) AS f) gf
+          WHERE gf.f < nf
+        ), px AS (
+          SELECT media_id, w, h, nf, f, gx.x, gy.y
+          FROM fr
+          CROSS JOIN (SELECT unnest(range(22)) AS x) gx
+          CROSS JOIN (SELECT unnest(range(18)) AS y) gy
+          WHERE gx.x < w AND gy.y < h
+        ), s AS (
+          SELECT media_id, w, h, nf, f,
+                 sum((media_id * 131 + f * 29 + y * 17 + x * 7) % 256)
+                     ::BIGINT AS sy
+          FROM px GROUP BY 1, 2, 3, 4, 5
+        ), d AS (
+          SELECT media_id, nf, f,
+                 CASE WHEN abs(sy - lag(sy) OVER
+                          (PARTITION BY media_id ORDER BY f))
+                          > 8 * w * h
+                      THEN 1 ELSE 0 END AS cut
+          FROM s
+        )
+        SELECT media_id, CAST(max(nf) AS BIGINT) AS n_frames,
+               CAST(sum(cut) AS BIGINT) AS n_cuts,
+               CAST(coalesce(min(CASE WHEN cut = 1 THEN f END), -1)
+                    AS BIGINT) AS first_cut
+        FROM d GROUP BY media_id
+    """,
     # REAL Y4M demux lane: per-sampled-frame mean luma recomputed from
     # the generator closed form (bounded cross joins; multiple unnests
     # ZIP in DuckDB so true products need explicit joins)
@@ -5132,6 +5182,7 @@ QUERIES = {
     "media_video": q_media_video,
     "media_phash": q_media_phash,
     "media_dedup": q_media_dedup,
+    "media_scenes": q_media_scenes,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
