@@ -662,3 +662,44 @@ def detect_scene_cuts(ds, threshold: int = SCENE_CUT_LUMA,
     return ds.map_batches(SceneCutStage, fn_constructor_args=(threshold,),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency))
+
+
+ENERGY_WIN = 64                    # samples per energy window
+ENERGY_LOUD = 23_000_000_000       # int64 sum-of-squares threshold
+
+
+class EnergyWindowStage:
+    """REAL audio energy analysis: parse_wav, split into FULL windows
+    of ENERGY_WIN samples, exact int64 per-window sum-of-squares.
+    Emits per clip the window count, the max energy, the first window
+    achieving it, and the count of 'loud' windows (> ENERGY_LOUD) —
+    all integers, so the SQL oracle is exact."""
+
+    def _energy(self, payload: bytes):
+        _, s = parse_wav(payload)
+        nw = len(s) // ENERGY_WIN
+        if nw == 0:
+            return 0, 0, -1, 0
+        e = (s[:nw * ENERGY_WIN].astype(np.int64) ** 2) \
+            .reshape(nw, ENERGY_WIN).sum(axis=1)
+        mx = int(e.max())
+        return nw, mx, int(np.argmax(e)), int((e > ENERGY_LOUD).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._energy(p) for p in batch["payload"].to_pylist()]
+        nw, mx, pw, nl = (list(x) for x in zip(*out)) if out \
+            else ([], [], [], [])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_windows": pa.array(np.array(nw, np.int64)),
+            "max_energy": pa.array(np.array(mx, np.int64)),
+            "peak_window": pa.array(np.array(pw, np.int64)),
+            "n_loud": pa.array(np.array(nl, np.int64))})
+
+
+def energy_windows(ds, concurrency: int = 4, batch_size: int = 256):
+    """audio media table -> per-clip windowed energy stats via the
+    real WAV decoder (actor pool)."""
+    return ds.map_batches(EnergyWindowStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=pool_size(concurrency))

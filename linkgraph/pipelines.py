@@ -1963,6 +1963,17 @@ def q_media_phash(sf_dir):
     return perceptual_hashes(images_from_documents(docs))
 
 
+def q_media_energy(sf_dir):
+    """REAL audio energy analysis: WAV decode -> full 64-sample
+    windows -> exact int64 sum-of-squares stats per clip
+    (multimodal.EnergyWindowStage, actor pool)."""
+    from .multimodal import audio_from_documents, energy_windows
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return energy_windows(audio_from_documents(docs))
+
+
 def q_media_scenes(sf_dir):
     """REAL temporal video analysis: Y4M demux of every frame ->
     scene-cut detection via all-integer mean-luma deltas
@@ -4947,6 +4958,37 @@ ORACLE_SQL: dict[str, str] = {
           ON x.t = y.t AND x.bh = y.bh AND x.media_id < y.media_id
         WHERE bit_count(xor(x.s, y.s)) <= 2
     """,
+    # windowed audio energy: full 64-sample windows, exact int64
+    # sum-of-squares; argmax via min window index at the max energy
+    "media_energy": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 400 + (strlen(text) * 7) % 800 AS n
+          FROM documents
+        ), s AS (
+          SELECT media_id, n, i,
+                 ((media_id + 1) * 2654435761 + i * 97003)
+                   % 65536 - 32768 AS v
+          FROM (SELECT media_id, n, unnest(range(n)) AS i FROM m)
+        ), w AS (
+          SELECT media_id, (i // 64)::BIGINT AS win,
+                 sum(v * v)::BIGINT AS e
+          FROM s WHERE i < (n // 64) * 64
+          GROUP BY media_id, (i // 64)
+        ), agg AS (
+          SELECT media_id, count(*)::BIGINT AS n_windows,
+                 max(e) AS max_energy,
+                 CAST(sum(CASE WHEN e > 23000000000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_loud
+          FROM w GROUP BY media_id
+        )
+        SELECT a.media_id, a.n_windows, a.max_energy,
+               (SELECT min(w2.win) FROM w w2
+                WHERE w2.media_id = a.media_id
+                  AND w2.e = a.max_energy) AS peak_window,
+               a.n_loud
+        FROM agg a
+    """,
     # scene cuts over EVERY Y4M frame: |sum_f - sum_{f-1}| > 8*w*h —
     # all-integer, the generator closed form per frame
     "media_scenes": """
@@ -5183,6 +5225,7 @@ QUERIES = {
     "media_phash": q_media_phash,
     "media_dedup": q_media_dedup,
     "media_scenes": q_media_scenes,
+    "media_energy": q_media_energy,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
