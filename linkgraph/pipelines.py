@@ -2859,6 +2859,74 @@ def _mis_sql(rounds: int) -> str:
     return f"WITH {', '.join(ctes)} {selects}"
 
 
+def q_corpus_clean_v2(sf_dir):
+    """Flagship cleaning composition V2 — corpus_clean plus a fourth
+    stage: window-sampled exact-substring dedup over the minhash
+    survivors (drop the larger id of every substring-dup pair).  Each
+    stage is an oracle-checked operator; the oracle composes the same
+    fragments in stage order (substring fragment parameterized with
+    src=q3)."""
+    import ray
+
+    from .dedup import (_join_parts, exact_dedup, minhash_dedup_pairs,
+                        substring_dup_pairs)
+    from .hashing import add_sha256
+    from .text import add_quality
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+    def quality_keep(b: pa.Table) -> pa.Table:
+        t = add_quality(b)
+        return t.filter(t["keep"]).select(["doc_id", "text"])
+
+    q1 = docs.map_batches(quality_keep, batch_format="pyarrow")              .materialize()
+    sha = q1.map_batches(lambda b: add_sha256(b, col="text"),
+                         batch_format="pyarrow")
+    surv = exact_dedup(sha, key="sha256", id_col="doc_id")
+    q2 = q1.join(surv, join_type="inner",
+                 num_partitions=_join_parts(q1.count()),
+                 on=("doc_id",)).materialize()
+    pairs = minhash_dedup_pairs(q2, threshold=0.5)
+    if isinstance(pairs, pd.DataFrame):
+        drop = np.unique(pairs["b"].to_numpy().astype(np.int64))
+    else:
+        drop = np.unique(
+            pairs.select_columns(["b"]).groupby("b").count()
+                 .select_columns(["b"]).to_pandas()["b"].to_numpy()
+                 .astype(np.int64))
+    drop_ref = ray.put(drop)
+
+    def keep_rows(b: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        if len(d) == 0:
+            return b
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+        return b.filter(pa.array(d[pos] != ids))
+
+    q3 = q2.map_batches(keep_rows, batch_format="pyarrow").materialize()
+    # tighter window than dedup_substr: catches long-shared-substring
+    # pairs whose overall Jaccard stayed under the minhash threshold
+    spairs = substring_dup_pairs(q3, window=24, stride=6)
+    drop2 = np.unique(
+        spairs.select_columns(["b"]).groupby("b").count()
+              .select_columns(["b"]).to_pandas()["b"].to_numpy()
+              .astype(np.int64))
+    drop2_ref = ray.put(drop2)
+
+    def keep_rows2(b: pa.Table) -> pa.Table:
+        d = ray.get(drop2_ref)
+        if len(d) == 0:
+            return b
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+        return b.filter(pa.array(d[pos] != ids))
+
+    return q3.select_columns(["doc_id"]).map_batches(
+        keep_rows2, batch_format="pyarrow")
+
+
 def _corpus_clean_sql() -> str:
     """Composed oracle for the flagship cleaning pipeline: the quality
     fragment, the exact-dedup min-id rule, and the FULL minhash pair
@@ -2894,6 +2962,22 @@ def _corpus_clean_sql() -> str:
         pairs AS MATERIALIZED ({pairs})
         SELECT doc_id FROM q2
         WHERE doc_id NOT IN (SELECT b FROM pairs)
+    """
+
+
+def _corpus_clean_v2_sql() -> str:
+    """V2 oracle: the corpus_clean fragments + the substring-dedup
+    fragment (src=q3) in stage order."""
+    base = _corpus_clean_sql()
+    head, _, _ = base.rpartition("SELECT doc_id FROM q2")
+    spairs = _substr_sql(window=24, stride=6, df_cap=64, src="q3")
+    return head + f""",
+        q3 AS MATERIALIZED (
+          SELECT doc_id, text FROM q2
+          WHERE doc_id NOT IN (SELECT b FROM pairs)),
+        spairs AS MATERIALIZED ({spairs})
+        SELECT doc_id FROM q3
+        WHERE doc_id NOT IN (SELECT b FROM spairs)
     """
 
 
@@ -4320,6 +4404,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "text_langid": _langid_sql(),
     "corpus_clean": _corpus_clean_sql(),
+    "corpus_clean_v2": _corpus_clean_v2_sql(),
     "dedup_exact": (f"SELECT min(doc_id) AS doc_id FROM documents "
                     f"GROUP BY {_FP_SQL}"),
     # incremental two-phase dedup: evens are the persisted index, odds
@@ -5169,6 +5254,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "shuffle_shards": q_shuffle_shards,
     "corpus_clean": q_corpus_clean,
+    "corpus_clean_v2": q_corpus_clean_v2,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
