@@ -2104,6 +2104,18 @@ def q_events_cont_quantiles(sf_dir):
                                   EVENT_QUANTILES)
 
 
+def q_events_rank(sf_dir):
+    """Global row_number() OVER (ORDER BY value, event_id) without a
+    global sort (quantiles.global_value_ranks): exact quantile
+    boundaries range-partition the domain, per-bucket counts prefix-sum
+    on the driver, buckets rank locally + offset."""
+    from .quantiles import global_value_ranks
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "value"])
+    return global_value_ranks(ev, "value", "event_id")
+
+
 USER_QUANTILES = [0.5, 0.9]
 
 
@@ -2326,6 +2338,33 @@ def q_events_outliers(sf_dir):
 
 PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value",
                 "props"]
+
+
+MELT_COLS = ["n_click", "n_error", "n_purchase", "n_signup", "n_view"]
+
+
+def q_events_melt(sf_dir):
+    """UNPIVOT/melt — the inverse reshape of events_pivot: the wide
+    per-user count columns back to long (user_id, metric, n) rows, one
+    vectorized repeat/tile per batch (no per-row Python)."""
+    from .windows import pivot_user_counts
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "event_type", "value"])
+    wide = pivot_user_counts(ev, PIVOT_TYPES)
+
+    def melt(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        k = len(MELT_COLS)
+        vals = np.stack([b[c].to_numpy(zero_copy_only=False)
+                         for c in MELT_COLS], axis=1).reshape(-1)
+        return pa.table({
+            "user_id": pa.array(np.repeat(u, k)),
+            "metric": pa.array(np.tile(np.array(MELT_COLS, object),
+                                       len(u)), pa.string()),
+            "n": pa.array(vals.astype(np.int64))})
+
+    return wide.map_batches(melt, batch_format="pyarrow")
 
 
 def q_events_profile(sf_dir):
@@ -4709,6 +4748,26 @@ ORACLE_SQL: dict[str, str] = {
         WHERE epoch_us(ts) <= epoch_us(TIMESTAMP '2024-02-01')
         GROUP BY user_id
     """,
+    # UNPIVOT of the per-user count pivot back to long form
+    "events_rank": """
+        SELECT event_id,
+               row_number() OVER (ORDER BY value, event_id) AS rnk
+        FROM events
+    """,
+    "events_melt": """
+        WITH w AS (
+          SELECT user_id,
+            count(*) FILTER (WHERE event_type = 'click') AS n_click,
+            count(*) FILTER (WHERE event_type = 'error') AS n_error,
+            count(*) FILTER (WHERE event_type = 'purchase')
+                AS n_purchase,
+            count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+            count(*) FILTER (WHERE event_type = 'view') AS n_view
+          FROM events GROUP BY user_id)
+        SELECT user_id, metric, n
+        FROM w UNPIVOT (n FOR metric IN (n_click, n_error, n_purchase,
+                                         n_signup, n_view))
+    """,
     "events_profile": """
         SELECT 'event_id' AS col, count(*) AS n_rows, count(*) - count(event_id) AS n_null, count(DISTINCT event_id) AS n_distinct FROM events
         UNION ALL
@@ -5291,6 +5350,8 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_pivot": q_events_pivot,
+    "events_melt": q_events_melt,
+    "events_rank": q_events_rank,
     "events_profile": q_events_profile,
     "sketch_distinct_by_lang": q_sketch_distinct_by_lang,
     "events_histogram": q_events_histogram,

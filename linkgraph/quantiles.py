@@ -260,3 +260,64 @@ def grouped_quantiles(ds, key: str, col: str, qs: list[float]):
 
     return (ds.map_batches(salt, batch_format="pyarrow")
             .groupby("kb").map_groups(bucket_q, batch_format="pandas"))
+
+
+def global_value_ranks(ds, value: str = "value",
+                       id_col: str = "event_id", n_buckets: int = 64):
+    """Global row_number() OVER (ORDER BY value, id) WITHOUT a global
+    sort — the textbook distributed ranking: exact quantile boundaries
+    range-partition the value domain into balanced buckets (skew-proof
+    by construction, unlike uniform bins), per-bucket counts prefix-sum
+    on the driver (n_buckets ints), and each bucket lexsorts locally
+    and adds its offset.  Returns a Dataset (id, rnk), rnk 1-based."""
+    import ray
+
+    ds = ds.materialize()
+    n = ds.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "rnk": pa.array([], pa.int64())}))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = np.unique(exact_quantiles(ds, value, qs)["val"].to_numpy())
+    bounds = bounds[~np.isnan(bounds)]
+    bref = ray.put(bounds)
+    nb = len(bounds) + 1
+
+    import pyarrow.compute as _pc
+
+    def tag(b: pa.Table) -> pa.Table:
+        bo = ray.get(bref)
+        v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        vb = np.searchsorted(bo, v, side="left").astype(np.int64)
+        return pa.table({id_col: _pc.cast(b[id_col], pa.int64()),
+                         value: pa.array(v), "vb": pa.array(vb)})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def counts(b: pa.Table) -> pa.Table:
+        c = np.bincount(b["vb"].to_numpy(zero_copy_only=False),
+                        minlength=nb)
+        return pa.table({"vb": pa.array(np.arange(nb, dtype=np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    total = np.zeros(nb, np.int64)
+    for t in tagged.map_batches(counts, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow",
+                                 batch_size=None):
+        total[t["vb"].to_numpy(zero_copy_only=False)] += \
+            t["c"].to_numpy(zero_copy_only=False)
+    offsets = np.cumsum(total) - total
+    oref = ray.put(offsets)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)
+        ids = g[id_col].to_numpy(np.int64)
+        v = g[value].to_numpy(np.float64)
+        o = np.lexsort((ids, v))
+        pos = off[int(g["vb"].iloc[0])] \
+            + np.arange(len(v), dtype=np.int64) + 1
+        return pd.DataFrame({id_col: ids[o], "rnk": pos})
+
+    return tagged.groupby("vb").map_groups(rank, batch_format="pandas")
