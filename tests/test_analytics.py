@@ -496,3 +496,23 @@ def test_dhash_real_decode_properties():
                     val |= 1 << (ty * 8 + tx)
         assert (hi << 32) | lo == val
         assert ones == bin(val).count("1")
+
+
+def test_global_value_ranks_parity():
+    """Full rank vector vs numpy lexsort, with duplicate values (ties
+    broken by id) and partition invariance."""
+    from linkgraph.quantiles import global_value_ranks
+
+    rng = np.random.default_rng(81)
+    n = 2000
+    v = np.round(rng.random(n) * 10, 1)  # heavy ties at 1 decimal
+    tbl = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "value": pa.array(v)})
+    order = np.lexsort((np.arange(n), v))
+    want = np.empty(n, np.int64)
+    want[order] = np.arange(1, n + 1)
+    for nparts in (1, 7):
+        out = global_value_ranks(
+            rd.from_arrow(tbl).repartition(nparts), "value",
+            "event_id").to_pandas().sort_values("event_id")
+        assert (out["rnk"].to_numpy() == want).all()
