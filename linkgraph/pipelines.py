@@ -870,6 +870,55 @@ def q_doc_coreness(sf_dir):
     return _state_result(eng, "core", "core")
 
 
+def q_doc_powerlaw(sf_dir):
+    """Degree-distribution power-law fit: OLS of ln(count) on
+    ln(degree) over the symmetrized doc graph's degree histogram —
+    the graph-stats report number.  Degree counts are map-side
+    partials (bounded domain); the fit is closed-form driver math with
+    the identical expression in SQL (one ln per point, the standard
+    normal-equation sums)."""
+    from .algos.triangles import n_buckets_for
+
+    sym = documents_edges(sf_dir)
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        v = np.concatenate([b["src"].to_numpy(zero_copy_only=False),
+                            b["dst"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    # per-vertex degree via one coarse v-bucket merge, then the bounded
+    # (degree -> n_vertices) histogram via map-side partials
+    ds = sym.materialize()
+    nb = n_buckets_for(2 * ds.count())
+    parts = ds.map_batches(deg_partial, batch_format="pyarrow")         .map_batches(lambda b: b.append_column(
+            "vb", pa.array((b["v"].to_numpy(zero_copy_only=False)
+                            % nb).astype(np.int64))),
+            batch_format="pyarrow")         .groupby("vb").map_groups(
+            lambda g: g.groupby("v", sort=False)["c"].sum()
+                       .reset_index(),
+            batch_format="pandas")
+    hist_parts = parts.map_batches(
+        lambda b: pa.table(dict(zip(
+            ("k", "n"),
+            (lambda u, c: (pa.array(u.astype(np.int64)),
+                           pa.array(c.astype(np.int64))))(
+                *np.unique(b["c"].to_numpy(zero_copy_only=False),
+                           return_counts=True))))),
+        batch_format="pyarrow").to_pandas()
+    hist = hist_parts.groupby("k", sort=True)["n"].sum()
+    x = np.log(hist.index.to_numpy(np.float64))
+    y = np.log(hist.to_numpy(np.float64))
+    m = len(x)
+    sx, sy, sxx, sxy = x.sum(), y.sum(), (x * x).sum(), (x * y).sum()
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    intercept = (sy - slope * sx) / m
+    return pd.DataFrame({"n_points": np.array([m], np.int64),
+                         "slope": [round(float(slope), 6)],
+                         "intercept": [round(float(intercept), 6)]})
+
+
 def q_doc_reciprocity(sf_dir):
     """Directed-graph reciprocity over the cycle-augmented doc graph:
     fraction of directed edges whose reverse also exists.  ONE coarse
@@ -4224,6 +4273,20 @@ ORACLE_SQL: dict[str, str] = {
     "doc_harmonic": _harmonic_sql(HARMONIC_SEEDS, BFS_ROUNDS, 6),
     "doc_closeness": _closeness_sql(CLOSENESS_SEEDS, BFS_ROUNDS, 6),
     "doc_katz": _katz_sql(KATZ_ITERS, KATZ_ALPHA, 6),
+    "doc_powerlaw": f"""
+        WITH sym AS MATERIALIZED ({DOC_SYM_SQL}),
+        deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+        hist AS (SELECT d AS k, count(*) AS n FROM deg GROUP BY d),
+        pts AS (SELECT ln(k::DOUBLE) AS x, ln(n::DOUBLE) AS y FROM hist),
+        s AS (SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy FROM pts)
+        SELECT CAST(m AS BIGINT) AS n_points,
+               round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+                   AS slope,
+               round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx)
+                      * sx) / m, 6) AS intercept
+        FROM s
+    """,
     "doc_reciprocity": f"""
         WITH de AS MATERIALIZED ({SCC_EDGES_SQL}),
         rc AS (SELECT count(*) AS nr FROM de a
@@ -5280,6 +5343,7 @@ QUERIES = {
     "doc_katz": q_doc_katz,
     "doc_scc": q_doc_scc,
     "doc_reciprocity": q_doc_reciprocity,
+    "doc_powerlaw": q_doc_powerlaw,
     "doc_coreness": q_doc_coreness,
     "doc_diameter": q_doc_diameter,
     "doc_walks": q_doc_walks,
