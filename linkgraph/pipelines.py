@@ -53,6 +53,7 @@ AA_TOPK = 20
 STRAT_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
 STRAT_DEFAULT = 0.3
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+from .sampling import MIX_ALPHA as _MIX_ALPHA  # noqa: E402 (SQL literal)
 ANN_K = 5
 ANN_LSH_PLANES = 6
 EMB_DUP_TAU = 0.4
@@ -1307,6 +1308,46 @@ def q_sketch_distinct(sf_dir):
     docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                               columns=["text"])
     return kmv_distinct_tokens(docs)
+
+
+def q_sketch_hll(sf_dir):
+    """HyperLogLog distinct-token sketch (sketch.hll_distinct_tokens):
+    64 integer registers from sha256 prefixes, max-merged per-block
+    partials, standard linear-counting small-range correction — the
+    O(m)-state union-mergeable counterpart to q_sketch_distinct's KMV."""
+    from .sketch import hll_distinct_tokens
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+    return hll_distinct_tokens(docs)
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def q_sample_weighted(sf_dir):
+    """Length-weighted sample without replacement
+    (sampling.weighted_sample): Efraimidis-Spirakis u^(1/w) priorities
+    with sha-derived u and w = n_chars — per-block top-k partials, tiny
+    driver merge, no shuffle."""
+    from .sampling import weighted_sample
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "n_chars"])
+    return weighted_sample(docs, id_col="doc_id", weight_col="n_chars",
+                           k=WEIGHTED_SAMPLE_K)
+
+
+def q_mix_weights(sf_dir):
+    """Temperature-scaled per-source mixture weights
+    (sampling.mixture_weights): tokens(source)^0.7 normalized — the
+    domain-mixing allocation of a training-corpus assembly; map-side
+    partials over a catalog-bounded domain set, no shuffle."""
+    from .sampling import mixture_weights
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["source", "text"])
+    return mixture_weights(docs, group_col="source")
 
 
 def q_sample_stratified(sf_dir):
@@ -4356,6 +4397,33 @@ ORACLE_SQL: dict[str, str] = {
                    - start // {PACK_SEQ_LEN} + 1 AS n_pieces
         FROM s
     """,
+    "sketch_hll": _SK.hll_sql(),
+    # Efraimidis-Spirakis weighted sample: identical sha-derived u and
+    # pow; selection at full precision on both sides, pri rounded 6
+    "sample_weighted": f"""
+        WITH p AS (
+          SELECT doc_id, greatest(n_chars, 1)::BIGINT AS w,
+                 pow((('0x' || substr(sha256('ws:' || doc_id), 1, 13))
+                      ::UBIGINT + 1) / 4503599627370496.0,
+                     1.0 / greatest(n_chars, 1)) AS pri
+          FROM documents)
+        SELECT doc_id, w, round(pri, 6) AS pri FROM p
+        ORDER BY pri DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+    # temperature-scaled mixture weights: same \\s+ token convention as
+    # text_tokens, same alpha literal, weight rounded 6
+    "mix_weights": f"""
+        WITH t AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(length(list_filter(regexp_split_to_array(text,
+                     '\\s+'), x -> x <> '')))::BIGINT AS n_tokens
+          FROM documents GROUP BY source)
+        SELECT source, n_docs, n_tokens,
+               round(pow(n_tokens, {_MIX_ALPHA}) /
+                     sum(pow(n_tokens, {_MIX_ALPHA})) OVER (), 6)
+                   AS weight
+        FROM t ORDER BY source
+    """,
     "sample_quota": f"""
         WITH p AS (
           SELECT doc_id, lang || ':' || source AS k,
@@ -5360,6 +5428,9 @@ QUERIES = {
     "sample_quota": q_sample_quota,
     "sample_stratified": q_sample_stratified,
     "sketch_distinct": q_sketch_distinct,
+    "sketch_hll": q_sketch_hll,
+    "sample_weighted": q_sample_weighted,
+    "mix_weights": q_mix_weights,
     "sketch_cms": q_sketch_cms,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,

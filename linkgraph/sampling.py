@@ -108,3 +108,105 @@ def quota_sample(ds, key: str, id_col: str, n: int,
             group_cut, batch_format="pandas").to_pandas()
     return out[[id_col, key]].sort_values([key, id_col]) \
         .reset_index(drop=True)
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-Res)
+# ---------------------------------------------------------------------------
+# priority = u ** (1 / w) with u = (hash52(id) + 1) / 2^52; keeping the k
+# LARGEST priorities draws a weighted sample without replacement — the
+# exact scheme a training-data mixer uses to sample documents
+# length-proportionally without a shared RNG.  Deterministic (sha-derived
+# u) and SQL-checkable (DuckDB pow matches libm to 1 ulp; selection only
+# flips on priorities closer than ~1e-16, which the continuous u never
+# produces at a rank boundary).
+#
+# Scale shape: ONE stateless map_batches pass emits each block's local
+# top-k (vectorized lexsort) — at most k rows leave a block — and the
+# <= k * n_blocks survivors merge in a tiny driver reduction.  No
+# shuffle, no RNG state, partition-count invariant.
+
+_U_SPACE = float(1 << 52)  # 13 hex chars: doubles are exact here
+
+
+def _ws_priorities(ids, w, tag: str):
+    u = np.fromiter(
+        (int(hashlib.sha256(f"{tag}:{v}".encode()).hexdigest()[:13], 16)
+         for v in ids), np.float64, len(ids))
+    u = (u + 1.0) / _U_SPACE
+    return u ** (1.0 / np.maximum(w, 1.0))
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int,
+                    tag: str = "ws") -> pd.DataFrame:
+    """Top-k rows by Efraimidis-Spirakis priority u^(1/w) (ties -> id
+    ascending).  Returns (id_col, w, pri) with pri rounded to 6; w is
+    clamped to >= 1 so zero-weight rows sort last instead of dividing
+    by zero."""
+
+    def local_top(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        w = np.maximum(
+            b[weight_col].to_numpy(zero_copy_only=False).astype(
+                np.float64), 1.0)
+        pri = _ws_priorities(ids, w, tag)
+        idv = np.asarray(ids, np.int64)
+        ordr = np.lexsort((idv, -pri))[:k]
+        return pa.table({id_col: pa.array(idv[ordr], pa.int64()),
+                         "w": pa.array(w[ordr].astype(np.int64)),
+                         "pri": pa.array(pri[ordr], pa.float64())})
+
+    cand = ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["pri", id_col], ascending=[False, True],
+                            kind="mergesort").head(k)
+    cand["pri"] = cand["pri"].round(6)
+    return cand.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixture weights
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7  # the usual multilingual-LM temperature exponent
+
+
+def mixture_weights(ds, group_col: str, text_col: str = "text",
+                    alpha: float = MIX_ALPHA) -> pd.DataFrame:
+    """Per-domain sampling weights for a training mixture:
+    weight(d) = tokens(d)^alpha / sum_d' tokens(d')^alpha — the
+    temperature-scaled (alpha < 1 upweights small domains) allocation
+    used to mix sources into a training corpus.
+
+    Scale shape: each block emits ONE partial row per domain it saw
+    (vectorized bincount over flattened tokens), the driver merge is
+    O(blocks * n_domains) — domains are a catalog-bounded set (crawls /
+    datasets), never a per-row key, so no shuffle is needed for a pure
+    aggregate (CLAUDE.md map-side-partials rule).  Returns
+    (group_col, n_docs, n_tokens, weight) sorted by group, weight
+    rounded to 6."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        lists = pc.split_pattern_regex(col, r"\s+")
+        flat = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        per_doc = np.bincount(par[ok], minlength=b.num_rows)
+        pdf = pd.DataFrame({
+            "g": b[group_col].to_pandas(),
+            "n_tokens": per_doc.astype(np.int64)})
+        agg = pdf.groupby("g", sort=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        agg = agg.reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    tot = parts.groupby("g", sort=True).agg(
+        n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum")) \
+        .reset_index().rename(columns={"g": group_col})
+    scaled = np.power(tot["n_tokens"].to_numpy(np.float64), alpha)
+    tot["weight"] = np.round(scaled / scaled.sum(), 6)
+    tot["n_docs"] = tot["n_docs"].astype(np.int64)
+    tot["n_tokens"] = tot["n_tokens"].astype(np.int64)
+    return tot.reset_index(drop=True)

@@ -337,3 +337,129 @@ def cms_sql(probes=CMS_PROBES, width: int = CMS_WIDTH) -> str:
                 WHERE ww.w = pr.token)::BIGINT AS true_n
         FROM pr ORDER BY pr.token
     """
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-token sketch
+# ---------------------------------------------------------------------------
+# Complements KMV with the register-based sketch real systems ship when
+# the state must stay O(m) bytes under UNION-merge (registers max-merge
+# across shards / days / sources, which KMV's k-smallest set also does
+# but at k*32 bytes).  Exactly SQL-checkable because every piece is
+# integer: h = first 64 bits of sha256(token), register j = h >> (64-p),
+# rho = leading-zero count of the remaining 58 bits + 1 (DuckDB:
+# length(printf('%b', rem)) gives the exact MSB position).  Only the
+# final estimate is float, rounded on both sides.
+
+HLL_P = 6                      # 2^6 = 64 registers
+_HLL_M = 1 << HLL_P
+_HLL_REM_BITS = 64 - HLL_P
+_HLL_REM_MASK = (1 << _HLL_REM_BITS) - 1
+
+
+def _hll_alpha(m: int) -> float:
+    # same literal expression as the SQL twin: identical IEEE ops
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_distinct_tokens(ds, text_col: str = "text") -> pd.DataFrame:
+    """HyperLogLog distinct-count estimate over whitespace tokens.
+    Returns one row (m, n_zero, sum_rho, estimate): register count,
+    empty registers, sum of register maxima (the integer sketch state —
+    the value-hash anchor), and the HLL estimate with the standard
+    small-range linear-counting correction, rounded to 3.
+
+    Scale shape: one stateless map_batches pass emits <= m (j, rho)
+    partial rows per block; the driver merge is a max-reduction over
+    <= m * n_blocks rows.  Registers max-merge, so the sketch is also
+    the per-shard union state a 100-TB corpus report needs."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        toks = pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        uniq = pc.unique(toks).to_pylist()
+        if not uniq:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        hs = np.fromiter(
+            (int(hashlib.sha256(t.encode()).hexdigest()[:16], 16)
+             for t in uniq), np.uint64, len(uniq))
+        j = (hs >> np.uint64(_HLL_REM_BITS)).astype(np.int64)
+        rem = (hs & np.uint64(_HLL_REM_MASK)).astype(np.int64)
+        # rho = leading zeros of the 58-bit remainder + 1
+        nbits = np.zeros(len(rem), np.int64)
+        nz = rem > 0
+        nbits[nz] = np.floor(np.log2(rem[nz].astype(np.float64))) \
+            .astype(np.int64) + 1
+        # float log2 can misplace the MSB within 1 ulp of a power of
+        # two; fix up exactly in integers
+        too_hi = nbits > 0
+        while True:
+            bad = nz & (rem >> np.maximum(nbits - 1, 0) == 0) & too_hi
+            if not bad.any():
+                break
+            nbits[bad] -= 1
+        bad = nz & (rem >> nbits > 0)
+        while bad.any():
+            nbits[bad] += 1
+            bad = nz & (rem >> nbits > 0)
+        rho = _HLL_REM_BITS - nbits + 1
+        pdf = pd.DataFrame({"j": j, "rho": rho})
+        agg = pdf.groupby("j", sort=False)["rho"].max().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    regs = np.zeros(_HLL_M, np.int64)
+    if len(parts):
+        merged = parts.groupby("j")["rho"].max()
+        regs[merged.index.to_numpy()] = merged.to_numpy()
+    n_zero = int((regs == 0).sum())
+    z = float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+    est = _hll_alpha(_HLL_M) * _HLL_M * _HLL_M / z
+    if est <= 2.5 * _HLL_M and n_zero > 0:
+        est = _HLL_M * float(np.log(_HLL_M / float(n_zero)))
+    return pd.DataFrame({
+        "m": np.array([_HLL_M], np.int64),
+        "n_zero": np.array([n_zero], np.int64),
+        "sum_rho": np.array([int(regs.sum())], np.int64),
+        "estimate": [round(est, 3)]})
+
+
+def hll_sql(p: int = HLL_P) -> str:
+    """DuckDB twin of hll_distinct_tokens: identical integer register
+    math (printf('%b') length = exact MSB position), identical alpha
+    literal and linear-counting branch, rounded to 3."""
+    m = 1 << p
+    rb = 64 - p
+    return f"""
+        WITH t AS (
+          SELECT DISTINCT unnest(list_filter(
+              regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+          FROM documents
+        ), h AS (
+          SELECT ('0x' || substr(sha256(token), 1, 16))::UBIGINT AS h
+          FROM t
+        ), rr AS (
+          SELECT (h >> {rb})::BIGINT AS j,
+                 (h & {(1 << rb) - 1})::BIGINT AS rem
+          FROM h
+        ), rho AS (
+          SELECT j, CASE WHEN rem = 0 THEN {rb + 1}
+                    ELSE {rb} - length(printf('%b', rem)) + 1 END AS rho
+          FROM rr
+        ), reg AS (SELECT j, max(rho) AS mx FROM rho GROUP BY j),
+        agg AS (
+          SELECT {m} - count(*) AS nz,
+                 coalesce(sum(mx), 0)::BIGINT AS sum_rho,
+                 coalesce(sum(pow(2.0, -mx)), 0) + ({m} - count(*)) AS z
+          FROM reg)
+        SELECT {m}::BIGINT AS m, nz::BIGINT AS n_zero, sum_rho,
+               round(CASE WHEN (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+                              / z <= 2.5 * {m} AND nz > 0
+                     THEN {m} * ln({m} / (1.0 * nz))
+                     ELSE (0.7213 / (1 + 1.079 / {m})) * {m} * {m} / z
+                     END, 3) AS estimate
+        FROM agg
+    """

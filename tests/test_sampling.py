@@ -88,3 +88,104 @@ def test_stratified_sample_membership_rule_and_determinism():
     # kept fraction tracks the rate per stratum (uniform hash)
     fr = got.groupby("lang").size() / pdf.groupby("lang").size()
     assert abs(fr["en"] - 0.5) < 0.15 and abs(fr["zh"] - 0.1) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample / mixture_weights / hll_distinct_tokens (round-3 adds)
+# ---------------------------------------------------------------------------
+
+def _wdocs(n=300, seed=11):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "n_chars": rng.integers(0, 4000, n).astype(np.int64),
+    })
+
+
+def test_weighted_sample_matches_naive_and_is_partition_invariant():
+    from linkgraph.sampling import weighted_sample, _ws_priorities
+
+    pdf = _wdocs()
+    k = 25
+    pri = _ws_priorities(pdf["doc_id"].tolist(),
+                         np.maximum(pdf["n_chars"].to_numpy(np.float64),
+                                    1.0), "ws")
+    want = pdf.assign(pri=pri).sort_values(
+        ["pri", "doc_id"], ascending=[False, True],
+        kind="mergesort").head(k)
+    a = weighted_sample(from_pandas_clean(pdf).repartition(4),
+                        id_col="doc_id", weight_col="n_chars", k=k)
+    b = weighted_sample(from_pandas_clean(pdf).repartition(11),
+                        id_col="doc_id", weight_col="n_chars", k=k)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["doc_id"].tolist() == want["doc_id"].tolist()
+    # higher-weight rows must be over-represented vs a uniform pick:
+    # the average sampled weight exceeds the population average
+    assert a["w"].mean() > pdf["n_chars"].clip(lower=1).mean()
+
+
+def test_mixture_weights_sums_to_one_and_matches_naive():
+    from linkgraph.sampling import mixture_weights, MIX_ALPHA
+
+    rng = np.random.default_rng(5)
+    srcs = [f"s{g}" for g in rng.integers(0, 6, 200)]
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(1, 40)))
+             for _ in range(200)]
+    pdf = pd.DataFrame({"source": srcs, "text": texts})
+    got = mixture_weights(from_pandas_clean(pdf).repartition(7),
+                          group_col="source")
+    ntok = pdf.assign(n=[len(t.split()) for t in texts]) \
+              .groupby("source")["n"].sum()
+    scaled = np.power(ntok.sort_index().to_numpy(np.float64), MIX_ALPHA)
+    want = np.round(scaled / scaled.sum(), 6)
+    assert got["source"].tolist() == sorted(ntok.index)
+    np.testing.assert_allclose(got["weight"].to_numpy(), want, atol=2e-6)
+    assert abs(got["weight"].sum() - 1.0) < 1e-4
+    assert (got["n_tokens"].to_numpy() ==
+            ntok.sort_index().to_numpy()).all()
+
+
+def test_hll_estimate_accuracy_and_partition_invariance():
+    from linkgraph.sketch import hll_distinct_tokens
+
+    rng = np.random.default_rng(7)
+    # ~900 distinct tokens, repeated across docs
+    vocab = [f"tok{i}" for i in range(900)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(300)]
+    pdf = pd.DataFrame({"text": texts})
+    a = hll_distinct_tokens(from_pandas_clean(pdf).repartition(3))
+    b = hll_distinct_tokens(from_pandas_clean(pdf).repartition(13))
+    pd.testing.assert_frame_equal(a, b)   # registers max-merge exactly
+    exact = len({t for s in texts for t in s.split()})
+    est = float(a["estimate"].iloc[0])
+    # HLL with m=64 has ~13% relative error; allow 3 sigma
+    assert abs(est - exact) / exact < 0.4
+    assert int(a["m"].iloc[0]) == 64
+
+
+def test_hll_rho_integer_msb_fixup_is_exact():
+    # the float-log2 path must agree with int.bit_length on powers of
+    # two and their neighbors (the 1-ulp danger zone)
+    from linkgraph.sketch import hll_distinct_tokens  # noqa: F401
+    import linkgraph.sketch as sk
+
+    vals = []
+    for e in range(1, 58):
+        vals.extend([(1 << e) - 1, 1 << e, (1 << e) + 1])
+    rem = np.array(vals, np.int64)
+    nbits = np.zeros(len(rem), np.int64)
+    nz = rem > 0
+    nbits[nz] = np.floor(np.log2(rem[nz].astype(np.float64))) \
+        .astype(np.int64) + 1
+    too_hi = nbits > 0
+    while True:
+        bad = nz & (rem >> np.maximum(nbits - 1, 0) == 0) & too_hi
+        if not bad.any():
+            break
+        nbits[bad] -= 1
+    bad = nz & (rem >> nbits > 0)
+    while bad.any():
+        nbits[bad] += 1
+        bad = nz & (rem >> nbits > 0)
+    want = np.array([int(v).bit_length() for v in vals], np.int64)
+    assert (nbits == want).all()
