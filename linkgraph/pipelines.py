@@ -775,6 +775,29 @@ def q_doc_hits(sf_dir):
         fin, batch_format="pyarrow")
 
 
+EIGEN_ITERS = 8
+
+
+def q_doc_eigen(sf_dir):
+    """Eigenvector centrality, 8 power-method supersteps on the
+    undirected graph; unnormalized linear recurrence, one driver-side
+    L1 normalization at the end (the HITS convention — algos/eigen.py).
+    Oracle: _eigen_sql unrolled CTEs over the symmetric edge list."""
+    from .algos import eigen_l1, eigenvector_centrality
+
+    eng = documents_engine(sf_dir, "undirected")
+    eigenvector_centrality(eng, iterations=EIGEN_ITERS)
+    s = eigen_l1(eng)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": b["v"],
+            "eigen": pc.round(pc.divide(b["eigen"], s), ndigits=6)})
+
+    return eng.state_dataset(["eigen"]).map_batches(
+        fin, batch_format="pyarrow")
+
+
 def q_doc_ppr(sf_dir):
     """Personalized PageRank from doc 0 (Gemini rank conventions, teleport
     restricted to the source set).  Oracle: _ppr_sql unrolled CTEs."""
@@ -1348,6 +1371,36 @@ def q_mix_weights(sf_dir):
     docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                               columns=["source", "text"])
     return mixture_weights(docs, group_col="source")
+
+
+PMI_MIN_COUNT = 5
+PMI_CAND = 200
+PMI_K = 20
+
+
+def q_text_pmi(sf_dir):
+    """PMI collocations (text.pmi_phrases): candidate bigrams by count
+    floor + partial top-n, then one corpus pass counting ONLY the
+    candidate words; PMI evaluated driver-side over 200 rows."""
+    from .text import pmi_phrases
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+    return pmi_phrases(docs, min_count=PMI_MIN_COUNT,
+                       n_cand=PMI_CAND, k=PMI_K)
+
+
+def q_events_markov(sf_dir):
+    """First-order event-type Markov transitions
+    (windows.markov_transitions): per-user (ts, event_id)-ordered
+    adjacent pairs, one coarse user-bucket shuffle, catalog-bounded
+    (prev, next) driver merge with row-normalized probabilities."""
+    from .windows import markov_transitions
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return markov_transitions(ev)
 
 
 def q_sample_stratified(sf_dir):
@@ -2813,6 +2866,25 @@ def _hits_sql(iters: int, round_to: int) -> str:
             f"round(a / (SELECT sum(a) FROM a{iters}), {round_to}) AS auth, "
             f"round(h / (SELECT sum(h) FROM h{iters}), {round_to}) AS hub "
             f"FROM a{iters} JOIN h{iters} USING (v)")
+
+
+def _eigen_sql(iters: int, round_to: int) -> str:
+    """Unrolled power iteration (matches algos/eigen.py): x_i from
+    x_{i-1} summed over the symmetric edge list, L1 normalization once
+    at the end (pure rescale of the linear recurrence)."""
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            "x0 AS (SELECT v, 1.0 AS x FROM allv)"]
+    for i in range(1, iters + 1):
+        p = f"x{i - 1}"
+        ctes.append(
+            f"x{i} AS MATERIALIZED (SELECT allv.v, coalesce(m.s, 0.0) AS x "
+            f"FROM allv LEFT JOIN (SELECT sym.dst AS v, sum({p}.x) AS s "
+            f"FROM sym JOIN {p} ON {p}.v = sym.src GROUP BY sym.dst) m "
+            f"USING (v))")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT v, round(x / greatest((SELECT sum(x) FROM x{iters}),"
+            f" 1e-300), {round_to}) AS eigen FROM x{iters}")
 
 
 def _ppr_sql(iters: int, round_to: int, sources: list[int]) -> str:
@@ -4307,6 +4379,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_bc_sampled": _bc_sampled_sql(BC_SAMPLE_ROOTS, BFS_ROUNDS, 6),
     "doc_sssp": _sssp_sql(SSSP_ROUNDS, 9),
     "doc_hits": _hits_sql(HITS_ITERS, 6),
+    "doc_eigen": _eigen_sql(EIGEN_ITERS, 6),
     "doc_ppr": _ppr_sql(PPR_ITERS, 9, PPR_SOURCES),
     "doc_kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
     "doc_mis": _mis_sql(MIS_ROUNDS),
@@ -4398,6 +4471,56 @@ ORACLE_SQL: dict[str, str] = {
         FROM s
     """,
     "sketch_hll": _SK.hll_sql(),
+    # PMI collocations: same \s+ and bigram conventions as
+    # text_top_bigrams; identical float expression shape
+    # ln((n/B)/((ca/T)*(cb/T))); ordered by ROUNDED pmi on both sides
+    "text_pmi": f"""
+        WITH wl AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text,
+                 '\\s+'), x -> x <> '') AS l
+          FROM documents),
+        w AS (SELECT doc_id, unnest(l) AS w,
+                     generate_subscripts(l, 1) AS i FROM wl),
+        big AS (
+          SELECT w || ' ' || w2 AS bigram FROM (
+            SELECT doc_id, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+            FROM w) WHERE w2 IS NOT NULL),
+        bc AS (SELECT bigram, count(*)::BIGINT AS n
+               FROM big GROUP BY bigram),
+        cand AS (SELECT bigram, n FROM bc WHERE n >= {PMI_MIN_COUNT}
+                 ORDER BY n DESC, bigram LIMIT {PMI_CAND}),
+        uc AS (SELECT w, count(*)::DOUBLE AS cn FROM w GROUP BY w),
+        tot AS (SELECT count(*)::DOUBLE AS t FROM w),
+        btot AS (SELECT count(*)::DOUBLE AS bt FROM big),
+        p AS (
+          SELECT cand.bigram, cand.n,
+                 round(ln((cand.n / btot.bt) /
+                          ((ua.cn / tot.t) * (ub.cn / tot.t))), 6)
+                     AS pmi
+          FROM cand, tot, btot
+          JOIN uc ua ON ua.w = split_part(cand.bigram, ' ', 1)
+          JOIN uc ub ON ub.w = split_part(cand.bigram, ' ', 2))
+        SELECT bigram, n, pmi FROM p
+        ORDER BY pmi DESC, bigram LIMIT {PMI_K}
+    """,
+    # first-order Markov transitions: (ts, event_id)-ordered per-user
+    # lag, row-normalized; all-integer counts, p rounded 6
+    "events_markov": """
+        WITH s AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS nxt
+          FROM events),
+        c AS (SELECT event_type AS prev_type, nxt AS event_type,
+                     count(*)::BIGINT AS n
+              FROM s WHERE nxt IS NOT NULL
+              GROUP BY prev_type, nxt)
+        SELECT prev_type, event_type, n,
+               round(n / (1.0 * sum(n) OVER (PARTITION BY prev_type)),
+                     6) AS p
+        FROM c ORDER BY prev_type, event_type
+    """,
     # Efraimidis-Spirakis weighted sample: identical sha-derived u and
     # pow; selection at full precision on both sides, pri rounded 6
     "sample_weighted": f"""
@@ -5429,6 +5552,9 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sketch_distinct": q_sketch_distinct,
     "sketch_hll": q_sketch_hll,
+    "doc_eigen": q_doc_eigen,
+    "text_pmi": q_text_pmi,
+    "events_markov": q_events_markov,
     "sample_weighted": q_sample_weighted,
     "mix_weights": q_mix_weights,
     "sketch_cms": q_sketch_cms,

@@ -725,3 +725,106 @@ def stem_sql_expr(col: str) -> str:
         r = repl.replace("\\1", "\\1")
         expr = f"regexp_replace({expr}, '{pat}', '{r}')"
     return expr
+
+
+# ---------------------------------------------------------------------------
+# PMI phrase mining (collocation discovery for tokenizer / phrase vocab)
+# ---------------------------------------------------------------------------
+
+def pmi_phrases(ds, text_col: str = "text", min_count: int = 5,
+                n_cand: int = 200, k: int = 20):
+    """Top-k word bigrams by pointwise mutual information
+    ln((c_ab/B) / ((c_a/T) * (c_b/T))) with a count floor — the
+    collocation scan that seeds a phrase vocabulary.
+
+    Scale shape: candidate generation first (distributed bigram count +
+    partial top-n_cand with the min_count floor — the text_top_bigrams
+    plan), then ONE more corpus pass computing unigram counts ONLY for
+    the <= 2*n_cand candidate words (np.isin against the broadcast word
+    set) plus the global token/bigram totals as map-side partials.  PMI
+    itself is evaluated driver-side over n_cand rows.  Never a
+    vocabulary-sized broadcast or an all-terms join.  Returns pandas
+    (bigram, n, pmi) ordered by (round(pmi,6) DESC, bigram), pmi
+    rounded to 6."""
+    import pandas as pd
+
+    def big_partial(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        lists = pc.split_pattern_regex(col, r"\s+")
+        toks = pc.list_flatten(lists).to_pandas()
+        par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ok = (toks.to_numpy(object) != "")
+        toks, par = toks[ok].reset_index(drop=True), par[ok]
+        if len(par) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        m = par[:-1] == par[1:]
+        bg = (toks.iloc[:-1].reset_index(drop=True)[m] + " "
+              + toks.iloc[1:].reset_index(drop=True)[m])
+        vc = bg.value_counts()
+        return pa.table({"bigram": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    counts = ds.map_batches(big_partial, batch_format="pyarrow") \
+               .groupby("bigram").sum("n")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().rename(columns={"sum(n)": "n"})
+        pdf = pdf[pdf["n"] >= min_count]
+        pdf = pdf.sort_values(["n", "bigram"], ascending=[False, True],
+                              kind="mergesort").head(n_cand)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    cand = counts.map_batches(local_top,
+                              batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["n", "bigram"], ascending=[False, True],
+                            kind="mergesort").head(n_cand) \
+               .reset_index(drop=True)
+    if len(cand) == 0:
+        return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64),
+                             "pmi": pd.Series([], dtype=np.float64)})
+    words = sorted({w for bg in cand["bigram"] for w in bg.split(" ")})
+    warr = np.array(words, object)
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        lists = pc.split_pattern_regex(col, r"\s+")
+        toks = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ok = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        tarr = toks.to_numpy(zero_copy_only=False)[ok]
+        par = par[ok]
+        t_tot = len(tarr)
+        per_doc = np.bincount(par, minlength=b.num_rows)
+        b_tot = int(np.maximum(per_doc - 1, 0).sum())
+        hit = np.isin(tarr, warr)
+        vc = pd.Series(tarr[hit]).value_counts()
+        kind = np.concatenate([np.zeros(len(vc), np.int64), [1, 2]])
+        word = np.concatenate([vc.index.to_numpy(object), ["", ""]])
+        n = np.concatenate([vc.to_numpy(np.int64), [t_tot, b_tot]])
+        return pa.table({"kind": pa.array(kind),
+                         "word": pa.array(word, pa.string()),
+                         "n": pa.array(n, pa.int64())})
+
+    parts = ds.map_batches(uni_partial, batch_format="pyarrow") \
+              .to_pandas()
+    t_tot = float(parts.loc[parts["kind"] == 1, "n"].sum())
+    b_tot = float(parts.loc[parts["kind"] == 2, "n"].sum())
+    uni = parts[parts["kind"] == 0].groupby("word")["n"].sum()
+    a = cand["bigram"].str.split(" ", n=1).str[0]
+    b2 = cand["bigram"].str.split(" ", n=1).str[1]
+    ca = uni.reindex(a.to_numpy(object)).to_numpy(np.float64)
+    cb = uni.reindex(b2.to_numpy(object)).to_numpy(np.float64)
+    n = cand["n"].to_numpy(np.float64)
+    pmi = np.log((n / b_tot) / ((ca / t_tot) * (cb / t_tot)))
+    out = pd.DataFrame({"bigram": cand["bigram"],
+                        "n": cand["n"].astype(np.int64),
+                        "pmi": np.round(pmi, 6)})
+    out = out.sort_values(["pmi", "bigram"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return out.reset_index(drop=True)

@@ -508,3 +508,59 @@ def zscore_outliers(ds, key: str = "user_id", value: str = "value",
 
     return ds.map_batches(tag, batch_format="pyarrow") \
              .groupby("kb").map_groups(kern, batch_format="pandas")
+
+
+def markov_transitions(ds, key: str = "user_id", ts: str = "ts",
+                       typ: str = "event_type",
+                       id_col: str = "event_id") -> pd.DataFrame:
+    """Event-type transition matrix over per-user timelines: count
+    (prev_type -> event_type) pairs of consecutive events ordered by
+    (ts, id) within each user, with row-normalized probabilities — the
+    first-order Markov model a behavioral/sequence pipeline fits.
+
+    Scale shape: one coarse user-bucket shuffle (the running_user_totals
+    convention), each bucket task emits its <= |types|^2 local
+    transition counts (vectorized lexsort + adjacent-pair mask), and the
+    driver merge is O(buckets * |types|^2) — the type domain is a
+    catalog-bounded set, never a per-row key.  Returns
+    (prev_type, event_type, n, p) sorted, p rounded to 6."""
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({key: pa.array(k),
+                         "us": pc.cast(b[ts], pa.int64()),
+                         id_col: b[id_col], typ: b[typ],
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        ev = g[id_col].to_numpy(np.int64)
+        t = g[typ].to_numpy(object)
+        order = np.lexsort((ev, us, k))
+        k, t = k[order], t[order]
+        same = k[1:] == k[:-1]
+        if not same.any():
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                                 "event_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        pairs = pd.DataFrame({"prev_type": t[:-1][same],
+                              "event_type": t[1:][same]})
+        agg = pairs.groupby(["prev_type", "event_type"], sort=False) \
+                   .size().rename("n").reset_index()
+        return agg
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+              .groupby("kb").map_groups(scan, batch_format="pandas") \
+              .to_pandas()
+    tot = parts.groupby(["prev_type", "event_type"], sort=True)["n"] \
+               .sum().reset_index()
+    row = tot.groupby("prev_type")["n"].transform("sum")
+    tot["p"] = np.round(tot["n"].to_numpy(np.float64)
+                        / row.to_numpy(np.float64), 6)
+    tot["n"] = tot["n"].astype(np.int64)
+    return tot.reset_index(drop=True)

@@ -659,3 +659,36 @@ def test_coreness_partition_invariant(tmp_path):
         finally:
             eng.shutdown()
     assert np.array_equal(out[2], out[6])
+
+
+# ------------------------------------------------------------------ eigen
+
+def eigen_oracle(e_sym, n, iters):
+    x = np.ones(n)
+    for _ in range(iters):
+        s = np.zeros(n)
+        np.add.at(s, e_sym[:, 1], x[e_sym[:, 0]])
+        x = s
+    return x / max(x.sum(), 1e-300)
+
+
+@pytest.mark.parametrize("name", ["path_8", "star_1_50", "er_1k"])
+def test_eigen_matches_power_oracle(name, tmp_path):
+    from linkgraph.algos import eigen_l1, eigenvector_centrality
+    from linkgraph.graph import load_undirected
+
+    e = _dedup(micro_graph(name))
+    n = _n(e)
+    sym = np.concatenate([e, e[:, ::-1]])
+    sym = np.unique(sym[sym[:, 0] != sym[:, 1]], axis=0)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=3,
+                          store_dir=str(tmp_path / "g"))
+    try:
+        eigenvector_centrality(eng, iterations=6)
+        s = eigen_l1(eng)
+        got = eng.state_pandas(["eigen"])["eigen"].to_numpy() / s
+        want = eigen_oracle(sym, n, 6)
+        assert np.allclose(got, want, rtol=1e-10, atol=1e-14)
+    finally:
+        eng.shutdown()

@@ -516,3 +516,37 @@ def test_global_value_ranks_parity():
             rd.from_arrow(tbl).repartition(nparts), "value",
             "event_id").to_pandas().sort_values("event_id")
         assert (out["rnk"].to_numpy() == want).all()
+
+
+def test_markov_transitions_matches_naive_and_partitions():
+    import pandas as pd
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.windows import markov_transitions
+
+    rng = np.random.default_rng(17)
+    n = 600
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 10**6, n), unit="s"),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "event_type": rng.choice(list("abcd"), n)})
+    got = markov_transitions(from_pandas_clean(pdf).repartition(5))
+    got2 = markov_transitions(from_pandas_clean(pdf).repartition(11))
+    pd.testing.assert_frame_equal(got, got2)
+
+    s = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev_u = s["user_id"].to_numpy()
+    t = s["event_type"].to_numpy(object)
+    same = prev_u[1:] == prev_u[:-1]
+    naive = pd.DataFrame({"prev_type": t[:-1][same],
+                          "event_type": t[1:][same]}) \
+        .groupby(["prev_type", "event_type"]).size().rename("n") \
+        .reset_index()
+    merged = got.merge(naive, on=["prev_type", "event_type"],
+                       suffixes=("", "_want"))
+    assert len(merged) == len(naive) == len(got)
+    assert (merged["n"] == merged["n_want"]).all()
+    # rows normalize to ~1 per prev_type
+    rs = got.groupby("prev_type")["p"].sum()
+    assert np.allclose(rs.to_numpy(), 1.0, atol=1e-4)

@@ -713,3 +713,47 @@ def test_spectral_stage_matches_naive_dft():
             im = float((v * np.sin(th)).sum())
             want = round(np.sqrt(re * re + im * im) / n, 3)
             assert abs(got.loc[r, f"m{k}"] - want) < 2e-3, (k, n)
+
+
+def test_pmi_phrases_matches_naive():
+    import pandas as pd
+    from collections import Counter
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.text import pmi_phrases
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(200):
+        toks = list(rng.choice(vocab, rng.integers(3, 25)))
+        # plant a strong collocation
+        if rng.random() < 0.5:
+            toks += ["deep", "learning"]
+        texts.append(" ".join(toks))
+    pdf = pd.DataFrame({"text": texts})
+    got = pmi_phrases(from_pandas_clean(pdf).repartition(6),
+                      min_count=3, n_cand=100, k=10)
+
+    uni, big = Counter(), Counter()
+    t_tot = b_tot = 0
+    for s in texts:
+        ws = [w for w in s.split() if w]
+        uni.update(ws)
+        t_tot += len(ws)
+        big.update(zip(ws[:-1], ws[1:]))
+        b_tot += max(len(ws) - 1, 0)
+    cand = sorted(((n, f"{a} {b}") for (a, b), n in big.items()
+                   if n >= 3), key=lambda x: (-x[0], x[1]))[:100]
+    rows = []
+    for n, bg in cand:
+        a, b = bg.split(" ")
+        pmi = np.log((n / b_tot) /
+                     ((uni[a] / t_tot) * (uni[b] / t_tot)))
+        rows.append((bg, n, round(pmi, 6)))
+    want = pd.DataFrame(rows, columns=["bigram", "n", "pmi"]) \
+        .sort_values(["pmi", "bigram"], ascending=[False, True],
+                     kind="mergesort").head(10).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n": np.int64}), want.astype({"n": np.int64}),
+        check_dtype=False, atol=1e-9)
+    assert "deep learning" in got["bigram"].tolist()
