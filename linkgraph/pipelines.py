@@ -1973,6 +1973,20 @@ def q_tpch_large_orders(sf_dir):
 NO_ORDERS_MIN_PRICE = 400_000.0
 
 
+def q_tpch_promo(sf_dir):
+    """Q14-like promo revenue share per ship month (relational.
+    promo_share_by_month): broadcast part-type lookup + 12-bucket
+    map-side partials, no fact shuffle."""
+    return _REL.promo_share_by_month(sf_dir)
+
+
+def q_tpch_volume(sf_dir):
+    """Q7-like nation-pair shipping volume per year (relational.
+    volume_shipping): broadcast dimension lookups, one fact hash join,
+    map-side partial aggregate."""
+    return _REL.volume_shipping(sf_dir)
+
+
 def q_tpch_cust_no_orders(sf_dir):
     """Anti-join (joins.anti_join, TPC-H Q22 shape): customers with no
     large order (o_totalprice > 400k — every customer has SOME order in
@@ -4438,6 +4452,8 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_large_orders": _REL.LARGE_ORDERS_SQL,
     "tpch_priority_count": _REL.ORDER_PRIORITY_SQL,
     "tpch_returned_revenue": _REL.RETURNED_REVENUE_SQL,
+    "tpch_promo": _REL.PROMO_SHARE_SQL,
+    "tpch_volume": _REL.VOLUME_SHIPPING_SQL,
     "tpch_priority_buckets": _REL.SHIPMODE_PRIORITY_SQL,
     "tpch_cust_no_orders": f"""
         SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
@@ -5595,6 +5611,8 @@ QUERIES = {
     "tpch_large_orders": q_tpch_large_orders,
     "tpch_priority_count": q_tpch_priority_count,
     "tpch_returned_revenue": q_tpch_returned_revenue,
+    "tpch_promo": q_tpch_promo,
+    "tpch_volume": q_tpch_volume,
     "tpch_priority_buckets": q_tpch_priority_buckets,
     "tpch_cust_no_orders": q_tpch_cust_no_orders,
     "tpch_parts_shipped": q_tpch_parts_shipped,

@@ -660,3 +660,208 @@ RETURNED_REVENUE_SQL = f"""
     ORDER BY round(cr.revenue, 6) DESC, c.c_custkey
     LIMIT {Q10_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-like: promo revenue share per ship-month
+# ---------------------------------------------------------------------------
+
+Q14_YEAR = 1996
+
+
+def promo_share_by_month(sf_dir: str):
+    """Promo-type revenue share per ship month of one year (Q14 shape:
+    100 * promo_rev / total_rev).  The part dimension becomes ONE
+    broadcast dense bool lookup (p_partkey -> is_promo, ray.put once);
+    the fact scan is a single column-pruned map_batches emitting
+    12-bucket partial sums, merged on the driver — no fact-side shuffle
+    at all (sum-only aggregate, CLAUDE.md map-side-partials rule)."""
+    import os
+
+    import ray
+
+    part = read_parquet_clean(os.path.join(sf_dir, "part.parquet"),
+                              columns=["p_partkey", "p_type"]).to_pandas()
+    promo_lu = np.zeros(int(part["p_partkey"].max()) + 1, bool)
+    promo_lu[part.loc[part["p_type"] == "PROMO",
+                      "p_partkey"].to_numpy()] = True
+    lu_ref = ray.put(promo_lu)
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        yr = pc.year(b["l_shipdate"]).to_numpy(zero_copy_only=False)
+        keep = yr == Q14_YEAR
+        if not keep.any():
+            return pa.table({"month": pa.array([], pa.int64()),
+                             "promo": pa.array([], pa.float64()),
+                             "total": pa.array([], pa.float64())})
+        mo = pc.month(b["l_shipdate"]).to_numpy(
+            zero_copy_only=False)[keep].astype(np.int64)
+        rev = (b["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+               )[keep]
+        lu = ray.get(lu_ref)
+        is_promo = lu[b["l_partkey"].to_numpy(
+            zero_copy_only=False)[keep]]
+        tot = np.bincount(mo, weights=rev, minlength=13)
+        pro = np.bincount(mo[is_promo], weights=rev[is_promo],
+                          minlength=13)
+        seen = np.flatnonzero(tot > 0)
+        return pa.table({"month": pa.array(seen.astype(np.int64)),
+                         "promo": pa.array(pro[seen]),
+                         "total": pa.array(tot[seen])})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:  # empty Datasets lose their schema (CLAUDE.md)
+        return pd.DataFrame({
+            "month": pd.Series([], dtype=np.int64),
+            "promo_share": pd.Series([], dtype=np.float64),
+            "revenue": pd.Series([], dtype=np.float64)})
+    agg = parts.groupby("month", sort=True).agg(
+        promo=("promo", "sum"), total=("total", "sum")).reset_index()
+    agg["promo_share"] = np.round(
+        100.0 * agg["promo"].to_numpy() / agg["total"].to_numpy(), 6)
+    agg["revenue"] = np.round(agg["total"].to_numpy(), 6)
+    agg["month"] = agg["month"].astype(np.int64)
+    return agg[["month", "promo_share", "revenue"]]
+
+
+PROMO_SHARE_SQL = f"""
+    SELECT month(l_shipdate)::BIGINT AS month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1.0 - l_discount)
+                 ELSE 0.0 END) /
+                 sum(l_extendedprice * (1.0 - l_discount)), 6)
+               AS promo_share,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 6)
+               AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE year(l_shipdate) = {Q14_YEAR}
+    GROUP BY month ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7-like: volume shipping between a nation pair, per ship year
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+def volume_shipping(sf_dir: str, num_partitions: int = 8):
+    """Revenue flowing between two nations (supplier side vs customer
+    side, both directions) per ship year — the Q7 shape.  Dimensions
+    (supplier/customer -> nationkey) are ONE broadcast lookup pair (the
+    nation_revenue pattern); the only fact-side exchange is the
+    lineitem x orders hash join; the (supp_nation, cust_nation, year)
+    aggregate domain is <= 2 * n_years, map-side partials + driver
+    merge."""
+    import os
+
+    import ray
+
+    from .runtime import tune_context
+    tune_context()
+
+    def _pdf(name, cols):
+        return read_parquet_clean(
+            os.path.join(sf_dir, f"{name}.parquet"),
+            columns=cols).to_pandas()
+
+    nation = _pdf("nation", ["n_nationkey", "n_name"])
+    supplier = _pdf("supplier", ["s_suppkey", "s_nationkey"])
+    customer = _pdf("customer", ["c_custkey", "c_nationkey"])
+    keys = {n: int(k) for k, n in zip(nation["n_nationkey"],
+                                      nation["n_name"])}
+    ka, kb = keys[Q7_NATION_A], keys[Q7_NATION_B]
+    names = {ka: Q7_NATION_A, kb: Q7_NATION_B}
+    sup_lu = np.full(int(supplier["s_suppkey"].max()) + 1, -1, np.int64)
+    sup_lu[supplier["s_suppkey"].to_numpy()] = \
+        supplier["s_nationkey"].to_numpy()
+    cust_lu = np.full(int(customer["c_custkey"].max()) + 1, -1, np.int64)
+    cust_lu[customer["c_custkey"].to_numpy()] = \
+        customer["c_nationkey"].to_numpy()
+    lu_ref = ray.put((sup_lu, cust_lu))
+
+    orders = read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_orderkey", "o_custkey"])
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+
+    def li_pre(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"], "rev": rev,
+                         "yr": pc.cast(pc.year(b["l_shipdate"]),
+                                       pa.int64())})
+
+    ord_k = orders.map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"],
+                            "o_custkey": b["o_custkey"]}),
+        batch_format="pyarrow")
+    joined = li.map_batches(li_pre, batch_format="pyarrow") \
+               .join(ord_k, join_type="inner",
+                     num_partitions=num_partitions, on=("l_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        sup_l, cust_l = ray.get(lu_ref)
+        sn = sup_l[b["l_suppkey"].to_numpy(zero_copy_only=False)]
+        cn = cust_l[b["o_custkey"].to_numpy(zero_copy_only=False)]
+        keep = ((sn == ka) & (cn == kb)) | ((sn == kb) & (cn == ka))
+        if not keep.any():
+            return pa.table({
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "l_year": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.float64())})
+        sn, cn = sn[keep], cn[keep]
+        yr = b["yr"].to_numpy(zero_copy_only=False)[keep]
+        rev = b["rev"].to_numpy(zero_copy_only=False)[keep]
+        pdf = pd.DataFrame({
+            "supp_nation": [names[int(x)] for x in sn],
+            "cust_nation": [names[int(x)] for x in cn],
+            "l_year": yr, "rev": rev})
+        agg = pdf.groupby(["supp_nation", "cust_nation", "l_year"],
+                          sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = joined.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:  # empty Datasets lose their schema (CLAUDE.md)
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=np.float64)})
+    out = parts.groupby(["supp_nation", "cust_nation", "l_year"],
+                        sort=True)["rev"].sum().reset_index()
+    out["revenue"] = np.round(out["rev"].to_numpy(), 6)
+    out["l_year"] = out["l_year"].astype(np.int64)
+    return out[["supp_nation", "cust_nation", "l_year", "revenue"]] \
+        .reset_index(drop=True)
+
+
+VOLUME_SHIPPING_SQL = f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate)::BIGINT AS l_year,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 6)
+               AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE (sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+       OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""

@@ -80,7 +80,11 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "doc_assortativity", "doc_diameter",
                                   "media_audio", "media_image",
                                   "media_video", "doc_bc_sampled",
-                                  "text_top_tokens_by_lang"])
+                                  "text_top_tokens_by_lang",
+                                  "sketch_hll", "sample_weighted",
+                                  "mix_weights", "doc_eigen",
+                                  "text_pmi", "events_markov",
+                                  "tpch_promo", "tpch_volume"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
