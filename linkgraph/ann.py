@@ -569,3 +569,146 @@ def pca_project(ds, vec_col: str = "embedding",
                          "proj": pa.array(np.round(proj, round_to))})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: train -> encode -> ADC search
+# ---------------------------------------------------------------------------
+# The memory-compressed ANN lane: vectors quantize to m uint8 codes
+# (64 float32 dims -> 4 bytes here), so a 100-TB embedding corpus's
+# index fits in RAM/object store at ~1/64 the footprint, and search is
+# an O(m) LUT gather per candidate instead of a d-dim dot product.
+# Subspace k-means is RAW L2 Lloyd (not the cosine k-means of
+# kmeans_full) because ADC approximates ||q - v||^2 = sum_s of
+# ||q_s - c_{s,code_s(v)}||^2.  Deterministic: per-subspace seeded init
+# rows, argmin ties -> smallest code, empty clusters keep the previous
+# codeword — all reproduced by pipelines._pq_sql.
+
+PQ_M = 4          # subspaces
+PQ_K = 8          # codewords per subspace
+PQ_ITERS = 2      # Lloyd rounds (unrolled in the SQL oracle)
+
+
+def pq_train(ds, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS,
+             sample_n: int = 500, seed: int = 42,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> np.ndarray:
+    """Train per-subspace codebooks with full-corpus Lloyd rounds.
+    Returns cents (m, k, d/m) float64.  Each round is ONE distributed
+    pass: codebooks are ray.put once, every batch emits a single
+    (m*k*sub sums + m*k counts) partial row, driver merge is
+    O(blocks * m * k * sub)."""
+    import ray
+
+    idxs = [np.random.default_rng(seed + s).choice(sample_n, k,
+                                                   replace=False)
+            for s in range(m)]
+    need = sorted({int(i) for ix in idxs for i in ix})
+    q, qi = queries_from_ids(ds, need, id_col=id_col, vec_col=vec_col)
+    pos = {int(v): p for p, v in enumerate(qi)}
+    d = q.shape[1]
+    sub = d // m
+    cents = np.stack([
+        q[[pos[int(i)] for i in idxs[s]], s * sub:(s + 1) * sub]
+        for s in range(m)])  # (m, k, sub)
+
+    def make_part(cref, with_sums: bool):
+        def part(b: pa.Table) -> pa.Table:
+            cols = {"sums": pa.array([], pa.list_(pa.float64())),
+                    "counts": pa.array([], pa.list_(pa.int64()))}
+            if len(b) == 0:
+                return pa.table(cols)
+            c = ray.get(cref)
+            x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+            sums = np.zeros((m, k, sub), np.float64)
+            counts = np.zeros((m, k), np.int64)
+            for s in range(m):
+                xs = x[:, s * sub:(s + 1) * sub]
+                dist = ((xs[:, None, :] - c[s][None]) ** 2).sum(-1)
+                a = np.argmin(dist, axis=1)  # ties -> smallest code
+                counts[s] = np.bincount(a, minlength=k)
+                if with_sums:
+                    np.add.at(sums[s], a, xs)
+            if not with_sums:
+                sums = np.zeros((0,), np.float64)
+            return pa.table({
+                "sums": pa.array([sums.reshape(-1)],
+                                 pa.list_(pa.float64())),
+                "counts": pa.array([counts.reshape(-1)],
+                                   pa.list_(pa.int64()))})
+        return part
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+        parts = ds.map_batches(make_part(cref, True),
+                               batch_format="pyarrow").take_all()
+        sums = np.zeros((m, k, sub), np.float64)
+        counts = np.zeros((m, k), np.int64)
+        for r in parts:
+            s_ = np.asarray(r["sums"], dtype=np.float64)
+            if s_.size:
+                sums += s_.reshape(m, k, sub)
+            counts += np.asarray(r["counts"],
+                                 dtype=np.int64).reshape(m, k)
+        new = cents.copy()  # empty clusters keep the previous codeword
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz][:, None]
+        cents = new
+    return cents
+
+
+def pq_topk(ds, query_ids: list[int], k_nn: int = 5, m: int = PQ_M,
+            k: int = PQ_K, iters: int = PQ_ITERS, sample_n: int = 500,
+            seed: int = 42, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> pd.DataFrame:
+    """ADC top-k: train codebooks, build each query's (m, k) distance
+    LUT once on the driver, then ONE stateless pass encodes every batch
+    (argmin per subspace) and gathers approx distances from the
+    broadcast LUT — per-block tie-aware partial top-k, tiny driver
+    merge (the brute_force_topk shape with distance ASC).  Returns
+    (query_id, neighbor_id, rnk, adist), adist rounded to 6."""
+    import ray
+
+    cents = pq_train(ds, m=m, k=k, iters=iters, sample_n=sample_n,
+                     seed=seed, id_col=id_col, vec_col=vec_col)
+    q, qi = queries_from_ids(ds, [int(i) for i in query_ids],
+                             id_col=id_col, vec_col=vec_col)
+    d = q.shape[1]
+    sub = d // m
+    nq = len(qi)
+    lut = np.zeros((nq, m, k), np.float64)
+    for s in range(m):
+        qs = q[:, s * sub:(s + 1) * sub]
+        lut[:, s, :] = ((qs[:, None, :] - cents[s][None]) ** 2).sum(-1)
+    bref = ray.put((cents, lut, qi))
+
+    def partial(b: pa.Table) -> pa.Table:
+        c, lt, qids = ray.get(bref)
+        vids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        nb = len(vids)
+        adist = np.zeros((len(qids), nb), np.float64)
+        for s in range(m):
+            xs = x[:, s * sub:(s + 1) * sub]
+            dist = ((xs[:, None, :] - c[s][None]) ** 2).sum(-1)
+            codes = np.argmin(dist, axis=1)
+            adist += lt[:, s, :][:, codes]
+        kk = min(k_nn + 1, nb)  # +1: self may rank first
+        ids_row = np.broadcast_to(vids, (len(qids), nb))
+        part = np.lexsort((ids_row, adist), axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qids)), kk)
+        cols = part.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(qids[rows], pa.int64()),
+            "neighbor_id": pa.array(vids[cols]),
+            "adist": pa.array(adist[rows, cols], pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts[parts["query_id"] != parts["neighbor_id"]]
+    parts = parts.sort_values(["query_id", "adist", "neighbor_id"],
+                              kind="mergesort")
+    top = parts.groupby("query_id", sort=True).head(k_nn) \
+               .reset_index(drop=True)
+    top["rnk"] = top.groupby("query_id").cumcount() + 1
+    top["adist"] = top["adist"].round(6)
+    return top[["query_id", "neighbor_id", "rnk", "adist"]]

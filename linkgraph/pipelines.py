@@ -29,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from . import ann as _ANN
 from . import relational as _REL
 from . import sketch as _SK
 
@@ -1817,6 +1818,18 @@ def q_ann_lsh(sf_dir):
     out = lsh_topk(emb, q, qi, k=ANN_K, n_planes=ANN_LSH_PLANES)
     out["cosine"] = out["cosine"].round(6)
     return out
+
+
+def q_ann_pq(sf_dir):
+    """Product-quantization ADC top-k (ann.pq_topk): per-subspace
+    seeded Lloyd codebooks (full-corpus rounds), one stateless encode +
+    LUT-gather pass, tie-aware partial top-k.  The memory-compressed
+    ANN lane (4 uint8 codes per 64-dim vector)."""
+    from .ann import pq_topk
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+    return pq_topk(emb, query_ids=ANN_QUERY_IDS, k_nn=ANN_K)
 
 
 def q_ann_ivf(sf_dir):
@@ -4096,6 +4109,89 @@ def _kmeans_full_sql(n_centroids: int = 8, iters: int = 4,
             f"FROM {last} p LEFT JOIN cnt ON cnt.c = p.c")
 
 
+def _pq_sql(m: int, k: int, iters: int, seed: int, sample_n: int,
+            query_ids: list[int], k_nn: int, dim: int = 64) -> str:
+    """Oracle for ann.pq_topk: per-subspace seeded init rows, `iters`
+    raw-L2 Lloyd rounds unrolled per subspace (argmin via row_number
+    (d ASC, c ASC), avg update, empty clusters keep the previous
+    codeword), then ADC — per-query (m x k) LUT + code-tuple gather.
+    Same float-tie caveat as _kmeans_full_sql."""
+    sub = dim // m
+    ctes = ["""emb AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+      """sml AS MATERIALIZED (
+      SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS i,
+             unnest(v) AS x FROM emb)"""]
+    qlist = ", ".join(map(str, query_ids))
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        idx = np.random.default_rng(seed + s).choice(sample_n, k,
+                                                     replace=False)
+        init_rows = ", ".join(f"({c}, {int(idx[c])})"
+                              for c in range(k))
+        ctes.append(f"""sub{s} AS MATERIALIZED (
+          SELECT vec_id, i - {lo} + 1 AS ii, x FROM sml
+          WHERE i BETWEEN {lo} AND {hi})""")
+        ctes.append(f"init{s}(c, vid) AS (VALUES {init_rows})")
+        ctes.append(f"""c{s}_0 AS MATERIALIZED (
+          SELECT CAST(t.c AS BIGINT) AS c, u.ii AS i, u.x AS y
+          FROM init{s} t JOIN sub{s} u ON u.vec_id = t.vid)""")
+        for r in range(1, iters + 1):
+            p = f"c{s}_{r - 1}"
+            ctes.append(f"""d{s}_{r} AS MATERIALIZED (
+              SELECT u.vec_id, c.c,
+                     sum((u.x - c.y) * (u.x - c.y)) AS d
+              FROM sub{s} u JOIN {p} c ON c.i = u.ii
+              GROUP BY u.vec_id, c.c)""")
+            ctes.append(f"""a{s}_{r} AS MATERIALIZED (
+              SELECT vec_id, c FROM (
+                SELECT vec_id, c, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+                FROM d{s}_{r}) WHERE rn = 1)""")
+            ctes.append(f"""m{s}_{r} AS MATERIALIZED (
+              SELECT a.c, u.ii AS i, avg(u.x) AS y
+              FROM a{s}_{r} a JOIN sub{s} u ON u.vec_id = a.vec_id
+              GROUP BY a.c, u.ii)""")
+            ctes.append(f"""c{s}_{r} AS MATERIALIZED (
+              SELECT p.c, p.i, coalesce(t.y, p.y) AS y
+              FROM {p} p
+              LEFT JOIN m{s}_{r} t ON t.c = p.c AND t.i = p.i)""")
+        last = f"c{s}_{iters}"
+        ctes.append(f"""fd{s} AS MATERIALIZED (
+          SELECT u.vec_id, c.c, sum((u.x - c.y) * (u.x - c.y)) AS d
+          FROM sub{s} u JOIN {last} c ON c.i = u.ii
+          GROUP BY u.vec_id, c.c)""")
+        ctes.append(f"""fa{s} AS MATERIALIZED (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c, row_number() OVER
+              (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+            FROM fd{s}) WHERE rn = 1)""")
+        ctes.append(f"""lut{s} AS MATERIALIZED (
+          SELECT vec_id AS query_id, c, d FROM fd{s}
+          WHERE vec_id IN ({qlist}))""")
+    fa_joins = " ".join(
+        f"JOIN fa{s} ON fa{s}.vec_id = fa0.vec_id" if s else "FROM fa0"
+        for s in range(m))
+    lut_joins = " ".join(
+        f"JOIN lut{s} ON lut{s}.c = fa{s}.c"
+        + ("" if s == 0 else f" AND lut{s}.query_id = lut0.query_id")
+        for s in range(m))
+    adist = " + ".join(f"lut{s}.d" for s in range(m))
+    ctes.append(f"""ad AS MATERIALIZED (
+      SELECT lut0.query_id, fa0.vec_id AS neighbor_id,
+             {adist} AS adist
+      {fa_joins} {lut_joins}
+      WHERE fa0.vec_id <> lut0.query_id)""")
+    ctes.append(f"""rk AS (
+      SELECT query_id, neighbor_id, adist, row_number() OVER
+        (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC)
+          AS rnk
+      FROM ad)""")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT query_id, neighbor_id, rnk, round(adist, 6) "
+            f"AS adist FROM rk WHERE rnk <= {k_nn}")
+
+
 def _ann_lsh_sql(n_planes: int, k: int, seed: int = 42,
                  dim: int = 64) -> str:
     """Sign-LSH ANN oracle (ann.lsh_topk): the seeded hyperplanes are
@@ -4750,6 +4846,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "ann_lsh": _ann_lsh_sql(ANN_LSH_PLANES, ANN_K),
     "ann_ivf": _ann_ivf_sql(k=ANN_K, query_ids=tuple(ANN_QUERY_IDS)),
+    "ann_pq": _pq_sql(m=_ANN.PQ_M, k=_ANN.PQ_K, iters=_ANN.PQ_ITERS,
+                      seed=42, sample_n=500,
+                      query_ids=ANN_QUERY_IDS, k_nn=ANN_K),
     "embed_dup_pairs": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                    FROM embeddings)
@@ -5601,6 +5700,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "embed_dup_pairs": q_embed_dup_pairs,
     "embed_centroids": q_embed_centroids,
     "semantic_dedup": q_semantic_dedup,

@@ -683,3 +683,49 @@ def test_cube_events_naive_parity():
     got["n_events"] = got["n_events"].astype(np.int64)
     want["n_events"] = want["n_events"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_pq_train_matches_naive_lloyd_and_topk_invariance():
+    import pandas as pd
+    from linkgraph.ann import pq_train, pq_topk
+    from linkgraph.io import from_pandas_clean
+
+    rng = np.random.default_rng(31)
+    n, d = 400, 64
+    x = rng.normal(size=(n, d))
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": [r.astype(np.float32) for r in x]})
+    xf = np.stack([np.asarray(v, np.float64)
+                   for v in pdf["embedding"]])  # float32-rounded input
+    ds = from_pandas_clean(pdf).repartition(5)
+
+    m, k, iters, sub = 4, 8, 2, 16
+    got = pq_train(ds, m=m, k=k, iters=iters, sample_n=400, seed=42)
+
+    # naive single-process Lloyd, identical conventions
+    want = np.zeros((m, k, sub))
+    for s in range(m):
+        idx = np.random.default_rng(42 + s).choice(400, k,
+                                                   replace=False)
+        c = xf[idx, s * sub:(s + 1) * sub].copy()
+        xs = xf[:, s * sub:(s + 1) * sub]
+        for _ in range(iters):
+            a = np.argmin(((xs[:, None, :] - c[None]) ** 2).sum(-1),
+                          axis=1)
+            for j in range(k):
+                if (a == j).any():
+                    c[j] = xs[a == j].mean(axis=0)
+        want[s] = c
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-12)
+
+    qa = pq_topk(from_pandas_clean(pdf).repartition(3),
+                 query_ids=[0, 1, 2], k_nn=5, sample_n=400)
+    qb = pq_topk(from_pandas_clean(pdf).repartition(9),
+                 query_ids=[0, 1, 2], k_nn=5, sample_n=400)
+    pd.testing.assert_frame_equal(qa, qb)
+    assert len(qa) == 15
+    assert (qa["query_id"] != qa["neighbor_id"]).all()
+    # ADC distances are nonnegative and ranked ascending per query
+    assert (qa["adist"] >= 0).all()
+    assert (qa.groupby("query_id")["adist"].apply(
+        lambda s: (s.diff().dropna() >= 0).all())).all()
