@@ -712,3 +712,86 @@ def pq_topk(ds, query_ids: list[int], k_nn: int = 5, m: int = PQ_M,
     top["rnk"] = top.groupby("query_id").cumcount() + 1
     top["adist"] = top["adist"].round(6)
     return top[["query_id", "neighbor_id", "rnk", "adist"]]
+
+
+# ---------------------------------------------------------------------------
+# Approximate kNN graph construction (LSH-bucketed, never all-pairs)
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_K = 3
+KNN_GRAPH_PLANES = 6
+
+
+def knn_graph_edges(ds, k: int = KNN_GRAPH_K,
+                    n_planes: int = KNN_GRAPH_PLANES, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Directed kNN selections (a -> its top-k cosine neighbors among
+    candidates at sign-LSH hamming distance <= 1) as a Dataset
+    (src, dst) — the similarity-graph construction step for semantic
+    clustering, mutual-kNN dedup, or graph-based label propagation over
+    an embedding corpus.
+
+    Exactly-hamming<=1 candidate rule with NO all-pairs pass: every
+    vector is replicated into its own code bucket (is_self=1) and its
+    n_planes one-bit-flip buckets (is_self=0), so a vector's own bucket
+    contains ALL of its hamming<=1 candidates (equal codes arrive as
+    self rows, hamming-1 codes as flipped copies) and each neighbor
+    appears exactly once there.  One groupby(bucket) shuffle; the
+    in-bucket kernel is a vectorized (self x all) cosine matmul +
+    tie-aware top-k (cos DESC, id ASC).  Scale note: n_planes must grow
+    ~log2(N) to keep the 2^n_planes bucket domain balanced (6 planes =
+    64 buckets is sized for the test corpus; the parameter is the
+    recall/size dial, same trade as lsh_topk)."""
+    dim = len(ds.take(1)[0][vec_col])
+    planes = make_hyperplanes(dim, n_planes, seed)
+
+    def bucketize_factory(pl):
+        def bucketize(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = _normalize(np.array(b[vec_col].to_pylist(),
+                                    dtype=np.float64))
+            bits = (m @ pl.T) > 0
+            code = (bits * (1 << np.arange(n_planes))).sum(axis=1) \
+                .astype(np.int64)
+            n = len(ids)
+            buckets = [code]
+            flags = [np.ones(n, np.int64)]
+            for i in range(n_planes):
+                buckets.append(code ^ (1 << i))
+                flags.append(np.zeros(n, np.int64))
+            reps = n_planes + 1
+            return pa.table({
+                "bucket": pa.array(np.concatenate(buckets)),
+                "is_self": pa.array(np.concatenate(flags)),
+                id_col: pa.array(np.tile(ids, reps)),
+                "vec": pa.array(list(np.tile(m, (reps, 1))),
+                                pa.list_(pa.float64()))})
+        return bucketize
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(np.int64)
+        m = np.stack([np.asarray(v, np.float64) for v in g["vec"]])
+        selfmask = g["is_self"].to_numpy(np.int64) == 1
+        if not selfmask.any():
+            return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                 "dst": pd.Series([], dtype=np.int64)})
+        a_ids = ids[selfmask]
+        cos = m[selfmask] @ m.T           # (n_self, n_all)
+        same = a_ids[:, None] == ids[None, :]
+        cos[same] = -np.inf               # exclude the vector itself
+        kk = min(k, cos.shape[1])
+        ids_row = np.broadcast_to(ids, cos.shape)
+        part = np.lexsort((ids_row, -cos), axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(a_ids)), kk)
+        cols = part.reshape(-1)
+        keep = np.isfinite(cos[rows, cols])
+        return pd.DataFrame({"src": a_ids[rows[keep]],
+                             "dst": ids[cols[keep]]})
+
+    buckets = ds.map_batches(bucketize_factory(planes),
+                             batch_format="pyarrow")
+    from .runtime import tune_context
+    tune_context()
+    return buckets.groupby("bucket").map_groups(kern,
+                                                batch_format="pandas")

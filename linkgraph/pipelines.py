@@ -1894,6 +1894,35 @@ def q_semantic_dedup(sf_dir):
     return kept
 
 
+KNN_CC_ROUNDS = 40
+
+
+def q_embed_knn_cc(sf_dir):
+    """Semantic clustering: approximate kNN graph over the embedding
+    corpus (ann.knn_graph_edges — sign-LSH hamming<=1 candidates, one
+    bucket shuffle, never all-pairs) -> connected components on the
+    SUPERSTEP ENGINE -> (v, label).  The embeddings->graph composition
+    a corpus-clustering pipeline runs.  Oracle: _knn_cc_sql (hamming
+    join + per-vector top-k + unrolled min-label CC)."""
+    from .algos import connected_components
+    from .ann import KNN_GRAPH_K, knn_graph_edges
+    from .graph import load_undirected, suggest_partitions
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+    n = int(emb.max("vec_id")) + 1
+    edges = knn_graph_edges(emb)
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    eng = load_undirected(edges, n,
+                          suggest_partitions(2 * n * KNN_GRAPH_K, 4),
+                          _store_root(sf_dir, "knncc"),
+                          fingerprint=f"knn:{st.st_mtime_ns}:{st.st_size}")
+    rep = connected_components(eng)
+    _check_unroll(rep, KNN_CC_ROUNDS, "embed_knn_cc")
+    return _state_result(eng, "label", "label")
+
+
 DUPCC_ROUNDS = 12
 
 
@@ -4109,6 +4138,52 @@ def _kmeans_full_sql(n_centroids: int = 8, iters: int = 4,
             f"FROM {last} p LEFT JOIN cnt ON cnt.c = p.c")
 
 
+def _knn_cc_sql(k: int, n_planes: int, rounds: int, seed: int = 42,
+                dim: int = 64) -> str:
+    """Oracle for q_embed_knn_cc: identical seeded hyperplane codes
+    (the _ann_lsh_sql literal-injection convention), candidates =
+    hamming(code) <= 1, per-vector cosine top-k (cos DESC, id ASC),
+    symmetrized edge set, then `rounds` unrolled min-label CC rounds
+    (the _cc_sql shape over the derived edges)."""
+    from .ann import make_hyperplanes
+
+    planes = make_hyperplanes(dim, n_planes, seed)
+    code_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in planes[i])}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes))
+    ctes = [f"""emb AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+      f"""code AS MATERIALIZED (
+      SELECT vec_id, v, ({code_expr})::BIGINT AS c FROM emb)""",
+      f"""knn AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT a.vec_id AS a, e.vec_id AS b,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_cosine_similarity(a.v, e.v) DESC,
+                 e.vec_id ASC) AS rn
+        FROM code a JOIN code e
+          ON e.vec_id <> a.vec_id
+         AND bit_count(xor(a.c, e.c)) <= 1)
+      WHERE rn <= {k})""",
+      """sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM knn
+      UNION SELECT b AS src, a AS dst FROM knn)""",
+      "allv AS MATERIALIZED (SELECT vec_id AS v FROM embeddings)",
+      "l0 AS MATERIALIZED (SELECT v, v AS lab FROM allv)"]
+    for i in range(1, rounds + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT allv.v, "
+            f"least({p}.lab, coalesce(m.lab, {p}.lab)) AS lab "
+            f"FROM allv JOIN {p} USING (v) LEFT JOIN "
+            f"(SELECT sym.dst AS v, min({p}.lab) AS lab FROM sym "
+            f"JOIN {p} ON {p}.v = sym.src GROUP BY sym.dst) m USING (v))")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT v, lab AS label FROM l{rounds}")
+
+
 def _pq_sql(m: int, k: int, iters: int, seed: int, sample_n: int,
             query_ids: list[int], k_nn: int, dim: int = 64) -> str:
     """Oracle for ann.pq_topk: per-subspace seeded init rows, `iters`
@@ -4849,6 +4924,9 @@ ORACLE_SQL: dict[str, str] = {
     "ann_pq": _pq_sql(m=_ANN.PQ_M, k=_ANN.PQ_K, iters=_ANN.PQ_ITERS,
                       seed=42, sample_n=500,
                       query_ids=ANN_QUERY_IDS, k_nn=ANN_K),
+    "embed_knn_cc": _knn_cc_sql(k=_ANN.KNN_GRAPH_K,
+                                n_planes=_ANN.KNN_GRAPH_PLANES,
+                                rounds=KNN_CC_ROUNDS),
     "embed_dup_pairs": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                    FROM embeddings)
@@ -5701,6 +5779,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "embed_knn_cc": q_embed_knn_cc,
     "embed_dup_pairs": q_embed_dup_pairs,
     "embed_centroids": q_embed_centroids,
     "semantic_dedup": q_semantic_dedup,

@@ -729,3 +729,39 @@ def test_pq_train_matches_naive_lloyd_and_topk_invariance():
     assert (qa["adist"] >= 0).all()
     assert (qa.groupby("query_id")["adist"].apply(
         lambda s: (s.diff().dropna() >= 0).all())).all()
+
+
+def test_knn_graph_edges_matches_naive_hamming_rule():
+    import pandas as pd
+    from linkgraph.ann import (KNN_GRAPH_K, KNN_GRAPH_PLANES, _normalize,
+                               knn_graph_edges, make_hyperplanes)
+    from linkgraph.io import from_pandas_clean
+
+    rng = np.random.default_rng(41)
+    n, d = 300, 64
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": list(x)})
+    got = knn_graph_edges(from_pandas_clean(pdf).repartition(4)) \
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    got2 = knn_graph_edges(from_pandas_clean(pdf).repartition(9)) \
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2)
+
+    m = _normalize(np.stack([np.asarray(v, np.float64) for v in x]))
+    pl = make_hyperplanes(d, KNN_GRAPH_PLANES, 42)
+    bits = (m @ pl.T) > 0
+    code = (bits * (1 << np.arange(KNN_GRAPH_PLANES))).sum(axis=1)
+    cos = m @ m.T
+    rows = []
+    for a in range(n):
+        ham = np.array([bin(int(code[a]) ^ int(c)).count("1")
+                        for c in code])
+        cand = np.flatnonzero((ham <= 1) & (np.arange(n) != a))
+        order = np.lexsort((cand, -cos[a, cand]))[:KNN_GRAPH_K]
+        for b in cand[order]:
+            rows.append((a, int(b)))
+    want = pd.DataFrame(rows, columns=["src", "dst"]) \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), want.astype(np.int64))
