@@ -795,3 +795,56 @@ def knn_graph_edges(ds, k: int = KNN_GRAPH_K,
     tune_context()
     return buckets.groupby("bucket").map_groups(kern,
                                                 batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection (distance to class prototype)
+# ---------------------------------------------------------------------------
+
+OUTLIER_K = 25
+
+
+def embedding_outliers(ds, k: int = OUTLIER_K, label_col: str = "label",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> pd.DataFrame:
+    """Top-k vectors farthest (L2 in normalized space) from their own
+    label's centroid — the mislabeled/noise screen an embedding-corpus
+    QA pass runs.  Centroids come from label_centroids (map-side
+    partials, label-bounded), are ROUNDED to 6 before the distance pass
+    (so engine and oracle rank against bit-identical prototypes), and
+    broadcast once; the scan is one stateless pass with per-block
+    tie-aware partial top-k.  Returns (id, label, dist) with dist
+    rounded to 6, ordered (dist DESC, id ASC)."""
+    import ray
+
+    cent = label_centroids(ds, label_col=label_col,
+                           vec_col=vec_col).to_pandas()
+    labels = np.sort(cent["label"].unique())
+    d = int(cent["i"].max())
+    cmat = np.zeros((len(labels), d), np.float64)
+    lpos = {int(l): p for p, l in enumerate(labels)}
+    cmat[[lpos[int(l)] for l in cent["label"]],
+         cent["i"].to_numpy(np.int64) - 1] = cent["c"].to_numpy()
+    cref = ray.put((cmat, lpos))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cm, lp = ray.get(cref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = b[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _normalize(np.array(b[vec_col].to_pylist(),
+                                dtype=np.float64))
+        rows = np.array([lp[int(x)] for x in lab], np.int64)
+        dist = np.sqrt(((m - cm[rows]) ** 2).sum(axis=1))
+        kk = min(k, len(ids))
+        ordr = np.lexsort((ids, -dist))[:kk]
+        return pa.table({id_col: pa.array(ids[ordr]),
+                         label_col: pa.array(lab[ordr]),
+                         "dist": pa.array(dist[ordr], pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["dist", id_col],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+    parts["dist"] = parts["dist"].round(6)
+    return parts.reset_index(drop=True)

@@ -54,6 +54,7 @@ AA_TOPK = 20
 STRAT_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
 STRAT_DEFAULT = 0.3
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+from . import sampling as _SAMP  # noqa: E402 (SQL literals)
 from .sampling import MIX_ALPHA as _MIX_ALPHA  # noqa: E402 (SQL literal)
 ANN_K = 5
 ANN_LSH_PLANES = 6
@@ -1402,6 +1403,28 @@ def q_events_markov(sf_dir):
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"])
     return markov_transitions(ev)
+
+
+def q_embed_outliers(sf_dir):
+    """Farthest-from-own-centroid embedding outliers
+    (ann.embedding_outliers): label centroids rounded to 6 then
+    broadcast, one stateless distance pass, tie-aware partial top-k."""
+    from .ann import embedding_outliers
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding", "label"])
+    return embedding_outliers(emb)
+
+
+def q_mix_resample(sf_dir):
+    """Apply the temperature mixture (sampling.mixture_resample):
+    per-source keep rates from the rounded mix weights, then the
+    integer sha-threshold stratified keep — one stateless pass."""
+    from .sampling import mixture_resample
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "source", "text"])
+    return mixture_resample(docs, group_col="source")
 
 
 def q_sample_stratified(sf_dir):
@@ -4708,6 +4731,54 @@ ORACLE_SQL: dict[str, str] = {
                      6) AS p
         FROM c ORDER BY prev_type, event_type
     """,
+    # embedding outliers: normalized vectors vs ROUNDED (6dp) per-label
+    # centroids — both engines rank against bit-identical prototypes
+    "embed_outliers": f"""
+        WITH e AS (
+          SELECT vec_id, label::BIGINT AS label,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v,
+                     list_sum(list_transform(v, x -> x*x)) AS sq
+              FROM e),
+        u AS (SELECT vec_id, label,
+                     CAST(generate_subscripts(v, 1) AS BIGINT) AS i,
+                     unnest(v) /
+                     (CASE WHEN sq = 0 THEN 1.0 ELSE sqrt(sq) END) AS x
+              FROM n),
+        cent AS (SELECT label, i, round(sum(x) / count(*), 6) AS c
+                 FROM u GROUP BY label, i),
+        d AS (SELECT u.vec_id, u.label,
+                     sqrt(sum((u.x - cent.c) * (u.x - cent.c))) AS dist
+              FROM u JOIN cent ON cent.label = u.label AND cent.i = u.i
+              GROUP BY u.vec_id, u.label)
+        SELECT vec_id, label, round(dist, 6) AS dist FROM d
+        ORDER BY dist DESC, vec_id LIMIT {_ANN.OUTLIER_K}
+    """,
+    # apply-the-mixture resample: rates from the ROUNDED weights and
+    # exact integer token counts -> bit-identical doubles -> identical
+    # integer thresholds; same sha rule as sample_stratified
+    "mix_resample": f"""
+        WITH t AS (
+          SELECT source, sum(length(list_filter(
+                 regexp_split_to_array(text, '\\s+'),
+                 x -> x <> '')))::BIGINT AS n_tokens
+          FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     round(pow(n_tokens, {_MIX_ALPHA}) /
+                           sum(pow(n_tokens, {_MIX_ALPHA})) OVER (), 6)
+                         AS weight
+              FROM t),
+        r AS (SELECT source,
+                     CAST(floor(least(1.0,
+                          weight * {_SAMP.RESAMPLE_FRAC} *
+                          (SELECT sum(n_tokens)::DOUBLE FROM w)
+                          / n_tokens) * 4294967296.0) AS UBIGINT)
+                         AS thr
+              FROM w)
+        SELECT doc_id, source FROM documents JOIN r USING (source)
+        WHERE ('0x' || substr(sha256('mix:' || doc_id::VARCHAR), 1, 8))
+              ::UBIGINT < thr
+    """,
     # Efraimidis-Spirakis weighted sample: identical sha-derived u and
     # pow; selection at full precision on both sides, pri rounded 6
     "sample_weighted": f"""
@@ -5750,6 +5821,8 @@ QUERIES = {
     "events_markov": q_events_markov,
     "sample_weighted": q_sample_weighted,
     "mix_weights": q_mix_weights,
+    "mix_resample": q_mix_resample,
+    "embed_outliers": q_embed_outliers,
     "sketch_cms": q_sketch_cms,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,

@@ -210,3 +210,32 @@ def mixture_weights(ds, group_col: str, text_col: str = "text",
     tot["n_docs"] = tot["n_docs"].astype(np.int64)
     tot["n_tokens"] = tot["n_tokens"].astype(np.int64)
     return tot.reset_index(drop=True)
+
+
+RESAMPLE_FRAC = 0.25
+
+
+def mixture_resample(ds, group_col: str, id_col: str = "doc_id",
+                     text_col: str = "text", alpha: float = MIX_ALPHA,
+                     frac: float = RESAMPLE_FRAC,
+                     tag: str = "mix") -> "object":
+    """APPLY the temperature mixture: deterministically resample the
+    corpus so each domain's expected token share follows
+    mixture_weights (target tokens per domain = weight * frac * total),
+    keep rate = min(1, target / tokens(domain)).  Rates derive from the
+    ROUNDED (6dp) weights and exact integer token counts, so engine and
+    oracle compute bit-identical doubles and integer thresholds; the
+    keep decision is the stratified_sample sha-threshold rule — one
+    stateless pass, no shuffle, stable membership.  Returns the kept
+    (id_col, group_col) Dataset."""
+    w = mixture_weights(ds, group_col=group_col, text_col=text_col,
+                        alpha=alpha)
+    total = float(w["n_tokens"].sum())
+    rates = {}
+    for g, wt, nt in zip(w[group_col], w["weight"], w["n_tokens"]):
+        rates[g] = min(1.0, wt * frac * total / float(nt))
+    sub = ds.map_batches(
+        lambda b, cols=(id_col, group_col): b.select(list(cols)),
+        batch_format="pyarrow")
+    return stratified_sample(sub, id_col=id_col, strata_col=group_col,
+                             rates=rates, default_rate=0.0, tag=tag)

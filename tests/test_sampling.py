@@ -189,3 +189,36 @@ def test_hll_rho_integer_msb_fixup_is_exact():
         bad = nz & (rem >> nbits > 0)
     want = np.array([int(v).bit_length() for v in vals], np.int64)
     assert (nbits == want).all()
+
+
+def test_mixture_resample_respects_targets():
+    from linkgraph.sampling import (MIX_ALPHA, RESAMPLE_FRAC,
+                                    mixture_resample, mixture_weights)
+
+    rng = np.random.default_rng(19)
+    n = 1200
+    srcs = [f"s{g}" for g in rng.integers(0, 4, n)]
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(5, 60)))
+             for _ in range(n)]
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "source": srcs, "text": texts})
+    ds = from_pandas_clean(pdf).repartition(6)
+    kept = mixture_resample(ds, group_col="source").to_pandas()
+    # membership is deterministic and partition-invariant
+    kept2 = mixture_resample(from_pandas_clean(pdf).repartition(13),
+                             group_col="source").to_pandas()
+    a = kept.sort_values("doc_id").reset_index(drop=True)
+    b = kept2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # kept token share per source tracks the temperature weights
+    w = mixture_weights(from_pandas_clean(pdf).repartition(6),
+                        group_col="source")
+    ntok = pdf.assign(n=[len(t.split()) for t in texts])
+    tot = float(ntok["n"].sum())
+    kept_tok = ntok[ntok["doc_id"].isin(kept["doc_id"])] \
+        .groupby("source")["n"].sum()
+    for _, row in w.iterrows():
+        target = row["weight"] * RESAMPLE_FRAC * tot
+        got = float(kept_tok.get(row["source"], 0))
+        assert got < 2.0 * target + 200  # sha-threshold noise bound
+        assert got > 0.4 * target - 200
