@@ -848,3 +848,53 @@ def embedding_outliers(ds, k: int = OUTLIER_K, label_col: str = "label",
                               kind="mergesort").head(k)
     parts["dist"] = parts["dist"].round(6)
     return parts.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization (embedding compression QA)
+# ---------------------------------------------------------------------------
+
+def quantize_int8(ds, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    """Per-dimension min/max scalar quantization to uint8 codes and the
+    per-vector reconstruction RMSE — the compression-loss report an
+    embedding-storage pipeline emits before switching to 1-byte codes
+    (4x over float32, 8x over float64).
+
+    Two passes: per-dim min/max as map-side partial rows (d-sized,
+    driver-merged, broadcast once), then one stateless pass computing
+    code = floor((x-mn)/(mx-mn)*255 + 0.5), dequantized RMSE.  The
+    float expression shape is identical in the SQL twin, so codes are
+    bit-equal.  Dataset out (id, code_sum, rmse r6)."""
+    import ray
+
+    def mm_part(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"mn": pa.array([], pa.list_(pa.float64())),
+                             "mx": pa.array([], pa.list_(pa.float64()))})
+        x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        return pa.table({"mn": pa.array([x.min(axis=0)],
+                                        pa.list_(pa.float64())),
+                         "mx": pa.array([x.max(axis=0)],
+                                        pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(mm_part, batch_format="pyarrow").take_all()
+    mn = np.min(np.stack([np.asarray(r["mn"]) for r in parts]), axis=0)
+    mx = np.max(np.stack([np.asarray(r["mx"]) for r in parts]), axis=0)
+    rng_ = mx - mn
+    rng_[rng_ == 0] = 1.0  # constant dims quantize to code 0 exactly
+    ref = ray.put((mn, rng_))
+
+    def enc(b: pa.Table) -> pa.Table:
+        m, r = ray.get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        code = np.floor((x - m) / r * 255 + 0.5)
+        deq = m + code * r / 255
+        rmse = np.sqrt(((x - deq) ** 2).mean(axis=1))
+        return pa.table({
+            id_col: pa.array(ids),
+            "code_sum": pa.array(code.sum(axis=1).astype(np.int64)),
+            "rmse": pa.array(np.round(rmse, 6), pa.float64())})
+
+    return ds.map_batches(enc, batch_format="pyarrow")

@@ -997,6 +997,72 @@ def q_doc_scc(sf_dir):
     return _state_result(eng, "scc", "scc")
 
 
+def q_doc_adjacency(sf_dir):
+    """Adjacency-list export of the symmetric doc graph: (v, degree,
+    neighbors) with neighbors a comma-joined ascending id string — the
+    CSR-shaped interchange format downstream graph tools ingest.  One
+    coarse v-bucket shuffle; the in-bucket kernel is a vectorized
+    lexsort + per-segment join.  Dataset out (never |V| rows on the
+    driver)."""
+    from .algos.triangles import n_buckets_for
+    from .edges import symmetrize
+
+    edges = symmetrize(documents_edges(sf_dir)).materialize()
+    nb = n_buckets_for(edges.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": b["src"], "dst": b["dst"],
+                         "vb": pa.array((s % nb).astype(np.int64))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["src"].to_numpy(np.int64)
+        d = g["dst"].to_numpy(np.int64)
+        o = np.lexsort((d, s))
+        s, d = s[o], d[o]
+        pdf = pd.DataFrame({"v": s, "n": d.astype(str)})
+        agg = pdf.groupby("v", sort=True)["n"] \
+            .agg(["size", ",".join]).reset_index()
+        agg.columns = ["v", "degree", "neighbors"]
+        agg["degree"] = agg["degree"].astype(np.int64)
+        return agg
+
+    return edges.map_batches(tag, batch_format="pyarrow") \
+                .groupby("vb").map_groups(kern, batch_format="pandas")
+
+
+def q_doc_condensation(sf_dir):
+    """SCC condensation DAG: distinct (scc(src), scc(dst)) pairs with
+    different labels over the cycle-augmented edge set — the component
+    graph a reachability/scheduling pass runs on after SCC.  Labels
+    attach to both edge endpoints via the gated lookup join
+    (joins.attach_by_key: broadcast under cap, coarse-bucket co-group
+    above); dedup is one distinct on the label-pair domain (bounded by
+    the condensation size, far smaller than |E|)."""
+    from .joins import attach_by_key
+
+    eng = documents_engine(sf_dir, "scc")
+    from .algos import strongly_connected_components
+    strongly_connected_components(eng)
+    labels = _state_result(eng, "scc", "scc")
+    edges = documents_edges(sf_dir).map_batches(
+        _aug_cycles, batch_format="pyarrow")
+    tagged = attach_by_key(edges, labels, ["src", "dst"],
+                           key="v", value="scc")
+
+    def pairs(b: pa.Table) -> pa.Table:
+        a = b["scc_src"].to_numpy(zero_copy_only=False)
+        c = b["scc_dst"].to_numpy(zero_copy_only=False)
+        m = a != c
+        pdf = pd.DataFrame({"from_scc": a[m], "to_scc": c[m]}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    out = tagged.map_batches(pairs, batch_format="pyarrow").to_pandas()
+    return out.drop_duplicates().sort_values(["from_scc", "to_scc"]) \
+        .reset_index(drop=True)
+
+
 def q_doc_harmonic(sf_dir):
     """Sampled harmonic centrality from 4 seeds on the symmetrized doc
     graph (algos/harmonic.py): one BFS-with-depth run per seed, the
@@ -1403,6 +1469,23 @@ def q_events_markov(sf_dir):
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"])
     return markov_transitions(ev)
+
+
+def q_embed_quantize(sf_dir):
+    """Int8 scalar quantization report (ann.quantize_int8): per-dim
+    min/max partials broadcast once, then one stateless encode pass —
+    (vec_id, code_sum, rmse)."""
+    from .ann import quantize_int8
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+    return quantize_int8(emb)
+
+
+def q_tpch_market_share(sf_dir):
+    """Q8-like per-year market share of one supplier nation within one
+    customer region (relational.market_share)."""
+    return _REL.market_share(sf_dir)
 
 
 def q_embed_outliers(sf_dir):
@@ -4620,6 +4703,32 @@ ORACLE_SQL: dict[str, str] = {
         FROM rc
     """,
     "doc_scc": _scc_sql(),
+    "doc_adjacency": f"""
+        WITH sym AS MATERIALIZED ({DOC_SYM_SQL})
+        SELECT src AS v, count(*)::BIGINT AS degree,
+               string_agg(dst::VARCHAR, ',' ORDER BY dst) AS neighbors
+        FROM sym GROUP BY src ORDER BY v
+    """,
+    "doc_condensation": f"""
+        WITH RECURSIVE e AS MATERIALIZED (
+            SELECT src, dst FROM ({SCC_EDGES_SQL}) aug),
+        reach(a, b) AS (
+            SELECT src AS a, dst AS b FROM e
+            UNION
+            SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b),
+        mn AS (SELECT r1.a AS v, min(r1.b) AS mn
+               FROM reach r1 JOIN reach r2
+                 ON r1.a = r2.b AND r1.b = r2.a
+               GROUP BY r1.a),
+        lab AS (SELECT d.doc_id AS v,
+                       least(d.doc_id, coalesce(mn.mn, d.doc_id)) AS scc
+                FROM documents d LEFT JOIN mn ON mn.v = d.doc_id)
+        SELECT DISTINCT ls.scc AS from_scc, ld.scc AS to_scc
+        FROM e JOIN lab ls ON ls.v = e.src
+               JOIN lab ld ON ld.v = e.dst
+        WHERE ls.scc <> ld.scc
+        ORDER BY from_scc, to_scc
+    """,
     "doc_coreness": _coreness_sql(CORENESS_ROUNDS),
     "doc_diameter": _diameter_sql(BFS_ROUNDS),
     "doc_walks": _walks_sql(WALK_SEEDS, WALK_STEPS),
@@ -4648,6 +4757,28 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_returned_revenue": _REL.RETURNED_REVENUE_SQL,
     "tpch_promo": _REL.PROMO_SHARE_SQL,
     "tpch_volume": _REL.VOLUME_SHIPPING_SQL,
+    "tpch_market_share": _REL.MARKET_SHARE_SQL,
+    # int8 scalar quantization: identical float expression shape ->
+    # bit-equal codes; rmse rounded 6
+    "embed_quantize": """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        u AS (SELECT vec_id, generate_subscripts(v, 1)::BIGINT AS i,
+                     unnest(v) AS x FROM e),
+        mm AS (SELECT i, min(x) AS mn,
+                      CASE WHEN max(x) = min(x) THEN 1.0
+                           ELSE max(x) - min(x) END AS rng
+               FROM u GROUP BY i),
+        c AS (SELECT u.vec_id, u.x, mm.mn, mm.rng,
+                     floor((u.x - mm.mn) / mm.rng * 255 + 0.5) AS code
+              FROM u JOIN mm USING (i))
+        SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+               round(sqrt(avg((x - (mn + code * rng / 255)) *
+                              (x - (mn + code * rng / 255)))), 6)
+                   AS rmse
+        FROM c GROUP BY vec_id
+    """,
     "tpch_priority_buckets": _REL.SHIPMODE_PRIORITY_SQL,
     "tpch_cust_no_orders": f"""
         SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
@@ -5817,6 +5948,7 @@ QUERIES = {
     "sketch_distinct": q_sketch_distinct,
     "sketch_hll": q_sketch_hll,
     "doc_eigen": q_doc_eigen,
+    "doc_condensation": q_doc_condensation,
     "text_pmi": q_text_pmi,
     "events_markov": q_events_markov,
     "sample_weighted": q_sample_weighted,
@@ -5865,6 +5997,9 @@ QUERIES = {
     "tpch_returned_revenue": q_tpch_returned_revenue,
     "tpch_promo": q_tpch_promo,
     "tpch_volume": q_tpch_volume,
+    "tpch_market_share": q_tpch_market_share,
+    "embed_quantize": q_embed_quantize,
+    "doc_adjacency": q_doc_adjacency,
     "tpch_priority_buckets": q_tpch_priority_buckets,
     "tpch_cust_no_orders": q_tpch_cust_no_orders,
     "tpch_parts_shipped": q_tpch_parts_shipped,

@@ -865,3 +865,123 @@ VOLUME_SHIPPING_SQL = f"""
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8-like: target-nation market share within one region, per year
+# ---------------------------------------------------------------------------
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "ASIA"
+
+
+def market_share(sf_dir: str, num_partitions: int = 8):
+    """Share of revenue supplied by one nation among orders whose
+    customer sits in one region, per order year (the Q8 shape).
+    Broadcast lookups (supplier -> nation, customer -> in-region),
+    one lineitem x orders hash join carrying o_orderdate, year-bounded
+    map-side partials."""
+    import os
+
+    import ray
+
+    from .runtime import tune_context
+    tune_context()
+
+    def _pdf(name, cols):
+        return read_parquet_clean(
+            os.path.join(sf_dir, f"{name}.parquet"),
+            columns=cols).to_pandas()
+
+    nation = _pdf("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _pdf("region", ["r_regionkey", "r_name"])
+    supplier = _pdf("supplier", ["s_suppkey", "s_nationkey"])
+    customer = _pdf("customer", ["c_custkey", "c_nationkey"])
+    tgt = int(nation.loc[nation["n_name"] == Q8_NATION,
+                         "n_nationkey"].iloc[0])
+    rkeys = set(region.loc[region["r_name"] == Q8_REGION,
+                           "r_regionkey"])
+    in_region = set(nation.loc[nation["n_regionkey"].isin(rkeys),
+                               "n_nationkey"].astype(int))
+    sup_lu = np.full(int(supplier["s_suppkey"].max()) + 1, -1, np.int64)
+    sup_lu[supplier["s_suppkey"].to_numpy()] = \
+        supplier["s_nationkey"].to_numpy()
+    cust_ok = np.zeros(int(customer["c_custkey"].max()) + 1, bool)
+    cust_ok[customer.loc[customer["c_nationkey"].isin(in_region),
+                         "c_custkey"].to_numpy()] = True
+    lu_ref = ray.put((sup_lu, cust_ok))
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def li_pre(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"], "rev": rev})
+
+    ord_k = orders.map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"],
+                            "o_custkey": b["o_custkey"],
+                            "o_year": pc.cast(pc.year(b["o_orderdate"]),
+                                              pa.int64())}),
+        batch_format="pyarrow")
+    joined = li.map_batches(li_pre, batch_format="pyarrow") \
+               .join(ord_k, join_type="inner",
+                     num_partitions=num_partitions, on=("l_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        sup_l, c_ok = ray.get(lu_ref)
+        keep = c_ok[b["o_custkey"].to_numpy(zero_copy_only=False)]
+        if not keep.any():
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "tgt": pa.array([], pa.float64()),
+                             "total": pa.array([], pa.float64())})
+        yr = b["o_year"].to_numpy(zero_copy_only=False)[keep]
+        rev = b["rev"].to_numpy(zero_copy_only=False)[keep]
+        is_tgt = sup_l[b["l_suppkey"].to_numpy(
+            zero_copy_only=False)[keep]] == tgt
+        uy = np.unique(yr)
+        pos = np.searchsorted(uy, yr)
+        tot = np.bincount(pos, weights=rev, minlength=len(uy))
+        tg = np.bincount(pos[is_tgt], weights=rev[is_tgt],
+                         minlength=len(uy))
+        return pa.table({"o_year": pa.array(uy.astype(np.int64)),
+                         "tgt": pa.array(tg), "total": pa.array(tot)})
+
+    parts = joined.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "o_year": pd.Series([], dtype=np.int64),
+            "mkt_share": pd.Series([], dtype=np.float64)})
+    agg = parts.groupby("o_year", sort=True).agg(
+        tgt=("tgt", "sum"), total=("total", "sum")).reset_index()
+    agg["mkt_share"] = np.round(
+        agg["tgt"].to_numpy() / agg["total"].to_numpy(), 6)
+    agg["o_year"] = agg["o_year"].astype(np.int64)
+    return agg[["o_year", "mkt_share"]]
+
+
+MARKET_SHARE_SQL = f"""
+    SELECT year(o_orderdate)::BIGINT AS o_year,
+           round(sum(CASE WHEN sn.n_name = '{Q8_NATION}'
+                 THEN l_extendedprice * (1.0 - l_discount)
+                 ELSE 0.0 END) /
+                 sum(l_extendedprice * (1.0 - l_discount)), 6)
+               AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region    ON r_regionkey = cn.n_regionkey
+    WHERE r_name = '{Q8_REGION}'
+    GROUP BY o_year ORDER BY o_year
+"""

@@ -86,7 +86,10 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "text_pmi", "events_markov",
                                   "tpch_promo", "tpch_volume",
                                   "ann_pq", "embed_knn_cc",
-                                  "embed_outliers", "mix_resample"])
+                                  "embed_outliers", "mix_resample",
+                                  "doc_condensation", "doc_adjacency",
+                                  "embed_quantize",
+                                  "tpch_market_share"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
