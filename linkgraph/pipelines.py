@@ -1510,6 +1510,38 @@ def q_mix_resample(sf_dir):
     return mixture_resample(docs, group_col="source")
 
 
+def q_sink_roundtrip(sf_dir):
+    """Lossless partitioned-sink round trip: documents -> resumable
+    hive-partitioned parquet (io.write_partitioned_resumable, one dir +
+    _SUCCESS marker per lang) -> read back.  The oracle compares the
+    read-back rows against the source table, so the driver gate
+    value-hashes the SINK + READ lanes end-to-end."""
+    import shutil
+    import tempfile
+
+    from .io import write_partitioned_resumable
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars", "text"])
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    out = os.path.join(tempfile.gettempdir(),
+                       f"linkgraph_sink_{st.st_mtime_ns}_{st.st_size}")
+    shutil.rmtree(out, ignore_errors=True)
+    write_partitioned_resumable(docs, out, "lang")
+    back = read_parquet_clean(out)
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lang": pc.cast(b["lang"], pa.string()),
+            "source": b["source"],
+            "n_chars": b["n_chars"],
+            "text": b["text"]})
+
+    return back.map_batches(norm, batch_format="pyarrow")
+
+
 def q_sample_stratified(sf_dir):
     """Deterministic per-language fraction sampling
     (sampling.stratified_sample): keep rate(lang) of each stratum by an
@@ -2407,6 +2439,44 @@ def q_events_cont_quantiles(sf_dir):
 
     return interpolated_quantiles(_events(sf_dir), "value",
                                   EVENT_QUANTILES)
+
+
+GAP_QUANTILES = [0.1, 0.5, 0.9, 0.99]
+
+
+def q_events_interarrival(sf_dir):
+    """Inter-arrival distribution: per-user gaps between consecutive
+    events (microseconds, the markov_transitions ordered-scan shape)
+    feeding the shared-sweep continuous-quantile machinery — the
+    latency/engagement profile report.  One coarse user-bucket shuffle
+    producing a gaps Dataset, then histogram-bracketing quantiles."""
+    from .algos.triangles import n_buckets_for
+    from .quantiles import interpolated_quantiles
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"]).materialize()
+    nb = n_buckets_for(ev.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": pa.array(k),
+                         "us": pc.cast(b["ts"], pa.int64()),
+                         "event_id": b["event_id"],
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        ev_ = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((ev_, us, k))
+        k, us = k[order], us[order]
+        same = k[1:] == k[:-1]
+        return pd.DataFrame({"gap_us": (us[1:] - us[:-1])[same]})
+
+    gaps = ev.map_batches(tag, batch_format="pyarrow") \
+             .groupby("kb").map_groups(scan, batch_format="pandas")
+    return interpolated_quantiles(gaps, "gap_us", GAP_QUANTILES)
 
 
 def q_events_rank(sf_dir):
@@ -4812,6 +4882,9 @@ ORACLE_SQL: dict[str, str] = {
         FROM s
     """,
     "sketch_hll": _SK.hll_sql(),
+    # sink round trip: read-back must equal the source table
+    "sink_roundtrip": ("SELECT doc_id, lang, source, n_chars, "
+                       "text FROM documents"),
     # PMI collocations: same \s+ and bigram conventions as
     # text_top_bigrams; identical float expression shape
     # ln((n/B)/((ca/T)*(cb/T))); ordered by ROUNDED pmi on both sides
@@ -5242,6 +5315,19 @@ ORACLE_SQL: dict[str, str] = {
                round(unnest(vals), 6) AS val FROM v
     """,
     # continuous (interpolated) quantiles, identical h = q*(n-1) rule
+    "events_interarrival": f"""
+        WITH s AS (
+          SELECT user_id, ts, event_id,
+                 lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+          FROM events),
+        g AS (SELECT epoch_us(nxt) - epoch_us(ts) AS gap_us
+              FROM s WHERE nxt IS NOT NULL),
+        v AS (SELECT quantile_cont(gap_us,
+                 {list(GAP_QUANTILES)}) AS vals FROM g)
+        SELECT unnest({list(GAP_QUANTILES)}) AS q,
+               round(unnest(vals), 6) AS val FROM v
+    """,
     "events_cont_quantiles": f"""
         WITH v AS (SELECT quantile_cont(value,
                      {list(EVENT_QUANTILES)}) AS vals FROM events)
@@ -5951,9 +6037,11 @@ QUERIES = {
     "doc_condensation": q_doc_condensation,
     "text_pmi": q_text_pmi,
     "events_markov": q_events_markov,
+    "events_interarrival": q_events_interarrival,
     "sample_weighted": q_sample_weighted,
     "mix_weights": q_mix_weights,
     "mix_resample": q_mix_resample,
+    "sink_roundtrip": q_sink_roundtrip,
     "embed_outliers": q_embed_outliers,
     "sketch_cms": q_sketch_cms,
     "text_stats": q_text_stats,

@@ -89,7 +89,9 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "embed_outliers", "mix_resample",
                                   "doc_condensation", "doc_adjacency",
                                   "embed_quantize",
-                                  "tpch_market_share"])
+                                  "tpch_market_share",
+                                  "sink_roundtrip",
+                                  "events_interarrival"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
