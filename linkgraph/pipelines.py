@@ -1814,6 +1814,76 @@ def q_text_langid(sf_dir):
     return langid_stage(docs).select_columns(["doc_id", "lang_pred"])
 
 
+def q_text_langid_confusion(sf_dir):
+    """Language-ID evaluation report: (true lang, predicted lang, n)
+    confusion counts — the QA matrix a corpus-cleaning run publishes.
+    One langid actor-pool pass, then map-side (lang, pred) partials
+    merged on the driver (language-pair domain is catalog-bounded)."""
+    from .text import langid_stage
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "lang", "text"])
+    pred = langid_stage(docs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "lang_pred": b["lang_pred"].to_pandas()})
+        agg = pdf.groupby(["lang", "lang_pred"], sort=False) \
+                 .size().rename("n").reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = pred.map_batches(partial, batch_format="pyarrow") \
+                .to_pandas()
+    out = parts.groupby(["lang", "lang_pred"], sort=True)["n"] \
+               .sum().reset_index()
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+TOPK_USERS_K = 5
+
+
+def q_events_topk_users(sf_dir):
+    """Heavy-hitter users per event type: top-5 by event count.  Users
+    bucket coarsely (a user's rows land in ONE bucket, so in-bucket
+    totals are exact and the global per-type top-k is contained in the
+    union of per-bucket top-ks); driver merges buckets * types * k
+    candidate rows."""
+    from .algos.triangles import n_buckets_for
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "event_type"]) \
+        .materialize()
+    nb = n_buckets_for(ev.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": pa.array(u),
+                         "event_type": b["event_type"],
+                         "ub": pa.array((u % nb).astype(np.int64))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["event_type", "user_id"], sort=False) \
+               .size().rename("n").reset_index()
+        agg = agg.sort_values(["event_type", "n", "user_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return agg.groupby("event_type", sort=False).head(TOPK_USERS_K)
+
+    cand = ev.map_batches(tag, batch_format="pyarrow") \
+             .groupby("ub").map_groups(kern, batch_format="pandas") \
+             .to_pandas()
+    cand = cand.sort_values(["event_type", "n", "user_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    top = cand.groupby("event_type", sort=True).head(TOPK_USERS_K) \
+              .reset_index(drop=True)
+    top["rnk"] = top.groupby("event_type").cumcount() + 1
+    top["n"] = top["n"].astype(np.int64)
+    return top[["event_type", "user_id", "rnk", "n"]]
+
+
 def q_dedup_exact(sf_dir):
     from .dedup import exact_dedup
 
@@ -4646,6 +4716,8 @@ ORACLE_PHASH = """
     """
 
 
+_LANGID_BODY = _langid_sql()
+
 ORACLE_SQL: dict[str, str] = {
     "doc_edges": DOC_EDGES_SQL,
     "doc_degree": (f"WITH sym AS ({DOC_SYM_SQL}) SELECT src AS v, "
@@ -5158,6 +5230,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM corp c JOIN bench b USING (g) GROUP BY c.doc_id
     """,
     "text_langid": _langid_sql(),
+    "text_langid_confusion": f"""
+        WITH p AS ({_LANGID_BODY})
+        SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+        FROM documents d JOIN p ON p.doc_id = d.doc_id
+        GROUP BY d.lang, p.lang_pred ORDER BY d.lang, p.lang_pred
+    """,
+    "events_topk_users": f"""
+        WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS n
+                   FROM events GROUP BY event_type, user_id),
+        r AS (SELECT event_type, user_id, n, row_number() OVER
+                (PARTITION BY event_type ORDER BY n DESC, user_id) AS rnk
+              FROM c)
+        SELECT event_type, user_id, rnk, n FROM r
+        WHERE rnk <= {TOPK_USERS_K}
+    """,
     "corpus_clean": _corpus_clean_sql(),
     "corpus_clean_v2": _corpus_clean_v2_sql(),
     "dedup_exact": (f"SELECT min(doc_id) AS doc_id FROM documents "
@@ -6038,6 +6125,8 @@ QUERIES = {
     "text_pmi": q_text_pmi,
     "events_markov": q_events_markov,
     "events_interarrival": q_events_interarrival,
+    "events_topk_users": q_events_topk_users,
+    "text_langid_confusion": q_text_langid_confusion,
     "sample_weighted": q_sample_weighted,
     "mix_weights": q_mix_weights,
     "mix_resample": q_mix_resample,
