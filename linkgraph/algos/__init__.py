@@ -15,7 +15,8 @@ from .kcore import CorenessProgram, KCoreProgram, coreness, kcore
 from .labelprop import LabelPropProgram, label_propagation
 from .mis import MISProgram, maximal_independent_set
 from .pagerank import (PageRankProgram, PPRProgram,
-                       WeightedPageRankProgram, pagerank,
+                       WarmPageRankProgram, WeightedPageRankProgram,
+                       pagerank, pagerank_warm,
                        personalized_pagerank, weighted_pagerank)
 from .scc import (SCCBackwardProgram, SCCForwardProgram,
                   strongly_connected_components)
@@ -34,8 +35,9 @@ __all__ = [
     "CorenessProgram", "KCoreProgram", "coreness", "kcore",
     "LabelPropProgram", "label_propagation",
     "MISProgram", "maximal_independent_set",
-    "PageRankProgram", "PPRProgram", "WeightedPageRankProgram",
-    "pagerank", "personalized_pagerank", "weighted_pagerank",
+    "PageRankProgram", "PPRProgram", "WarmPageRankProgram",
+    "WeightedPageRankProgram", "pagerank", "pagerank_warm",
+    "personalized_pagerank", "weighted_pagerank",
     "SCCBackwardProgram", "SCCForwardProgram",
     "strongly_connected_components",
     "SSSPProgram", "sssp",

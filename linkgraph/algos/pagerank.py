@@ -197,3 +197,35 @@ def pagerank(engine: GraphEngine, iterations: int = 20, damping: float = 0.85,
 def pr_sum(engine: GraphEngine) -> float:
     """Gemini's pr_sum invariant (pagerank.cpp:107-115), ≈ |V|."""
     return engine.map_vertices(lambda ctx, state, active: float(state["rank"].sum()))
+
+
+class WarmPageRankProgram(PageRankProgram):
+    """PageRank warm-started from a previous run's RAW ranks — the
+    incremental-recompute path after a batch of new edges lands: resume
+    from the old solution on the UPDATED graph and run a few supersteps
+    instead of restarting from rank 1.  `params["init_ref"]` is a ray
+    ObjectRef to the dense |V| float64 raw-rank array (broadcast once;
+    each shard slices its [lo, hi) range — for a same-layout engine the
+    checkpoint dump/restore lane is the zero-copy alternative).  The
+    recurrence, renormalization and delta conventions are inherited
+    unchanged."""
+
+    def init_state(self, ctx):
+        import ray
+
+        state = super().init_state(ctx)
+        raw = ray.get(ctx.params["init_ref"])[ctx.lo:ctx.hi] \
+            .astype(np.float64)
+        curr = raw.copy()
+        nz = ctx.out_deg > 0
+        curr[nz] /= ctx.out_deg[nz]
+        state["curr"] = curr
+        return state
+
+
+def pagerank_warm(engine: GraphEngine, init_ref, iterations: int = 5,
+                  damping: float = 0.85) -> dict:
+    """Run `iterations` supersteps from the broadcast raw-rank vector."""
+    return engine.run(WarmPageRankProgram(),
+                      params={"damping": damping, "init_ref": init_ref},
+                      max_steps=iterations, run_name="pagerank_warm")

@@ -465,6 +465,33 @@ def q_doc_pagerank(sf_dir):
     return _state_result(eng, "rank", "rank", round_to=6)
 
 
+WARM_ITERS = 5
+
+
+def q_doc_pagerank_warm(sf_dir):
+    """Incremental PageRank: converge on the base graph, then resume
+    from the raw ranks on the cycle-AUGMENTED graph (the
+    'a batch of new links landed' recompute) for 5 supersteps instead
+    of restarting from rank 1 (algos/pagerank.WarmPageRankProgram —
+    ranks broadcast once; a same-layout engine would use the
+    checkpoint dump/restore lane instead).  Oracle: _pagerank_warm_sql
+    — base chain + warm chain over the augmented edges."""
+    import ray
+
+    from .algos import pagerank, pagerank_warm
+
+    eng = documents_engine(sf_dir, "directed")
+    pagerank(eng, iterations=PR_ITERS)
+    sp = eng.state_pandas(["rank"])
+    n = documents_n_vertices(sf_dir)
+    arr = np.zeros(n, np.float64)
+    arr[sp["v"].to_numpy(np.int64)] = sp["rank"].to_numpy(np.float64)
+    ref = ray.put(arr)
+    aug = documents_engine(sf_dir, "scc")
+    pagerank_warm(aug, ref, iterations=WARM_ITERS)
+    return _state_result(aug, "rank", "rank", round_to=6)
+
+
 def q_doc_pagerank_iter1(sf_dir):
     from .algos import pagerank
 
@@ -2922,6 +2949,59 @@ def _pagerank_sql(iters: int, round_to: int) -> str:
             f"round(r, {round_to}) AS rank FROM raw{iters}")
 
 
+def _pagerank_warm_sql(base_iters: int, warm_iters: int,
+                       round_to: int) -> str:
+    """Warm-start oracle: the _pagerank_sql chain on the canonical
+    edges, then `warm_iters` more rounds on the cycle-AUGMENTED edge
+    set with c re-derived from the base raw ranks and the NEW
+    out-degrees (algos/pagerank.WarmPageRankProgram)."""
+    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+            "outd AS MATERIALIZED (SELECT src AS v, count(*) AS od "
+            "FROM e GROUP BY src)",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            ("c0 AS (SELECT allv.v, CASE WHEN coalesce(od, 0) > 0 "
+             "THEN 1.0/od ELSE 1.0 END AS r FROM allv "
+             "LEFT JOIN outd USING (v))")]
+    for i in range(1, base_iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e.dst AS v, sum({prev}.r) "
+            f"AS sm FROM e JOIN {prev} ON {prev}.v = e.src "
+            f"GROUP BY e.dst)")
+        ctes.append(
+            f"raw{i} AS MATERIALIZED (SELECT allv.v, "
+            f"0.15 + 0.85 * coalesce(sm, 0.0) AS r "
+            f"FROM allv LEFT JOIN s{i} USING (v))")
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT raw{i}.v, CASE WHEN "
+            f"coalesce(od, 0) > 0 THEN r/od ELSE r END AS r "
+            f"FROM raw{i} LEFT JOIN outd USING (v))")
+    ctes.append(f"e2 AS MATERIALIZED (SELECT src, dst FROM "
+                f"({SCC_EDGES_SQL}) aug)")
+    ctes.append("outd2 AS MATERIALIZED (SELECT src AS v, count(*) AS od "
+                "FROM e2 GROUP BY src)")
+    ctes.append(
+        f"w0 AS MATERIALIZED (SELECT raw{base_iters}.v, CASE WHEN "
+        f"coalesce(od, 0) > 0 THEN r/od ELSE r END AS r "
+        f"FROM raw{base_iters} LEFT JOIN outd2 USING (v))")
+    for i in range(1, warm_iters + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"ws{i} AS MATERIALIZED (SELECT e2.dst AS v, "
+            f"sum({prev}.r) AS sm FROM e2 JOIN {prev} "
+            f"ON {prev}.v = e2.src GROUP BY e2.dst)")
+        ctes.append(
+            f"wraw{i} AS MATERIALIZED (SELECT allv.v, "
+            f"0.15 + 0.85 * coalesce(sm, 0.0) AS r "
+            f"FROM allv LEFT JOIN ws{i} USING (v))")
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT wraw{i}.v, CASE WHEN "
+            f"coalesce(od, 0) > 0 THEN r/od ELSE r END AS r "
+            f"FROM wraw{i} LEFT JOIN outd2 USING (v))")
+    return (f"WITH {', '.join(ctes)} SELECT wraw{warm_iters}.v AS v, "
+            f"round(r, {round_to}) AS rank FROM wraw{warm_iters}")
+
+
 def _wpagerank_sql(iters: int, round_to: int) -> str:
     """Weighted-PageRank unroll: _pagerank_sql with the out-DEGREE
     renormalizer replaced by the out-weight SUM and per-edge rank flow
@@ -4770,6 +4850,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "doc_truss": _ktruss_sql(TRUSS_K, TRUSS_ROUNDS),
     "doc_pagerank": _pagerank_sql(PR_ITERS, 6),
+    "doc_pagerank_warm": _pagerank_warm_sql(PR_ITERS, WARM_ITERS, 6),
     "doc_wpagerank": _wpagerank_sql(PR_ITERS, 6),
     "doc_pagerank_iter1": _pagerank_sql(1, 9),
     "doc_cc": _cc_sql(CC_ROUNDS),
@@ -6082,6 +6163,7 @@ QUERIES = {
     "doc_sage": q_doc_sage,
     "doc_truss": q_doc_truss,
     "doc_pagerank": q_doc_pagerank,
+    "doc_pagerank_warm": q_doc_pagerank_warm,
     "doc_wpagerank": q_doc_wpagerank,
     "doc_pagerank_iter1": q_doc_pagerank_iter1,
     "doc_cc": q_doc_cc,

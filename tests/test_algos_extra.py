@@ -692,3 +692,35 @@ def test_eigen_matches_power_oracle(name, tmp_path):
         assert np.allclose(got, want, rtol=1e-10, atol=1e-14)
     finally:
         eng.shutdown()
+
+
+# ------------------------------------------------------------ warm PR
+
+def test_pagerank_warm_continues_the_chain(tmp_path):
+    """Warm-starting from PR(20)'s raw ranks on the SAME graph must
+    equal running PR(25) from scratch — the warm program is the same
+    recurrence resumed."""
+    import ray
+
+    from linkgraph.algos import pagerank, pagerank_warm
+
+    e = _dedup(micro_graph("er_1k"))
+    n = _n(e)
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "a"))
+    eng2 = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                         num_partitions=2, store_dir=str(tmp_path / "b"))
+    try:
+        pagerank(eng, iterations=20)
+        sp = eng.state_pandas(["rank"])
+        arr = np.zeros(n)
+        arr[sp["v"].to_numpy(np.int64)] = sp["rank"].to_numpy()
+        ref = ray.put(arr)
+        pagerank_warm(eng, ref, iterations=5)
+        warm = eng.state_pandas(["rank"])["rank"].to_numpy()
+        pagerank(eng2, iterations=25)
+        full = eng2.state_pandas(["rank"])["rank"].to_numpy()
+        assert np.allclose(warm, full, rtol=1e-10, atol=1e-13)
+    finally:
+        eng.shutdown()
+        eng2.shutdown()

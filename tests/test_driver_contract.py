@@ -93,7 +93,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "sink_roundtrip",
                                   "events_interarrival",
                                   "events_topk_users",
-                                  "text_langid_confusion"])
+                                  "text_langid_confusion",
+                                  "doc_pagerank_warm"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
