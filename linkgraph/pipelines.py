@@ -3442,13 +3442,11 @@ def _mis_sql(rounds: int) -> str:
     return f"WITH {', '.join(ctes)} {selects}"
 
 
-def q_corpus_clean_v2(sf_dir):
-    """Flagship cleaning composition V2 — corpus_clean plus a fourth
-    stage: window-sampled exact-substring dedup over the minhash
-    survivors (drop the larger id of every substring-dup pair).  Each
-    stage is an oracle-checked operator; the oracle composes the same
-    fragments in stage order (substring fragment parameterized with
-    src=q3)."""
+def _clean_v2_survivors(sf_dir):
+    """Stages 1-4 of the flagship composition (quality cut -> exact
+    dedup -> minhash near-dedup -> substring dedup), returning the
+    surviving (doc_id, text) Dataset — shared by corpus_clean_v2 and
+    the v3 composition."""
     import ray
 
     from .dedup import (_join_parts, exact_dedup, minhash_dedup_pairs,
@@ -3506,8 +3504,72 @@ def q_corpus_clean_v2(sf_dir):
         pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
         return b.filter(pa.array(d[pos] != ids))
 
-    return q3.select_columns(["doc_id"]).map_batches(
-        keep_rows2, batch_format="pyarrow")
+    return q3.map_batches(keep_rows2, batch_format="pyarrow")
+
+
+def q_corpus_clean_v2(sf_dir):
+    """Flagship cleaning composition V2 — corpus_clean plus a fourth
+    stage: window-sampled exact-substring dedup over the minhash
+    survivors (drop the larger id of every substring-dup pair).  Each
+    stage is an oracle-checked operator; the oracle composes the same
+    fragments in stage order (substring fragment parameterized with
+    src=q3)."""
+    return _clean_v2_survivors(sf_dir).select_columns(["doc_id"])
+
+
+BENCH_MOD = 53
+
+
+def q_corpus_clean_v3(sf_dir):
+    """Flagship cleaning composition V3 — the full modern training-data
+    assembly: quality cut -> exact dedup -> minhash near-dedup ->
+    substring dedup (stages 1-4, _clean_v2_survivors) -> benchmark
+    DECONTAMINATION (drop survivors sharing any word 4-gram with the
+    doc_id%53 eval slice, and the eval slice itself) -> temperature
+    MIXTURE RESAMPLE by source (sampling.mixture_resample).  Returns
+    the final (doc_id, source) Dataset.  Oracle: _corpus_clean_v3_sql
+    — the v2 fragments + the decontaminate fragment + the mix_resample
+    fragment in stage order."""
+    import ray
+
+    from .decontam import contamination
+    from .dedup import _join_parts
+    from .sampling import mixture_resample
+
+    q4 = _clean_v2_survivors(sf_dir).materialize()
+    full = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+    def keep_mod(want_zero: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % BENCH_MOD == 0) == want_zero
+            return b.filter(pa.array(m))
+        return f
+
+    bench = full.map_batches(keep_mod(True), batch_format="pyarrow")
+    nonbench = q4.map_batches(keep_mod(False),
+                              batch_format="pyarrow").materialize()
+    contam = contamination(bench.union(nonbench), bench_mod=BENCH_MOD)
+    drop = np.unique(contam.select_columns(["doc_id"]).to_pandas()
+                     ["doc_id"].to_numpy().astype(np.int64))
+    dref = ray.put(drop)
+
+    def keep_clean(b: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        if len(d) == 0:
+            return b
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+        return b.filter(pa.array(d[pos] != ids))
+
+    q5 = nonbench.map_batches(keep_clean, batch_format="pyarrow")
+    src = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "source"])
+    q5s = q5.join(src, join_type="inner",
+                  num_partitions=_join_parts(q4.count()),
+                  on=("doc_id",)).materialize()
+    return mixture_resample(q5s, group_col="source")
 
 
 def _corpus_clean_sql() -> str:
@@ -3561,6 +3623,59 @@ def _corpus_clean_v2_sql() -> str:
         spairs AS MATERIALIZED ({spairs})
         SELECT doc_id FROM q3
         WHERE doc_id NOT IN (SELECT b FROM spairs)
+    """
+
+
+def _corpus_clean_v3_sql() -> str:
+    """V3 oracle: the v2 fragments + the decontaminate gram fragment
+    (bench grams from the FULL corpus, corpus grams from the q4
+    survivors) + the mix_resample rate/threshold fragment, in stage
+    order."""
+    base = _corpus_clean_v2_sql()
+    head, _, _ = base.rpartition("SELECT doc_id FROM q3")
+    return head + f""",
+        q4 AS MATERIALIZED (
+          SELECT doc_id, text FROM q3
+          WHERE doc_id NOT IN (SELECT b FROM spairs)),
+        wl5b AS MATERIALIZED (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[ \t\n]+'), x -> length(x) > 0) AS l
+          FROM documents WHERE doc_id % {BENCH_MOD} = 0),
+        wl5c AS MATERIALIZED (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[ \t\n]+'), x -> length(x) > 0) AS l
+          FROM q4 WHERE doc_id % {BENCH_MOD} <> 0),
+        g5b AS (SELECT DISTINCT array_to_string(l[i:i+3], ' ') AS g
+                FROM (SELECT doc_id, l, unnest(range(1,
+                      greatest(len(l) - 2, 1))) AS i FROM wl5b)),
+        g5c AS (SELECT DISTINCT doc_id,
+                       array_to_string(l[i:i+3], ' ') AS g
+                FROM (SELECT doc_id, l, unnest(range(1,
+                      greatest(len(l) - 2, 1))) AS i FROM wl5c)),
+        contam AS (SELECT DISTINCT c.doc_id FROM g5c c
+                   JOIN g5b b USING (g)),
+        q5 AS MATERIALIZED (
+          SELECT q4.doc_id, d.source, q4.text AS text FROM q4
+          JOIN documents d USING (doc_id)
+          WHERE q4.doc_id % {BENCH_MOD} <> 0
+            AND q4.doc_id NOT IN (SELECT doc_id FROM contam)),
+        t5 AS (SELECT source, sum(length(list_filter(
+                   regexp_split_to_array(text, '\\s+'),
+                   x -> x <> '')))::BIGINT AS n_tokens
+               FROM q5 GROUP BY source),
+        w5 AS (SELECT source, n_tokens,
+                      round(pow(n_tokens, {_MIX_ALPHA}) /
+                            sum(pow(n_tokens, {_MIX_ALPHA})) OVER (),
+                            6) AS weight FROM t5),
+        r5 AS (SELECT source,
+                      CAST(floor(least(1.0, weight *
+                           {_SAMP.RESAMPLE_FRAC} *
+                           (SELECT sum(n_tokens)::DOUBLE FROM w5)
+                           / n_tokens) * 4294967296.0) AS UBIGINT)
+                          AS thr FROM w5)
+        SELECT q5.doc_id, q5.source FROM q5 JOIN r5 USING (source)
+        WHERE ('0x' || substr(sha256('mix:' || q5.doc_id::VARCHAR),
+               1, 8))::UBIGINT < thr
     """
 
 
@@ -5328,6 +5443,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "corpus_clean": _corpus_clean_sql(),
     "corpus_clean_v2": _corpus_clean_v2_sql(),
+    "corpus_clean_v3": _corpus_clean_v3_sql(),
     "dedup_exact": (f"SELECT min(doc_id) AS doc_id FROM documents "
                     f"GROUP BY {_FP_SQL}"),
     # incremental two-phase dedup: evens are the persisted index, odds
@@ -6232,6 +6348,7 @@ QUERIES = {
     "shuffle_shards": q_shuffle_shards,
     "corpus_clean": q_corpus_clean,
     "corpus_clean_v2": q_corpus_clean_v2,
+    "corpus_clean_v3": q_corpus_clean_v3,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
