@@ -2576,6 +2576,42 @@ def q_events_interarrival(sf_dir):
     return interpolated_quantiles(gaps, "gap_us", GAP_QUANTILES)
 
 
+BM25_TERMS = ["table", "merge", "window"]
+BM25_K = 15
+
+
+def q_text_bm25(sf_dir):
+    """BM25 relevance top-15 for a fixed term query (text.bm25_topk):
+    O(|query|) corpus-stats partials, broadcast idf/avgdl, one scoring
+    pass with tie-aware partial top-k — the search-relevance lane."""
+    from .text import bm25_topk
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return bm25_topk(docs, BM25_TERMS, k=BM25_K)
+
+
+def q_events_dau(sf_dir):
+    """Weekly engagement (windows.dau_wau): per-user-bucket exact
+    (user, day)/(user, week) dedup, tiny per-day partials, driver
+    merge — WAU, mean DAU and stickiness per ISO week."""
+    from .windows import dau_wau
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+    return dau_wau(ev)
+
+
+def q_events_ab_test(sf_dir):
+    """Welch t-test between the deterministic user_id%2 A/B split
+    (windows.ab_test): one stateless (n, sum, sumsq) partial pass."""
+    from .windows import ab_test
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "value"])
+    return ab_test(ev)
+
+
 def q_events_rank(sf_dir):
     """Global row_number() OVER (ORDER BY value, event_id) without a
     global sort (quantiles.global_value_ranks): exact quantile
@@ -5432,6 +5468,63 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents d JOIN p ON p.doc_id = d.doc_id
         GROUP BY d.lang, p.lang_pred ORDER BY d.lang, p.lang_pred
     """,
+    # BM25: identical float expression shape per term, summed in term
+    # order; filter on full-precision score > 0 on both sides
+    "text_bm25": """
+        WITH wl AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text,
+                 '\\s+'), x -> x <> '') AS l
+          FROM documents),
+        d AS (SELECT doc_id, len(l)::DOUBLE AS dl,
+               length(list_filter(l, x -> x = 'table'))::DOUBLE AS tf0,
+               length(list_filter(l, x -> x = 'merge'))::DOUBLE AS tf1,
+               length(list_filter(l, x -> x = 'window'))::DOUBLE AS tf2
+              FROM wl),
+        st AS (SELECT count(*)::DOUBLE AS n, sum(dl) AS sumdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+               FROM d),
+        sc AS (SELECT doc_id,
+               ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl / n)))
+             + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl / n)))
+             + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl / n))) AS score
+               FROM d, st)
+        SELECT doc_id, round(score, 6) AS score FROM sc
+        WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    "events_dau": """
+        WITH ud AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day FROM events),
+        uw AS (SELECT DISTINCT user_id,
+                      day - ((day + 3) % 7) AS week FROM ud),
+        dau AS (SELECT day, count(*)::BIGINT AS n FROM ud GROUP BY day),
+        wau AS (SELECT week, count(*)::BIGINT AS wau FROM uw
+                GROUP BY week),
+        agg AS (SELECT wau.week, wau.wau,
+                       coalesce(sum(dau.n), 0)::DOUBLE / 7.0 AS avg_dau
+                FROM wau LEFT JOIN dau
+                  ON dau.day BETWEEN wau.week AND wau.week + 6
+                GROUP BY wau.week, wau.wau)
+        SELECT week AS week_day, wau, round(avg_dau, 6) AS avg_dau,
+               round(avg_dau / wau, 6) AS stickiness
+        FROM agg ORDER BY week_day
+    """,
+    "events_ab_test": """
+        WITH g AS (SELECT user_id % 2 AS g, value FROM events),
+        a AS (SELECT g, count(*)::DOUBLE AS n, sum(value) AS s,
+                     sum(value * value) AS ss FROM g GROUP BY g)
+        SELECT CAST(a0.n AS BIGINT) AS n_a, CAST(a1.n AS BIGINT) AS n_b,
+               round(a0.s / a0.n, 6) AS mean_a,
+               round(a1.s / a1.n, 6) AS mean_b,
+               round((a1.s / a1.n - a0.s / a0.n) /
+                     sqrt(((a1.ss - a1.s * a1.s / a1.n) / (a1.n - 1))
+                            / a1.n +
+                          ((a0.ss - a0.s * a0.s / a0.n) / (a0.n - 1))
+                            / a0.n), 6) AS t_stat
+        FROM (SELECT * FROM a WHERE g = 0) a0,
+             (SELECT * FROM a WHERE g = 1) a1
+    """,
     "events_topk_users": f"""
         WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS n
                    FROM events GROUP BY event_type, user_id),
@@ -6324,6 +6417,9 @@ QUERIES = {
     "events_markov": q_events_markov,
     "events_interarrival": q_events_interarrival,
     "events_topk_users": q_events_topk_users,
+    "events_dau": q_events_dau,
+    "events_ab_test": q_events_ab_test,
+    "text_bm25": q_text_bm25,
     "text_langid_confusion": q_text_langid_confusion,
     "sample_weighted": q_sample_weighted,
     "mix_weights": q_mix_weights,

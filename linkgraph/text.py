@@ -828,3 +828,88 @@ def pmi_phrases(ds, text_col: str = "text", min_count: int = 5,
     out = out.sort_values(["pmi", "bigram"], ascending=[False, True],
                           kind="mergesort").head(k)
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# BM25 query scoring (search-engine relevance over the corpus)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(ds, query_terms: list, k: int = 15,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = BM25_K1, b: float = BM25_B):
+    """Top-k documents for a term query under BM25
+    (idf = ln((N - df + .5)/(df + .5) + 1), Robertson/Lucene form).
+
+    Two stateless passes: (1) corpus stats — N, total token count and
+    per-query-term document frequencies as map-side partial rows
+    (the stats are O(|query|), never a vocabulary build); (2) scoring —
+    stats broadcast once, per-doc term frequencies via vectorized token
+    matching, per-block tie-aware partial top-k.  Returns pandas
+    (id, score) ordered (score DESC, id ASC), score rounded to 6."""
+    import pandas as pd
+    import ray
+
+    terms = list(query_terms)
+    tarr = np.array(terms, object)
+
+    def toks_of(bcol):
+        col = bcol.combine_chunks() if isinstance(bcol, pa.ChunkedArray) \
+            else bcol
+        lists = pc.split_pattern_regex(col, r"\s+")
+        flat = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat.to_numpy(zero_copy_only=False)[ok], par[ok]
+
+    def tf_matrix(tok, par, nrows):
+        tf = np.zeros((nrows, len(terms)), np.int64)
+        for j, t in enumerate(terms):
+            m = tok == t
+            if m.any():
+                tf[:, j] = np.bincount(par[m], minlength=nrows)
+        return tf
+
+    def stats(bt: pa.Table) -> pa.Table:
+        tok, par = toks_of(bt[text_col])
+        nrows = bt.num_rows
+        tf = tf_matrix(tok, par, nrows)
+        dl = np.bincount(par, minlength=nrows)
+        return pa.table({
+            "n": pa.array([nrows], pa.int64()),
+            "sumdl": pa.array([int(dl.sum())], pa.int64()),
+            "df": pa.array([(tf > 0).sum(axis=0).astype(np.int64)],
+                           pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n"].sum())
+    sumdl = int(parts["sumdl"].sum())
+    df = np.sum(np.stack([np.asarray(v, np.int64)
+                          for v in parts["df"]]), axis=0)
+    avgdl = sumdl / n_docs
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1)
+    sref = ray.put((idf, avgdl))
+
+    def score(bt: pa.Table) -> pa.Table:
+        idf_, avg_ = ray.get(sref)
+        ids = bt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok, par = toks_of(bt[text_col])
+        nrows = bt.num_rows
+        tf = tf_matrix(tok, par, nrows).astype(np.float64)
+        dl = np.bincount(par, minlength=nrows).astype(np.float64)
+        denom = tf + k1 * (1 - b + b * dl[:, None] / avg_)
+        sc = (idf_ * tf / denom).sum(axis=1)
+        kk = min(k, nrows)
+        ordr = np.lexsort((ids, -sc))[:kk]
+        return pa.table({id_col: pa.array(ids[ordr]),
+                         "score": pa.array(sc[ordr], pa.float64())})
+
+    cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["score", id_col], ascending=[False, True],
+                            kind="mergesort").head(k)
+    cand = cand[cand["score"] > 0]
+    cand["score"] = cand["score"].round(6)
+    return cand.reset_index(drop=True)

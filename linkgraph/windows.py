@@ -564,3 +564,96 @@ def markov_transitions(ds, key: str = "user_id", ts: str = "ts",
                         / row.to_numpy(np.float64), 6)
     tot["n"] = tot["n"].astype(np.int64)
     return tot.reset_index(drop=True)
+
+
+def dau_wau(ds, key: str = "user_id", ts: str = "ts"):
+    """Weekly engagement report: per ISO week (Monday-truncated), the
+    distinct weekly actives (WAU), the mean daily actives over the
+    week's 7 calendar days (avg_dau) and stickiness = avg_dau / wau.
+
+    Distinct counting without a distinct shuffle: (user, day) and
+    (user, week) pairs dedup inside each coarse USER bucket (a user's
+    rows land in one bucket, so per-bucket dedup is globally exact),
+    per-day/week counts come back as tiny partials and merge on the
+    driver.  Returns (week_day, wau, avg_dau, stickiness), week_day =
+    days-since-epoch of the Monday, floats rounded to 6."""
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+    us_per_day = 86_400_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // us_per_day
+        return pa.table({key: pa.array(k), "day": pa.array(day),
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        week = day - (day + 3) % 7  # 1969-12-29 was a Monday
+        ud = pd.DataFrame({"k": k, "day": day}).drop_duplicates()
+        uw = pd.DataFrame({"k": k, "week": week}).drop_duplicates()
+        dd = ud.groupby("day").size().rename("n").reset_index()
+        ww = uw.groupby("week").size().rename("n").reset_index()
+        dd["kind"], ww["kind"] = 0, 1
+        ww = ww.rename(columns={"week": "day"})
+        return pd.concat([dd, ww], ignore_index=True)[
+            ["kind", "day", "n"]]
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+              .groupby("kb").map_groups(kern, batch_format="pandas") \
+              .to_pandas()
+    dau = parts[parts["kind"] == 0].groupby("day")["n"].sum()
+    wau = parts[parts["kind"] == 1].groupby("day")["n"].sum()
+    rows = []
+    for wk, w in wau.sort_index().items():
+        days = dau.reindex(range(wk, wk + 7), fill_value=0)
+        avg = float(days.sum()) / 7.0
+        rows.append((int(wk), int(w), round(avg, 6),
+                     round(avg / float(w), 6)))
+    return pd.DataFrame(rows, columns=["week_day", "wau", "avg_dau",
+                                       "stickiness"])
+
+
+def ab_test(ds, key: str = "user_id", value: str = "value"):
+    """Two-sample report between the deterministic A/B split
+    user_id % 2: group sizes, means, and the Welch t statistic — all
+    derived from map-side (n, sum, sumsq) partials (one stateless
+    pass, three numbers per group per block).  Variance uses the
+    sum-of-squares identity with the IDENTICAL expression in the SQL
+    twin; only means and t are emitted (rounded 6) so the 1e-16
+    association noise in the raw sums stays far below the rounding."""
+
+    def part(b: pa.Table) -> pa.Table:
+        g = (b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+             % 2)
+        v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = {"g": [], "n": [], "s": [], "ss": []}
+        for gr in (0, 1):
+            m = g == gr
+            out["g"].append(gr)
+            out["n"].append(int(m.sum()))
+            out["s"].append(float(v[m].sum()))
+            out["ss"].append(float((v[m] * v[m]).sum()))
+        return pa.table({"g": pa.array(out["g"], pa.int64()),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "s": pa.array(out["s"], pa.float64()),
+                         "ss": pa.array(out["ss"], pa.float64())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("g").agg(n=("n", "sum"), s=("s", "sum"),
+                                 ss=("ss", "sum"))
+    n0, s0, ss0 = (float(agg.loc[0, c]) for c in ("n", "s", "ss"))
+    n1, s1, ss1 = (float(agg.loc[1, c]) for c in ("n", "s", "ss"))
+    m0, m1 = s0 / n0, s1 / n1
+    v0 = (ss0 - s0 * s0 / n0) / (n0 - 1)
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+    t = (m1 - m0) / np.sqrt(v1 / n1 + v0 / n0)
+    return pd.DataFrame({
+        "n_a": np.array([int(n0)], np.int64),
+        "n_b": np.array([int(n1)], np.int64),
+        "mean_a": [round(m0, 6)], "mean_b": [round(m1, 6)],
+        "t_stat": [round(float(t), 6)]})
