@@ -2576,6 +2576,34 @@ def q_events_interarrival(sf_dir):
     return interpolated_quantiles(gaps, "gap_us", GAP_QUANTILES)
 
 
+BLOOM_PROBES_ABSENT = [f"absent-probe-{i}" for i in range(10)]
+
+
+def q_sketch_bloom(sf_dir):
+    """Bloom-filter membership (sketch.bloom_membership): filter built
+    over sha256(text) with 4 x 64-bit-slice positions, probes = the
+    first 10 document texts (present) + 10 synthetic strings (absent
+    up to the false-positive rate).  Integer-exact SQL twin."""
+    from .sketch import bloom_membership
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    present = [r["text"] for r in docs.filter(
+        expr="doc_id < 10").take_all()]
+    return bloom_membership(docs, present + BLOOM_PROBES_ABSENT)
+
+
+def q_events_anomaly_days(sf_dir):
+    """Per-day count z-scores over the event stream
+    (windows.daily_anomalies): calendar-bounded map-side partials;
+    bit-equal float statistics from exact integers."""
+    from .windows import daily_anomalies
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts"])
+    return daily_anomalies(ev)
+
+
 BM25_TERMS = ["table", "merge", "window"]
 BM25_K = 15
 
@@ -5186,6 +5214,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM s
     """,
     "sketch_hll": _SK.hll_sql(),
+    "sketch_bloom": _SK.bloom_sql(BLOOM_PROBES_ABSENT),
+    "events_anomaly_days": """
+        WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          count(*)::BIGINT AS n FROM events
+                   GROUP BY day),
+        st AS (SELECT count(*)::DOUBLE AS k, sum(n)::DOUBLE AS s,
+                      sum(n * n)::DOUBLE AS ss FROM d)
+        SELECT day, n, round((n - s / k) /
+               sqrt((ss - s * s / k) / (k - 1)), 6) AS z
+        FROM d, st ORDER BY day
+    """,
     # sink round trip: read-back must equal the source table
     "sink_roundtrip": ("SELECT doc_id, lang, source, n_chars, "
                        "text FROM documents"),
@@ -6411,6 +6450,8 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sketch_distinct": q_sketch_distinct,
     "sketch_hll": q_sketch_hll,
+    "sketch_bloom": q_sketch_bloom,
+    "events_anomaly_days": q_events_anomaly_days,
     "doc_eigen": q_doc_eigen,
     "doc_condensation": q_doc_condensation,
     "text_pmi": q_text_pmi,

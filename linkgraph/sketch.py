@@ -463,3 +463,88 @@ def hll_sql(p: int = HLL_P) -> str:
                      END, 3) AS estimate
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership (set-membership sketch)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 8192   # bits
+BLOOM_K = 4      # probes per element (4 x 16 hex chars of sha256)
+
+
+def _bloom_positions(hexd: str) -> list[int]:
+    return [int(hexd[16 * i:16 * i + 16], 16) % BLOOM_M
+            for i in range(BLOOM_K)]
+
+
+def bloom_membership(ds, probes: list[str],
+                     text_col: str = "text") -> pd.DataFrame:
+    """Build a Bloom filter over sha256(text) of the corpus and test
+    `probes` (raw strings) for membership — the O(m)-bit set sketch a
+    dedup/URL-seen/decontamination service keeps when exact sets don't
+    fit.  Positions = 4 disjoint 64-bit slices of the sha % m, so the
+    SQL twin is integer-exact (present iff every position appears in
+    the corpus position SET).  Build is one stateless pass emitting
+    <= m positions per block (deduped), OR-merged on the driver.
+    Returns (probe, present, n_bits_set) sorted by probe."""
+
+    def part(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        texts = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                 else col).to_pylist()
+        pos = set()
+        for t in texts:
+            hx = hashlib.sha256((t or "").encode()).hexdigest()
+            pos.update(_bloom_positions(hx))
+        arr = np.fromiter(pos, np.int64, len(pos))
+        return pa.table({"pos": pa.array(np.sort(arr))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    bits = np.zeros(BLOOM_M, bool)
+    if len(parts):
+        bits[parts["pos"].unique()] = True
+    n_set = int(bits.sum())
+    rows = []
+    for p in sorted(probes):
+        hx = hashlib.sha256(p.encode()).hexdigest()
+        present = all(bits[j] for j in _bloom_positions(hx))
+        rows.append((p, int(present)))
+    out = pd.DataFrame(rows, columns=["probe", "present"])
+    out["present"] = out["present"].astype(np.int64)
+    out["n_bits_set"] = np.int64(n_set)
+    return out
+
+
+def bloom_sql(absent_probes: list[str], m: int = BLOOM_M,
+              k: int = BLOOM_K) -> str:
+    """Integer-exact twin: corpus position set from the same sha
+    slices; present probes self-derive in SQL (texts of doc_id < 10),
+    absent probes are injected literals; a probe is present iff ALL of
+    its positions appear in the corpus position set."""
+    slices = " UNION ALL ".join(
+        f"SELECT (('0x' || substr(h, {16 * i + 1}, 16))::UBIGINT "
+        f"% {m})::BIGINT AS pos FROM h" for i in range(k))
+    absent_rows = " UNION ALL ".join(
+        f"SELECT '{p}' AS probe, sha256('{p}') AS h"
+        for p in absent_probes)
+    return f"""
+        WITH h AS (SELECT sha256(text) AS h FROM documents),
+        pos AS (SELECT DISTINCT pos FROM ({slices})),
+        nb AS (SELECT count(*)::BIGINT AS n_bits_set FROM pos),
+        pr AS (SELECT text AS probe, sha256(text) AS h FROM documents
+               WHERE doc_id < 10
+               UNION ALL {absent_rows}),
+        ppx AS (SELECT pr.probe, (('0x' || substr(pr.h, 16 * i + 1, 16))
+                       ::UBIGINT % {m})::BIGINT AS pos
+                FROM pr, unnest([{', '.join(map(str, range(k)))}])
+                     AS t(i)),
+        hit AS (SELECT probe,
+                       CASE WHEN count(*) = sum(CASE WHEN pos IN
+                            (SELECT pos FROM pos) THEN 1 ELSE 0 END)
+                       THEN 1 ELSE 0 END AS present
+                FROM ppx GROUP BY probe)
+        SELECT hit.probe, CAST(hit.present AS BIGINT) AS present,
+               nb.n_bits_set
+        FROM hit, nb ORDER BY probe
+    """

@@ -657,3 +657,31 @@ def ab_test(ds, key: str = "user_id", value: str = "value"):
         "n_b": np.array([int(n1)], np.int64),
         "mean_a": [round(m0, 6)], "mean_b": [round(m1, 6)],
         "t_stat": [round(float(t), 6)]})
+
+
+def daily_anomalies(ds, ts: str = "ts"):
+    """Time-series anomaly screen over the event stream: per-day event
+    counts z-scored against the whole day series.  Counts come back as
+    map-side per-day partials (day domain is calendar-bounded) and all
+    statistics derive from exact integers with the identical expression
+    in the SQL twin, so the floats are bit-equal.  Returns
+    (day, n, z) sorted by day, z rounded to 6."""
+
+    def part(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    d = parts.groupby("day", sort=True)["n"].sum().reset_index()
+    n = d["n"].to_numpy(np.int64)
+    k = float(len(d))
+    s = float(n.sum())
+    ss = float((n * n).sum())
+    mean = s / k
+    var = (ss - s * s / k) / (k - 1)
+    d["z"] = np.round((n - mean) / np.sqrt(var), 6)
+    d["n"] = d["n"].astype(np.int64)
+    return d.reset_index(drop=True)

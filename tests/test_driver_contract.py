@@ -96,7 +96,9 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "text_langid_confusion",
                                   "doc_pagerank_warm",
                                   "text_bm25", "events_dau",
-                                  "events_ab_test"])
+                                  "events_ab_test",
+                                  "sketch_bloom",
+                                  "events_anomaly_days"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
