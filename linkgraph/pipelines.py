@@ -1569,6 +1569,47 @@ def q_sink_roundtrip(sf_dir):
     return back.map_batches(norm, batch_format="pyarrow")
 
 
+def _roundtrip_dir(sf_dir: str, kind: str) -> str:
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return os.path.join(tempfile.gettempdir(),
+                        f"linkgraph_{kind}_{st.st_mtime_ns}_{st.st_size}")
+
+
+def q_sink_csv_roundtrip(sf_dir):
+    """CSV source/sink round trip: documents -> write_csv -> read_csv,
+    oracle = the source table (format-lane fidelity under the driver's
+    value hash)."""
+    import shutil
+
+    import ray.data as rd
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars", "text"])
+    out = _roundtrip_dir(sf_dir, "csv")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.write_csv(out)
+    return rd.read_csv(out)
+
+
+def q_sink_json_roundtrip(sf_dir):
+    """JSONL source/sink round trip: documents -> write_json ->
+    read_json, oracle = the source table."""
+    import shutil
+
+    import ray.data as rd
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars", "text"])
+    out = _roundtrip_dir(sf_dir, "jsonl")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.write_json(out)
+    return rd.read_json(out)
+
+
 def q_sample_stratified(sf_dir):
     """Deterministic per-language fraction sampling
     (sampling.stratified_sample): keep rate(lang) of each stratum by an
@@ -5228,6 +5269,10 @@ ORACLE_SQL: dict[str, str] = {
     # sink round trip: read-back must equal the source table
     "sink_roundtrip": ("SELECT doc_id, lang, source, n_chars, "
                        "text FROM documents"),
+    "sink_csv_roundtrip": ("SELECT doc_id, lang, source, n_chars, "
+                           "text FROM documents"),
+    "sink_json_roundtrip": ("SELECT doc_id, lang, source, n_chars, "
+                            "text FROM documents"),
     # PMI collocations: same \s+ and bigram conventions as
     # text_top_bigrams; identical float expression shape
     # ln((n/B)/((ca/T)*(cb/T))); ordered by ROUNDED pmi on both sides
@@ -6466,6 +6511,8 @@ QUERIES = {
     "mix_weights": q_mix_weights,
     "mix_resample": q_mix_resample,
     "sink_roundtrip": q_sink_roundtrip,
+    "sink_csv_roundtrip": q_sink_csv_roundtrip,
+    "sink_json_roundtrip": q_sink_json_roundtrip,
     "embed_outliers": q_embed_outliers,
     "sketch_cms": q_sketch_cms,
     "text_stats": q_text_stats,

@@ -98,7 +98,9 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "text_bm25", "events_dau",
                                   "events_ab_test",
                                   "sketch_bloom",
-                                  "events_anomaly_days"])
+                                  "events_anomaly_days",
+                                  "sink_csv_roundtrip",
+                                  "sink_json_roundtrip"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
