@@ -1090,6 +1090,80 @@ def q_doc_condensation(sf_dir):
         .reset_index(drop=True)
 
 
+def q_doc_triads(sf_dir):
+    """Directed triad census over the cycle-augmented graph: counts of
+    CYCLIC (a->b->c->a) vs TRANSITIVE (a->b->c plus a->c) triangles —
+    the dyad/triad structure report of a directed link graph
+    (complements doc_reciprocity).  Wedges co-group by their MID vertex
+    in one coarse bucket shuffle; each closing check is a distributed
+    hash join of packed (endpoint, endpoint) keys against the edge set
+    — never an all-pairs or driver-side pass.  Every directed 3-cycle
+    closes at all 3 mids, so cyclic = joined/3 exactly."""
+    from .algos.triangles import n_buckets_for
+    from .dedup import _join_parts
+
+    edges = documents_edges(sf_dir).map_batches(
+        _aug_cycles, batch_format="pyarrow").materialize()
+    ne = edges.count()
+    nb = n_buckets_for(2 * ne)
+    K = np.int64(1) << np.int64(32)
+
+    def tag(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # one row per endpoint role: (mid, other, dir 0=in 1=out)
+        mid = np.concatenate([d, s])
+        oth = np.concatenate([s, d])
+        dr = np.concatenate([np.zeros(len(s), np.int64),
+                             np.ones(len(s), np.int64)])
+        return pa.table({"mid": pa.array(mid), "oth": pa.array(oth),
+                         "dir": pa.array(dr),
+                         "mb": pa.array((mid % nb).astype(np.int64))})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("mid", sort=False):
+            a = grp.loc[grp["dir"] == 0, "oth"].to_numpy(np.int64)
+            c = grp.loc[grp["dir"] == 1, "oth"].to_numpy(np.int64)
+            if len(a) == 0 or len(c) == 0:
+                continue
+            aa = np.repeat(a, len(c))
+            cc = np.tile(c, len(a))
+            out.append(pd.DataFrame({
+                "k_trans": aa * K + cc,     # needs edge a->c
+                "k_cyc": cc * K + aa}))     # needs edge c->a
+        if not out:
+            return pd.DataFrame({"k_trans": pd.Series([], np.int64),
+                                 "k_cyc": pd.Series([], np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    w = edges.map_batches(tag, batch_format="pyarrow") \
+             .groupby("mb").map_groups(wedges, batch_format="pandas") \
+             .materialize()
+    ekeys = edges.map_batches(
+        lambda b: pa.table({"ek": pa.array(
+            b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            * K + b["dst"].to_numpy(zero_copy_only=False)
+            .astype(np.int64))}),
+        batch_format="pyarrow").materialize()
+    parts = _join_parts(ne)
+
+    def keyed(col):
+        return w.map_batches(
+            lambda b, c=col: pa.table({"ek": b[c]}),
+            batch_format="pyarrow")
+
+    n_trans = keyed("k_trans").join(ekeys, join_type="inner",
+                                    num_partitions=parts,
+                                    on=("ek",)).count()
+    n_cyc3 = keyed("k_cyc").join(ekeys, join_type="inner",
+                                 num_partitions=parts,
+                                 on=("ek",)).count()
+    return pd.DataFrame({
+        "n_cyclic": np.array([n_cyc3 // 3], np.int64),
+        "n_transitive": np.array([n_trans], np.int64)})
+
+
 def q_doc_harmonic(sf_dir):
     """Sampled harmonic centrality from 4 seeds on the symmetrized doc
     graph (algos/harmonic.py): one BFS-with-depth run per seed, the
@@ -5152,6 +5226,21 @@ ORACLE_SQL: dict[str, str] = {
                string_agg(dst::VARCHAR, ',' ORDER BY dst) AS neighbors
         FROM sym GROUP BY src ORDER BY v
     """,
+    "doc_triads": f"""
+        WITH e AS MATERIALIZED (
+            SELECT src, dst FROM ({SCC_EDGES_SQL}) aug),
+        cyc AS (SELECT count(*) // 3 AS n_cyclic
+                FROM e ab JOIN e bc ON bc.src = ab.dst
+                          JOIN e ca ON ca.src = bc.dst
+                                   AND ca.dst = ab.src),
+        tr AS (SELECT count(*) AS n_transitive
+               FROM e ab JOIN e bc ON bc.src = ab.dst
+                         JOIN e ac ON ac.src = ab.src
+                                  AND ac.dst = bc.dst)
+        SELECT CAST(n_cyclic AS BIGINT) AS n_cyclic,
+               CAST(n_transitive AS BIGINT) AS n_transitive
+        FROM cyc, tr
+    """,
     "doc_condensation": f"""
         WITH RECURSIVE e AS MATERIALIZED (
             SELECT src, dst FROM ({SCC_EDGES_SQL}) aug),
@@ -6499,6 +6588,7 @@ QUERIES = {
     "events_anomaly_days": q_events_anomaly_days,
     "doc_eigen": q_doc_eigen,
     "doc_condensation": q_doc_condensation,
+    "doc_triads": q_doc_triads,
     "text_pmi": q_text_pmi,
     "events_markov": q_events_markov,
     "events_interarrival": q_events_interarrival,

@@ -100,7 +100,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "sketch_bloom",
                                   "events_anomaly_days",
                                   "sink_csv_roundtrip",
-                                  "sink_json_roundtrip"])
+                                  "sink_json_roundtrip",
+                                  "doc_triads"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
