@@ -1090,6 +1090,15 @@ def q_doc_condensation(sf_dir):
         .reset_index(drop=True)
 
 
+# high-degree-mid split (the triangles wedge-salt rule): a hub mid with
+# in x out wedge product over the cap gets its IN side sharded into
+# nsub sub-buckets (OUT side replicated), so no single task ever
+# materializes more than ~TRIAD_WEDGE_CAP wedges per mid.  Module-level
+# so tests can force the split path.
+TRIAD_WEDGE_CAP = 250_000
+TRIAD_MAX_SUB = 64
+
+
 def q_doc_triads(sf_dir):
     """Directed triad census over the cycle-augmented graph: counts of
     CYCLIC (a->b->c->a) vs TRANSITIVE (a->b->c plus a->c) triangles —
@@ -1102,27 +1111,74 @@ def q_doc_triads(sf_dir):
     from .algos.triangles import n_buckets_for
     from .dedup import _join_parts
 
+    import ray
+
     edges = documents_edges(sf_dir).map_batches(
         _aug_cycles, batch_format="pyarrow").materialize()
     ne = edges.count()
     nb = n_buckets_for(2 * ne)
     K = np.int64(1) << np.int64(32)
 
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ui, ci = np.unique(d, return_counts=True)   # in-degree of mid
+        uo, co = np.unique(s, return_counts=True)   # out-degree
+        return pa.table({
+            "mid": pa.array(np.concatenate([ui, uo])),
+            "n_in": pa.array(np.concatenate(
+                [ci, np.zeros(len(uo), np.int64)]).astype(np.int64)),
+            "n_out": pa.array(np.concatenate(
+                [np.zeros(len(ui), np.int64), co]).astype(np.int64))})
+
+    degs = edges.map_batches(deg_part, batch_format="pyarrow") \
+                .to_pandas().groupby("mid").sum()
+    prod = degs["n_in"].to_numpy(np.int64) * degs["n_out"] \
+        .to_numpy(np.int64)
+    heavy = degs.index.to_numpy(np.int64)[prod > TRIAD_WEDGE_CAP]
+    nsub = np.minimum(TRIAD_MAX_SUB, prod[prod > TRIAD_WEDGE_CAP]
+                      // TRIAD_WEDGE_CAP + 1).astype(np.int64)
+    # degs.index is sorted (pandas groupby), so heavy/nsub are aligned
+    href = ray.put((heavy, nsub))
+
+    def subs_of(mid):
+        hv, ns = ray.get(href)
+        pos = np.minimum(np.searchsorted(hv, mid), max(0, len(hv) - 1))
+        out = np.ones(len(mid), np.int64)
+        if len(hv):
+            m = hv[pos] == mid
+            out[m] = ns[pos[m]]
+        return out
+
     def tag(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # one row per endpoint role: (mid, other, dir 0=in 1=out)
-        mid = np.concatenate([d, s])
-        oth = np.concatenate([s, d])
-        dr = np.concatenate([np.zeros(len(s), np.int64),
-                             np.ones(len(s), np.int64)])
-        return pa.table({"mid": pa.array(mid), "oth": pa.array(oth),
-                         "dir": pa.array(dr),
-                         "mb": pa.array((mid % nb).astype(np.int64))})
+        # in-rows: (mid=d, oth=s) land in sub = oth % nsub(mid)
+        ns_in = subs_of(d)
+        in_mid, in_oth = d, s
+        in_sub = s % ns_in
+        # out-rows: (mid=s, oth=d) replicate to every sub of mid
+        ns_out = subs_of(s)
+        out_mid = np.repeat(s, ns_out)
+        out_oth = np.repeat(d, ns_out)
+        ends = np.cumsum(ns_out)
+        out_sub = np.arange(int(ends[-1]) if len(ends) else 0,
+                            dtype=np.int64) - np.repeat(
+            ends - ns_out, ns_out)
+        mid = np.concatenate([in_mid, out_mid])
+        oth = np.concatenate([in_oth, out_oth])
+        sub = np.concatenate([in_sub, out_sub])
+        dr = np.concatenate([np.zeros(len(in_mid), np.int64),
+                             np.ones(len(out_mid), np.int64)])
+        gk = mid * TRIAD_MAX_SUB + sub
+        return pa.table({"mid": pa.array(mid), "sub": pa.array(sub),
+                         "oth": pa.array(oth), "dir": pa.array(dr),
+                         "mb": pa.array((gk % nb).astype(np.int64))})
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, grp in g.groupby("mid", sort=False):
+        for _, grp in g.groupby(["mid", "sub"], sort=False):
             a = grp.loc[grp["dir"] == 0, "oth"].to_numpy(np.int64)
             c = grp.loc[grp["dir"] == 1, "oth"].to_numpy(np.int64)
             if len(a) == 0 or len(c) == 0:

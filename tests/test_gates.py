@@ -765,3 +765,16 @@ def test_knn_graph_edges_matches_naive_hamming_rule():
         .sort_values(["src", "dst"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype(np.int64), want.astype(np.int64))
+
+
+def test_doc_triads_heavy_split_path_equals_default(sf_dir):
+    import linkgraph.pipelines as P
+
+    base = P.q_doc_triads(sf_dir)
+    old = P.TRIAD_WEDGE_CAP
+    P.TRIAD_WEDGE_CAP = 4  # force every nontrivial mid onto the split
+    try:
+        forced = P.q_doc_triads(sf_dir)
+    finally:
+        P.TRIAD_WEDGE_CAP = old
+    pd.testing.assert_frame_equal(base, forced)
