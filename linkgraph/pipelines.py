@@ -1234,6 +1234,46 @@ def q_doc_harmonic(sf_dir):
     return _state_result(eng, "harmonic", "harmonic", round_to=6)
 
 
+def q_doc_distance_dist(sf_dir):
+    """Distance distribution + effective diameter from the harmonic
+    seed sweeps: pool the finite positive BFS depths of every
+    (seed, vertex) pair, count per depth, and report the 90th-
+    percentile depth (smallest d with cum*10 >= 9*total — all-integer,
+    so engine and oracle agree exactly).  Per-seed depth counts come
+    back as bounded map-side partials off the engine state Dataset;
+    nothing |V|-sized reaches the driver."""
+    from .algos.harmonic import HarmonicProgram, _INF
+
+    eng = documents_engine(sf_dir, "undirected")
+    pooled: dict[int, int] = {}
+    for i, s in enumerate(HARMONIC_SEEDS):
+        rep = eng.run(HarmonicProgram(),
+                      params={"root": int(s), "reset": i == 0},
+                      run_name=f"ddist_{int(s)}")
+        _check_unroll(rep, BFS_ROUNDS, f"doc_distance_dist seed {s}")
+
+        def part(b: pa.Table) -> pa.Table:
+            d = b["depth"].to_numpy(zero_copy_only=False)
+            fin = (d > 0) & (d < int(_INF))
+            u, c = np.unique(d[fin], return_counts=True)
+            return pa.table({"d": pa.array(u.astype(np.int64)),
+                             "n": pa.array(c.astype(np.int64))})
+
+        pc_ = eng.state_dataset(["depth"]).map_batches(
+            part, batch_format="pyarrow").to_pandas()
+        for d, n in zip(pc_["d"], pc_["n"]):
+            pooled[int(d)] = pooled.get(int(d), 0) + int(n)
+    ds_ = sorted(pooled)
+    ns = np.array([pooled[d] for d in ds_], np.int64)
+    cum = np.cumsum(ns)
+    tot = int(ns.sum())
+    eff = next(d for d, c in zip(ds_, cum) if int(c) * 10 >= 9 * tot)
+    return pd.DataFrame({"d": np.array(ds_, np.int64), "n": ns,
+                         "cum": cum.astype(np.int64),
+                         "eff_diameter": np.full(len(ds_), eff,
+                                                 np.int64)})
+
+
 def q_doc_diameter(sf_dir):
     """Double-sweep diameter lower bound (the standard BFS heuristic):
     BFS from vertex 0, take the farthest reached vertex u (tie: min id),
@@ -3946,6 +3986,43 @@ def _harmonic_sql(seeds: list[int], rounds: int, round_to: int) -> str:
             f"FROM allv {joins}")
 
 
+def _distance_dist_sql(seeds: list[int], rounds: int) -> str:
+    """Distance-distribution oracle: one unrolled BFS chain per seed
+    (the _harmonic_sql fragments), pooled finite positive depths,
+    per-depth counts with the integer cum*10 >= 9*total effective-
+    diameter rule."""
+    big = 10 ** 9
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)"]
+    for si, s in enumerate(seeds):
+        ctes.append(
+            f"d{si}_0 AS MATERIALIZED (SELECT v, CASE WHEN v = {s} "
+            f"THEN 0 ELSE {big} END AS dep FROM allv)")
+        for i in range(1, rounds + 1):
+            p = f"d{si}_{i - 1}"
+            ctes.append(
+                f"d{si}_{i} AS MATERIALIZED (SELECT allv.v, "
+                f"least({p}.dep, coalesce(m.dep, {big})) AS dep "
+                f"FROM allv JOIN {p} USING (v) LEFT JOIN "
+                f"(SELECT sym.dst AS v, min({p}.dep) + 1 AS dep FROM sym "
+                f"JOIN {p} ON {p}.v = sym.src WHERE {p}.dep < {big} "
+                f"GROUP BY sym.dst) m USING (v))")
+    pooled = " UNION ALL ".join(
+        f"SELECT dep AS d FROM d{si}_{rounds} "
+        f"WHERE dep > 0 AND dep < {big}" for si in range(len(seeds)))
+    ctes.append(f"pooled AS ({pooled})")
+    ctes.append("c AS (SELECT d, count(*)::BIGINT AS n FROM pooled "
+                "GROUP BY d)")
+    ctes.append("t AS (SELECT sum(n)::BIGINT AS tot FROM c)")
+    ctes.append("cm AS (SELECT d, n, sum(n) OVER (ORDER BY d)::BIGINT "
+                "AS cum FROM c)")
+    ctes.append("eff AS (SELECT min(d)::BIGINT AS e FROM cm, t "
+                "WHERE cm.cum * 10 >= 9 * t.tot)")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT cm.d::BIGINT AS d, cm.n, cm.cum, eff.e AS "
+            f"eff_diameter FROM cm, eff ORDER BY d")
+
+
 def _closeness_sql(seeds: list[int], rounds: int, round_to: int) -> str:
     """Sampled closeness oracle (algos/harmonic.closeness_from_seeds):
     one unrolled BFS depth chain per seed on the symmetric graph, then
@@ -5276,6 +5353,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM rc
     """,
     "doc_scc": _scc_sql(),
+    "doc_distance_dist": _distance_dist_sql(HARMONIC_SEEDS,
+                                            BFS_ROUNDS),
     "doc_adjacency": f"""
         WITH sym AS MATERIALIZED ({DOC_SYM_SQL})
         SELECT src AS v, count(*)::BIGINT AS degree,
@@ -6706,6 +6785,7 @@ QUERIES = {
     "tpch_market_share": q_tpch_market_share,
     "embed_quantize": q_embed_quantize,
     "doc_adjacency": q_doc_adjacency,
+    "doc_distance_dist": q_doc_distance_dist,
     "tpch_priority_buckets": q_tpch_priority_buckets,
     "tpch_cust_no_orders": q_tpch_cust_no_orders,
     "tpch_parts_shipped": q_tpch_parts_shipped,
