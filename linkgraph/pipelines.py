@@ -2176,6 +2176,39 @@ def q_dedup_minhash(sf_dir):
     return minhash_dedup_pairs(docs, threshold=0.5)[["a", "b"]]
 
 
+def q_dedup_report(sf_dir):
+    """Corpus dedup health report (one row): doc count, distinct exact
+    fingerprints, exact-dup surplus + ratio, and the minhash near-dup
+    pair count at 0.5 — the summary a cleaning run logs before/after.
+    Exact-distinct via the sha groupby already used by dedup_exact;
+    pair count reuses minhash_dedup_pairs."""
+    from .dedup import exact_dedup, minhash_dedup_pairs
+    from .hashing import add_sha256
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"]).materialize()
+    n_docs = docs.count()
+    sha = docs.map_batches(lambda b: add_sha256(b, col="text"),
+                           batch_format="pyarrow")
+    n_distinct = exact_dedup(sha, key="sha256", id_col="doc_id").count()
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    n_pairs = len(pairs) if isinstance(pairs, pd.DataFrame) \
+        else pairs.count()
+    return pd.DataFrame({
+        "n_docs": np.array([n_docs], np.int64),
+        "n_distinct": np.array([n_distinct], np.int64),
+        "n_exact_dupes": np.array([n_docs - n_distinct], np.int64),
+        "n_minhash_pairs": np.array([n_pairs], np.int64),
+        "exact_dup_ratio": [round((n_docs - n_distinct) / n_docs, 6)]})
+
+
+def q_tpch_discount(sf_dir):
+    """Q19-like OR-of-ANDs discounted revenue
+    (relational.discounted_revenue): broadcast brand-code lookup, one
+    fact scan, single-sum map-side partials."""
+    return _REL.discounted_revenue(sf_dir)
+
+
 def q_dedup_simhash(sf_dir):
     import ray.data as rd
 
@@ -5425,6 +5458,22 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_promo": _REL.PROMO_SHARE_SQL,
     "tpch_volume": _REL.VOLUME_SHIPPING_SQL,
     "tpch_market_share": _REL.MARKET_SHARE_SQL,
+    "tpch_discount": _REL.DISCOUNTED_REVENUE_SQL,
+    "dedup_report": f"""
+        WITH n AS (SELECT count(*)::BIGINT AS n_docs,
+                          count(DISTINCT sha256(text))::BIGINT
+                              AS n_distinct
+                   FROM documents),
+        mp AS (SELECT count(*)::BIGINT AS n_minhash_pairs FROM (
+            {_minhash_sql(num_perm=64, bands=16, k=5, threshold=0.5,
+                          cap=64)}))
+        SELECT n.n_docs, n.n_distinct,
+               n.n_docs - n.n_distinct AS n_exact_dupes,
+               mp.n_minhash_pairs,
+               round((n.n_docs - n.n_distinct) / (1.0 * n.n_docs), 6)
+                   AS exact_dup_ratio
+        FROM n, mp
+    """,
     # int8 scalar quantization: identical float expression shape ->
     # bit-equal codes; rmse rounded 6
     "embed_quantize": """
@@ -6759,6 +6808,8 @@ QUERIES = {
     "corpus_clean_v2": q_corpus_clean_v2,
     "corpus_clean_v3": q_corpus_clean_v3,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_report": q_dedup_report,
+    "tpch_discount": q_tpch_discount,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,

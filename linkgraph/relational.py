@@ -985,3 +985,66 @@ MARKET_SHARE_SQL = f"""
     WHERE r_name = '{Q8_REGION}'
     GROUP BY o_year ORDER BY o_year
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19-like: discounted revenue under OR-of-ANDs predicates
+# ---------------------------------------------------------------------------
+
+Q19_BRANDS = ("Brand#1", "Brand#2", "Brand#3")
+Q19_QTY = (5, 15, 25)     # per-branch minimum quantity
+Q19_SPAN = 10
+
+
+def discounted_revenue(sf_dir: str):
+    """Q19 shape: one fact scan under an OR of (brand, quantity-range)
+    branches.  The part dimension broadcasts as a dense brand-code
+    lookup (ray.put once); the predicate evaluates vectorized per
+    batch; the result is ONE global sum from map-side partials — no
+    shuffle at all."""
+    import os
+
+    import ray
+
+    part = read_parquet_clean(os.path.join(sf_dir, "part.parquet"),
+                              columns=["p_partkey", "p_brand"]).to_pandas()
+    code = np.full(int(part["p_partkey"].max()) + 1, -1, np.int64)
+    for j, b in enumerate(Q19_BRANDS):
+        code[part.loc[part["p_brand"] == b, "p_partkey"]
+             .to_numpy()] = j
+    cref = ray.put(code)
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        br = c[b["l_partkey"].to_numpy(zero_copy_only=False)]
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(br), bool)
+        for j, q0 in enumerate(Q19_QTY):
+            keep |= (br == j) & (qty >= q0) & (qty <= q0 + Q19_SPAN)
+        rev = (b["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+               )[keep]
+        return pa.table({"rev": pa.array([float(rev.sum())]),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue": [round(float(parts["rev"].sum()), 6)],
+        "n_items": np.array([int(parts["n"].sum())], np.int64)})
+
+
+DISCOUNTED_REVENUE_SQL = f"""
+    SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 6)
+               AS revenue,
+           count(*)::BIGINT AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {" OR ".join(
+        f"(p_brand = '{b}' AND l_quantity >= {q} "
+        f"AND l_quantity <= {q + Q19_SPAN})"
+        for b, q in zip(Q19_BRANDS, Q19_QTY))}
+"""

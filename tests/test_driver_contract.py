@@ -102,7 +102,9 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "sink_csv_roundtrip",
                                   "sink_json_roundtrip",
                                   "doc_triads",
-                                  "doc_distance_dist"])
+                                  "doc_distance_dist",
+                                  "dedup_report",
+                                  "tpch_discount"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
