@@ -2508,6 +2508,27 @@ def q_tpch_volume(sf_dir):
     return _REL.volume_shipping(sf_dir)
 
 
+def q_tpch_custdist(sf_dir):
+    """Q13-like LEFT-join order-count distribution
+    (relational.order_count_distribution): coarse-bucket count shuffle,
+    per-bucket histogram emission, driver zero-bin arithmetic."""
+    return _REL.order_count_distribution(sf_dir)
+
+
+def q_tpch_top_supplier(sf_dir):
+    """Q15-like max-revenue supplier (relational.top_supplier): dense
+    bincount partials over the bounded supplier dimension, exact
+    integer price-units so the max-equality filter is float-proof."""
+    return _REL.top_supplier(sf_dir)
+
+
+def q_tpch_small_qty(sf_dir):
+    """Q17-like small-quantity revenue (relational.
+    small_quantity_revenue): per-part avg broadcast back onto a second
+    fact scan, all comparisons in exact integers."""
+    return _REL.small_quantity_revenue(sf_dir)
+
+
 def q_tpch_cust_no_orders(sf_dir):
     """Anti-join (joins.anti_join, TPC-H Q22 shape): customers with no
     large order (o_totalprice > 400k — every customer has SOME order in
@@ -5459,6 +5480,9 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_volume": _REL.VOLUME_SHIPPING_SQL,
     "tpch_market_share": _REL.MARKET_SHARE_SQL,
     "tpch_discount": _REL.DISCOUNTED_REVENUE_SQL,
+    "tpch_custdist": _REL.ORDER_COUNT_DIST_SQL,
+    "tpch_top_supplier": _REL.TOP_SUPPLIER_SQL,
+    "tpch_small_qty": _REL.SMALL_QTY_REVENUE_SQL,
     "dedup_report": f"""
         WITH n AS (SELECT count(*)::BIGINT AS n_docs,
                           count(DISTINCT sha256(text))::BIGINT
@@ -6810,6 +6834,9 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_report": q_dedup_report,
     "tpch_discount": q_tpch_discount,
+    "tpch_custdist": q_tpch_custdist,
+    "tpch_top_supplier": q_tpch_top_supplier,
+    "tpch_small_qty": q_tpch_small_qty,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,

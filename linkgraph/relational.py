@@ -1048,3 +1048,246 @@ DISCOUNTED_REVENUE_SQL = f"""
         f"AND l_quantity <= {q + Q19_SPAN})"
         for b, q in zip(Q19_BRANDS, Q19_QTY))}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13-like: customer order-count distribution (LEFT-join shape)
+# ---------------------------------------------------------------------------
+
+def order_count_distribution(sf_dir: str):
+    """Q13 shape: customer LEFT JOIN orders -> orders per customer
+    (zero preserved) -> distribution of those counts.
+
+    100-TB plan: per-customer counting is a FINE-key aggregate (custkey
+    domain ~ rows/10), so it shuffles on ~rows/200k coarse hash buckets
+    (algos/triangles.TARGET_ROWS_PER_BUCKET rule — Ray 2.49's per-key
+    hash aggregate measured 25x slower) and a vectorized np.unique
+    kernel runs per bucket.  Each bucket emits only its LOCAL
+    (c_count, n_customers) HISTOGRAM — bounded by max orders/customer,
+    tens of rows — so the merge is a tiny driver reduce.  The LEFT
+    zero-bin never materializes the customer table: it is
+    n_customers - n_customers_with_orders (parquet-metadata count minus
+    a sum the histograms already carry)."""
+    import os
+
+    from .algos.triangles import n_buckets_for
+    from .runtime import tune_context
+
+    tune_context()
+    ords = read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey"])
+    nb = n_buckets_for(ords.count())
+
+    def salt(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(31)
+        return pa.table({"k": b["o_custkey"],
+                         "kb": (h % np.uint64(nb)).astype(np.int64)})
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        _, per_cust = np.unique(g["k"].to_numpy(), return_counts=True)
+        c, n = np.unique(per_cust, return_counts=True)
+        return pd.DataFrame({"c_count": c.astype(np.int64),
+                             "n": n.astype(np.int64)})
+
+    parts = (ords.map_batches(salt, batch_format="pyarrow")
+             .groupby("kb").map_groups(bucket_hist, batch_format="pandas")
+             .to_pandas())
+    n_cust = read_parquet_clean(os.path.join(sf_dir, "customer.parquet"),
+                                columns=["c_custkey"]).count()
+    hist = parts.groupby("c_count", as_index=False)["n"].sum()
+    zero = int(n_cust) - int(hist["n"].sum())
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "n": [zero]})],
+            ignore_index=True)
+    hist = hist.rename(columns={"n": "custdist"})
+    return (hist[["c_count", "custdist"]].astype(np.int64)
+            .sort_values(["custdist", "c_count"], ascending=[False, False])
+            .reset_index(drop=True))
+
+
+ORDER_COUNT_DIST_SQL = """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15-like: top revenue supplier over a shipdate window
+# ---------------------------------------------------------------------------
+
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"     # exclusive, 3 months
+
+
+def top_supplier(sf_dir: str):
+    """Q15 shape: revenue per supplier inside a shipdate window, then
+    the supplier(s) achieving the max.
+
+    100-TB plan: the supplier dimension is BOUNDED (like nation), so
+    per-supplier revenue is a dense np.bincount partial per batch —
+    map-side combine to a vector of len(suppliers), merged on the
+    driver; no shuffle at all.  Revenue in EXACT integer price-units
+    (cents x (100 - discount_pct)) so the max-equality filter cannot
+    be perturbed by float summation order; floats only at the end."""
+    import os
+
+    import ray
+
+    supp = read_parquet_clean(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"]).to_pandas()
+    n_supp = int(supp["s_suppkey"].max()) + 1
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    t0, t1 = _ts(Q15_START), _ts(Q15_END)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(t0)),
+            pc.less(b["l_shipdate"], pa.scalar(t1))))
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        dpct = np.floor(d * 100 + 0.5).astype(np.int64)
+        units = cents * (100 - dpct)
+        acc = np.bincount(sk, weights=units.astype(np.float64),
+                          minlength=n_supp)
+        # bincount returns float64; revenue-units stay < 2^53 per
+        # BATCH (≈4e7 rows x 1e9 units needs per-batch rows < 9e6 —
+        # Ray's default block split keeps batches far below that)
+        return pa.table({"sk": np.arange(n_supp, dtype=np.int64),
+                         "units": acc.astype(np.int64)})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    units = parts.groupby("sk")["units"].sum()
+    best = units[units == units.max()]
+    out = supp[supp["s_suppkey"].isin(best.index)].copy()
+    out["total_revenue"] = [
+        round(int(best[k]) / 10000.0, 6) for k in out["s_suppkey"]]
+    return out[["s_suppkey", "s_name", "total_revenue"]].reset_index(
+        drop=True).sort_values("s_suppkey").reset_index(drop=True)
+
+
+TOP_SUPPLIER_SQL = f"""
+    WITH rev AS (
+      SELECT l_suppkey AS s_suppkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                 AS units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+        AND l_shipdate < TIMESTAMP '{Q15_END}'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           round(units / 10000.0, 6) AS total_revenue
+    FROM rev JOIN supplier s USING (s_suppkey)
+    WHERE units = (SELECT max(units) FROM rev)
+    ORDER BY s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17-like: small-quantity-order revenue (per-part avg join-back)
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#1"
+Q17_MAX_SIZE = 15
+
+
+def small_quantity_revenue(sf_dir: str):
+    """Q17 shape: for parts of one brand/size class, sum the revenue of
+    lineitems whose quantity is below 20% of that part's average
+    quantity (avg over ALL its lineitems), divided by 7.
+
+    100-TB plan: two fact scans, no shuffle.  Pass 1 accumulates
+    per-selected-part (sum_qty, n) via dense bincount partials (the
+    brand/size-filtered part subset is the SMALL side, broadcast as a
+    partkey->slot code array via ray.put).  Pass 2 re-streams lineitem
+    and keeps rows with qty * 5 * n < sum_qty — the avg comparison
+    done in EXACT integers (quantities are integral), so both sides
+    agree bit-for-bit.  Revenue summed in exact cents."""
+    import os
+
+    import ray
+
+    part = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    sel = part.loc[(part["p_brand"] == Q17_BRAND)
+                   & (part["p_size"] <= Q17_MAX_SIZE), "p_partkey"]
+    sel = np.sort(sel.to_numpy(np.int64))
+    code = np.full(int(part["p_partkey"].max()) + 2, -1, np.int64)
+    code[sel] = np.arange(len(sel))
+    cref = ray.put(code)
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def pass1(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        slot = c[np.minimum(b["l_partkey"].to_numpy(zero_copy_only=False),
+                            len(c) - 1)]
+        hit = slot >= 0
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)[hit]
+        s = slot[hit]
+        sq = np.bincount(s, weights=q, minlength=len(sel))
+        n = np.bincount(s, minlength=len(sel))
+        return pa.table({"slot": np.arange(len(sel), dtype=np.int64),
+                         "sq": sq.astype(np.int64),
+                         "n": n.astype(np.int64)})
+
+    li = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=li_cols)
+    agg = li.map_batches(pass1, batch_format="pyarrow").to_pandas()
+    agg = agg.groupby("slot")[["sq", "n"]].sum()
+    sq = agg["sq"].reindex(range(len(sel)), fill_value=0).to_numpy()
+    n = agg["n"].reindex(range(len(sel)), fill_value=0).to_numpy()
+    sqr, nr = ray.put(sq), ray.put(n)
+
+    def pass2(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        slot = c[np.minimum(b["l_partkey"].to_numpy(zero_copy_only=False),
+                            len(c) - 1)]
+        hit = slot >= 0
+        s = slot[hit]
+        q = b["l_quantity"].to_numpy(
+            zero_copy_only=False)[hit].astype(np.int64)
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+        keep = q * 5 * ray.get(nr)[s] < ray.get(sqr)[s]
+        cents = np.floor(p[keep] * 100 + 0.5).astype(np.int64)
+        return pa.table({"cents": pa.array([int(cents.sum())]),
+                         "cnt": pa.array([int(keep.sum())], pa.int64())})
+
+    li2 = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=li_cols)
+    parts = li2.map_batches(pass2, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "avg_yearly": [round(int(parts["cents"].sum()) / 100.0 / 7.0, 6)],
+        "n_items": np.array([int(parts["cnt"].sum())], np.int64)})
+
+
+SMALL_QTY_REVENUE_SQL = f"""
+    WITH sel AS (SELECT p_partkey FROM part
+                 WHERE p_brand = '{Q17_BRAND}'
+                   AND p_size <= {Q17_MAX_SIZE}),
+    ag AS (SELECT l_partkey,
+                  sum(CAST(l_quantity AS BIGINT)) AS sq,
+                  count(*)::BIGINT AS n
+           FROM lineitem JOIN sel ON p_partkey = l_partkey
+           GROUP BY l_partkey)
+    SELECT round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 / 100.0 / 7.0, 6) AS avg_yearly,
+           count(*)::BIGINT AS n_items
+    FROM lineitem JOIN ag ON ag.l_partkey = lineitem.l_partkey
+    WHERE CAST(l_quantity AS BIGINT) * 5 * n < sq
+"""
