@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 
 from . import ann as _ANN
 from . import relational as _REL
+from .algos import msf as _MSF
 from . import sketch as _SK
 
 PR_ITERS = 20
@@ -359,6 +360,34 @@ def q_doc_group_sizes(sf_dir):
 
 def q_doc_edge_count(sf_dir):
     return pd.DataFrame({"n_edges": [int(documents_edges(sf_dir).count())]})
+
+
+def _msf_weight(b: pa.Table) -> pa.Table:
+    """Integer composite weight for the MSF: w10 = 10 + (src+dst) % 7 —
+    the same deterministic synthetic weight as _add_weight x10, kept
+    integral so every comparison is exact (algos/msf.py docstring)."""
+    s = b["src"].to_numpy(zero_copy_only=False)
+    d = b["dst"].to_numpy(zero_copy_only=False)
+    return pa.table({"u": b["src"], "v": b["dst"],
+                     "w10": pa.array(10 + (s + d) % 7)})
+
+
+def q_doc_msf(sf_dir):
+    """Minimum spanning forest (deterministic Boruvka, algos/msf.py)
+    over the weighted documents graph: per-component argmin of the
+    exact composite key (w10, u, v) + pointer-jump contraction per
+    round; size-gated driver kernel vs distributed Dataset plan
+    (paths asserted equal in tests/test_msf.py)."""
+    from .algos.msf import minimum_spanning_forest
+
+    edges = documents_edges(sf_dir)
+    n = documents_n_vertices(sf_dir)
+    w = edges.map_batches(_msf_weight, batch_format="pyarrow")
+    out = minimum_spanning_forest(w, n)
+    return pd.DataFrame({
+        "src": out["u"].to_numpy(np.int64),
+        "dst": out["v"].to_numpy(np.int64),
+        "weight": np.round(out["w10"].to_numpy(np.int64) / 10.0, 6)})
 
 
 def q_doc_triangles(sf_dir):
@@ -5279,6 +5308,57 @@ ORACLE_PHASH = """
 
 _LANGID_BODY = _langid_sql()
 
+def _msf_sql(rounds: int, jumps: int) -> str:
+    """Unrolled-Boruvka SQL twin of q_doc_msf (house convention:
+    iterative algos oracle via AS MATERIALIZED CTE rounds).  Per round:
+    per-component argmin over (w10, u, v) via row_number, deterministic
+    min-root hooking of mutual pairs, `jumps` pointer-doubling steps,
+    component relabel.  Post-convergence rounds are no-ops (empty
+    sel -> unchanged comp map), so a generous fixed unroll is safe."""
+    ctes = [
+        f"ce AS MATERIALIZED ({DOC_EDGES_SQL})",
+        "e AS MATERIALIZED (SELECT src AS u, dst AS v, "
+        "10 + (src + dst) % 7 AS w10 FROM ce)",
+        "cm0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS c "
+        "FROM documents)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"ce{r} AS MATERIALIZED (SELECT a.c AS cu, b.c AS cv, "
+            f"e.u, e.v, e.w10 FROM e JOIN cm{r} a ON a.v = e.u "
+            f"JOIN cm{r} b ON b.v = e.v WHERE a.c <> b.c)")
+        ctes.append(
+            f"cand{r} AS MATERIALIZED (SELECT cu AS c, cv AS o, u, v, "
+            f"w10 FROM ce{r} UNION ALL "
+            f"SELECT cv AS c, cu AS o, u, v, w10 FROM ce{r})")
+        ctes.append(
+            f"sel{r} AS MATERIALIZED (SELECT c, o, u, v, w10 FROM "
+            f"(SELECT c, o, u, v, w10, row_number() OVER "
+            f"(PARTITION BY c ORDER BY w10, u, v) AS rn FROM cand{r}) "
+            f"WHERE rn = 1)")
+        ctes.append(
+            f"par{r}_0 AS MATERIALIZED (SELECT s.c, CASE WHEN "
+            f"p.o = s.c AND s.c < s.o THEN s.c ELSE s.o END AS p "
+            f"FROM sel{r} s JOIN sel{r} p ON p.c = s.o)")
+        for k in range(1, jumps + 1):
+            ctes.append(
+                f"par{r}_{k} AS MATERIALIZED (SELECT a.c, "
+                f"coalesce(b.p, a.p) AS p FROM par{r}_{k - 1} a "
+                f"LEFT JOIN par{r}_{k - 1} b ON b.c = a.p)")
+        ctes.append(
+            f"cm{r + 1} AS MATERIALIZED (SELECT m.v, "
+            f"coalesce(pj.p, m.c) AS c FROM cm{r} m "
+            f"LEFT JOIN par{r}_{jumps} pj ON pj.c = m.c)")
+        ctes.append(
+            f"f{r} AS MATERIALIZED (SELECT DISTINCT u, v, w10 "
+            f"FROM sel{r})")
+    union = " UNION ALL ".join(
+        f"SELECT u, v, w10 FROM f{r}" for r in range(rounds))
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT u AS src, v AS dst, "
+            "round(w10 / 10.0, 6) AS weight FROM (" + union + ")")
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_edges": DOC_EDGES_SQL,
     "doc_degree": (f"WITH sym AS ({DOC_SYM_SQL}) SELECT src AS v, "
@@ -5314,6 +5394,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_edge_count": (f"WITH e AS ({DOC_EDGES_SQL}) "
                        "SELECT count(*) AS n_edges FROM e"),
     "doc_triangles": TRIANGLES_SQL,
+    "doc_msf": _msf_sql(_MSF.MSF_ROUNDS, _MSF.MSF_JUMPS),
     "doc_4cliques": FOURCLIQUES_SQL,
     "doc_clustering": CLUSTERING_SQL,
     "doc_neighbor_sample": _neighbor_sample_sql(),
@@ -6747,6 +6828,7 @@ QUERIES = {
     "doc_group_sizes": q_doc_group_sizes,
     "doc_edge_count": q_doc_edge_count,
     "doc_triangles": q_doc_triangles,
+    "doc_msf": q_doc_msf,
     "doc_4cliques": q_doc_4cliques,
     "doc_clustering": q_doc_clustering,
     "doc_neighbor_sample": q_doc_neighbor_sample,
