@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 
 from . import ann as _ANN
 from . import relational as _REL
+from .algos import matching as _MATCH
 from .algos import msf as _MSF
 from . import sketch as _SK
 
@@ -388,6 +389,23 @@ def q_doc_msf(sf_dir):
         "src": out["u"].to_numpy(np.int64),
         "dst": out["v"].to_numpy(np.int64),
         "weight": np.round(out["w10"].to_numpy(np.int64) / 10.0, 6)})
+
+
+def q_doc_matching(sf_dir):
+    """Maximal matching (algos/matching.py, locally-dominant edges =
+    sequential greedy in avalanche-priority order): per-vertex argmin
+    rounds, count==2 dominance, size-gated driver kernel vs distributed
+    plan (paths asserted equal in tests/test_matching.py)."""
+    from .algos.matching import maximal_matching
+
+    edges = documents_edges(sf_dir)
+    n = documents_n_vertices(sf_dir)
+    w = edges.map_batches(
+        lambda b: pa.table({"u": b["src"], "v": b["dst"]}),
+        batch_format="pyarrow")
+    out = maximal_matching(w, n)
+    return pd.DataFrame({"src": out["u"].to_numpy(np.int64),
+                         "dst": out["v"].to_numpy(np.int64)})
 
 
 def q_doc_triangles(sf_dir):
@@ -5359,6 +5377,52 @@ def _msf_sql(rounds: int, jumps: int) -> str:
             "round(w10 / 10.0, 6) AS weight FROM (" + union + ")")
 
 
+def _matching_sql(rounds: int) -> str:
+    """Unrolled locally-dominant matching twin of q_doc_matching: the
+    64-bit avalanche priority in UBIGINT/HUGEINT (same mix as the
+    SimHash oracle), then per round live-filter -> per-vertex argmin ->
+    HAVING count(*)=2 dominance -> matched-set growth.  Post-fixpoint
+    rounds are no-ops."""
+    ctes = [
+        f"ce AS MATERIALIZED ({DOC_EDGES_SQL})",
+        f"ep0 AS (SELECT src AS u, dst AS v, ((src::HUGEINT * "
+        f"4294967296 + dst) % {_W64})::UBIGINT AS h0 FROM ce)",
+        "ep1 AS (SELECT u, v, xor(h0, h0 >> 33) AS h1 FROM ep0)",
+        f"ep2 AS (SELECT u, v, "
+        f"{_mulmod64_sql('h1', 0xFF51AFD7ED558CCD)}::UBIGINT AS h2 "
+        f"FROM ep1)",
+        "ep3 AS (SELECT u, v, xor(h2, h2 >> 29) AS h3 FROM ep2)",
+        f"ep4 AS (SELECT u, v, "
+        f"{_mulmod64_sql('h3', 0xC4CEB9FE1A85EC53)}::UBIGINT AS h4 "
+        f"FROM ep3)",
+        "epri AS MATERIALIZED (SELECT u, v, xor(h4, h4 >> 32) AS pri "
+        "FROM ep4)",
+        "m0 AS (SELECT CAST(NULL AS BIGINT) AS mv WHERE 1 = 0)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"live{r} AS MATERIALIZED (SELECT p.u, p.v, p.pri "
+            f"FROM epri p LEFT JOIN m{r} a ON a.mv = p.u "
+            f"LEFT JOIN m{r} b ON b.mv = p.v "
+            f"WHERE a.mv IS NULL AND b.mv IS NULL)")
+        ctes.append(
+            f"w{r} AS (SELECT u, v FROM (SELECT u, v, row_number() "
+            f"OVER (PARTITION BY vert ORDER BY pri, u, v) AS rn FROM "
+            f"(SELECT u AS vert, pri, u, v FROM live{r} UNION ALL "
+            f"SELECT v AS vert, pri, u, v FROM live{r})) WHERE rn = 1)")
+        ctes.append(
+            f"dom{r} AS MATERIALIZED (SELECT u, v FROM w{r} "
+            f"GROUP BY u, v HAVING count(*) = 2)")
+        ctes.append(
+            f"m{r + 1} AS MATERIALIZED (SELECT mv FROM m{r} "
+            f"UNION SELECT u AS mv FROM dom{r} "
+            f"UNION SELECT v AS mv FROM dom{r})")
+    union = " UNION ALL ".join(
+        f"SELECT u, v FROM dom{r}" for r in range(rounds))
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT u AS src, v AS dst FROM (" + union + ")")
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_edges": DOC_EDGES_SQL,
     "doc_degree": (f"WITH sym AS ({DOC_SYM_SQL}) SELECT src AS v, "
@@ -5395,6 +5459,7 @@ ORACLE_SQL: dict[str, str] = {
                        "SELECT count(*) AS n_edges FROM e"),
     "doc_triangles": TRIANGLES_SQL,
     "doc_msf": _msf_sql(_MSF.MSF_ROUNDS, _MSF.MSF_JUMPS),
+    "doc_matching": _matching_sql(_MATCH.MATCH_ROUNDS),
     "doc_4cliques": FOURCLIQUES_SQL,
     "doc_clustering": CLUSTERING_SQL,
     "doc_neighbor_sample": _neighbor_sample_sql(),
@@ -6829,6 +6894,7 @@ QUERIES = {
     "doc_edge_count": q_doc_edge_count,
     "doc_triangles": q_doc_triangles,
     "doc_msf": q_doc_msf,
+    "doc_matching": q_doc_matching,
     "doc_4cliques": q_doc_4cliques,
     "doc_clustering": q_doc_clustering,
     "doc_neighbor_sample": q_doc_neighbor_sample,
