@@ -1488,3 +1488,93 @@ def hamming_dup_pairs(sig_ds, id_col: str = "media_id",
                              "b": pd.Series([], dtype=np.int64),
                              "hamming": pd.Series([], dtype=np.int64)})
     return pdf.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (CCNet-style): drop repeated paragraphs
+# corpus-wide, keep the first occurrence, rebuild the document text
+# ---------------------------------------------------------------------------
+
+PAR_WORDS = 12  # fixed word-window "paragraphs" (the synth corpus has
+                # no newline structure; real corpora would split on \n)
+
+
+def paragraph_dedup(docs_ds, par_words: int = PAR_WORDS):
+    """CCNet-style paragraph dedup: segment every document into
+    fixed-size word windows (text.chunk_documents with zero overlap —
+    the zero-Python-loop flat-token gather), keep only the FIRST
+    occurrence of each distinct paragraph corpus-wide (min
+    (doc_id, chunk_id)), and rebuild each document from its surviving
+    paragraphs.  Documents that lose every paragraph drop entirely
+    (CCNet semantics).
+
+    Scale: two coarse-bucket shuffles, both on ~rows/200k buckets —
+    one by paragraph string hash (winner = one lexsort + lead-mask per
+    bucket; string keys bucket via pd.util.hash_array, stable across
+    workers), one by doc id to rebuild (Arrow ListArray + binary_join,
+    no per-doc Python join).  Nothing ever materializes driver-side;
+    the result is a Dataset.
+    """
+    from .algos.triangles import n_buckets_for
+    from .runtime import tune_context
+    from .text import chunk_documents
+
+    tune_context()
+    segs = docs_ds.map_batches(
+        lambda b: chunk_documents(b, chunk_words=par_words, overlap=0),
+        batch_format="pyarrow").materialize()
+    n_segs = segs.count()
+    if n_segs == 0:
+        return from_pandas_clean(pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "clean_text": pd.Series([], dtype=str),
+             "n_kept": pd.Series([], dtype=np.int64)}))
+    nb = n_buckets_for(n_segs)
+
+    def psalt(b: pa.Table) -> pa.Table:
+        k = b["chunk"].to_numpy(zero_copy_only=False)
+        kb = (pd.util.hash_array(k) % np.uint64(nb)).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"], "chunk_id": b["chunk_id"],
+                         "chunk": b["chunk"], "kb": pa.array(kb)})
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        ch = g["chunk"].to_numpy()
+        order = np.lexsort((g["chunk_id"].to_numpy(),
+                            g["doc_id"].to_numpy(), ch))
+        chs = ch[order]
+        lead = np.concatenate([[True], chs[1:] != chs[:-1]])
+        pick = order[lead]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy()[pick],
+            "chunk_id": g["chunk_id"].to_numpy()[pick],
+            "chunk": ch[pick]})
+
+    kept = (segs.map_batches(psalt, batch_format="pyarrow")
+            .groupby("kb").map_groups(winners, batch_format="pandas"))
+
+    def dsalt(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(31)
+        return b.append_column("db", pa.array(
+            (h % np.uint64(nb)).astype(np.int64)))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((g["chunk_id"].to_numpy(), d))
+        d = d[order]
+        ch = g["chunk"].to_numpy()[order]
+        lead = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        counts = np.diff(np.concatenate([lead, [len(d)]]))
+        offsets = np.concatenate([[0], np.cumsum(counts)]) \
+            .astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(ch, pa.string()))
+        txt = pc.binary_join(lists, " ")
+        return pd.DataFrame({"doc_id": d[lead].astype(np.int64),
+                             "clean_text": txt.to_pandas(),
+                             "n_kept": counts.astype(np.int64)})
+
+    return (kept.map_batches(dsalt, batch_format="pyarrow")
+            .groupby("db").map_groups(rebuild, batch_format="pandas"))

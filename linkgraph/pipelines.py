@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 
 from . import ann as _ANN
 from . import relational as _REL
+from .dedup import PAR_WORDS as _PAR_WORDS
 from .algos import matching as _MATCH
 from .algos import msf as _MSF
 from . import sketch as _SK
@@ -2211,6 +2212,18 @@ def q_dedup_incremental(sf_dir):
                    idx_dir)
     return incremental_dedup(
         fp.map_batches(half(False), batch_format="pyarrow"), idx_dir)
+
+
+def q_dedup_paragraph(sf_dir):
+    """CCNet-style paragraph dedup (dedup.paragraph_dedup): fixed
+    word-window segmentation, corpus-wide first-occurrence winners by
+    (doc_id, chunk_id), Arrow list-join rebuild — two coarse-bucket
+    shuffles, Dataset result."""
+    from .dedup import paragraph_dedup
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return paragraph_dedup(docs)
 
 
 def q_dedup_minhash(sf_dir):
@@ -5629,6 +5642,32 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_custdist": _REL.ORDER_COUNT_DIST_SQL,
     "tpch_top_supplier": _REL.TOP_SUPPLIER_SQL,
     "tpch_small_qty": _REL.SMALL_QTY_REVENUE_SQL,
+    "dedup_paragraph": f"""
+        WITH wl AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text,
+                 '\\s+'), x -> x <> '') AS l
+          FROM documents),
+        wn AS (SELECT doc_id, l, len(l) AS n FROM wl WHERE len(l) > 0),
+        ks AS (SELECT doc_id, l, n,
+                      unnest(range(0, 1 + CASE WHEN n > {_PAR_WORDS}
+                             THEN CAST(ceil((n - {_PAR_WORDS}) /
+                                  {_PAR_WORDS}.0) AS BIGINT)
+                             ELSE 0 END)) AS k
+               FROM wn),
+        segs AS (SELECT doc_id, k AS chunk_id,
+                        array_to_string(l[k*{_PAR_WORDS}+1 :
+                                          k*{_PAR_WORDS}+{_PAR_WORDS}],
+                                        ' ') AS chunk
+                 FROM ks),
+        kept AS (SELECT doc_id, chunk_id, chunk FROM (
+                   SELECT doc_id, chunk_id, chunk, row_number() OVER
+                     (PARTITION BY chunk ORDER BY doc_id, chunk_id)
+                     AS rn FROM segs) WHERE rn = 1)
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text,
+               count(*)::BIGINT AS n_kept
+        FROM kept GROUP BY doc_id
+    """,
     "dedup_report": f"""
         WITH n AS (SELECT count(*)::BIGINT AS n_docs,
                           count(DISTINCT sha256(text))::BIGINT
@@ -6981,6 +7020,7 @@ QUERIES = {
     "corpus_clean_v3": q_corpus_clean_v3,
     "dedup_minhash": q_dedup_minhash,
     "dedup_report": q_dedup_report,
+    "dedup_paragraph": q_dedup_paragraph,
     "tpch_discount": q_tpch_discount,
     "tpch_custdist": q_tpch_custdist,
     "tpch_top_supplier": q_tpch_top_supplier,

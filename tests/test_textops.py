@@ -757,3 +757,46 @@ def test_pmi_phrases_matches_naive():
         got.astype({"n": np.int64}), want.astype({"n": np.int64}),
         check_dtype=False, atol=1e-9)
     assert "deep learning" in got["bigram"].tolist()
+
+
+def test_paragraph_dedup_naive_parity(ray_session):
+    """dedup.paragraph_dedup == a transparent per-row reimplementation
+    (dict-based first-occurrence over (doc_id, chunk_id) order)."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.dedup import paragraph_dedup
+    from linkgraph.io import from_pandas_clean
+
+    rng = np.random.default_rng(21)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs = []
+    for d in range(40):
+        n = int(rng.integers(0, 40))
+        docs.append(" ".join(vocab[i] for i in rng.integers(0, 5, n)))
+    # force exact repeated paragraphs across docs
+    docs[7] = docs[3]
+    docs[11] = docs[3] + " " + docs[5]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": docs})
+
+    out = (paragraph_dedup(from_pandas_clean(df), par_words=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # naive oracle
+    seen = set()
+    rows = []
+    for d, text in enumerate(docs):
+        words = [w for w in text.split() if w]
+        kept = []
+        for k in range(0, max(1, len(words)), 4) if words else []:
+            par = " ".join(words[k:k + 4])
+            if par not in seen:
+                seen.add(par)
+                kept.append(par)
+        if kept:
+            rows.append((d, " ".join(kept), len(kept)))
+    want = pd.DataFrame(rows, columns=["doc_id", "clean_text", "n_kept"])
+    want["doc_id"] = want["doc_id"].astype(np.int64)
+    want["n_kept"] = want["n_kept"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, want)
