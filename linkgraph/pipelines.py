@@ -2226,6 +2226,53 @@ def q_dedup_paragraph(sf_dir):
     return paragraph_dedup(docs)
 
 
+CM_TOP_K = 20
+
+
+def q_text_cm(sf_dir):
+    """Count-Min sketch heavy-hitter report (sketch.count_min_sketch):
+    bounded mergeable register matrix from map-side partials, then for
+    the top-20 true-count tokens the sketch point estimate next to the
+    exact count (estimate >= truth always; equality when no collision).
+    All integer math — the oracle reproduces registers exactly."""
+    from .sketch import CM_D, CM_W, cm_estimate, count_min_sketch
+    from .text import _batch_word_hashes
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+    regs = count_min_sketch(docs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(_arr(b["text"])), r"[ \t\n]+"))
+        toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        vc = _arr(toks.value_counts())
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").sum("n")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().rename(columns={"sum(n)": "n"})
+        pdf = pdf.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort").head(CM_TOP_K)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    top = (counts.map_batches(local_top, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["n", "token"], ascending=[False, True],
+                        kind="mergesort").head(CM_TOP_K)
+           .reset_index(drop=True))
+    wd, h, _ = _batch_word_hashes(top["token"].tolist())
+    assert len(h) == len(top)  # tokens are single nonempty words
+    est = np.empty(len(top), np.int64)
+    est[wd] = cm_estimate(regs, h)
+    return pd.DataFrame({"token": top["token"],
+                         "true_count": top["n"].to_numpy(np.int64),
+                         "cm_estimate": est})
+
+
 def q_dedup_minhash(sf_dir):
     import ray.data as rd
 
@@ -5436,6 +5483,58 @@ def _matching_sql(rounds: int) -> str:
             + "\nSELECT u AS src, v AS dst FROM (" + union + ")")
 
 
+def _cm_sql(d: int, w: int, salts, gold: int, top_k: int) -> str:
+    """Count-Min oracle twin of q_text_cm: the full-word FNV fold +
+    splitmix avalanche per DISTINCT token (HUGEINT, exact), the
+    register table as d UNION ALL branches with literal row salts,
+    and min-over-rows point estimates for the true top-k tokens."""
+    fold = (f"list_reduce(list_transform(range(1, length(w) + 1), "
+            f"j -> unicode(substr(w, j::INT, 1))::HUGEINT), "
+            f"(acc, c) -> (acc * {_FNV} + c) % {_W64})")
+    reg_branches = " UNION ALL ".join(
+        f"SELECT {j} AS j, "
+        f"({_mulmod64_sql(f'xor(h, {salts[j]}::UBIGINT)', gold)} "
+        f"% {w})::BIGINT AS col, n FROM occ"
+        for j in range(d))
+    est_branches = " UNION ALL ".join(
+        f"SELECT token, {j} AS j, "
+        f"({_mulmod64_sql(f'xor(h, {salts[j]}::UBIGINT)', gold)} "
+        f"% {w})::BIGINT AS col FROM toph"
+        for j in range(d))
+    return f"""
+        WITH words AS MATERIALIZED (
+          SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(text),
+                   '[ \t\n]+')) AS w FROM documents)
+          WHERE length(w) > 0),
+        dw AS (SELECT w, count(*)::BIGINT AS n FROM words GROUP BY w),
+        a0 AS (SELECT w, n, ({fold})::UBIGINT AS h0 FROM dw),
+        a1 AS (SELECT w, n, xor(h0, h0 >> 33) AS h1 FROM a0),
+        a2 AS (SELECT w, n,
+               {_mulmod64_sql('h1', 0xFF51AFD7ED558CCD)}::UBIGINT AS h2
+               FROM a1),
+        a3 AS (SELECT w, n, xor(h2, h2 >> 29) AS h3 FROM a2),
+        a4 AS (SELECT w, n,
+               {_mulmod64_sql('h3', 0xC4CEB9FE1A85EC53)}::UBIGINT AS h4
+               FROM a3),
+        occ AS MATERIALIZED (
+          SELECT w, n, xor(h4, h4 >> 32) AS h FROM a4),
+        reg AS MATERIALIZED (
+          SELECT j, col, sum(n)::BIGINT AS c
+          FROM ({reg_branches}) GROUP BY j, col),
+        top AS MATERIALIZED (
+          SELECT w AS token, n AS true_count FROM occ
+          ORDER BY n DESC, w LIMIT {top_k}),
+        toph AS (SELECT token, true_count, h FROM top
+                 JOIN occ ON occ.w = top.token),
+        cols AS ({est_branches})
+        SELECT t.token, t.true_count, min(reg.c) AS cm_estimate
+        FROM top t JOIN cols ON cols.token = t.token
+        JOIN reg ON reg.j = cols.j AND reg.col = cols.col
+        GROUP BY t.token, t.true_count
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_edges": DOC_EDGES_SQL,
     "doc_degree": (f"WITH sym AS ({DOC_SYM_SQL}) SELECT src AS v, "
@@ -5473,6 +5572,8 @@ ORACLE_SQL: dict[str, str] = {
     "doc_triangles": TRIANGLES_SQL,
     "doc_msf": _msf_sql(_MSF.MSF_ROUNDS, _MSF.MSF_JUMPS),
     "doc_matching": _matching_sql(_MATCH.MATCH_ROUNDS),
+    "text_cm": _cm_sql(_SK.CM_D, _SK.CM_W, _SK.CM_SALTS, _SK.CM_GOLD,
+                       CM_TOP_K),
     "doc_4cliques": FOURCLIQUES_SQL,
     "doc_clustering": CLUSTERING_SQL,
     "doc_neighbor_sample": _neighbor_sample_sql(),
@@ -6934,6 +7035,7 @@ QUERIES = {
     "doc_triangles": q_doc_triangles,
     "doc_msf": q_doc_msf,
     "doc_matching": q_doc_matching,
+    "text_cm": q_text_cm,
     "doc_4cliques": q_doc_4cliques,
     "doc_clustering": q_doc_clustering,
     "doc_neighbor_sample": q_doc_neighbor_sample,

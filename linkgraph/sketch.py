@@ -548,3 +548,61 @@ def bloom_sql(absent_probes: list[str], m: int = BLOOM_M,
                nb.n_bits_set
         FROM hit, nb ORDER BY probe
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable heavy-hitter frequency estimation
+# ---------------------------------------------------------------------------
+
+CM_D = 4        # rows (independent hash functions)
+CM_W = 1024     # columns per row
+# row salts injected as literals on both sides (pi-digit nothing-up-my-
+# sleeve constants, same convention as the seeded LSH planes)
+CM_SALTS = (0x243F6A8885A308D3, 0x13198A2E03707344,
+            0xA4093822299F31D0, 0x082EFA98EC4E6C89)
+CM_GOLD = 0x9E3779B97F4A7C15
+
+
+def cm_cols(h: np.ndarray, j: int, w: int = CM_W) -> np.ndarray:
+    """Column of word-hash h in sketch row j: ((h XOR salt_j) * GOLD
+    mod 2^64) mod W — exact twin in pipelines._cm_sql."""
+    with np.errstate(over="ignore"):
+        x = (np.asarray(h, np.uint64) ^ np.uint64(CM_SALTS[j])) \
+            * np.uint64(CM_GOLD)
+    return (x % np.uint64(w)).astype(np.int64)
+
+
+def count_min_sketch(docs_ds, text_col: str = "text",
+                     d: int = CM_D, w: int = CM_W) -> np.ndarray:
+    """Build a d x w Count-Min sketch of the corpus token stream
+    (lowercased whitespace words, text._batch_word_hashes).  Map-side
+    partial sketches per batch (np.bincount per row), merged by a tiny
+    driver reduce — the register table is BOUNDED (d*w ints) no matter
+    the corpus size, the canonical mergeable-sketch shape (same as the
+    KMV/HLL sketches above).  Returns the int64 register matrix."""
+    from .text import _batch_word_hashes
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, h, _ = _batch_word_hashes(b[text_col].to_pylist())
+        regs = np.empty(d * w, np.int64)
+        for j in range(d):
+            regs[j * w:(j + 1) * w] = np.bincount(cm_cols(h, j, w),
+                                                  minlength=w)
+        return pa.table({"r": pa.array(np.arange(d * w, dtype=np.int64)),
+                         "c": pa.array(regs)})
+
+    parts = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    regs = (parts.groupby("r")["c"].sum()
+            .reindex(range(d * w), fill_value=0)
+            .to_numpy().reshape(d, w))
+    return regs
+
+
+def cm_estimate(regs: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Point-query the sketch for word hashes h: min over rows."""
+    d, w = regs.shape
+    est = np.full(len(h), np.iinfo(np.int64).max, np.int64)
+    for j in range(d):
+        est = np.minimum(est, regs[j, cm_cols(h, j, w)])
+    return est

@@ -550,3 +550,38 @@ def test_markov_transitions_matches_naive_and_partitions():
     # rows normalize to ~1 per prev_type
     rs = got.groupby("prev_type")["p"].sum()
     assert np.allclose(rs.to_numpy(), 1.0, atol=1e-4)
+
+
+def test_count_min_sketch_properties(ray_session):
+    """Count-Min invariants: estimate >= true count for every token,
+    and partial sketches merge by addition (built per half == built
+    whole)."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.sketch import cm_estimate, count_min_sketch
+    from linkgraph.text import _batch_word_hashes
+
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{i}" for i in range(200)]
+    texts = [" ".join(vocab[j] for j in rng.integers(0, 200, 30))
+             for _ in range(80)]
+    df = pd.DataFrame({"text": texts})
+    regs = count_min_sketch(from_pandas_clean(df))
+
+    # truth
+    from collections import Counter
+    truth = Counter(w for t in texts for w in t.split())
+    toks = sorted(truth)
+    wd, h, _ = _batch_word_hashes(toks)
+    est = np.empty(len(toks), np.int64)
+    est[wd] = cm_estimate(regs, h)
+    true = np.array([truth[t] for t in toks])
+    assert (est >= true).all()
+    assert regs.sum() == sum(truth.values()) * regs.shape[0]
+
+    # mergeability
+    r1 = count_min_sketch(from_pandas_clean(df.iloc[:40]))
+    r2 = count_min_sketch(from_pandas_clean(df.iloc[40:]))
+    assert np.array_equal(r1 + r2, regs)
