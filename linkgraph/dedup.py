@@ -1578,3 +1578,156 @@ def paragraph_dedup(docs_ds, par_words: int = PAR_WORDS):
 
     return (kept.map_batches(dsalt, batch_format="pyarrow")
             .groupby("db").map_groups(rebuild, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (AllPairs/PPJoin-style)
+# ---------------------------------------------------------------------------
+
+PPJOIN_TAU = 0.8
+
+
+def ppjoin_pairs(ds, id_col="doc_id", text_col="text", k: int = 5,
+                 threshold: float = PPJOIN_TAU):
+    """Exact Jaccard >= threshold pairs over char-k-gram shingle sets
+    with NO recall loss — the prefix-filter alternative to
+    exact_jaccard_pairs' df-cap (which documents a recall trade).
+
+    Prefix-filter theorem: order tokens by ascending global document
+    frequency (ties by token); any pair with J >= tau shares its
+    globally-smallest common token inside BOTH prefixes of length
+    p = n - ceil(tau*n) + 1 (if the smallest shared token were outside
+    a prefix, that doc would have fewer than ceil(tau*n) shared tokens
+    — below the tau intersection bound).  So grouping by prefix tokens
+    generates a candidate superset with zero misses, and exact verify
+    keeps the join exact end-to-end.
+
+    Scale: df counting, prefix selection, candidate pairing and pair
+    dedup are all coarse-bucket shuffles (~rows/200k buckets,
+    vectorized kernels); df attaches via the gated attach_by_key.
+    Rarest-first prefixes keep candidate groups small on natural
+    corpora; a cluster of near-identical docs still yields its
+    inherent O(cluster^2) output pairs — that is the join's own output
+    size, not an index artifact.  Verification reuses the size-gated
+    minhash verify tail (broadcast kernel under DRIVER_PAIR_CAP,
+    distributed shingle hash-join above)."""
+    from .algos.triangles import n_buckets_for
+    from .joins import attach_by_key
+    from .runtime import tune_context
+
+    tune_context()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx, hcat = batch_shingle_sets(batch[text_col].to_pylist(),
+                                           k)
+        return pa.table({id_col: pa.array(ids[doc_idx]),
+                         "h": pa.array(hcat.view(np.int64))})
+
+    rows = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    n_rows = rows.count()
+    if n_rows == 0:
+        return pd.DataFrame({"a": np.empty(0, np.int64),
+                             "b": np.empty(0, np.int64),
+                             "jaccard": np.empty(0, np.float64)})
+    nb = n_buckets_for(n_rows)
+
+    def _mix_salt(col):
+        def salt(b: pa.Table) -> pa.Table:
+            x = b[col].to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                hh = x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                hh ^= hh >> np.uint64(31)
+            return b.append_column("kb", pa.array(
+                (hh % np.uint64(nb)).astype(np.int64)))
+        return salt
+
+    # global df per shingle (fine key -> coarse bucket + unique kernel)
+    def df_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        h, cnt = np.unique(g["h"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"h": h, "df": cnt.astype(np.int64)})
+
+    df_ds = (rows.map_batches(_mix_salt("h"), batch_format="pyarrow")
+             .groupby("kb").map_groups(df_kernel, batch_format="pandas"))
+
+    wdf = attach_by_key(rows, df_ds, ["h"], key="h", value="df")
+
+    # per-doc prefix of length n - ceil(tau*n) + 1 in (df, h) order
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[id_col].to_numpy()
+        h = g["h"].to_numpy()
+        dfv = g["df_h"].to_numpy()
+        order = np.lexsort((h, dfv, d))
+        d, h = d[order], h[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], d[1:] != d[:-1]]))
+        n_d = np.diff(np.concatenate([starts, [len(d)]]))
+        p = n_d - np.ceil(threshold * n_d).astype(np.int64) + 1
+        rank = np.arange(len(d)) - np.repeat(starts, n_d)
+        keep = rank < np.repeat(p, n_d)
+        return pd.DataFrame({id_col: d[keep], "h": h[keep]})
+
+    pref = (wdf.map_batches(_mix_salt(id_col), batch_format="pyarrow")
+            .groupby("kb").map_groups(prefix, batch_format="pandas"))
+
+    # candidate pairs: docs sharing a prefix token (vectorized
+    # within-segment triangular expansion, a < b by construction)
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        d = g[id_col].to_numpy()
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], h[1:] != h[:-1]]))
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.concatenate([starts, [len(h)]])))
+        rank = np.arange(len(h)) - starts[seg]
+        off2 = np.cumsum(rank) - rank
+        total = int(rank.sum())
+        if total == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        j2 = np.repeat(np.arange(len(h)), rank)
+        j1 = (np.arange(total) - np.repeat(off2, rank)
+              + np.repeat(starts[seg], rank))
+        return pd.DataFrame({"a": d[j1], "b": d[j2]})
+
+    cand = (pref.map_batches(_mix_salt("h"), batch_format="pyarrow")
+            .groupby("kb").map_groups(pairs, batch_format="pandas"))
+
+    # dedup (a, b) pairs
+    def pair_salt(b: pa.Table) -> pa.Table:
+        a_ = b["a"].to_numpy(zero_copy_only=False)
+        b_ = b["b"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hh = (a_.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+                ^ (b_.astype(np.uint64) * np.uint64(0xC4CEB9FE1A85EC53))
+            hh ^= hh >> np.uint64(31)
+        return b.append_column("kb", pa.array(
+            (hh % np.uint64(nb)).astype(np.int64)))
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        a_ = g["a"].to_numpy()
+        b_ = g["b"].to_numpy()
+        o = np.lexsort((b_, a_))
+        a_, b_ = a_[o], b_[o]
+        lead = np.concatenate([[True], (a_[1:] != a_[:-1])
+                               | (b_[1:] != b_[:-1])])
+        return pd.DataFrame({"a": a_[lead], "b": b_[lead]})
+
+    cands_ds = (cand.map_batches(pair_salt, batch_format="pyarrow")
+                .groupby("kb").map_groups(pair_dedup,
+                                          batch_format="pandas")
+                .materialize())
+    n_pairs = cands_ds.count()
+    if n_pairs == 0:
+        return pd.DataFrame({"a": np.empty(0, np.int64),
+                             "b": np.empty(0, np.int64),
+                             "jaccard": np.empty(0, np.float64)})
+    if n_pairs <= DRIVER_PAIR_CAP:
+        return _verify_jaccard_small(cands_ds.to_pandas(), ds, id_col,
+                                     text_col, k, threshold)
+    involved = _involved_ids(cands_ds)
+    sh = _shingle_table(ds, involved, id_col, text_col, k)
+    return _verify_jaccard_ds(cands_ds, sh, id_col, threshold)

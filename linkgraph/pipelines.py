@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 from . import ann as _ANN
 from . import relational as _REL
 from .dedup import PAR_WORDS as _PAR_WORDS
+from .dedup import PPJOIN_TAU as _PPJOIN_TAU
 from .algos import matching as _MATCH
 from .algos import msf as _MSF
 from . import sketch as _SK
@@ -2271,6 +2272,24 @@ def q_text_cm(sf_dir):
     return pd.DataFrame({"token": top["token"],
                          "true_count": top["n"].to_numpy(np.int64),
                          "cm_estimate": est})
+
+
+def q_dedup_ppjoin(sf_dir):
+    """Exact set-similarity join (dedup.ppjoin_pairs, prefix filtering):
+    zero-recall-loss Jaccard >= 0.8 pairs over char-5-gram sets — the
+    no-cap exact sibling of dedup_jaccard; the SQL twin is the full
+    brute-force join, so the driver gate proves the prefix filter
+    misses nothing."""
+    from .dedup import PPJOIN_TAU, ppjoin_pairs
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    out = ppjoin_pairs(docs, threshold=PPJOIN_TAU)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas().sort_values(["a", "b"]) \
+            .reset_index(drop=True)
+    out["jaccard"] = np.round(out["jaccard"].to_numpy(np.float64), 6)
+    return out
 
 
 def q_dedup_minhash(sf_dir):
@@ -6691,6 +6710,29 @@ ORACLE_SQL: dict[str, str] = {
     # same df-cap-64 smallest-ids cut the engine applies, jaccard exact
     # over full sets.  String shingles here vs 64-bit hashes in the
     # engine: identical up to hash collisions (P ~ 2^-65 per gram pair).
+    "dedup_ppjoin": f"""
+        WITH shd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(
+                     CASE WHEN length(text) < 5 THEN [text]
+                     ELSE list_transform(range(1, length(text) - 3),
+                                         j -> substr(text, j::INT, 5))
+                     END) AS sh
+            FROM documents)),
+        sizes AS MATERIALIZED (
+          SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+        inter AS MATERIALIZED (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM shd x JOIN shd y
+            ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT i.a, i.b,
+               round(i.i::DOUBLE / (za.sz + zb.sz - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.a
+        JOIN sizes zb ON zb.doc_id = i.b
+        WHERE i.i::DOUBLE / (za.sz + zb.sz - i.i) >= {_PPJOIN_TAU}
+    """,
     "dedup_jaccard": """
         WITH shd AS MATERIALIZED (
           SELECT DISTINCT doc_id, sh FROM (
@@ -7123,6 +7165,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_report": q_dedup_report,
     "dedup_paragraph": q_dedup_paragraph,
+    "dedup_ppjoin": q_dedup_ppjoin,
     "tpch_discount": q_tpch_discount,
     "tpch_custdist": q_tpch_custdist,
     "tpch_top_supplier": q_tpch_top_supplier,

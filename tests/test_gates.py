@@ -778,3 +778,53 @@ def test_doc_triads_heavy_split_path_equals_default(sf_dir):
     finally:
         P.TRIAD_WEDGE_CAP = old
     pd.testing.assert_frame_equal(base, forced)
+
+
+def test_ppjoin_exact_vs_bruteforce(ray_session):
+    """ppjoin_pairs (prefix filter) == transparent all-pairs brute force
+    — the zero-recall-loss claim, at a lower tau for pair volume."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.dedup import ppjoin_pairs
+    from linkgraph.io import from_pandas_clean
+
+    rng = np.random.default_rng(31)
+    base = ["the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "how vexingly quick daft zebras jump"]
+    texts = []
+    for i in range(60):
+        t = base[i % 3]
+        # perturb: drop a random word from some docs
+        words = t.split()
+        if i % 4 == 0 and len(words) > 3:
+            del words[int(rng.integers(0, len(words)))]
+        texts.append(" ".join(words))
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                       "text": texts})
+    tau, k = 0.6, 5
+    out = ppjoin_pairs(from_pandas_clean(df), k=k, threshold=tau)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas().sort_values(["a", "b"]) \
+            .reset_index(drop=True)
+
+    def shingles(t):
+        return (set(t[i:i + k] for i in range(len(t) - k + 1))
+                if len(t) >= k else {t})
+
+    want = []
+    ss = [shingles(t) for t in texts]
+    for a in range(60):
+        for b in range(a + 1, 60):
+            i = len(ss[a] & ss[b])
+            u = len(ss[a] | ss[b])
+            if u and i / u >= tau:
+                want.append((a, b, i / u))
+    want = pd.DataFrame(want, columns=["a", "b", "jaccard"])
+    want["a"] = want["a"].astype(np.int64)
+    want["b"] = want["b"].astype(np.int64)
+    assert len(out) == len(want)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want.reset_index(drop=True),
+        check_exact=False, rtol=1e-12)
