@@ -33,6 +33,7 @@ from . import ann as _ANN
 from . import relational as _REL
 from .dedup import PAR_WORDS as _PAR_WORDS
 from .dedup import PPJOIN_TAU as _PPJOIN_TAU
+from . import windows as _WM
 from .algos import matching as _MATCH
 from .algos import msf as _MSF
 from . import sketch as _SK
@@ -2838,6 +2839,19 @@ def q_media_video(sf_dir):
     docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                               columns=["doc_id", "text"])
     return demux_video_frames(videos_from_documents(docs))
+
+
+
+def q_events_late(sf_dir):
+    """Watermark late-event detection (windows.watermark_late_events):
+    per-user running-max watermark in simulated arrival order (the
+    deterministic event_id avalanche — the synth table has no ingest
+    sequence), exact integer-microsecond lateness."""
+    from .windows import watermark_late_events
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "user_id", "ts"])
+    return watermark_late_events(ev)
 
 
 def q_events_window(sf_dir):
@@ -6279,6 +6293,31 @@ ORACLE_SQL: dict[str, str] = {
     # exact integer-cents sums: floor(v*100+0.5) is the IDENTICAL float64
     # expression on both sides, so totals match bit-for-bit at any scale
     # running window scan, exact integer cents (same floor(v*100+0.5))
+    "events_late": f"""
+        WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events),
+        a0 AS (SELECT *, ((event_id::HUGEINT * 4294967296) %
+               {_W64})::UBIGINT AS h0 FROM c),
+        a1 AS (SELECT *, xor(h0, h0 >> 33) AS h1 FROM a0),
+        a2 AS (SELECT *,
+               {_mulmod64_sql('h1', 0xFF51AFD7ED558CCD)}::UBIGINT AS h2
+               FROM a1),
+        a3 AS (SELECT *, xor(h2, h2 >> 29) AS h3 FROM a2),
+        a4 AS (SELECT *,
+               {_mulmod64_sql('h3', 0xC4CEB9FE1A85EC53)}::UBIGINT AS h4
+               FROM a3),
+        j AS (SELECT event_id, user_id, t, xor(h4, h4 >> 32) AS arr
+              FROM a4),
+        w AS (SELECT event_id, user_id, t,
+                     max(t) OVER (PARTITION BY user_id ORDER BY arr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS mx
+              FROM j)
+        SELECT event_id, user_id, (mx - t)::BIGINT AS lateness_us
+        FROM w
+        WHERE mx IS NOT NULL
+          AND t < mx - {_WM.WATERMARK_S}::BIGINT * 1000000
+    """,
     "events_running": """
         WITH c AS (SELECT event_id, user_id, ts,
                           CAST(floor(value * 100 + 0.5) AS BIGINT)
@@ -7078,6 +7117,7 @@ QUERIES = {
     "doc_msf": q_doc_msf,
     "doc_matching": q_doc_matching,
     "text_cm": q_text_cm,
+    "events_late": q_events_late,
     "doc_4cliques": q_doc_4cliques,
     "doc_clustering": q_doc_clustering,
     "doc_neighbor_sample": q_doc_neighbor_sample,

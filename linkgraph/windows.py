@@ -685,3 +685,68 @@ def daily_anomalies(ds, ts: str = "ts"):
     d["z"] = np.round((n - mean) / np.sqrt(var), 6)
     d["n"] = d["n"].astype(np.int64)
     return d.reset_index(drop=True)
+
+
+WATERMARK_S = 72 * 3600  # 72h allowed lateness
+
+
+def watermark_late_events(ds, delay_s: int = WATERMARK_S,
+                          key: str = "user_id", ts: str = "ts",
+                          id_col: str = "event_id"):
+    """Streaming watermark late-event detection: an event is LATE when
+    its timestamp is more than `delay_s` behind the per-key watermark
+    (the max event time already seen in ARRIVAL order) at its arrival.
+
+    The synthetic events table carries no ingest sequence (event_id is
+    time-ordered by construction, which would make every stream
+    perfectly in order), so arrival order is SIMULATED by the
+    deterministic 64-bit avalanche of event_id — the same documented
+    seeded-constant convention as the LSH planes; a real ingest would
+    use its offset/sequence column here.
+
+    Scale shape: one coarse key-bucket shuffle, in-bucket lexsort by
+    (key, arrival) + a per-segment cumulative max (grouped cummax) —
+    the running_user_totals pattern with max instead of sum.  Exact
+    integer microseconds end-to-end."""
+    from .algos.matching import edge_priority
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+    delay_us = int(delay_s) * US
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64())
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ev = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = edge_priority(ev, np.zeros(len(ev), np.int64))
+        # arr stays uint64: an int64 reinterpret would wrap values past
+        # 2^63 and change the sort order vs the SQL UBIGINT ORDER BY
+        return pa.table({id_col: pa.array(ev), key: pa.array(k),
+                         "us": us, "arr": pa.array(arr),
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        ev = g[id_col].to_numpy(np.int64)
+        arr = g["arr"].to_numpy(np.uint64)
+        order = np.lexsort((arr, k))
+        k, us, ev = k[order], us[order], ev[order]
+        cm = pd.Series(us).groupby(pd.Series(k), sort=False) \
+            .cummax().to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                k[1:] != k[:-1]]))
+        prev = np.empty(len(us), np.int64)
+        prev[1:] = cm[:-1]
+        has_prev = np.ones(len(us), bool)
+        has_prev[starts] = False
+        prev[starts] = 0  # masked out below (min-sentinel would wrap)
+        late = has_prev & (us < prev - delay_us)
+        return pd.DataFrame({
+            id_col: ev[late],
+            key: k[late],
+            "lateness_us": (prev[late] - us[late]).astype(np.int64)})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby("kb").map_groups(scan, batch_format="pandas")
