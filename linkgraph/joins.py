@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TARGET_ROWS_PER_BUCKET = 200_000
 
@@ -417,3 +418,66 @@ def attach_by_key(probe_ds, map_ds, probe_cols, key: str, value: str,
             .groupby("__jb").map_groups(bucket, batch_format="pandas") \
             .map_batches(lambda b: b, batch_format="pyarrow")
     return out
+
+
+def table_diff(left_ds, right_ds, key: str, value: str):
+    """Data reconciliation: full-outer diff of two (key, value) tables.
+    Emits one row per key with status 'removed' (left only), 'added'
+    (right only), 'changed' (both, values differ) or 'unchanged'.
+
+    Scale shape: the union-tag pattern — both sides stream into ONE
+    coarse key-bucket shuffle (never a driver materialization), and a
+    vectorized kernel per bucket lines the sides up with a lexsort +
+    segment scan.  Value comparison is exact string/array equality in
+    the kernel (no hashing, no collision caveat).  Assumes `key` is
+    unique per side (a primary key), same as any reconciliation."""
+    from .algos.triangles import n_buckets_for
+    from .runtime import tune_context
+
+    tune_context()
+    left_ds = left_ds.materialize()
+    right_ds = right_ds.materialize()
+    nb = n_buckets_for(left_ds.count() + right_ds.count())
+
+    def tag(side: int, ds):
+        def f(b: pa.Table) -> pa.Table:
+            k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            with np.errstate(over="ignore"):
+                h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                h ^= h >> np.uint64(31)
+            return pa.table({
+                key: pa.array(k),
+                "__v": pc.cast(b[value], pa.string()),
+                "__side": pa.array(np.full(len(k), side, np.int64)),
+                "__jb": pa.array((h % np.uint64(nb)).astype(np.int64))})
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    both = tag(0, left_ds).union(tag(1, right_ds))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy(np.int64)
+        s = g["__side"].to_numpy(np.int64)
+        v = g["__v"].to_numpy()
+        order = np.lexsort((s, k))
+        k, s, v = k[order], s[order], v[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                k[1:] != k[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(k)]]))
+        two = lens == 2
+        bad = (lens > 2) | (two & ~((s[starts] == 0)
+                                    & (s[np.minimum(starts + 1,
+                                                    len(s) - 1)] == 1)))
+        if bad.any():
+            raise ValueError("table_diff: duplicate key within a side")
+        out_k = k[starts]
+        status = np.empty(len(starts), object)
+        single = lens == 1
+        # lens==1: side 0 -> removed, side 1 -> added
+        status[single & (s[starts] == 0)] = "removed"
+        status[single & (s[starts] == 1)] = "added"
+        pair = ~single
+        eq = v[starts[pair]] == v[starts[pair] + 1]
+        status[pair] = np.where(eq, "unchanged", "changed")
+        return pd.DataFrame({key: out_k, "status": status.astype(str)})
+
+    return both.groupby("__jb").map_groups(kernel, batch_format="pandas")

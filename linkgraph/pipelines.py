@@ -2293,6 +2293,23 @@ def q_dedup_ppjoin(sf_dir):
     return out
 
 
+def q_table_diff(sf_dir):
+    """Data reconciliation (joins.table_diff): full-outer diff of the
+    raw documents table against the paragraph-deduped corpus — one
+    union-tag coarse-bucket shuffle, exact string comparison, per-key
+    status (removed = doc lost every paragraph)."""
+    from .dedup import paragraph_dedup
+    from .joins import table_diff
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    clean = paragraph_dedup(docs).map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "text": b["clean_text"]}),
+        batch_format="pyarrow")
+    return table_diff(docs, clean, key="doc_id", value="text")
+
+
 def q_dedup_minhash(sf_dir):
     import ray.data as rd
 
@@ -5568,6 +5585,34 @@ def _cm_sql(d: int, w: int, salts, gold: int, top_k: int) -> str:
     """
 
 
+_PARAGRAPH_SQL = f"""
+        WITH wl AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text,
+                 '\\s+'), x -> x <> '') AS l
+          FROM documents),
+        wn AS (SELECT doc_id, l, len(l) AS n FROM wl WHERE len(l) > 0),
+        ks AS (SELECT doc_id, l, n,
+                      unnest(range(0, 1 + CASE WHEN n > {_PAR_WORDS}
+                             THEN CAST(ceil((n - {_PAR_WORDS}) /
+                                  {_PAR_WORDS}.0) AS BIGINT)
+                             ELSE 0 END)) AS k
+               FROM wn),
+        segs AS (SELECT doc_id, k AS chunk_id,
+                        array_to_string(l[k*{_PAR_WORDS}+1 :
+                                          k*{_PAR_WORDS}+{_PAR_WORDS}],
+                                        ' ') AS chunk
+                 FROM ks),
+        kept AS (SELECT doc_id, chunk_id, chunk FROM (
+                   SELECT doc_id, chunk_id, chunk, row_number() OVER
+                     (PARTITION BY chunk ORDER BY doc_id, chunk_id)
+                     AS rn FROM segs) WHERE rn = 1)
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text,
+               count(*)::BIGINT AS n_kept
+        FROM kept GROUP BY doc_id
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_edges": DOC_EDGES_SQL,
     "doc_degree": (f"WITH sym AS ({DOC_SYM_SQL}) SELECT src AS v, "
@@ -5776,32 +5821,16 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_custdist": _REL.ORDER_COUNT_DIST_SQL,
     "tpch_top_supplier": _REL.TOP_SUPPLIER_SQL,
     "tpch_small_qty": _REL.SMALL_QTY_REVENUE_SQL,
-    "dedup_paragraph": f"""
-        WITH wl AS (
-          SELECT doc_id, list_filter(regexp_split_to_array(text,
-                 '\\s+'), x -> x <> '') AS l
-          FROM documents),
-        wn AS (SELECT doc_id, l, len(l) AS n FROM wl WHERE len(l) > 0),
-        ks AS (SELECT doc_id, l, n,
-                      unnest(range(0, 1 + CASE WHEN n > {_PAR_WORDS}
-                             THEN CAST(ceil((n - {_PAR_WORDS}) /
-                                  {_PAR_WORDS}.0) AS BIGINT)
-                             ELSE 0 END)) AS k
-               FROM wn),
-        segs AS (SELECT doc_id, k AS chunk_id,
-                        array_to_string(l[k*{_PAR_WORDS}+1 :
-                                          k*{_PAR_WORDS}+{_PAR_WORDS}],
-                                        ' ') AS chunk
-                 FROM ks),
-        kept AS (SELECT doc_id, chunk_id, chunk FROM (
-                   SELECT doc_id, chunk_id, chunk, row_number() OVER
-                     (PARTITION BY chunk ORDER BY doc_id, chunk_id)
-                     AS rn FROM segs) WHERE rn = 1)
-        SELECT doc_id,
-               string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text,
-               count(*)::BIGINT AS n_kept
-        FROM kept GROUP BY doc_id
+    "dedup_paragraph": _PARAGRAPH_SQL,
+    "table_diff": f"""
+        WITH clean AS ({_PARAGRAPH_SQL})
+        SELECT d.doc_id,
+               CASE WHEN c.doc_id IS NULL THEN 'removed'
+                    WHEN c.clean_text = d.text THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM documents d LEFT JOIN clean c USING (doc_id)
     """,
+
     "dedup_report": f"""
         WITH n AS (SELECT count(*)::BIGINT AS n_docs,
                           count(DISTINCT sha256(text))::BIGINT
@@ -7118,6 +7147,7 @@ QUERIES = {
     "doc_matching": q_doc_matching,
     "text_cm": q_text_cm,
     "events_late": q_events_late,
+    "table_diff": q_table_diff,
     "doc_4cliques": q_doc_4cliques,
     "doc_clustering": q_doc_clustering,
     "doc_neighbor_sample": q_doc_neighbor_sample,

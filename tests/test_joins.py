@@ -238,3 +238,31 @@ def test_attach_by_key_missing_self_paths_equal(monkeypatch):
     want = a["id"].map(lambda x: lut.get(x, x))
     assert (a["label_id"] == want).all()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_table_diff_statuses(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.joins import table_diff
+
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 4], np.int64),
+                         "v": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"k": np.array([2, 3, 5], np.int64),
+                          "v": ["b", "CHANGED", "e"]})
+    out = (table_diff(from_pandas_clean(left), from_pandas_clean(right),
+                      key="k", value="v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = pd.DataFrame({
+        "k": np.array([1, 2, 3, 4, 5], np.int64),
+        "status": ["removed", "unchanged", "changed", "removed",
+                   "added"]})
+    pd.testing.assert_frame_equal(out, want)
+
+    dup = pd.DataFrame({"k": np.array([1, 1], np.int64),
+                        "v": ["x", "y"]})
+    with pytest.raises(Exception, match="duplicate key"):
+        table_diff(from_pandas_clean(dup), from_pandas_clean(right),
+                   key="k", value="v").to_pandas()
