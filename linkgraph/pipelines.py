@@ -2310,6 +2310,25 @@ def q_table_diff(sf_dir):
     return table_diff(docs, clean, key="doc_id", value="text")
 
 
+def q_events_movavg(sf_dir):
+    """Trailing moving average (windows.moving_average): per-user
+    5-row window over (ts, event_id) order, exact integer-cents window
+    sums via cumsum differences, identical float division both sides."""
+    from .windows import moving_average
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "user_id", "ts",
+                                     "value"])
+    return moving_average(ev)
+
+
+def q_tpch_part_share(sf_dir):
+    """Q11-like value concentration (relational.
+    part_value_concentration): per-part exact-integer value aggregate
+    with a scalar-subquery share threshold, broadcast grand total."""
+    return _REL.part_value_concentration(sf_dir)
+
+
 def q_dedup_minhash(sf_dir):
     import ray.data as rd
 
@@ -6347,6 +6366,26 @@ ORACLE_SQL: dict[str, str] = {
         WHERE mx IS NOT NULL
           AND t < mx - {_WM.WATERMARK_S}::BIGINT * 1000000
     """,
+    "events_movavg": f"""
+        WITH c AS (SELECT event_id, user_id, ts,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          AS cents
+                   FROM events)
+        SELECT event_id, user_id,
+               row_number() OVER w AS rn,
+               round(sum(cents) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN {_WM.MOVAVG_WIN - 1} PRECEDING
+                       AND CURRENT ROW)
+                     / (100.0 * count(*) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN {_WM.MOVAVG_WIN - 1} PRECEDING
+                       AND CURRENT ROW)), 6) AS mov_avg
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """,
+    "tpch_part_share": _REL.PART_CONCENTRATION_SQL,
     "events_running": """
         WITH c AS (SELECT event_id, user_id, ts,
                           CAST(floor(value * 100 + 0.5) AS BIGINT)
@@ -7148,6 +7187,8 @@ QUERIES = {
     "text_cm": q_text_cm,
     "events_late": q_events_late,
     "table_diff": q_table_diff,
+    "events_movavg": q_events_movavg,
+    "tpch_part_share": q_tpch_part_share,
     "doc_4cliques": q_doc_4cliques,
     "doc_clustering": q_doc_clustering,
     "doc_neighbor_sample": q_doc_neighbor_sample,

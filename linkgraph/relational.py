@@ -1291,3 +1291,94 @@ SMALL_QTY_REVENUE_SQL = f"""
     FROM lineitem JOIN ag ON ag.l_partkey = lineitem.l_partkey
     WHERE CAST(l_quantity AS BIGINT) * 5 * n < sq
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11-like: part value concentration (share-of-total HAVING)
+# ---------------------------------------------------------------------------
+
+PART_SHARE_DEN = 5000   # keep parts whose value exceeds total/5000
+
+
+def part_value_concentration(sf_dir: str):
+    """Q11 shape (sans partsupp): per-part inventory value
+    sum(price_cents * quantity) with a scalar-subquery threshold —
+    keep parts above 1/PART_SHARE_DEN of the grand total.
+
+    100-TB plan: the per-part aggregate is a fine-key reduce, so it
+    shuffles on coarse hash buckets with an in-bucket bincount-style
+    kernel; the grand total folds from the per-part Dataset via
+    map-side partials into one exact Python int; the threshold filter
+    streams with the broadcast total.  All comparisons in exact
+    integers (units * DEN vs total; int64-safe while a part's value
+    stays under 2^63/DEN ~ 1.8e15 units — far above any real part)."""
+    import os
+
+    import ray
+
+    from .algos.triangles import n_buckets_for
+    from .runtime import tune_context
+
+    tune_context()
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    nb = n_buckets_for(li.count())
+
+    def pre(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        qty = b["l_quantity"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = pk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(31)
+        return pa.table({"pk": pa.array(pk),
+                         "units": pa.array(cents * qty),
+                         "kb": pa.array((h % np.uint64(nb))
+                                        .astype(np.int64))})
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["pk"].to_numpy(np.int64)
+        un = g["units"].to_numpy(np.int64)
+        order = np.argsort(pk, kind="mergesort")
+        pk, un = pk[order], un[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                pk[1:] != pk[:-1]]))
+        sums = np.add.reduceat(un, starts)
+        return pd.DataFrame({"pk": pk[starts], "units": sums})
+
+    per_part = (li.map_batches(pre, batch_format="pyarrow")
+                .groupby("kb").map_groups(agg, batch_format="pandas")
+                .materialize())
+    total = int(per_part.map_batches(
+        lambda b: pa.table({"t": pa.array(
+            [int(b["units"].to_numpy(zero_copy_only=False).sum())],
+            pa.int64())}), batch_format="pyarrow").to_pandas()["t"].sum())
+    tref = ray.put(total)
+
+    def keep(b: pa.Table) -> pa.Table:
+        un = b["units"].to_numpy(zero_copy_only=False)
+        mask = un * PART_SHARE_DEN > ray.get(tref)
+        t = b.filter(mask)
+        return pa.table({
+            "p_partkey": t["pk"],
+            "value": pc.round(pc.divide(pc.cast(t["units"],
+                                                pa.float64()), 100.0),
+                              ndigits=6)})
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+PART_CONCENTRATION_SQL = f"""
+    WITH v AS (SELECT l_partkey,
+                      sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                               AS HUGEINT)
+                          * CAST(l_quantity AS HUGEINT)) AS units
+               FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT sum(units) AS total FROM v)
+    SELECT l_partkey AS p_partkey,
+           round(units / 100.0, 6) AS value
+    FROM v, t WHERE units * {PART_SHARE_DEN} > total
+"""

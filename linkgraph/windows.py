@@ -750,3 +750,55 @@ def watermark_late_events(ds, delay_s: int = WATERMARK_S,
 
     return ds.map_batches(tag, batch_format="pyarrow") \
              .groupby("kb").map_groups(scan, batch_format="pandas")
+
+
+MOVAVG_WIN = 5
+
+
+def moving_average(ds, win: int = MOVAVG_WIN, key: str = "user_id",
+                   ts: str = "ts", value: str = "value",
+                   id_col: str = "event_id"):
+    """Per-key trailing moving average over the last `win` rows
+    (inclusive), ordered by (ts, id) — avg(value) OVER (PARTITION BY
+    key ORDER BY ts, id ROWS BETWEEN win-1 PRECEDING AND CURRENT ROW).
+    Same one-bucket-shuffle shape as running_user_totals; window sums
+    in exact integer cents via cumsum differences, the final division
+    is the IDENTICAL float expression on both sides."""
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64())
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(b[value].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        return pa.table({id_col: b[id_col], key: pa.array(k),
+                         "us": us, "cents": pa.array(cents),
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        ev = g[id_col].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((ev, us, k))
+        k, ev, cents = k[order], ev[order], cents[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                k[1:] != k[:-1]]))
+        seg_lens = np.diff(np.concatenate([starts, [len(k)]]))
+        pos = np.arange(len(k), dtype=np.int64)
+        rank = pos - np.repeat(pos[starts], seg_lens)
+        m = np.minimum(rank + 1, win)
+        run = np.cumsum(cents)
+        lo = pos - m  # >= segment start - 1 by construction
+        base = np.where(lo >= 0, run[np.maximum(lo, 0)], 0)
+        wsum = run - base
+        return pd.DataFrame({id_col: ev, key: k,
+                             "rn": rank + 1,
+                             "mov_avg": np.round(
+                                 wsum / (100.0 * m), 6)})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby("kb").map_groups(scan, batch_format="pandas")
