@@ -754,6 +754,17 @@ def q_doc_modularity(sf_dir):
                          "modularity": [round(q, 9)]})
 
 
+def q_doc_louvain(sf_dir):
+    """One synchronous Louvain local-move round from singleton
+    communities (algos.louvain): all-integer gain score 2m - k_v*k_u,
+    argmax per vertex with smallest-neighbor tie-break — the
+    community-detection move rule the exact SQL oracle replays with a
+    window argmax."""
+    from .algos.louvain import louvain_local_move
+
+    return louvain_local_move(documents_edges(sf_dir))
+
+
 def q_doc_bfs(sf_dir):
     from .algos import bfs
 
@@ -5706,6 +5717,27 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY v.n_vertices DESC, v.label LIMIT {COMP_TOP_K}
     """,
     "doc_labelprop": _lp_sql(LP_ROUNDS),
+    # Louvain local move: integer score 2m - k_v*k_u, window argmax with
+    # (score DESC, u ASC) — the exact twin of algos.louvain's lexsort
+    "doc_louvain": f"""
+        WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM e
+                UNION ALL SELECT dst AS src, src AS dst FROM e),
+        mm AS (SELECT count(*)::BIGINT AS m FROM e),
+        deg AS (SELECT src AS v, count(*)::BIGINT AS d
+                FROM sym GROUP BY src),
+        sc AS (SELECT s.src AS v, s.dst AS u,
+                      2 * mm.m - dv.d * du.d AS score
+               FROM sym s CROSS JOIN mm
+               JOIN deg dv ON dv.v = s.src
+               JOIN deg du ON du.v = s.dst),
+        best AS (SELECT v, u, score, row_number() OVER (
+                   PARTITION BY v ORDER BY score DESC, u) AS rn
+                 FROM sc)
+        SELECT v, CASE WHEN score > 0 THEN u ELSE v END AS comm,
+               score AS gain_num
+        FROM best WHERE rn = 1
+    """,
     # modularity: all-integer A/B/m aggregates (unrolled-LP CTE nested),
     # ONE float expression at the end — identical on both sides
     "doc_modularity": f"""
@@ -7202,6 +7234,7 @@ QUERIES = {
     "doc_component_stats": q_doc_component_stats,
     "doc_labelprop": q_doc_labelprop,
     "doc_modularity": q_doc_modularity,
+    "doc_louvain": q_doc_louvain,
     "doc_bfs": q_doc_bfs,
     "doc_bc": q_doc_bc,
     "doc_bc_sampled": q_doc_bc_sampled,

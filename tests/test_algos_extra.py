@@ -724,3 +724,47 @@ def test_pagerank_warm_continues_the_chain(tmp_path):
     finally:
         eng.shutdown()
         eng2.shutdown()
+
+
+def _louvain_df(src, dst):
+    from linkgraph.algos.louvain import louvain_local_move
+
+    ds = edges_from_arrays(np.array(src, np.int64),
+                           np.array(dst, np.int64))
+    return (louvain_local_move(ds).to_pandas()
+            .sort_values("v").reset_index(drop=True))
+
+
+def test_louvain_local_move_triangle_pendant():
+    # triangle 0-1-2 plus pendant 3-0; m=4, deg = [3,2,2,1]
+    # scores 2m - kv*ku: v=0 best nbr 3 (5), v=1 best 2 (4),
+    # v=2 best 1 (4), v=3 best 0 (5) — all positive moves
+    out = _louvain_df([0, 0, 1, 0], [1, 2, 2, 3])
+    assert out["v"].tolist() == [0, 1, 2, 3]
+    assert out["comm"].tolist() == [3, 2, 1, 0]
+    assert out["gain_num"].tolist() == [5, 4, 4, 5]
+
+
+def test_louvain_tie_breaks_to_smallest_neighbor():
+    # path 0-1-2: v=1 sees scores 2 for both neighbors -> picks 0
+    out = _louvain_df([0, 1], [1, 2])
+    assert out["comm"].tolist() == [1, 0, 1]
+
+
+def test_louvain_partition_invariant():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 40, 120)
+    b = rng.integers(0, 40, 120)
+    keep = a != b
+    lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    u = np.unique(lo * 1000 + hi)
+    lo, hi = u // 1000, u % 1000
+    from linkgraph.algos.louvain import louvain_local_move
+
+    one = louvain_local_move(
+        edges_from_arrays(lo, hi).repartition(1)).to_pandas()
+    many = louvain_local_move(
+        edges_from_arrays(lo, hi).repartition(7)).to_pandas()
+    one = one.sort_values("v").reset_index(drop=True)
+    many = many.sort_values("v").reset_index(drop=True)
+    assert one.equals(many)
