@@ -2730,6 +2730,13 @@ def q_tpch_cust_no_orders(sf_dir):
         batch_format="pyarrow")
 
 
+def q_tpch_waiting(sf_dir):
+    """Q21-like waiting suppliers (relational.waiting_suppliers):
+    correlated EXISTS + NOT EXISTS over the same fact table,
+    reformulated as per-order aggregates in one coarse-bucket shuffle."""
+    return _REL.waiting_suppliers(sf_dir)
+
+
 def q_tpch_parts_shipped(sf_dir):
     """Semi-join (joins.semi_join): parts with at least one lineitem
     (EXISTS), same size-gated plan pair as the anti-join."""
@@ -5870,6 +5877,7 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_market_share": _REL.MARKET_SHARE_SQL,
     "tpch_discount": _REL.DISCOUNTED_REVENUE_SQL,
     "tpch_custdist": _REL.ORDER_COUNT_DIST_SQL,
+    "tpch_waiting": _REL.WAITING_SUPPLIERS_SQL,
     "tpch_top_supplier": _REL.TOP_SUPPLIER_SQL,
     "tpch_small_qty": _REL.SMALL_QTY_REVENUE_SQL,
     "dedup_paragraph": _PARAGRAPH_SQL,
@@ -7312,6 +7320,7 @@ QUERIES = {
     "dedup_ppjoin": q_dedup_ppjoin,
     "tpch_discount": q_tpch_discount,
     "tpch_custdist": q_tpch_custdist,
+    "tpch_waiting": q_tpch_waiting,
     "tpch_top_supplier": q_tpch_top_supplier,
     "tpch_small_qty": q_tpch_small_qty,
     "dedup_clusters": q_dedup_clusters,

@@ -1382,3 +1382,115 @@ PART_CONCENTRATION_SQL = f"""
            round(units / 100.0, 6) AS value
     FROM v, t WHERE units * {PART_SHARE_DEN} > total
 """
+
+
+# --------------------------------------------------- Q21-like waiting list
+
+WAITING_TOP_K = 10
+
+
+def waiting_suppliers(sf_dir: str):
+    """Q21 shape: suppliers who were the SOLE last shipper of a
+    multi-supplier finished order — the correlated EXISTS (another
+    supplier participated) + NOT EXISTS (nobody else shipped at the
+    order's final date) pair, reformulated as per-order aggregates:
+    nsupp >= 2 AND exactly one distinct supplier at max(l_shipdate).
+    (The testdata has no commit/receipt dates, so "kept waiting" =
+    shipped last; the join structure is Q21's.)
+
+    100-TB plan: semi-filter lineitem on finished orders (joins.
+    semi_join — gated broadcast / bucket-shuffle), ONE coarse-bucket
+    shuffle keyed l_orderkey with a vectorized per-order kernel, then
+    per-supplier partial counts merged on a second coarse key (numwait
+    rows are bounded by |supplier|).  Timestamps compared as int64 us.
+    """
+    import os
+
+    from .algos.triangles import n_buckets_for
+    from .joins import semi_join
+    from .runtime import tune_context
+
+    tune_context()
+    ords = read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderkey", "o_orderstatus"])
+    fkeys = ords.map_batches(
+        lambda b: pa.table({"l_orderkey": b.filter(
+            pc.equal(b["o_orderstatus"], "F"))["o_orderkey"]}),
+        batch_format="pyarrow")
+    li = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_shipdate"])
+    li = semi_join(li, fkeys, key="l_orderkey").materialize()
+    nb = n_buckets_for(li.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "ok": pa.array(ok),
+            "sk": pa.array(b["l_suppkey"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64)),
+            "dt": b["l_shipdate"].cast(pa.int64()),
+            "ob": pa.array((ok % nb).astype(np.int64))})
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["ok"].to_numpy(np.int64)
+        sk = g["sk"].to_numpy(np.int64)
+        dt = g["dt"].to_numpy(np.int64)
+        o = np.lexsort((sk, ok))
+        ok, sk, dt = ok[o], sk[o], dt[o]
+        new_o = np.ones(len(ok), dtype=bool)
+        new_o[1:] = ok[1:] != ok[:-1]
+        oid = np.cumsum(new_o) - 1              # dense order index
+        n_orders = oid[-1] + 1 if len(ok) else 0
+        mx = np.full(n_orders, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, oid, dt)
+        new_s = new_o | (np.concatenate([[True], sk[1:] != sk[:-1]]))
+        nsupp = np.bincount(oid[new_s], minlength=n_orders)
+        at_max = dt == mx[oid]
+        # a supplier may hit the max on a non-first row: distinct again
+        lo, ls = ok[at_max], sk[at_max]
+        o2 = np.lexsort((ls, lo))
+        lo, ls = lo[o2], ls[o2]
+        d = np.ones(len(lo), dtype=bool)
+        d[1:] = (lo[1:] != lo[:-1]) | (ls[1:] != ls[:-1])
+        lo, ls = lo[d], ls[d]
+        oid2 = np.searchsorted(ok[new_o], lo)
+        nlast = np.bincount(oid2, minlength=n_orders)
+        blamed_rows = (nlast[oid2] == 1) & (nsupp[oid2] >= 2)
+        bl = ls[blamed_rows]
+        u, c = np.unique(bl, return_counts=True)
+        return pd.DataFrame({"sk": u, "cnt": c.astype(np.int64)})
+
+    parts = (li.map_batches(tag, batch_format="pyarrow")
+             .groupby("ob").map_groups(per_order, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                             "numwait": pd.Series([], dtype="int64")})
+    counts = parts.groupby("sk", as_index=False)["cnt"].sum()
+    sup = read_parquet_clean(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_name"]).to_pandas()
+    out = counts.merge(sup, left_on="sk", right_on="s_suppkey")
+    out = out.rename(columns={"cnt": "numwait"})[["s_name", "numwait"]]
+    return (out.sort_values(["numwait", "s_name"],
+                            ascending=[False, True], kind="mergesort")
+            .head(WAITING_TOP_K).reset_index(drop=True))
+
+
+WAITING_SUPPLIERS_SQL = f"""
+    WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderstatus = 'F')),
+    st AS (SELECT l_orderkey, max(l_shipdate) AS mx,
+                  count(DISTINCT l_suppkey) AS nsupp
+           FROM li GROUP BY 1),
+    lastsup AS (SELECT DISTINCT li.l_orderkey, li.l_suppkey
+                FROM li JOIN st ON st.l_orderkey = li.l_orderkey
+                WHERE li.l_shipdate = st.mx AND st.nsupp >= 2),
+    sole AS (SELECT l_orderkey, min(l_suppkey) AS sk
+             FROM lastsup GROUP BY 1 HAVING count(*) = 1)
+    SELECT s.s_name, count(*)::BIGINT AS numwait
+    FROM sole JOIN supplier s ON s.s_suppkey = sole.sk
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT {WAITING_TOP_K}
+"""
