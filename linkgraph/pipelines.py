@@ -1619,6 +1619,77 @@ def q_text_top_bigrams(sf_dir):
                 .reset_index(drop=True)
 
 
+TOP_BPE_PAIRS_K = 30
+
+
+def q_text_bpe_pairs(sf_dir):
+    """BPE tokenizer-training `get_stats`: adjacent CHARACTER-pair
+    counts within whitespace words, weighted by corpus word frequency —
+    the statistic the first BPE merge maximizes (vs text_top_bigrams'
+    word-level pairs).
+
+    Scale shape: map-side word value_counts combiner -> distinct-word
+    hash aggregate -> per-distinct-word vectorized pair extraction
+    (one utf-32 buffer per batch, boundary mask, uint64 pair codes,
+    bincount — strings materialized only for the per-batch UNIQUE
+    pairs, alphabet^2-bounded) -> pair hash aggregate -> partial
+    top-k."""
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+
+    def wpartial(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(_arr(b["text"]), r"\s+")
+        toks = pc.list_flatten(lists).to_pandas()
+        toks = toks[toks.to_numpy(object) != ""]
+        vc = toks.value_counts()
+        return pa.table({"w": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    words = docs.map_batches(wpartial, batch_format="pyarrow") \
+        .groupby("w").sum("n")
+
+    def ppartial(b: pa.Table) -> pa.Table:
+        ws = b["w"].to_pylist()
+        n = b["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.array([len(w) for w in ws], dtype=np.int64)
+        keep = lens >= 2
+        ws = [w for w, k in zip(ws, keep) if k]
+        n, lens = n[keep], lens[keep]
+        if not ws:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        joined = "".join(ws)
+        codes = np.frombuffer(joined.encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.uint64)
+        valid = np.ones(len(codes) - 1, dtype=bool)
+        ends = np.cumsum(lens)
+        valid[ends[:-1] - 1] = False        # pairs crossing word ends
+        w_at = np.repeat(n, lens)[:-1]
+        pid = (codes[:-1] << np.uint64(32)) | codes[1:]
+        u, inv = np.unique(pid[valid], return_inverse=True)
+        cnt = np.bincount(inv, weights=w_at[valid].astype(np.float64),
+                          minlength=len(u)).astype(np.int64)
+        pairs = [chr(int(p) >> 32) + chr(int(p) & 0xFFFFFFFF)
+                 for p in u]                # alphabet^2-bounded loop
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "n": pa.array(cnt)})
+
+    counts = words.map_batches(ppartial, batch_format="pyarrow") \
+        .groupby("pair").sum("n")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().rename(columns={"sum(n)": "n"})
+        pdf = pdf.sort_values(["n", "pair"], ascending=[False, True],
+                              kind="mergesort").head(TOP_BPE_PAIRS_K)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    parts = counts.map_batches(local_top,
+                               batch_format="pyarrow").to_pandas()
+    return parts.sort_values(["n", "pair"], ascending=[False, True],
+                             kind="mergesort").head(TOP_BPE_PAIRS_K) \
+                .reset_index(drop=True)
+
+
 def q_sample_quota(sf_dir):
     """Deterministic per-group quota sample: at most 5 docs per
     lang:source group, chosen by (sha256(doc_id), doc_id) priority
@@ -6168,6 +6239,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT bigram, n FROM c ORDER BY n DESC, bigram
         LIMIT {TOP_BIGRAMS_K}
     """,
+    # BPE get_stats: char pairs inside words, weighted by word count;
+    # substr is codepoint-based like the numpy utf-32 buffer; UTF-8
+    # byte order == codepoint order so the tie-break sorts agree
+    "text_bpe_pairs": f"""
+        WITH w AS (
+          SELECT unnest(list_filter(regexp_split_to_array(text,
+                 '\\s+'), x -> x <> '')) AS w
+          FROM documents),
+        wc AS (SELECT w, count(*)::BIGINT AS n FROM w GROUP BY w),
+        p AS (SELECT substr(w, j::INT, 2) AS pair, n
+              FROM (SELECT w, n, unnest(range(1, length(w))) AS j
+                    FROM wc WHERE length(w) >= 2)),
+        c AS (SELECT pair, sum(n)::BIGINT AS n FROM p GROUP BY pair)
+        SELECT pair, n FROM c ORDER BY n DESC, pair
+        LIMIT {TOP_BPE_PAIRS_K}
+    """,
     # chunking: l[a:b] is 1-based end-inclusive; ceil float division
     # matches np.ceil exactly (small integer ratios)
     "text_chunks": f"""
@@ -7270,6 +7357,7 @@ QUERIES = {
     "text_tokens_bpe": q_text_tokens_bpe,
     "text_top_tokens": q_text_top_tokens,
     "text_top_bigrams": q_text_top_bigrams,
+    "text_bpe_pairs": q_text_bpe_pairs,
     "text_top_tokens_by_lang": q_text_top_tokens_by_lang,
     "sample_quota": q_sample_quota,
     "sample_stratified": q_sample_stratified,
