@@ -21,6 +21,7 @@ from .pagerank import (PageRankProgram, PPRProgram,
 from .scc import (SCCBackwardProgram, SCCForwardProgram,
                   strongly_connected_components)
 from .sssp import SSSPProgram, sssp
+from .toposort import LayerProgram, dag_layers
 from .triangles import clustering_coefficients, triangle_count
 
 __all__ = [
@@ -41,5 +42,6 @@ __all__ = [
     "SCCBackwardProgram", "SCCForwardProgram",
     "strongly_connected_components",
     "SSSPProgram", "sssp",
+    "LayerProgram", "dag_layers",
     "triangle_count", "clustering_coefficients",
 ]

@@ -178,7 +178,8 @@ def segment_reduce(values: np.ndarray, indptr: np.ndarray, op: str,
                    row_rep: np.ndarray | None = None) -> np.ndarray:
     """Per-row reduce over CSR segments; identity-filled for masked-out edges.
 
-    op='add' -> sum (identity 0); op='min' -> min (identity +inf).
+    op='add' -> sum (identity 0); op='min' -> min (identity +inf);
+    op='max' -> max (identity -inf / int min).
     The vectorized analog of Gemini's dense_signal inner loops
     (e.g. pagerank.cpp:63-68 sum, cc.cpp:60-66 min).
 
@@ -199,6 +200,11 @@ def segment_reduce(values: np.ndarray, indptr: np.ndarray, op: str,
     elif op == "min":
         ident = np.inf if values.dtype.kind == "f" else np.iinfo(values.dtype).max
         ufunc = np.minimum
+        vals = np.where(mask, values, ident) if mask is not None else values
+    elif op == "max":
+        ident = -np.inf if values.dtype.kind == "f" \
+            else np.iinfo(values.dtype).min
+        ufunc = np.maximum
         vals = np.where(mask, values, ident) if mask is not None else values
     else:
         raise ValueError(op)
@@ -272,6 +278,8 @@ def combine_updates(dst_local: np.ndarray, vals: np.ndarray, op: str):
         agg = np.add.reduceat(v, starts)
     elif op == "min":
         agg = np.minimum.reduceat(v, starts)
+    elif op == "max":
+        agg = np.maximum.reduceat(v, starts)
     else:
         raise ValueError(op)
     return uniq, agg

@@ -7480,3 +7480,298 @@ QUERIES = {
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
+
+
+# --------------------------------------------------------------------------
+# round-3 continuation wave 4: cohort churn, series smoothing, Zipf fit,
+# sentence stats, condensation-DAG layering, ANN recall report
+# --------------------------------------------------------------------------
+
+TOP_ZIPF_K = 200
+TOPO_ROUNDS = 16
+
+
+def q_events_churn(sf_dir):
+    """Weekly cohort churn (windows.weekly_churn): per Monday week, the
+    distinct actives, those retained into week+1, and the churn rate —
+    the disjoint-user-bucket distinct trick of events_dau, so no
+    distinct shuffle and no stream self-join."""
+    from .windows import weekly_churn
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+    return weekly_churn(ev)
+
+
+def q_events_smooth(sf_dir):
+    """Exponential smoothing of the daily revenue series
+    (windows.daily_smooth): exact integer-cents day sums from map-side
+    partials, then the alpha=0.3 recurrence over the calendar-bounded
+    day series — the identical float expression in the identical order
+    as the SQL twin's recursive CTE."""
+    from .windows import daily_smooth
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "value"])
+    return daily_smooth(ev)
+
+
+def q_text_zipf(sf_dir):
+    """Zipf's-law fit over the corpus token frequencies: ln(freq) ~
+    slope * ln(rank) + intercept, least squares over the top-200
+    tokens.  Counting is the text_top_tokens combiner shape (map-side
+    value_counts partials, one distinct-token groupby, per-block
+    top-k); the regression runs on 200 driver rows with the SQL twin's
+    exact formula."""
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(_arr(b["text"]),
+                                                      r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = _arr(toks.value_counts())
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").sum("n")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().rename(columns={"sum(n)": "n"})
+        pdf = pdf.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort").head(TOP_ZIPF_K)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    parts = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    top = parts.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort").head(TOP_ZIPF_K)
+    n = top["n"].to_numpy(np.int64)
+    k = float(len(n))
+    x = np.log(np.arange(1, len(n) + 1, dtype=np.float64))
+    y = np.log(n.astype(np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return pd.DataFrame({"k": np.array([len(n)], np.int64),
+                         "slope": [round(slope, 6)],
+                         "intercept": [round((sy - slope * sx) / k, 6)]})
+
+
+def q_text_sentences(sf_dir):
+    """Per-document sentence statistics: segments split on [.!?]+ (the
+    IDENTICAL RE2 pattern both engines), trimmed on explicit
+    whitespace, empties dropped; (doc_id, n_sentences, avg_len) for
+    docs with at least one sentence.  Fully vectorized: one regex
+    split per batch, per-row aggregation via bincount over list
+    offsets."""
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern_regex(_arr(b["text"]), r"[.!?]+")
+        flat = pc.utf8_trim(pc.list_flatten(parts), " \t\n\r")
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        counts = pc.list_value_length(parts) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(len(counts)), counts)
+        ok = lens > 0
+        nsent = np.bincount(row[ok], minlength=len(counts)) \
+            .astype(np.int64)
+        ssum = np.bincount(row[ok], weights=lens[ok],
+                           minlength=len(counts))
+        keep = nsent > 0
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(doc[keep]),
+            "n_sentences": pa.array(nsent[keep]),
+            "avg_len": pa.array(np.round(ssum[keep] / nsent[keep], 6))})
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def q_doc_toposort(sf_dir):
+    """Topological layering of the SCC condensation DAG
+    (algos/toposort.LayerProgram, a combine=max superstep relaxation):
+    layer(c) = longest path from any source — each component's
+    earliest scheduling wave.  Condensation nodes dense-relabel on the
+    driver (bounded by the condensation size, the domain
+    q_doc_condensation already returns); the relaxation itself runs on
+    the superstep engine; components outside the condensation edge set
+    keep layer 0.  Returns (scc, layer) for every distinct label."""
+    from .algos import strongly_connected_components
+    from .algos.toposort import dag_layers
+    from .graph import load_directed
+    from .io import from_pandas_clean
+
+    cond = q_doc_condensation(sf_dir)
+    eng = documents_engine(sf_dir, "scc")
+    strongly_connected_components(eng)
+    all_sccs = np.sort(np.asarray(
+        eng.state_dataset(["scc"]).unique("scc"), dtype=np.int64))
+    layer = np.zeros(len(all_sccs), np.int64)
+    if len(cond):
+        f = cond["from_scc"].to_numpy(np.int64)
+        t = cond["to_scc"].to_numpy(np.int64)
+        nodes = np.unique(np.concatenate([f, t]))
+        edges = from_pandas_clean(pd.DataFrame(
+            {"src": np.searchsorted(nodes, f),
+             "dst": np.searchsorted(nodes, t)}))
+        eng2 = load_directed(edges, len(nodes), num_partitions=2,
+                             store_dir=_store_root(sf_dir, "topo"),
+                             fingerprint=_input_fingerprint(sf_dir))
+        try:
+            rep = dag_layers(eng2, max_steps=TOPO_ROUNDS + 2)
+            _check_unroll(rep, TOPO_ROUNDS, "doc_toposort")
+            st = eng2.state_dataset(["layer"]).to_pandas()
+        finally:
+            eng2.shutdown()
+        pos = np.searchsorted(all_sccs, nodes[st["v"].to_numpy(np.int64)])
+        layer[pos] = st["layer"].to_numpy(np.int64)
+    return pd.DataFrame({"scc": all_sccs, "layer": layer})
+
+
+def q_embed_recall(sf_dir):
+    """ANN quality report: recall@k of the IVF probed index against the
+    brute-force cosine top-k, per query — the standard index health
+    check a 100-TB corpus runs per index build.  Reuses both existing
+    operators; the join/count runs over k*|queries| driver rows."""
+    bf = q_ann_topk(sf_dir)[["query_id", "neighbor_id"]]
+    iv = q_ann_ivf(sf_dir)
+    hit = bf.merge(iv, on=["query_id", "neighbor_id"], how="inner") \
+        .groupby("query_id").size()
+    qids = np.sort(bf["query_id"].unique())
+    rec = np.array([hit.get(q, 0) for q in qids], np.float64) / ANN_K
+    return pd.DataFrame({"query_id": qids.astype(np.int64),
+                         "recall": np.round(rec, 6)})
+
+
+def _toposort_sql(rounds: int) -> str:
+    """Unrolled max-relaxation twin of q_doc_toposort over the SCC
+    condensation (the doc_condensation CTEs verbatim, then `rounds`
+    relaxation rounds — engine early-stop makes extra rounds no-ops;
+    _check_unroll raises if the engine ever needs more)."""
+    ctes = [f"""e AS MATERIALIZED (
+            SELECT src, dst FROM ({SCC_EDGES_SQL}) aug)""",
+            """reach(a, b) AS (
+            SELECT src AS a, dst AS b FROM e
+            UNION
+            SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b)""",
+            """mn AS (SELECT r1.a AS v, min(r1.b) AS mn
+               FROM reach r1 JOIN reach r2
+                 ON r1.a = r2.b AND r1.b = r2.a
+               GROUP BY r1.a)""",
+            """lab AS MATERIALIZED (
+               SELECT d.doc_id AS v,
+                      least(d.doc_id, coalesce(mn.mn, d.doc_id)) AS scc
+               FROM documents d LEFT JOIN mn ON mn.v = d.doc_id)""",
+            """ce AS MATERIALIZED (
+               SELECT DISTINCT ls.scc AS f, ld.scc AS t
+               FROM e JOIN lab ls ON ls.v = e.src
+                      JOIN lab ld ON ld.v = e.dst
+               WHERE ls.scc <> ld.scc)""",
+            """l0 AS (SELECT DISTINCT scc AS v, 0::BIGINT AS layer
+                      FROM lab)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+            SELECT l.v,
+                   CASE WHEN m.mx IS NULL OR m.mx <= l.layer
+                        THEN l.layer ELSE m.mx END AS layer
+            FROM l{i - 1} l LEFT JOIN (
+                 SELECT ce.t AS v, max(lp.layer) + 1 AS mx
+                 FROM ce JOIN l{i - 1} lp ON lp.v = ce.f
+                 GROUP BY ce.t) m ON m.v = l.v)""")
+    return (f"WITH RECURSIVE {', '.join(ctes)} "
+            f"SELECT v AS scc, layer FROM l{rounds} ORDER BY scc")
+
+
+ORACLE_SQL["events_churn"] = """
+    WITH uw AS (SELECT DISTINCT user_id,
+                  (epoch_us(ts) // 86400000000)
+                  - ((epoch_us(ts) // 86400000000) + 3) % 7 AS week
+                FROM events)
+    SELECT a.week AS week_day, count(*)::BIGINT AS active,
+           count(b.user_id)::BIGINT AS retained,
+           round((count(*) - count(b.user_id)) / count(*)::DOUBLE, 6)
+               AS churn_rate
+    FROM uw a LEFT JOIN uw b
+      ON b.user_id = a.user_id AND b.week = a.week + 7
+    GROUP BY a.week ORDER BY a.week
+"""
+
+from .windows import SMOOTH_ALPHA_NUM as _SMOOTH_A  # noqa: E402
+
+ORACLE_SQL["events_smooth"] = f"""
+    WITH RECURSIVE c AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    d AS (SELECT day, sum(cents) AS cents FROM c GROUP BY day),
+    r AS (SELECT day, cents,
+                 row_number() OVER (ORDER BY day) AS i FROM d),
+    s(i, day, cents, val) AS (
+        SELECT i, day, cents, cents / 100.0 FROM r WHERE i = 1
+        UNION ALL
+        SELECT r.i, r.day, r.cents,
+               ({_SMOOTH_A} / 10.0) * (r.cents / 100.0)
+               + (1.0 - {_SMOOTH_A} / 10.0) * s.val
+        FROM s JOIN r ON r.i = s.i + 1)
+    SELECT day, cents, round(val, 6) AS smoothed FROM s ORDER BY day
+"""
+
+ORACLE_SQL["text_zipf"] = f"""
+    WITH t AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    c AS (SELECT token, count(*) AS n FROM t GROUP BY token),
+    r AS (SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rnk,
+                 n
+          FROM c ORDER BY n DESC, token ASC LIMIT {TOP_ZIPF_K}),
+    s AS (SELECT count(*)::DOUBLE AS k,
+                 sum(ln(rnk::DOUBLE)) AS sx, sum(ln(n::DOUBLE)) AS sy,
+                 sum(ln(rnk::DOUBLE) * ln(n::DOUBLE)) AS sxy,
+                 sum(ln(rnk::DOUBLE) * ln(rnk::DOUBLE)) AS sxx
+          FROM r)
+    SELECT CAST(k AS BIGINT) AS k,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+                 / k, 6) AS intercept
+    FROM s
+"""
+
+ORACLE_SQL["text_sentences"] = """
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+                 list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                x -> trim(x, E' \\t\\n\\r')),
+                 x -> x <> '') AS segs
+      FROM documents)
+    SELECT doc_id, length(segs)::BIGINT AS n_sentences,
+           round(list_sum(list_transform(segs, x -> length(x)))::DOUBLE
+                 / length(segs), 6) AS avg_len
+    FROM s WHERE length(segs) > 0
+"""
+
+ORACLE_SQL["doc_toposort"] = _toposort_sql(TOPO_ROUNDS)
+
+ORACLE_SQL["embed_recall"] = f"""
+    WITH bf AS MATERIALIZED ({ORACLE_SQL["ann_topk"]}),
+         iv AS MATERIALIZED ({ORACLE_SQL["ann_ivf"]})
+    SELECT bf.query_id,
+           round(count(iv.neighbor_id)::DOUBLE / {ANN_K}, 6) AS recall
+    FROM bf LEFT JOIN iv
+      ON iv.query_id = bf.query_id AND iv.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""
+
+QUERIES["events_churn"] = q_events_churn
+QUERIES["events_smooth"] = q_events_smooth
+QUERIES["text_zipf"] = q_text_zipf
+QUERIES["text_sentences"] = q_text_sentences
+QUERIES["doc_toposort"] = q_doc_toposort
+QUERIES["embed_recall"] = q_embed_recall

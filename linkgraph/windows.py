@@ -802,3 +802,93 @@ def moving_average(ds, win: int = MOVAVG_WIN, key: str = "user_id",
 
     return ds.map_batches(tag, batch_format="pyarrow") \
              .groupby("kb").map_groups(scan, batch_format="pandas")
+
+
+def weekly_churn(ds, key: str = "user_id", ts: str = "ts"):
+    """Weekly churn: per Monday-truncated week, the distinct actives,
+    the users retained into week+1 and the churn rate.
+
+    Scale shape (same disjoint-user-bucket trick as dau_wau): a user's
+    full activity lands in ONE coarse bucket, so the (user, week) pair
+    set — and hence week -> week+1 membership — is bucket-local and
+    globally exact.  Each bucket emits tiny (week, active, retained)
+    partials; the driver sums over the calendar-bounded week domain.
+    No distinct shuffle, no self-join of the event stream.
+
+    Returns (week_day, active, retained, churn_rate) sorted by week,
+    churn_rate = (active - retained) / active rounded to 6."""
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        week = day - (day + 3) % 7  # 1969-12-29 was a Monday
+        return pa.table({key: pa.array(k), "week": pa.array(week),
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        uw = pd.DataFrame({"k": g[key].to_numpy(np.int64),
+                           "week": g["week"].to_numpy(np.int64)}) \
+            .drop_duplicates()
+        nxt = uw.assign(week=uw["week"] - 7)  # presence at week+7
+        ret = uw.merge(nxt, on=["k", "week"], how="inner")
+        act = uw.groupby("week").size().rename("active").reset_index()
+        rt = ret.groupby("week").size().rename("retained").reset_index()
+        out = act.merge(rt, on="week", how="left")
+        out["retained"] = out["retained"].fillna(0).astype(np.int64)
+        return out
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+              .groupby("kb").map_groups(kern, batch_format="pandas") \
+              .to_pandas()
+    d = parts.groupby("week", sort=True).sum().reset_index()
+    act = d["active"].to_numpy(np.int64)
+    ret = d["retained"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "week_day": d["week"].astype(np.int64),
+        "active": act, "retained": ret,
+        "churn_rate": np.round((act - ret) / act.astype(np.float64), 6),
+    })
+
+
+SMOOTH_ALPHA_NUM = 3  # alpha = 3/10, injected into SQL as a literal
+
+
+def daily_smooth(ds, ts: str = "ts", value: str = "value"):
+    """Simple exponential smoothing of the daily revenue series:
+    s_1 = x_1;  s_i = alpha*x_i + (1-alpha)*s_{i-1}  (alpha = 0.3),
+    x_i = the day's exact integer-cents sum / 100.0.
+
+    Scale shape: per-day cents sums come back as map-side partials
+    (day domain is calendar-bounded) and merge on the driver; the
+    recurrence itself runs over the tiny day series.  Both engines
+    evaluate the IDENTICAL float expression in the identical day
+    order, so the doubles agree bit-for-bit before the round-6.
+
+    Returns (day, cents, smoothed) sorted by day."""
+    alpha = SMOOTH_ALPHA_NUM / 10.0
+
+    def part(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        cents = np.floor(b[value].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        s = pd.Series(cents).groupby(day).sum()
+        return pa.table({"day": pa.array(s.index.to_numpy(np.int64)),
+                         "cents": pa.array(s.to_numpy(np.int64))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    d = parts.groupby("day", sort=True)["cents"].sum().reset_index()
+    cents = d["cents"].to_numpy(np.int64)
+    sm = np.empty(len(d), np.float64)
+    if len(d):
+        sm[0] = cents[0] / 100.0
+        for i in range(1, len(d)):
+            sm[i] = alpha * (cents[i] / 100.0) + (1.0 - alpha) * sm[i - 1]
+    return pd.DataFrame({"day": d["day"].astype(np.int64),
+                         "cents": cents,
+                         "smoothed": np.round(sm, 6)})

@@ -768,3 +768,49 @@ def test_louvain_partition_invariant():
     one = one.sort_values("v").reset_index(drop=True)
     many = many.sort_values("v").reset_index(drop=True)
     assert one.equals(many)
+
+
+# --------------------------------------------------------- DAG layering
+
+def _layers_oracle(e, n):
+    """Naive longest-path layers by repeated relaxation."""
+    lay = np.zeros(n, np.int64)
+    for _ in range(n + 1):
+        changed = False
+        for s, d in e:
+            if lay[s] + 1 > lay[d]:
+                lay[d] = lay[s] + 1
+                changed = True
+        if not changed:
+            return lay
+    raise AssertionError("cycle in test input")
+
+
+def test_dag_layers_matches_naive(tmp_path):
+    from linkgraph.algos import dag_layers
+
+    # a layered DAG with shortcuts: longest path != BFS depth
+    e = np.array([[0, 1], [0, 2], [1, 3], [2, 3], [3, 4], [0, 4],
+                  [2, 5], [5, 6], [6, 4], [7, 0]], np.int64)
+    n = _n(e)
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        dag_layers(eng)
+        got = eng.state_pandas(["layer"])["layer"].to_numpy()
+    finally:
+        eng.shutdown()
+    assert (got == _layers_oracle(e, n)).all()
+
+
+def test_dag_layers_raises_on_cycle(tmp_path):
+    from linkgraph.algos import dag_layers
+
+    e = np.array([[0, 1], [1, 2], [2, 0]], np.int64)
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), 3,
+                        num_partitions=2, store_dir=str(tmp_path / "c"))
+    try:
+        with pytest.raises(AssertionError, match="cycle"):
+            dag_layers(eng, max_steps=25)
+    finally:
+        eng.shutdown()

@@ -585,3 +585,56 @@ def test_count_min_sketch_properties(ray_session):
     r1 = count_min_sketch(from_pandas_clean(df.iloc[:40]))
     r2 = count_min_sketch(from_pandas_clean(df.iloc[40:]))
     assert np.array_equal(r1 + r2, regs)
+
+
+def test_weekly_churn_matches_naive_and_partitions():
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.windows import weekly_churn
+
+    rng = np.random.default_rng(23)
+    n = 900
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 35, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 40 * 86_400, n),
+                             unit="s").astype("datetime64[us]")})
+    got = weekly_churn(from_pandas_clean(pdf).repartition(5))
+    got2 = weekly_churn(from_pandas_clean(pdf).repartition(13))
+    pd.testing.assert_frame_equal(got, got2)
+
+    day = (pdf["ts"].astype("int64") // (86_400 * 10**6)).to_numpy()
+    week = day - (day + 3) % 7
+    uw = pd.DataFrame({"u": pdf["user_id"], "w": week}).drop_duplicates()
+    for _, r in got.iterrows():
+        act = set(uw.loc[uw["w"] == r["week_day"], "u"])
+        nxt = set(uw.loc[uw["w"] == r["week_day"] + 7, "u"])
+        assert r["active"] == len(act)
+        assert r["retained"] == len(act & nxt)
+        assert r["churn_rate"] == round(
+            (len(act) - len(act & nxt)) / len(act), 6)
+
+
+def test_daily_smooth_matches_naive_recurrence():
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.windows import daily_smooth
+
+    rng = np.random.default_rng(29)
+    n = 700
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(rng.integers(0, 20 * 86_400, n),
+                             unit="s").astype("datetime64[us]"),
+        "value": np.round(rng.random(n) * 80, 2)})
+    got = daily_smooth(from_pandas_clean(pdf).repartition(6))
+    got2 = daily_smooth(from_pandas_clean(pdf).repartition(11))
+    pd.testing.assert_frame_equal(got, got2)
+
+    day = (pdf["ts"].astype("int64") // (86_400 * 10**6)).to_numpy()
+    cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    d = pd.Series(cents).groupby(day).sum().sort_index()
+    s = None
+    want = []
+    for c in d.to_numpy():
+        s = c / 100.0 if s is None else 0.3 * (c / 100.0) + 0.7 * s
+        want.append(round(s, 6))
+    assert list(got["day"]) == list(d.index)
+    assert list(got["cents"]) == list(d.to_numpy())
+    assert np.allclose(got["smoothed"].to_numpy(), want, atol=1e-12)

@@ -112,3 +112,22 @@ def test_choose_offsets_tiny_graph_no_collapse():
     # reference quirk NOT copied: |V| < 4096*P must still give usable ranges
     off = choose_offsets(np.array([5, 5, 5, 5], dtype=np.int64), 17, 4, alpha=8)
     assert off[0] == 0 and off[-1] == 17 and np.all(np.diff(off) >= 0)
+
+
+def test_segment_reduce_and_combine_updates_max():
+    from linkgraph.csr import combine_updates, segment_reduce
+
+    vals = np.array([3, 1, 4, 1, 5, 9, 2], np.int64)
+    indptr = np.array([0, 2, 2, 5, 7], np.int64)
+    out = segment_reduce(vals, indptr, "max")
+    assert out[0] == 3 and out[2] == 5 and out[3] == 9
+    assert out[1] == np.iinfo(np.int64).min  # empty segment identity
+
+    mask = np.array([True, True, False, True, True, True, True])
+    outm = segment_reduce(vals, indptr, "max", mask)
+    assert outm[2] == 5 and outm[0] == 3
+
+    dst = np.array([2, 0, 2, 2, 0], np.int64)
+    v = np.array([7, 1, 9, 3, 2], np.int64)
+    uniq, agg = combine_updates(dst, v, "max")
+    assert list(uniq) == [0, 2] and list(agg) == [2, 9]

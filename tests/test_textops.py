@@ -800,3 +800,80 @@ def test_paragraph_dedup_naive_parity(ray_session):
     want["doc_id"] = want["doc_id"].astype(np.int64)
     want["n_kept"] = want["n_kept"].astype(np.int64)
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_zipf_fit_matches_naive():
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.pipelines import TOP_ZIPF_K
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(300)]
+    # Zipfian draws so ranks are meaningful
+    p = 1.0 / np.arange(1, len(vocab) + 1)
+    p /= p.sum()
+    texts = [" ".join(rng.choice(vocab, 60, p=p)) for _ in range(80)]
+    pdf = pd.DataFrame({"text": texts})
+
+    import linkgraph.pipelines as P
+
+    def fake_read(path, columns=None):
+        return from_pandas_clean(pdf[columns or ["text"]]).repartition(5)
+
+    orig = P.read_parquet_clean
+    P.read_parquet_clean = fake_read
+    try:
+        got = P.q_text_zipf("/nonexistent")
+    finally:
+        P.read_parquet_clean = orig
+
+    from collections import Counter
+    cnt = Counter(" ".join(texts).split())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_ZIPF_K]
+    n = np.array([c for _, c in top], np.float64)
+    x, y = np.log(np.arange(1, len(n) + 1)), np.log(n)
+    k = float(len(n))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert got["k"][0] == len(n)
+    assert abs(got["slope"][0] - slope) < 1e-6
+    assert abs(got["intercept"][0] - (sy - slope * sx) / k) < 1e-6
+    assert got["slope"][0] < -0.5  # Zipfian input has a negative slope
+
+
+def test_sentence_stats_matches_naive():
+    import re
+
+    from linkgraph.io import from_pandas_clean
+    import linkgraph.pipelines as P
+
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["One. Two two! Three three three?",
+                 "No terminator here",
+                 "!!!",  # only empties -> dropped
+                 "  Spaced out .  tail",
+                 "a.b.c",
+                 "Multi!! bang?? mix.!"]})
+
+    def fake_read(path, columns=None):
+        return from_pandas_clean(pdf[columns]).repartition(3)
+
+    orig = P.read_parquet_clean
+    P.read_parquet_clean = fake_read
+    try:
+        got = P.q_text_sentences("/nonexistent").to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    finally:
+        P.read_parquet_clean = orig
+
+    rows = []
+    for _, r in pdf.iterrows():
+        segs = [s.strip(" \t\n\r") for s in re.split(r"[.!?]+", r["text"])]
+        segs = [s for s in segs if s]
+        if segs:
+            rows.append((r["doc_id"], len(segs),
+                         round(sum(len(s) for s in segs) / len(segs), 6)))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_sentences", "avg_len"])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["n_sentences"]) == list(want["n_sentences"])
+    assert np.allclose(got["avg_len"], want["avg_len"], atol=1e-9)
