@@ -6,6 +6,7 @@ from .bc import BCBackwardProgram, BCForwardProgram, betweenness
 from .bfs import BFSProgram, bfs
 from .cc import CCProgram, connected_components
 from .coloring import ColoringProgram, greedy_coloring
+from .dagpaths import DagPathsProgram, dag_path_counts
 from .eigen import EigenProgram, eigen_l1, eigenvector_centrality
 from .harmonic import (HarmonicProgram, closeness_from_seeds,
                        harmonic_centrality)
@@ -29,6 +30,7 @@ __all__ = [
     "BFSProgram", "bfs",
     "CCProgram", "connected_components",
     "ColoringProgram", "greedy_coloring",
+    "DagPathsProgram", "dag_path_counts",
     "EigenProgram", "eigen_l1", "eigenvector_centrality",
     "HarmonicProgram", "closeness_from_seeds", "harmonic_centrality",
     "hits", "normalized_scores",

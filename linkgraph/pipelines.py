@@ -7775,3 +7775,164 @@ QUERIES["text_zipf"] = q_text_zipf
 QUERIES["text_sentences"] = q_text_sentences
 QUERIES["doc_toposort"] = q_doc_toposort
 QUERIES["embed_recall"] = q_embed_recall
+
+
+def q_doc_dag_paths(sf_dir):
+    """Source-path counts on the SCC condensation DAG
+    (algos/dagpaths.DagPathsProgram, add-combine wave propagation):
+    n_paths(c) = distinct source→c paths — the provenance/fan-in
+    multiplicity a scheduling or lineage pass reads off the component
+    graph.  Same driver relabel + engine shape as q_doc_toposort;
+    isolated components are trivial sources (1 path)."""
+    from .algos import strongly_connected_components
+    from .algos.dagpaths import dag_path_counts
+    from .graph import load_directed
+    from .io import from_pandas_clean
+
+    cond = q_doc_condensation(sf_dir)
+    eng = documents_engine(sf_dir, "scc")
+    strongly_connected_components(eng)
+    all_sccs = np.sort(np.asarray(
+        eng.state_dataset(["scc"]).unique("scc"), dtype=np.int64))
+    total = np.ones(len(all_sccs), np.int64)
+    if len(cond):
+        f = cond["from_scc"].to_numpy(np.int64)
+        t = cond["to_scc"].to_numpy(np.int64)
+        nodes = np.unique(np.concatenate([f, t]))
+        src_d = np.searchsorted(nodes, f)
+        dst_d = np.searchsorted(nodes, t)
+        sources = np.setdiff1d(np.arange(len(nodes), dtype=np.int64),
+                               np.unique(dst_d))
+        edges = from_pandas_clean(pd.DataFrame({"src": src_d,
+                                                "dst": dst_d}))
+        eng2 = load_directed(edges, len(nodes), num_partitions=2,
+                             store_dir=_store_root(sf_dir, "dagp"),
+                             fingerprint=_input_fingerprint(sf_dir))
+        try:
+            rep = dag_path_counts(eng2, sources,
+                                  max_steps=TOPO_ROUNDS + 2)
+            _check_unroll(rep, TOPO_ROUNDS, "doc_dag_paths")
+            st = eng2.state_dataset(["total"]).to_pandas()
+        finally:
+            eng2.shutdown()
+        pos = np.searchsorted(all_sccs, nodes[st["v"].to_numpy(np.int64)])
+        # float64 engine state is exact below 2^53 — cast back to int
+        total[pos] = np.rint(st["total"].to_numpy(np.float64)) \
+            .astype(np.int64)
+    return pd.DataFrame({"scc": all_sccs, "n_paths": total})
+
+
+def q_dedup_lsh_recall(sf_dir):
+    """Near-dup index health check: recall of the MinHash-LSH verified
+    pairs (dedup_minhash, threshold 0.5) against the exact
+    inverted-index Jaccard pairs (dedup_jaccard, same threshold, df-cap
+    64) — the per-build quality report a 100-TB dedup run logs.
+    Composes the two oracle-checked operators; the join runs over
+    pair-table-sized frames."""
+    mh = q_dedup_minhash(sf_dir)
+    if not isinstance(mh, pd.DataFrame):
+        mh = mh.to_pandas()
+    ex = q_dedup_jaccard(sf_dir)[["a", "b"]]
+    hit = mh.merge(ex, on=["a", "b"], how="inner")
+    return pd.DataFrame({
+        "n_exact": np.array([len(ex)], np.int64),
+        "n_lsh": np.array([len(mh)], np.int64),
+        "n_hit": np.array([len(hit)], np.int64),
+        "recall": [round(len(hit) / len(ex), 6)]})
+
+
+def q_embed_norms(sf_dir):
+    """Embedding L2-norm summary (one row): n, mean, min, max of the
+    per-vector norms — map-side (n, sum, min, max) partials merged on
+    the driver, the standard pre-index sanity stats."""
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["embedding"])
+
+    def part(b: pa.Table) -> pa.Table:
+        m = np.vstack(b["embedding"].to_pandas().to_numpy()) \
+            .astype(np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        return pa.table({"n": pa.array([len(nrm)]),
+                         "s": pa.array([float(nrm.sum())]),
+                         "mn": pa.array([float(nrm.min())]),
+                         "mx": pa.array([float(nrm.max())])})
+
+    parts = emb.map_batches(part, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    return pd.DataFrame({
+        "n": np.array([n], np.int64),
+        "avg_norm": [round(float(parts["s"].sum()) / n, 6)],
+        "min_norm": [round(float(parts["mn"].min()), 6)],
+        "max_norm": [round(float(parts["mx"].max()), 6)]})
+
+
+def _dagpaths_sql(rounds: int) -> str:
+    """Unrolled wave-propagation twin of q_doc_dag_paths: the
+    condensation CTEs, p_0 = 1 on non-target components, then `rounds`
+    rounds of p_k = per-target sums with a running total."""
+    ctes = [f"""e AS MATERIALIZED (
+            SELECT src, dst FROM ({SCC_EDGES_SQL}) aug)""",
+            """reach(a, b) AS (
+            SELECT src AS a, dst AS b FROM e
+            UNION
+            SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b)""",
+            """mn AS (SELECT r1.a AS v, min(r1.b) AS mn
+               FROM reach r1 JOIN reach r2
+                 ON r1.a = r2.b AND r1.b = r2.a
+               GROUP BY r1.a)""",
+            """lab AS MATERIALIZED (
+               SELECT d.doc_id AS v,
+                      least(d.doc_id, coalesce(mn.mn, d.doc_id)) AS scc
+               FROM documents d LEFT JOIN mn ON mn.v = d.doc_id)""",
+            """ce AS MATERIALIZED (
+               SELECT DISTINCT ls.scc AS f, ld.scc AS t
+               FROM e JOIN lab ls ON ls.v = e.src
+                      JOIN lab ld ON ld.v = e.dst
+               WHERE ls.scc <> ld.scc)""",
+            """sc AS MATERIALIZED (SELECT DISTINCT scc FROM lab)""",
+            """p0 AS (SELECT scc AS v, 1::BIGINT AS p FROM sc
+                      WHERE scc NOT IN (SELECT t FROM ce))""",
+            """t0 AS (SELECT v, p AS total FROM p0)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+            SELECT ce.t AS v, sum(lp.p) AS p
+            FROM ce JOIN p{i - 1} lp ON lp.v = ce.f GROUP BY ce.t)""")
+        ctes.append(f"""t{i} AS MATERIALIZED (
+            SELECT coalesce(t.v, p.v) AS v,
+                   coalesce(t.total, 0) + coalesce(p.p, 0) AS total
+            FROM t{i - 1} t FULL JOIN p{i} p ON p.v = t.v)""")
+    return (f"WITH RECURSIVE {', '.join(ctes)} "
+            f"SELECT sc.scc, coalesce(t.total, 0)::BIGINT AS n_paths "
+            f"FROM sc LEFT JOIN t{rounds} t ON t.v = sc.scc "
+            f"ORDER BY scc")
+
+
+ORACLE_SQL["doc_dag_paths"] = _dagpaths_sql(TOPO_ROUNDS)
+
+ORACLE_SQL["dedup_lsh_recall"] = f"""
+    WITH mh AS MATERIALIZED ({ORACLE_SQL["dedup_minhash"]}),
+         ex AS MATERIALIZED ({ORACLE_SQL["dedup_jaccard"]}),
+         h AS (SELECT count(*) AS n_hit
+               FROM mh JOIN ex ON ex.a = mh.a AND ex.b = mh.b)
+    SELECT (SELECT count(*) FROM ex)::BIGINT AS n_exact,
+           (SELECT count(*) FROM mh)::BIGINT AS n_lsh,
+           h.n_hit::BIGINT AS n_hit,
+           round(h.n_hit / (SELECT count(*) FROM ex)::DOUBLE, 6)
+               AS recall
+    FROM h
+"""
+
+ORACLE_SQL["embed_norms"] = """
+    WITH n AS (SELECT sqrt(list_sum(list_transform(
+                   CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+               FROM embeddings)
+    SELECT count(*)::BIGINT AS n,
+           round(sum(nrm) / count(*), 6) AS avg_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM n
+"""
+
+QUERIES["doc_dag_paths"] = q_doc_dag_paths
+QUERIES["dedup_lsh_recall"] = q_dedup_lsh_recall
+QUERIES["embed_norms"] = q_embed_norms

@@ -814,3 +814,43 @@ def test_dag_layers_raises_on_cycle(tmp_path):
             dag_layers(eng, max_steps=25)
     finally:
         eng.shutdown()
+
+
+def _paths_oracle(e, n):
+    """Naive DP in topological order."""
+    indeg = np.zeros(n, np.int64)
+    for _, d in e:
+        indeg[d] += 1
+    total = np.where(indeg == 0, 1, 0).astype(np.int64)
+    # Kahn order
+    from collections import deque
+    adj = [[] for _ in range(n)]
+    for s, d in e:
+        adj[s].append(d)
+    dq = deque(np.flatnonzero(indeg == 0).tolist())
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            total[v] += total[u]
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                dq.append(v)
+    return total
+
+
+def test_dag_path_counts_matches_naive(tmp_path):
+    from linkgraph.algos import dag_path_counts
+
+    e = np.array([[0, 1], [0, 2], [1, 3], [2, 3], [3, 4], [0, 4],
+                  [2, 5], [5, 6], [6, 4], [7, 4], [7, 0]], np.int64)
+    n = _n(e)
+    srcs = np.setdiff1d(np.arange(n), np.unique(e[:, 1]))
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                        num_partitions=3, store_dir=str(tmp_path / "p"))
+    try:
+        dag_path_counts(eng, srcs)
+        got = np.rint(eng.state_pandas(["total"])["total"]
+                      .to_numpy()).astype(np.int64)
+    finally:
+        eng.shutdown()
+    assert (got == _paths_oracle(e, n)).all()

@@ -119,3 +119,46 @@ def test_scc_dense_equals_sparse(tmp_path, force_mode):
         finally:
             eng.shutdown()
     assert np.array_equal(out["dense"], out["sparse"])
+
+
+def test_dag_layers_dense_equals_sparse(tmp_path, force_mode):
+    from linkgraph.algos import dag_layers
+
+    e = micro_graph("er_1k")
+    e = np.unique(np.sort(e, axis=1), axis=0)   # orient low->high: a DAG
+    e = e[e[:, 0] != e[:, 1]]
+    n = int(e.max()) + 1
+    out = {}
+    for mode in ("dense", "sparse"):
+        force_mode(mode)
+        eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                            num_partitions=3,
+                            store_dir=str(tmp_path / f"t{mode}"))
+        try:
+            dag_layers(eng)
+            out[mode] = eng.state_pandas(["layer"])["layer"].to_numpy()
+        finally:
+            eng.shutdown()
+    assert np.array_equal(out["dense"], out["sparse"])
+
+
+def test_dag_paths_dense_equals_sparse(tmp_path, force_mode):
+    from linkgraph.algos import dag_path_counts
+
+    e = micro_graph("er_1k")
+    e = np.unique(np.sort(e, axis=1), axis=0)
+    e = e[e[:, 0] != e[:, 1]]
+    n = int(e.max()) + 1
+    srcs = np.setdiff1d(np.arange(n), np.unique(e[:, 1]))
+    out = {}
+    for mode in ("dense", "sparse"):
+        force_mode(mode)
+        eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                            num_partitions=3,
+                            store_dir=str(tmp_path / f"p{mode}"))
+        try:
+            dag_path_counts(eng, srcs)
+            out[mode] = eng.state_pandas(["total"])["total"].to_numpy()
+        finally:
+            eng.shutdown()
+    assert np.array_equal(out["dense"], out["sparse"])
