@@ -7936,3 +7936,132 @@ ORACLE_SQL["embed_norms"] = """
 QUERIES["doc_dag_paths"] = q_doc_dag_paths
 QUERIES["dedup_lsh_recall"] = q_dedup_lsh_recall
 QUERIES["embed_norms"] = q_embed_norms
+
+
+SWEEP_K = 100
+
+
+def q_doc_ppr_sweep(sf_dir):
+    """Local community detection by PPR sweep cut (the
+    Andersen-Chung-Lang shape): order the PPR support by rank/degree,
+    sweep prefixes S_k on the undirected doc graph, and report each
+    prefix's cut, volume and conductance.  Everything is built ON TOP
+    of the round-9 PPR output (already hash-matched by doc_ppr), so
+    ordering and conductances are bit-identical cross-engine.  Scale
+    shape: the support is seed-local (not |V|), degrees and incident
+    edges are fetched via broadcast filters, and the sweep itself is
+    O(vol(prefix)) driver work — the classic local-algorithm contract."""
+    from .algos import personalized_pagerank
+    from .edges import degree_table, symmetrize
+
+    eng = documents_engine(sf_dir, "directed")
+    personalized_pagerank(eng, sources=PPR_SOURCES, iterations=PPR_ITERS)
+    ranks = _state_result(eng, "rank", "rank", round_to=9)
+    sup = ranks.map_batches(
+        lambda b: b.filter(pc.greater(b["rank"], 0.0)),
+        batch_format="pyarrow").to_pandas()
+    edges = documents_edges(sf_dir)
+    m = edges.count()
+
+    import ray
+
+    sup_ids = np.sort(sup["v"].to_numpy(np.int64))
+    sup_ref = ray.put(sup_ids)
+
+    def filt(b: pa.Table) -> pa.Table:
+        want = ray.get(sup_ref)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        if len(want) == 0:
+            return b.slice(0, 0)
+        pos = np.minimum(np.searchsorted(want, v), len(want) - 1)
+        return b.filter(pa.array(want[pos] == v))
+
+    degs = degree_table(symmetrize(edges), "src") \
+        .map_batches(filt, batch_format="pyarrow").to_pandas()
+    sc = sup.merge(degs, on="v", how="inner")
+    if len(sc) == 0:
+        return pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                             "v": pd.Series([], dtype=np.int64),
+                             "cut": pd.Series([], dtype=np.int64),
+                             "vol": pd.Series([], dtype=np.int64),
+                             "conductance": pd.Series([], dtype=float)})
+    score = sc["rank"].to_numpy(np.float64) / sc["degree"].to_numpy(np.float64)
+    order = np.lexsort((sc["v"].to_numpy(np.int64), -score))[:SWEEP_K]
+    ov = sc["v"].to_numpy(np.int64)[order]
+    od = sc["degree"].to_numpy(np.int64)[order]
+    K = len(ov)
+
+    INF = 10 ** 9
+    osort = np.argsort(ov)
+    ov_sorted, pos_sorted = ov[osort], (np.arange(K, dtype=np.int64) + 1)[osort]
+    pos_ref = ray.put((ov_sorted, pos_sorted))
+
+    def inc(b: pa.Table) -> pa.Table:
+        ids, ps = ray.get(pos_ref)
+
+        def look(x):
+            j = np.minimum(np.searchsorted(ids, x), len(ids) - 1)
+            return np.where(ids[j] == x, ps[j], INF).astype(np.int64)
+
+        p1 = look(b["src"].to_numpy(zero_copy_only=False))
+        p2 = look(b["dst"].to_numpy(zero_copy_only=False))
+        keep = (p1 < INF) | (p2 < INF)
+        return pa.table({"p1": pa.array(p1[keep]),
+                         "p2": pa.array(p2[keep])})
+
+    ep = edges.map_batches(inc, batch_format="pyarrow").to_pandas()
+    lo = np.minimum(ep["p1"].to_numpy(np.int64), ep["p2"].to_numpy(np.int64))
+    hi = np.maximum(ep["p1"].to_numpy(np.int64), ep["p2"].to_numpy(np.int64))
+    diff = np.zeros(K + 2, np.int64)
+    ml = lo <= K
+    np.add.at(diff, lo[ml], 1)
+    mh = hi <= K
+    np.add.at(diff, hi[mh], -1)
+    cut = np.cumsum(diff)[1:K + 1]
+    vol = np.cumsum(od)
+    other = 2 * m - vol
+    denom = np.minimum(vol, other)
+    keep = denom > 0
+    k_idx = np.arange(1, K + 1, dtype=np.int64)
+    return pd.DataFrame({
+        "k": k_idx[keep], "v": ov[keep], "cut": cut[keep],
+        "vol": vol[keep],
+        "conductance": np.round(cut[keep] / denom[keep].astype(np.float64),
+                                6)})
+
+
+ORACLE_SQL["doc_ppr_sweep"] = f"""
+    WITH ppr AS MATERIALIZED ({_ppr_sql(PPR_ITERS, 9, PPR_SOURCES)}),
+    e AS MATERIALIZED ({DOC_EDGES_SQL}),
+    deg AS (SELECT v, count(*)::BIGINT AS d FROM (
+              SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+            GROUP BY v),
+    mm AS (SELECT count(*)::BIGINT AS m FROM e),
+    sc AS (SELECT ppr.v, ppr.rank / deg.d AS score, deg.d
+           FROM ppr JOIN deg ON deg.v = ppr.v WHERE ppr.rank > 0),
+    ordk AS (SELECT v, d, pos FROM (
+               SELECT v, d, row_number() OVER
+                 (ORDER BY score DESC, v ASC) AS pos FROM sc)
+             WHERE pos <= {SWEEP_K}),
+    vol AS (SELECT pos, v, sum(d) OVER (ORDER BY pos)::BIGINT AS vol
+            FROM ordk),
+    ep AS (SELECT coalesce(pa.pos, 1000000000) AS p1,
+                  coalesce(pb.pos, 1000000000) AS p2
+           FROM e LEFT JOIN ordk pa ON pa.v = e.src
+                  LEFT JOIN ordk pb ON pb.v = e.dst)
+    SELECT vol.pos AS k, vol.v,
+           (SELECT count(*) FROM ep
+            WHERE least(p1, p2) <= vol.pos
+              AND greatest(p1, p2) > vol.pos)::BIGINT AS cut,
+           vol.vol,
+           round((SELECT count(*) FROM ep
+                  WHERE least(p1, p2) <= vol.pos
+                    AND greatest(p1, p2) > vol.pos)
+                 / least(vol.vol, 2 * mm.m - vol.vol)::DOUBLE, 6)
+               AS conductance
+    FROM vol, mm
+    WHERE least(vol.vol, 2 * mm.m - vol.vol) > 0
+    ORDER BY k
+"""
+
+QUERIES["doc_ppr_sweep"] = q_doc_ppr_sweep

@@ -104,7 +104,12 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "doc_triads",
                                   "doc_distance_dist",
                                   "dedup_report",
-                                  "tpch_discount"])
+                                  "tpch_discount",
+                                  "events_churn", "events_smooth",
+                                  "text_zipf", "text_sentences",
+                                  "embed_recall", "doc_toposort",
+                                  "doc_dag_paths", "dedup_lsh_recall",
+                                  "embed_norms", "doc_ppr_sweep"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
