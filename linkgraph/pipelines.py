@@ -8065,3 +8065,138 @@ ORACLE_SQL["doc_ppr_sweep"] = f"""
 """
 
 QUERIES["doc_ppr_sweep"] = q_doc_ppr_sweep
+
+
+AUTOCORR_LAGS = 7
+RICH_CLUB_TS = [1, 2, 4, 8, 16]
+
+
+def q_events_autocorr(sf_dir):
+    """Lag-k autocorrelation (k = 1..7) of the daily revenue series:
+    r_k = sum((x_i - mean)(x_{i-k} - mean)) / sum((x_i - mean)^2) over
+    the day-ordered series.  Day sums are exact integer cents from
+    map-side partials (the daily_smooth shape); the correlation runs
+    over the calendar-bounded series with the identical float shape as
+    the SQL LAG twin.  Returns (lag, r) rounded to 6."""
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        s = pd.Series(cents).groupby(day).sum()
+        return pa.table({"day": pa.array(s.index.to_numpy(np.int64)),
+                         "cents": pa.array(s.to_numpy(np.int64))})
+
+    parts = ev.map_batches(part, batch_format="pyarrow").to_pandas()
+    d = parts.groupby("day", sort=True)["cents"].sum()
+    x = d.to_numpy(np.int64) / 100.0
+    n = len(x)
+    mean = float(x.sum()) / n
+    dev = x - mean
+    den = float((dev * dev).sum())
+    rows = []
+    for k in range(1, AUTOCORR_LAGS + 1):
+        if k >= n or den == 0.0:
+            break
+        rows.append((k, round(float((dev[k:] * dev[:-k]).sum()) / den, 6)))
+    return pd.DataFrame(rows, columns=["lag", "r"]) \
+        .astype({"lag": np.int64})
+
+
+def q_doc_rich_club(sf_dir):
+    """Rich-club coefficient of the undirected doc graph: for each
+    degree threshold t, phi(t) = 2*E_t / (N_t*(N_t-1)) where N_t =
+    nodes with degree > t and E_t = edges with BOTH endpoints above t.
+    Degrees attach to edge endpoints via the gated lookup join
+    (broadcast under cap, coarse-bucket co-group above); threshold
+    counts come back as map-side partials.  Rows with N_t < 2 are
+    dropped (phi undefined)."""
+    from .edges import degree_table, symmetrize
+    from .joins import attach_by_key
+
+    edges = documents_edges(sf_dir).materialize()
+    deg = degree_table(symmetrize(edges), "src")
+
+    ts = np.array(RICH_CLUB_TS, np.int64)
+
+    def node_part(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False)
+        return pa.table({"t": pa.array(ts),
+                         "n": pa.array((d[None, :] > ts[:, None])
+                                       .sum(axis=1).astype(np.int64))})
+
+    nparts = deg.map_batches(node_part, batch_format="pyarrow").to_pandas()
+    n_t = nparts.groupby("t", sort=True)["n"].sum()
+
+    tagged = attach_by_key(edges, deg, ["src", "dst"],
+                           key="v", value="degree")
+
+    def edge_part(b: pa.Table) -> pa.Table:
+        a = b["degree_src"].to_numpy(zero_copy_only=False)
+        c = b["degree_dst"].to_numpy(zero_copy_only=False)
+        both = np.minimum(a, c)
+        return pa.table({"t": pa.array(ts),
+                         "e": pa.array((both[None, :] > ts[:, None])
+                                       .sum(axis=1).astype(np.int64))})
+
+    eparts = tagged.map_batches(edge_part, batch_format="pyarrow") \
+        .to_pandas()
+    e_t = eparts.groupby("t", sort=True)["e"].sum()
+    nn = n_t.to_numpy(np.int64)
+    ee = e_t.reindex(n_t.index, fill_value=0).to_numpy(np.int64)
+    keep = nn >= 2
+    return pd.DataFrame({
+        "t": n_t.index.to_numpy(np.int64)[keep],
+        "n_nodes": nn[keep], "n_edges": ee[keep],
+        "phi": np.round(2.0 * ee[keep] / (nn[keep].astype(np.float64)
+                                          * (nn[keep] - 1)), 6)})
+
+
+ORACLE_SQL["events_autocorr"] = f"""
+    WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    d AS (SELECT day, sum(cents) / 100.0 AS x FROM c GROUP BY day),
+    st AS (SELECT sum(x) / count(*) AS mean FROM d),
+    ks AS (SELECT unnest(range(1, {AUTOCORR_LAGS + 1})) AS lag),
+    l AS (SELECT ks.lag, d.day, d.x,
+                 lag(d.x, ks.lag) OVER (PARTITION BY ks.lag
+                                        ORDER BY d.day) AS xl
+          FROM d CROSS JOIN ks),
+    den AS (SELECT sum((x - mean) * (x - mean)) AS den FROM d, st)
+    SELECT l.lag::BIGINT AS lag,
+           round(sum((l.x - st.mean) * (l.xl - st.mean)) / den.den, 6)
+               AS r
+    FROM l, st, den
+    WHERE l.xl IS NOT NULL AND den.den <> 0
+    GROUP BY l.lag, den.den ORDER BY lag
+"""
+
+ORACLE_SQL["doc_rich_club"] = f"""
+    WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+    deg AS (SELECT v, count(*)::BIGINT AS d FROM (
+              SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+            GROUP BY v),
+    ts AS (SELECT unnest([{', '.join(map(str, RICH_CLUB_TS))}]) AS t),
+    n AS (SELECT ts.t, count(*)::BIGINT AS n_nodes
+          FROM ts JOIN deg ON deg.d > ts.t GROUP BY ts.t),
+    ee AS (SELECT ts.t, count(*)::BIGINT AS n_edges
+           FROM ts JOIN (
+                SELECT least(ds.d, dd.d) AS mind
+                FROM e JOIN deg ds ON ds.v = e.src
+                       JOIN deg dd ON dd.v = e.dst) x
+             ON x.mind > ts.t
+           GROUP BY ts.t)
+    SELECT n.t::BIGINT AS t, n.n_nodes,
+           coalesce(ee.n_edges, 0)::BIGINT AS n_edges,
+           round(2.0 * coalesce(ee.n_edges, 0)
+                 / (n.n_nodes * (n.n_nodes - 1.0)), 6) AS phi
+    FROM n LEFT JOIN ee ON ee.t = n.t
+    WHERE n.n_nodes >= 2 ORDER BY t
+"""
+
+QUERIES["events_autocorr"] = q_events_autocorr
+QUERIES["doc_rich_club"] = q_doc_rich_club

@@ -109,7 +109,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "text_zipf", "text_sentences",
                                   "embed_recall", "doc_toposort",
                                   "doc_dag_paths", "dedup_lsh_recall",
-                                  "embed_norms", "doc_ppr_sweep"])
+                                  "embed_norms", "doc_ppr_sweep",
+                                  "events_autocorr", "doc_rich_club"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
