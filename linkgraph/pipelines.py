@@ -8200,3 +8200,174 @@ ORACLE_SQL["doc_rich_club"] = f"""
 
 QUERIES["events_autocorr"] = q_events_autocorr
 QUERIES["doc_rich_club"] = q_doc_rich_club
+
+
+# ---------------------------------------------------------------------------
+# Round-3 continuation wave 12: bipartiteness, degree-correlation curve,
+# TPC-H Q22-like global sales opportunity
+# ---------------------------------------------------------------------------
+
+PARITY_ROUNDS = 20
+
+
+def q_doc_bipartite(sf_dir):
+    """Bipartiteness summary of the undirected doc graph in ONE
+    superstep program (algos/bipartite.py): packed (label, level)
+    min-relaxation gives CC labels AND BFS parities together.  Root
+    count (label == v, level == 0) comes back as map-side partials;
+    conflict edges (equal endpoint parity on a canonical edge) are
+    found by attaching the packed state to both edge endpoints via the
+    gated lookup join, with per-batch unique-label partials merged on
+    the driver (bounded by the number of odd components, not |V|)."""
+    from .algos.bipartite import LEVEL_MOD, parity_cc
+    from .joins import attach_by_key
+
+    eng = documents_engine(sf_dir, "undirected")
+    rep = parity_cc(eng)
+    _check_unroll(rep, PARITY_ROUNDS, "doc_bipartite")
+    packed = _state_result(eng, "packed", "packed").materialize()
+
+    def root_part(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["packed"].to_numpy(zero_copy_only=False)
+        # component roots keep their init state: label == v, level == 0
+        return pa.table({"n": pa.array([int((p == v * LEVEL_MOD).sum())],
+                                       pa.int64())})
+
+    n_components = int(packed.map_batches(
+        root_part, batch_format="pyarrow").to_pandas()["n"].sum())
+
+    edges = documents_edges(sf_dir)
+    tagged = attach_by_key(edges, packed, ["src", "dst"],
+                           key="v", value="packed")
+
+    def conf_part(b: pa.Table) -> pa.Table:
+        ps = b["packed_src"].to_numpy(zero_copy_only=False)
+        pd_ = b["packed_dst"].to_numpy(zero_copy_only=False)
+        m = (ps % LEVEL_MOD) % 2 == (pd_ % LEVEL_MOD) % 2
+        lab, cnt = np.unique(ps[m] // LEVEL_MOD, return_counts=True)
+        return pa.table({"lab": pa.array(lab.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    conf = tagged.map_batches(conf_part, batch_format="pyarrow") \
+        .to_pandas()
+    n_conflicts = int(conf["n"].sum())
+    n_odd = int(conf["lab"].nunique())
+    return pd.DataFrame({
+        "n_components": [n_components],
+        "n_bipartite": [n_components - n_odd],
+        "n_odd": [n_odd],
+        "n_conflict_edges": [n_conflicts]})
+
+
+def _parity_sql(rounds: int) -> str:
+    from .algos.bipartite import LEVEL_MOD
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            f"p0 AS MATERIALIZED (SELECT v, v * {LEVEL_MOD} AS pk FROM allv)"]
+    for i in range(1, rounds + 1):
+        p = f"p{i - 1}"
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT allv.v, least({p}.pk, "
+            f"coalesce(m.pk, {p}.pk)) AS pk FROM allv JOIN {p} USING (v) "
+            f"LEFT JOIN (SELECT sym.dst AS v, min({p}.pk) + 1 AS pk "
+            f"FROM sym JOIN {p} ON {p}.v = sym.src GROUP BY sym.dst) m "
+            f"USING (v))")
+    ctes.append(
+        f"fin AS MATERIALIZED (SELECT v, pk // {LEVEL_MOD} AS label, "
+        f"(pk % {LEVEL_MOD}) % 2 AS par FROM p{rounds})")
+    ctes.append(f"e AS MATERIALIZED ({DOC_EDGES_SQL})")
+    ctes.append(
+        "conf AS (SELECT fs.label FROM e "
+        "JOIN fin fs ON fs.v = e.src JOIN fin fd ON fd.v = e.dst "
+        "WHERE fs.par = fd.par)")
+    return (f"WITH {', '.join(ctes)} SELECT "
+            "(SELECT count(*) FROM fin WHERE label = v)::BIGINT "
+            "AS n_components, "
+            "((SELECT count(*) FROM fin WHERE label = v) - "
+            "(SELECT count(DISTINCT label) FROM conf))::BIGINT "
+            "AS n_bipartite, "
+            "(SELECT count(DISTINCT label) FROM conf)::BIGINT AS n_odd, "
+            "(SELECT count(*) FROM conf)::BIGINT AS n_conflict_edges")
+
+
+ORACLE_SQL["doc_bipartite"] = _parity_sql(PARITY_ROUNDS)
+QUERIES["doc_bipartite"] = q_doc_bipartite
+
+
+def q_doc_knn_degree(sf_dir):
+    """Degree-correlation curve knn(k): the mean average-neighbor-degree
+    over nodes of degree k.  Because 1/k is constant within a degree
+    class, the per-node averaging folds into per-class sums —
+    knn(k) = (sum over symmetric edges with deg(src)=k of deg(dst))
+    / (k * n_k) — so NO per-vertex aggregation is needed: degrees
+    attach to the canonical edges via the gated lookup join and both
+    the edge sums and the class sizes come back as map-side partials
+    keyed by the (small) degree domain."""
+    from .edges import degree_table, symmetrize
+    from .joins import attach_by_key
+
+    edges = documents_edges(sf_dir).materialize()
+    deg = degree_table(symmetrize(edges), "src")
+    tagged = attach_by_key(edges, deg, ["src", "dst"],
+                           key="v", value="degree")
+
+    def edge_part(b: pa.Table) -> pa.Table:
+        a = b["degree_src"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = b["degree_dst"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # each canonical edge contributes in both directions
+        k = np.concatenate([a, c])
+        nd = np.concatenate([c, a])
+        u, inv = np.unique(k, return_inverse=True)
+        return pa.table({"k": pa.array(u),
+                         "s": pa.array(np.bincount(inv, weights=nd)
+                                       .astype(np.int64))})
+
+    sums = tagged.map_batches(edge_part, batch_format="pyarrow") \
+        .to_pandas().groupby("k", sort=True)["s"].sum()
+
+    def nk_part(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"k": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    nk = deg.map_batches(nk_part, batch_format="pyarrow") \
+        .to_pandas().groupby("k", sort=True)["n"].sum()
+    k = nk.index.to_numpy(np.int64)
+    n = nk.to_numpy(np.int64)
+    s = sums.reindex(nk.index, fill_value=0).to_numpy(np.int64)
+    return pd.DataFrame({
+        "k": k, "n_nodes": n,
+        "knn": np.round(s / (k.astype(np.float64) * n), 6)})
+
+
+ORACLE_SQL["doc_knn_degree"] = f"""
+    WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e
+            UNION ALL SELECT dst AS src, src AS dst FROM e),
+    deg AS (SELECT v, count(*)::BIGINT AS d FROM (
+              SELECT src AS v FROM sym) GROUP BY v),
+    nk AS (SELECT d AS k, count(*)::BIGINT AS n_nodes
+           FROM deg GROUP BY d),
+    es AS (SELECT ds.d AS k, sum(dd.d)::BIGINT AS s
+           FROM sym JOIN deg ds ON ds.v = sym.src
+                    JOIN deg dd ON dd.v = sym.dst
+           GROUP BY ds.d)
+    SELECT nk.k, nk.n_nodes,
+           round(coalesce(es.s, 0) / (nk.k * 1.0 * nk.n_nodes), 6)
+               AS knn
+    FROM nk LEFT JOIN es ON es.k = nk.k ORDER BY nk.k
+"""
+QUERIES["doc_knn_degree"] = q_doc_knn_degree
+
+
+def q_tpch_global_sales(sf_dir):
+    """TPC-H Q22 shape — see relational.global_sales_opportunity."""
+    return _REL.global_sales_opportunity(sf_dir)
+
+
+ORACLE_SQL["tpch_global_sales"] = _REL.GLOBAL_SALES_SQL
+QUERIES["tpch_global_sales"] = q_tpch_global_sales

@@ -1494,3 +1494,112 @@ WAITING_SUPPLIERS_SQL = f"""
     FROM sole JOIN supplier s ON s.s_suppkey = sole.sk
     GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT {WAITING_TOP_K}
 """
+
+
+GLOBAL_SALES_NATIONS = (1, 3, 7, 11, 13, 17, 21)
+
+
+def global_sales_opportunity(sf_dir: str):
+    """Q22 shape: customers in a fixed nation set whose account balance
+    beats the average POSITIVE balance of that set and who placed no
+    orders, grouped by nation.  (The testdata customer table has no
+    phone column, so the Q22 country-code prefix becomes the nationkey
+    set; and since every testdata customer has orders, "no orders"
+    becomes "no URGENT order" — the subquery-threshold + NOT EXISTS
+    structure is Q22's.)
+
+    100-TB plan: customers pruned at the read to 3 columns and
+    filtered map-side; the positive-balance average is ONE exact
+    integer-cents (sum, count) partial pass — the threshold compare is
+    the integer cross-multiply cents*n > tot, so no float ulp can flip
+    a boundary row; the no-urgent-order test is the gated anti-join
+    over the filtered small projection of orders; the nation grouping is
+    map-side partials over a catalog-bounded domain.
+    """
+    import os
+
+    from .joins import anti_join
+    from .runtime import tune_context
+
+    tune_context()
+    nset = np.array(GLOBAL_SALES_NATIONS, np.int64)
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = np.isin(nk, nset)
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "c_custkey": pa.array(
+                b["c_custkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)[m]),
+            "c_nationkey": pa.array(nk[m]),
+            "cents": pa.array(np.floor(bal * 100 + 0.5)
+                              .astype(np.int64))})
+
+    sel = cust.map_batches(pre, batch_format="pyarrow").materialize()
+
+    def stat_part(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        p = c[c > 0]
+        return pa.table({"tot": pa.array([int(p.sum())], pa.int64()),
+                         "n": pa.array([len(p)], pa.int64())})
+
+    st = sel.map_batches(stat_part, batch_format="pyarrow").to_pandas()
+    tot, n = int(st["tot"].sum()), int(st["n"].sum())
+
+    def above(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(c * n > tot))
+
+    rich = sel.map_batches(above, batch_format="pyarrow")
+    okeys = read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey", "o_orderpriority"])
+    okeys = okeys.map_batches(
+        lambda b: pa.table({"c_custkey": b.filter(pc.equal(
+            b["o_orderpriority"], "1-URGENT"))["o_custkey"]}),
+        batch_format="pyarrow")
+    noord = anti_join(rich, okeys, key="c_custkey")
+
+    def grp_part(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nk, return_inverse=True)
+        return pa.table({
+            "nk": pa.array(u.astype(np.int64)),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=c)
+                          .astype(np.int64))})
+
+    parts = noord.map_batches(grp_part, batch_format="pyarrow") \
+        .to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                             "numcust": pd.Series([], dtype="int64"),
+                             "totacctbal": pd.Series([], dtype="float64")})
+    g = parts.groupby("nk", sort=True, as_index=False).sum()
+    return pd.DataFrame({"c_nationkey": g["nk"].astype("int64"),
+                         "numcust": g["cnt"].astype("int64"),
+                         "totacctbal": (g["s"] / 100.0).round(2)})
+
+
+GLOBAL_SALES_SQL = f"""
+    WITH sel AS (SELECT c_custkey, c_nationkey,
+                        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                            AS cents
+                 FROM customer
+                 WHERE c_nationkey IN {GLOBAL_SALES_NATIONS}),
+    st AS (SELECT sum(cents) AS tot, count(*) AS n
+           FROM sel WHERE cents > 0),
+    q AS (SELECT sel.* FROM sel, st
+          WHERE sel.cents * st.n > st.tot
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = sel.c_custkey
+                              AND o.o_orderpriority = '1-URGENT'))
+    SELECT c_nationkey, count(*)::BIGINT AS numcust,
+           round(sum(cents) / 100.0, 2) AS totacctbal
+    FROM q GROUP BY c_nationkey ORDER BY c_nationkey
+"""

@@ -854,3 +854,80 @@ def test_dag_path_counts_matches_naive(tmp_path):
     finally:
         eng.shutdown()
     assert (got == _paths_oracle(e, n)).all()
+
+
+# ------------------------------------------------------------ parity CC
+
+def parity_oracle(e, n):
+    """Naive per-component BFS from the min vertex: (label, level)."""
+    both = np.vstack([e, e[:, ::-1]])
+    both = both[both[:, 0] != both[:, 1]]
+    adj = [[] for _ in range(n)]
+    for a, b in np.unique(both, axis=0):
+        adj[a].append(b)
+    label = np.arange(n)
+    level = np.zeros(n, np.int64)
+    seen = np.zeros(n, bool)
+    for r in range(n):
+        if seen[r]:
+            continue
+        seen[r] = True
+        frontier = [r]
+        d = 0
+        while frontier:
+            nxt = []
+            for v in frontier:
+                label[v], level[v] = r, d
+                for u in adj[v]:
+                    if not seen[u]:
+                        seen[u] = True
+                        nxt.append(u)
+            frontier, d = nxt, d + 1
+    return label, level
+
+
+@pytest.mark.parametrize("name", ["path_8", "star_1_50",
+                                  "two_cliques_k5_nobridge", "er_1k"])
+def test_parity_cc_matches_bfs_oracle(name, tmp_path):
+    from linkgraph.algos.bipartite import LEVEL_MOD, parity_cc
+    from linkgraph.graph import load_undirected
+
+    e = _dedup(micro_graph(name))
+    n = _n(e)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=3,
+                          store_dir=str(tmp_path / "g"))
+    try:
+        parity_cc(eng)
+        pk = eng.state_pandas(["packed"])["packed"].to_numpy()
+        lab, lvl = parity_oracle(e, n)
+        assert np.array_equal(pk // LEVEL_MOD, lab)
+        assert np.array_equal(pk % LEVEL_MOD, lvl)
+    finally:
+        eng.shutdown()
+
+
+def test_parity_cc_flags_odd_cycles(tmp_path):
+    """Odd cycle (0-1-2), even cycle (3-4-5-6), tree (7-8-9, 8-10):
+    parity conflicts appear exactly on the odd component."""
+    from linkgraph.algos.bipartite import LEVEL_MOD, parity_cc
+    from linkgraph.graph import load_undirected
+
+    e = np.array([[0, 1], [1, 2], [0, 2],
+                  [3, 4], [4, 5], [5, 6], [3, 6],
+                  [7, 8], [8, 9], [8, 10]])
+    n = 11
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=3,
+                          store_dir=str(tmp_path / "g"))
+    try:
+        parity_cc(eng)
+        pk = eng.state_pandas(["packed"])["packed"].to_numpy()
+        lab = pk // LEVEL_MOD
+        par = (pk % LEVEL_MOD) % 2
+        conflict = par[e[:, 0]] == par[e[:, 1]]
+        assert set(lab[e[:, 0][conflict]]) == {0}
+        assert conflict.sum() == 1          # exactly one odd-cycle edge
+        assert set(np.unique(lab)) == {0, 3, 7}
+    finally:
+        eng.shutdown()

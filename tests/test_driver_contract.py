@@ -110,7 +110,9 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "embed_recall", "doc_toposort",
                                   "doc_dag_paths", "dedup_lsh_recall",
                                   "embed_norms", "doc_ppr_sweep",
-                                  "events_autocorr", "doc_rich_club"])
+                                  "events_autocorr", "doc_rich_club",
+                                  "doc_bipartite", "doc_knn_degree",
+                                  "tpch_global_sales"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
