@@ -8371,3 +8371,148 @@ def q_tpch_global_sales(sf_dir):
 
 ORACLE_SQL["tpch_global_sales"] = _REL.GLOBAL_SALES_SQL
 QUERIES["tpch_global_sales"] = q_tpch_global_sales
+
+
+# ----------------------------------------------------------- TextRank
+
+TEXTRANK_VOCAB = 250
+TEXTRANK_ITERS = 10
+TEXTRANK_K = 25
+
+
+def q_text_keywords(sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank on the word co-occurrence graph — the superstep engine
+    over a DERIVED vertex space (corpus vocabulary), not doc_ids.
+
+    Scale shape: vocabulary = top-V tokens by (count DESC, token) via
+    the map-side value_counts combiner + distinct-token groupby +
+    partial top-k (the q_text_top_tokens pattern) — V is a fixed cap,
+    so the word->id map broadcasts once; co-occurrence pairs (adjacent
+    tokens, both in vocab) come back as packed-code map-side partials
+    over the V^2-bounded domain; the weighted graph (pair count =
+    edge weight, symmetrized) runs WeightedPageRankProgram for 10
+    supersteps.  Oracle: the same vocabulary/pair SQL under the
+    _wpagerank_sql unrolled recurrence over the derived edges."""
+    import ray
+
+    from .algos.pagerank import weighted_pagerank
+    from .graph import load_directed, suggest_partitions
+    from .io import from_pandas_clean
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(_arr(b["text"]), r"\s+")
+        toks = pc.list_flatten(lists).to_pandas()
+        vc = toks[toks.to_numpy(object) != ""].value_counts()
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    counts = docs.map_batches(tok_partial, batch_format="pyarrow") \
+        .groupby("token").sum("n")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().rename(columns={"sum(n)": "n"})
+        pdf = pdf.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort").head(TEXTRANK_VOCAB)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    vocab = (counts.map_batches(local_top, batch_format="pyarrow")
+             .to_pandas()
+             .sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").head(TEXTRANK_VOCAB)
+             .reset_index(drop=True))
+    words = vocab["token"].to_numpy(object)
+    nv = len(words)
+    vref = ray.put(pd.Index(words))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        vi = ray.get(vref)
+        lists = pc.split_pattern_regex(_arr(b["text"]), r"\s+")
+        toks = pc.list_flatten(lists).to_pandas()
+        par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ok = toks.to_numpy(object) != ""
+        toks, par = toks[ok].reset_index(drop=True), par[ok]
+        if len(par) < 2:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ids = vi.get_indexer(toks)
+        a, c = ids[:-1], ids[1:]
+        m = (par[:-1] == par[1:]) & (a >= 0) & (c >= 0) & (a != c)
+        u = np.minimum(a[m], c[m]).astype(np.int64)
+        v = np.maximum(a[m], c[m]).astype(np.int64)
+        code, cnt = np.unique(u * nv + v, return_counts=True)
+        return pa.table({"code": pa.array(code),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    pairs = docs.map_batches(pair_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("code", sort=True)["n"].sum()
+    code = pairs.index.to_numpy(np.int64)
+    wt = pairs.to_numpy(np.int64).astype(np.float64)
+    u, v = code // nv, code % nv
+    edges = from_pandas_clean(pd.DataFrame({
+        "src": np.concatenate([u, v]),
+        "dst": np.concatenate([v, u]),
+        "weight": np.concatenate([wt, wt])}))
+
+    eng = load_directed(edges, nv, suggest_partitions(2 * len(code), 4),
+                        _store_root(sf_dir, "textrank"), weighted=True,
+                        fingerprint=f"tr:{_input_fingerprint(sf_dir)}")
+    weighted_pagerank(eng, iterations=TEXTRANK_ITERS)
+    ranks = eng.state_pandas(["rank"])  # V-sized: driver-small by cap
+    out = pd.DataFrame({"word": words[ranks["v"].to_numpy(np.int64)],
+                        "rank": np.round(ranks["rank"].to_numpy(), 6)})
+    return (out.sort_values(["rank", "word"], ascending=[False, True],
+                            kind="mergesort").head(TEXTRANK_K)
+            .reset_index(drop=True))
+
+
+def _textrank_sql(iters: int) -> str:
+    ctes = [
+        ("wl AS (SELECT doc_id, list_filter(regexp_split_to_array("
+         "text, '\\s+'), x -> x <> '') AS l FROM documents)"),
+        ("wds AS MATERIALIZED (SELECT doc_id, unnest(l) AS w, "
+         "generate_subscripts(l, 1) AS i FROM wl)"),
+        "wc AS (SELECT w, count(*)::BIGINT AS n FROM wds GROUP BY w)",
+        (f"voc AS MATERIALIZED (SELECT w, row_number() OVER "
+         f"(ORDER BY n DESC, w) - 1 AS id FROM wc "
+         f"ORDER BY n DESC, w LIMIT {TEXTRANK_VOCAB})"),
+        ("big AS (SELECT a.id AS u, b.id AS vv FROM "
+         "(SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id "
+         "ORDER BY i) AS w2 FROM wds) p "
+         "JOIN voc a ON a.w = p.w JOIN voc b ON b.w = p.w2 "
+         "WHERE p.w2 IS NOT NULL)"),
+        ("ce AS (SELECT least(u, vv) AS src, greatest(u, vv) AS dst, "
+         "count(*)::DOUBLE AS wt FROM big WHERE u <> vv GROUP BY 1, 2)"),
+        ("e AS MATERIALIZED (SELECT src, dst, wt FROM ce UNION ALL "
+         "SELECT dst AS src, src AS dst, wt FROM ce)"),
+        ("outw AS MATERIALIZED (SELECT src AS v, sum(wt) AS ow "
+         "FROM e GROUP BY src)"),
+        "allv AS (SELECT id AS v FROM voc)",
+        ("c0 AS (SELECT allv.v, CASE WHEN coalesce(ow, 0) > 0 "
+         "THEN 1.0/ow ELSE 1.0 END AS r FROM allv "
+         "LEFT JOIN outw USING (v))")]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"sum({prev}.r * e.wt) AS sm FROM e "
+            f"JOIN {prev} ON {prev}.v = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"raw{i} AS MATERIALIZED (SELECT allv.v, "
+            f"0.15 + 0.85 * coalesce(sm, 0.0) AS r "
+            f"FROM allv LEFT JOIN s{i} USING (v))")
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT raw{i}.v, "
+            f"CASE WHEN coalesce(ow, 0) > 0 THEN r/ow ELSE r END AS r "
+            f"FROM raw{i} LEFT JOIN outw USING (v))")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT voc.w AS word, round(raw{iters}.r, 6) AS rank "
+            f"FROM raw{iters} JOIN voc ON voc.id = raw{iters}.v "
+            f"ORDER BY rank DESC, word LIMIT {TEXTRANK_K}")
+
+
+ORACLE_SQL["text_keywords"] = _textrank_sql(TEXTRANK_ITERS)
+QUERIES["text_keywords"] = q_text_keywords
