@@ -8516,3 +8516,87 @@ def _textrank_sql(iters: int) -> str:
 
 ORACLE_SQL["text_keywords"] = _textrank_sql(TEXTRANK_ITERS)
 QUERIES["text_keywords"] = q_text_keywords
+
+
+# ------------------------------------------------- seeded label spread
+
+LS_ROUNDS = 10
+LS_SEED_MOD = 20
+
+
+def q_doc_label_spread(sf_dir):
+    """Semi-supervised label spreading (algos/labelspread.py): trusted
+    language labels on the 5% seed set (doc_id % 20 == 0) spread over
+    the undirected doc graph; unlabeled vertices adopt the most
+    frequent labeled neighbor label (min tie-break), seeds clamped.
+
+    Scale shape: the lang catalog (bounded) maps lang -> dense code;
+    the (v, label) seed table is DERIVED DISTRIBUTED and written as
+    parquet that each shard slice-reads in init_state (no driver
+    broadcast of per-vertex data).  Oracle: _labelspread_sql — the
+    seeded histogram recurrence unrolled LS_ROUNDS times."""
+    from .algos.labelspread import label_spread
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "lang"])
+
+    def lang_part(b: pa.Table) -> pa.Table:
+        return pa.table({"lang": pa.array(
+            np.unique(np.asarray(b["lang"].to_pylist(), object)),
+            pa.string())})
+
+    langs = np.unique(docs.map_batches(lang_part, batch_format="pyarrow")
+                      .to_pandas()["lang"].to_numpy(object))
+    code = {l: i for i, l in enumerate(langs)}
+
+    def seed_part(b: pa.Table) -> pa.Table:
+        v = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = v % LS_SEED_MOD == 0
+        lab = np.array([code[x] for x in
+                        np.asarray(b["lang"].to_pylist(), object)[m]],
+                       np.int64)
+        return pa.table({"v": pa.array(v[m]), "label": pa.array(lab)})
+
+    seed_path = os.path.join(_store_root(sf_dir, "seedlab"), "seeds")
+    docs.map_batches(seed_part, batch_format="pyarrow") \
+        .write_parquet(seed_path, mode="overwrite")
+
+    eng = documents_engine(sf_dir, "undirected")
+    rep = label_spread(eng, seed_path, max_iters=LS_ROUNDS)
+    _check_unroll(rep, LS_ROUNDS, "doc_label_spread")
+    return _state_result(eng, "label", "label")
+
+
+def _labelspread_sql(rounds: int) -> str:
+    ctes = [
+        f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+        "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+        ("langs AS (SELECT lang, row_number() OVER (ORDER BY lang) - 1 "
+         "AS code FROM (SELECT DISTINCT lang FROM documents))"),
+        (f"seeds AS MATERIALIZED (SELECT doc_id AS v, code AS lab "
+         f"FROM documents JOIN langs USING (lang) "
+         f"WHERE doc_id % {LS_SEED_MOD} = 0)"),
+        ("l0 AS MATERIALIZED (SELECT allv.v, coalesce(seeds.lab, -1) "
+         "AS lab FROM allv LEFT JOIN seeds USING (v))")]
+    for i in range(1, rounds + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT v, lab FROM ("
+            f"SELECT sym.dst AS v, {p}.lab AS lab, "
+            f"row_number() OVER (PARTITION BY sym.dst "
+            f"ORDER BY count(*) DESC, {p}.lab ASC) AS rn "
+            f"FROM sym JOIN {p} ON {p}.v = sym.src "
+            f"WHERE {p}.lab <> -1 GROUP BY sym.dst, {p}.lab) "
+            f"WHERE rn = 1)")
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT allv.v, "
+            f"CASE WHEN seeds.v IS NOT NULL THEN {p}.lab "
+            f"ELSE coalesce(w{i}.lab, {p}.lab) END AS lab "
+            f"FROM allv JOIN {p} USING (v) LEFT JOIN w{i} USING (v) "
+            f"LEFT JOIN seeds ON seeds.v = allv.v)")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT v, lab AS label FROM l{rounds}")
+
+
+ORACLE_SQL["doc_label_spread"] = _labelspread_sql(LS_ROUNDS)
+QUERIES["doc_label_spread"] = q_doc_label_spread

@@ -931,3 +931,58 @@ def test_parity_cc_flags_odd_cycles(tmp_path):
         assert set(np.unique(lab)) == {0, 3, 7}
     finally:
         eng.shutdown()
+
+
+# ------------------------------------------------------- label spread
+
+def labelspread_oracle(e, n, seeds: dict, rounds: int):
+    """Naive synchronous seeded spreading: most frequent labeled
+    neighbor label, min tie-break, seeds clamped."""
+    both = np.vstack([e, e[:, ::-1]])
+    both = both[both[:, 0] != both[:, 1]]
+    s = np.unique(both, axis=0)
+    lab = np.full(n, -1, np.int64)
+    for v, l in seeds.items():
+        lab[v] = l
+    for _ in range(rounds):
+        new = lab.copy()
+        for v in range(n):
+            if v in seeds:
+                continue
+            nbr = s[s[:, 0] == v, 1]
+            votes = lab[nbr]
+            votes = votes[votes != -1]
+            if len(votes):
+                u, c = np.unique(votes, return_counts=True)
+                new[v] = u[c == c.max()].min()
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return lab
+
+
+@pytest.mark.parametrize("name", ["path_8", "two_cliques_k5", "er_1k"])
+def test_label_spread_matches_naive(name, tmp_path):
+    from linkgraph.algos.labelspread import label_spread
+    from linkgraph.graph import load_undirected
+    from linkgraph.io import from_pandas_clean
+    import pandas as pd
+
+    e = _dedup(micro_graph(name))
+    n = _n(e)
+    seeds = {v: (v * 7) % 3 for v in range(0, n, 4)}
+    seed_path = str(tmp_path / "seeds")
+    from_pandas_clean(pd.DataFrame(
+        {"v": np.array(sorted(seeds), np.int64),
+         "label": np.array([seeds[v] for v in sorted(seeds)],
+                           np.int64)})).write_parquet(seed_path)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=3,
+                          store_dir=str(tmp_path / "g"))
+    try:
+        label_spread(eng, seed_path, max_iters=6)
+        got = eng.state_pandas(["label"])["label"].to_numpy()
+        want = labelspread_oracle(e, n, seeds, 6)
+        assert np.array_equal(got, want)
+    finally:
+        eng.shutdown()
