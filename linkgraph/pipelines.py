@@ -8600,3 +8600,12 @@ def _labelspread_sql(rounds: int) -> str:
 
 ORACLE_SQL["doc_label_spread"] = _labelspread_sql(LS_ROUNDS)
 QUERIES["doc_label_spread"] = q_doc_label_spread
+
+
+def q_tpch_min_cost(sf_dir):
+    """TPC-H Q2 shape — see relational.min_cost_supplier."""
+    return _REL.min_cost_supplier(sf_dir)
+
+
+ORACLE_SQL["tpch_min_cost"] = _REL.MIN_COST_SQL
+QUERIES["tpch_min_cost"] = q_tpch_min_cost

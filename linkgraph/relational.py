@@ -1603,3 +1603,120 @@ GLOBAL_SALES_SQL = f"""
            round(sum(cents) / 100.0, 2) AS totacctbal
     FROM q GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+MIN_COST_SIZES = (3, 7, 11, 23)
+MIN_COST_TOP_K = 20
+
+
+def min_cost_supplier(sf_dir: str):
+    """Q2 shape: for each part in a size class, the supplier(s) offering
+    the MINIMUM cost (min lineitem extendedprice for that part), output
+    sorted by supplier account balance like Q2.  (The testdata has no
+    partsupp table, so supply cost = min observed lineitem price; the
+    groupwise-argmin + join-back structure is Q2's.)
+
+    100-TB plan: lineitem pruned to 3 columns, semi-filtered on the
+    catalog-bounded part-size key set (gated semi_join); costs as exact
+    integer cents; ONE coarse-bucket shuffle keyed l_partkey with a
+    vectorized per-part argmin kernel (each part lives in exactly one
+    bucket, so in-bucket minima are global); the argmin rows are
+    catalog-bounded (<= distinct parts), so the supplier/nation joins
+    and final sort run on the driver."""
+    import os
+
+    from .algos.triangles import n_buckets_for
+    from .joins import semi_join
+    from .runtime import tune_context
+
+    tune_context()
+    part = read_parquet_clean(os.path.join(sf_dir, "part.parquet"),
+                              columns=["p_partkey", "p_size"])
+    sizes = np.array(MIN_COST_SIZES, np.int64)
+
+    def pf(b: pa.Table) -> pa.Table:
+        ps = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_partkey": b["p_partkey"].take(
+            pa.array(np.flatnonzero(np.isin(ps, sizes))))})
+
+    pkeys = part.map_batches(pf, batch_format="pyarrow")
+    li = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_partkey", "l_suppkey",
+                                     "l_extendedprice"])
+    li = semi_join(li, pkeys, key="l_partkey").materialize()
+    nb = n_buckets_for(li.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pk": pa.array(pk),
+            "sk": pa.array(b["l_suppkey"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64)),
+            "cents": pa.array(np.floor(price * 100 + 0.5)
+                              .astype(np.int64)),
+            "pb": pa.array((pk % nb).astype(np.int64))})
+
+    def argmin_rows(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["pk"].to_numpy(np.int64)
+        sk = g["sk"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        o = np.lexsort((sk, c, pk))
+        pk, sk, c = pk[o], sk[o], c[o]
+        new_p = np.ones(len(pk), bool)
+        new_p[1:] = pk[1:] != pk[:-1]
+        mc = c[new_p][np.cumsum(new_p) - 1]     # per-row part minimum
+        m = c == mc
+        pk, sk, c = pk[m], sk[m], c[m]
+        d = np.ones(len(pk), bool)              # distinct (part, supp)
+        d[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        return pd.DataFrame({"pk": pk[d], "sk": sk[d], "cents": c[d]})
+
+    am = (li.map_batches(tag, batch_format="pyarrow")
+          .groupby("pb").map_groups(argmin_rows, batch_format="pandas")
+          .to_pandas())
+    sup = read_parquet_clean(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_name",
+                                      "s_nationkey", "s_acctbal"]) \
+        .to_pandas()
+    nat = read_parquet_clean(os.path.join(sf_dir, "nation.parquet"),
+                             columns=["n_nationkey", "n_name"]) \
+        .to_pandas()
+    if len(am) == 0:
+        return pd.DataFrame({"s_acctbal": pd.Series([], dtype="float64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "n_name": pd.Series([], dtype=object),
+                             "p_partkey": pd.Series([], dtype="int64"),
+                             "min_cost": pd.Series([], dtype="float64")})
+    out = am.merge(sup, left_on="sk", right_on="s_suppkey") \
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    out["s_acctbal"] = out["s_acctbal"].round(2)
+    out["min_cost"] = (out["cents"] / 100.0).round(2)
+    out = out.rename(columns={"pk": "p_partkey"})
+    out = out[["s_acctbal", "s_name", "n_name", "p_partkey", "min_cost"]]
+    return (out.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True], kind="mergesort")
+        .head(MIN_COST_TOP_K).reset_index(drop=True))
+
+
+MIN_COST_SQL = f"""
+    WITH pf AS (SELECT p_partkey FROM part
+                WHERE p_size IN {MIN_COST_SIZES}),
+    c AS (SELECT l_partkey, l_suppkey,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     AS cents
+          FROM lineitem JOIN pf ON pf.p_partkey = l_partkey),
+    mn AS (SELECT l_partkey, min(cents) AS mc FROM c GROUP BY 1),
+    am AS (SELECT DISTINCT c.l_partkey, c.l_suppkey, c.cents
+           FROM c JOIN mn ON mn.l_partkey = c.l_partkey
+                         AND mn.mc = c.cents)
+    SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+           am.l_partkey AS p_partkey,
+           round(am.cents / 100.0, 2) AS min_cost
+    FROM am JOIN supplier s ON s.s_suppkey = am.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT {MIN_COST_TOP_K}
+"""
