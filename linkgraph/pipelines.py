@@ -8609,3 +8609,181 @@ def q_tpch_min_cost(sf_dir):
 
 ORACLE_SQL["tpch_min_cost"] = _REL.MIN_COST_SQL
 QUERIES["tpch_min_cost"] = q_tpch_min_cost
+
+
+# ---------------------------------------------------- graph coarsening
+
+def q_doc_coarsen(sf_dir):
+    """Graph coarsening by maximal-matching contraction — the
+    multilevel-partitioner primitive (METIS-style): matched pairs
+    collapse into their min endpoint, surviving edges relabel through
+    the representative map and merge with multiplicity as the coarse
+    edge weight (self-loops drop).
+
+    Scale shape: the matching is the locally-dominant superstep
+    (algos/matching.py); the rep map is a SPARSE override attached via
+    the gated lookup join (missing="self"); coarse-edge merging is the
+    canonical coarse-bucket shuffle + vectorized in-bucket count —
+    never a per-edge-key hash aggregate."""
+    from .algos.matching import maximal_matching
+    from .algos.triangles import n_buckets_for
+    from .io import from_pandas_clean
+    from .joins import attach_by_key
+
+    edges = documents_edges(sf_dir).materialize()
+    n = documents_n_vertices(sf_dir)
+    w = edges.map_batches(
+        lambda b: pa.table({"u": b["src"], "v": b["dst"]}),
+        batch_format="pyarrow")
+    m = maximal_matching(w, n)
+    repmap = from_pandas_clean(pd.DataFrame({
+        "v": m["v"].to_numpy(np.int64),
+        "rep": m["u"].to_numpy(np.int64)}))
+    tagged = attach_by_key(edges, repmap, ["src", "dst"],
+                           key="v", value="rep", missing="self")
+    nb = n_buckets_for(edges.count())
+
+    def relabel(b: pa.Table) -> pa.Table:
+        ru = b["rep_src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rv = b["rep_dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(ru, rv)
+        v = np.maximum(ru, rv)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        eb = ((u * np.int64(1_000_003) + v) % nb).astype(np.int64)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "eb": pa.array(eb)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        new = np.ones(len(u), bool)
+        new[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        gid = np.cumsum(new) - 1
+        wt = np.bincount(gid)
+        return pd.DataFrame({"src": u[new], "dst": v[new],
+                             "weight": wt.astype(np.int64)})
+
+    return (tagged.map_batches(relabel, batch_format="pyarrow")
+            .groupby("eb").map_groups(merge, batch_format="pandas"))
+
+
+ORACLE_SQL["doc_coarsen"] = f"""
+    WITH m AS MATERIALIZED (
+        SELECT * FROM ({_matching_sql(_MATCH.MATCH_ROUNDS)}) t),
+    e AS MATERIALIZED ({DOC_EDGES_SQL}),
+    rmap AS (SELECT dst AS v, src AS rep FROM m),
+    r1 AS (SELECT e.src, e.dst, coalesce(ms.rep, e.src) AS ru
+           FROM e LEFT JOIN rmap ms ON ms.v = e.src),
+    r2 AS (SELECT src, dst, ru, coalesce(md.rep, dst) AS rv
+           FROM r1 LEFT JOIN rmap md ON md.v = dst)
+    SELECT least(ru, rv) AS src, greatest(ru, rv) AS dst,
+           count(*)::BIGINT AS weight
+    FROM r2 WHERE ru <> rv GROUP BY 1, 2
+"""
+QUERIES["doc_coarsen"] = q_doc_coarsen
+
+
+# ------------------------------------------------ CM join-size estimate
+
+def q_sketch_join(sf_dir):
+    """Join-cardinality estimation from two mergeable Count-Min
+    sketches (Cormode & Muthukrishnan 2005): |events JOIN orders ON
+    user_id = o_custkey| estimated as the min row-wise register inner
+    product — the sketches are built in one map-side pass each and the
+    estimate needs only the 2 x d x w bounded registers, so two 100-TB
+    tables can be size-estimated without ANY shuffle.  The exact size
+    (for the report) uses per-batch key-count partials + ONE coarse
+    key-bucket co-group with a vectorized per-key product kernel."""
+    from .algos.triangles import n_buckets_for
+    from .sketch import cm_inner_product, cm_int_sketch
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id"])
+    od = read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_custkey"])
+    est = cm_inner_product(cm_int_sketch(ev, "user_id"),
+                           cm_int_sketch(od, "o_custkey"))
+
+    nb = n_buckets_for(ev.count() + od.count())
+
+    def count_part(col, side):
+        def f(b: pa.Table) -> pa.Table:
+            k = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            u, c = np.unique(k, return_counts=True)
+            return pa.table({
+                "k": pa.array(u), "n": pa.array(c.astype(np.int64)),
+                "side": pa.array(np.full(len(u), side, np.int64)),
+                "kb": pa.array((u % nb).astype(np.int64))})
+        return f
+
+    both = ev.map_batches(count_part("user_id", 0),
+                          batch_format="pyarrow").union(
+        od.map_batches(count_part("o_custkey", 1),
+                       batch_format="pyarrow")).materialize()
+
+    def dot_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        s = g["side"].to_numpy(np.int64)
+        o = np.lexsort((s, k))
+        k, n, s = k[o], n[o], s[o]
+        new = np.ones(len(k), bool)
+        new[1:] = k[1:] != k[:-1]
+        gid = np.cumsum(new) - 1
+        na = np.bincount(gid, weights=np.where(s == 0, n, 0))
+        nb_ = np.bincount(gid, weights=np.where(s == 1, n, 0))
+        return pd.DataFrame({"p": [int((na * nb_).sum())]})
+
+    true_size = int(both.groupby("kb")
+                    .map_groups(dot_kernel, batch_format="pandas")
+                    .to_pandas()["p"].sum())
+    return pd.DataFrame({"cm_estimate": [est],
+                         "true_size": [true_size]})
+
+
+def _cm_join_sql() -> str:
+    from .sketch import CM_D, CM_GOLD, CM_SALTS, CM_W
+    branches_a = " UNION ALL ".join(
+        f"SELECT {j} AS j, "
+        f"({_mulmod64_sql(f'xor(h, {CM_SALTS[j]}::UBIGINT)', CM_GOLD)} "
+        f"% {CM_W})::BIGINT AS col, n FROM ha"
+        for j in range(CM_D))
+    branches_b = " UNION ALL ".join(
+        f"SELECT {j} AS j, "
+        f"({_mulmod64_sql(f'xor(h, {CM_SALTS[j]}::UBIGINT)', CM_GOLD)} "
+        f"% {CM_W})::BIGINT AS col, n FROM hb"
+        for j in range(CM_D))
+    av = (lambda src: f"""
+        SELECT k, n, xor(h4, h4 >> 32) AS h FROM (
+          SELECT k, n, {_mulmod64_sql('h3', 0xC4CEB9FE1A85EC53)}::UBIGINT
+                 AS h4 FROM (
+            SELECT k, n, xor(h2, h2 >> 29) AS h3 FROM (
+              SELECT k, n, {_mulmod64_sql('h1', 0xFF51AFD7ED558CCD)}::UBIGINT
+                     AS h2 FROM (
+                SELECT k, n, xor(k::UBIGINT, k::UBIGINT >> 33) AS h1
+                FROM {src})))) """)
+    return f"""
+        WITH ka AS (SELECT user_id AS k, count(*)::HUGEINT AS n
+                    FROM events GROUP BY 1),
+        kb AS (SELECT o_custkey AS k, count(*)::HUGEINT AS n
+               FROM orders GROUP BY 1),
+        ha AS MATERIALIZED ({av('ka')}),
+        hb AS MATERIALIZED ({av('kb')}),
+        rega AS (SELECT j, col, sum(n) AS c FROM ({branches_a})
+                 GROUP BY j, col),
+        regb AS (SELECT j, col, sum(n) AS c FROM ({branches_b})
+                 GROUP BY j, col),
+        ip AS (SELECT a.j, sum(a.c * b.c) AS p
+               FROM rega a JOIN regb b ON a.j = b.j AND a.col = b.col
+               GROUP BY a.j)
+        SELECT (SELECT min(p) FROM ip)::BIGINT AS cm_estimate,
+               (SELECT count(*) FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id)::BIGINT AS true_size
+    """
+
+
+ORACLE_SQL["sketch_join"] = _cm_join_sql()
+QUERIES["sketch_join"] = q_sketch_join

@@ -606,3 +606,49 @@ def cm_estimate(regs: np.ndarray, h: np.ndarray) -> np.ndarray:
     for j in range(d):
         est = np.minimum(est, regs[j, cm_cols(h, j, w)])
     return est
+
+
+def _int_avalanche(x: np.ndarray) -> np.ndarray:
+    """Murmur3 finalizer over a non-negative int64 key (the matching /
+    neighbors priority chain; exact HUGEINT twin in pipelines)."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(x).astype(np.uint64)
+        z ^= z >> np.uint64(33)
+        z *= np.uint64(0xFF51AFD7ED558CCD)
+        z ^= z >> np.uint64(29)
+        z *= np.uint64(0xC4CEB9FE1A85EC53)
+        z ^= z >> np.uint64(32)
+    return z
+
+
+def cm_int_sketch(ds, col: str, d: int = CM_D, w: int = CM_W) -> np.ndarray:
+    """Count-Min sketch of an integer key column: map-side partial
+    register matrices (BOUNDED d*w ints regardless of table size),
+    merged by a tiny driver reduce — same mergeable shape as
+    count_min_sketch, with the murmur-finalizer int hash instead of
+    the word fold."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = _int_avalanche(b[col].to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+        regs = np.empty(d * w, np.int64)
+        for j in range(d):
+            regs[j * w:(j + 1) * w] = np.bincount(cm_cols(h, j, w),
+                                                  minlength=w)
+        return pa.table({"r": pa.array(np.arange(d * w, dtype=np.int64)),
+                         "c": pa.array(regs)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (parts.groupby("r")["c"].sum()
+            .reindex(range(d * w), fill_value=0)
+            .to_numpy().reshape(d, w))
+
+
+def cm_inner_product(a: np.ndarray, b: np.ndarray) -> int:
+    """Join-size (inner-product) estimate from two CM sketches built
+    with the same (d, w, salts): min over rows of the register dot
+    product (Cormode & Muthukrishnan 2005, §4.2) — an upper bound on
+    |A JOIN B| that never under-estimates."""
+    assert a.shape == b.shape
+    return int(min(int(np.dot(a[j].astype(object), b[j].astype(object)))
+                   for j in range(a.shape[0])))
