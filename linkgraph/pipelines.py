@@ -8787,3 +8787,119 @@ def _cm_join_sql() -> str:
 
 ORACLE_SQL["sketch_join"] = _cm_join_sql()
 QUERIES["sketch_join"] = q_sketch_join
+
+
+# ------------------------------------------- train/val/test split report
+
+SPLIT_BOUNDS = (0.90, 0.95)   # train < 0.90 <= val < 0.95 <= test
+SPLIT_NAMES = ("train", "val", "test")
+
+
+def q_sample_split(sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) by the sha256
+    prefix rule (the stratified_sample hash space): membership is
+    stable across runs, partitionings and cluster sizes — the property
+    a reproducible 100-TB training corpus needs.  Reports per
+    (lang, split) doc and char totals from map-side partials over the
+    catalog-bounded (lang x 3) domain."""
+    b0 = int(SPLIT_BOUNDS[0] * (1 << 32))
+    b1 = int(SPLIT_BOUNDS[1] * (1 << 32))
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "lang", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        hv = np.fromiter(
+            (int(hashlib.sha256(f"split:{v}".encode()).hexdigest()[:8],
+                 16) for v in ids), np.int64, len(ids))
+        split = np.searchsorted(np.array([b0, b1], np.int64), hv,
+                                side="right")
+        lang = np.asarray(b["lang"].to_pylist(), object)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key = pd.Series([f"{l}\x1f{s}" for l, s in zip(lang, split)])
+        g = pd.DataFrame({"k": key, "n": 1, "c": nch}) \
+            .groupby("k", sort=True).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = docs.map_batches(part, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("k", sort=True, as_index=False).sum()
+    lang = g["k"].str.split("\x1f").str[0]
+    split = g["k"].str.split("\x1f").str[1].astype(int)
+    out = pd.DataFrame({
+        "lang": lang,
+        "split": [SPLIT_NAMES[i] for i in split],
+        "n_docs": g["n"].astype("int64"),
+        "n_chars": g["c"].astype("int64")})
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+ORACLE_SQL["sample_split"] = f"""
+    WITH h AS (SELECT lang, n_chars,
+                  ('0x' || substr(sha256('split:' || doc_id::VARCHAR),
+                   1, 8))::UBIGINT AS hv
+               FROM documents),
+    s AS (SELECT lang, n_chars,
+                 CASE WHEN hv < {int(SPLIT_BOUNDS[0] * (1 << 32))}
+                      THEN 'train'
+                      WHEN hv < {int(SPLIT_BOUNDS[1] * (1 << 32))}
+                      THEN 'val' ELSE 'test' END AS split
+          FROM h)
+    SELECT lang, split, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars
+    FROM s GROUP BY lang, split ORDER BY lang, split
+"""
+QUERIES["sample_split"] = q_sample_split
+
+
+# ------------------------------------------------------- filtered ANN
+
+ANN_FILTER_LABELS = (1, 4, 7)
+
+
+def q_ann_filtered(sf_dir):
+    """Metadata-FILTERED vector search (the retrieval-with-predicate
+    shape every RAG store needs): cosine top-k restricted to vectors
+    whose label is in a fixed set.  The predicate pushes down BEFORE
+    scoring — each batch drops non-matching rows ahead of the matmul,
+    so the scan cost is the filter's selectivity, never the corpus;
+    queries broadcast once (ray.put) as in brute_force_topk."""
+    from .ann import brute_force_topk, queries_from_ids
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding", "label"])
+    q, qi = queries_from_ids(emb, ANN_QUERY_IDS)
+    lbl = np.array(ANN_FILTER_LABELS, np.int64)
+
+    def keep(b: pa.Table) -> pa.Table:
+        lv = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(np.isin(lv, lbl))) \
+            .select(["vec_id", "embedding"])
+
+    cand = emb.map_batches(keep, batch_format="pyarrow")
+    out = brute_force_topk(cand, q, qi, k=ANN_K)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+ORACLE_SQL["ann_filtered"] = f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id IN
+               ({', '.join(map(str, ANN_QUERY_IDS))})),
+    cand AS (SELECT vec_id, embedding FROM embeddings
+             WHERE label IN {ANN_FILTER_LABELS}),
+    sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                    list_cosine_similarity(
+                        q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+             FROM q CROSS JOIN cand e
+             WHERE e.vec_id <> q.query_id),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+               FROM sims)
+    SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+    FROM ranked WHERE rnk <= {ANN_K}
+"""
+QUERIES["ann_filtered"] = q_ann_filtered

@@ -114,7 +114,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "doc_bipartite", "doc_knn_degree",
                                   "tpch_global_sales", "text_keywords",
                                   "doc_label_spread", "tpch_min_cost",
-                                  "doc_coarsen", "sketch_join"])
+                                  "doc_coarsen", "sketch_join",
+                                  "sample_split", "ann_filtered"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
