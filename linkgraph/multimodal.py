@@ -703,3 +703,48 @@ def energy_windows(ds, concurrency: int = 4, batch_size: int = 256):
     return ds.map_batches(EnergyWindowStage, batch_format="pyarrow",
                           batch_size=batch_size,
                           concurrency=pool_size(concurrency))
+
+
+RESAMPLE_M = 4
+
+
+class ResampleStage:
+    """REAL audio decimation: decode the WAV PCM, then downsample by an
+    integer factor M with a boxcar-SUM kernel (chunk sums, trailing
+    partial chunk kept) — all int64-exact, so the output energy is
+    reproducible bit-for-bit by the SQL oracle's closed form.  Actor-
+    pool stage; the factor is fixed in __init__."""
+
+    def __init__(self, m: int = RESAMPLE_M):
+        self.m = int(m)
+
+    def _decimate(self, payload: bytes):
+        _, s = parse_wav(payload)
+        n = len(s)
+        if n == 0:
+            return 0, 0, 0
+        starts = np.arange(0, n, self.m)
+        chunks = np.add.reduceat(s, starts)  # exact int64 sums
+        return n, len(chunks), int((chunks * chunks).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._decimate(p) for p in batch["payload"].to_pylist()]
+        n_in, n_out, energy = (list(x) for x in zip(*out)) if out else \
+            ([], [], [])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_in": pa.array(n_in, pa.int64()),
+            "n_out": pa.array(n_out, pa.int64()),
+            "energy": pa.array(energy, pa.int64()),
+        })
+
+
+def decimate_audio(ds, m: int = RESAMPLE_M, concurrency: int = 4,
+                   batch_size: int = 256):
+    """audio media table -> boxcar-sum decimation stats."""
+    # constructor args only when non-default (Ray keeps ctor args in
+    # the object store and warns about restartable actors otherwise)
+    kw = {"fn_constructor_args": (m,)} if m != RESAMPLE_M else {}
+    return ds.map_batches(ResampleStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=pool_size(concurrency), **kw)

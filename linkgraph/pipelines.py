@@ -37,6 +37,7 @@ from . import windows as _WM
 from .algos import matching as _MATCH
 from .algos import msf as _MSF
 from . import sketch as _SK
+from . import multimodal as _MM
 
 PR_ITERS = 20
 CC_ROUNDS = 20
@@ -8903,3 +8904,38 @@ ORACLE_SQL["ann_filtered"] = f"""
     FROM ranked WHERE rnk <= {ANN_K}
 """
 QUERIES["ann_filtered"] = q_ann_filtered
+
+
+def q_media_resample(sf_dir):
+    """REAL audio resample lane: WAV PCM decode -> decimate-by-4 with a
+    boxcar-SUM kernel (multimodal.ResampleStage, actor pool) — the
+    downsample step every audio training pipeline runs before feature
+    extraction.  All int64-exact, so the oracle recomputes chunk sums
+    from the generator's closed form."""
+    from .multimodal import audio_from_documents, decimate_audio
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return decimate_audio(audio_from_documents(docs))
+
+
+ORACLE_SQL["media_resample"] = f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             400 + (strlen(text) * 7) % 800 AS n
+      FROM documents
+    ), s AS (
+      SELECT media_id, n, unnest(range(n)) AS i,
+             ((media_id + 1) * 2654435761 + unnest(range(n)) * 97003)
+               % 65536 - 32768 AS v
+      FROM m
+    ), c AS (
+      SELECT media_id, n, i // {_MM.RESAMPLE_M} AS chunk,
+             sum(v)::BIGINT AS cs
+      FROM s GROUP BY media_id, n, chunk
+    )
+    SELECT media_id, n AS n_in, count(*)::BIGINT AS n_out,
+           sum(cs * cs)::BIGINT AS energy
+    FROM c GROUP BY media_id, n
+"""
+QUERIES["media_resample"] = q_media_resample

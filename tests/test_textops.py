@@ -877,3 +877,19 @@ def test_sentence_stats_matches_naive():
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert list(got["n_sentences"]) == list(want["n_sentences"])
     assert np.allclose(got["avg_len"], want["avg_len"], atol=1e-9)
+
+
+def test_resample_stage_boxcar_exact():
+    """Decimate-by-M chunk sums are exact int64 and keep the trailing
+    partial chunk; the empty clip short-circuits."""
+    import numpy as np
+
+    from linkgraph.multimodal import ResampleStage, synth_wav_payload
+
+    st = ResampleStage(4)
+    n_in, n_out, energy = st._decimate(synth_wav_payload(7, 1202))
+    assert (n_in, n_out) == (1202, 301)   # 300 full + 1 partial chunk
+    i = np.arange(1202, dtype=np.int64)
+    s = (8 * 2654435761 + i * 97003) % 65536 - 32768
+    want = sum(int(s[j:j + 4].sum()) ** 2 for j in range(0, 1202, 4))
+    assert energy == want
