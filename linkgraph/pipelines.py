@@ -8939,3 +8939,51 @@ ORACLE_SQL["media_resample"] = f"""
     FROM c GROUP BY media_id, n
 """
 QUERIES["media_resample"] = q_media_resample
+
+
+def q_media_sobel(sf_dir):
+    """REAL image convolution lane: BMP decode -> integer grayscale ->
+    Sobel gx/gy -> per-image edge energy (multimodal.SobelStage, actor
+    pool) — the feature-extraction step an image-dedup or quality
+    pipeline runs.  Int64-exact, oracle from the generator closed form."""
+    from .multimodal import images_from_documents, sobel_images
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return sobel_images(images_from_documents(docs))
+
+
+ORACLE_SQL["media_sobel"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+      FROM documents
+    ), px AS (
+      SELECT media_id, w, h, gx.x, gy.y,
+             ((media_id * 131 + gy.y * 17 + gx.x * 7 + 0) % 256
+              + (media_id * 131 + gy.y * 17 + gx.x * 7 + 3) % 256
+              + (media_id * 131 + gy.y * 17 + gx.x * 7 + 6) % 256)
+                 ::BIGINT AS gray
+      FROM m
+      CROSS JOIN (SELECT unnest(range(24)) AS x) gx
+      CROSS JOIN (SELECT unnest(range(20)) AS y) gy
+      WHERE gx.x < w AND gy.y < h
+    ), d AS (
+      SELECT dx.v AS dx, dy.v AS dy
+      FROM (SELECT unnest([-1, 0, 1]) AS v) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS v) dy
+    ), conv AS (
+      SELECT g.media_id, g.x, g.y,
+             sum(d.dx * (2 - abs(d.dy)) * n.gray)::BIGINT AS sx,
+             sum(d.dy * (2 - abs(d.dx)) * n.gray)::BIGINT AS sy
+      FROM px g CROSS JOIN d
+      JOIN px n ON n.media_id = g.media_id
+                AND n.x = g.x + d.dx AND n.y = g.y + d.dy
+      WHERE g.x BETWEEN 1 AND g.w - 2 AND g.y BETWEEN 1 AND g.h - 2
+      GROUP BY g.media_id, g.x, g.y
+    )
+    SELECT media_id, count(*)::BIGINT AS n_interior,
+           sum(sx * sx + sy * sy)::BIGINT AS edge_energy
+    FROM conv GROUP BY media_id
+"""
+QUERIES["media_sobel"] = q_media_sobel

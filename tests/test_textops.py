@@ -893,3 +893,30 @@ def test_resample_stage_boxcar_exact():
     s = (8 * 2654435761 + i * 97003) % 65536 - 32768
     want = sum(int(s[j:j + 4].sum()) ** 2 for j in range(0, 1202, 4))
     assert energy == want
+
+
+def test_sobel_stage_matches_naive():
+    """Slice-arithmetic Sobel equals the per-pixel naive convolution."""
+    import numpy as np
+
+    from linkgraph.multimodal import SobelStage, parse_bmp, \
+        synth_bmp_payload
+
+    g = parse_bmp(synth_bmp_payload(9, 13, 11)).astype(np.int64) \
+        .sum(axis=2)
+    n_int, energy = SobelStage._conv(g)
+    assert n_int == (13 - 2) * (11 - 2)
+    want = 0
+    for y in range(1, 10):
+        for x in range(1, 12):
+            gx = gy = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    gx += dx * (2 - abs(dy)) * g[y + dy, x + dx]
+                    gy += dy * (2 - abs(dx)) * g[y + dy, x + dx]
+            want += gx * gx + gy * gy
+    assert energy == want
+    # degenerate image with no interior short-circuits
+    tiny = parse_bmp(synth_bmp_payload(3, 2, 2)).astype(np.int64) \
+        .sum(axis=2)
+    assert SobelStage._conv(tiny) == (0, 0)
