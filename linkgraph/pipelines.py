@@ -8987,3 +8987,74 @@ ORACLE_SQL["media_sobel"] = """
     FROM conv GROUP BY media_id
 """
 QUERIES["media_sobel"] = q_media_sobel
+
+
+# ------------------------------------------- dim-truncation recall
+
+TRUNC_DIM = 16
+
+
+def q_embed_truncate(sf_dir):
+    """Matryoshka-style dimension-truncation report: recall@k of cosine
+    search over the FIRST 16 of 64 embedding dims (re-normalized)
+    against the full-dim brute-force top-k — the measurement that
+    decides whether a cheaper truncated index is safe at corpus scale.
+    Both searches stream with broadcast queries; the compare runs over
+    k * |queries| driver rows."""
+    from .ann import brute_force_topk, queries_from_ids
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+
+    def cut(b: pa.Table) -> pa.Table:
+        m = np.array(b["embedding"].to_pylist(), np.float64)[:, :TRUNC_DIM]
+        return pa.table({"vec_id": b["vec_id"],
+                         "embedding": pa.array(list(m))})
+
+    tr = emb.map_batches(cut, batch_format="pyarrow").materialize()
+    qf, qi = queries_from_ids(emb, ANN_QUERY_IDS)
+    qt, _ = queries_from_ids(tr, ANN_QUERY_IDS)
+    bf = brute_force_topk(emb, qf, qi, k=ANN_K)[
+        ["query_id", "neighbor_id"]]
+    tk = brute_force_topk(tr, qt, qi, k=ANN_K)[
+        ["query_id", "neighbor_id"]]
+    hit = bf.merge(tk, on=["query_id", "neighbor_id"], how="inner") \
+        .groupby("query_id").size()
+    qids = np.sort(bf["query_id"].unique())
+    rec = np.array([hit.get(q, 0) for q in qids], np.float64) / ANN_K
+    return pd.DataFrame({"query_id": qids.astype(np.int64),
+                         "recall": np.round(rec, 6)})
+
+
+ORACLE_SQL["embed_truncate"] = f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id IN
+               ({', '.join(map(str, ANN_QUERY_IDS))})),
+    bf AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   list_cosine_similarity(q.qv,
+                       CAST(e.embedding AS DOUBLE[])) DESC,
+                   e.vec_id ASC) AS rnk
+        FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+        WHERE rnk <= {ANN_K}),
+    qt AS (SELECT vec_id AS query_id,
+                  CAST(embedding[1:{TRUNC_DIM}] AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN
+           ({', '.join(map(str, ANN_QUERY_IDS))})),
+    tk AS (SELECT query_id, neighbor_id FROM (
+        SELECT qt.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qt.query_id ORDER BY
+                   list_cosine_similarity(qt.qv,
+                       CAST(e.embedding[1:{TRUNC_DIM}] AS DOUBLE[])) DESC,
+                   e.vec_id ASC) AS rnk
+        FROM qt CROSS JOIN embeddings e WHERE e.vec_id <> qt.query_id)
+        WHERE rnk <= {ANN_K})
+    SELECT bf.query_id,
+           round(count(tk.neighbor_id) / {ANN_K}.0, 6) AS recall
+    FROM bf LEFT JOIN tk ON tk.query_id = bf.query_id
+                        AND tk.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""
+QUERIES["embed_truncate"] = q_embed_truncate

@@ -116,7 +116,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "doc_label_spread", "tpch_min_cost",
                                   "doc_coarsen", "sketch_join",
                                   "sample_split", "ann_filtered",
-                                  "media_resample", "media_sobel"])
+                                  "media_resample", "media_sobel",
+                                  "embed_truncate"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
