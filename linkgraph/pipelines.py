@@ -9058,3 +9058,201 @@ ORACLE_SQL["embed_truncate"] = f"""
     GROUP BY bf.query_id ORDER BY bf.query_id
 """
 QUERIES["embed_truncate"] = q_embed_truncate
+
+
+# --------------------------------------------------- char entropy
+
+def q_text_entropy(sf_dir):
+    """Per-document character-distribution Shannon entropy (bits/char)
+    — the compressibility proxy web-corpus quality filters use (low
+    entropy = repetitive boilerplate, high = noise/binary junk).
+
+    Vectorized across each batch: ONE utf-32 buffer for all texts,
+    packed (doc, codepoint) codes, np.unique counts — no per-doc
+    Python.  Entropy terms sum in codepoint order; rounded to 6 so the
+    SQL twin's sum order cannot differ."""
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b["text"].to_pylist()
+        lens = np.array([len(t) for t in texts], np.int64)
+        if lens.sum() == 0:
+            return pa.table({"doc_id": pa.array(ids),
+                             "n_chars": pa.array(lens),
+                             "entropy": pa.array(
+                                 np.zeros(len(ids), np.float64))})
+        buf = np.frombuffer("".join(texts).encode("utf-32-le"),
+                            np.uint32).astype(np.int64)
+        didx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        code = didx * np.int64(1 << 21) + buf
+        u, cnt = np.unique(code, return_counts=True)
+        ud = (u >> 21).astype(np.int64)
+        p = cnt / lens[ud]
+        terms = -p * np.log2(p)
+        ent = np.zeros(len(ids), np.float64)
+        np.add.at(ent, ud, terms)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_chars": pa.array(lens),
+                         "entropy": pa.array(np.round(ent, 6))})
+
+    return docs.map_batches(part, batch_format="pyarrow")
+
+
+ORACLE_SQL["text_entropy"] = """
+    WITH pos AS (
+      SELECT doc_id, length(text) AS n,
+             substr(text, j::INT, 1) AS ch
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS j
+            FROM documents)
+    ), cc AS (
+      SELECT doc_id, n, ch, count(*)::DOUBLE AS c
+      FROM pos GROUP BY doc_id, n, ch
+    ), h AS (
+      SELECT doc_id, n,
+             -sum((c / n) * log2(c / n)) AS ent
+      FROM cc GROUP BY doc_id, n
+    )
+    SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_chars,
+           round(coalesce(h.ent, 0.0), 6) AS entropy
+    FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+"""
+QUERIES["text_entropy"] = q_text_entropy
+
+
+# ---------------------------------------------------- BPE merge training
+
+BPE_MERGE_ROUNDS = 4
+BPE_SEP = "\x1f"
+
+
+def q_text_bpe_merges(sf_dir):
+    """Iterative BPE tokenizer training, the first K merges: each round
+    counts adjacent symbol pairs over the DISTINCT-word table (weighted
+    by corpus word frequency), merges the argmax pair — tie-break
+    (count DESC, pair ASC; UTF-8 byte order == codepoint order — the
+    text_bpe_pairs convention), and rewrites the corpus representation.
+
+    The symbol string uses the \\x1f-separator form ('\\x1fa\\x1fb\\x1f')
+    and merge-apply is literal non-overlapping left-to-right replace —
+    IDENTICAL semantics in pandas str.replace and DuckDB replace()
+    (verified), so the oracle is exact.  Scale shape: words stay a
+    distributed Dataset across rounds (materialized per round, K small);
+    pair stats are map-side partials + a bounded pair-key groupby +
+    top-1 partials (the pair domain is alphabet^2 + merges)."""
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+
+    def wpartial(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(_arr(b["text"]), r"\s+")
+        toks = pc.list_flatten(lists).to_pandas()
+        toks = toks[toks.to_numpy(object) != ""]
+        vc = toks.value_counts()
+        return pa.table({"w": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    words = docs.map_batches(wpartial, batch_format="pyarrow") \
+        .groupby("w").sum("n")
+
+    def to_spaced(b: pa.Table) -> pa.Table:
+        w = pd.Series(b["w"].to_pylist(), dtype=object)
+        s = w.str.replace("", BPE_SEP, regex=False)
+        return pa.table({"s": pa.array(s.tolist(), pa.string()),
+                         "n": b["sum(n)"]})
+
+    cur = words.map_batches(to_spaced, batch_format="pyarrow") \
+        .materialize()
+    steps, pas, pbs, tots = [], [], [], []
+    for step in range(1, BPE_MERGE_ROUNDS + 1):
+        def pstat(b: pa.Table) -> pa.Table:
+            lists = pc.split_pattern(_arr(b["s"]), BPE_SEP)
+            toks = pc.list_flatten(lists).to_pandas() \
+                .to_numpy(object)
+            par = pc.list_parent_indices(lists) \
+                .to_numpy(zero_copy_only=False)
+            n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(par) < 2:
+                return pa.table({"pair": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            a, c = toks[:-1], toks[1:]
+            m = (par[:-1] == par[1:]) & (a != "") & (c != "")
+            df = pd.DataFrame({"pair": a[m] + BPE_SEP + c[m],
+                               "n": n[par[:-1][m]]})
+            g = df.groupby("pair", sort=False)["n"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        counts = cur.map_batches(pstat, batch_format="pyarrow") \
+            .groupby("pair").sum("n")
+
+        def top1(b: pa.Table) -> pa.Table:
+            pdf = b.to_pandas().rename(columns={"sum(n)": "n"})
+            pdf = pdf.sort_values(["n", "pair"],
+                                  ascending=[False, True],
+                                  kind="mergesort").head(1)
+            return pa.Table.from_pandas(pdf, preserve_index=False)
+
+        cand = counts.map_batches(top1, batch_format="pyarrow") \
+            .to_pandas()
+        if len(cand) == 0:
+            break
+        cand = cand.sort_values(["n", "pair"], ascending=[False, True],
+                                kind="mergesort").head(1)
+        pair, tot = cand["pair"].iloc[0], int(cand["n"].iloc[0])
+        a, bb = pair.split(BPE_SEP)
+        steps.append(step)
+        pas.append(a)
+        pbs.append(bb)
+        tots.append(tot)
+        pat = BPE_SEP + a + BPE_SEP + bb + BPE_SEP
+        rep = BPE_SEP + a + bb + BPE_SEP
+
+        def apply(bt: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            s = pd.Series(bt["s"].to_pylist(), dtype=object) \
+                .str.replace(pat, rep, regex=False)
+            return pa.table({"s": pa.array(s.tolist(), pa.string()),
+                             "n": bt["n"]})
+
+        cur = cur.map_batches(apply, batch_format="pyarrow") \
+            .materialize()
+    return pd.DataFrame({"step": np.array(steps, np.int64),
+                         "a": pas, "b": pbs,
+                         "n": np.array(tots, np.int64)})
+
+
+def _bpe_merges_sql(rounds: int) -> str:
+    S = BPE_SEP
+    ctes = [
+        ("wc AS MATERIALIZED (SELECT w, count(*)::BIGINT AS n FROM ("
+         "SELECT unnest(list_filter(regexp_split_to_array(text, "
+         "'\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w)"),
+        (f"s0 AS MATERIALIZED (SELECT w, n, '{S}' || "
+         f"regexp_replace(w, '(.)', '\\1{S}', 'g') AS s FROM wc)")]
+    for r in range(1, rounds + 1):
+        p = f"s{r - 1}"
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT w, n, unnest(l) AS sym, "
+            f"generate_subscripts(l, 1) AS i FROM (SELECT w, n, "
+            f"string_split(s, '{S}') AS l FROM {p}))")
+        ctes.append(
+            f"p{r} AS (SELECT x.sym AS a, y.sym AS b, sum(x.n) AS t "
+            f"FROM t{r} x JOIN t{r} y ON y.w = x.w AND y.i = x.i + 1 "
+            f"WHERE x.sym <> '' AND y.sym <> '' GROUP BY 1, 2)")
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT a, b, t FROM p{r} "
+            f"ORDER BY t DESC, a, b LIMIT 1)")
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT {p}.w, {p}.n, "
+            f"replace({p}.s, '{S}' || m.a || '{S}' || m.b || '{S}', "
+            f"'{S}' || m.a || m.b || '{S}') AS s "
+            f"FROM {p} CROSS JOIN m{r} m)")
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS step, a, b, t::BIGINT AS n FROM m{r}"
+        for r in range(1, rounds + 1))
+    return (f"WITH {', '.join(ctes)} SELECT step, a, b, n "
+            f"FROM ({union}) ORDER BY step")
+
+
+ORACLE_SQL["text_bpe_merges"] = _bpe_merges_sql(BPE_MERGE_ROUNDS)
+QUERIES["text_bpe_merges"] = q_text_bpe_merges

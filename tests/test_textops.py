@@ -920,3 +920,45 @@ def test_sobel_stage_matches_naive():
     tiny = parse_bmp(synth_bmp_payload(3, 2, 2)).astype(np.int64) \
         .sum(axis=2)
     assert SobelStage._conv(tiny) == (0, 0)
+
+
+def test_bpe_merges_naive_parity(sf_dir):
+    """q_text_bpe_merges equals a sequential reference implementing the
+    same separator-string replace semantics."""
+    from collections import Counter
+
+    import duckdb
+
+    from linkgraph.pipelines import BPE_MERGE_ROUNDS, BPE_SEP, \
+        q_text_bpe_merges
+
+    got = q_text_bpe_merges(sf_dir)
+    texts = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'").df()["text"]
+    wc = Counter(w for t in texts for w in t.split() if w)
+    spaced = {BPE_SEP + BPE_SEP.join(w) + BPE_SEP: n
+              for w, n in wc.items()}
+    merges = []
+    for step in range(1, BPE_MERGE_ROUNDS + 1):
+        stats = Counter()
+        for s, n in spaced.items():
+            syms = [x for x in s.split(BPE_SEP) if x != ""]
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += n
+        if not stats:
+            break
+        (a, b), t = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, t))
+        pat = BPE_SEP + a + BPE_SEP + b + BPE_SEP
+        rep = BPE_SEP + a + b + BPE_SEP
+        nxt = {}
+        for s, n in spaced.items():
+            nxt[s.replace(pat, rep)] = nxt.get(s.replace(pat, rep), 0) + n
+        spaced = nxt
+    import pandas as pd
+
+    want = pd.DataFrame(merges, columns=["step", "a", "b", "n"])
+    assert got["step"].tolist() == want["step"].tolist()
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
