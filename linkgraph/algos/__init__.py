@@ -19,6 +19,7 @@ from .pagerank import (PageRankProgram, PPRProgram,
                        WarmPageRankProgram, WeightedPageRankProgram,
                        pagerank, pagerank_warm,
                        personalized_pagerank, weighted_pagerank)
+from .salsa import SalsaAuthStep, SalsaHubStep, salsa
 from .scc import (SCCBackwardProgram, SCCForwardProgram,
                   strongly_connected_components)
 from .sssp import SSSPProgram, sssp
@@ -41,6 +42,7 @@ __all__ = [
     "PageRankProgram", "PPRProgram", "WarmPageRankProgram",
     "WeightedPageRankProgram", "pagerank", "pagerank_warm",
     "personalized_pagerank", "weighted_pagerank",
+    "SalsaAuthStep", "SalsaHubStep", "salsa",
     "SCCBackwardProgram", "SCCForwardProgram",
     "strongly_connected_components",
     "SSSPProgram", "sssp",

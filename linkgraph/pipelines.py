@@ -866,6 +866,33 @@ def q_doc_hits(sf_dir):
         fin, batch_format="pyarrow")
 
 
+SALSA_ITERS = 5
+
+
+def q_doc_salsa(sf_dir):
+    """SALSA hubs/authorities (algos/salsa.py), 5 sweeps: the HITS
+    transpose sandwich with degree-normalized (random-walk) hops —
+    auth from hub/out_deg over in-edges, hub from auth/in_deg over
+    out-edges.  Linear recurrence, so scores stay unnormalized through
+    the iterations; one driver-side L1 normalization at the end
+    (normalized_scores reads the same auth/hub state columns).
+    Oracle: _salsa_sql unrolled CTEs with the same degree divisors."""
+    from .algos import normalized_scores, salsa
+
+    eng = documents_engine(sf_dir, "directed")
+    salsa(eng, iterations=SALSA_ITERS)
+    sa, sh = normalized_scores(eng)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": b["v"],
+            "auth": pc.round(pc.divide(b["auth"], sa), ndigits=6),
+            "hub": pc.round(pc.divide(b["hub"], sh), ndigits=6)})
+
+    return eng.state_dataset(["auth", "hub"]).map_batches(
+        fin, batch_format="pyarrow")
+
+
 EIGEN_ITERS = 8
 
 
@@ -3842,6 +3869,42 @@ def _hits_sql(iters: int, round_to: int) -> str:
             f"SELECT a{iters}.v AS v, "
             f"round(a / (SELECT sum(a) FROM a{iters}), {round_to}) AS auth, "
             f"round(h / (SELECT sum(h) FROM h{iters}), {round_to}) AS hub "
+            f"FROM a{iters} JOIN h{iters} USING (v)")
+
+
+def _salsa_sql(iters: int, round_to: int) -> str:
+    """Unrolled SALSA (matches algos/salsa.py): auth_i from
+    hub_{i-1}/out_deg over in-edges, hub_i from auth_i/in_deg over
+    out-edges, L1 normalization once at the end (pure rescale of the
+    linear recurrence).  Degree divisors join the same edge list the
+    engine loads, so both sides sum the identical addend sets."""
+    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            ("outd AS MATERIALIZED (SELECT src AS v, count(*) AS od "
+             "FROM e GROUP BY 1)"),
+            ("ind AS MATERIALIZED (SELECT dst AS v, count(*) AS id_ "
+             "FROM e GROUP BY 1)"),
+            "h0 AS (SELECT v, 1.0 AS h FROM allv)"]
+    for i in range(1, iters + 1):
+        p = f"h{i - 1}"
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT allv.v, coalesce(m.s, 0.0) AS a "
+            f"FROM allv LEFT JOIN (SELECT e.dst AS v, "
+            f"sum({p}.h / outd.od) AS s FROM e "
+            f"JOIN {p} ON {p}.v = e.src "
+            f"JOIN outd ON outd.v = e.src GROUP BY e.dst) m USING (v))")
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT allv.v, coalesce(m.s, 0.0) AS h "
+            f"FROM allv LEFT JOIN (SELECT e.src AS v, "
+            f"sum(a{i}.a / ind.id_) AS s FROM e "
+            f"JOIN a{i} ON a{i}.v = e.dst "
+            f"JOIN ind ON ind.v = e.dst GROUP BY e.src) m USING (v))")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT a{iters}.v AS v, "
+            f"round(a / greatest((SELECT sum(a) FROM a{iters}), 1e-300),"
+            f" {round_to}) AS auth, "
+            f"round(h / greatest((SELECT sum(h) FROM h{iters}), 1e-300),"
+            f" {round_to}) AS hub "
             f"FROM a{iters} JOIN h{iters} USING (v)")
 
 
@@ -9256,3 +9319,7 @@ def _bpe_merges_sql(rounds: int) -> str:
 
 ORACLE_SQL["text_bpe_merges"] = _bpe_merges_sql(BPE_MERGE_ROUNDS)
 QUERIES["text_bpe_merges"] = q_text_bpe_merges
+
+
+ORACLE_SQL["doc_salsa"] = _salsa_sql(SALSA_ITERS, 6)
+QUERIES["doc_salsa"] = q_doc_salsa
