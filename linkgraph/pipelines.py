@@ -9323,3 +9323,38 @@ QUERIES["text_bpe_merges"] = q_text_bpe_merges
 
 ORACLE_SQL["doc_salsa"] = _salsa_sql(SALSA_ITERS, 6)
 QUERIES["doc_salsa"] = q_doc_salsa
+
+
+def q_events_attribution(sf_dir):
+    """First-touch conversion attribution (windows.
+    first_touch_attribution): each user's first 'purchase' is credited
+    to the user's first-ever event_type in deterministic (ts, event_id)
+    order; exact integer-cents totals.  One coarse key-bucket shuffle,
+    per-channel partials merged driver-side (channel domain is
+    catalog-bounded)."""
+    from .windows import first_touch_attribution
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    return first_touch_attribution(ev)
+
+
+ORACLE_SQL["events_attribution"] = """
+    WITH r AS (SELECT user_id, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    p AS (SELECT user_id, min(rn) AS prn FROM r
+          WHERE event_type = 'purchase' GROUP BY 1),
+    f AS (SELECT r.user_id, r.event_type AS channel
+          FROM r JOIN p USING (user_id) WHERE r.rn = 1),
+    v AS (SELECT r.user_id,
+                 CAST(floor(r.value * 100 + 0.5) AS BIGINT) AS cents
+          FROM r JOIN p ON p.user_id = r.user_id AND r.rn = p.prn)
+    SELECT channel, count(*)::BIGINT AS n_users,
+           round(sum(v.cents) / 100.0, 6) AS total_value
+    FROM f JOIN v USING (user_id)
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["events_attribution"] = q_events_attribution

@@ -892,3 +892,84 @@ def daily_smooth(ds, ts: str = "ts", value: str = "value"):
     return pd.DataFrame({"day": d["day"].astype(np.int64),
                          "cents": cents,
                          "smoothed": np.round(sm, 6)})
+
+
+def first_touch_attribution(ds, convert_type: str = "purchase",
+                            key: str = "user_id", ts: str = "ts",
+                            etype: str = "event_type",
+                            value: str = "value",
+                            id_col: str = "event_id"):
+    """First-touch conversion attribution: for every key with at least
+    one `convert_type` event, credit that key's FIRST such event's value
+    to the key's first-ever event_type (the acquisition channel), in the
+    deterministic (ts, id) order.  Returns (channel, n_users,
+    total_value) — value totals as exact integer cents.
+
+    100-TB plan: ONE coarse key-bucket shuffle (the running_user_totals
+    shape) with a fully vectorized in-bucket kernel; each bucket emits
+    only per-channel partials (the channel domain is catalog-bounded),
+    so the merge is a driver-side fold over n_buckets x n_channels rows.
+    """
+    import pandas as pd
+
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64())
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(b[value].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        return pa.table({id_col: b[id_col], key: pa.array(k),
+                         "us": us, "cents": pa.array(cents),
+                         etype: b[etype],
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        ev = g[id_col].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        types = g[etype].to_numpy()
+        order = np.lexsort((ev, us, k))
+        k, us, ev, cents = k[order], us[order], ev[order], cents[order]
+        types = types[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        seg_lens = np.diff(np.concatenate([starts, [len(k)]]))
+        sid = np.repeat(np.arange(len(starts)), seg_lens)
+        conv_pos = np.flatnonzero(types == convert_type)
+        if len(conv_pos) == 0:
+            return pd.DataFrame({
+                "channel": pd.Series([], dtype=object),
+                "n_users": pd.Series([], dtype=np.int64),
+                "cents": pd.Series([], dtype=np.int64)})
+        # first convert position per segment (rows are in segment order,
+        # so a min per segment id is the first one)
+        first_conv = np.full(len(starts), np.iinfo(np.int64).max,
+                             np.int64)
+        np.minimum.at(first_conv, sid[conv_pos], conv_pos)
+        has = first_conv != np.iinfo(np.int64).max
+        chan = types[starts[has]]
+        credit = cents[first_conv[has]]
+        out = pd.DataFrame({"channel": chan, "cents": credit})
+        r = out.groupby("channel", sort=True).agg(
+            n_users=("cents", "size"), cents=("cents", "sum")) \
+            .reset_index()
+        r["n_users"] = r["n_users"].astype(np.int64)
+        return r[["channel", "n_users", "cents"]]
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("kb").map_groups(attribute, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({"channel": pd.Series([], dtype=object),
+                             "n_users": pd.Series([], dtype="int64"),
+                             "total_value": pd.Series([], dtype=float)})
+    m = parts.groupby("channel", as_index=False)[["n_users", "cents"]] \
+        .sum()
+    m["n_users"] = m["n_users"].astype(np.int64)
+    m["total_value"] = (m["cents"] / 100.0).round(6)
+    return m[["channel", "n_users", "total_value"]] \
+        .sort_values("channel", kind="mergesort").reset_index(drop=True)
