@@ -6934,7 +6934,7 @@ ORACLE_SQL: dict[str, str] = {
           SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                                     x -> x <> '')) AS w
           FROM documents),
-        st AS (SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(w, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\1'), '^(\w{3,})ing$', '\1'), '^(\w{2,})ed$', '\1') AS stem FROM toks)
+        st AS (SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(w, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1'), '^(\\w{3,})ing$', '\\1'), '^(\\w{2,})ed$', '\\1') AS stem FROM toks)
         SELECT stem, count(*) AS n FROM st WHERE stem <> ''
         GROUP BY stem ORDER BY n DESC, stem ASC LIMIT 30
     """,
@@ -9358,3 +9358,35 @@ ORACLE_SQL["events_attribution"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["events_attribution"] = q_events_attribution
+
+
+def q_events_concurrency(sf_dir):
+    """Sweep-line peak concurrency per epoch-day (windows.
+    peak_concurrency): each event holds a session open for 15 minutes;
+    reports each day's maximum simultaneous sessions and the first
+    microsecond that peak was reached.  Parallel prefix scan: one
+    day-aligned time-slice shuffle, 4-number partials per slice, the
+    running count folded driver-side in O(slices)."""
+    from .windows import peak_concurrency
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts"])
+    return peak_concurrency(ev)
+
+
+ORACLE_SQL["events_concurrency"] = """
+    WITH d AS (SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+               UNION ALL
+               SELECT epoch_us(ts) + 900000000 AS t, -1 AS delta
+               FROM events),
+    c AS (SELECT t, sum(delta) OVER (ORDER BY t, delta
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+          FROM d),
+    g AS (SELECT t // 86400000000 AS day, t, cnt FROM c),
+    p AS (SELECT day, max(cnt) AS peak FROM g GROUP BY 1)
+    SELECT p.day::BIGINT AS day, p.peak::BIGINT AS peak,
+           min(g.t)::BIGINT AS peak_ts_us
+    FROM p JOIN g ON g.day = p.day AND g.cnt = p.peak
+    GROUP BY 1, 2 ORDER BY 1
+"""
+QUERIES["events_concurrency"] = q_events_concurrency

@@ -973,3 +973,91 @@ def first_touch_attribution(ds, convert_type: str = "purchase",
     m["total_value"] = (m["cents"] / 100.0).round(6)
     return m[["channel", "n_users", "total_value"]] \
         .sort_values("channel", kind="mergesort").reset_index(drop=True)
+
+
+CONCURRENCY_HOLD_S = 900  # each event holds a session open 15 min
+
+
+def peak_concurrency(ds, hold_s: int = CONCURRENCY_HOLD_S,
+                     ts: str = "ts"):
+    """Sweep-line peak concurrency per day: every event opens an
+    interval [ts, ts+hold_s); the result is, per epoch-day, the maximum
+    number of simultaneously open intervals observed at any delta point
+    in that day plus the first microsecond it was reached —
+    (day, peak, peak_ts_us).  Half-open semantics: an end delta sorts
+    before a start delta at the same microsecond.
+
+    100-TB plan: the classic parallel prefix scan.  Each event emits two
+    (t, +/-1) deltas in map_batches; deltas shuffle ONCE on a
+    day-aligned time-slice key (slice count sized from the row count, so
+    no slice exceeds ~200k deltas); each slice's kernel sorts locally
+    and emits a 4-number partial (sum, max-prefix, argmax t, day); the
+    driver folds the partials in time order — O(slices), never the data.
+    The running count carries across day boundaries through the fold's
+    base offset, so per-day peaks are globally exact.
+    """
+    import pandas as pd
+
+    from .algos.triangles import n_buckets_for
+
+    DAY_US = 86400 * US
+    hold_us = hold_s * US
+
+    ds = ds.select_columns([ts]).materialize()
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                             "peak": pd.Series([], dtype="int64"),
+                             "peak_ts_us": pd.Series([], dtype="int64")})
+    import ray.data  # noqa: F401  (aggregate import side)
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.map_batches(
+        lambda b: pa.table({"us": pc.cast(b[ts], pa.int64())}),
+        batch_format="pyarrow").aggregate(Min("us"), Max("us"))
+    tmin, tmax = int(mm["min(us)"]), int(mm["max(us)"])
+    n_days = max(1, (tmax + hold_us) // DAY_US - tmin // DAY_US + 1)
+    nsub = max(1, min(DAY_US,
+                      -(-n_buckets_for(2 * n) // int(n_days))))
+    slice_us = -(-DAY_US // nsub)  # day-aligned: DAY_US % slice handled
+    # by keying on (day, intra-day slice) so slices never straddle days
+
+    def deltas(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        t = np.concatenate([us, us + hold_us])
+        d = np.concatenate([np.ones(len(us), np.int64),
+                            np.full(len(us), -1, np.int64)])
+        day = t // DAY_US
+        sub = (t % DAY_US) // slice_us
+        return pa.table({"t": pa.array(t), "d": pa.array(d),
+                         "g": pa.array(day * nsub + sub)})
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["t"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        o = np.lexsort((d, t))  # end (-1) before start (+1) at a tie
+        t, d = t[o], d[o]
+        c = np.cumsum(d)
+        mx = int(c.max())
+        at = int(t[int(np.argmax(c))])  # first index attaining max
+        return pd.DataFrame({"g": g["g"].iloc[:1].to_numpy(np.int64),
+                             "total": [int(c[-1])], "mx": [mx],
+                             "at": [at]})
+
+    parts = (ds.map_batches(deltas, batch_format="pyarrow")
+             .groupby("g").map_groups(partial, batch_format="pandas")
+             .to_pandas().sort_values("g", kind="mergesort"))
+    base = 0
+    days, peaks, ats = {}, {}, {}
+    for g, total, mx, at in parts.itertuples(index=False):
+        day = int(g) // nsub
+        peak = base + int(mx)
+        if day not in peaks or peak > peaks[day]:
+            peaks[day] = peak
+            ats[day] = int(at)
+        base += int(total)
+    out = pd.DataFrame({"day": sorted(peaks),
+                        "peak": [peaks[d] for d in sorted(peaks)],
+                        "peak_ts_us": [ats[d] for d in sorted(peaks)]})
+    return out.astype({"day": np.int64, "peak": np.int64,
+                       "peak_ts_us": np.int64})
