@@ -1211,7 +1211,6 @@ def substring_dup_pairs(ds, id_col: str = "doc_id",
     _band_pairs trick), then a coarse pair-bucket groupby summing the
     per-bucket partial counts.  Hot boilerplate windows (> df_cap docs)
     are dropped, never paired — the standard quadratic-blowup guard."""
-    from .algos.triangles import n_buckets_for
     from .text import batch_shingles
 
     def win_hashes(b: pa.Table) -> pa.Table:
@@ -1235,6 +1234,20 @@ def substring_dup_pairs(ds, id_col: str = "doc_id",
 
     wins = ds.map_batches(win_hashes, batch_format="pyarrow") \
              .materialize()
+    return _pair_by_shared_hashes(wins, df_cap)
+
+
+def _pair_by_shared_hashes(wins, df_cap: int):
+    """Shared pairing tail for hash-fingerprint dedup (substring windows,
+    winnowing): a (h int64, d int64) Dataset — duplicates allowed —
+    becomes (a, b, n_shared) pairs, a < b, n_shared = number of DISTINCT
+    hashes present in both docs, hashes held by > df_cap docs dropped.
+    One coarse hash-bucket groupby (each hash lives in exactly one
+    bucket, so per-bucket df caps and distinct counts are globally
+    exact), numpy segment pair expansion in-bucket, then a coarse
+    pair-bucket groupby summing the per-bucket partials."""
+    from .algos.triangles import n_buckets_for
+
     nb = n_buckets_for(wins.count())
 
     def tag(b: pa.Table) -> pa.Table:
@@ -1297,6 +1310,44 @@ def substring_dup_pairs(ds, id_col: str = "doc_id",
 
     return parts.map_batches(tag_pair, batch_format="pyarrow") \
                 .groupby("pb").map_groups(sum_kern, batch_format="pandas")
+
+
+# --------------------------------------------------------- winnowing
+
+WINNOW_K = 20   # char-gram size
+WINNOW_W = 8    # winnowing window (hash positions per window)
+
+
+def winnow_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = WINNOW_K, w: int = WINNOW_W,
+                     df_cap: int = SUBSTR_DF_CAP):
+    """Winnowing-fingerprint duplicate pairs (Schleimer, Wilkerson,
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm): each doc keeps only the rightmost
+    minimal k-gram hash of every w-hash window (guaranteeing any shared
+    substring of >= w+k-1 chars yields a shared fingerprint), then docs
+    pair on shared SELECTED hashes.  ~2/(w+1) of positions survive, so
+    the pairing input is an order of magnitude smaller than
+    substring_dup_pairs' stride sampling at equal guarantees.
+
+    Scale shape: one vectorized winnow pass per batch
+    (text.batch_winnow — sentinel-padded concat, O(w) numpy passes, no
+    per-doc Python), then the same exact bucketed pairing tail as
+    substring dedup (_pair_by_shared_hashes).  Output Dataset
+    (a, b, n_shared), a < b; the SQL oracle reproduces the identical
+    uint64 polynomial hash in HUGEINT and the identical rightmost-min
+    selection via a (h, -pos)-keyed window min, so the comparison is
+    collision-proof by construction."""
+    from .text import batch_winnow
+
+    def fp(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d, _pos, h = batch_winnow(b[text_col].to_pylist(), k, w)
+        return pa.table({"h": pa.array(h.view(np.int64)),
+                         "d": pa.array(ids[d])})
+
+    wins = ds.map_batches(fp, batch_format="pyarrow").materialize()
+    return _pair_by_shared_hashes(wins, df_cap)
 
 
 # ------------------------------------------------------ edit-distance

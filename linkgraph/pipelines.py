@@ -9390,3 +9390,118 @@ ORACLE_SQL["events_concurrency"] = """
     GROUP BY 1, 2 ORDER BY 1
 """
 QUERIES["events_concurrency"] = q_events_concurrency
+
+
+def q_events_streaks(sf_dir):
+    """Longest consecutive-day activity streak per user (gaps & islands;
+    windows.user_streaks): distinct (user, day) with in-batch pre-dedup,
+    one coarse user-bucket groupby, vectorized run kernel in-bucket."""
+    from .windows import user_streaks
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+    return user_streaks(ev)
+
+
+ORACLE_SQL["events_streaks"] = """
+    WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day FROM events),
+    r AS (SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS grp FROM d),
+    s AS (SELECT user_id, count(*)::BIGINT AS best_streak,
+                 min(day)::BIGINT AS streak_start_day
+          FROM r GROUP BY user_id, grp)
+    SELECT user_id, best_streak, streak_start_day FROM s
+    QUALIFY row_number() OVER (PARTITION BY user_id
+        ORDER BY best_streak DESC, streak_start_day ASC) = 1
+    ORDER BY user_id
+"""
+QUERIES["events_streaks"] = q_events_streaks
+
+
+def _winnow_sel_sql(k: int, w: int) -> str:
+    """Shared CTE prefix reproducing text.batch_winnow's fingerprint
+    selection in SQL: positional k-gram hashes (same uint64 polynomial
+    as rolling_hashes, in HUGEINT), then the rightmost-minimal hash of
+    every w-hash window ending at each position via a window min over
+    the key h * 2^32 + (2^32-1 - pos) — smaller hash wins, hash ties go
+    to the larger position.  Exposes sel(doc_id, wmin): the DISTINCT
+    selected fingerprints, h = wmin // 2^32, pos = 2^32-1 - wmin % 2^32."""
+    gh = _gram_hash_sql("sh", k)
+    return f"""
+      hp AS MATERIALIZED (
+        SELECT doc_id, pos, {gh} AS h FROM (
+          SELECT doc_id, pos,
+                 CASE WHEN length(text) < {k} THEN text
+                      ELSE substr(text, (pos + 1)::INT, {k}) END AS sh
+          FROM (SELECT doc_id, text,
+                       unnest(range(0, greatest(length(text) - {k - 1},
+                                                1))) AS pos
+                FROM documents))),
+      keyed AS (SELECT doc_id, pos,
+                       h * 4294967296::HUGEINT + (4294967295 - pos)
+                           AS key FROM hp),
+      sel AS (SELECT DISTINCT doc_id, min(key) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS wmin
+              FROM keyed)
+    """
+
+
+def q_text_winnow(sf_dir):
+    """Per-doc winnowing fingerprint density (text.batch_winnow, MOSS
+    k=20 / w=8): (doc_id, n_fp selected fingerprints, n_pos k-gram
+    positions).  One vectorized map_batches pass; no shuffle."""
+    from .dedup import WINNOW_K, WINNOW_W
+    from .text import batch_winnow
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+    def fp_counts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b["text"].to_pylist()
+        d, _pos, _h = batch_winnow(texts, WINNOW_K, WINNOW_W)
+        nfp = np.bincount(d, minlength=len(ids)).astype(np.int64)
+        lens = np.array([len(t or "") for t in texts], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids), "n_fp": pa.array(nfp),
+            "n_pos": pa.array(np.maximum(lens - WINNOW_K + 1, 1))})
+
+    return docs.map_batches(fp_counts, batch_format="pyarrow")
+
+
+ORACLE_SQL["text_winnow"] = f"""
+    WITH {_winnow_sel_sql(20, 8)},
+    c AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM sel GROUP BY 1)
+    SELECT d.doc_id, c.n_fp,
+           greatest(length(d.text) - 19, 1)::BIGINT AS n_pos
+    FROM documents d JOIN c USING (doc_id) ORDER BY d.doc_id
+"""
+QUERIES["text_winnow"] = q_text_winnow
+
+
+def q_dedup_winnow(sf_dir):
+    """Winnowing-fingerprint duplicate pairs (dedup.winnow_dup_pairs):
+    guaranteed to catch any shared substring >= w+k-1 = 27 chars while
+    keeping only ~2/(w+1) of positions — the MOSS trade."""
+    from .dedup import winnow_dup_pairs
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return winnow_dup_pairs(docs)
+
+
+ORACLE_SQL["dedup_winnow"] = f"""
+    WITH {_winnow_sel_sql(20, 8)},
+    fp AS (SELECT DISTINCT doc_id, wmin // 4294967296::HUGEINT AS h
+           FROM sel),
+    ok AS (SELECT h FROM fp GROUP BY h
+           HAVING count(*) >= 2 AND count(*) <= 64)
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS n_shared
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    JOIN ok ON ok.h = a.h
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["dedup_winnow"] = q_dedup_winnow

@@ -583,6 +583,49 @@ def batch_shingle_sets(texts: list, k: int = 5) -> tuple[np.ndarray, np.ndarray]
     return d[keep], hh[keep]
 
 
+def batch_winnow(texts: list, k: int = 20,
+                 w: int = 8) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched winnowing fingerprint selection (Schleimer et al. 2003,
+    with warm-up windows): over each doc's positional k-gram hashes
+    (batch_shingles), every window of w consecutive positions ENDING at
+    an in-doc position — including the first w-1 "warm-up" windows, so
+    short docs need no special case — selects its minimal hash, ties
+    broken by the RIGHTMOST position; the fingerprint set is the
+    distinct selected positions.  Returns (doc_idx, pos, h) with
+    doc_idx non-decreasing and pos ascending within each doc.
+
+    Fully vectorized: the per-doc hash runs are laid into ONE array with
+    w-1 uint64-max sentinel slots between docs (windows never straddle a
+    doc: a window ending at in-doc position e reaches back at most w-1
+    slots, all inside the doc's own run or its gap), the window minimum
+    is w shifted np.minimum passes, and the rightmost-arg-min is w
+    masked passes from offset 0 (rightmost) outward.  A sentinel can
+    never be selected: offset 0 is the in-doc position itself and
+    already matches whenever the window min equals the sentinel value."""
+    counts, hcat = batch_shingles(texts, k)
+    n_docs = len(counts)
+    gap = w - 1
+    pstart = np.cumsum(counts + gap) - counts   # doc i's first slot
+    hp = np.full(int(counts.sum()) + n_docs * gap,
+                 np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    doc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    out_starts = np.cumsum(counts) - counts
+    local = np.arange(len(hcat), dtype=np.int64) \
+        - np.repeat(out_starts, counts)
+    gidx = pstart[doc] + local if n_docs else np.empty(0, np.int64)
+    hp[gidx] = hcat
+    wmin = hcat.copy()
+    for j in range(1, w):
+        np.minimum(wmin, hp[gidx - j], out=wmin)
+    sel = np.full(len(gidx), -1, dtype=np.int64)
+    for j in range(w):
+        m = (sel < 0) & (hp[gidx - j] == wmin)
+        sel[m] = gidx[m] - j
+    sel = np.unique(sel)
+    d = np.searchsorted(pstart, sel, side="right") - 1
+    return d, sel - pstart[d], hp[sel]
+
+
 def rolling_hashes(text: str, k: int = 5) -> np.ndarray:
     """Deterministic 64-bit polynomial rolling hashes of char k-grams —
     shingle set for minhash / n-gram Jaccard (linkgraph.dedup).

@@ -1061,3 +1061,68 @@ def peak_concurrency(ds, hold_s: int = CONCURRENCY_HOLD_S,
                         "peak_ts_us": [ats[d] for d in sorted(peaks)]})
     return out.astype({"day": np.int64, "peak": np.int64,
                        "peak_ts_us": np.int64})
+
+
+def user_streaks(ds, key: str = "user_id", ts: str = "ts"):
+    """Longest consecutive-day activity streak per user (gaps-and-
+    islands): one row per user — (user_id, best_streak, streak_start_day)
+    — where best_streak is the user's longest run of consecutive active
+    epoch-days and streak_start_day its first day; length ties keep the
+    EARLIEST streak.
+
+    100-TB plan: activity collapses to distinct (user, day) pairs with an
+    in-batch np.unique pre-dedup (a user's year is <= 366 rows no matter
+    how many events), then ONE coarse user-bucket groupby — never a
+    per-user fine-key aggregate (CLAUDE.md: Ray 2.49 hash aggregates on
+    unbounded key domains are 25x slower than ~200k-row buckets).  Each
+    bucket's kernel is fully vectorized: lexsorted (user, day) uniques,
+    run breaks where the day step != 1, bincount run lengths, per-user
+    argbest via one lexsort.  A user's days land in exactly one bucket,
+    so per-bucket bests are globally exact."""
+    from .algos.triangles import n_buckets_for
+
+    DAY_US = 86400 * US
+    ds = ds.select_columns([key, ts]).materialize()
+    n = ds.count()
+    empty = pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64"),
+         "best_streak": pd.Series([], dtype="int64"),
+         "streak_start_day": pd.Series([], dtype="int64")})
+    if n == 0:
+        return empty
+    nb = n_buckets_for(n)
+
+    def days(b: pa.Table) -> pa.Table:
+        u = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False) \
+            // DAY_US
+        rows = np.unique(np.stack([u, day], axis=1), axis=0)
+        return pa.table({"u": pa.array(rows[:, 0]),
+                         "day": pa.array(rows[:, 1]),
+                         "ub": pa.array(rows[:, 0] % nb)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        rows = np.unique(np.stack([g["u"].to_numpy(np.int64),
+                                   g["day"].to_numpy(np.int64)], axis=1),
+                         axis=0)
+        u, day = rows[:, 0], rows[:, 1]
+        brk = np.empty(len(u), dtype=bool)
+        brk[0] = True
+        brk[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1] + 1)
+        run_id = np.cumsum(brk) - 1
+        run_len = np.bincount(run_id)
+        heads = np.flatnonzero(brk)
+        run_user, run_start = u[heads], day[heads]
+        order = np.lexsort((run_start, -run_len, run_user))
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        ru = run_user[order]
+        first[1:] = ru[1:] != ru[:-1]
+        sel = order[first]
+        return pd.DataFrame({"user_id": run_user[sel],
+                             "best_streak": run_len[sel],
+                             "streak_start_day": run_start[sel]}) \
+            .astype(np.int64)
+
+    return ds.map_batches(days, batch_format="pyarrow") \
+             .groupby("ub").map_groups(kern, batch_format="pandas")

@@ -120,7 +120,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "embed_truncate", "text_entropy",
                                   "text_bpe_merges", "doc_salsa",
                                   "events_attribution",
-                                  "events_concurrency"])
+                                  "events_concurrency",
+                                  "events_streaks", "text_winnow"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()

@@ -828,3 +828,37 @@ def test_ppjoin_exact_vs_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), want.reset_index(drop=True),
         check_exact=False, rtol=1e-12)
+
+
+def test_user_streaks_naive_parity(ray_session):
+    """user_streaks == a pandas gaps-and-islands reference, including
+    length ties (earliest streak wins) and repeated same-day events."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.windows import user_streaks
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    us = rng.integers(0, 40 * 86400, n) * 1_000_000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 60, n),
+        "ts": pd.Series(us, dtype="int64").astype("datetime64[us]"),
+    })
+    got = user_streaks(from_pandas_clean(df)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+    d = df.assign(day=us // (86400 * 10**6)) \
+        .drop_duplicates(["user_id", "day"]) \
+        .sort_values(["user_id", "day"])
+    grp = d["day"] - d.groupby("user_id").cumcount()
+    runs = d.groupby(["user_id", grp]).agg(
+        best_streak=("day", "size"),
+        streak_start_day=("day", "min")).reset_index(level=1, drop=True)
+    want = runs.sort_values(["best_streak", "streak_start_day"],
+                            ascending=[False, True]) \
+        .groupby(level=0).head(1).reset_index() \
+        .sort_values("user_id").reset_index(drop=True) \
+        .astype(np.int64)[["user_id", "best_streak", "streak_start_day"]]
+    pd.testing.assert_frame_equal(got.astype(np.int64), want)

@@ -962,3 +962,39 @@ def test_bpe_merges_naive_parity(sf_dir):
     assert got["a"].tolist() == want["a"].tolist()
     assert got["b"].tolist() == want["b"].tolist()
     assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_batch_winnow_matches_naive():
+    """Vectorized winnowing == per-doc reference (warm-up-window variant,
+    rightmost tie-break), across tie-heavy, short, and empty docs."""
+    import numpy as np
+
+    from linkgraph.text import batch_shingles, batch_winnow
+
+    def naive(texts, k, w):
+        counts, hcat = batch_shingles(texts, k)
+        starts = np.cumsum(counts) - counts
+        out = []
+        for i, c in enumerate(counts):
+            h = hcat[starts[i]:starts[i] + c]
+            sel = set()
+            for e in range(c):
+                lo = max(0, e - w + 1)
+                win = h[lo:e + 1]
+                m = win.min()
+                sel.add(lo + max(j for j in range(len(win))
+                                 if win[j] == m))
+            out.extend((i, p, h[p]) for p in sorted(sel))
+        return out
+
+    rng = np.random.default_rng(0)
+    texts = ["", "ab", "hello world this is a test of winnowing " * 3,
+             "a" * 29,  # all-equal hashes: every window ties
+             "the quick brown fox jumps over the lazy dog",
+             "".join(rng.choice(list("abcd"), 200)), "xy"]
+    for k, w in [(5, 4), (20, 8), (3, 2), (8, 8)]:
+        d, p, h = batch_winnow(texts, k, w)
+        assert list(zip(d.tolist(), p.tolist(), h.tolist())) \
+            == naive(texts, k, w), (k, w)
+    d, p, h = batch_winnow([], 5, 4)
+    assert len(d) == len(p) == len(h) == 0
