@@ -476,6 +476,55 @@ def kmeans_full(ds, n_centroids: int = 8, iters: int = 4,
     coordinate, final-assignment cluster size."""
     import ray
 
+    cent = kmeans_centroids(ds, n_centroids, iters, sample_n, seed,
+                            id_col, vec_col)
+    n_centroids, d = cent.shape
+    cref = ray.put(cent)
+    parts = ds.map_batches(_kmeans_part(cref, vec_col, False),
+                           batch_format="pyarrow").take_all()
+    counts = np.zeros(n_centroids, np.int64)
+    for r in parts:
+        counts += np.asarray(r["counts"], dtype=np.int64)
+    cc = np.repeat(np.arange(n_centroids, dtype=np.int64), d)
+    ii = np.tile(np.arange(1, d + 1, dtype=np.int64), n_centroids)
+    return pd.DataFrame({"c": cc, "i": ii,
+                         "y": np.round(cent.reshape(-1), round_to),
+                         "n": np.repeat(counts, d)})
+
+
+def _kmeans_part(cref, vec_col: str, with_sums: bool):
+    """Per-batch Lloyd partial vs the broadcast centroids `cref`: one
+    (k x d sums + k counts) row (with_sums) or counts only."""
+    import ray
+
+    def part(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {"sums": pa.array([], pa.list_(pa.float64())),
+                 "counts": pa.array([], pa.list_(pa.int64()))})
+        c = ray.get(cref)
+        m = _normalize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        a = np.argmax(m @ c.T, axis=1)  # ties -> smallest c
+        counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+        sums = np.zeros((len(c), m.shape[1] if with_sums else 0),
+                        np.float64)
+        if with_sums:
+            np.add.at(sums, a, m)
+        return pa.table({
+            "sums": pa.array([sums.reshape(-1)], pa.list_(pa.float64())),
+            "counts": pa.array([counts], pa.list_(pa.int64()))})
+    return part
+
+
+def kmeans_centroids(ds, n_centroids: int = 8, iters: int = 4,
+                     sample_n: int = 500, seed: int = 42,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """The Lloyd rounds of kmeans_full without the final counting pass:
+    returns the (k x d) L2-normalized centroid matrix after `iters`
+    full-corpus rounds from the seeded init (see kmeans_full)."""
+    import ray
+
     rng = np.random.default_rng(seed)
     idx = rng.choice(sample_n, n_centroids, replace=False)
     q, qi = queries_from_ids(ds, [int(i) for i in idx],
@@ -484,31 +533,9 @@ def kmeans_full(ds, n_centroids: int = 8, iters: int = 4,
     cent = _normalize(q)[[pos[int(i)] for i in idx]]  # cent[c] = row idx[c]
     d = cent.shape[1]
 
-    def make_part(cref, with_sums: bool):
-        def part(b: pa.Table) -> pa.Table:
-            cols = {"sums": pa.array([], pa.list_(pa.float64())),
-                    "counts": pa.array([], pa.list_(pa.int64()))}
-            if len(b) == 0:
-                return pa.table(cols)
-            c = ray.get(cref)
-            m = _normalize(np.array(b[vec_col].to_pylist(),
-                                    dtype=np.float64))
-            a = np.argmax(m @ c.T, axis=1)  # ties -> smallest c
-            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
-            if with_sums:
-                sums = np.zeros((len(c), m.shape[1]), np.float64)
-                np.add.at(sums, a, m)
-            else:
-                sums = np.zeros((len(c), 0), np.float64)
-            return pa.table({
-                "sums": pa.array([sums.reshape(-1)],
-                                 pa.list_(pa.float64())),
-                "counts": pa.array([counts], pa.list_(pa.int64()))})
-        return part
-
     for _ in range(iters):
         cref = ray.put(cent)
-        parts = ds.map_batches(make_part(cref, True),
+        parts = ds.map_batches(_kmeans_part(cref, vec_col, True),
                                batch_format="pyarrow").take_all()
         sums = np.zeros((n_centroids, d), np.float64)
         counts = np.zeros(n_centroids, np.int64)
@@ -524,18 +551,65 @@ def kmeans_full(ds, n_centroids: int = 8, iters: int = 4,
         nrm[nrm == 0] = 1.0
         new[nz] = mean / nrm[:, None]
         cent = new
+    return cent
 
+
+def cluster_silhouette(ds, n_centroids: int = 8, iters: int = 4,
+                       sample_n: int = 500, seed: int = 42,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       round_to: int = 6) -> pd.DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cluster: for
+    each vector, a = cosine distance to its OWN centroid (the argmax-dot
+    assignment), b = distance to the nearest OTHER centroid, and
+    s = (b - a) / max(a, b) (0 when both are 0); the report is one row
+    per non-empty cluster — (c, n, sil = round(mean s, 6)).
+
+    Scale shape: the Lloyd rounds are kmeans_centroids' distributed
+    passes; the silhouette itself is ONE extra pass — centroids ray.put
+    once, each batch emits (k counts + k partial s-sums), driver merge
+    O(blocks * k).  No shuffle, no per-vector result materialized."""
+    import ray
+
+    cent = kmeans_centroids(ds, n_centroids, iters, sample_n, seed,
+                            id_col, vec_col)
     cref = ray.put(cent)
-    parts = ds.map_batches(make_part(cref, False),
-                           batch_format="pyarrow").take_all()
-    counts = np.zeros(n_centroids, np.int64)
+
+    def part(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {"ssum": pa.array([], pa.list_(pa.float64())),
+                 "counts": pa.array([], pa.list_(pa.int64()))})
+        c = ray.get(cref)
+        m = _normalize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        dots = m @ c.T
+        a = np.argmax(dots, axis=1)               # ties -> smallest c
+        best = dots[np.arange(len(m)), a]
+        dots[np.arange(len(m)), a] = -np.inf
+        # k == 1: no "other" centroid -> b = a -> s = 0 everywhere
+        second = dots.max(axis=1) if c.shape[0] > 1 else best
+        ad, bd = 1.0 - best, 1.0 - second         # bd >= ad always
+        denom = np.maximum(ad, bd)
+        s = np.where(denom == 0, 0.0, (bd - ad) / np.where(denom == 0,
+                                                           1.0, denom))
+        return pa.table({
+            "ssum": pa.array([np.bincount(a, weights=s,
+                                          minlength=len(c))],
+                             pa.list_(pa.float64())),
+            "counts": pa.array([np.bincount(a, minlength=len(c))
+                                .astype(np.int64)],
+                               pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").take_all()
+    ssum = np.zeros(len(cent), np.float64)
+    counts = np.zeros(len(cent), np.int64)
     for r in parts:
+        ssum += np.asarray(r["ssum"], dtype=np.float64)
         counts += np.asarray(r["counts"], dtype=np.int64)
-    cc = np.repeat(np.arange(n_centroids, dtype=np.int64), d)
-    ii = np.tile(np.arange(1, d + 1, dtype=np.int64), n_centroids)
-    return pd.DataFrame({"c": cc, "i": ii,
-                         "y": np.round(cent.reshape(-1), round_to),
-                         "n": np.repeat(counts, d)})
+    nz = np.flatnonzero(counts)
+    return pd.DataFrame({"c": nz.astype(np.int64),
+                         "n": counts[nz],
+                         "sil": np.round(ssum[nz] / counts[nz],
+                                         round_to)})
 
 
 def pca_project(ds, vec_col: str = "embedding",

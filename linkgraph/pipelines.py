@@ -5205,7 +5205,8 @@ def _ann_ivf_sql(k=5, n_centroids=16, n_probe=4, rounds=5, seed=42,
 
 
 def _kmeans_full_sql(n_centroids: int = 8, iters: int = 4,
-                     seed: int = 42, sample_n: int = 500) -> str:
+                     seed: int = 42, sample_n: int = 500,
+                     tail: str = "counts") -> str:
     """Oracle for ann.kmeans_full: the identical seeded init rows, then
     `iters` FULL-CORPUS Lloyd rounds unrolled as materialized CTEs
     (argmax-dot assignment via row_number (d DESC, c ASC), per-cluster
@@ -5267,11 +5268,27 @@ def _kmeans_full_sql(n_centroids: int = 8, iters: int = 4,
         SELECT vec_id, c, row_number() OVER
           (PARTITION BY vec_id ORDER BY d DESC, c ASC) AS rn
         FROM fdot) WHERE rn = 1)""")
-    ctes.append("cnt AS (SELECT c, count(*) AS n FROM fasg GROUP BY c)")
+    if tail == "counts":
+        ctes.append(
+            "cnt AS (SELECT c, count(*) AS n FROM fasg GROUP BY c)")
+        return (f"WITH {', '.join(ctes)} "
+                f"SELECT p.c, p.i, round(p.y, 6) AS y, "
+                f"CAST(coalesce(cnt.n, 0) AS BIGINT) AS n "
+                f"FROM {last} p LEFT JOIN cnt ON cnt.c = p.c")
+    # tail == "silhouette": simplified (centroid-based) silhouette from
+    # the final assignment — a = 1 - dot(own centroid), b = 1 - best
+    # other dot, s = (b - a) / max(a, b); ties/floats as ann.
+    # cluster_silhouette (sums differ ~1e-16, fine after round-6).
+    ctes.append("""sil AS (
+      SELECT f.vec_id, a.c,
+             1 - max(CASE WHEN f.c = a.c THEN f.d END) AS adist,
+             1 - max(CASE WHEN f.c <> a.c THEN f.d END) AS bdist
+      FROM fdot f JOIN fasg a USING (vec_id) GROUP BY f.vec_id, a.c)""")
     return (f"WITH {', '.join(ctes)} "
-            f"SELECT p.c, p.i, round(p.y, 6) AS y, "
-            f"CAST(coalesce(cnt.n, 0) AS BIGINT) AS n "
-            f"FROM {last} p LEFT JOIN cnt ON cnt.c = p.c")
+            f"SELECT c, count(*)::BIGINT AS n, "
+            f"round(avg(CASE WHEN greatest(adist, bdist) = 0 THEN 0 "
+            f"ELSE (bdist - adist) / greatest(adist, bdist) END), 6) "
+            f"AS sil FROM sil GROUP BY c ORDER BY c")
 
 
 def _knn_cc_sql(k: int, n_planes: int, rounds: int, seed: int = 42,
@@ -9505,3 +9522,76 @@ ORACLE_SQL["dedup_winnow"] = f"""
     GROUP BY 1, 2 ORDER BY 1, 2
 """
 QUERIES["dedup_winnow"] = q_dedup_winnow
+
+
+def q_events_compact(sf_dir):
+    """Last-writer-wins log compaction (windows.compact_latest, the CDC
+    upsert-merge shape): one row per user — its latest event by
+    (ts, event_id) — via in-batch combiner partials + one coarse
+    user-bucket groupby."""
+    from .windows import compact_latest
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    return compact_latest(ev)
+
+
+ORACLE_SQL["events_compact"] = """
+    SELECT user_id, epoch_us(ts)::BIGINT AS last_ts_us,
+           event_type AS last_type, round(value, 6) AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id
+"""
+QUERIES["events_compact"] = q_events_compact
+
+
+def q_text_heaps(sf_dir):
+    """Vocabulary growth curve (text.vocab_growth, the Heaps'-law
+    report): tokens bucketed by the doc_id decile of their FIRST
+    occurrence — per-batch (token, min doc) combiner, one coarse
+    token-bucket shuffle, O(buckets x 10) driver fold."""
+    from .text import vocab_growth
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return vocab_growth(docs)
+
+
+ORACLE_SQL["text_heaps"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+      FROM documents),
+    f AS (SELECT w, min(doc_id) AS fd FROM toks GROUP BY w),
+    mm AS (SELECT min(doc_id) AS lo,
+                  max(doc_id) - min(doc_id) + 1 AS width FROM documents),
+    d AS (SELECT least((fd - lo) * 10 // width, 9) + 1 AS decile
+          FROM f, mm),
+    c AS (SELECT decile, count(*)::BIGINT AS new_tokens
+          FROM d GROUP BY 1)
+    SELECT decile::BIGINT AS decile, new_tokens,
+           sum(new_tokens) OVER (ORDER BY decile)::BIGINT AS cum_vocab
+    FROM c ORDER BY decile
+"""
+QUERIES["text_heaps"] = q_text_heaps
+
+
+def q_embed_silhouette(sf_dir):
+    """Simplified silhouette per k-means cluster (ann.
+    cluster_silhouette): the clustering-quality report over the same
+    seeded kmeans_full rounds as embed_kmeans, plus ONE extra
+    map-side-partial pass — no shuffle, no per-vector materialization."""
+    from .ann import cluster_silhouette
+
+    vecs = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+    return cluster_silhouette(vecs, n_centroids=KMEANS_K,
+                              iters=KMEANS_ITERS)
+
+
+ORACLE_SQL["embed_silhouette"] = _kmeans_full_sql(
+    n_centroids=KMEANS_K, iters=KMEANS_ITERS, tail="silhouette")
+QUERIES["embed_silhouette"] = q_embed_silhouette

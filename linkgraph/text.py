@@ -956,3 +956,74 @@ def bm25_topk(ds, query_terms: list, k: int = 15,
     cand = cand[cand["score"] > 0]
     cand["score"] = cand["score"].round(6)
     return cand.reset_index(drop=True)
+
+
+def vocab_growth(ds, doc_col: str = "doc_id", text_col: str = "text",
+                 n_bins: int = 10) -> pd.DataFrame:
+    """Vocabulary growth curve (the Heaps'-law report): tokens bucketed
+    by the decile of the doc_id where they FIRST appear — one row per
+    non-empty decile, (decile 1..n_bins, new_tokens, cum_vocab).
+    Deciles are equal-width doc_id ranges over [min_id, max_id], so the
+    curve is corpus-order-deterministic, not arrival-order-dependent.
+
+    Scale shape: token first-occurrence is a per-token min — an
+    unbounded fine key domain, so NEVER a per-token hash aggregate
+    (CLAUDE.md): each batch pre-reduces to (token, min doc in batch)
+    with a pandas groupby, tokens shuffle ONCE into coarse hash buckets
+    (pd.util.hash_array — PYTHONHASHSEED-stable), each bucket's kernel
+    takes exact per-token mins (a token lives in exactly one bucket)
+    and emits only its n_bins-row decile histogram; the driver folds
+    O(buckets * n_bins) rows.  Exact token strings travel the shuffle —
+    counts are collision-free by construction."""
+    import pandas as pd
+
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.select_columns([doc_col, text_col]).materialize()
+    if ds.count() == 0:
+        return pd.DataFrame({"decile": pd.Series([], dtype="int64"),
+                             "new_tokens": pd.Series([], dtype="int64"),
+                             "cum_vocab": pd.Series([], dtype="int64")})
+    from ray.data.aggregate import Max, Min
+    mm = ds.aggregate(Min(doc_col), Max(doc_col))
+    lo, hi = int(mm[f"min({doc_col})"]), int(mm[f"max({doc_col})"])
+    width = hi - lo + 1
+    nb = n_buckets_for(8 * ds.count())  # ~tokens per doc heuristic
+
+    def _flat(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    def firsts(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(_flat(b[text_col]), r"\s+")
+        toks = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        docs = b[doc_col].to_numpy(zero_copy_only=False) \
+                         .astype(np.int64)[par]
+        keep = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"w": toks.to_numpy(zero_copy_only=False)[keep],
+                          "fd": docs[keep]}) \
+            .groupby("w", sort=False)["fd"].min().reset_index()
+        wb = (pd.util.hash_array(f["w"].to_numpy(object))
+              % np.uint64(nb)).astype(np.int64)
+        return pa.table({"w": pa.array(f["w"].to_numpy(object),
+                                       pa.string()),
+                         "fd": pa.array(f["fd"].to_numpy(np.int64)),
+                         "wb": pa.array(wb)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        fd = g.groupby("w", sort=False)["fd"].min().to_numpy(np.int64)
+        dec = np.minimum((fd - lo) * n_bins // width, n_bins - 1)
+        cnt = np.bincount(dec, minlength=n_bins)
+        return pd.DataFrame({"decile": np.arange(1, n_bins + 1,
+                                                 dtype=np.int64),
+                             "cnt": cnt.astype(np.int64)})
+
+    parts = ds.map_batches(firsts, batch_format="pyarrow") \
+              .groupby("wb").map_groups(kern, batch_format="pandas") \
+              .to_pandas()
+    tot = parts.groupby("decile", sort=True)["cnt"].sum()
+    new = tot.to_numpy(np.int64)
+    out = pd.DataFrame({"decile": tot.index.to_numpy(np.int64),
+                        "new_tokens": new,
+                        "cum_vocab": np.cumsum(new)})
+    return out[out["new_tokens"] > 0].reset_index(drop=True)

@@ -1126,3 +1126,64 @@ def user_streaks(ds, key: str = "user_id", ts: str = "ts"):
 
     return ds.map_batches(days, batch_format="pyarrow") \
              .groupby("ub").map_groups(kern, batch_format="pandas")
+
+
+def compact_latest(ds, key: str = "user_id", ts: str = "ts",
+                   order_id: str = "event_id",
+                   type_col: str = "event_type", value: str = "value"):
+    """Last-writer-wins log compaction (the CDC / upsert-merge shape):
+    one row per key — the event with the greatest (ts, order_id), the
+    order_id tie-break making the winner deterministic under duplicate
+    timestamps.  Output (user_id, last_ts_us, last_type, last_value
+    rounded to 6).
+
+    100-TB plan: the classic combiner reduction.  Each batch pre-reduces
+    to one winner per key it sees (vectorized lexsort + take-last), then
+    ONE coarse key-bucket groupby re-runs the same kernel — a key's
+    partials all land in one bucket, so the bucket winner is globally
+    exact.  Never a per-key fine-grained aggregate, never a global sort."""
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.select_columns([key, ts, order_id, type_col, value]) \
+           .materialize()
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "last_ts_us": pd.Series([], dtype="int64"),
+             "last_type": pd.Series([], dtype="object"),
+             "last_value": pd.Series([], dtype="float64")})
+    nb = n_buckets_for(n)
+
+    def reduce_kern(u, t, oid, typ, val):
+        order = np.lexsort((oid, t, u))
+        u, t, oid = u[order], t[order], oid[order]
+        typ, val = typ[order], val[order]
+        last = np.empty(len(u), dtype=bool)
+        last[-1] = True
+        last[:-1] = u[1:] != u[:-1]
+        return u[last], t[last], oid[last], typ[last], val[last]
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        oid = b[order_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        typ = b[type_col].to_numpy(zero_copy_only=False)
+        val = b[value].to_numpy(zero_copy_only=False)
+        u, t, oid, typ, val = reduce_kern(u, t, oid, typ, val)
+        return pa.table({"u": pa.array(u), "t": pa.array(t),
+                         "oid": pa.array(oid), "typ": pa.array(typ),
+                         "val": pa.array(val),
+                         "ub": pa.array(u % nb)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        u, t, oid, typ, val = reduce_kern(
+            g["u"].to_numpy(np.int64), g["t"].to_numpy(np.int64),
+            g["oid"].to_numpy(np.int64), g["typ"].to_numpy(object),
+            g["val"].to_numpy(np.float64))
+        return pd.DataFrame({"user_id": u, "last_ts_us": t,
+                             "last_type": typ,
+                             "last_value": np.round(val, 6)})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("ub").map_groups(kern, batch_format="pandas")

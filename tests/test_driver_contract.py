@@ -121,7 +121,9 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "text_bpe_merges", "doc_salsa",
                                   "events_attribution",
                                   "events_concurrency",
-                                  "events_streaks", "text_winnow"])
+                                  "events_streaks", "text_winnow",
+                                  "events_compact", "text_heaps",
+                                  "embed_silhouette"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()

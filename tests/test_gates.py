@@ -862,3 +862,37 @@ def test_user_streaks_naive_parity(ray_session):
         .sort_values("user_id").reset_index(drop=True) \
         .astype(np.int64)[["user_id", "best_streak", "streak_start_day"]]
     pd.testing.assert_frame_equal(got.astype(np.int64), want)
+
+
+def test_compact_latest_naive_parity(ray_session):
+    """compact_latest == pandas idxmax reference, with duplicate
+    timestamps resolved by the event_id tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.windows import compact_latest
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    us = rng.integers(0, 10 * 86400, n) * 1_000_000  # coarse: forces ties
+    df = pd.DataFrame({
+        "event_id": rng.permutation(n).astype(np.int64),
+        "ts": pd.Series(us, dtype="int64").astype("datetime64[us]"),
+        "user_id": rng.integers(0, 40, n),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": np.round(rng.random(n) * 100, 3),
+    })
+    got = compact_latest(from_pandas_clean(df)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+    want = df.assign(last_ts_us=us) \
+        .sort_values(["user_id", "last_ts_us", "event_id"]) \
+        .groupby("user_id").tail(1) \
+        .rename(columns={"event_type": "last_type",
+                         "value": "last_value"}) \
+        .sort_values("user_id").reset_index(drop=True)
+    want["last_value"] = want["last_value"].round(6)
+    pd.testing.assert_frame_equal(
+        got, want[["user_id", "last_ts_us", "last_type", "last_value"]]
+        .astype({"user_id": np.int64}))

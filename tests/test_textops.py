@@ -998,3 +998,37 @@ def test_batch_winnow_matches_naive():
             == naive(texts, k, w), (k, w)
     d, p, h = batch_winnow([], 5, 4)
     assert len(d) == len(p) == len(h) == 0
+
+
+def test_vocab_growth_naive_parity(ray_session):
+    """vocab_growth == a pandas first-occurrence reference over texts
+    whose vocabulary actually grows across doc_id deciles."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.text import vocab_growth
+
+    rng = np.random.default_rng(3)
+    n_docs = 200
+    texts = []
+    for i in range(n_docs):
+        # vocab pool grows with doc index -> multiple non-empty deciles
+        pool = [f"w{j}" for j in range(4 + i * 3)]
+        texts.append(" ".join(rng.choice(pool, 30)) + "  \t extra")
+    ids = rng.permutation(n_docs).astype(np.int64) * 7 + 3  # sparse ids
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    got = vocab_growth(from_pandas_clean(df)) \
+        .reset_index(drop=True)
+
+    rows = [(d, w) for d, t in zip(ids, texts) for w in t.split()]
+    f = pd.DataFrame(rows, columns=["d", "w"]).groupby("w")["d"].min()
+    lo, hi = ids.min(), ids.max()
+    dec = np.minimum((f.to_numpy() - lo) * 10 // (hi - lo + 1), 9) + 1
+    cnt = np.bincount(dec, minlength=11)[1:]
+    keep = cnt > 0
+    want = pd.DataFrame({
+        "decile": np.arange(1, 11, dtype=np.int64)[keep],
+        "new_tokens": cnt[keep].astype(np.int64),
+        "cum_vocab": np.cumsum(cnt)[keep].astype(np.int64)})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
