@@ -9595,3 +9595,106 @@ def q_embed_silhouette(sf_dir):
 ORACLE_SQL["embed_silhouette"] = _kmeans_full_sql(
     n_centroids=KMEANS_K, iters=KMEANS_ITERS, tail="silhouette")
 QUERIES["embed_silhouette"] = q_embed_silhouette
+
+
+def q_doc_bowtie(sf_dir):
+    """Bow-tie decomposition of the cycle-augmented directed doc graph
+    (algos.bowtie, Broder et al. WWW 2000): component sizes for
+    core / in / out / other.  SCC labels + two multi-source reach
+    sweeps (forward, transpose); class counts are map_vertices
+    reductions — no per-vertex driver table."""
+    from .algos.bowtie import bowtie
+
+    eng = documents_engine(sf_dir, "scc")
+    c = bowtie(eng)["counts"]
+    return pd.DataFrame({"component": sorted(c),
+                         "n": np.array([c[k] for k in sorted(c)],
+                                       np.int64)})
+
+
+ORACLE_SQL["doc_bowtie"] = f"""
+    WITH RECURSIVE e AS MATERIALIZED (
+        SELECT src, dst FROM ({SCC_EDGES_SQL}) aug),
+    reach(a, b) AS (
+        SELECT src AS a, dst AS b FROM e
+        UNION
+        SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b),
+    mn AS (SELECT r1.a AS v, min(r1.b) AS mn
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+           GROUP BY r1.a),
+    sccmap AS (SELECT d.doc_id AS v,
+                      least(d.doc_id, coalesce(mn.mn, d.doc_id)) AS scc
+               FROM documents d LEFT JOIN mn ON mn.v = d.doc_id),
+    core AS (SELECT scc FROM (
+        SELECT scc, count(*) AS n FROM sccmap GROUP BY 1
+        ORDER BY n DESC, scc ASC LIMIT 1)),
+    cls AS (SELECT s.v,
+        CASE WHEN s.scc = (SELECT scc FROM core) THEN 'core'
+             WHEN EXISTS (SELECT 1 FROM reach r JOIN sccmap c
+                          ON c.v = r.b WHERE r.a = s.v
+                          AND c.scc = (SELECT scc FROM core)) THEN 'in'
+             WHEN EXISTS (SELECT 1 FROM reach r JOIN sccmap c
+                          ON c.v = r.a WHERE r.b = s.v
+                          AND c.scc = (SELECT scc FROM core)) THEN 'out'
+             ELSE 'other' END AS component
+        FROM sccmap s),
+    cnt AS (SELECT component, count(*)::BIGINT AS n
+            FROM cls GROUP BY 1)
+    SELECT k.component, coalesce(cnt.n, 0)::BIGINT AS n
+    FROM (VALUES ('core'), ('in'), ('out'), ('other')) k(component)
+    LEFT JOIN cnt USING (component) ORDER BY k.component
+"""
+QUERIES["doc_bowtie"] = q_doc_bowtie
+
+
+def q_text_source_jsd(sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    token distributions (text.source_jsd): bounded-domain totals pass +
+    one coarse token-bucket shuffle whose kernels emit per-pair partial
+    JSD sums — O(buckets x pairs) driver fold."""
+    from .text import source_jsd
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["source", "text"])
+    return source_jsd(docs)
+
+
+ORACLE_SQL["text_source_jsd"] = """
+    WITH toks AS (
+      SELECT source, unnest(list_filter(
+          regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+      FROM documents),
+    c AS (SELECT source, w, count(*)::DOUBLE AS c
+          FROM toks GROUP BY 1, 2),
+    t AS (SELECT source, sum(c) AS tot FROM c GROUP BY 1),
+    p AS (SELECT c.source, c.w, c.c / t.tot AS p
+          FROM c JOIN t USING (source)),
+    pairs AS (SELECT ta.source AS src_a, tb.source AS src_b
+              FROM t ta JOIN t tb ON ta.source < tb.source),
+    w AS (SELECT DISTINCT w FROM c),
+    j AS (SELECT pr.src_a, pr.src_b,
+                 coalesce(a.p, 0) AS pa, coalesce(b.p, 0) AS pb
+          FROM pairs pr CROSS JOIN w
+          LEFT JOIN p a ON a.source = pr.src_a AND a.w = w.w
+          LEFT JOIN p b ON b.source = pr.src_b AND b.w = w.w)
+    SELECT src_a, src_b, round(sum(
+        CASE WHEN pa > 0
+             THEN 0.5 * pa * ln(2 * pa / (pa + pb)) ELSE 0 END
+      + CASE WHEN pb > 0
+             THEN 0.5 * pb * ln(2 * pb / (pa + pb)) ELSE 0 END), 6)
+        AS jsd
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["text_source_jsd"] = q_text_source_jsd
+
+
+def q_tpch_dominant_supplier(sf_dir):
+    """Q20-shaped correlated-threshold semi-join (relational.
+    dominant_suppliers): per-supplier count of parts it dominates
+    (exact-int comparison vs the part's mean per-supplier quantity),
+    one coarse part-bucket shuffle + bounded-dimension driver fold."""
+    return _REL.dominant_suppliers(sf_dir)
+
+
+ORACLE_SQL["tpch_dominant_supplier"] = _REL.DOMINANT_SUPPLIERS_SQL
+QUERIES["tpch_dominant_supplier"] = q_tpch_dominant_supplier

@@ -1720,3 +1720,93 @@ MIN_COST_SQL = f"""
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT {MIN_COST_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20-like: correlated-threshold semi-join — suppliers that
+# DOMINATE a part (their shipped quantity exceeds DOMINANT_MULT x the
+# part's mean per-supplier quantity), counted per supplier.
+# ---------------------------------------------------------------------------
+
+DOMINANT_MULT = 3
+
+
+def dominant_suppliers(sf_dir: str):
+    """Q20 shape (nested aggregate as a correlated threshold + semi-join
+    into the supplier dimension, adapted to the available columns —
+    there is no partsupp table): for each (part, supplier), the shipped
+    quantity q must beat DOMINANT_MULT times the part's mean
+    per-supplier quantity — q * n_suppliers > MULT * total — and the
+    report is (s_name, n_dominated) per qualifying supplier.
+
+    Scale shape: in-batch (part, supp, q) combiner partials, ONE coarse
+    part-bucket groupby (a part's rows all land in one bucket, so the
+    per-part total/supplier-count and the threshold test are exact
+    in-kernel), per-bucket per-supplier dominated counts, then a
+    driver fold over the bounded supplier dimension.  Quantities are
+    exact int64 — the comparison is float-proof."""
+    import os
+
+    from .algos.triangles import n_buckets_for
+
+    li = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_partkey", "l_suppkey",
+                                     "l_quantity"]).materialize()
+    nb = n_buckets_for(li.count())
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = pd.DataFrame({
+            "p": b["l_partkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            "s": b["l_suppkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            "q": b["l_quantity"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)}) \
+            .groupby(["p", "s"], sort=False)["q"].sum().reset_index()
+        return pa.table({"p": pa.array(f["p"].to_numpy(np.int64)),
+                         "s": pa.array(f["s"].to_numpy(np.int64)),
+                         "q": pa.array(f["q"].to_numpy(np.int64)),
+                         "pb": pa.array(f["p"].to_numpy(np.int64) % nb)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["p", "s"], sort=False)["q"].sum().reset_index()
+        tot = ps.groupby("p", sort=False)["q"] \
+                .agg(["sum", "size"]).rename(
+                    columns={"sum": "tq", "size": "ns"})
+        m = ps.merge(tot, left_on="p", right_index=True)
+        dom = m[m["q"] * m["ns"] > DOMINANT_MULT * m["tq"]]
+        out = dom.groupby("s", sort=False).size().rename("nd") \
+                 .reset_index()
+        return out.astype(np.int64)
+
+    parts = li.map_batches(partial, batch_format="pyarrow") \
+              .groupby("pb").map_groups(kern, batch_format="pandas") \
+              .to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"s_name": pd.Series([], dtype="object"),
+                             "n_dominated": pd.Series([],
+                                                      dtype="int64")})
+    agg = parts.groupby("s", sort=True)["nd"].sum().reset_index()
+    supp = read_parquet_clean(os.path.join(sf_dir, "supplier.parquet"),
+                              columns=["s_suppkey", "s_name"]) \
+        .to_pandas()  # bounded dimension: broadcast side
+    out = agg.merge(supp, left_on="s", right_on="s_suppkey")
+    out["n_dominated"] = out["nd"].astype(np.int64)
+    return out[["s_name", "n_dominated"]] \
+        .sort_values("s_name", kind="mergesort").reset_index(drop=True)
+
+
+DOMINANT_SUPPLIERS_SQL = f"""
+    WITH pq AS (SELECT l_partkey, l_suppkey,
+                       sum(l_quantity)::BIGINT AS q
+                FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, sum(q) AS tq, count(*) AS ns
+            FROM pq GROUP BY 1),
+    dom AS (SELECT pq.l_suppkey, count(*)::BIGINT AS n_dominated
+            FROM pq JOIN tot USING (l_partkey)
+            WHERE pq.q * tot.ns > {DOMINANT_MULT} * tot.tq
+            GROUP BY 1)
+    SELECT s.s_name, dom.n_dominated
+    FROM dom JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+    ORDER BY s.s_name
+"""

@@ -1027,3 +1027,99 @@ def vocab_growth(ds, doc_col: str = "doc_id", text_col: str = "text",
                         "new_tokens": new,
                         "cum_vocab": np.cumsum(new)})
     return out[out["new_tokens"] > 0].reset_index(drop=True)
+
+
+def source_jsd(ds, source_col: str = "source", text_col: str = "text",
+               round_to: int = 6) -> "pd.DataFrame":
+    """Pairwise Jensen-Shannon divergence between the sources' unigram
+    token distributions (natural log) — the corpus-mixture comparison
+    report of training-data curation: (src_a, src_b, jsd) for every
+    source pair a < b, jsd in [0, ln 2].
+
+    Scale shape: two passes.  Pass 1 — per-source token totals from
+    map-side count_substring_regex partials (sources are a bounded
+    domain; driver merge is O(sources)).  Pass 2 — per-(source, token)
+    counts pre-reduced in-batch, ONE coarse token-bucket shuffle
+    (pd.util.hash_array), each bucket's kernel computes its tokens'
+    exact JSD contributions for ALL pairs against the broadcast totals
+    (a token lives in exactly one bucket, and JSD is a sum over tokens,
+    so bucket partials add exactly); the driver folds
+    O(buckets * pairs) rows.  Never a per-token fine-key aggregate."""
+    import pandas as pd
+
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.select_columns([source_col, text_col]).materialize()
+
+    def totals_part(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(b[text_col], TOKEN_RE),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"s": b[source_col].to_numpy(
+            zero_copy_only=False), "n": n}) \
+            .groupby("s", sort=False)["n"].sum().reset_index()
+        return pa.table({"s": pa.array(f["s"].to_numpy(object),
+                                       pa.string()),
+                         "n": pa.array(f["n"].to_numpy(np.int64))})
+
+    tot = ds.map_batches(totals_part, batch_format="pyarrow") \
+            .to_pandas().groupby("s", sort=True)["n"].sum()
+    sources = list(tot.index)
+    totals = tot.to_numpy(np.float64)
+    S = len(sources)
+    if S < 2:
+        return pd.DataFrame({"src_a": pd.Series([], dtype="object"),
+                             "src_b": pd.Series([], dtype="object"),
+                             "jsd": pd.Series([], dtype="float64")})
+    sid = {s: i for i, s in enumerate(sources)}
+    nb = n_buckets_for(8 * ds.count())
+
+    def counts_part(b: pa.Table) -> pa.Table:
+        def _flat(a):
+            return a.combine_chunks() \
+                if isinstance(a, pa.ChunkedArray) else a
+        lists = pc.split_pattern_regex(_flat(b[text_col]), r"\s+")
+        toks = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False)
+        src = b[source_col].to_numpy(zero_copy_only=False)[par]
+        keep = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        f = pd.DataFrame(
+            {"w": toks.to_numpy(zero_copy_only=False)[keep],
+             "si": np.array([sid[s] for s in src[keep]], np.int64)}) \
+            .groupby(["w", "si"], sort=False).size().rename("c") \
+            .reset_index()
+        wb = (pd.util.hash_array(f["w"].to_numpy(object))
+              % np.uint64(nb)).astype(np.int64)
+        return pa.table({"w": pa.array(f["w"].to_numpy(object),
+                                       pa.string()),
+                         "si": pa.array(f["si"].to_numpy(np.int64)),
+                         "c": pa.array(f["c"].to_numpy(np.int64)),
+                         "wb": pa.array(wb)})
+
+    ia, ib = np.triu_indices(S, k=1)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["w", "si"], sort=True)["c"].sum().reset_index()
+        u, winv = np.unique(agg["w"].to_numpy(object),
+                            return_inverse=True)
+        M = np.zeros((len(u), S), np.float64)
+        np.add.at(M, (winv, agg["si"].to_numpy(np.int64)),
+                  agg["c"].to_numpy(np.float64))
+        P = M / totals[None, :]
+        p, q = P[:, ia], P[:, ib]
+        m = p + q
+        with np.errstate(divide="ignore", invalid="ignore"):
+            part = (np.where(p > 0, p * np.log(2.0 * p / m), 0.0)
+                    + np.where(q > 0, q * np.log(2.0 * q / m), 0.0))
+        return pd.DataFrame({"ai": ia, "bi": ib,
+                             "part": 0.5 * part.sum(axis=0)})
+
+    parts = ds.map_batches(counts_part, batch_format="pyarrow") \
+              .groupby("wb").map_groups(kern, batch_format="pandas") \
+              .to_pandas()
+    s = parts.groupby(["ai", "bi"], sort=True)["part"].sum() \
+             .reset_index()
+    return pd.DataFrame({
+        "src_a": [sources[i] for i in s["ai"]],
+        "src_b": [sources[i] for i in s["bi"]],
+        "jsd": np.round(s["part"].to_numpy(np.float64), round_to)})

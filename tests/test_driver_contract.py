@@ -123,7 +123,9 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "events_concurrency",
                                   "events_streaks", "text_winnow",
                                   "events_compact", "text_heaps",
-                                  "embed_silhouette"])
+                                  "embed_silhouette", "doc_bowtie",
+                                  "text_source_jsd",
+                                  "tpch_dominant_supplier"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
