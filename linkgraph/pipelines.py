@@ -9698,3 +9698,57 @@ def q_tpch_dominant_supplier(sf_dir):
 
 ORACLE_SQL["tpch_dominant_supplier"] = _REL.DOMINANT_SUPPLIERS_SQL
 QUERIES["tpch_dominant_supplier"] = q_tpch_dominant_supplier
+
+
+def _simrank_sql(iters: int, c: float) -> str:
+    """Oracle for algos.simrank.simrank_score_hist: the identical
+    rounds unrolled — s0 = identity, each round joins the previous
+    state to the canonical directed edges on both sides, divides by
+    the exact in-degree product, re-adds the unit diagonal — then the
+    ROUND-6 score histogram over a < b pairs (counts every nonzero
+    pair; 1e-16 summation-order noise only matters on a rounding edge,
+    the repo-wide float convention)."""
+    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+            """din AS MATERIALIZED (
+      SELECT dst AS v, count(*) AS d FROM e GROUP BY 1)""",
+            """s0 AS MATERIALIZED (
+      SELECT doc_id AS i, doc_id AS j, 1.0::DOUBLE AS s
+      FROM documents)"""]
+    for r in range(1, iters + 1):
+        p = f"s{r - 1}"
+        ctes.append(f"""s{r}_nd AS MATERIALIZED (
+          SELECT ea.dst AS i, eb.dst AS j,
+                 {c} * sum(p.s) / (da.d * db.d) AS s
+          FROM {p} p JOIN e ea ON ea.src = p.i
+                     JOIN e eb ON eb.src = p.j
+          JOIN din da ON da.v = ea.dst
+          JOIN din db ON db.v = eb.dst
+          WHERE ea.dst <> eb.dst
+          GROUP BY ea.dst, eb.dst, da.d, db.d)""")
+        ctes.append(f"""s{r} AS MATERIALIZED (
+          SELECT i, j, s FROM s{r}_nd
+          UNION ALL
+          SELECT doc_id, doc_id, 1.0 FROM documents)""")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT round(s, 6) AS s, count(*)::BIGINT AS n_pairs "
+            f"FROM s{iters} WHERE i < j "
+            f"GROUP BY 1 ORDER BY s DESC")
+
+
+def q_doc_simrank(sf_dir):
+    """SimRank rounded-score histogram after 3 rounds (algos.simrank,
+    Jeh & Widom 2002): identity diagonal handled as a once-materialized
+    bucketed wedge emission, ONE pair-bucket shuffle per round, gated
+    CSR/degree broadcasts (see the module docstring's honest quadratic
+    scale notes + prune_eps knob).  The histogram verifies EVERY
+    nonzero pair, a stronger surface than a tie-flooded top-k."""
+    from .algos.simrank import SIMRANK_C, SIMRANK_ITERS, \
+        simrank_score_hist
+
+    edges = documents_edges(sf_dir)
+    return simrank_score_hist(edges, documents_n_vertices(sf_dir),
+                              iters=SIMRANK_ITERS, c=SIMRANK_C)
+
+
+ORACLE_SQL["doc_simrank"] = _simrank_sql(3, 0.8)
+QUERIES["doc_simrank"] = q_doc_simrank

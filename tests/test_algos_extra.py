@@ -986,3 +986,57 @@ def test_label_spread_matches_naive(name, tmp_path):
         assert np.array_equal(got, want)
     finally:
         eng.shutdown()
+
+
+def test_simrank_matches_naive_dense(ray_session):
+    """simrank_topk / simrank_score_hist == the textbook dense SimRank
+    iteration on a random directed graph (in-degree products, identity
+    diagonal, C=0.8, 3 rounds)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.algos.simrank import simrank_score_hist, simrank_topk
+
+    rng = np.random.default_rng(5)
+    n, m = 40, 120
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    e = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    src, dst = e[:, 0], e[:, 1]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)}))
+
+    A = np.zeros((n, n))            # A[i, v] = 1 iff i -> v
+    A[src, dst] = 1.0
+    din = A.sum(axis=0)
+    S = np.eye(n)
+    for _ in range(3):
+        T = A.T @ S @ A             # sum over in-neighbor pairs
+        denom = np.outer(din, din)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S2 = np.where(denom > 0, 0.8 * T / denom, 0.0)
+        np.fill_diagonal(S2, 1.0)
+        S = S2
+    iu, ju = np.triu_indices(n, k=1)
+    s = np.round(S[iu, ju], 6)
+    nz = s > 0
+
+    want_top = pd.DataFrame({"a": iu[nz], "b": ju[nz], "s": s[nz]}) \
+        .sort_values(["s", "a", "b"], ascending=[False, True, True],
+                     kind="mergesort").head(20).reset_index(drop=True) \
+        .astype({"a": np.int64, "b": np.int64})
+    got_top = simrank_topk(edges, n, iters=3, c=0.8, k_top=20)
+    pd.testing.assert_frame_equal(got_top, want_top)
+
+    u, c = np.unique(s[nz], return_counts=True)
+    want_hist = pd.DataFrame({"s": u[::-1],
+                              "n_pairs": c[::-1].astype(np.int64)})
+    got_hist = simrank_score_hist(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})), n,
+        iters=3, c=0.8).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_hist,
+                                  want_hist.reset_index(drop=True))
