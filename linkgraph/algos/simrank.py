@@ -108,7 +108,8 @@ def _simrank_state(edges, n_vertices: int, iters: int, c: float,
 
     diag_contrib = edges.map_batches(src_tag, batch_format="pyarrow") \
         .groupby("sb").map_groups(wedge_kern, batch_format="pandas") \
-        .materialize()  # reused every round
+        .map_batches(lambda t: t, batch_format="pyarrow") \
+        .materialize()  # arrow blocks (union with expand) + reuse/round
 
     # ---- per-round expansion of the non-diagonal state
     def expand(t: pa.Table) -> pa.Table:

@@ -124,6 +124,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "events_streaks", "text_winnow",
                                   "events_compact", "text_heaps",
                                   "embed_silhouette", "doc_bowtie",
+                                  "doc_simrank",
                                   "text_source_jsd",
                                   "tpch_dominant_supplier"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
