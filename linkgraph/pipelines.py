@@ -9752,3 +9752,28 @@ def q_doc_simrank(sf_dir):
 
 ORACLE_SQL["doc_simrank"] = _simrank_sql(3, 0.8)
 QUERIES["doc_simrank"] = q_doc_simrank
+
+
+def q_events_window_uniques(sf_dir):
+    """Trailing 7-day sliding distinct actives per window-start day
+    (windows.sliding_uniques): exact rolling uniques with no distinct
+    shuffle — (user, day) dedup inside coarse user buckets, per-window
+    partial counts, calendar-bounded driver fold."""
+    from .windows import sliding_uniques
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+    return sliding_uniques(ev)
+
+
+ORACLE_SQL["events_window_uniques"] = """
+    WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day FROM events),
+    mm AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    w AS (SELECT unnest(range(lo, hi + 1)) AS w FROM mm),
+    uw AS (SELECT DISTINCT d.user_id, w.w
+           FROM d JOIN w ON d.day BETWEEN w.w AND w.w + 6)
+    SELECT w AS window_start_day, count(*)::BIGINT AS n_users
+    FROM uw GROUP BY 1 ORDER BY 1
+"""
+QUERIES["events_window_uniques"] = q_events_window_uniques

@@ -1187,3 +1187,71 @@ def compact_latest(ds, key: str = "user_id", ts: str = "ts",
 
     return ds.map_batches(partial, batch_format="pyarrow") \
              .groupby("ub").map_groups(kern, batch_format="pandas")
+
+
+SLIDING_UNIQUE_DAYS = 7
+
+
+def sliding_uniques(ds, key: str = "user_id", ts: str = "ts",
+                    win_days: int = SLIDING_UNIQUE_DAYS):
+    """Trailing-window distinct actives: for every epoch-day w in the
+    data's [min_day, max_day] range, the EXACT count of distinct keys
+    active in [w, w + win_days - 1] — the rolling-uniques curve that a
+    tumbling WAU (dau_wau) cannot give.  Rows with zero actives (a
+    >= win_days gap) are omitted.  (window_start_day, n_users).
+
+    100-TB plan: distinct counting without a distinct shuffle.  Events
+    collapse to distinct (key, day) in-batch; a key's days land in ONE
+    coarse key bucket, where the kernel expands each day to its
+    win_days covering windows (clipped to the global range), dedups
+    (key, window) vectorized, and emits only tiny per-window partial
+    counts; the driver folds O(buckets x days-range) rows.  Window
+    count is bounded by CALENDAR span, never by data volume."""
+    from ray.data.aggregate import Max, Min
+
+    from .algos.triangles import n_buckets_for
+
+    DAY_US = 86400 * US
+    ds = ds.select_columns([key, ts]).materialize()
+    n = ds.count()
+    empty = pd.DataFrame(
+        {"window_start_day": pd.Series([], dtype="int64"),
+         "n_users": pd.Series([], dtype="int64")})
+    if n == 0:
+        return empty
+    nb = n_buckets_for(n)
+
+    def day_tbl(b: pa.Table) -> pa.Table:
+        u = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False) \
+            // DAY_US
+        rows = np.unique(np.stack([u, day], axis=1), axis=0)
+        return pa.table({"u": pa.array(rows[:, 0]),
+                         "day": pa.array(rows[:, 1]),
+                         "ub": pa.array(rows[:, 0] % nb)})
+
+    days = ds.map_batches(day_tbl, batch_format="pyarrow").materialize()
+    mm = days.aggregate(Min("day"), Max("day"))
+    lo, hi = int(mm["min(day)"]), int(mm["max(day)"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        rows = np.unique(np.stack([g["u"].to_numpy(np.int64),
+                                   g["day"].to_numpy(np.int64)], axis=1),
+                         axis=0)
+        u, day = np.repeat(rows[:, 0], win_days), \
+            np.repeat(rows[:, 1], win_days)
+        w = day - np.tile(np.arange(win_days, dtype=np.int64),
+                          len(rows))
+        keep = (w >= lo) & (w <= hi)
+        uw = np.unique(np.stack([u[keep], w[keep]], axis=1), axis=0)
+        cnt = np.bincount(uw[:, 1] - lo, minlength=hi - lo + 1)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"w": (nz + lo).astype(np.int64),
+                             "n": cnt[nz].astype(np.int64)})
+
+    parts = days.groupby("ub").map_groups(kern, batch_format="pandas") \
+                .to_pandas()
+    agg = parts.groupby("w", sort=True)["n"].sum().reset_index()
+    return pd.DataFrame({
+        "window_start_day": agg["w"].to_numpy(np.int64),
+        "n_users": agg["n"].to_numpy(np.int64)})

@@ -896,3 +896,35 @@ def test_compact_latest_naive_parity(ray_session):
     pd.testing.assert_frame_equal(
         got, want[["user_id", "last_ts_us", "last_type", "last_value"]]
         .astype({"user_id": np.int64}))
+
+
+def test_sliding_uniques_naive_parity(ray_session):
+    """sliding_uniques == a pandas trailing-window reference, including
+    zero-active gaps (omitted rows) and range clipping."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.windows import sliding_uniques
+
+    rng = np.random.default_rng(13)
+    n = 2500
+    # two activity bursts with a > 7-day silent gap in between
+    day = np.where(rng.random(n) < 0.5,
+                   rng.integers(0, 8, n), rng.integers(20, 35, n))
+    us = day * 86400 * 10**6 + rng.integers(0, 86400, n) * 10**6
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, n),
+        "ts": pd.Series(us, dtype="int64").astype("datetime64[us]")})
+    got = sliding_uniques(from_pandas_clean(df)).reset_index(drop=True)
+
+    d = pd.DataFrame({"u": df["user_id"], "day": day}).drop_duplicates()
+    lo, hi = day.min(), day.max()
+    rows = []
+    for w in range(lo, hi + 1):
+        k = d.loc[(d["day"] >= w) & (d["day"] <= w + 6), "u"].nunique()
+        if k:
+            rows.append((w, k))
+    want = pd.DataFrame(rows, columns=["window_start_day", "n_users"]) \
+        .astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
