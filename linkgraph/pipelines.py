@@ -9777,3 +9777,21 @@ ORACLE_SQL["events_window_uniques"] = """
     FROM uw GROUP BY 1 ORDER BY 1
 """
 QUERIES["events_window_uniques"] = q_events_window_uniques
+
+
+def q_sketch_quantiles(sf_dir):
+    """Mergeable hash-sample quantile sketch over event values
+    (sketch.hash_sample_quantiles): bottom-1024-by-sha256 deterministic
+    sample, per-block k-smallest partials, no shuffle — the
+    bounded-memory twin of the exact events_quantiles."""
+    from .sketch import hash_sample_quantiles
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "value"])
+    return hash_sample_quantiles(ev)
+
+
+from .sketch import hash_sample_quantiles_sql as _hsq_sql  # noqa: E402
+
+ORACLE_SQL["sketch_quantiles"] = _hsq_sql()
+QUERIES["sketch_quantiles"] = q_sketch_quantiles

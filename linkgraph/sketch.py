@@ -652,3 +652,75 @@ def cm_inner_product(a: np.ndarray, b: np.ndarray) -> int:
     assert a.shape == b.shape
     return int(min(int(np.dot(a[j].astype(object), b[j].astype(object)))
                    for j in range(a.shape[0])))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable hash-sample quantile sketch: a deterministic bounded-memory
+# alternative to the exact distributed quantiles (quantiles.py) — the
+# sample is the k rows with the smallest sha256(id) priority, a pure
+# order statistic that merges across blocks/nodes/days bit-for-bit
+# (the KMV trick applied to quantile estimation).
+# ---------------------------------------------------------------------------
+
+QSKETCH_K = 1024
+QSKETCH_QS = (0.5, 0.9, 0.99)
+
+
+def hash_sample_quantiles(ds, id_col: str = "event_id",
+                          value_col: str = "value", k: int = QSKETCH_K,
+                          qs=QSKETCH_QS,
+                          round_to: int = 6) -> pd.DataFrame:
+    """Quantile estimates from the deterministic bottom-k-by-sha256(id)
+    sample: est(q) = sorted_sample_values[floor(q * (n - 1))].  Output
+    (q, est), one row per requested quantile.
+
+    Scale shape: ONE stateless map_batches pass emits each block's k
+    smallest (priority, id, value) rows — a block never ships more than
+    k rows — and the <= k * n_blocks survivors merge in one tiny driver
+    reduction.  No shuffle, no sort of the data; the same sample (and
+    so the same estimate) falls out on any partitioning, cluster size,
+    or streaming merge order."""
+    import hashlib as _h
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = b[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pri = np.array([_h.sha256(str(int(i)).encode()).hexdigest()
+                        for i in ids], dtype=object)
+        order = np.lexsort((ids, pri))[:k]
+        return pa.table({"pri": pa.array(pri[order], pa.string()),
+                         "id": pa.array(ids[order]),
+                         "v": pa.array(vals[order])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                             "est": pd.Series([], dtype="float64")})
+    samp = parts.sort_values(["pri", "id"], kind="mergesort").head(k)
+    v = np.sort(samp["v"].to_numpy(np.float64))
+    n = len(v)
+    return pd.DataFrame({
+        "q": np.array(qs, np.float64),
+        "est": [round(float(v[int(np.floor(q * (n - 1)))]), round_to)
+                for q in qs]})
+
+
+def hash_sample_quantiles_sql(k: int = QSKETCH_K,
+                              qs=QSKETCH_QS) -> str:
+    """Oracle: the identical bottom-k sample (ORDER BY sha256 hex,
+    id LIMIT k) and the identical floor(q * (n-1)) rank pick."""
+    vals = ", ".join(f"({q})" for q in qs)
+    return f"""
+        WITH s AS (SELECT value, event_id,
+                          sha256(CAST(event_id AS VARCHAR)) AS pri
+                   FROM events ORDER BY pri, event_id LIMIT {k}),
+        n AS (SELECT count(*) AS n FROM s),
+        r AS (SELECT value,
+                     row_number() OVER (ORDER BY value) AS rn FROM s),
+        qs(q) AS (VALUES {vals})
+        SELECT qs.q, round(r.value, 6) AS est
+        FROM qs CROSS JOIN n
+        JOIN r ON r.rn = floor(qs.q * (n.n - 1))::BIGINT + 1
+        ORDER BY qs.q
+    """
