@@ -789,3 +789,42 @@ def sobel_images(ds, concurrency: int = 4, batch_size: int = 256):
     return ds.map_batches(SobelStage, batch_format="pyarrow",
                           batch_size=batch_size,
                           concurrency=pool_size(concurrency))
+
+
+class HistogramStage:
+    """Color-histogram feature extraction over the REAL BMP decode lane:
+    per image and BGR channel, 4 equal-width intensity buckets
+    (px // 64) — long-form rows (media_id, ch, bucket, n).  Exact
+    integer counts, so the SQL oracle reproduces them from the
+    generator's closed pixel form; the histogram itself is one
+    np.bincount over (channel, bucket)-packed codes per image."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, chs, bks, ns = [], [], [], []
+        for mid, payload in zip(
+                batch["media_id"].to_numpy(zero_copy_only=False),
+                batch["payload"].to_pylist()):
+            px = parse_bmp(payload)
+            code = (np.arange(3, dtype=np.int64) * 4
+                    + (px.astype(np.int64) // 64)).reshape(-1, 3)
+            cnt = np.bincount(code.reshape(-1), minlength=12)
+            mids.append(np.full(12, int(mid), np.int64))
+            chs.append(np.repeat(np.arange(3, dtype=np.int64), 4))
+            bks.append(np.tile(np.arange(4, dtype=np.int64), 3))
+            ns.append(cnt.astype(np.int64))
+        if not mids:
+            return pa.table({"media_id": pa.array([], pa.int64()),
+                             "ch": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"media_id": pa.array(np.concatenate(mids)),
+                         "ch": pa.array(np.concatenate(chs)),
+                         "bucket": pa.array(np.concatenate(bks)),
+                         "n": pa.array(np.concatenate(ns))})
+
+
+def histogram_images(ds, concurrency: int = 4, batch_size: int = 256):
+    """image media table -> per-channel 4-bucket intensity histograms."""
+    return ds.map_batches(HistogramStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=pool_size(concurrency))

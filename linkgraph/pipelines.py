@@ -9795,3 +9795,46 @@ from .sketch import hash_sample_quantiles_sql as _hsq_sql  # noqa: E402
 
 ORACLE_SQL["sketch_quantiles"] = _hsq_sql()
 QUERIES["sketch_quantiles"] = q_sketch_quantiles
+
+
+def q_media_histogram(sf_dir):
+    """Per-channel 4-bucket intensity histograms over the REAL BMP
+    decode lane (multimodal.HistogramStage, actor pool): exact integer
+    counts including empty buckets; the oracle re-derives every pixel
+    from the generator's closed form."""
+    from .multimodal import histogram_images, images_from_documents
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return histogram_images(images_from_documents(docs))
+
+
+ORACLE_SQL["media_histogram"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+      FROM documents
+    ), px AS (
+      SELECT media_id, gx.x, gy.y, gc.c
+      FROM m
+      CROSS JOIN (SELECT unnest(range(24)) AS x) gx
+      CROSS JOIN (SELECT unnest(range(20)) AS y) gy
+      CROSS JOIN (SELECT unnest(range(3)) AS c) gc
+      WHERE gx.x < w AND gy.y < h
+    ), cnt AS (
+      SELECT media_id, c AS ch,
+             ((media_id * 131 + y * 17 + x * 7 + c * 3) % 256) // 64
+                 AS bucket,
+             count(*)::BIGINT AS n
+      FROM px GROUP BY 1, 2, 3
+    )
+    SELECT m.media_id, gc.c::BIGINT AS ch, gb.b::BIGINT AS bucket,
+           coalesce(cnt.n, 0)::BIGINT AS n
+    FROM m
+    CROSS JOIN (SELECT unnest(range(3)) AS c) gc
+    CROSS JOIN (SELECT unnest(range(4)) AS b) gb
+    LEFT JOIN cnt ON cnt.media_id = m.media_id AND cnt.ch = gc.c
+                 AND cnt.bucket = gb.b
+    ORDER BY 1, 2, 3
+"""
+QUERIES["media_histogram"] = q_media_histogram

@@ -127,6 +127,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "doc_simrank",
                                   "events_window_uniques",
                                   "sketch_quantiles",
+                                  "media_histogram",
                                   "text_source_jsd",
                                   "tpch_dominant_supplier"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
