@@ -9838,3 +9838,30 @@ ORACLE_SQL["media_histogram"] = """
     ORDER BY 1, 2, 3
 """
 QUERIES["media_histogram"] = q_media_histogram
+
+
+def q_events_conversion_lag(sf_dir):
+    """First-touch-to-first-purchase latency histogram in whole days
+    (windows.conversion_lag_days): per-user double-min combiner +
+    one coarse user-bucket groupby; only per-day partials leave the
+    kernels."""
+    from .windows import conversion_lag_days
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"])
+    return conversion_lag_days(ev)
+
+
+ORACLE_SQL["events_conversion_lag"] = """
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts)) AS am,
+             min(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(ts) END) AS cm
+      FROM events GROUP BY 1)
+    SELECT ((cm - am) // 86400000000)::BIGINT AS lag_days,
+           count(*)::BIGINT AS n_users
+    FROM f WHERE cm IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["events_conversion_lag"] = q_events_conversion_lag

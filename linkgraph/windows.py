@@ -1255,3 +1255,70 @@ def sliding_uniques(ds, key: str = "user_id", ts: str = "ts",
     return pd.DataFrame({
         "window_start_day": agg["w"].to_numpy(np.int64),
         "n_users": agg["n"].to_numpy(np.int64)})
+
+
+def conversion_lag_days(ds, convert_type: str = "purchase",
+                        key: str = "user_id", ts: str = "ts",
+                        type_col: str = "event_type"):
+    """Time-to-convert report: for every user with a `convert_type`
+    event, the lag from their FIRST event of any type to their FIRST
+    conversion, bucketed into whole days — (lag_days, n_users), exact
+    integer counts (no float quantile risk).
+
+    100-TB plan: per-user double-min is a combiner — each batch
+    pre-reduces to (user, min any-ts, min convert-ts) rows, one coarse
+    user-bucket groupby re-reduces exactly, and only per-day partial
+    counts leave the kernels; the driver folds O(buckets x days)."""
+    from .algos.triangles import n_buckets_for
+
+    DAY_US = 86400 * US
+    ds = ds.select_columns([key, ts, type_col]).materialize()
+    n = ds.count()
+    empty = pd.DataFrame({"lag_days": pd.Series([], dtype="int64"),
+                          "n_users": pd.Series([], dtype="int64")})
+    if n == 0:
+        return empty
+    nb = n_buckets_for(n)
+    BIG = np.int64(2**62)
+
+    def mins(u, t, conv):
+        """(users, min any ts, min convert ts [BIG if none]) per user."""
+        order = np.lexsort((t, u))
+        u, t, conv = u[order], t[order], conv[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(first) - 1
+        any_min = np.full(seg[-1] + 1, BIG)
+        np.minimum.at(any_min, seg, t)
+        cv_min = np.full(seg[-1] + 1, BIG)
+        if conv.any():
+            np.minimum.at(cv_min, seg[conv], t[conv])
+        return u[first], any_min, cv_min
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        conv = pc.equal(b[type_col], convert_type).to_numpy(
+            zero_copy_only=False)
+        uu, am, cm = mins(u, t, conv)
+        return pa.table({"u": pa.array(uu), "am": pa.array(am),
+                         "cm": pa.array(cm),
+                         "ub": pa.array(uu % nb)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("u", sort=False)[["am", "cm"]].min()
+        lag = f.loc[f["cm"] < BIG, ["am", "cm"]]
+        days = ((lag["cm"] - lag["am"]) // DAY_US).to_numpy(np.int64)
+        u2, c2 = np.unique(days, return_counts=True)
+        return pd.DataFrame({"lag_days": u2,
+                             "n": c2.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+              .groupby("ub").map_groups(kern, batch_format="pandas") \
+              .to_pandas()
+    if len(parts) == 0:
+        return empty
+    agg = parts.groupby("lag_days", sort=True)["n"].sum().reset_index()
+    return pd.DataFrame({"lag_days": agg["lag_days"].to_numpy(np.int64),
+                         "n_users": agg["n"].to_numpy(np.int64)})

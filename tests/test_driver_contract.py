@@ -128,6 +128,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "events_window_uniques",
                                   "sketch_quantiles",
                                   "media_histogram",
+                                  "events_conversion_lag",
                                   "text_source_jsd",
                                   "tpch_dominant_supplier"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
