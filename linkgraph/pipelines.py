@@ -9865,3 +9865,63 @@ ORACLE_SQL["events_conversion_lag"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["events_conversion_lag"] = q_events_conversion_lag
+
+
+def _anf_sql(k: int, rounds: int) -> str:
+    """Oracle for algos.anf.neighborhood_function: identical splitmix64
+    register init ((v * 2^32 + r) avalanched in HUGEINT, top bit
+    dropped), `rounds` unrolled min-relaxation rounds over the
+    symmetric edges, then per-t left-associated register sums and the
+    (k-1)/sum estimator, summed per vertex and rounded to 6."""
+    m1 = _mulmod64_sql("h1", 0xFF51AFD7ED558CCD)
+    m2 = _mulmod64_sql("h3", 0xC4CEB9FE1A85EC53)
+    ctes = [
+        f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+        f"""h0t AS (SELECT doc_id AS v, gr.r,
+              ((doc_id::HUGEINT * 4294967296 + gr.r) % {_W64})::UBIGINT
+                  AS h0
+            FROM documents
+            CROSS JOIN (SELECT unnest(range({k})) AS r) gr)""",
+        "h1t AS (SELECT v, r, xor(h0, h0 >> 33) AS h1 FROM h0t)",
+        f"h2t AS (SELECT v, r, {m1}::UBIGINT AS h2 FROM h1t)",
+        "h3t AS (SELECT v, r, xor(h2, h2 >> 29) AS h3 FROM h2t)",
+        f"h4t AS (SELECT v, r, {m2}::UBIGINT AS h4 FROM h3t)",
+        """s0 AS MATERIALIZED (SELECT v, r,
+              (xor(h4, h4 >> 32) >> 1)::BIGINT AS reg FROM h4t)""",
+    ]
+    for t in range(1, rounds + 1):
+        p = f"s{t - 1}"
+        ctes.append(f"""s{t} AS MATERIALIZED (
+          SELECT p.v, p.r, least(p.reg, coalesce(m.reg, p.reg)) AS reg
+          FROM {p} p LEFT JOIN (
+            SELECT sym.dst AS v, q.r, min(q.reg) AS reg
+            FROM sym JOIN {p} q ON q.v = sym.src GROUP BY 1, 2) m
+          USING (v, r))""")
+    two63 = "9223372036854775808.0"
+    acc = " + ".join(
+        f"max(CASE WHEN r = {r} THEN reg END) / {two63}"
+        for r in range(k))
+    sels = []
+    for t in range(1, rounds + 1):
+        sels.append(
+            f"SELECT {t}::BIGINT AS t, round(sum(est), 6) AS nf FROM "
+            f"(SELECT v, {k - 1}.0 / ({acc}) AS est FROM s{t} "
+            f"GROUP BY v)")
+    return (f"WITH {', '.join(ctes)} "
+            + " UNION ALL ".join(sels) + " ORDER BY t")
+
+
+def q_doc_anf(sf_dir):
+    """Approximate neighborhood function N(t), t = 1..3 (algos.anf,
+    HyperANF family with k = 8 independent min-hash registers): each
+    register round is ONE ordinary min-combine superstep over the
+    undirected doc graph; the sketch covers ALL vertices at once where
+    exact BFS (doc_distance_dist) sweeps per seed."""
+    from .algos.anf import ANF_K, ANF_ROUNDS, neighborhood_function
+
+    eng = documents_engine(sf_dir, "undirected")
+    return neighborhood_function(eng, k=ANF_K, rounds=ANF_ROUNDS)
+
+
+ORACLE_SQL["doc_anf"] = _anf_sql(8, 3)
+QUERIES["doc_anf"] = q_doc_anf

@@ -1040,3 +1040,44 @@ def test_simrank_matches_naive_dense(ray_session):
         iters=3, c=0.8).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_hist,
                                   want_hist.reset_index(drop=True))
+
+
+def test_anf_estimates_track_exact_balls(tmp_path, ray_session):
+    """The k=8 register sketch's N(t) tracks the exact neighborhood
+    function within estimator error on a random graph, and increasing
+    t never decreases the estimate (registers are monotone mins)."""
+    import numpy as np
+
+    from linkgraph.algos.anf import neighborhood_function
+    from linkgraph.edges import symmetrize
+    from linkgraph.graph import load_undirected
+    from linkgraph.io import from_pandas_clean
+
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    n, m = 120, 260
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    e = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    edges = from_pandas_clean(pd.DataFrame({"src": e[:, 0],
+                                            "dst": e[:, 1]}))
+    eng = load_undirected(symmetrize(edges), n, 2,
+                          str(tmp_path / "anf_store"))
+    got = neighborhood_function(eng, k=8, rounds=3)
+
+    # exact balls by boolean matrix powers
+    A = np.eye(n, dtype=bool)
+    A[e[:, 0], e[:, 1]] = True
+    A[e[:, 1], e[:, 0]] = True
+    reach = np.eye(n, dtype=bool)
+    exact = []
+    for _ in range(3):
+        reach = reach @ A
+        exact.append(int(reach.sum()))
+    nf = got["nf"].to_numpy()
+    assert list(got["t"]) == [1, 2, 3]
+    assert np.all(np.diff(nf) >= 0)
+    for est, ex in zip(nf, exact):
+        assert abs(est - ex) / ex < 0.35, (est, ex)
