@@ -9925,3 +9925,61 @@ def q_doc_anf(sf_dir):
 
 ORACLE_SQL["doc_anf"] = _anf_sql(8, 3)
 QUERIES["doc_anf"] = q_doc_anf
+
+
+def _voterank_sql(k: int) -> str:
+    """Oracle for algos.voterank: K unrolled vote-and-suppress rounds
+    in the same exact integer units (va in 1/(2|E|) units, delta = |V|
+    units), argmax with (score DESC, v ASC) selection, neighbor floor
+    at 0.  Integer scores make every selection tie-proof."""
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            "uc AS (SELECT count(*)::BIGINT AS u FROM sym)",
+            "dc AS (SELECT count(*)::BIGINT AS d FROM documents)",
+            """va0 AS MATERIALIZED (
+      SELECT v, (SELECT u FROM uc) AS va FROM allv)""",
+            "picked0 AS (SELECT CAST(NULL AS BIGINT) AS v, "
+            "CAST(NULL AS BIGINT) AS rnk, CAST(NULL AS BIGINT) AS s "
+            "WHERE 1 = 0)"]
+    for r in range(1, k + 1):
+        p = r - 1
+        ctes.append(f"""sc{r} AS MATERIALIZED (
+          SELECT allv.v, coalesce(m.s, 0)::BIGINT AS s
+          FROM allv LEFT JOIN (
+            SELECT sym.dst AS v, sum(va{p}.va) AS s
+            FROM sym JOIN va{p} ON va{p}.v = sym.src GROUP BY 1) m
+          USING (v))""")
+        ctes.append(f"""sel{r} AS MATERIALIZED (
+          SELECT v, s FROM sc{r}
+          WHERE v NOT IN (SELECT v FROM picked{p})
+          ORDER BY s DESC, v ASC LIMIT 1)""")
+        ctes.append(f"""picked{r} AS MATERIALIZED (
+          SELECT * FROM picked{p}
+          UNION ALL SELECT v, {r} AS rnk, s FROM sel{r})""")
+        ctes.append(f"""va{r} AS MATERIALIZED (
+          SELECT q.v,
+            CASE WHEN q.v = (SELECT v FROM sel{r}) THEN 0
+                 WHEN q.v IN (SELECT dst FROM sym
+                              WHERE src = (SELECT v FROM sel{r}))
+                 THEN greatest(q.va - (SELECT d FROM dc), 0)
+                 ELSE q.va END AS va
+          FROM va{p} q)""")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT rnk, v, round(s::DOUBLE / (SELECT u FROM uc), 6) "
+            f"AS score FROM picked{k} ORDER BY rnk")
+
+
+def q_doc_voterank(sf_dir):
+    """Top-10 VoteRank influential spreaders (algos.voterank, Zhang et
+    al. 2016): K vote-and-suppress rounds, each one add-combine scoring
+    superstep + a max/min map_vertices argmax + one single-source
+    suppression superstep; exact integer vote units make selection
+    tie-proof across engines."""
+    from .algos.voterank import VOTERANK_K, voterank
+
+    eng = documents_engine(sf_dir, "undirected")
+    return voterank(eng, k=VOTERANK_K)
+
+
+ORACLE_SQL["doc_voterank"] = _voterank_sql(10)
+QUERIES["doc_voterank"] = q_doc_voterank

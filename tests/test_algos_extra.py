@@ -1081,3 +1081,51 @@ def test_anf_estimates_track_exact_balls(tmp_path, ray_session):
     assert np.all(np.diff(nf) >= 0)
     for est, ex in zip(nf, exact):
         assert abs(est - ex) / ex < 0.35, (est, ex)
+
+
+def test_voterank_matches_naive(tmp_path, ray_session):
+    """Engine VoteRank == the textbook sequential iteration in exact
+    integer vote units on a random undirected graph."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.algos.voterank import voterank
+    from linkgraph.edges import symmetrize
+    from linkgraph.graph import load_undirected
+    from linkgraph.io import from_pandas_clean
+
+    rng = np.random.default_rng(21)
+    n, m = 80, 200
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    e = np.unique(np.stack([np.minimum(src, dst)[keep],
+                            np.maximum(src, dst)[keep]], axis=1), axis=0)
+    edges = from_pandas_clean(pd.DataFrame({"src": e[:, 0],
+                                            "dst": e[:, 1]}))
+    eng = load_undirected(symmetrize(edges), n, 2,
+                          str(tmp_path / "vr_store"))
+    got = voterank(eng, k=10)
+
+    adj = [[] for _ in range(n)]
+    for a, b in e:
+        adj[a].append(b)
+        adj[b].append(a)
+    unit = 2 * len(e)
+    delta = n
+    va = np.full(n, unit, dtype=np.int64)
+    picked = np.zeros(n, dtype=bool)
+    rows = []
+    for rnd in range(1, 11):
+        score = np.array([sum(va[u] for u in adj[v]) for v in range(n)],
+                         dtype=np.int64)
+        score_m = np.where(picked, -1, score)
+        sel = int(np.flatnonzero(score_m == score_m.max())[0])
+        rows.append((rnd, sel, round(score[sel] / unit, 6)))
+        picked[sel] = True
+        va[sel] = 0
+        for u in adj[sel]:
+            va[u] = max(va[u] - delta, 0)
+    want = pd.DataFrame(rows, columns=["rnk", "v", "score"]) \
+        .astype({"rnk": np.int64, "v": np.int64})
+    pd.testing.assert_frame_equal(got, want)

@@ -129,7 +129,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "sketch_quantiles",
                                   "media_histogram",
                                   "events_conversion_lag",
-                                  "doc_anf",
+                                  "doc_anf", "doc_voterank",
                                   "text_source_jsd",
                                   "tpch_dominant_supplier"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
