@@ -972,3 +972,82 @@ def quantize_int8(ds, id_col: str = "vec_id",
             "rmse": pa.array(np.round(rmse, 6), pa.float64())})
 
     return ds.map_batches(enc, batch_format="pyarrow")
+
+
+KCENTER_K = 8
+
+
+def kcenter_greedy(ds, k: int = KCENTER_K, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   round_to: int = 6) -> pd.DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the standard diversity-sampling / coreset primitive of
+    training-data curation) over L2-normalized vectors with cosine
+    distance: center 1 is the smallest vec_id; each further round picks
+    the vector FARTHEST from its nearest chosen center (ties -> the
+    smallest id).  Returns (rnk, vec_id, dist) with dist = the winner's
+    min distance at selection (0 for the seed), rounded to 6.
+
+    Scale shape: per round the chosen-center matrix broadcasts ONCE
+    (ray.put) and every block emits a single (id, mind, vector) winner
+    row — the argmax is a partial-top-1, never a materialized distance
+    column.  k passes over the data total.  Same float-tie caveat as
+    kmeans_full: distances differ ~1e-16 across engines, selections
+    only flip on exact ties, which random embeddings never produce."""
+    import ray
+    from ray.data.aggregate import Min
+
+    first = ds.aggregate(Min(id_col))
+    seed_id = int(first[f"min({id_col})"])
+    q, qi = queries_from_ids(ds, [seed_id], id_col=id_col,
+                             vec_col=vec_col)
+    centers = _normalize(q)
+    chosen = [seed_id]
+    rows = [(1, seed_id, 0.0)]
+
+    for rnd in range(2, k + 1):
+        cref = ray.put((centers, np.array(chosen, np.int64)))
+
+        def winner(b: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "id": pa.array([], pa.int64()),
+                "mind": pa.array([], pa.float64()),
+                "emb": pa.array([], pa.list_(pa.float64()))})
+            if len(b) == 0:
+                return empty
+            c, ch = ray.get(cref)
+            ids = b[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = _normalize(np.array(b[vec_col].to_pylist(),
+                                    dtype=np.float64))
+            mind = 1.0 - (m @ c.T).max(axis=1)
+            ok = ~np.isin(ids, ch)
+            if not ok.any():
+                return empty
+            # block winner: mind DESC, id ASC
+            oi = np.flatnonzero(ok)
+            best = oi[np.lexsort((ids[oi], -mind[oi]))[0]]
+            return pa.table({
+                "id": pa.array(ids[best:best + 1]),
+                "mind": pa.array(mind[best:best + 1]),
+                "emb": pa.array([m[best].tolist()],
+                                pa.list_(pa.float64()))})
+
+        parts = ds.map_batches(winner, batch_format="pyarrow") \
+                  .to_pandas()
+        parts = parts.sort_values(["mind", "id"],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+        sel_id = int(parts["id"].iloc[0])
+        sel_d = float(parts["mind"].iloc[0])
+        centers = np.vstack([centers,
+                             np.array(parts["emb"].iloc[0],
+                                      np.float64)])
+        chosen.append(sel_id)
+        rows.append((rnd, sel_id, round(sel_d, round_to)))
+    return pd.DataFrame({"rnk": np.array([r for r, _, _ in rows],
+                                         np.int64),
+                         "vec_id": np.array([v for _, v, _ in rows],
+                                            np.int64),
+                         "dist": np.array([d for _, _, d in rows],
+                                          np.float64)})

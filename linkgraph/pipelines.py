@@ -9983,3 +9983,62 @@ def q_doc_voterank(sf_dir):
 
 ORACLE_SQL["doc_voterank"] = _voterank_sql(10)
 QUERIES["doc_voterank"] = q_doc_voterank
+
+
+def _kcenter_sql(k: int) -> str:
+    """Oracle for ann.kcenter_greedy: normalized long-form vectors (the
+    _kmeans_full_sql conventions), seed = min vec_id, then k-1 unrolled
+    farthest-point rounds — mind = 1 - max dot over chosen, selection
+    (mind DESC, vec_id ASC), NOT IN exclusion.  Same float-tie caveat
+    as _kmeans_full_sql."""
+    ctes = ["""emb AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+            """nrm AS MATERIALIZED (
+      SELECT vec_id, v,
+             CASE WHEN sq = 0 THEN 1.0 ELSE sqrt(sq) END AS nv
+      FROM (SELECT vec_id, v,
+            list_sum(list_transform(v, x -> x*x)) AS sq FROM emb))""",
+            """sml AS MATERIALIZED (
+      SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS i,
+             unnest(v) / nv AS x
+      FROM nrm)""",
+            """picked1 AS (
+      SELECT 1::BIGINT AS rnk,
+             (SELECT min(vec_id) FROM embeddings) AS v,
+             0.0::DOUBLE AS dist)"""]
+    for r in range(2, k + 1):
+        p = f"picked{r - 1}"
+        ctes.append(f"""mind{r} AS MATERIALIZED (
+          SELECT vec_id, 1 - max(dot) AS mind FROM (
+            SELECT s.vec_id, p.v AS cv, sum(s.x * cs.x) AS dot
+            FROM sml s
+            JOIN {p} p ON TRUE
+            JOIN sml cs ON cs.vec_id = p.v AND cs.i = s.i
+            GROUP BY s.vec_id, p.v)
+          GROUP BY vec_id)""")
+        ctes.append(f"""sel{r} AS MATERIALIZED (
+          SELECT vec_id, mind FROM mind{r}
+          WHERE vec_id NOT IN (SELECT v FROM {p})
+          ORDER BY mind DESC, vec_id ASC LIMIT 1)""")
+        ctes.append(f"""picked{r} AS MATERIALIZED (
+          SELECT * FROM {p}
+          UNION ALL SELECT {r}::BIGINT, vec_id, mind FROM sel{r})""")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT rnk, v AS vec_id, round(dist, 6) AS dist "
+            f"FROM picked{k} ORDER BY rnk")
+
+
+def q_embed_kcenter(sf_dir):
+    """Greedy k-center coreset selection (ann.kcenter_greedy, Gonzalez
+    farthest-point traversal — the diversity-sampling primitive of data
+    curation): chosen centers broadcast once per round, every block
+    emits one winner row, argmax is a partial-top-1."""
+    from .ann import KCENTER_K, kcenter_greedy
+
+    vecs = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+    return kcenter_greedy(vecs, k=KCENTER_K)
+
+
+ORACLE_SQL["embed_kcenter"] = _kcenter_sql(8)
+QUERIES["embed_kcenter"] = q_embed_kcenter
