@@ -10042,3 +10042,59 @@ def q_embed_kcenter(sf_dir):
 
 ORACLE_SQL["embed_kcenter"] = _kcenter_sql(8)
 QUERIES["embed_kcenter"] = q_embed_kcenter
+
+
+def q_text_llr(sf_dir):
+    """Dunning log-likelihood-ratio collocations (text.llr_phrases):
+    the count-robust alternative to PMI over the SAME shared candidate
+    scan — distributed bigram counts + candidate-only unigram pass,
+    G^2 evaluated driver-side over n_cand rows."""
+    from .text import llr_phrases
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+    return llr_phrases(docs, min_count=PMI_MIN_COUNT,
+                       n_cand=PMI_CAND, k=PMI_K)
+
+
+ORACLE_SQL["text_llr"] = f"""
+    WITH wl AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text,
+             '\\s+'), x -> x <> '') AS l
+      FROM documents),
+    w AS (SELECT doc_id, unnest(l) AS w,
+                 generate_subscripts(l, 1) AS i FROM wl),
+    big AS (
+      SELECT w || ' ' || w2 AS bigram FROM (
+        SELECT doc_id, w,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        FROM w) WHERE w2 IS NOT NULL),
+    bc AS (SELECT bigram, count(*)::BIGINT AS n
+           FROM big GROUP BY bigram),
+    cand AS (SELECT bigram, n FROM bc WHERE n >= {PMI_MIN_COUNT}
+             ORDER BY n DESC, bigram LIMIT {PMI_CAND}),
+    uc AS (SELECT w, count(*)::DOUBLE AS cn FROM w GROUP BY w),
+    tot AS (SELECT count(*)::DOUBLE AS t FROM w),
+    p AS (
+      SELECT cand.bigram, cand.n,
+             round(2 * (
+               (CASE WHEN cand.n > 0 THEN cand.n * ln(cand.n * tot.t
+                  / (ua.cn * ub.cn)) ELSE 0 END)
+             + (CASE WHEN ua.cn - cand.n > 0 THEN (ua.cn - cand.n)
+                  * ln((ua.cn - cand.n) * tot.t
+                       / (ua.cn * (tot.t - ub.cn))) ELSE 0 END)
+             + (CASE WHEN ub.cn - cand.n > 0 THEN (ub.cn - cand.n)
+                  * ln((ub.cn - cand.n) * tot.t
+                       / ((tot.t - ua.cn) * ub.cn)) ELSE 0 END)
+             + (CASE WHEN tot.t - ua.cn - ub.cn + cand.n > 0
+                  THEN (tot.t - ua.cn - ub.cn + cand.n)
+                  * ln((tot.t - ua.cn - ub.cn + cand.n) * tot.t
+                       / ((tot.t - ua.cn) * (tot.t - ub.cn)))
+                  ELSE 0 END)), 6) AS llr
+      FROM cand, tot
+      JOIN uc ua ON ua.w = split_part(cand.bigram, ' ', 1)
+      JOIN uc ub ON ub.w = split_part(cand.bigram, ' ', 2))
+    SELECT bigram, n, llr FROM p
+    ORDER BY llr DESC, bigram LIMIT {PMI_K}
+"""
+QUERIES["text_llr"] = q_text_llr

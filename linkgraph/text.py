@@ -775,7 +775,7 @@ def stem_sql_expr(col: str) -> str:
 # ---------------------------------------------------------------------------
 
 def pmi_phrases(ds, text_col: str = "text", min_count: int = 5,
-                n_cand: int = 200, k: int = 20):
+                n_cand: int = 200, k: int = 20, _marginals: bool = False):
     """Top-k word bigrams by pointwise mutual information
     ln((c_ab/B) / ((c_a/T) * (c_b/T))) with a count floor — the
     collocation scan that seeds a phrase vocabulary.
@@ -863,12 +863,58 @@ def pmi_phrases(ds, text_col: str = "text", min_count: int = 5,
     b2 = cand["bigram"].str.split(" ", n=1).str[1]
     ca = uni.reindex(a.to_numpy(object)).to_numpy(np.float64)
     cb = uni.reindex(b2.to_numpy(object)).to_numpy(np.float64)
+    if _marginals:  # llr_phrases reuses the candidate scan verbatim
+        return cand, ca, cb, t_tot
     n = cand["n"].to_numpy(np.float64)
     pmi = np.log((n / b_tot) / ((ca / t_tot) * (cb / t_tot)))
     out = pd.DataFrame({"bigram": cand["bigram"],
                         "n": cand["n"].astype(np.int64),
                         "pmi": np.round(pmi, 6)})
     out = out.sort_values(["pmi", "bigram"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return out.reset_index(drop=True)
+
+
+def llr_phrases(ds, text_col: str = "text", min_count: int = 5,
+                n_cand: int = 200, k: int = 20):
+    """Top-k collocations by Dunning's log-likelihood ratio ("Accurate
+    Methods for the Statistics of Surprise and Coincidence", CL 1993)
+    — the count-robust alternative to PMI (PMI overweights rare pairs;
+    G^2 weights by evidence).  2x2 contingency over token totals:
+
+        k11 = c_ab   k12 = c_a - c_ab
+        k21 = c_b - c_ab   k22 = T - c_a - c_b + c_ab
+        llr = 2 * sum over nonzero cells of k * ln(k * T / (R_i * C_j))
+
+    Scale shape: identical to pmi_phrases (shared candidate scan +
+    candidate-only unigram pass); the statistic is evaluated
+    driver-side over n_cand rows.  Returns (bigram, n, llr) ordered
+    (round(llr, 6) DESC, bigram)."""
+    import pandas as pd
+
+    got = pmi_phrases(ds, text_col=text_col, min_count=min_count,
+                      n_cand=n_cand, k=0, _marginals=True)
+    if isinstance(got, pd.DataFrame):  # empty candidate set
+        return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64),
+                             "llr": pd.Series([], dtype=np.float64)})
+    cand, ca, cb, t_tot = got
+    n = cand["n"].to_numpy(np.float64)
+    cells = [(n, ca, cb),
+             (ca - n, ca, t_tot - cb),
+             (cb - n, t_tot - ca, cb),
+             (t_tot - ca - cb + n, t_tot - ca, t_tot - cb)]
+    llr = np.zeros(len(n), np.float64)
+    for kk, r, c in cells:  # fixed cell order: oracle twin
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = np.where(kk > 0, kk * np.log(kk * t_tot / (r * c)),
+                            0.0)
+        llr = llr + term
+    llr = 2.0 * llr
+    out = pd.DataFrame({"bigram": cand["bigram"],
+                        "n": cand["n"].astype(np.int64),
+                        "llr": np.round(llr, 6)})
+    out = out.sort_values(["llr", "bigram"], ascending=[False, True],
                           kind="mergesort").head(k)
     return out.reset_index(drop=True)
 

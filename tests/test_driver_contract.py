@@ -130,7 +130,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "media_histogram",
                                   "events_conversion_lag",
                                   "doc_anf", "doc_voterank",
-                                  "embed_kcenter",
+                                  "embed_kcenter", "text_llr",
                                   "text_source_jsd",
                                   "tpch_dominant_supplier"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
