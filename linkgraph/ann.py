@@ -1051,3 +1051,83 @@ def kcenter_greedy(ds, k: int = KCENTER_K, id_col: str = "vec_id",
                                             np.int64),
                          "dist": np.array([d for _, _, d in rows],
                                           np.float64)})
+
+
+MMR_K = 10
+MMR_LAMBDA = 0.7
+
+
+def mmr_rerank(ds, query_id: int = 0, k: int = MMR_K,
+               lam: float = MMR_LAMBDA, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               round_to: int = 6) -> pd.DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998 — the diversity-aware re-ranking of retrieval): given
+    the query vector (the row with id `query_id`), greedily pick k
+    results maximizing
+
+        lam * cos(q, x) - (1 - lam) * max over chosen c of cos(x, c)
+
+    (round 1 is pure relevance; the query row itself is excluded).
+    Ties -> smallest id.  Returns (rnk, vec_id, score rounded).
+
+    Scale shape: identical to kcenter_greedy — the (query, chosen)
+    matrix broadcasts once per round, each block emits ONE winner row,
+    k passes total.  Same float-tie caveat as kmeans_full."""
+    import ray
+
+    q, _ = queries_from_ids(ds, [int(query_id)], id_col=id_col,
+                            vec_col=vec_col)
+    qv = _normalize(q)[0]
+    centers = np.zeros((0, len(qv)))
+    chosen = [int(query_id)]  # excluded, not a result
+    rows = []
+
+    for rnd in range(1, k + 1):
+        cref = ray.put((qv, centers, np.array(chosen, np.int64)))
+
+        def winner(b: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+                "emb": pa.array([], pa.list_(pa.float64()))})
+            if len(b) == 0:
+                return empty
+            qv_, c, ch = ray.get(cref)
+            ids = b[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = _normalize(np.array(b[vec_col].to_pylist(),
+                                    dtype=np.float64))
+            rel = m @ qv_
+            if len(c):
+                score = lam * rel - (1.0 - lam) * (m @ c.T).max(axis=1)
+            else:
+                score = lam * rel
+            ok = ~np.isin(ids, ch)
+            if not ok.any():
+                return empty
+            oi = np.flatnonzero(ok)
+            best = oi[np.lexsort((ids[oi], -score[oi]))[0]]
+            return pa.table({
+                "id": pa.array(ids[best:best + 1]),
+                "score": pa.array(score[best:best + 1]),
+                "emb": pa.array([m[best].tolist()],
+                                pa.list_(pa.float64()))})
+
+        parts = ds.map_batches(winner, batch_format="pyarrow") \
+                  .to_pandas() \
+                  .sort_values(["score", "id"], ascending=[False, True],
+                               kind="mergesort")
+        sel_id = int(parts["id"].iloc[0])
+        centers = np.vstack([centers,
+                             np.array(parts["emb"].iloc[0],
+                                      np.float64)])
+        chosen.append(sel_id)
+        rows.append((rnd, sel_id,
+                     round(float(parts["score"].iloc[0]), round_to)))
+    return pd.DataFrame({"rnk": np.array([r for r, _, _ in rows],
+                                         np.int64),
+                         "vec_id": np.array([v for _, v, _ in rows],
+                                            np.int64),
+                         "score": np.array([s for _, _, s in rows],
+                                           np.float64)})

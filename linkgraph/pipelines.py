@@ -10098,3 +10098,130 @@ ORACLE_SQL["text_llr"] = f"""
     ORDER BY llr DESC, bigram LIMIT {PMI_K}
 """
 QUERIES["text_llr"] = q_text_llr
+
+
+SKEW_PARTS = 64
+
+
+def q_events_skew(sf_dir):
+    """Partition-skew diagnostic for hash-partitioning the events log by
+    user_id into SKEW_PARTS parts — the planning report a distributed
+    engine consults before picking a shuffle key: per-part row counts
+    via map-side bincount partials (a 64-long array per block, merged
+    on the driver), then exact integer stats — max / min / lower-median
+    part size and skew_milli = max * parts * 1000 // total (1000 =
+    perfectly balanced)."""
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(u % SKEW_PARTS, minlength=SKEW_PARTS)
+        return pa.table({"part": pa.array(np.arange(SKEW_PARTS,
+                                                    dtype=np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cnt = np.zeros(SKEW_PARTS, np.int64)
+    g = parts.groupby("part")["n"].sum()
+    cnt[g.index.to_numpy(np.int64)] = g.to_numpy(np.int64)
+    s = np.sort(cnt)
+    total = int(cnt.sum())
+    rows = [("max_part_rows", int(s[-1])),
+            ("median_part_rows", int(s[SKEW_PARTS // 2 - 1])),
+            ("min_part_rows", int(s[0])),
+            ("skew_milli", int(s[-1]) * SKEW_PARTS * 1000 // max(total,
+                                                                 1))]
+    return pd.DataFrame({"stat": [r[0] for r in rows],
+                         "value": np.array([r[1] for r in rows],
+                                           np.int64)})
+
+
+ORACLE_SQL["events_skew"] = f"""
+    WITH c AS (
+      SELECT user_id % {SKEW_PARTS} AS part, count(*)::BIGINT AS n
+      FROM events GROUP BY 1),
+    f AS (SELECT gp.p AS part, coalesce(c.n, 0)::BIGINT AS n
+          FROM (SELECT unnest(range({SKEW_PARTS})) AS p) gp
+          LEFT JOIN c ON c.part = gp.p),
+    r AS (SELECT n, row_number() OVER (ORDER BY n) AS rn FROM f),
+    t AS (SELECT sum(n)::BIGINT AS total, max(n)::BIGINT AS mx,
+                 min(n)::BIGINT AS mn FROM f),
+    md AS (SELECT n AS med FROM r WHERE rn = {SKEW_PARTS // 2})
+    SELECT 'max_part_rows' AS stat, mx AS value FROM t
+    UNION ALL SELECT 'median_part_rows', med FROM md
+    UNION ALL SELECT 'min_part_rows', mn FROM t
+    UNION ALL SELECT 'skew_milli',
+        mx * {SKEW_PARTS} * 1000 // greatest(total, 1) FROM t
+"""
+QUERIES["events_skew"] = q_events_skew
+
+
+def _mmr_sql(k: int, lam: float, qid: int) -> str:
+    """Oracle for ann.mmr_rerank: the kcenter-style unrolled greedy
+    chain with score = lam*rel - (1-lam)*max-chosen-sim.  The (1-lam)
+    literal is injected as repr(1.0 - lam) so the float is THE SAME
+    double as the engine's (1.0 - 0.7 != 0.3 exactly).  Same float-tie
+    caveat as _kmeans_full_sql."""
+    om = repr(1.0 - lam)
+    lm = repr(lam)
+    ctes = ["""emb AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+            """nrm AS MATERIALIZED (
+      SELECT vec_id, v,
+             CASE WHEN sq = 0 THEN 1.0 ELSE sqrt(sq) END AS nv
+      FROM (SELECT vec_id, v,
+            list_sum(list_transform(v, x -> x*x)) AS sq FROM emb))""",
+            """sml AS MATERIALIZED (
+      SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS i,
+             unnest(v) / nv AS x
+      FROM nrm)""",
+            f"""rl AS MATERIALIZED (
+      SELECT s.vec_id, sum(s.x * q.x) AS rel
+      FROM sml s JOIN sml q ON q.vec_id = {qid} AND q.i = s.i
+      GROUP BY s.vec_id)""",
+            f"""sel1 AS MATERIALIZED (
+      SELECT vec_id, {lm} * rel AS score FROM rl
+      WHERE vec_id <> {qid}
+      ORDER BY score DESC, vec_id ASC LIMIT 1)""",
+            """picked1 AS (
+      SELECT 1::BIGINT AS rnk, vec_id AS v, score FROM sel1)"""]
+    for r in range(2, k + 1):
+        p = f"picked{r - 1}"
+        ctes.append(f"""ms{r} AS MATERIALIZED (
+          SELECT vec_id, max(d) AS ms FROM (
+            SELECT s.vec_id, p.v AS cv, sum(s.x * cs.x) AS d
+            FROM sml s
+            JOIN {p} p ON TRUE
+            JOIN sml cs ON cs.vec_id = p.v AND cs.i = s.i
+            GROUP BY s.vec_id, p.v)
+          GROUP BY vec_id)""")
+        ctes.append(f"""sel{r} AS MATERIALIZED (
+          SELECT rl.vec_id, {lm} * rl.rel - {om} * m.ms AS score
+          FROM rl JOIN ms{r} m USING (vec_id)
+          WHERE rl.vec_id <> {qid}
+            AND rl.vec_id NOT IN (SELECT v FROM {p})
+          ORDER BY score DESC, vec_id ASC LIMIT 1)""")
+        ctes.append(f"""picked{r} AS (
+          SELECT * FROM {p}
+          UNION ALL SELECT {r}::BIGINT, vec_id, score FROM sel{r})""")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT rnk, v AS vec_id, round(score, 6) AS score "
+            f"FROM picked{k} ORDER BY rnk")
+
+
+def q_embed_mmr(sf_dir):
+    """Maximal-marginal-relevance diversity re-ranking
+    (ann.mmr_rerank, Carbonell & Goldstein 1998): greedy
+    relevance-vs-diversity selection against the broadcast query +
+    chosen set, one winner row per block per round."""
+    from .ann import MMR_K, MMR_LAMBDA, mmr_rerank
+
+    vecs = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+    return mmr_rerank(vecs, query_id=ANN_QUERY_IDS[0], k=MMR_K,
+                      lam=MMR_LAMBDA)
+
+
+ORACLE_SQL["embed_mmr"] = _mmr_sql(10, 0.7, 0)
+QUERIES["embed_mmr"] = q_embed_mmr
