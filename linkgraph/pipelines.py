@@ -10225,3 +10225,93 @@ def q_embed_mmr(sf_dir):
 
 ORACLE_SQL["embed_mmr"] = _mmr_sql(10, 0.7, 0)
 QUERIES["embed_mmr"] = q_embed_mmr
+
+
+def q_corpus_card(sf_dir):
+    """Per-source dataset card (the datasheet a curation run publishes):
+    (source, n_docs, n_tokens, mean_quality, n_dup_docs) — doc/token
+    counts and quality sums as map-side partials over the bounded
+    source domain; exact-dup membership (docs whose sha256 appears >= 2
+    times corpus-wide) counted inside ONE coarse sha-bucket groupby (a
+    sha's rows land in one bucket, so dup membership is globally
+    exact), emitting only per-source partial counts."""
+    from .algos.triangles import n_buckets_for
+    from .hashing import add_sha256
+    from .text import TOKEN_RE, add_quality
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "source", "text"]) \
+        .materialize()
+
+    def stats_part(b: pa.Table) -> pa.Table:
+        q = add_quality(b)["quality"].to_numpy(zero_copy_only=False)
+        toks = pc.cast(pc.count_substring_regex(b["text"], TOKEN_RE),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"source": b["source"].to_numpy(
+            zero_copy_only=False), "t": toks, "q": q}) \
+            .groupby("source", sort=False).agg(
+                n_docs=("t", "size"), n_tokens=("t", "sum"),
+                qsum=("q", "sum")).reset_index()
+        return pa.table({
+            "source": pa.array(f["source"].to_numpy(object),
+                               pa.string()),
+            "n_docs": pa.array(f["n_docs"].to_numpy(np.int64)),
+            "n_tokens": pa.array(f["n_tokens"].to_numpy(np.int64)),
+            "qsum": pa.array(f["qsum"].to_numpy(np.float64))})
+
+    stats = docs.map_batches(stats_part, batch_format="pyarrow") \
+        .to_pandas().groupby("source", sort=True) \
+        .agg({"n_docs": "sum", "n_tokens": "sum", "qsum": "sum"})
+
+    nb = n_buckets_for(docs.count())
+
+    def sha_part(b: pa.Table) -> pa.Table:
+        t = add_sha256(b, col="text")
+        hb = (pd.util.hash_array(
+            t["sha256"].to_numpy(zero_copy_only=False).astype(object))
+            % np.uint64(nb)).astype(np.int64)
+        return pa.table({"sha": t["sha256"], "source": b["source"],
+                         "hb": pa.array(hb)})
+
+    def dup_kern(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("sha")["sha"].transform("size")
+        dup = g[c >= 2]
+        out = dup.groupby("source", sort=False).size() \
+            .rename("n").reset_index()
+        return out
+
+    dups = docs.map_batches(sha_part, batch_format="pyarrow") \
+        .groupby("hb").map_groups(dup_kern, batch_format="pandas") \
+        .to_pandas()
+    dup_by_src = dups.groupby("source")["n"].sum() if len(dups) \
+        else pd.Series(dtype=np.int64)
+
+    out = stats.reset_index()
+    out["mean_quality"] = np.round(
+        out["qsum"].to_numpy() / out["n_docs"].to_numpy(), 6)
+    out["n_dup_docs"] = out["source"].map(dup_by_src).fillna(0) \
+        .astype(np.int64)
+    return out[["source", "n_docs", "n_tokens", "mean_quality",
+                "n_dup_docs"]].astype({"n_docs": np.int64,
+                                       "n_tokens": np.int64}) \
+        .reset_index(drop=True)
+
+
+ORACLE_SQL["corpus_card"] = f"""
+    WITH q AS ({_quality_sql()}),
+    base AS (
+      SELECT d.source, count(*)::BIGINT AS n_docs,
+             sum(len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                                 x -> x <> '')))::BIGINT AS n_tokens,
+             round(sum(q.quality) / count(*), 6) AS mean_quality
+      FROM documents d JOIN q USING (doc_id) GROUP BY 1),
+    m AS (SELECT sha256(text) AS h FROM documents
+          GROUP BY 1 HAVING count(*) >= 2),
+    dup AS (SELECT d.source, count(*)::BIGINT AS n_dup
+            FROM documents d JOIN m ON sha256(d.text) = m.h
+            GROUP BY 1)
+    SELECT base.source, base.n_docs, base.n_tokens, base.mean_quality,
+           coalesce(dup.n_dup, 0)::BIGINT AS n_dup_docs
+    FROM base LEFT JOIN dup USING (source) ORDER BY base.source
+"""
+QUERIES["corpus_card"] = q_corpus_card
