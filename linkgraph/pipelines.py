@@ -10315,3 +10315,30 @@ ORACLE_SQL["corpus_card"] = f"""
     FROM base LEFT JOIN dup USING (source) ORDER BY base.source
 """
 QUERIES["corpus_card"] = q_corpus_card
+
+
+def q_events_paths(sf_dir):
+    """Top-10 three-step event-type paths (windows.top_paths): per-user
+    ordered adjacency inside coarse user buckets, catalog-bounded path
+    partials, driver fold."""
+    from .windows import top_paths
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return top_paths(ev)
+
+
+ORACLE_SQL["events_paths"] = """
+    WITH s AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p AS (SELECT t1 || '/' || t2 || '/' || t3 AS path,
+                 count(*)::BIGINT AS n
+          FROM s WHERE t3 IS NOT NULL GROUP BY 1)
+    SELECT path, n FROM p ORDER BY n DESC, path ASC LIMIT 10
+"""
+QUERIES["events_paths"] = q_events_paths

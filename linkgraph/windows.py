@@ -1322,3 +1322,61 @@ def conversion_lag_days(ds, convert_type: str = "purchase",
     agg = parts.groupby("lag_days", sort=True)["n"].sum().reset_index()
     return pd.DataFrame({"lag_days": agg["lag_days"].to_numpy(np.int64),
                          "n_users": agg["n"].to_numpy(np.int64)})
+
+
+def top_paths(ds, path_len: int = 3, k: int = 10, key: str = "user_id",
+              ts: str = "ts", order_id: str = "event_id",
+              type_col: str = "event_type"):
+    """Most common `path_len`-step event-type sequences over adjacent
+    events of each user's (ts, event_id)-ordered stream — the classic
+    clickstream path report.  (path '/'-joined, n), top-k by
+    (n DESC, path ASC).
+
+    100-TB plan: the path domain is catalog-bounded (|types|^len), so
+    each coarse user-bucket kernel emits ONLY its per-path partial
+    counts (a user's events land in one bucket; adjacency never crosses
+    users) and the driver folds O(buckets x paths) rows."""
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.select_columns([key, ts, order_id, type_col]).materialize()
+    n = ds.count()
+    empty = pd.DataFrame({"path": pd.Series([], dtype="object"),
+                          "n": pd.Series([], dtype="int64")})
+    if n == 0:
+        return empty
+    nb = n_buckets_for(n)
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(u),
+                         "t": pc.cast(b[ts], pa.int64()),
+                         "oid": b[order_id], "typ": b[type_col],
+                         "ub": pa.array(u % nb)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["oid"].to_numpy(np.int64),
+                            g["t"].to_numpy(np.int64),
+                            g["u"].to_numpy(np.int64)))
+        u = g["u"].to_numpy(np.int64)[order]
+        typ = g["typ"].to_numpy(object)[order]
+        L = path_len
+        if len(u) < L:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        same = u[: len(u) - L + 1] == u[L - 1:]  # window stays in-user
+        parts = [pd.Series(typ[i:len(typ) - L + 1 + i])
+                 for i in range(L)]
+        path = parts[0].str.cat(parts[1:], sep="/")[same]
+        vc = path.value_counts()
+        return pd.DataFrame({"path": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+              .groupby("ub").map_groups(kern, batch_format="pandas") \
+              .to_pandas()
+    if len(parts) == 0:
+        return empty
+    agg = parts.groupby("path", sort=True)["n"].sum().reset_index()
+    return agg.sort_values(["n", "path"], ascending=[False, True],
+                           kind="mergesort").head(k) \
+        .reset_index(drop=True).astype({"n": np.int64})
