@@ -10342,3 +10342,148 @@ ORACLE_SQL["events_paths"] = """
     SELECT path, n FROM p ORDER BY n DESC, path ASC LIMIT 10
 """
 QUERIES["events_paths"] = q_events_paths
+
+
+def q_doc_assort_directed(sf_dir):
+    """Directed degree-correlation profile (Foster et al., PNAS 2010):
+    the four Pearson coefficients r(alpha, beta) for alpha, beta in
+    {in, out} over the canonical directed edges — (combo, r).  Exact
+    int64 moment sums per combo (the q_doc_assortativity convention) so
+    the float formula is bit-identical to SQL; degree vectors broadcast
+    under BROADCAST_DEG_CAP, two hash joins above."""
+    import ray
+
+    from .algos.triangles import BROADCAST_DEG_CAP
+    from .dedup import _join_parts
+
+    edges = documents_edges(sf_dir).materialize()
+    from ray.data.aggregate import Count
+
+    def degs(col, name):
+        return edges.groupby(col).aggregate(Count()) \
+            .map_batches(lambda b, c=col, n=name: pa.table(
+                {"v": b[c], n: pc.cast(b["count()"], pa.int64())}),
+                batch_format="pyarrow")
+
+    COMBOS = ["in-in", "in-out", "out-in", "out-out"]
+
+    def moment_rows(sout, sin, tout, tin):
+        xs = {"in-in": (sin, tin), "in-out": (sin, tout),
+              "out-in": (sout, tin), "out-out": (sout, tout)}
+        tabs = []
+        for cname in COMBOS:
+            x, y = xs[cname]
+            tabs.append(pa.table({
+                "combo": pa.array([cname], pa.string()),
+                "m": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64())}))
+        return pa.concat_tables(tabs)
+
+    n_v = documents_n_vertices(sf_dir)
+    if n_v <= BROADCAST_DEG_CAP:
+        dout = np.zeros(n_v, np.int64)
+        din = np.zeros(n_v, np.int64)
+        for name, arr in (("dout", dout), ("din", din)):
+            f = degs("src" if name == "dout" else "dst", name) \
+                .to_pandas()
+            arr[f["v"].to_numpy(np.int64)] = f[name].to_numpy(np.int64)
+        dref = ray.put((dout, din))
+
+        def partial(b: pa.Table) -> pa.Table:
+            do_, di_ = ray.get(dref)
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            return moment_rows(do_[s], di_[s], do_[d], di_[d])
+
+        parts = edges.map_batches(partial, batch_format="pyarrow")
+    else:
+        dv = degs("src", "dout").materialize() \
+            .join(degs("dst", "din").materialize(),
+                  join_type="full_outer",
+                  num_partitions=_join_parts(n_v), on=("v",)) \
+            .map_batches(lambda b: pa.table({
+                "v": b["v"],
+                "dout": pc.coalesce(b["dout"], pa.scalar(0)),
+                "din": pc.coalesce(b["din"], pa.scalar(0))}),
+                batch_format="pyarrow").materialize()
+        pn = _join_parts(edges.count())
+        j = edges.join(dv.map_batches(lambda b: pa.table(
+            {"src": b["v"], "sout": b["dout"], "sin": b["din"]}),
+            batch_format="pyarrow"), join_type="inner",
+            num_partitions=pn, on=("src",))
+        j = j.join(dv.map_batches(lambda b: pa.table(
+            {"dst": b["v"], "tout": b["dout"], "tin": b["din"]}),
+            batch_format="pyarrow"), join_type="inner",
+            num_partitions=pn, on=("dst",))
+        parts = j.map_batches(lambda b: moment_rows(
+            b["sout"].to_numpy(zero_copy_only=False),
+            b["sin"].to_numpy(zero_copy_only=False),
+            b["tout"].to_numpy(zero_copy_only=False),
+            b["tin"].to_numpy(zero_copy_only=False)),
+            batch_format="pyarrow")
+
+    p = parts.to_pandas().groupby("combo", sort=True).sum()
+    out_rows = []
+    for cname in COMBOS:
+        r = p.loc[cname]
+        m = float(r["m"])
+        cov = r["sxy"] / m - (r["sx"] / m) * (r["sy"] / m)
+        vx = r["sxx"] / m - (r["sx"] / m) ** 2
+        vy = r["syy"] / m - (r["sy"] / m) ** 2
+        val = 0.0 if vx * vy == 0 else float(cov / np.sqrt(vx * vy))
+        out_rows.append((cname, round(val, 6)))
+    return pd.DataFrame({"combo": [c for c, _ in out_rows],
+                         "r": np.array([v for _, v in out_rows],
+                                       np.float64)})
+
+
+ORACLE_SQL["doc_assort_directed"] = f"""
+    WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+    dou AS (SELECT src AS v, count(*)::BIGINT AS dout
+            FROM e GROUP BY 1),
+    din AS (SELECT dst AS v, count(*)::BIGINT AS din
+            FROM e GROUP BY 1),
+    x AS MATERIALIZED (
+      SELECT coalesce(so.dout, 0) AS sout, coalesce(si.din, 0) AS sin,
+             coalesce(to_.dout, 0) AS tout, coalesce(ti.din, 0) AS tin
+      FROM e LEFT JOIN dou so ON so.v = e.src
+             LEFT JOIN din si ON si.v = e.src
+             LEFT JOIN dou to_ ON to_.v = e.dst
+             LEFT JOIN din ti ON ti.v = e.dst),
+    c(combo) AS (VALUES ('in-in'), ('in-out'),
+                        ('out-in'), ('out-out')),
+    mm AS (
+      SELECT c.combo,
+             count(*)::BIGINT AS m,
+             sum(CASE WHEN c.combo LIKE 'in%' THEN sin
+                 ELSE sout END)::BIGINT AS sx,
+             sum(CASE WHEN c.combo LIKE '%-in' THEN tin
+                 ELSE tout END)::BIGINT AS sy,
+             sum((CASE WHEN c.combo LIKE 'in%' THEN sin ELSE sout END)
+               * (CASE WHEN c.combo LIKE '%-in' THEN tin
+                  ELSE tout END))::BIGINT AS sxy,
+             sum((CASE WHEN c.combo LIKE 'in%' THEN sin ELSE sout END)
+               * (CASE WHEN c.combo LIKE 'in%' THEN sin
+                  ELSE sout END))::BIGINT AS sxx,
+             sum((CASE WHEN c.combo LIKE '%-in' THEN tin ELSE tout END)
+               * (CASE WHEN c.combo LIKE '%-in' THEN tin
+                  ELSE tout END))::BIGINT AS syy
+      FROM x CROSS JOIN c GROUP BY 1)
+    SELECT combo,
+           CASE WHEN (sxx / (1.0 * m) - (sx / (1.0 * m))
+                      * (sx / (1.0 * m)))
+                   * (syy / (1.0 * m) - (sy / (1.0 * m))
+                      * (sy / (1.0 * m))) = 0 THEN 0.0
+                ELSE round((sxy / (1.0 * m) - (sx / (1.0 * m))
+                            * (sy / (1.0 * m)))
+                  / sqrt((sxx / (1.0 * m) - (sx / (1.0 * m))
+                          * (sx / (1.0 * m)))
+                       * (syy / (1.0 * m) - (sy / (1.0 * m))
+                          * (sy / (1.0 * m)))), 6) END AS r
+    FROM mm ORDER BY combo
+"""
+QUERIES["doc_assort_directed"] = q_doc_assort_directed

@@ -133,6 +133,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "embed_kcenter", "text_llr",
                                   "events_skew", "embed_mmr",
                                   "corpus_card", "events_paths",
+                                  "doc_assort_directed",
                                   "text_source_jsd",
                                   "tpch_dominant_supplier"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):

@@ -928,3 +928,16 @@ def test_sliding_uniques_naive_parity(ray_session):
     want = pd.DataFrame(rows, columns=["window_start_day", "n_users"]) \
         .astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_assort_directed_broadcast_vs_join_paths(sf_dir, monkeypatch):
+    """q_doc_assort_directed: degree-broadcast plan equals the hash-join
+    fallback (exact int64 moments on both paths -> bitwise equality)."""
+    import linkgraph.algos.triangles as T
+
+    from linkgraph.pipelines import q_doc_assort_directed
+
+    bc = q_doc_assort_directed(sf_dir)
+    monkeypatch.setattr(T, "BROADCAST_DEG_CAP", -1)
+    join = q_doc_assort_directed(sf_dir)
+    pd.testing.assert_frame_equal(bc, join)
