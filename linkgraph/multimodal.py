@@ -705,6 +705,40 @@ def energy_windows(ds, concurrency: int = 4, batch_size: int = 256):
                           concurrency=pool_size(concurrency))
 
 
+class ZeroCrossStage:
+    """REAL audio zero-crossing lane: parse_wav -> count of adjacent
+    sample pairs whose sign class (v >= 0) flips, plus the exact int64
+    absolute-amplitude sum.  All-integer arithmetic end to end, so the
+    SQL oracle recomputes both from the generator's closed form
+    (synth_wav_payload) — a bit-for-bit decode(encode(x)) check."""
+
+    def _zcr(self, payload: bytes):
+        _, s = parse_wav(payload)
+        n = len(s)
+        if n == 0:
+            return 0, 0, 0
+        nonneg = s >= 0
+        z = int((nonneg[1:] != nonneg[:-1]).sum())
+        return n, z, int(np.abs(s).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._zcr(p) for p in batch["payload"].to_pylist()]
+        n, z, a = (list(x) for x in zip(*out)) if out else ([], [], [])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_samples": pa.array(np.array(n, np.int64)),
+            "zero_crossings": pa.array(np.array(z, np.int64)),
+            "abs_amplitude": pa.array(np.array(a, np.int64))})
+
+
+def zero_crossings(ds, concurrency: int = 4, batch_size: int = 256):
+    """audio media table -> per-clip zero-crossing-rate stats via the
+    real WAV decoder (actor pool)."""
+    return ds.map_batches(ZeroCrossStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=pool_size(concurrency))
+
+
 RESAMPLE_M = 4
 
 

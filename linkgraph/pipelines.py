@@ -10487,3 +10487,62 @@ ORACLE_SQL["doc_assort_directed"] = f"""
     FROM mm ORDER BY combo
 """
 QUERIES["doc_assort_directed"] = q_doc_assort_directed
+
+
+def q_media_zcr(sf_dir):
+    """REAL audio zero-crossing-rate lane: WAV decode -> adjacent
+    sign-class flips + exact int64 absolute-amplitude sum per clip
+    (multimodal.ZeroCrossStage, actor pool).  All-integer, so the SQL
+    oracle is the generator closed form with the i-1 sample computed
+    directly (no window function needed)."""
+    from .multimodal import audio_from_documents, zero_crossings
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return zero_crossings(audio_from_documents(docs))
+
+
+ORACLE_SQL["media_zcr"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             400 + (strlen(text) * 7) % 800 AS n
+      FROM documents
+    ), s AS (
+      SELECT media_id, n, i,
+             ((media_id + 1) * 2654435761 + i * 97003)
+               % 65536 - 32768 AS v,
+             ((media_id + 1) * 2654435761 + (i - 1) * 97003)
+               % 65536 - 32768 AS vp
+      FROM (SELECT media_id, n, unnest(range(n)) AS i FROM m)
+    )
+    SELECT media_id, max(n)::BIGINT AS n_samples,
+           sum(CASE WHEN i >= 1 AND (v >= 0) <> (vp >= 0)
+                    THEN 1 ELSE 0 END)::BIGINT AS zero_crossings,
+           sum(abs(v))::BIGINT AS abs_amplitude
+    FROM s GROUP BY media_id
+"""
+QUERIES["media_zcr"] = q_media_zcr
+
+
+def q_tpch_profit(sf_dir):
+    """TPC-H Q9-like profit per (supplier nation, order year) for
+    parts matching a name token (relational.nation_profit): dimension
+    broadcasts + ONE pruned lineitem x orders hash join, exact-cents
+    bounded-domain partials."""
+    return _REL.nation_profit(sf_dir)
+
+
+ORACLE_SQL["tpch_profit"] = _REL.NATION_PROFIT_SQL
+QUERIES["tpch_profit"] = q_tpch_profit
+
+
+def q_tpch_supplier_parts(sf_dir):
+    """TPC-H Q16-like distinct-supplier counts per (brand, type, size)
+    class (relational.supplier_part_counts): partkey -> group-id
+    broadcast, per-batch pair pre-dedup, ONE coarse hash-bucket
+    distinct kernel, bounded-domain driver fold."""
+    return _REL.supplier_part_counts(sf_dir)
+
+
+ORACLE_SQL["tpch_supplier_parts"] = _REL.SUPPLIER_PART_COUNTS_SQL
+QUERIES["tpch_supplier_parts"] = q_tpch_supplier_parts

@@ -1810,3 +1810,233 @@ DOMINANT_SUPPLIERS_SQL = f"""
     FROM dom JOIN supplier s ON s.s_suppkey = dom.l_suppkey
     ORDER BY s.s_name
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9-like: profit per supplier nation and order year
+# ---------------------------------------------------------------------------
+
+Q9_NAME_TOKEN = "widget"
+
+
+def nation_profit(sf_dir: str, num_partitions: int = 8):
+    """Q9 shape (this star schema has no partsupp table, so profit =
+    discounted revenue — the supplycost term is dropped, documented):
+    per (supplier nation, order year) profit of lineitems whose part
+    name contains Q9_NAME_TOKEN.
+
+    100-TB plan: part is the dimension side -> selected-partkey boolean
+    broadcast; supplier -> nationkey and the bounded nation-name map
+    broadcast the same way; lineitem is pruned by the part filter
+    BEFORE the only fact exchange (the lineitem x orders hash join);
+    the (nation, year) aggregate domain is bounded -> exact-cents
+    map-side partials + driver merge (reference answers whole-graph
+    aggregates with the same partial/combine shape,
+    core/graph.hpp:1406)."""
+    import os
+
+    import ray
+
+    from .runtime import tune_context
+    tune_context()
+
+    part = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name"]).to_pandas()
+    sel = part.loc[part["p_name"].str.contains(Q9_NAME_TOKEN,
+                                               regex=False),
+                   "p_partkey"].to_numpy(np.int64)
+    keep_lu = np.zeros(int(part["p_partkey"].max()) + 2, bool)
+    keep_lu[sel] = True
+
+    nation = read_parquet_clean(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    names = {int(k): n for k, n in zip(nation["n_nationkey"],
+                                       nation["n_name"])}
+    supplier = read_parquet_clean(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup_lu = np.full(int(supplier["s_suppkey"].max()) + 1, -1, np.int64)
+    sup_lu[supplier["s_suppkey"].to_numpy()] = \
+        supplier["s_nationkey"].to_numpy()
+    lu_ref = ray.put((keep_lu, sup_lu))
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def li_pre(b: pa.Table) -> pa.Table:
+        keep_l, _ = ray.get(lu_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        hit = keep_l[np.minimum(pk, len(keep_l) - 1)]
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+        d = b["l_discount"].to_numpy(zero_copy_only=False)[hit]
+        cents = np.floor(p * (1.0 - d) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(
+                b["l_orderkey"].to_numpy(zero_copy_only=False)[hit]),
+            "l_suppkey": pa.array(
+                b["l_suppkey"].to_numpy(zero_copy_only=False)[hit]),
+            "cents": pa.array(cents)})
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"])
+    ord_k = orders.map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b["o_orderkey"],
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64())}),
+        batch_format="pyarrow")
+    joined = li.map_batches(li_pre, batch_format="pyarrow") \
+               .join(ord_k, join_type="inner",
+                     num_partitions=num_partitions, on=("l_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, sup_l = ray.get(lu_ref)
+        nat = sup_l[b["l_suppkey"].to_numpy(zero_copy_only=False)]
+        df = pd.DataFrame({
+            "nat": nat,
+            "o_year": b["o_year"].to_numpy(zero_copy_only=False),
+            "cents": b["cents"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["nat", "o_year"], sort=False)["cents"].sum() \
+              .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = joined.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "nation": pd.Series([], dtype=object),
+            "o_year": pd.Series([], dtype=np.int64),
+            "profit": pd.Series([], dtype=np.float64)})
+    out = parts.groupby(["nat", "o_year"], sort=True)["cents"].sum() \
+               .reset_index()
+    out["nation"] = [names[int(x)] for x in out["nat"]]
+    out["profit"] = np.round(
+        out["cents"].to_numpy(np.int64) / 100.0, 6)
+    out["o_year"] = out["o_year"].astype(np.int64)
+    return out[["nation", "o_year", "profit"]] \
+        .sort_values(["nation", "o_year"], kind="mergesort") \
+        .reset_index(drop=True)
+
+
+NATION_PROFIT_SQL = f"""
+    SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+           round(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                * 100 + 0.5) AS BIGINT)) / 100.0, 6)
+               AS profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN part     ON p_partkey = l_partkey
+    WHERE p_name LIKE '%{Q9_NAME_TOKEN}%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16-like: distinct suppliers per (brand, type, size) class
+# ---------------------------------------------------------------------------
+
+Q16_EXCL_BRAND = "Brand#13"
+Q16_SIZES = (3, 9, 14, 19, 23, 36, 45, 49)
+Q16_PAIR_BUCKET_ROWS = 200_000
+
+
+def supplier_part_counts(sf_dir: str):
+    """Q16 shape (lineitem stands in for partsupp): count DISTINCT
+    suppliers per (p_brand, p_type, p_size) over parts not of the
+    excluded brand with size in the Q16_SIZES set.
+
+    100-TB plan: the filtered part catalog is the dimension side — a
+    partkey -> dense-group-id code array broadcast once; the fact scan
+    emits per-batch pre-deduped (gid, suppkey) pairs; global distinct
+    happens in ONE coarse hash-bucket groupby (never a per-pair key
+    groupby — CLAUDE.md's 25x rule) with a vectorized in-bucket
+    drop_duplicates + bincount kernel; the per-gid counts fold on the
+    driver over the bounded group domain."""
+    import os
+
+    import ray
+
+    from .runtime import tune_context
+    tune_context()
+
+    part = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .to_pandas()
+    sel = part[(part["p_brand"] != Q16_EXCL_BRAND)
+               & part["p_size"].isin(Q16_SIZES)].copy()
+    groups = sel[["p_brand", "p_type", "p_size"]].drop_duplicates() \
+        .sort_values(["p_brand", "p_type", "p_size"]) \
+        .reset_index(drop=True)
+    gkey = {t: i for i, t in enumerate(
+        zip(groups["p_brand"], groups["p_type"], groups["p_size"]))}
+    gid = np.array([gkey[t] for t in zip(sel["p_brand"], sel["p_type"],
+                                         sel["p_size"])], np.int64)
+    code = np.full(int(part["p_partkey"].max()) + 2, -1, np.int64)
+    code[sel["p_partkey"].to_numpy(np.int64)] = gid
+    cref = ray.put(code)
+    n_groups = len(groups)
+
+    li = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_partkey", "l_suppkey"])
+    n_li = li.count()
+    nb = int(max(8, min(4096, n_li // Q16_PAIR_BUCKET_ROWS)))
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        g = c[np.minimum(pk, len(c) - 1)]
+        hit = g >= 0
+        df = pd.DataFrame({
+            "gid": g[hit],
+            "sk": b["l_suppkey"].to_numpy(
+                zero_copy_only=False)[hit]}).drop_duplicates()
+        bucket = (df["gid"].to_numpy(np.uint64) * np.uint64(0x9E3779B9)
+                  + df["sk"].to_numpy(np.uint64)) % np.uint64(nb)
+        df["bucket"] = bucket.astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["gid", "sk"]].drop_duplicates()
+        cnt = np.bincount(d["gid"].to_numpy(np.int64),
+                          minlength=n_groups)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"gid": nz.astype(np.int64),
+                             "n": cnt[nz].astype(np.int64)})
+
+    parts = li.map_batches(pre, batch_format="pyarrow") \
+              .groupby("bucket").map_groups(per_bucket) \
+              .to_pandas()
+    cnt = np.zeros(n_groups, np.int64)
+    if len(parts):
+        np.add.at(cnt, parts["gid"].to_numpy(np.int64),
+                  parts["n"].to_numpy(np.int64))
+    out = groups.copy()
+    out["supplier_cnt"] = cnt
+    out = out[out["supplier_cnt"] > 0]
+    out["p_size"] = out["p_size"].astype(np.int64)
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+        kind="mergesort").reset_index(drop=True)
+
+
+SUPPLIER_PART_COUNTS_SQL = f"""
+    WITH sel AS (SELECT p_partkey, p_brand, p_type,
+                        p_size::BIGINT AS p_size
+                 FROM part
+                 WHERE p_brand <> '{Q16_EXCL_BRAND}'
+                   AND p_size IN {Q16_SIZES}),
+    pairs AS (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+              FROM lineitem JOIN sel ON p_partkey = l_partkey)
+    SELECT p_brand, p_type, p_size, count(*)::BIGINT AS supplier_cnt
+    FROM pairs GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
