@@ -297,6 +297,14 @@ def _probe_values(mk: np.ndarray, mv: np.ndarray, p: np.ndarray,
             return p.copy()
         pos = np.minimum(np.searchsorted(mk, p), len(mk) - 1)
         return np.where(mk[pos] == p, mv[pos], p)
+    if missing.startswith("fill:"):
+        # absent keys take a constant (e.g. "fill:0" for sparse count
+        # maps, "fill:-1" for optional labels)
+        fill = np.int64(int(missing[5:]))
+        if len(mk) == 0:
+            return np.full(len(p), fill, np.int64)
+        pos = np.minimum(np.searchsorted(mk, p), len(mk) - 1)
+        return np.where(mk[pos] == p, mv[pos], fill)
     return mv[np.searchsorted(mk, p)]
 
 

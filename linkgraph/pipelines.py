@@ -10546,3 +10546,102 @@ def q_tpch_supplier_parts(sf_dir):
 
 ORACLE_SQL["tpch_supplier_parts"] = _REL.SUPPLIER_PART_COUNTS_SQL
 QUERIES["tpch_supplier_parts"] = q_tpch_supplier_parts
+
+
+# --------------------------------------------------------------- SCAN
+
+def q_doc_scan(sf_dir):
+    """SCAN structural clustering (Xu et al., KDD 2007) over the
+    documents graph: exact-integer structural-similarity test
+    (q^2 (supp+2)^2 >= p^2 (du+1)(dv+1), eps = p/q), cores by
+    eps-neighborhood size, clusters = CC over core-core similar edges,
+    border/hub/outlier roles -> per-vertex (v, cluster, role).
+    Size-gated driver kernel vs distributed plan (support pipeline +
+    gated lookup joins + superstep-engine CC) — algos/scan.py."""
+    from .algos.scan import SCAN_CC_ROUNDS, scan_roles
+
+    edges = documents_edges(sf_dir)
+    n = documents_n_vertices(sf_dir)
+    out, rep = scan_roles(edges, n,
+                          store_root=_store_root(sf_dir, "scan"),
+                          fingerprint=_input_fingerprint(sf_dir))
+    _check_unroll(rep, SCAN_CC_ROUNDS, "doc_scan")
+    return out
+
+
+def _scan_sql(p: int, q: int, mu: int, rounds: int) -> str:
+    """Full SCAN unrolled for DuckDB: triangle-support join, the same
+    integer similarity test, HAVING-count cores, min-label CC rounds
+    over the core-core similar subgraph, min-cluster borders,
+    distinct-neighbor-cluster hubs."""
+    ctes = [
+        f"ce AS MATERIALIZED ({DOC_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM ce "
+        "UNION ALL SELECT dst AS src, src AS dst FROM ce)",
+        "deg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS d "
+        "FROM sym GROUP BY src)",
+        "supp AS MATERIALIZED ("
+        "SELECT e.src, e.dst, count(*)::BIGINT AS s FROM ce e "
+        "JOIN sym s1 ON s1.src = e.src "
+        "JOIN sym s2 ON s2.src = e.dst AND s2.dst = s1.dst "
+        "GROUP BY e.src, e.dst)",
+        f"se AS MATERIALIZED ("
+        f"SELECT e.src, e.dst FROM ce e "
+        f"JOIN deg du ON du.v = e.src JOIN deg dv ON dv.v = e.dst "
+        f"LEFT JOIN supp ON supp.src = e.src AND supp.dst = e.dst "
+        f"WHERE {q * q} * (coalesce(supp.s, 0) + 2) "
+        f"* (coalesce(supp.s, 0) + 2) "
+        f">= {p * p} * (du.d + 1) * (dv.d + 1))",
+        "ssym AS MATERIALIZED (SELECT src, dst FROM se "
+        "UNION ALL SELECT dst AS src, src AS dst FROM se)",
+        f"core AS MATERIALIZED (SELECT src AS v FROM ssym "
+        f"GROUP BY src HAVING count(*) + 1 >= {mu})",
+        "cse AS MATERIALIZED (SELECT se.src, se.dst FROM se "
+        "JOIN core c1 ON c1.v = se.src JOIN core c2 ON c2.v = se.dst)",
+        "csym AS MATERIALIZED (SELECT src, dst FROM cse "
+        "UNION ALL SELECT dst AS src, src AS dst FROM cse)",
+        "l0 AS MATERIALIZED (SELECT v, v AS lab FROM core)",
+    ]
+    for i in range(1, rounds + 1):
+        pr = f"l{i - 1}"
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT l.v, "
+            f"least(l.lab, coalesce(m.lab, l.lab)) AS lab "
+            f"FROM {pr} l LEFT JOIN "
+            f"(SELECT csym.dst AS v, min(pp.lab) AS lab FROM csym "
+            f"JOIN {pr} pp ON pp.v = csym.src GROUP BY csym.dst) m "
+            f"USING (v))")
+    ctes += [
+        f"cl AS MATERIALIZED (SELECT v, lab AS cluster FROM l{rounds})",
+        "border AS MATERIALIZED ("
+        "SELECT b.v, min(cl.cluster) AS cluster FROM "
+        "(SELECT ssym.dst AS v, ssym.src AS cv FROM ssym "
+        "JOIN core ON core.v = ssym.src) b "
+        "JOIN cl ON cl.v = b.cv "
+        "WHERE b.v NOT IN (SELECT v FROM core) GROUP BY b.v)",
+        "member AS MATERIALIZED (SELECT v, cluster FROM cl "
+        "UNION ALL SELECT v, cluster FROM border)",
+        "hubcnt AS MATERIALIZED ("
+        "SELECT sym.src AS v, count(DISTINCT member.cluster) AS hc "
+        "FROM sym JOIN member ON member.v = sym.dst GROUP BY sym.src)",
+        "allv AS (SELECT doc_id AS v FROM documents)",
+    ]
+    return (
+        f"WITH {', '.join(ctes)} "
+        "SELECT allv.v, "
+        "coalesce(cl.cluster, border.cluster, -1)::BIGINT AS cluster, "
+        "CASE WHEN cl.v IS NOT NULL THEN 'core' "
+        "WHEN border.v IS NOT NULL THEN 'border' "
+        "WHEN coalesce(hubcnt.hc, 0) >= 2 THEN 'hub' "
+        "ELSE 'outlier' END AS role "
+        "FROM allv LEFT JOIN cl ON cl.v = allv.v "
+        "LEFT JOIN border ON border.v = allv.v "
+        "LEFT JOIN hubcnt ON hubcnt.v = allv.v")
+
+
+from .algos.scan import EPS as _SCAN_EPS, MU as _SCAN_MU, \
+    SCAN_CC_ROUNDS as _SCAN_ROUNDS  # noqa: E402
+
+ORACLE_SQL["doc_scan"] = _scan_sql(_SCAN_EPS[0], _SCAN_EPS[1],
+                                   _SCAN_MU, _SCAN_ROUNDS)
+QUERIES["doc_scan"] = q_doc_scan
