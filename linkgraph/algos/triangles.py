@@ -873,3 +873,146 @@ def four_clique_count(edges_ds, num_partitions: int = 16) -> int:
         .groupby("xb").map_groups(conj, batch_format="pandas")
     total = closed.sum("c4")
     return int(total) if total is not None else 0
+
+
+# ------------------------------------------------------------ 4-cycles
+
+# one square-count task emits unordered neighbor pairs in vectorized
+# slices of at most this many rows — a hub apex's C(deg, 2) pair block
+# never sits in memory at once (the same memory bound VERDICT r2 #4
+# asked of the wedge salt)
+SQUARE_CHUNK_PAIRS = 4_000_000
+# the driver kernel additionally gates on FULL wedge volume (sum of
+# C(deg, 2)): squares need unoriented wedges, whose count is degree-
+# quadratic rather than O(m^1.5)
+DRIVER_SQUARE_WEDGES = 30_000_000
+
+
+def _full_wedge_chunks(m: np.ndarray, x: np.ndarray,
+                       chunk: int | None = None):
+    """Yield composite (u<<32)|w keys (u < w, both neighbors of one
+    apex) for ALL unordered neighbor pairs of every apex, in bounded
+    slices.  `m`/`x` are symmetric adjacency rows lexsorted by (m, x);
+    within an apex segment x is ascending, so pair keys come out
+    canonical without a min/max pass."""
+    starts = np.flatnonzero(np.concatenate([[True], m[1:] != m[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(m)]]))
+    seg = np.repeat(np.arange(len(starts)), lens)
+    pos = np.arange(len(m)) - starts[seg]
+    reps = lens[seg] - pos - 1
+    total = int(reps.sum())
+    if total == 0:
+        return
+    first = (np.cumsum(reps) - reps).astype(np.int64)
+    step = int(chunk) if chunk else SQUARE_CHUNK_PAIRS
+    off = 0
+    while off < total:
+        hi_ = min(off + step, total)
+        ts = np.arange(off, hi_, dtype=np.int64)
+        # slot of each global pair index: last tied `first` entry is
+        # the one with reps > 0 (zero-rep slots alias its first index)
+        i = np.searchsorted(first, ts, side="right") - 1
+        j = i + 1 + (ts - first[i])
+        yield (x[i].astype(np.int64) << 32) | x[j]
+        off = hi_
+
+
+def _square_sum(keys_iter) -> int:
+    """sum of C(c, 2) over per-pair wedge counts (single-process:
+    exact because all chunks see one merged count per pair)."""
+    ks = [k for k in keys_iter]
+    if not ks:
+        return 0
+    _, c = np.unique(np.concatenate(ks), return_counts=True)
+    return int((c * (c - 1) // 2).sum())
+
+
+def _square_count_local(pdf: pd.DataFrame) -> int:
+    s = pdf["src"].to_numpy(np.int64)
+    d = pdf["dst"].to_numpy(np.int64)
+    keep = s != d
+    lo = np.minimum(s[keep], d[keep])
+    hi = np.maximum(s[keep], d[keep])
+    if len(lo) == 0:
+        return 0
+    edges = np.unique((lo << 32) | hi)
+    lo, hi = edges >> 32, edges & 0xFFFFFFFF
+    m = np.concatenate([lo, hi])
+    x = np.concatenate([hi, lo])
+    order = np.lexsort((x, m))
+    m, x = m[order], x[order]
+    return _square_sum(_full_wedge_chunks(m, x)) // 2
+
+
+def square_count(edges_ds, num_partitions: int = 16,
+                 force_distributed: bool = False,
+                 chunk_pairs: int | None = None) -> int:
+    """Exact number of 4-cycles (squares, chords allowed) in the simple
+    undirected graph: squares = (1/2) * sum over unordered vertex pairs
+    of C(common_neighbors, 2) — each cycle is counted once by each of
+    its two diagonals.
+
+    Distributed plan: apex-bucketed FULL wedge emission (sliced, memory
+    bounded) -> per-chunk (pair, count) partials -> one coarse
+    pair-bucket shuffle summing counts per pair and folding
+    C(c, 2) into a single int64 per bucket -> driver sum.  Never a
+    per-pair-key hash aggregate and never a global pair table."""
+    import ray.data as rd  # noqa: F401
+
+    n_edges = edges_ds.count()
+    if not force_distributed and n_edges <= DRIVER_TRI_CAP:
+        pdf = edges_ds.to_pandas()
+        sdeg = pd.concat([pdf["src"], pdf["dst"]]).value_counts()
+        wedges = int((sdeg * (sdeg - 1) // 2).sum())
+        if wedges <= DRIVER_SQUARE_WEDGES:
+            return _square_count_local(pdf)
+
+    from ..runtime import tune_context
+    tune_context()
+    canon = canon_dedup_ds(edges_ds, n_edges).materialize()
+    n_canon = canon.count()
+    ab = wedge_buckets_for(2 * n_canon)
+    pb_n = n_buckets_for(2 * n_canon)
+
+    def sym_rows(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mm = np.concatenate([s, d])
+        xx = np.concatenate([d, s])
+        return pa.table({"m": pa.array(mm), "x": pa.array(xx),
+                         "ab": pa.array((mm % ab).astype(np.int64))})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        mm = g["m"].to_numpy(np.int64)
+        xx = g["x"].to_numpy(np.int64)
+        order = np.lexsort((xx, mm))
+        mm, xx = mm[order], xx[order]
+        us, ws, cs = [], [], []
+        for keys in _full_wedge_chunks(mm, xx, chunk_pairs):
+            k, c = np.unique(keys, return_counts=True)
+            us.append((k >> 32).astype(np.int64))
+            ws.append((k & 0xFFFFFFFF).astype(np.int64))
+            cs.append(c.astype(np.int64))
+        if not us:
+            return pd.DataFrame({"u": np.empty(0, np.int64),
+                                 "w": np.empty(0, np.int64),
+                                 "cnt": np.empty(0, np.int64),
+                                 "pb": np.empty(0, np.int64)})
+        u = np.concatenate(us)
+        w = np.concatenate(ws)
+        return pd.DataFrame({"u": u, "w": w, "cnt": np.concatenate(cs),
+                             "pb": _pair_bucket(u, w, pb_n)})
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _, _, c = _run_counts(g["u"].to_numpy(np.int64),
+                              g["w"].to_numpy(np.int64),
+                              g["cnt"].to_numpy(np.int64))
+        return pd.DataFrame({"part": [int((c * (c - 1) // 2).sum())]})
+
+    parts = (canon.map_batches(sym_rows, batch_format="pyarrow")
+             .groupby("ab").map_groups(bucket_pairs,
+                                       batch_format="pandas")
+             .groupby("pb").map_groups(fold_bucket,
+                                       batch_format="pandas")
+             .to_pandas())
+    return int(parts["part"].sum()) // 2 if len(parts) else 0

@@ -10645,3 +10645,29 @@ from .algos.scan import EPS as _SCAN_EPS, MU as _SCAN_MU, \
 ORACLE_SQL["doc_scan"] = _scan_sql(_SCAN_EPS[0], _SCAN_EPS[1],
                                    _SCAN_MU, _SCAN_ROUNDS)
 QUERIES["doc_scan"] = q_doc_scan
+
+
+def q_doc_squares(sf_dir):
+    """Exact 4-cycle (square) count of the documents graph:
+    squares = (1/2) sum over vertex pairs of C(common_neighbors, 2) —
+    apex-bucketed sliced wedge emission + one pair-bucket count fold
+    (algos/triangles.square_count; driver kernel under the edge AND
+    wedge-volume gates)."""
+    from .algos.triangles import square_count
+
+    n = square_count(documents_edges(sf_dir))
+    return pd.DataFrame({"squares": pd.Series([n], dtype=np.int64)})
+
+
+ORACLE_SQL["doc_squares"] = f"""
+    WITH ce AS MATERIALIZED ({DOC_EDGES_SQL}),
+    sym AS MATERIALIZED (SELECT src, dst FROM ce
+                         UNION ALL SELECT dst AS src, src AS dst FROM ce),
+    wp AS (SELECT s1.dst AS u, s2.dst AS w, count(*)::BIGINT AS c
+           FROM sym s1 JOIN sym s2
+             ON s1.src = s2.src AND s1.dst < s2.dst
+           GROUP BY s1.dst, s2.dst)
+    SELECT coalesce(sum(c * (c - 1) // 2) // 2, 0)::BIGINT AS squares
+    FROM wp
+"""
+QUERIES["doc_squares"] = q_doc_squares

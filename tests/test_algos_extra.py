@@ -1129,3 +1129,59 @@ def test_voterank_matches_naive(tmp_path, ray_session):
     want = pd.DataFrame(rows, columns=["rnk", "v", "score"]) \
         .astype({"rnk": np.int64, "v": np.int64})
     pd.testing.assert_frame_equal(got, want)
+
+
+# ------------------------------------------------------------- squares
+
+def _brute_squares(e: np.ndarray, n: int) -> int:
+    import itertools
+
+    adj = [set() for _ in range(n)]
+    for a, b in e:
+        adj[a].add(int(b))
+        adj[b].add(int(a))
+    cnt = 0
+    for (a, b, c, d) in itertools.permutations(range(n), 4):
+        if a == min(a, b, c, d) and b < d:
+            if (b in adj[a] and c in adj[b] and d in adj[c]
+                    and a in adj[d]):
+                cnt += 1
+    return cnt
+
+
+@pytest.mark.parametrize("seed", [5, 9])
+def test_square_count_vs_brute(ray_session, seed):
+    from linkgraph.algos.triangles import square_count
+    from linkgraph.edges import edges_from_arrays
+
+    rng = np.random.default_rng(seed)
+    n = 12
+    e = rng.integers(0, n, size=(30, 2)).astype(np.int64)
+    e = e[e[:, 0] != e[:, 1]]
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    e = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    ds = edges_from_arrays(e[:, 0], e[:, 1]).materialize()
+    want = _brute_squares(e, n)
+    assert square_count(ds) == want
+    assert square_count(ds, force_distributed=True) == want
+
+
+def test_square_count_chunked_slices(ray_session):
+    """Force the sliced wedge emission (SQUARE_CHUNK_PAIRS < total
+    wedges) and check the distributed fold still matches."""
+    from linkgraph.algos import triangles as T
+    from linkgraph.edges import edges_from_arrays
+
+    rng = np.random.default_rng(3)
+    n = 40
+    e = rng.integers(0, n, size=(300, 2)).astype(np.int64)
+    e = e[e[:, 0] != e[:, 1]]
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    e = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    ds = edges_from_arrays(e[:, 0], e[:, 1]).materialize()
+    want = T.square_count(ds)
+    # chunk size rides the serialized closure, so Ray workers see it
+    got = T.square_count(ds, force_distributed=True, chunk_pairs=7)
+    assert got == want
