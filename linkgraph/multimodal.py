@@ -862,3 +862,41 @@ def histogram_images(ds, concurrency: int = 4, batch_size: int = 256):
     return ds.map_batches(HistogramStage, batch_format="pyarrow",
                           batch_size=batch_size,
                           concurrency=pool_size(concurrency))
+
+
+class LoudnessStage:
+    """REAL audio loudness lane: parse_wav -> exact int64 energy
+    (sum of squared samples), peak absolute amplitude, and the count of
+    CLIPPED samples (|v| >= CLIP_ABS).  All-integer end to end, so the
+    SQL oracle recomputes each from the generator's closed form —
+    a bit-for-bit decode(encode(x)) check like ZeroCrossStage."""
+
+    CLIP_ABS = 32000
+
+    def _stats(self, payload: bytes):
+        _, s = parse_wav(payload)
+        n = len(s)
+        if n == 0:
+            return 0, 0, 0, 0
+        a = np.abs(s)
+        return (n, int((s * s).sum()), int(a.max()),
+                int((a >= self.CLIP_ABS).sum()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._stats(p) for p in batch["payload"].to_pylist()]
+        n, e, p, c = (list(x) for x in zip(*out)) if out \
+            else ([], [], [], [])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_samples": pa.array(np.array(n, np.int64)),
+            "energy": pa.array(np.array(e, np.int64)),
+            "peak": pa.array(np.array(p, np.int64)),
+            "clipped": pa.array(np.array(c, np.int64))})
+
+
+def loudness(ds, concurrency: int = 4, batch_size: int = 256):
+    """audio media table -> per-clip loudness stats via the real WAV
+    decoder (actor pool)."""
+    return ds.map_batches(LoudnessStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=pool_size(concurrency))

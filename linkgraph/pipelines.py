@@ -10671,3 +10671,48 @@ ORACLE_SQL["doc_squares"] = f"""
     FROM wp
 """
 QUERIES["doc_squares"] = q_doc_squares
+
+
+def q_media_loudness(sf_dir):
+    """REAL audio loudness lane: WAV decode -> exact int64 energy
+    (sum v^2), peak |v|, clipped-sample count per clip
+    (multimodal.LoudnessStage, actor pool).  All-integer, so the SQL
+    oracle is the generator closed form."""
+    from .multimodal import audio_from_documents, loudness
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return loudness(audio_from_documents(docs))
+
+
+ORACLE_SQL["media_loudness"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             400 + (strlen(text) * 7) % 800 AS n
+      FROM documents
+    ), s AS (
+      SELECT media_id, n,
+             ((media_id + 1) * 2654435761 + i * 97003)
+               % 65536 - 32768 AS v
+      FROM (SELECT media_id, n, unnest(range(n)) AS i FROM m)
+    )
+    SELECT media_id, max(n)::BIGINT AS n_samples,
+           sum(v * v)::BIGINT AS energy,
+           max(abs(v))::BIGINT AS peak,
+           sum(CASE WHEN abs(v) >= 32000 THEN 1 ELSE 0 END)::BIGINT
+             AS clipped
+    FROM s GROUP BY media_id
+"""
+QUERIES["media_loudness"] = q_media_loudness
+
+
+def q_tpch_copurchase(sf_dir):
+    """Market-basket mining: top-20 part pairs by orders containing
+    both (relational.copurchase_pairs): per-batch pre-dedup, ONE
+    orderkey-bucket co-location, vectorized within-order pair
+    generation, pair-bucket partial-top-k, driver fold."""
+    return _REL.copurchase_pairs(sf_dir)
+
+
+ORACLE_SQL["tpch_copurchase"] = _REL.COPURCHASE_SQL
+QUERIES["tpch_copurchase"] = q_tpch_copurchase

@@ -2040,3 +2040,113 @@ SUPPLIER_PART_COUNTS_SQL = f"""
     FROM pairs GROUP BY 1, 2, 3
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-purchase pairs (association mining over orders)
+# ---------------------------------------------------------------------------
+
+COPURCHASE_K = 20
+COPURCHASE_PAIR_CHUNK = 4_000_000
+
+
+def copurchase_pairs(sf_dir: str, k: int = COPURCHASE_K):
+    """Top-k part pairs by the number of orders containing BOTH —
+    the classic market-basket co-occurrence mining shape.
+
+    100-TB plan: ONE coarse orderkey-bucket co-location shuffle (after
+    per-batch (order, part) pre-dedup), vectorized within-order pair
+    generation per bucket (segment arithmetic, orders are small so the
+    per-order pair blowup is bounded by max-basket^2), per-bucket pair
+    partials, then ONE pair-bucket count merge that keeps only its own
+    top-k under the total order (count DESC, part_a, part_b) — the
+    partial-top-k pattern: the global top-k is a driver fold over
+    n_buckets * k rows, never a global pair table."""
+    import os
+
+    from .runtime import tune_context
+    tune_context()
+
+    li = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_orderkey", "l_partkey"])
+    n_li = li.count()
+    ob_n = max(8, min(4096, n_li // 200_000 + 8))
+    pb_n = max(8, min(4096, n_li // 100_000 + 8))
+
+    def pre(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o": b["l_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "p": b["l_partkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)}).drop_duplicates()
+        df["ob"] = df["o"].to_numpy(np.int64) % ob_n
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["o", "p"]].drop_duplicates()
+        o = d["o"].to_numpy(np.int64)
+        p = d["p"].to_numpy(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        starts = np.flatnonzero(np.concatenate([[True], o[1:] != o[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(o)]]))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        pos = np.arange(len(o)) - starts[seg]
+        reps = lens[seg] - pos - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "cnt": np.empty(0, np.int64),
+                                 "pb": np.empty(0, np.int64)})
+        i_idx = np.repeat(np.arange(len(o)), reps)
+        csum = np.cumsum(reps) - reps
+        j_idx = i_idx + 1 + (np.arange(total) - csum[i_idx])
+        key = (p[i_idx] << 32) | p[j_idx]       # p sorted per order: a<b
+        u, c = np.unique(key, return_counts=True)
+        a = (u >> 32).astype(np.int64)
+        b_ = (u & 0xFFFFFFFF).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+                ^ b_.astype(np.uint64)
+            h ^= h >> np.uint64(31)
+        return pd.DataFrame({"a": a, "b": b_, "cnt": c.astype(np.int64),
+                             "pb": (h % np.uint64(pb_n))
+                             .astype(np.int64)})
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["a", "b"], sort=False)["cnt"].sum().reset_index()
+        m = m.sort_values(["cnt", "a", "b"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k)
+        return m
+
+    parts = (li.map_batches(pre, batch_format="pyarrow")
+             .groupby("ob").map_groups(order_pairs,
+                                       batch_format="pandas")
+             .groupby("pb").map_groups(topk_bucket,
+                                       batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({"part_a": pd.Series([], dtype=np.int64),
+                             "part_b": pd.Series([], dtype=np.int64),
+                             "n_orders": pd.Series([], dtype=np.int64)})
+    out = parts.sort_values(["cnt", "a", "b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(k)
+    return pd.DataFrame({"part_a": out["a"].to_numpy(np.int64),
+                         "part_b": out["b"].to_numpy(np.int64),
+                         "n_orders": out["cnt"].to_numpy(np.int64)})
+
+
+COPURCHASE_SQL = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 count(*)::BIGINT AS n_orders
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2)
+    SELECT part_a, part_b, n_orders FROM p
+    ORDER BY n_orders DESC, part_a, part_b LIMIT {COPURCHASE_K}
+"""

@@ -135,7 +135,11 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "corpus_card", "events_paths",
                                   "doc_assort_directed",
                                   "text_source_jsd",
-                                  "tpch_dominant_supplier"])
+                                  "tpch_dominant_supplier",
+                                  "media_zcr", "media_loudness",
+                                  "tpch_copurchase", "tpch_profit",
+                                  "tpch_supplier_parts",
+                                  "doc_squares", "doc_scan"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
