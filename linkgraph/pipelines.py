@@ -10716,3 +10716,60 @@ def q_tpch_copurchase(sf_dir):
 
 ORACLE_SQL["tpch_copurchase"] = _REL.COPURCHASE_SQL
 QUERIES["tpch_copurchase"] = q_tpch_copurchase
+
+
+def q_doc_densest(sf_dir):
+    """Densest-subgraph 3-approximation by parallel peeling (Bahmani
+    et al., VLDB 2012): each round removes every vertex whose
+    alive-degree is <= (3/2) * average (exact integer threshold
+    deg > (3*m2) // (2*n)), tracking the best-density round with an
+    exact scaled-fraction key.  Driver kernel under the edge gate,
+    else per-round gated alive-flag attaches + one degree shuffle
+    (algos/densest.py)."""
+    from .algos.densest import densest_subgraph
+
+    out, _rep = densest_subgraph(documents_edges(sf_dir),
+                                 documents_n_vertices(sf_dir))
+    return out
+
+
+def _densest_sql(rounds: int) -> str:
+    ctes = [
+        f"ce AS MATERIALIZED ({DOC_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM ce "
+        "UNION ALL SELECT dst AS src, src AS dst FROM ce)",
+        "a0 AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+    ]
+    for i in range(rounds + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT s.src AS v, "
+            f"count(*)::BIGINT AS c FROM sym s "
+            f"JOIN a{i} x ON x.v = s.src JOIN a{i} y ON y.v = s.dst "
+            f"GROUP BY s.src)")
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT "
+            f"(SELECT count(*) FROM a{i})::BIGINT AS n, "
+            f"(SELECT coalesce(sum(c), 0) FROM d{i})::BIGINT AS m2)")
+        if i < rounds:
+            ctes.append(
+                f"a{i + 1} AS MATERIALIZED (SELECT a.v FROM a{i} a "
+                f"LEFT JOIN d{i} d ON d.v = a.v, g{i} g "
+                f"WHERE g.n > 0 AND coalesce(d.c, 0) > "
+                f"(3 * g.m2) // (2 * greatest(g.n, 1)))")
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS r, n, m2 FROM g{i}" for i in range(rounds + 1))
+    ctes.append(f"rounds AS ({unions})")
+    return (
+        f"WITH {', '.join(ctes)} "
+        "SELECT r::BIGINT AS best_round, n AS n_sub, "
+        "(m2 // 2)::BIGINT AS m_sub, "
+        "round(m2 / (2.0 * n), 6) AS density "
+        "FROM rounds WHERE n > 0 "
+        "ORDER BY (m2::HUGEINT * 1000000000000000000000000) "
+        "// (2 * n) DESC, r ASC LIMIT 1")
+
+
+from .algos.densest import DENSEST_ROUNDS as _DENSEST_ROUNDS  # noqa: E402
+
+ORACLE_SQL["doc_densest"] = _densest_sql(_DENSEST_ROUNDS)
+QUERIES["doc_densest"] = q_doc_densest

@@ -1185,3 +1185,57 @@ def test_square_count_chunked_slices(ray_session):
     # chunk size rides the serialized closure, so Ray workers see it
     got = T.square_count(ds, force_distributed=True, chunk_pairs=7)
     assert got == want
+
+
+# ------------------------------------------------------- densest subgraph
+
+def _peel_reference(e: np.ndarray, n: int):
+    """Naive synchronous (3/2)-average peel with Python sets."""
+    alive = set(range(n))
+    edges = {(int(a), int(b)) for a, b in e}
+    rounds = []
+    r = 0
+    while alive:
+        ea = [(a, b) for a, b in edges if a in alive and b in alive]
+        deg = {v: 0 for v in alive}
+        for a, b in ea:
+            deg[a] += 1
+            deg[b] += 1
+        m2 = sum(deg.values())
+        rounds.append((r, len(alive), m2))
+        thr = (3 * m2) // (2 * len(alive))
+        alive = {v for v in alive if deg[v] > thr}
+        r += 1
+    best = max(((m2 * 10 ** 24) // (2 * nn), -rr, rr, nn, m2)
+               for rr, nn, m2 in rounds if nn > 0)
+    _, _, rr, nn, m2 = best
+    return rr, nn, m2 // 2, round(m2 / (2.0 * nn), 6)
+
+
+@pytest.mark.parametrize("seed", [2, 13])
+def test_densest_vs_reference(ray_session, seed):
+    from linkgraph.algos.densest import densest_subgraph
+    from linkgraph.edges import edges_from_arrays
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    e = rng.integers(0, n, size=(160, 2)).astype(np.int64)
+    e = e[e[:, 0] != e[:, 1]]
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    e = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    # plant a clique so the densest region is nontrivial
+    extra = np.array([(i, j) for i in range(6) for j in range(6)
+                      if i < j], dtype=np.int64)
+    e = np.unique(np.vstack([e, extra]), axis=0)
+    ds = edges_from_arrays(e[:, 0], e[:, 1]).materialize()
+    want = _peel_reference(e, n)
+    got, rep = densest_subgraph(ds, n)
+    row = (int(got["best_round"][0]), int(got["n_sub"][0]),
+           int(got["m_sub"][0]), float(got["density"][0]))
+    assert row == want
+    assert rep["n_steps"] >= 1
+    got2, _ = densest_subgraph(ds, n, force_distributed=True)
+    row2 = (int(got2["best_round"][0]), int(got2["n_sub"][0]),
+            int(got2["m_sub"][0]), float(got2["density"][0]))
+    assert row2 == want
