@@ -10773,3 +10773,44 @@ from .algos.densest import DENSEST_ROUNDS as _DENSEST_ROUNDS  # noqa: E402
 
 ORACLE_SQL["doc_densest"] = _densest_sql(_DENSEST_ROUNDS)
 QUERIES["doc_densest"] = q_doc_densest
+
+
+def q_text_dsir(sf_dir):
+    """DSIR data selection (Xie et al. 2023): per-doc hashed-unigram
+    importance log-weight against the English subcorpus — two pruned
+    passes (bounded-domain bucket histograms with map-side partials +
+    driver fold, then scoring with the broadcast per-bucket log-diff
+    table).  text.dsir_logweights."""
+    from .text import dsir_logweights
+
+    return dsir_logweights(sf_dir)
+
+
+ORACLE_SQL["text_dsir"] = """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(list_filter(
+          string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ), tb AS MATERIALIZED (
+      SELECT doc_id,
+             (('0x' || substr(sha256(w), 1, 8))::UBIGINT
+              % 1024)::BIGINT AS bk
+      FROM toks
+    ), src AS (SELECT bk, count(*)::BIGINT AS c FROM tb GROUP BY bk),
+    tgt AS (SELECT tb.bk, count(*)::BIGINT AS c
+            FROM tb JOIN documents USING (doc_id)
+            WHERE lang = 'en' GROUP BY tb.bk),
+    tots AS (SELECT (SELECT count(*) FROM tb) AS ts,
+                    (SELECT count(*) FROM tb
+                     JOIN documents USING (doc_id)
+                     WHERE lang = 'en') AS tt),
+    ld AS (SELECT src.bk,
+                  ln((coalesce(tgt.c, 0) + 1.0) / (tots.tt + 1024))
+                - ln((src.c + 1.0) / (tots.ts + 1024)) AS v
+           FROM src LEFT JOIN tgt ON tgt.bk = src.bk, tots),
+    sc AS (SELECT tb.doc_id, sum(ld.v) AS s
+           FROM tb JOIN ld ON ld.bk = tb.bk GROUP BY tb.doc_id)
+    SELECT d.doc_id, round(coalesce(sc.s, 0), 6) AS dsir_logw
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+QUERIES["text_dsir"] = q_text_dsir

@@ -1169,3 +1169,129 @@ def source_jsd(ds, source_col: str = "source", text_col: str = "text",
         "src_a": [sources[i] for i in s["ai"]],
         "src_b": [sources[i] for i in s["bi"]],
         "jsd": np.round(s["part"].to_numpy(np.float64), round_to)})
+
+
+# ------------------------------------------------------------------ DSIR
+
+DSIR_BUCKETS = 1024
+
+
+def _dsir_buckets(toks: np.ndarray, cache: dict) -> np.ndarray:
+    """Hashed-feature bucket per token occurrence: sha256 head, the
+    same ('0x' || substr(sha256(w), 1, 8))::UBIGINT % NB derivation as
+    the SQL twin.  Hashing runs once per DISTINCT token (per-actor
+    cache), never per occurrence."""
+    uniq, inv = np.unique(toks, return_inverse=True)
+    bk = np.empty(len(uniq), dtype=np.int64)
+    for i, t in enumerate(uniq):
+        b = cache.get(t)
+        if b is None:
+            b = int(hashlib.sha256(t.encode()).hexdigest()[:8], 16) \
+                % DSIR_BUCKETS
+            cache[t] = b
+        bk[i] = b
+    return bk[inv]
+
+
+def _flat_tokens(texts: pa.ChunkedArray | pa.Array):
+    """(flat token array, per-row parent indices) under the canonical
+    \\s+ split with empties dropped."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern_regex(texts, r"\s+")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = np.asarray(flat.to_pandas(), dtype=object)[keep]
+    return toks.astype(str), parents[keep]
+
+
+class DsirHistStage:
+    """Pass 1 of DSIR data selection (Xie et al. 2023, "Data selection
+    for language models via importance resampling"): per-batch hashed
+    n-gram (unigram here) bucket histograms for the SOURCE (all docs)
+    and TARGET (docs whose lang == target_lang) distributions.
+    Emits <= DSIR_BUCKETS partial rows per batch — the bounded-domain
+    map-side-partial + driver-fold shape."""
+
+    def __init__(self, target_lang: str):
+        self.target_lang = target_lang
+        self.cache: dict = {}
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        toks, parents = _flat_tokens(b["text"])
+        if len(toks) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "src": pa.array([], pa.int64()),
+                             "tgt": pa.array([], pa.int64())})
+        bk = _dsir_buckets(toks, self.cache)
+        is_tgt = (np.asarray(b["lang"].to_pandas(), dtype=object)
+                  == self.target_lang)[parents]
+        src = np.bincount(bk, minlength=DSIR_BUCKETS)
+        tgt = np.bincount(bk[is_tgt], minlength=DSIR_BUCKETS)
+        nz = np.nonzero(src)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "src": pa.array(src[nz].astype(np.int64)),
+                         "tgt": pa.array(tgt[nz].astype(np.int64))})
+
+
+class DsirScoreStage:
+    """Pass 2: per-doc importance log-weight
+    sum over token occurrences of
+    ln((tgt_b + 1) / (T_tgt + NB)) - ln((src_b + 1) / (T_src + NB)),
+    with the per-bucket log-diff table broadcast once (ray.put)."""
+
+    def __init__(self, logdiff_ref):
+        import ray
+
+        self.ld = ray.get(logdiff_ref)
+        self.cache: dict = {}
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks, parents = _flat_tokens(b["text"])
+        s = np.zeros(len(ids), dtype=np.float64)
+        if len(toks):
+            bk = _dsir_buckets(toks, self.cache)
+            np.add.at(s, parents, self.ld[bk])
+        return pa.table({"doc_id": pa.array(ids),
+                         "dsir_logw": pa.array(np.round(s, 6))})
+
+
+def dsir_logweights(sf_dir: str, target_lang: str = "en",
+                    concurrency: int = 4):
+    """Hashed-unigram DSIR importance log-weights for every document
+    against a target-language subcorpus: two pruned passes over
+    documents (histograms, then scoring with the broadcast log-diff
+    table)."""
+    import os
+
+    import ray
+
+    from .io import read_parquet_clean
+    from .runtime import pool_size
+
+    docs1 = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text", "lang"])
+    parts = docs1.map_batches(DsirHistStage, batch_format="pyarrow",
+                              concurrency=pool_size(concurrency),
+                              fn_constructor_args=(target_lang,)) \
+                 .to_pandas()
+    src = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    tgt = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    if len(parts):
+        np.add.at(src, parts["bucket"].to_numpy(np.int64),
+                  parts["src"].to_numpy(np.int64))
+        np.add.at(tgt, parts["bucket"].to_numpy(np.int64),
+                  parts["tgt"].to_numpy(np.int64))
+    ts, tt = int(src.sum()), int(tgt.sum())
+    ld = (np.log((tgt + 1.0) / (tt + DSIR_BUCKETS))
+          - np.log((src + 1.0) / (ts + DSIR_BUCKETS)))
+    ld_ref = ray.put(ld)
+
+    docs2 = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return docs2.map_batches(DsirScoreStage, batch_format="pyarrow",
+                             concurrency=pool_size(concurrency),
+                             fn_constructor_args=(ld_ref,))
