@@ -154,18 +154,17 @@ def _scan_local(pdf: pd.DataFrame, n_vertices: int,
             {"n_steps": steps})
 
 
-def _similar_edges_ds(edges_ds, n_edges: int, eps: tuple[int, int],
-                      num_partitions: int):
-    """Distributed similar-edge filter: degrees attach via the gated
-    lookup join, support left-joins in ONE pair-bucket co-group (absent
-    pair -> support 0), the integer test runs per bucket."""
+def edge_support_deg_ds(edges_ds, n_edges: int, num_partitions: int):
+    """Per-edge (src, dst, du, dv, supp) Dataset: degrees attach via
+    the gated lookup join, triangle support left-joins in ONE
+    pair-bucket co-group (absent pair -> support 0).  The shared base
+    of the SCAN similarity filter and the edge-Jaccard report."""
     from ..joins import attach_by_key
 
     deg_ds = _vertex_degrees(edges_ds, n_edges)
     ed = attach_by_key(edges_ds, deg_ds, ["src", "dst"], "v", "degree")
     supp = _support_ds(edges_ds, num_partitions)
     nb = n_buckets_for(max(n_edges, 1))
-    p_, q_ = int(eps[0]), int(eps[1])
 
     def tag_edge(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -189,22 +188,46 @@ def _similar_edges_ds(edges_ds, n_edges: int, eps: tuple[int, int],
             "t": pa.array(np.ones(len(s), np.int8)),
             "pb": pa.array(_pair_bucket(s, d, nb))})
 
-    def bucket_sim(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
         is_e = g["t"].to_numpy(np.int8) == 0
         e = g.loc[is_e, ["src", "dst", "du", "dv"]]
         sp = g.loc[~is_e, ["src", "dst", "cnt"]]
         if len(e) == 0:
             return pd.DataFrame({"src": np.empty(0, np.int64),
-                                 "dst": np.empty(0, np.int64)})
+                                 "dst": np.empty(0, np.int64),
+                                 "du": np.empty(0, np.int64),
+                                 "dv": np.empty(0, np.int64),
+                                 "supp": np.empty(0, np.int64)})
         m = e.merge(sp, on=["src", "dst"], how="left")
-        supp_v = m["cnt"].fillna(0).to_numpy(np.int64)
-        keep = _similar_mask(supp_v, m["du"].to_numpy(np.int64),
-                             m["dv"].to_numpy(np.int64), (p_, q_))
-        return m.loc[keep, ["src", "dst"]].reset_index(drop=True)
+        m["supp"] = m["cnt"].fillna(0).to_numpy(np.int64)
+        return m[["src", "dst", "du", "dv", "supp"]] \
+            .reset_index(drop=True)
 
     return (ed.map_batches(tag_edge, batch_format="pyarrow")
             .union(supp.map_batches(tag_supp, batch_format="pyarrow"))
-            .groupby("pb").map_groups(bucket_sim, batch_format="pandas"))
+            .groupby("pb").map_groups(bucket_merge,
+                                      batch_format="pandas"))
+
+
+def _similar_edges_ds(edges_ds, n_edges: int, eps: tuple[int, int],
+                      num_partitions: int):
+    """Distributed similar-edge filter over edge_support_deg_ds."""
+    p_, q_ = int(eps[0]), int(eps[1])
+    base = edge_support_deg_ds(edges_ds, n_edges, num_partitions)
+
+    def sim_filter(b: pa.Table) -> pa.Table:
+        keep = _similar_mask(
+            b["supp"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["du"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["dv"].to_numpy(zero_copy_only=False).astype(np.int64),
+            (p_, q_))
+        return pa.table({
+            "src": pa.array(b["src"].to_numpy(zero_copy_only=False)
+                            [keep]),
+            "dst": pa.array(b["dst"].to_numpy(zero_copy_only=False)
+                            [keep])})
+
+    return base.map_batches(sim_filter, batch_format="pyarrow")
 
 
 def _scan_ds(edges_ds, n_vertices: int, store_root: str,
@@ -420,3 +443,57 @@ def scan_roles(edges_ds, n_vertices: int, store_root: str | None = None,
         raise ValueError("distributed scan needs a store_root")
     return _scan_ds(edges_ds, n_vertices, store_root, fingerprint,
                     eps, mu, num_partitions)
+
+
+def edge_jaccard_hist(edges_ds, n_vertices: int,
+                      num_partitions: int = 8,
+                      force_distributed: bool = False) -> pd.DataFrame:
+    """Histogram of per-edge neighborhood Jaccard similarity
+    jac = supp / (du + dv - supp) over OPEN neighborhoods, rounded to 6
+    decimals (single float division — IEEE-identical in numpy and the
+    SQL twin; no .5 ties are reachable at 6 decimals for small-integer
+    ratios).  Returns (jac, n_edges) sorted by jac.
+
+    Driver kernel under DRIVER_TRI_CAP; distributed: one pass over
+    edge_support_deg_ds with bounded-domain rounded-value partials +
+    driver fold."""
+    n_edges = edges_ds.count()
+    if n_edges <= DRIVER_TRI_CAP and not force_distributed:
+        pdf = edges_ds.to_pandas()
+        s = pdf["src"].to_numpy(np.int64)
+        d = pdf["dst"].to_numpy(np.int64)
+        keep = s != d
+        lo = np.minimum(s[keep], d[keep])
+        hi = np.maximum(s[keep], d[keep])
+        keys = np.unique((lo << 32) | hi)
+        lo = (keys >> 32).astype(np.int64)
+        hi = (keys & 0xFFFFFFFF).astype(np.int64)
+        supp = _support_local(keys)
+        deg = (np.bincount(lo, minlength=n_vertices)
+               + np.bincount(hi, minlength=n_vertices))
+        denom = deg[lo] + deg[hi] - supp
+        jac = np.round(supp / denom, 6)
+        u, c = np.unique(jac, return_counts=True)
+        return pd.DataFrame({"jac": u,
+                             "n_edges": c.astype(np.int64)})
+
+    base = edge_support_deg_ds(edges_ds, n_edges, num_partitions)
+
+    def partial(b: pa.Table) -> pa.Table:
+        supp = b["supp"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        du = b["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = b["dv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = np.round(supp / (du + dv - supp), 6)
+        u, c = np.unique(jac, return_counts=True)
+        return pa.table({"jac": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = base.map_batches(partial, batch_format="pyarrow") \
+                .to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"jac": pd.Series([], dtype=np.float64),
+                             "n_edges": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("jac", sort=True)["n"].sum().reset_index()
+    return pd.DataFrame({"jac": out["jac"].to_numpy(np.float64),
+                         "n_edges": out["n"].to_numpy(np.int64)})

@@ -10814,3 +10814,38 @@ ORACLE_SQL["text_dsir"] = """
     FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """
 QUERIES["text_dsir"] = q_text_dsir
+
+
+def q_doc_edge_jaccard(sf_dir):
+    """Per-edge neighborhood-Jaccard histogram (the SCAN-style
+    structural-similarity profile of the graph): jac = supp /
+    (du + dv - supp), rounded 6, counted per distinct value
+    (algos/scan.edge_jaccard_hist — driver kernel under the edge gate,
+    else one pass over the shared support+degree edge Dataset)."""
+    from .algos.scan import edge_jaccard_hist
+
+    return edge_jaccard_hist(documents_edges(sf_dir),
+                             documents_n_vertices(sf_dir))
+
+
+ORACLE_SQL["doc_edge_jaccard"] = f"""
+    WITH ce AS MATERIALIZED ({DOC_EDGES_SQL}),
+    sym AS MATERIALIZED (SELECT src, dst FROM ce
+                         UNION ALL SELECT dst AS src, src AS dst FROM ce),
+    deg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS d
+                         FROM sym GROUP BY src),
+    supp AS MATERIALIZED (
+      SELECT e.src, e.dst, count(*)::BIGINT AS s FROM ce e
+      JOIN sym s1 ON s1.src = e.src
+      JOIN sym s2 ON s2.src = e.dst AND s2.dst = s1.dst
+      GROUP BY e.src, e.dst),
+    j AS (SELECT round(coalesce(supp.s, 0)
+                       / (du.d + dv.d - coalesce(supp.s, 0))::DOUBLE,
+                       6) AS jac
+          FROM ce e
+          JOIN deg du ON du.v = e.src JOIN deg dv ON dv.v = e.dst
+          LEFT JOIN supp ON supp.src = e.src AND supp.dst = e.dst)
+    SELECT jac, count(*)::BIGINT AS n_edges
+    FROM j GROUP BY jac ORDER BY jac
+"""
+QUERIES["doc_edge_jaccard"] = q_doc_edge_jaccard

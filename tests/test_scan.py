@@ -139,3 +139,16 @@ def test_scan_no_cores_all_outliers(ray_session, tmp_path):
                          force_distributed=True)
     pd.testing.assert_frame_equal(_sorted_frame(dist),
                                   _sorted_frame(drv))
+
+
+def test_edge_jaccard_hist_paths_equal(ray_session):
+    from linkgraph.algos.scan import edge_jaccard_hist
+
+    e = _seeded(80, 400, 21)
+    ds = edges_from_arrays(e[:, 0], e[:, 1]).materialize()
+    drv = edge_jaccard_hist(ds, 80)
+    dist = edge_jaccard_hist(ds, 80, force_distributed=True)
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dist.reset_index(drop=True))
+    # histogram mass equals the edge count
+    assert int(drv["n_edges"].sum()) == len(e)
