@@ -392,13 +392,13 @@ def _join_parts(n_rows: int) -> int:
     return int(min(32, max(2, n_rows // 50_000 + 2)))
 
 
-def _pair_jaccard(xcat: np.ndarray, la: np.ndarray,
-                  ycat: np.ndarray, lb: np.ndarray) -> np.ndarray:
-    """Vectorized exact Jaccard for a batch of pairs whose shingle sets
-    arrive concatenated (each set sorted+unique): tag every hash with
-    its pair index, one lexsort, count adjacent duplicates — a value
-    occurring twice within a pair is exactly one intersection hit.  No
-    per-pair Python (VERDICT r2 #7)."""
+def _pair_intersections(xcat: np.ndarray, la: np.ndarray,
+                        ycat: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Vectorized exact set-intersection sizes for a batch of pairs
+    whose shingle sets arrive concatenated (each set sorted+unique):
+    tag every hash with its pair index, one lexsort, count adjacent
+    duplicates — a value occurring twice within a pair is exactly one
+    intersection hit.  No per-pair Python (VERDICT r2 #7)."""
     npair = len(la)
     allp = np.concatenate([np.repeat(np.arange(npair), la),
                            np.repeat(np.arange(npair), lb)])
@@ -407,8 +407,22 @@ def _pair_jaccard(xcat: np.ndarray, la: np.ndarray,
     p, h = allp[order], allh[order]
     dup = (p[1:] == p[:-1]) & (h[1:] == h[:-1]) if len(p) else \
         np.empty(0, bool)
-    inter = np.bincount(p[1:][dup], minlength=npair)
+    return np.bincount(p[1:][dup], minlength=npair)
+
+
+def _pair_score(xcat, la, ycat, lb, mode: str) -> np.ndarray:
+    """jaccard = |I| / |A u B|; containment = |I| / min(|A|, |B|) (the
+    larger of the two directed containments — catches near-SUBSET
+    duplicates whose Jaccard is diluted by the bigger doc)."""
+    inter = _pair_intersections(xcat, la, ycat, lb)
+    if mode == "containment":
+        return inter / np.maximum(np.minimum(la, lb), 1)
     return inter / np.maximum(la + lb - inter, 1)
+
+
+def _pair_jaccard(xcat: np.ndarray, la: np.ndarray,
+                  ycat: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    return _pair_score(xcat, la, ycat, lb, "jaccard")
 
 
 def _gather_segments(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -420,7 +434,8 @@ def _gather_segments(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 def _verify_jaccard_small(cands_pdf: pd.DataFrame, ds, id_col: str,
                           text_col: str, k: int,
-                          threshold: float) -> pd.DataFrame:
+                          threshold: float,
+                          mode: str = "jaccard") -> pd.DataFrame:
     """Small-candidate verify: shingle blobs of the involved ids are
     collected into ONE broadcast flat (ids, offsets, lens, hashes)
     layout (bounded by the candidate count, already known <
@@ -449,12 +464,13 @@ def _verify_jaccard_small(cands_pdf: pd.DataFrame, ds, id_col: str,
         ai = np.searchsorted(ids_, a_ids)
         bi = np.searchsorted(ids_, b_ids)
         la, lb = cnt_[ai], cnt_[bi]
-        jac = _pair_jaccard(hcat_[_gather_segments(offs_[ai], la)], la,
-                            hcat_[_gather_segments(offs_[bi], lb)], lb)
+        jac = _pair_score(hcat_[_gather_segments(offs_[ai], la)], la,
+                          hcat_[_gather_segments(offs_[bi], lb)], lb,
+                          mode)
         keep = jac >= threshold
         return pa.table({"a": pa.array(a_ids[keep]),
                          "b": pa.array(b_ids[keep]),
-                         "jaccard": pa.array(jac[keep])})
+                         mode: pa.array(jac[keep])})
 
     # small blocks on purpose: the lexsort inside _pair_jaccard is
     # memory-bound, and many cache-sized blocks across the pool beat a
@@ -466,7 +482,8 @@ def _verify_jaccard_small(cands_pdf: pd.DataFrame, ds, id_col: str,
 
 
 def _verify_jaccard_ds(cands_ds, sh_ds, id_col: str,
-                       threshold: float) -> pd.DataFrame:
+                       threshold: float,
+                       mode: str = "jaccard") -> pd.DataFrame:
     """Exact-Jaccard verify, fully distributed: candidate pairs hash-join
     their two shingle blobs (never a driver dict), then a map_batches
     kernel computes Jaccard per pair.  Only the verified (small) result
@@ -493,11 +510,11 @@ def _verify_jaccard_ds(cands_ds, sh_ds, id_col: str,
         ycat = np.frombuffer(b"".join(sb), dtype=np.uint64)
         la = np.array([len(x) // 8 for x in sa], dtype=np.int64)
         lb = np.array([len(y) // 8 for y in sb], dtype=np.int64)
-        jac = _pair_jaccard(xcat, la, ycat, lb)
+        jac = _pair_score(xcat, la, ycat, lb, mode)
         keep = jac >= threshold
         return pa.table({"a": pa.array(a_ids[keep]),
                          "b": pa.array(b_ids[keep]),
-                         "jaccard": pa.array(jac[keep])})
+                         mode: pa.array(jac[keep])})
 
     # pair-sized output stays distributed — a near-dup-heavy corpus's
     # verified pair list wants a parquet sink, not a frame (VERDICT r2 #2)
@@ -522,7 +539,7 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", num_perm=64,
 
 
 def _lsh_verify_jaccard(ds, buckets, id_col, text_col, k, threshold,
-                        cap) -> pd.DataFrame:
+                        cap, mode: str = "jaccard") -> pd.DataFrame:
     """Shared candidate->verify tail for minhash/ngram: driver dedup +
     broadcast-dict verify below DRIVER_PAIR_CAP, distributed groupby +
     hash-join verify above it."""
@@ -530,13 +547,13 @@ def _lsh_verify_jaccard(ds, buckets, id_col, text_col, k, threshold,
         buckets, id_col, ("band", "bhash"), cap)
     if cands_pdf is not None:
         if len(cands_pdf) == 0:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+            return pd.DataFrame({"a": [], "b": [], mode: []})
         return _verify_jaccard_small(cands_pdf, ds, id_col, text_col, k,
-                                     threshold)
+                                     threshold, mode)
     involved = _involved_ids(cands_ds)
     sh = _shingle_table(ds, involved, id_col, text_col, k)
     # distributed path: Dataset out (pandas only under DRIVER_PAIR_CAP)
-    return _verify_jaccard_ds(cands_ds, sh, id_col, threshold)
+    return _verify_jaccard_ds(cands_ds, sh, id_col, threshold, mode)
 
 
 # --------------------------------------------------------------- simhash
@@ -1782,3 +1799,29 @@ def ppjoin_pairs(ds, id_col="doc_id", text_col="text", k: int = 5,
     involved = _involved_ids(cands_ds)
     sh = _shingle_table(ds, involved, id_col, text_col, k)
     return _verify_jaccard_ds(cands_ds, sh, id_col, threshold)
+
+
+def containment_pairs(ds, id_col="doc_id", text_col="text", k=5,
+                      threshold=0.8, cap=64) -> pd.DataFrame:
+    """Near-SUBSET duplicate pairs via exact shingle CONTAINMENT
+    max(|I|/|A|, |I|/|B|) >= threshold — the asymmetric complement of
+    exact_jaccard_pairs: a short doc quoted inside a long one scores
+    ~1.0 here while its Jaccard is diluted to |A|/|B|.  Same
+    deterministic inverted-index candidates (df-cap `cap`), same
+    size-gated verify tail, score column `containment`."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        doc_idx, hcat = batch_shingle_sets(texts, k)
+        n = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
+        hcat = hcat.view(np.int64)
+        return pa.table({
+            "band": pa.array(np.bitwise_and(hcat, 255)),
+            "bhash": pa.array(hcat),
+            id_col: pa.array(np.repeat(ids, n))})
+
+    buckets = ds.map_batches(explode, batch_format="pyarrow")
+    return _lsh_verify_jaccard(ds, buckets, id_col, text_col, k,
+                               threshold, cap, mode="containment")

@@ -10849,3 +10849,65 @@ ORACLE_SQL["doc_edge_jaccard"] = f"""
     FROM j GROUP BY jac ORDER BY jac
 """
 QUERIES["doc_edge_jaccard"] = q_doc_edge_jaccard
+
+
+def q_dedup_containment(sf_dir):
+    """Near-SUBSET duplicates via exact shingle containment
+    max(|I|/|A|, |I|/|B|) >= 0.8 (dedup.containment_pairs) — the
+    asymmetric member of the near-dup family: catches a short doc
+    quoted inside a long one whose Jaccard is diluted to |A|/|B|.
+    Same deterministic inverted-index candidates (df-cap 64) and
+    size-gated verify tail as dedup_jaccard."""
+    from .dedup import containment_pairs
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    out = containment_pairs(docs, k=5, threshold=0.8, cap=64)
+    if isinstance(out, pd.DataFrame):
+        out["containment"] = out["containment"].round(6)
+        return out
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("containment"), "containment",
+            pc.round(b["containment"], ndigits=6)),
+        batch_format="pyarrow")
+
+
+ORACLE_SQL["dedup_containment"] = """
+    WITH shd AS MATERIALIZED (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(
+                 CASE WHEN length(text) < 5 THEN [text]
+                 ELSE list_transform(range(1, length(text) - 3),
+                                     j -> substr(text, j::INT, 5))
+                 END) AS sh
+        FROM documents)
+    ),
+    sizes AS MATERIALIZED (
+      SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+    capped AS MATERIALIZED (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, row_number() OVER
+               (PARTITION BY sh ORDER BY doc_id) AS rn
+        FROM shd) WHERE rn <= 64
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM capped x JOIN capped y
+        ON x.sh = y.sh AND x.doc_id < y.doc_id
+    ),
+    inter AS MATERIALIZED (
+      SELECT c.a, c.b, count(*) AS i
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.a
+      JOIN shd sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           round(i.i::DOUBLE / least(za.sz, zb.sz), 6) AS containment
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE i.i::DOUBLE / least(za.sz, zb.sz) >= 0.8
+"""
+QUERIES["dedup_containment"] = q_dedup_containment
