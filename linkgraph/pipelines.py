@@ -10911,3 +10911,15 @@ ORACLE_SQL["dedup_containment"] = """
     WHERE i.i::DOUBLE / least(za.sz, zb.sz) >= 0.8
 """
 QUERIES["dedup_containment"] = q_dedup_containment
+
+
+def q_tpch_audit(sf_dir):
+    """Star-schema data-quality audit (relational.quality_audit):
+    FK-orphan anti-joins via the gated lookup attach, childless-parent
+    check, duplicate-PK coarse-bucket distinct kernel, domain scan —
+    driver folds per-check scalars only."""
+    return _REL.quality_audit(sf_dir)
+
+
+ORACLE_SQL["tpch_audit"] = _REL.QUALITY_AUDIT_SQL
+QUERIES["tpch_audit"] = q_tpch_audit

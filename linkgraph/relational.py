@@ -2150,3 +2150,169 @@ COPURCHASE_SQL = f"""
     SELECT part_a, part_b, n_orders FROM p
     ORDER BY n_orders DESC, part_a, part_b LIMIT {COPURCHASE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit: FK orphans, key uniqueness, domain checks
+# ---------------------------------------------------------------------------
+
+def _distinct_key_map(ds, col: str, approx_rows: int):
+    """(key, flag=1) map of distinct values: per-batch unique partials,
+    ONE coarse key-bucket dedup — never a per-key hash aggregate."""
+    nb = max(8, min(4096, approx_rows // 200_000 + 8))
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.unique(b[col].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"v": pa.array(v),
+                         "kb": pa.array((v % nb).astype(np.int64))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["v"].to_numpy(np.int64))
+        return pd.DataFrame({"v": u,
+                             "flag": np.ones(len(u), np.int64)})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("kb").map_groups(merge, batch_format="pandas") \
+             .materialize()
+
+
+def _orphan_count(probe_ds, col: str, key_map) -> int:
+    """Rows of probe whose `col` has no row in the (v, flag) map —
+    a distributed anti-join via the gated lookup attach, folded to a
+    single count with per-batch partials."""
+    from .joins import attach_by_key
+
+    flagged = attach_by_key(probe_ds, key_map, [col], "v", "flag",
+                            missing="fill:0")
+    missing = flagged.map_batches(
+        lambda b, c=col: pa.table({"n": pa.array(
+            [int((b[f"flag_{c}"].to_numpy(zero_copy_only=False)
+                  == 0).sum())], pa.int64())}),
+        batch_format="pyarrow")
+    return int(missing.sum("n") or 0)
+
+
+def quality_audit(sf_dir: str):
+    """Star-schema data-quality audit, one row per check:
+    FK orphans (lineitem -> orders/part/supplier, orders -> customer),
+    childless orders (no lineitem), duplicate (l_orderkey,
+    l_linenumber) primary keys, and non-positive quantity/price domain
+    violations.  Every check is a distributed anti-join (gated lookup
+    attach) or a coarse-bucket distinct kernel + count partials; the
+    driver only ever folds per-check scalars."""
+    import os
+
+    from .runtime import tune_context
+    tune_context()
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice"]).materialize()
+    orders = read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_orderkey", "o_custkey"]) \
+        .materialize()
+    n_li, n_ord = li.count(), orders.count()
+
+    ord_keys = _distinct_key_map(orders, "o_orderkey", n_ord)
+    cust_keys = _distinct_key_map(
+        read_parquet_clean(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"]), "c_custkey", n_ord)
+    part_keys = _distinct_key_map(
+        read_parquet_clean(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey"]), "p_partkey", n_li)
+    supp_keys = _distinct_key_map(
+        read_parquet_clean(os.path.join(sf_dir, "supplier.parquet"),
+                           columns=["s_suppkey"]), "s_suppkey", n_li)
+    li_ord_keys = _distinct_key_map(li, "l_orderkey", n_li)
+
+    checks = [
+        ("lineitem_orphan_orderkey",
+         _orphan_count(li, "l_orderkey", ord_keys)),
+        ("lineitem_orphan_partkey",
+         _orphan_count(li, "l_partkey", part_keys)),
+        ("lineitem_orphan_suppkey",
+         _orphan_count(li, "l_suppkey", supp_keys)),
+        ("orders_orphan_custkey",
+         _orphan_count(orders, "o_custkey", cust_keys)),
+        ("orders_childless",
+         _orphan_count(orders, "o_orderkey", li_ord_keys)),
+    ]
+
+    # duplicate (l_orderkey, l_linenumber) PKs: total rows minus the
+    # distinct pair count (per-batch pre-dedup + coarse pair-bucket
+    # distinct partials, CLAUDE.md's 25x rule)
+    nb = max(8, min(4096, n_li // 200_000 + 8))
+
+    def pk_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o": b["l_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "l": b["l_linenumber"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)}).drop_duplicates()
+        df["pb"] = ((df["o"].to_numpy(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15))
+                    ^ df["l"].to_numpy(np.uint64)) \
+            % np.uint64(nb)
+        df["pb"] = df["pb"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pk_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(len(
+            g[["o", "l"]].drop_duplicates()))]})
+
+    n_distinct = int(li.map_batches(pk_partial, batch_format="pyarrow")
+                     .groupby("pb").map_groups(pk_merge,
+                                               batch_format="pandas")
+                     .sum("n") or 0)
+    checks.append(("lineitem_duplicate_pk", n_li - n_distinct))
+
+    def domain_partial(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array(
+            [int(((q <= 0) | (p <= 0)).sum())], pa.int64())})
+
+    checks.append(("lineitem_nonpositive_qty_price",
+                   int(li.map_batches(domain_partial,
+                                      batch_format="pyarrow")
+                       .sum("n") or 0)))
+
+    out = pd.DataFrame({"check_name": [c for c, _ in checks],
+                        "n_bad": np.array([n for _, n in checks],
+                                          np.int64)})
+    return out.sort_values("check_name").reset_index(drop=True)
+
+
+QUALITY_AUDIT_SQL = """
+    SELECT check_name, n_bad FROM (
+      SELECT 'lineitem_orphan_orderkey' AS check_name, count(*)::BIGINT AS n_bad
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'lineitem_orphan_partkey', count(*)::BIGINT
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      UNION ALL
+      SELECT 'lineitem_orphan_suppkey', count(*)::BIGINT
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+      UNION ALL
+      SELECT 'orders_orphan_custkey', count(*)::BIGINT
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'orders_childless', count(*)::BIGINT
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT 'lineitem_duplicate_pk',
+             (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))
+               ::BIGINT
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_nonpositive_qty_price', count(*)::BIGINT
+      FROM lineitem WHERE l_quantity <= 0 OR l_extendedprice <= 0
+    ) ORDER BY check_name
+"""

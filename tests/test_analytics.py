@@ -638,3 +638,56 @@ def test_daily_smooth_matches_naive_recurrence():
     assert list(got["day"]) == list(d.index)
     assert list(got["cents"]) == list(d.to_numpy())
     assert np.allclose(got["smoothed"].to_numpy(), want, atol=1e-12)
+
+
+def test_quality_audit_detects_injected_violations(ray_session, tmp_path):
+    """Dirty star schema: every audit check must fire with the exact
+    violation count."""
+    import pandas as pd
+    import numpy as np
+
+    from linkgraph.relational import quality_audit
+
+    d = tmp_path / "dirty"
+    d.mkdir()
+    pd.DataFrame({"c_custkey": [1, 2], "c_name": ["a", "b"],
+                  "c_nationkey": [0, 0], "c_acctbal": [1.0, 2.0],
+                  "c_mktsegment": ["X", "Y"]}) \
+        .to_parquet(d / "customer.parquet")
+    pd.DataFrame({"p_partkey": [10], "p_name": ["w"], "p_brand": ["B"],
+                  "p_type": ["T"], "p_size": [1],
+                  "p_retailprice": [9.0]}).to_parquet(d / "part.parquet")
+    pd.DataFrame({"s_suppkey": [5], "s_name": ["s"], "s_nationkey": [0],
+                  "s_acctbal": [0.0]}).to_parquet(d / "supplier.parquet")
+    # order 101 has lineitems; 102 is childless; order 103 missing from
+    # orders but referenced by a lineitem; custkey 99 is an orphan
+    pd.DataFrame({"o_orderkey": [101, 102],
+                  "o_custkey": [1, 99],
+                  "o_orderstatus": ["F", "F"],
+                  "o_totalprice": [1.0, 2.0],
+                  "o_orderdate": pd.to_datetime(["2024-01-01"] * 2),
+                  "o_orderpriority": ["1-URGENT"] * 2}) \
+        .to_parquet(d / "orders.parquet")
+    pd.DataFrame({
+        "l_orderkey": [101, 101, 103],
+        "l_partkey": [10, 77, 10],         # 77 orphan part
+        "l_suppkey": [5, 5, 66],           # 66 orphan supplier
+        "l_linenumber": [1, 1, 2],         # duplicate PK (101, 1)
+        "l_quantity": [3.0, -1.0, 2.0],    # one non-positive
+        "l_extendedprice": [5.0, 6.0, 7.0],
+        "l_discount": [0.0] * 3, "l_tax": [0.0] * 3,
+        "l_returnflag": ["N"] * 3, "l_linestatus": ["O"] * 3,
+        "l_shipdate": pd.to_datetime(["2024-02-01"] * 3)}) \
+        .to_parquet(d / "lineitem.parquet")
+
+    out = quality_audit(str(d))
+    got = dict(zip(out["check_name"], out["n_bad"]))
+    assert got == {
+        "lineitem_duplicate_pk": 1,
+        "lineitem_nonpositive_qty_price": 1,
+        "lineitem_orphan_orderkey": 1,
+        "lineitem_orphan_partkey": 1,
+        "lineitem_orphan_suppkey": 1,
+        "orders_childless": 1,
+        "orders_orphan_custkey": 1,
+    }

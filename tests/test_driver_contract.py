@@ -142,7 +142,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "doc_squares", "doc_scan",
                                   "doc_densest", "text_dsir",
                                   "doc_edge_jaccard",
-                                  "dedup_containment"])
+                                  "dedup_containment",
+                                  "tpch_audit"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
