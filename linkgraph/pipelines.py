@@ -10923,3 +10923,59 @@ def q_tpch_audit(sf_dir):
 
 ORACLE_SQL["tpch_audit"] = _REL.QUALITY_AUDIT_SQL
 QUERIES["tpch_audit"] = q_tpch_audit
+
+
+def q_media_vad(sf_dir):
+    """REAL VAD-style audio lane: windowed energies -> voiced flags ->
+    run-length stats (count / segments / longest) per clip
+    (multimodal.VadStage, actor pool).  All-integer; the SQL twin
+    rebuilds the windows from the generator closed form and finds the
+    segments with the gaps-and-islands row_number trick."""
+    from .multimodal import audio_from_documents, vad_segments
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return vad_segments(audio_from_documents(docs))
+
+
+ORACLE_SQL["media_vad"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             400 + (strlen(text) * 7) % 800 AS n
+      FROM documents
+    ), s AS (
+      SELECT media_id, n, i,
+             ((media_id + 1) * 2654435761 + i * 97003)
+               % 65536 - 32768 AS v
+      FROM (SELECT media_id, n, unnest(range(n)) AS i FROM m)
+    ), w AS (
+      SELECT media_id, (i // 64)::BIGINT AS win,
+             sum(v * v)::BIGINT AS e
+      FROM s WHERE i < (n // 64) * 64
+      GROUP BY media_id, (i // 64)
+    ), voiced AS (
+      SELECT media_id, win FROM w WHERE e > 22900000000
+    ), isl AS (
+      SELECT media_id,
+             win - row_number() OVER (PARTITION BY media_id
+                                      ORDER BY win) AS grp
+      FROM voiced
+    ), seg AS (
+      SELECT media_id, grp, count(*)::BIGINT AS len
+      FROM isl GROUP BY media_id, grp
+    ), per AS (
+      SELECT media_id, count(*)::BIGINT AS n_segments,
+             max(len) AS longest_voiced
+      FROM seg GROUP BY media_id
+    ), base AS (
+      SELECT w.media_id, count(*)::BIGINT AS n_windows,
+             sum(CASE WHEN e > 22900000000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_voiced
+      FROM w GROUP BY w.media_id
+    )
+    SELECT b.media_id, b.n_windows, b.n_voiced,
+           coalesce(p.n_segments, 0)::BIGINT AS n_segments,
+           coalesce(p.longest_voiced, 0)::BIGINT AS longest_voiced
+    FROM base b LEFT JOIN per p ON p.media_id = b.media_id
+"""
+QUERIES["media_vad"] = q_media_vad
