@@ -10979,3 +10979,47 @@ ORACLE_SQL["media_vad"] = """
     FROM base b LEFT JOIN per p ON p.media_id = b.media_id
 """
 QUERIES["media_vad"] = q_media_vad
+
+
+def q_events_holt(sf_dir):
+    """Holt linear-trend double exponential smoothing of the daily
+    revenue series (windows.daily_holt): exact integer-cents day sums
+    from map-side partials; the (level, trend) recurrence over the
+    calendar-bounded series is the identical float expression tree as
+    the SQL twin's recursive CTE."""
+    from .windows import daily_holt
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "value"])
+    return daily_holt(ev)
+
+
+from .windows import HOLT_A as _HOLT_A, HOLT_B as _HOLT_B  # noqa: E402
+
+ORACLE_SQL["events_holt"] = f"""
+    WITH RECURSIVE c AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    d AS (SELECT day, sum(cents) AS cents FROM c GROUP BY day),
+    r AS (SELECT day, cents,
+                 row_number() OVER (ORDER BY day) AS i FROM d),
+    s(i, day, cents, l, b) AS (
+        SELECT i, day, cents, cents / 100.0,
+               coalesce((SELECT r2.cents FROM r r2 WHERE r2.i = 2)
+                        / 100.0 - cents / 100.0, 0.0)
+        FROM r WHERE i = 1
+        UNION ALL
+        SELECT r.i, r.day, r.cents,
+               ({_HOLT_A} / 10.0) * (r.cents / 100.0)
+               + (1.0 - {_HOLT_A} / 10.0) * (s.l + s.b),
+               ({_HOLT_B} / 10.0)
+               * ((({_HOLT_A} / 10.0) * (r.cents / 100.0)
+                   + (1.0 - {_HOLT_A} / 10.0) * (s.l + s.b)) - s.l)
+               + (1.0 - {_HOLT_B} / 10.0) * s.b
+        FROM s JOIN r ON r.i = s.i + 1)
+    SELECT day, cents, round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + b, 6) AS forecast
+    FROM s ORDER BY day
+"""
+QUERIES["events_holt"] = q_events_holt

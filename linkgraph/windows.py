@@ -1380,3 +1380,55 @@ def top_paths(ds, path_len: int = 3, k: int = 10, key: str = "user_id",
     return agg.sort_values(["n", "path"], ascending=[False, True],
                            kind="mergesort").head(k) \
         .reset_index(drop=True).astype({"n": np.int64})
+
+
+HOLT_A = 5   # alpha = A/10
+HOLT_B = 3   # beta  = B/10
+
+
+def daily_holt(ds, ts: str = "ts", value: str = "value"):
+    """Holt's linear-trend double exponential smoothing of the daily
+    revenue series:
+
+        l_1 = x_1;            b_1 = x_2 - x_1  (0 with a single day)
+        l_i = a*x_i + (1-a)*(l_{i-1} + b_{i-1})
+        b_i = g*(l_i - l_{i-1}) + (1-g)*b_{i-1}
+
+    x_i = the day's exact integer-cents sum / 100.0; a = 0.5, g = 0.3.
+    Same scale shape as daily_smooth (calendar-bounded map-side
+    partials + driver recurrence); both engines evaluate the IDENTICAL
+    float expressions in the identical order, so doubles agree
+    bit-for-bit before the round-6.
+
+    Returns (day, cents, level, trend, forecast) sorted by day, with
+    forecast the one-step-ahead l_i + b_i."""
+    a = HOLT_A / 10.0
+    g = HOLT_B / 10.0
+
+    def part(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        cents = np.floor(b[value].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        s = pd.Series(cents).groupby(day).sum()
+        return pa.table({"day": pa.array(s.index.to_numpy(np.int64)),
+                         "cents": pa.array(s.to_numpy(np.int64))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    d = parts.groupby("day", sort=True)["cents"].sum().reset_index()
+    cents = d["cents"].to_numpy(np.int64)
+    n = len(d)
+    lv = np.empty(n, np.float64)
+    tr = np.empty(n, np.float64)
+    if n:
+        lv[0] = cents[0] / 100.0
+        tr[0] = cents[1] / 100.0 - cents[0] / 100.0 if n > 1 else 0.0
+        for i in range(1, n):
+            lv[i] = a * (cents[i] / 100.0) \
+                + (1.0 - a) * (lv[i - 1] + tr[i - 1])
+            tr[i] = g * (lv[i] - lv[i - 1]) + (1.0 - g) * tr[i - 1]
+    return pd.DataFrame({"day": d["day"].astype(np.int64),
+                         "cents": cents,
+                         "level": np.round(lv, 6),
+                         "trend": np.round(tr, 6),
+                         "forecast": np.round(lv + tr, 6)})

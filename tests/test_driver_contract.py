@@ -143,7 +143,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "doc_densest", "text_dsir",
                                   "doc_edge_jaccard",
                                   "dedup_containment",
-                                  "tpch_audit", "media_vad"])
+                                  "tpch_audit", "media_vad",
+                                  "events_holt"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
