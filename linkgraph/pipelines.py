@@ -11023,3 +11023,67 @@ ORACLE_SQL["events_holt"] = f"""
     FROM s ORDER BY day
 """
 QUERIES["events_holt"] = q_events_holt
+
+
+SPEND_TILES = 4
+
+
+def q_events_quartiles(sf_dir):
+    """Per-user spend quartile WITHOUT a global sort: exact integer-
+    cents user totals (per-batch partials + one coarse user-bucket
+    merge), then quantiles.global_value_ranks range-partitioned ranking
+    and the explicit tile formula ((rank-1)*4)//n + 1 (deterministic —
+    NOT SQL NTILE, whose remainder rule differs; the SQL twin uses the
+    identical formula)."""
+    from .quantiles import global_value_ranks
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "value"])
+    n_ev = ev.count()
+    nb = max(8, min(1024, n_ev // 200_000 + 8))
+
+    def part(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        s = pd.Series(cents).groupby(u).sum()
+        k = s.index.to_numpy(np.int64)
+        return pa.table({"user_id": pa.array(k),
+                         "cents": pa.array(s.to_numpy(np.int64)),
+                         "ub": pa.array((k % nb).astype(np.int64))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("user_id", sort=False)["cents"].sum()
+        return pd.DataFrame({"user_id": s.index.to_numpy(np.int64),
+                             "cents": s.to_numpy(np.int64)})
+
+    spend = ev.map_batches(part, batch_format="pyarrow") \
+              .groupby("ub").map_groups(merge, batch_format="pandas") \
+              .materialize()
+    n_users = spend.count()
+    ranked = global_value_ranks(spend, "cents", "user_id")
+
+    def tile(b: pa.Table) -> pa.Table:
+        r = b["rnk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = (r - 1) * SPEND_TILES // max(n_users, 1) + 1
+        return pa.table({"user_id": b["user_id"],
+                         "spend_quartile": pa.array(q)})
+
+    return ranked.map_batches(tile, batch_format="pyarrow")
+
+
+ORACLE_SQL["events_quartiles"] = f"""
+    WITH s AS (
+      SELECT user_id,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY user_id),
+    r AS (SELECT user_id,
+                 row_number() OVER (ORDER BY cents, user_id) AS rnk,
+                 (SELECT count(*) FROM s) AS n
+          FROM s)
+    SELECT user_id,
+           ((rnk - 1) * {SPEND_TILES} // n + 1)::BIGINT
+             AS spend_quartile
+    FROM r
+"""
+QUERIES["events_quartiles"] = q_events_quartiles

@@ -144,7 +144,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "doc_edge_jaccard",
                                   "dedup_containment",
                                   "tpch_audit", "media_vad",
-                                  "events_holt"])
+                                  "events_holt",
+                                  "events_quartiles"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
