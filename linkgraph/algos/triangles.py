@@ -1016,3 +1016,223 @@ def square_count(edges_ds, num_partitions: int = 16,
                                        batch_format="pandas")
              .to_pandas())
     return int(parts["part"].sum()) // 2 if len(parts) else 0
+
+
+# --------------------------------------- sampled (approximate) triangles
+
+# deterministic wedge sampling: keep a wedge iff its avalanche hash is
+# below TRI_SAMPLE_KEEP (rate = KEEP / 2^64 = 1/4).  sha-free so the
+# SQL twin reproduces every kept wedge bit-for-bit (HUGEINT % 2^64).
+TRI_SAMPLE_KEEP = 1 << 62
+_WH_A = 0x9E3779B97F4A7C15
+_WH_B = 0xC2B2AE3D27D4EB4F
+_WH_C = 0x165667B19E3779F9
+_AV_M1 = 0xFF51AFD7ED558CCD
+_AV_M2 = 0xC4CEB9FE1A85EC53
+
+
+def _wedge_hash(apex: np.ndarray, x: np.ndarray,
+                y: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche of the linear wedge key
+    (apex*A + x*B + y*C) mod 2^64 — ids must be < 2^31 so the SQL twin
+    can form each product in one HUGEINT multiply."""
+    with np.errstate(over="ignore"):
+        h = (apex.astype(np.uint64) * np.uint64(_WH_A)
+             + x.astype(np.uint64) * np.uint64(_WH_B)
+             + y.astype(np.uint64) * np.uint64(_WH_C))
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(_AV_M1)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(_AV_M2)
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def _approx_result(n_wedges: int, n_sampled: int,
+                   n_closed: int) -> pd.DataFrame:
+    est = round(n_closed * float(n_wedges) / n_sampled, 6) \
+        if n_sampled else 0.0
+    return pd.DataFrame({
+        "n_wedges": pd.Series([n_wedges], dtype=np.int64),
+        "n_sampled": pd.Series([n_sampled], dtype=np.int64),
+        "n_closed_sampled": pd.Series([n_closed], dtype=np.int64),
+        "triangles_est": pd.Series([est], dtype=np.float64)})
+
+
+def approx_triangle_count(edges_ds, num_partitions: int = 16,
+                          force_distributed: bool = False):
+    """Wedge-sampling triangle estimate (the documented 10^12-file
+    scale path for the north-rule exact counter): enumerate degree-
+    oriented wedges, keep the DETERMINISTIC 1/4 hash sample, probe
+    closure only for kept wedges, and scale the closed count by the
+    exact wedge total.  estimate = closed * n_wedges / n_sampled.
+
+    The sample is a pure function of (apex, x, y), so the result is
+    partition-count invariant and the SQL oracle reproduces it
+    exactly; at scale the saving is the closure probe volume (the
+    all-to-all stage), not the wedge scan."""
+    n_edges = edges_ds.count()
+    if n_edges <= DRIVER_TRI_CAP and not force_distributed:
+        pdf = edges_ds.to_pandas()
+        s = pdf["src"].to_numpy(np.int64)
+        d = pdf["dst"].to_numpy(np.int64)
+        keep = s != d
+        lo = np.minimum(s[keep], d[keep])
+        hi = np.maximum(s[keep], d[keep])
+        if len(lo) == 0:
+            return _approx_result(0, 0, 0)
+        edges = np.unique((lo << 32) | hi)
+        lo, hi = edges >> 32, edges & 0xFFFFFFFF
+        deg = np.bincount(lo, minlength=int(hi.max()) + 1) \
+            + np.bincount(hi, minlength=int(hi.max()) + 1)
+        src_first = (deg[lo] < deg[hi]) | ((deg[lo] == deg[hi])
+                                           & (lo < hi))
+        a = np.where(src_first, lo, hi)
+        b = np.where(src_first, hi, lo)
+        order = np.lexsort((b, deg[b], a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                a[1:] != a[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(a)]]))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        pos = np.arange(len(a)) - starts[seg]
+        reps = lens[seg] - pos - 1
+        total = int(reps.sum())
+        if total == 0:
+            return _approx_result(0, 0, 0)
+        i_idx = np.repeat(np.arange(len(a)), reps)
+        csum = np.cumsum(reps) - reps
+        j_idx = i_idx + 1 + (np.arange(total) - csum[i_idx])
+        apex, x, y = a[i_idx], b[i_idx], b[j_idx]
+        kept = _wedge_hash(apex, x, y) < np.uint64(TRI_SAMPLE_KEEP)
+        xk, yk = x[kept], y[kept]
+        wkey = (np.minimum(xk, yk).astype(np.int64) << 32) \
+            | np.maximum(xk, yk)
+        p = np.minimum(np.searchsorted(edges, wkey),
+                       max(len(edges) - 1, 0))
+        closed = int((edges[p] == wkey).sum()) if len(wkey) else 0
+        return _approx_result(total, int(kept.sum()), closed)
+
+    import ray
+
+    from ..runtime import tune_context
+    tune_context()
+    oe = oriented_edges(edges_ds, num_partitions).materialize()
+    n_oe = oe.count()
+    ab = wedge_buckets_for(n_oe)
+
+    def wedges_sampled(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"wa": np.empty(0, np.int64),
+                              "wb": np.empty(0, np.int64),
+                              "tot": np.empty(0, np.int64),
+                              "kept": np.empty(0, np.int64)})
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        bd = g["b_deg"].to_numpy(np.int64)
+        order = np.lexsort((b, bd, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                a[1:] != a[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(a)]]))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        pos = np.arange(len(a)) - starts[seg]
+        reps = lens[seg] - pos - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        i_idx = np.repeat(np.arange(len(a)), reps)
+        csum = np.cumsum(reps) - reps
+        j_idx = i_idx + 1 + (np.arange(total) - csum[i_idx])
+        apex, x, y = a[i_idx], b[i_idx], b[j_idx]
+        kept = _wedge_hash(apex, x, y) < np.uint64(TRI_SAMPLE_KEEP)
+        out = pd.DataFrame({"wa": x[kept], "wb": y[kept]})
+        # one counts row per bucket rides along (wa = -1 sentinel)
+        out = pd.concat([out.assign(tot=0, kept=0),
+                         pd.DataFrame({"wa": [-1], "wb": [-1],
+                                       "tot": [total],
+                                       "kept": [int(kept.sum())]})],
+                        ignore_index=True)
+        return out
+
+    rows = oe.map_batches(
+        lambda t: t.append_column("bkt", pa.array(
+            (t["a"].to_numpy(zero_copy_only=False) % ab)
+            .astype(np.int64))),
+        batch_format="pyarrow") \
+        .groupby("bkt").map_groups(wedges_sampled,
+                                   batch_format="pandas") \
+        .materialize()
+
+    tot_tbl = rows.map_batches(
+        lambda b: pa.table({
+            "tot": pa.array([int(b["tot"].to_numpy(
+                zero_copy_only=False).sum())], pa.int64()),
+            "kept": pa.array([int(b["kept"].to_numpy(
+                zero_copy_only=False).sum())], pa.int64())}),
+        batch_format="pyarrow")
+    n_wedges = int(tot_tbl.sum("tot") or 0)
+    n_sampled = int(tot_tbl.sum("kept") or 0)
+
+    use_bc = False
+    if 0 < n_oe <= EDGE_KEY_BROADCAST_CAP:
+        use_bc = max(int(oe.max("a")), int(oe.max("b"))) < 2 ** 31
+    if use_bc:
+        keys = np.sort(np.concatenate(
+            [(t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+              << np.uint64(32))
+             | t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             for t in oe.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)]))
+        kref = ray.put(keys)
+
+        def closed_partial(b: pa.Table) -> pa.Table:
+            k = ray.get(kref)
+            x = b["wa"].to_numpy(zero_copy_only=False)
+            y = b["wb"].to_numpy(zero_copy_only=False)
+            m = x >= 0
+            x, y = x[m], y[m]
+            wk = (x.astype(np.uint64) << np.uint64(32)) \
+                | y.astype(np.uint64)
+            p = np.minimum(np.searchsorted(k, wk), len(k) - 1)
+            return pa.table({"n": pa.array(
+                [int((k[p] == wk).sum())], pa.int64())})
+
+        n_closed = int(rows.map_batches(
+            closed_partial, batch_format="pyarrow").sum("n") or 0)
+    else:
+        cbn = n_buckets_for(n_oe)
+
+        def tag_e(t: pa.Table) -> pa.Table:
+            a_ = t["a"].to_numpy(zero_copy_only=False)
+            b_ = t["b"].to_numpy(zero_copy_only=False)
+            return pa.table({"wa": pa.array(a_, pa.int64()),
+                             "wb": pa.array(b_, pa.int64()),
+                             "t": pa.array(np.zeros(len(a_), np.int8)),
+                             "ub": pa.array(_pair_bucket(a_, b_, cbn))})
+
+        def tag_w(t: pa.Table) -> pa.Table:
+            x = t["wa"].to_numpy(zero_copy_only=False)
+            y = t["wb"].to_numpy(zero_copy_only=False)
+            m = x >= 0
+            x, y = x[m].astype(np.int64), y[m].astype(np.int64)
+            return pa.table({"wa": pa.array(x), "wb": pa.array(y),
+                             "t": pa.array(np.ones(len(x), np.int8)),
+                             "ub": pa.array(_pair_bucket(x, y, cbn))})
+
+        def bucket_closed(g: pd.DataFrame) -> pd.DataFrame:
+            is_e = g["t"].to_numpy(np.int8) == 0
+            e = g.loc[is_e, ["wa", "wb"]]
+            w = g.loc[~is_e, ["wa", "wb"]]
+            if len(e) == 0 or len(w) == 0:
+                return pd.DataFrame({"n": [0]})
+            m = w.merge(e.drop_duplicates(), on=["wa", "wb"],
+                        how="inner")
+            return pd.DataFrame({"n": [int(len(m))]})
+
+        n_closed = int(
+            rows.map_batches(tag_w, batch_format="pyarrow")
+            .union(oe.map_batches(tag_e, batch_format="pyarrow"))
+            .groupby("ub").map_groups(bucket_closed,
+                                      batch_format="pandas")
+            .sum("n") or 0)
+    return _approx_result(n_wedges, n_sampled, n_closed)

@@ -11087,3 +11087,69 @@ ORACLE_SQL["events_quartiles"] = f"""
     FROM r
 """
 QUERIES["events_quartiles"] = q_events_quartiles
+
+
+def q_doc_triangles_approx(sf_dir):
+    """Deterministic wedge-sampling triangle ESTIMATE (the documented
+    10^12-file scale path for the exact north-rule counter,
+    algos/triangles.approx_triangle_count): degree-oriented wedges,
+    1/4 avalanche-hash sample, closure probes only for kept wedges,
+    estimate = closed * n_wedges / n_sampled.  The sample is a pure
+    function of (apex, x, y), so the SQL twin reproduces every kept
+    wedge bit-for-bit (HUGEINT % 2^64)."""
+    from .algos.triangles import approx_triangle_count
+
+    return approx_triangle_count(documents_edges(sf_dir))
+
+
+def _approx_tri_sql() -> str:
+    from .algos.triangles import (TRI_SAMPLE_KEEP, _AV_M1, _AV_M2,
+                                  _WH_A, _WH_B, _WH_C)
+
+    m1 = _mulmod64_sql("h1", _AV_M1)
+    m2 = _mulmod64_sql("h3", _AV_M2)
+    return f"""
+    WITH ce AS MATERIALIZED ({DOC_EDGES_SQL}),
+    sym AS MATERIALIZED (SELECT src, dst FROM ce
+                         UNION ALL SELECT dst AS src, src AS dst FROM ce),
+    deg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS d
+                         FROM sym GROUP BY src),
+    oe AS MATERIALIZED (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)
+                  THEN e.src ELSE e.dst END AS a,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)
+                  THEN e.dst ELSE e.src END AS b
+      FROM ce e JOIN deg du ON du.v = e.src
+      JOIN deg dv ON dv.v = e.dst),
+    w AS MATERIALIZED (
+      SELECT o1.a AS apex, o1.b AS x, o2.b AS y
+      FROM oe o1 JOIN oe o2 ON o1.a = o2.a
+      JOIN deg dx ON dx.v = o1.b JOIN deg dy ON dy.v = o2.b
+      WHERE dx.d < dy.d OR (dx.d = dy.d AND o1.b < o2.b)),
+    h0t AS (SELECT x, y,
+            (((apex::HUGEINT * {_WH_A}) + (x::HUGEINT * {_WH_B})
+              + (y::HUGEINT * {_WH_C})) % {_W64})::UBIGINT AS h0
+            FROM w),
+    h1t AS (SELECT x, y, xor(h0, h0 >> 33) AS h1 FROM h0t),
+    h2t AS (SELECT x, y, {m1}::UBIGINT AS h2 FROM h1t),
+    h3t AS (SELECT x, y, xor(h2, h2 >> 29) AS h3 FROM h2t),
+    h4t AS (SELECT x, y, {m2}::UBIGINT AS h4 FROM h3t),
+    hf AS (SELECT x, y, xor(h4, h4 >> 32) AS h FROM h4t),
+    kept AS MATERIALIZED (
+      SELECT x, y FROM hf WHERE h < {TRI_SAMPLE_KEEP}::UBIGINT),
+    cnts AS (SELECT (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+                    (SELECT count(*) FROM kept)::BIGINT AS n_sampled,
+                    (SELECT count(*) FROM kept k JOIN ce
+                       ON ce.src = least(k.x, k.y)
+                      AND ce.dst = greatest(k.x, k.y))::BIGINT
+                      AS n_closed_sampled)
+    SELECT n_wedges, n_sampled, n_closed_sampled,
+           CASE WHEN n_sampled > 0 THEN
+             round(n_closed_sampled::DOUBLE * n_wedges / n_sampled, 6)
+           ELSE 0.0 END AS triangles_est
+    FROM cnts
+    """
+
+
+ORACLE_SQL["doc_triangles_approx"] = _approx_tri_sql()
+QUERIES["doc_triangles_approx"] = q_doc_triangles_approx

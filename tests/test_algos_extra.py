@@ -1239,3 +1239,35 @@ def test_densest_vs_reference(ray_session, seed):
     row2 = (int(got2["best_round"][0]), int(got2["n_sub"][0]),
             int(got2["m_sub"][0]), float(got2["density"][0]))
     assert row2 == want
+
+
+# -------------------------------------------------- sampled triangles
+
+@pytest.mark.parametrize("seed", [4, 17])
+def test_approx_triangles_paths_and_sanity(ray_session, seed):
+    import pandas as pd
+
+    from linkgraph.algos.triangles import (approx_triangle_count,
+                                           triangle_count)
+    from linkgraph.edges import edges_from_arrays
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    e = rng.integers(0, n, size=(500, 2)).astype(np.int64)
+    e = e[e[:, 0] != e[:, 1]]
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    e = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    ds = edges_from_arrays(e[:, 0], e[:, 1]).materialize()
+    drv = approx_triangle_count(ds)
+    dist = approx_triangle_count(ds, force_distributed=True)
+    pd.testing.assert_frame_equal(drv, dist)
+    # deterministic 1/4 hash sample: rate within a loose band
+    tot = int(drv["n_wedges"][0])
+    samp = int(drv["n_sampled"][0])
+    assert tot > 100
+    assert 0.1 < samp / tot < 0.45
+    # the estimate is in the neighborhood of the exact count
+    exact = triangle_count(ds)
+    est = float(drv["triangles_est"][0])
+    assert est == 0 or 0.2 * exact <= est <= 5 * max(exact, 1)

@@ -145,7 +145,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "dedup_containment",
                                   "tpch_audit", "media_vad",
                                   "events_holt",
-                                  "events_quartiles"])
+                                  "events_quartiles",
+                                  "doc_triangles_approx"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
