@@ -9,11 +9,10 @@ SIMULTANEOUSLY removes every vertex whose alive-degree is at most
 (1 + eps) * average = (1+eps) * 2 m_i / n_i.  With eps = 1/2 the keep
 test is exact integer arithmetic (m2 = 2 m):
 
-    keep(v)  <=>  2 * deg_i(v) * n_i > 3 * m2_i / 2 * 2  <=>
-                  2 * deg_i(v) * n_i > 3 * m2_i / ... (num/den = 3/2):
-                  2 * den * deg * n > ... — concretely below:
-    remove(v) <=> deg_i(v) <= (3/2) * (2 m_i / n_i)
-              <=> 2 * deg_i(v) * n_i <= 3 * m2_i        (all int64)
+    remove(v) <=> deg_i(v) <= (3/2) * (2 m_i / n_i) = 3 m_i / n_i
+              <=> deg_i(v) <= (3 * m2_i) / (2 * n_i)
+              <=> deg_i(v) <= (3 * m2_i) // (2 * n_i)   (floor is
+                  exact here: d <= T/X <=> d <= floor(T/X) for ints)
 
 At least one vertex (a minimum-degree one) is removed every round and
 the alive count shrinks geometrically (n_{i+1} < n_i / (1+eps)), so the
@@ -138,7 +137,7 @@ def _densest_ds(edges_ds, n_vertices: int):
         m2 = int(deg.sum("degree")) if deg is not None else 0
         rounds.append((r, n, m2))
         if m2 == 0:
-            break  # all remaining vertices are isolated: density 0 on
+            break  # all remaining vertices isolated: density 0 onward
         thr = (DENSEST_NUM * m2) // (DENSEST_DEN * n)
 
         def keep_rows(b: pa.Table, thr=thr) -> pa.Table:
