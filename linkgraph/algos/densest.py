@@ -60,6 +60,12 @@ def _best(rounds: list[tuple[int, int, int]]):
 
 
 def _result(best) -> pd.DataFrame:
+    if best is None:  # zero-vertex input: no round ever had n > 0
+        return pd.DataFrame({
+            "best_round": pd.Series([], dtype=np.int64),
+            "n_sub": pd.Series([], dtype=np.int64),
+            "m_sub": pd.Series([], dtype=np.int64),
+            "density": pd.Series([], dtype=np.float64)})
     _, r, n, m2 = best
     return pd.DataFrame({
         "best_round": pd.Series([r], dtype=np.int64),

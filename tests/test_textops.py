@@ -1032,3 +1032,42 @@ def test_vocab_growth_naive_parity(ray_session):
         "new_tokens": cnt[keep].astype(np.int64),
         "cum_vocab": np.cumsum(cnt)[keep].astype(np.int64)})
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def test_audio_zcr_loudness_vad_stages_direct():
+    """The three newest audio lanes against direct numpy on the synth
+    samples (stage __call__ is Ray-free)."""
+    import pyarrow as pa
+
+    from linkgraph.multimodal import (ENERGY_WIN, VAD_THRESH,
+                                      LoudnessStage, VadStage,
+                                      ZeroCrossStage, parse_wav,
+                                      synth_wav_payload)
+
+    payloads = [synth_wav_payload(3, 700), synth_wav_payload(9, 421)]
+    batch = pa.table({"media_id": pa.array([3, 9], pa.int64()),
+                      "payload": pa.array(payloads, pa.binary())})
+
+    z = ZeroCrossStage()(batch)
+    ld = LoudnessStage()(batch)
+    vd = VadStage()(batch)
+    for i, p in enumerate(payloads):
+        _, s = parse_wav(p)
+        nonneg = s >= 0
+        assert z["zero_crossings"][i].as_py() == int(
+            (nonneg[1:] != nonneg[:-1]).sum())
+        assert z["abs_amplitude"][i].as_py() == int(np.abs(s).sum())
+        assert ld["energy"][i].as_py() == int((s * s).sum())
+        assert ld["peak"][i].as_py() == int(np.abs(s).max())
+        nw = len(s) // ENERGY_WIN
+        e = (s[:nw * ENERGY_WIN].astype(np.int64) ** 2) \
+            .reshape(nw, ENERGY_WIN).sum(axis=1)
+        voiced = e > VAD_THRESH
+        assert vd["n_windows"][i].as_py() == nw
+        assert vd["n_voiced"][i].as_py() == int(voiced.sum())
+        # longest run by brute scan
+        best = cur = 0
+        for flag in voiced:
+            cur = cur + 1 if flag else 0
+            best = max(best, cur)
+        assert vd["longest_voiced"][i].as_py() == best
