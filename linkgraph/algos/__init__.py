@@ -23,6 +23,7 @@ from .salsa import SalsaAuthStep, SalsaHubStep, salsa
 from .scc import (SCCBackwardProgram, SCCForwardProgram,
                   strongly_connected_components)
 from .sssp import SSSPProgram, sssp
+from .widest import WidestPathProgram, widest_path
 from .toposort import LayerProgram, dag_layers
 from .triangles import clustering_coefficients, triangle_count
 
@@ -46,6 +47,7 @@ __all__ = [
     "SCCBackwardProgram", "SCCForwardProgram",
     "strongly_connected_components",
     "SSSPProgram", "sssp",
+    "WidestPathProgram", "widest_path",
     "LayerProgram", "dag_layers",
     "triangle_count", "clustering_coefficients",
 ]

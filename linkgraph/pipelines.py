@@ -834,6 +834,27 @@ def q_doc_sssp(sf_dir):
         fin, batch_format="pyarrow")
 
 
+def q_doc_widest(sf_dir):
+    """Widest path (maximin bottleneck capacity) from doc 0 over the
+    weighted graph — the max-min semiring counterpart of doc_sssp
+    (algos/widest.py).  min/max of the exact synthetic weights has no
+    float addition, so the match is bit-exact; round(9) kept for the
+    repo convention.  Oracle: _widest_sql unrolled relaxation."""
+    from .algos.widest import INF_CAP, widest_path
+
+    eng = documents_engine(sf_dir, "weighted")
+    rep = widest_path(eng, root=0)
+    _check_unroll(rep, SSSP_ROUNDS, "doc_widest")
+
+    def fin(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["capacity"], 0.0))
+        return pa.table({"v": t["v"],
+                         "capacity": pc.round(t["capacity"], ndigits=9)})
+
+    return eng.state_dataset(["capacity"]).map_batches(
+        fin, batch_format="pyarrow")
+
+
 def q_doc_wpagerank(sf_dir):
     """Edge-weighted PageRank (algos/pagerank.WeightedPageRankProgram)
     on the weighted doc graph: rank flows proportionally to the
@@ -3848,6 +3869,28 @@ def _sssp_sql(rounds: int, round_to: int) -> str:
             f"distance FROM d{rounds} WHERE dep < {inf}")
 
 
+def _widest_sql(rounds: int, round_to: int) -> str:
+    """Unrolled widest-path relaxation (matches algos/widest.py):
+    cap_i(v) = greatest(cap_{i-1}(v), max over in-edges of
+    least(cap_{i-1}(src), w)), root capacity 1e9, unreached filtered."""
+    inf = "1000000000.0"
+    ctes = [f"ce AS MATERIALIZED ({DOC_EDGES_SQL})",
+            f"e AS MATERIALIZED (SELECT src, dst, {_WEIGHT_SQL} AS w FROM ce)",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            f"c0 AS MATERIALIZED (SELECT v, CASE WHEN v = 0 THEN {inf} "
+            "ELSE 0.0 END AS cap FROM allv)"]
+    for i in range(1, rounds + 1):
+        p = f"c{i - 1}"
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT allv.v, greatest({p}.cap, "
+            f"coalesce(m.cap, 0.0)) AS cap FROM allv JOIN {p} USING (v) "
+            f"LEFT JOIN (SELECT e.dst AS v, max(least({p}.cap, e.w)) AS cap "
+            f"FROM e JOIN {p} ON {p}.v = e.src WHERE {p}.cap > 0.0 "
+            f"GROUP BY e.dst) m USING (v))")
+    return (f"WITH {', '.join(ctes)} SELECT v, round(cap, {round_to}) AS "
+            f"capacity FROM c{rounds} WHERE cap > 0.0")
+
+
 def _hits_sql(iters: int, round_to: int) -> str:
     """Unrolled HITS (matches algos/hits.py): auth_i from hub_{i-1} over
     in-edges, hub_i from auth_i over out-edges, L1 normalization once at
@@ -5921,6 +5964,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_bc": _bc_sql(BFS_ROUNDS, 6),
     "doc_bc_sampled": _bc_sampled_sql(BC_SAMPLE_ROOTS, BFS_ROUNDS, 6),
     "doc_sssp": _sssp_sql(SSSP_ROUNDS, 9),
+    "doc_widest": _widest_sql(SSSP_ROUNDS, 9),
     "doc_hits": _hits_sql(HITS_ITERS, 6),
     "doc_eigen": _eigen_sql(EIGEN_ITERS, 6),
     "doc_ppr": _ppr_sql(PPR_ITERS, 9, PPR_SOURCES),
@@ -7415,6 +7459,7 @@ QUERIES = {
     "doc_bc": q_doc_bc,
     "doc_bc_sampled": q_doc_bc_sampled,
     "doc_sssp": q_doc_sssp,
+    "doc_widest": q_doc_widest,
     "doc_hits": q_doc_hits,
     "doc_ppr": q_doc_ppr,
     "doc_kcore": q_doc_kcore,

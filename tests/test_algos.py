@@ -203,6 +203,49 @@ def test_sssp_exact_distances(tmp_path):
         eng.shutdown()
 
 
+def widest_oracle(e, w, n, root):
+    """Dijkstra-style maximin: pop the largest-capacity vertex first."""
+    import heapq
+
+    adj = [[] for _ in range(n)]
+    for (u, v), wt in zip(e, w):
+        adj[u].append((v, wt))
+    cap = np.zeros(n)
+    cap[root] = 1e9
+    h = [(-1e9, root)]
+    while h:
+        c, u = heapq.heappop(h)
+        c = -c
+        if c < cap[u]:
+            continue
+        for v, wt in adj[u]:
+            nc = min(c, wt)
+            if nc > cap[v]:
+                cap[v] = nc
+                heapq.heappush(h, (-nc, v))
+    return cap
+
+
+def test_widest_exact_capacities(tmp_path):
+    from linkgraph.algos import widest_path
+
+    e = micro_graph("er_1k")
+    n = _n(e)
+    rng = np.random.default_rng(7)
+    w = rng.uniform(0.1, 2.0, len(e))
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1], w), n,
+                        num_partitions=3, store_dir=str(tmp_path / "g"),
+                        weighted=True)
+    try:
+        widest_path(eng, root=0)
+        got = eng.state_pandas(["capacity"])["capacity"].to_numpy()
+        want = widest_oracle(e, w, n, 0)
+        # max-min semiring: no float addition, so the match is EXACT
+        assert np.array_equal(got, want)
+    finally:
+        eng.shutdown()
+
+
 def bc_oracle(e, n, root):
     """Brandes single-source dependencies (multi-edge aware)."""
     from collections import deque

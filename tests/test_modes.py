@@ -162,3 +162,28 @@ def test_dag_paths_dense_equals_sparse(tmp_path, force_mode):
         finally:
             eng.shutdown()
     assert np.array_equal(out["dense"], out["sparse"])
+
+
+def _run_widest(tmp_path, tag, e, n, w):
+    from linkgraph.algos import widest_path
+
+    eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1], w), n,
+                        num_partitions=3, store_dir=str(tmp_path / tag),
+                        weighted=True)
+    try:
+        widest_path(eng, root=0)
+        return eng.state_pandas(["capacity"])["capacity"].to_numpy()
+    finally:
+        eng.shutdown()
+
+
+def test_widest_dense_equals_sparse(tmp_path, force_mode):
+    e = micro_graph("er_1k")
+    n = int(e.max()) + 1
+    rng = np.random.default_rng(3)
+    w = rng.uniform(0.1, 2.0, len(e))
+    force_mode("dense")
+    d_dense = _run_widest(tmp_path, "wd", e, n, w)
+    force_mode("sparse")
+    d_sparse = _run_widest(tmp_path, "ws", e, n, w)
+    assert np.array_equal(d_dense, d_sparse)
