@@ -428,6 +428,100 @@ def attach_by_key(probe_ds, map_ds, probe_cols, key: str, value: str,
     return out
 
 
+BLOOM_JOIN_K = 4            # probes per key
+BLOOM_BITS_PER_KEY = 10     # ~1% fp rate at k=4
+BLOOM_MAX_BITS = 1 << 30    # 128 MB bitmap cap (broadcast once)
+
+
+def _bloom_u64(keys: np.ndarray, n: int | None = None) -> np.ndarray:
+    """Keys -> uint64 (numeric reinterpreted, strings sha-truncated)."""
+    a = np.asarray(keys)
+    if np.issubdtype(a.dtype, np.number):
+        return a.astype(np.int64).astype(np.uint64)
+    from .hashing import hash64_str
+    return hash64_str(list(a))
+
+
+def _bloom_positions(keys_u64: np.ndarray, m_bits: int) -> np.ndarray:
+    """(n, K) bit positions via double hashing h1 + i*h2 (mod m, m a
+    power of two); h1/h2 are independent splitmix64-style avalanches of
+    the key (the dedup.py SimHash mix), so sequential int keys spread."""
+    def mix(x, seed):
+        h = x + np.uint64(seed)
+        with np.errstate(over="ignore"):
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(29)
+            h *= np.uint64(0xC4CEB9FE1A85EC53)
+            h ^= h >> np.uint64(32)
+        return h
+
+    h1 = mix(keys_u64, 0x9E3779B97F4A7C15)
+    h2 = mix(keys_u64, 0xA5A5A5A5A5A5A5A5) | np.uint64(1)
+    i = np.arange(BLOOM_JOIN_K, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pos = h1[:, None] + i[None, :] * h2[:, None]
+    return (pos & np.uint64(m_bits - 1)).astype(np.int64)
+
+
+def bloom_semi_join(left_ds, right_ds, key: str,
+                    m_bits: int | None = None,
+                    broadcast_cap: int | None = None):
+    """Bloom-filter semi-join: EXACT left-rows-with-key-in-right, with a
+    compact broadcast Bloom prefilter so only PROBABLE matches reach the
+    exact membership stage — the classic distributed-join optimization
+    for a right side too large to broadcast as raw keys.
+
+    Plan: (1) right keys -> bit positions map-side, unique positions
+    stream to the driver which ORs an m-bit bitmap (m/8 bytes, capped at
+    128 MB — vs 8 bytes/key for a raw broadcast); (2) the bitmap is
+    ray.put once and every left batch drops rows failing any of the K
+    probes (no false negatives); (3) survivors — true matches plus the
+    ~1% false-positive tail — run through the exact size-gated
+    semi_join, which now shuffles only the pruned set.  The result is
+    therefore EXACT (the SQL oracle is a plain EXISTS), while the wide
+    exchange sees |matches| + fp*|left| rows instead of |left|.
+
+    Below SEMI_BROADCAST_CAP right-side rows the raw-key broadcast plan
+    is strictly better — callers should use semi_join directly; this
+    function still honors `broadcast_cap` for forced-path tests."""
+    import ray
+
+    n_right = right_ds.count()
+    if n_right == 0:
+        return left_ds.map_batches(lambda b: b.slice(0, 0),
+                                   batch_format="pyarrow")
+    if m_bits is None:
+        m_bits = 1 << int(np.ceil(np.log2(
+            max(1024, BLOOM_BITS_PER_KEY * n_right))))
+        m_bits = min(m_bits, BLOOM_MAX_BITS)
+
+    def build(b: pa.Table) -> pa.Table:
+        k = _bloom_u64(b[key].to_numpy(zero_copy_only=False))
+        pos = np.unique(_bloom_positions(k, m_bits).reshape(-1))
+        return pa.table({"pos": pa.array(pos)})
+
+    bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+    for t in (right_ds.select_columns([key])
+              .map_batches(build, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        p = t["pos"].to_numpy(zero_copy_only=False)
+        np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+    bits_ref = ray.put(bits)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bm = ray.get(bits_ref)  # zero-copy view of the shared bitmap
+        k = _bloom_u64(b[key].to_numpy(zero_copy_only=False))
+        pos = _bloom_positions(k, m_bits)
+        hit = ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1) \
+            .all(axis=1)
+        return b.filter(pa.array(hit))
+
+    pruned = left_ds.map_batches(prefilter, batch_format="pyarrow")
+    return _key_filter_join(pruned, right_ds, key, anti=False,
+                            broadcast_cap=broadcast_cap)
+
+
 def table_diff(left_ds, right_ds, key: str, value: str):
     """Data reconciliation: full-outer diff of two (key, value) tables.
     Emits one row per key with status 'removed' (left only), 'added'

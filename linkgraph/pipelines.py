@@ -2879,6 +2879,46 @@ def q_tpch_parts_shipped(sf_dir):
         batch_format="pyarrow")
 
 
+def q_tpch_bloom_semijoin(sf_dir):
+    """Bloom semi-join (joins.bloom_semi_join): lineitems of URGENT
+    orders via a broadcast Bloom-bitmap prefilter + exact verify —
+    the wide exchange sees only probable matches.  Result is exact
+    (no false negatives; positives verified), so the oracle is a
+    plain EXISTS; aggregated per returnflag to keep the result small."""
+    from ray.data.aggregate import Sum
+
+    from .joins import bloom_semi_join
+
+    li = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_orderkey", "l_quantity",
+                                     "l_returnflag"])
+    urgent = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'").map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"]}),
+        batch_format="pyarrow")
+    hit = bloom_semi_join(li, urgent, key="l_orderkey")
+
+    def agg(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("l_returnflag")["l_quantity"].agg(["count", "sum"])
+        return pa.table({
+            "l_returnflag": pa.array(g.index.to_numpy(object)),
+            "n_items": pa.array(g["count"].to_numpy(np.int64)),
+            "sum_qty": pa.array(g["sum"].to_numpy(np.float64))})
+
+    out = hit.map_batches(agg, batch_format="pyarrow") \
+             .groupby("l_returnflag") \
+             .aggregate(Sum("n_items", alias_name="n_items"),
+                        Sum("sum_qty", alias_name="sum_qty"))
+    return out.map_batches(
+        lambda b: pa.table({"l_returnflag": b["l_returnflag"],
+                            "n_items": b["n_items"],
+                            "sum_qty": pc.round(b["sum_qty"], ndigits=6)}),
+        batch_format="pyarrow")
+
+
 PACK_SEQ_LEN = 512
 
 
@@ -6136,6 +6176,17 @@ ORACLE_SQL: dict[str, str] = {
         WHERE EXISTS (SELECT 1 FROM lineitem l
                       WHERE l.l_partkey = p.p_partkey)
     """,
+    # bloom prefilter has no false negatives and survivors are exactly
+    # verified, so the oracle is a plain EXISTS (no bloom bits in SQL)
+    "tpch_bloom_semijoin": """
+        SELECT l_returnflag, count(*)::BIGINT AS n_items,
+               round(sum(l_quantity), 6) AS sum_qty
+        FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey
+                        AND o.o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+    """,
     "pack_sequences": f"""
         WITH t AS (SELECT doc_id,
             length(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -7567,6 +7618,7 @@ QUERIES = {
     "tpch_priority_buckets": q_tpch_priority_buckets,
     "tpch_cust_no_orders": q_tpch_cust_no_orders,
     "tpch_parts_shipped": q_tpch_parts_shipped,
+    "tpch_bloom_semijoin": q_tpch_bloom_semijoin,
     "pack_sequences": q_pack_sequences,
     "events_rollup": q_events_rollup,
     "events_running": q_events_running,

@@ -266,3 +266,32 @@ def test_table_diff_statuses(ray_session):
     with pytest.raises(Exception, match="duplicate key"):
         table_diff(from_pandas_clean(dup), from_pandas_clean(right),
                    key="k", value="v").to_pandas()
+
+
+def test_bloom_semi_join_equals_semi_join(monkeypatch):
+    """Bloom prefilter + exact verify == plain semi_join, on both the
+    broadcast and the forced-distributed verify plans, int and string
+    keys, including a tiny bitmap (high fp rate -> verify must drop)."""
+    import linkgraph.joins as joins_mod
+    from linkgraph.joins import bloom_semi_join, semi_join
+
+    left, right = _semi_fixture()
+    want = semi_join(left, right, "k").to_pandas() \
+        .sort_values(["k", "payload"]).reset_index(drop=True)
+    for cap in (10 ** 9, 0):          # broadcast vs distributed verify
+        for m_bits in (None, 256):    # sized vs saturated bitmap
+            got = bloom_semi_join(left, right, "k", m_bits=m_bits,
+                                  broadcast_cap=cap).to_pandas() \
+                .sort_values(["k", "payload"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want)
+
+    sleft = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c", "d", "a"], pa.string()),
+        "payload": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])}))
+    sright = rd.from_arrow(pa.table({"k": pa.array(["a", "c", "x"])}))
+    got = bloom_semi_join(sleft, sright, "k").to_pandas() \
+        .sort_values(["k", "payload"]).reset_index(drop=True)
+    assert list(got["k"]) == ["a", "a", "c"]
+
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
+    assert bloom_semi_join(sleft, empty, "k").count() == 0
