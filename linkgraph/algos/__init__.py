@@ -12,7 +12,8 @@ from .harmonic import (HarmonicProgram, closeness_from_seeds,
                        harmonic_centrality)
 from .hits import hits, normalized_scores
 from .katz import KatzProgram, katz_centrality
-from .kcore import CorenessProgram, KCoreProgram, coreness, kcore
+from .kcore import (CorenessProgram, KCoreProgram, OnionProgram,
+                    coreness, kcore, onion_layers)
 from .labelprop import LabelPropProgram, label_propagation
 from .mis import MISProgram, maximal_independent_set
 from .pagerank import (PageRankProgram, PPRProgram,
@@ -38,6 +39,7 @@ __all__ = [
     "hits", "normalized_scores",
     "KatzProgram", "katz_centrality",
     "CorenessProgram", "KCoreProgram", "coreness", "kcore",
+    "OnionProgram", "onion_layers",
     "LabelPropProgram", "label_propagation",
     "MISProgram", "maximal_independent_set",
     "PageRankProgram", "PPRProgram", "WarmPageRankProgram",

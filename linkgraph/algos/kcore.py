@@ -73,6 +73,46 @@ def kcore(engine: GraphEngine, k: int, max_steps: int = 10 ** 9) -> dict:
                       max_steps=max_steps, run_name=f"kcore_{k}")
 
 
+class OnionProgram(KCoreProgram):
+    """Peeling layers (the "onion" view of the k-core peel): layer(v) =
+    the synchronous round at which v was removed — 0 for vertices whose
+    initial degree is already < k, i for vertices alive through round
+    i-1 whose live degree drops below k at round i.  Survivors (the
+    k-core itself) keep layer -1 and are filtered from the result.
+    Same superstep recurrence as KCoreProgram; the SQL oracle counts
+    how many unrolled alive-sets contain each vertex (membership is
+    monotone, so layer = containment-count - 1)."""
+
+    result_columns = ["layer"]
+
+    def init_state(self, ctx):
+        st = super().init_state(ctx)
+        layer = np.full(ctx.n_local, -1, dtype=np.int64)
+        layer[st["_dying0"]] = 0
+        st["layer"] = layer
+        st["_round"] = np.array([0], dtype=np.int64)
+        return st
+
+    def apply(self, ctx, state, tgt_idx, vals):
+        newly = super().apply(ctx, state, tgt_idx, vals)
+        state["layer"][tgt_idx[newly]] = state["_round"][0] + 1
+        return newly
+
+    def post_step(self, ctx, state, active, step, final):
+        state["_round"][0] += 1
+        return {}
+
+    def finalize(self, ctx, state):
+        pass  # layer is the result; no in_core overwrite needed
+
+
+def onion_layers(engine: GraphEngine, k: int,
+                 max_steps: int = 10 ** 9) -> dict:
+    """Peel to the k-core recording each vertex's removal round."""
+    return engine.run(OnionProgram(), params={"k": int(k)},
+                      max_steps=max_steps, run_name=f"onion_{k}")
+
+
 class CorenessProgram(VertexProgram):
     """Full core decomposition via H-index iteration (Lü et al. 2016,
     "The H-index of a network node and its relation to degree and

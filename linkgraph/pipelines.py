@@ -1020,6 +1020,22 @@ def q_doc_katz(sf_dir):
 CORENESS_ROUNDS = 30
 
 
+def q_doc_onion(sf_dir):
+    """Peeling layers of the 2-core peel (algos/kcore.OnionProgram):
+    (v, removal round) for every vertex outside the 2-core — layer 0 =
+    initial degree < 2, layer i = live degree dropped below 2 at
+    synchronous round i.  Oracle: _onion_sql counts the unrolled
+    alive-set memberships (monotone, so layer = count - 1)."""
+    from .algos import onion_layers
+
+    eng = documents_engine(sf_dir, "undirected")
+    rep = onion_layers(eng, k=KCORE_K)
+    _check_unroll(rep, KCORE_ROUNDS, "doc_onion")
+    return _state_result(eng, "layer", "layer").map_batches(
+        lambda b: b.filter(pc.greater_equal(b["layer"], 0)),
+        batch_format="pyarrow")
+
+
 def q_doc_coreness(sf_dir):
     """Full core decomposition on the symmetrized doc graph
     (algos/kcore.CorenessProgram: H-index iteration from degree —
@@ -4054,6 +4070,29 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return f"WITH {', '.join(ctes)} SELECT v FROM a{rounds}"
 
 
+def _onion_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling layers (matches algos/kcore.OnionProgram):
+    the same alive-set chain as _kcore_sql; membership is monotone
+    (a_{i} ⊆ a_{i-1}), so a vertex's layer is how many sets contain it
+    minus one; 2-core survivors (in the final set) are filtered."""
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "a0 AS MATERIALIZED (SELECT doc_id AS v FROM documents)"]
+    for i in range(1, rounds + 1):
+        p = f"a{i - 1}"
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT d.v FROM ("
+            f"SELECT sym.dst AS v, count(*) AS deg FROM sym "
+            f"JOIN {p} s ON s.v = sym.src JOIN {p} t ON t.v = sym.dst "
+            f"GROUP BY sym.dst) d WHERE deg >= {k})")
+    unions = " UNION ALL ".join(
+        f"SELECT v FROM a{i}" for i in range(rounds + 1))
+    return (f"WITH {', '.join(ctes)}, u AS ({unions}), "
+            f"c AS (SELECT v, count(*)::BIGINT - 1 AS layer "
+            f"FROM u GROUP BY v) "
+            f"SELECT c.v, c.layer FROM c "
+            f"WHERE c.v NOT IN (SELECT v FROM a{rounds})")
+
+
 TRIANGLES_SQL = f"""
     WITH e AS ({DOC_EDGES_SQL})
     SELECT count(*) AS n_triangles
@@ -6009,6 +6048,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_eigen": _eigen_sql(EIGEN_ITERS, 6),
     "doc_ppr": _ppr_sql(PPR_ITERS, 9, PPR_SOURCES),
     "doc_kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+    "doc_onion": _onion_sql(KCORE_K, KCORE_ROUNDS),
     "doc_mis": _mis_sql(MIS_ROUNDS),
     "doc_coloring": _coloring_sql(COLORING_ROUNDS, COLORING_MAX_COLORS),
     "doc_harmonic": _harmonic_sql(HARMONIC_SEEDS, BFS_ROUNDS, 6),
@@ -7514,6 +7554,7 @@ QUERIES = {
     "doc_hits": q_doc_hits,
     "doc_ppr": q_doc_ppr,
     "doc_kcore": q_doc_kcore,
+    "doc_onion": q_doc_onion,
     "doc_mis": q_doc_mis,
     "doc_coloring": q_doc_coloring,
     "doc_harmonic": q_doc_harmonic,

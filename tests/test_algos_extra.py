@@ -1271,3 +1271,43 @@ def test_approx_triangles_paths_and_sanity(ray_session, seed):
     exact = triangle_count(ds)
     est = float(drv["triangles_est"][0])
     assert est == 0 or 0.2 * exact <= est <= 5 * max(exact, 1)
+
+
+def onion_oracle(e, n, k):
+    """Synchronous peeling with removal rounds: layer = first round the
+    vertex is outside the alive set (-1 for k-core survivors)."""
+    both = np.vstack([e, e[:, ::-1]])
+    both = both[both[:, 0] != both[:, 1]]
+    s = np.unique(both, axis=0)
+    alive = np.ones(n, dtype=bool)
+    layer = np.full(n, -1, dtype=np.int64)
+    rnd = 0
+    while True:
+        m = alive[s[:, 0]] & alive[s[:, 1]]
+        deg = np.bincount(s[m, 1], minlength=n)
+        new = alive & (deg >= k)
+        died = alive & ~new
+        layer[died] = rnd
+        if not died.any():
+            return layer
+        alive = new
+        rnd += 1
+
+
+@pytest.mark.parametrize("name,k", [("path_8", 2), ("two_cliques_k5", 3),
+                                    ("er_1k", 8), ("star_1_50", 2)])
+def test_onion_layers_match_peeling(name, k, tmp_path):
+    from linkgraph.algos import onion_layers
+
+    e = micro_graph(name)
+    n = _n(e)
+    eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                          num_partitions=3, store_dir=str(tmp_path / "g"))
+    try:
+        onion_layers(eng, k=k)
+        got = eng.state_pandas(["layer"])["layer"].to_numpy()
+        want = onion_oracle(e, n, k)
+        assert np.array_equal(got, want), (
+            f"{name} k={k}: {np.flatnonzero(got != want)}")
+    finally:
+        eng.shutdown()
