@@ -2218,6 +2218,77 @@ def q_text_perplexity(sf_dir):
     return perplexity_scores(docs)
 
 
+def q_text_ccnet_buckets(sf_dir):
+    """CCNet-style per-language perplexity terciles (Wenzek et al.
+    2020): each language's docs are ranked by (ppl, doc_id) and split
+    head/middle/tail by rank thirds — the classic LM-quality data cut.
+    Ranking is quantiles.grouped_value_ranks (range-partitioned per
+    bounded key, no language ever held in one task); the tercile report
+    aggregates map-side partials over the tiny lang x bucket domain.
+    Oracle: the text_perplexity body + row_number() OVER (PARTITION BY
+    lang) with the same (ppl, doc_id) order and third formula."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .joins import attach_by_key
+    from .lm import perplexity_scores
+    from .quantiles import grouped_value_ranks
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text", "lang"])
+    ppl = perplexity_scores(docs).select_columns(["doc_id", "ppl"])
+    # bounded lang vocabulary -> int index (attach_by_key is int-valued)
+    langs = sorted(r["lang"] for r in
+                   docs.groupby("lang").count().take_all())
+    lidx = {l: i for i, l in enumerate(langs)}
+    lref = ray.put(lidx)
+
+    def lang_map(b: pa.Table) -> pa.Table:
+        lm = ray.get(lref)
+        lv = b["lang"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lang_idx": pa.array([lm[x] for x in lv], pa.int64())})
+
+    lmap = docs.select_columns(["doc_id", "lang"]).map_batches(
+        lang_map, batch_format="pyarrow")
+    tagged = attach_by_key(ppl, lmap, ["doc_id"], "doc_id", "lang_idx")
+    ranks = grouped_value_ranks(
+        tagged.map_batches(lambda b: pa.table({
+            "doc_id": b["doc_id"], "lang_idx": b["lang_idx_doc_id"],
+            "ppl": b["ppl"]}), batch_format="pyarrow"),
+        key="lang_idx", value="ppl", id_col="doc_id")
+    n_by_lang = {int(r["lang_idx"]): r["count()"] for r in
+                 ranks.groupby("lang_idx").count().take_all()}
+    nref = ray.put((langs, n_by_lang))
+    names = np.array(["head", "middle", "tail"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        la, nb_ = ray.get(nref)
+        ki = b["lang_idx"].to_numpy(zero_copy_only=False)
+        rnk = b["rnk"].to_numpy(zero_copy_only=False)
+        n = np.array([nb_[int(k)] for k in ki], dtype=np.int64)
+        third = (rnk - 1) * 3 // n
+        df = pd.DataFrame({
+            "lang": np.array(la, object)[ki],
+            "bucket": names[third],
+            "ppl": b["ppl"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["lang", "bucket"])["ppl"] \
+              .agg(["count", "min", "max"]).reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(object)),
+            "bucket": pa.array(g["bucket"].to_numpy(object)),
+            "n_docs": pa.array(g["count"].to_numpy(np.int64)),
+            "min_ppl": pa.array(g["min"].to_numpy(np.float64)),
+            "max_ppl": pa.array(g["max"].to_numpy(np.float64))})
+
+    return (ranks.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(["lang", "bucket"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Min("min_ppl", alias_name="min_ppl"),
+                       Max("max_ppl", alias_name="max_ppl")))
+
+
 def q_decontaminate(sf_dir):
     """Benchmark decontamination: (doc_id, n_hits) for corpus docs
     sharing any word 8-gram with the benchmark slice (doc_id % 53)."""
@@ -11291,3 +11362,23 @@ def _approx_tri_sql() -> str:
 
 ORACLE_SQL["doc_triangles_approx"] = _approx_tri_sql()
 QUERIES["doc_triangles_approx"] = q_doc_triangles_approx
+
+
+# CCNet terciles: the text_perplexity oracle nested verbatim, ranked per
+# language with the same (rounded ppl, doc_id) order and third formula;
+# min/max are order statistics of round-6 values (no cross-plan sums)
+ORACLE_SQL["text_ccnet_buckets"] = f"""
+    WITH p AS ({ORACLE_SQL["text_perplexity"]}),
+    r AS (SELECT d.lang, p.doc_id, p.ppl,
+                 row_number() OVER (PARTITION BY d.lang
+                                    ORDER BY p.ppl, p.doc_id) AS rn,
+                 count(*) OVER (PARTITION BY d.lang) AS nl
+          FROM p JOIN documents d USING (doc_id))
+    SELECT lang,
+           CASE ((rn - 1) * 3) // nl WHEN 0 THEN 'head'
+                WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+           count(*)::BIGINT AS n_docs,
+           min(ppl) AS min_ppl, max(ppl) AS max_ppl
+    FROM r GROUP BY lang, bucket
+"""
+QUERIES["text_ccnet_buckets"] = q_text_ccnet_buckets

@@ -321,3 +321,123 @@ def global_value_ranks(ds, value: str = "value",
         return pd.DataFrame({id_col: ids[o], "rnk": pos})
 
     return tagged.groupby("vb").map_groups(rank, batch_format="pandas")
+
+
+GROUPED_RANK_SAMPLE = 4096  # per-key bottom-k-by-hash boundary sample
+
+
+def _mix_ids(ids: np.ndarray) -> np.ndarray:
+    h = ids.astype(np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def grouped_value_ranks(ds, key: str, value: str, id_col: str,
+                        n_buckets: int = 64,
+                        sample_per_key: int = GROUPED_RANK_SAMPLE):
+    """Per-key row_number() OVER (PARTITION BY key ORDER BY value, id)
+    for a BOUNDED key domain (languages, sources, labels) whose per-key
+    row counts are unbounded — the regime where the coarse
+    key-hash-bucket shuffle (grouped_quantiles) would put one whole key
+    in one task.  The generalization of global_value_ranks:
+
+    1. per-key value boundaries from a mergeable bottom-k-by-id-hash
+       sample (deterministic; boundaries only steer BALANCE — rank
+       exactness never depends on them);
+    2. rows tagged (key, value-range) -> one composite-bucket shuffle;
+    3. per-(key, range) counts are map-side bincount partials over the
+       bounded key x n_buckets domain; the driver prefix-sums them into
+       per-bucket rank offsets;
+    4. each bucket lexsorts (value, id) locally and adds its offset.
+
+    Equal values never split across ranges (searchsorted side='left'),
+    so ranks are exact.  Returns a Dataset (id_col, key, rnk), rnk
+    1-based per key."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    ds = ds.materialize()
+    if ds.count() == 0:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            key: pa.array([], pa.string()),
+            "rnk": pa.array([], pa.int64())}))
+
+    def sample(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = _mix_ids(b[id_col].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"k": kv, "h": h, "v": v})
+        df = df.sort_values(["k", "h"]).groupby("k", sort=False) \
+               .head(sample_per_key)
+        return pa.table({"k": pa.array(df["k"].to_numpy()),
+                         "h": pa.array(df["h"].to_numpy(np.uint64)),
+                         "v": pa.array(df["v"].to_numpy(np.float64))})
+
+    parts = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["k", "h"]).groupby("k", sort=False) \
+                 .head(sample_per_key)
+    keys = np.sort(parts["k"].unique())
+    bounds = {}
+    for kk, g in parts.groupby("k"):
+        sv = np.sort(g["v"].to_numpy())
+        qi = np.minimum((np.arange(1, n_buckets) * len(sv)) // n_buckets,
+                        len(sv) - 1)
+        bounds[kk] = np.unique(sv[qi])
+    nb = n_buckets
+    key_arr = keys  # sorted; index = position
+    bref = ray.put((key_arr, bounds))
+
+    def tag(b: pa.Table) -> pa.Table:
+        ka, bo = ray.get(bref)
+        kv = b[key].to_numpy(zero_copy_only=False)
+        v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        ki = np.searchsorted(ka, kv)
+        vb = np.empty(len(v), dtype=np.int64)
+        for i, kk in enumerate(ka):  # bounded key domain
+            m = ki == i
+            if m.any():
+                vb[m] = np.searchsorted(bo[kk], v[m], side="left")
+        return pa.table({id_col: pc.cast(b[id_col], pa.int64()),
+                         key: b[key], value: pa.array(v),
+                         "kb": pa.array(ki * nb + vb)})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    dom = len(key_arr) * nb
+
+    def counts(b: pa.Table) -> pa.Table:
+        c = np.bincount(b["kb"].to_numpy(zero_copy_only=False),
+                        minlength=dom)
+        nz = np.flatnonzero(c)
+        return pa.table({"kb": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(c[nz].astype(np.int64))})
+
+    total = np.zeros(dom, np.int64)
+    for t in tagged.map_batches(counts, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow", batch_size=None):
+        total[t["kb"].to_numpy(zero_copy_only=False)] += \
+            t["c"].to_numpy(zero_copy_only=False)
+    # prefix sums restart at each key's first range cell (ranks are
+    # 1-based PER KEY, not global)
+    offsets = (np.cumsum(total.reshape(-1, nb), axis=1).reshape(-1)
+               - total)
+    oref = ray.put(offsets)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)
+        ids = g[id_col].to_numpy(np.int64)
+        v = g[value].to_numpy(np.float64)
+        o = np.lexsort((ids, v))
+        pos = off[int(g["kb"].iloc[0])] \
+            + np.arange(len(v), dtype=np.int64) + 1
+        return pd.DataFrame({id_col: ids[o],
+                             key: g[key].to_numpy()[o],
+                             value: v[o], "rnk": pos})
+
+    return tagged.groupby("kb").map_groups(rank, batch_format="pandas")

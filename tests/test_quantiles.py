@@ -110,3 +110,39 @@ def test_interpolated_quantiles_tiny_and_empty():
     assert got2["val"].tolist() == [2.5]
     empty = interpolated_quantiles(_ds([]), "value", [0.5])
     assert math.isnan(empty["val"].iloc[0])
+
+
+def test_grouped_value_ranks_matches_pandas():
+    import ray.data as rd
+
+    from linkgraph.quantiles import grouped_value_ranks
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    keys = np.array(["en", "de", "fr"])[rng.integers(0, 3, n)]
+    vals = np.round(rng.normal(size=n), 2)  # plenty of ties
+    ids = rng.permutation(n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "lang": pa.array(keys),
+        "ppl": pa.array(vals)}))
+    got = grouped_value_ranks(ds, "lang", "ppl", "doc_id",
+                              n_buckets=8, sample_per_key=64) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df = pd.DataFrame({"doc_id": ids, "lang": keys, "ppl": vals})
+    df = df.sort_values(["lang", "ppl", "doc_id"])
+    df["rnk"] = df.groupby("lang").cumcount() + 1
+    want = df.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "lang", "rnk"]]
+    pd.testing.assert_frame_equal(got[["doc_id", "lang", "rnk"]], want)
+
+
+def test_grouped_value_ranks_empty():
+    import ray.data as rd
+
+    from linkgraph.quantiles import grouped_value_ranks
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "ppl": pa.array([], pa.float64())}))
+    assert grouped_value_ranks(ds, "lang", "ppl", "doc_id").count() == 0
