@@ -947,6 +947,32 @@ def q_doc_ppr(sf_dir):
     return _state_result(eng, "rank", "rank", round_to=9)
 
 
+TRUST_SOURCES = [0, 7, 21, 42]  # the deterministic "trusted page" seeds
+
+
+def q_doc_trustrank(sf_dir):
+    """TrustRank (Gyöngyi et al. 2004): personalized PageRank seeded by
+    a trusted whitelist, teleport mass split uniformly over the seeds —
+    the classic link-spam-demotion score.  The uniform seed weights are
+    a pure rescale of the PPR linear recurrence, so the engine runs
+    PPRProgram and divides by |seeds| once at the end; oracle: _ppr_sql
+    over the seed set with the same final division."""
+    from .algos import personalized_pagerank
+
+    eng = documents_engine(sf_dir, "directed")
+    personalized_pagerank(eng, sources=TRUST_SOURCES,
+                          iterations=PPR_ITERS)
+    n_seeds = float(len(TRUST_SOURCES))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": b["v"],
+            "trust": pc.round(pc.divide(b["rank"], n_seeds), ndigits=9)})
+
+    return eng.state_dataset(["rank"]).map_batches(
+        fin, batch_format="pyarrow")
+
+
 def q_doc_kcore(sf_dir):
     """Vertices of the 2-core of the symmetrized doc graph (synchronous
     peeling, algos/kcore.py).  Oracle: _kcore_sql unrolled alive-set
@@ -3473,6 +3499,21 @@ def q_events_retention(sf_dir):
     ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                             columns=["user_id", "ts"])
     return retention_cohorts(ev, max_offset=RETENTION_MAX_OFFSET)
+
+
+COHORT_MAX_WEEKS = 8
+
+
+def q_events_cohort_revenue(sf_dir):
+    """Cohort LTV (windows.cohort_revenue): revenue in exact integer
+    cents + event count per (first-active-week cohort, week offset) —
+    the classic lifetime-value matrix next to events_retention's user
+    counts.  Disjoint-user-bucket shuffle, driver sums tiny partials."""
+    from .windows import cohort_revenue
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "value"])
+    return cohort_revenue(ev, max_offset=COHORT_MAX_WEEKS)
 
 
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -6118,6 +6159,10 @@ ORACLE_SQL: dict[str, str] = {
     "doc_hits": _hits_sql(HITS_ITERS, 6),
     "doc_eigen": _eigen_sql(EIGEN_ITERS, 6),
     "doc_ppr": _ppr_sql(PPR_ITERS, 9, PPR_SOURCES),
+    "doc_trustrank": (
+        f"WITH pr AS ({_ppr_sql(PPR_ITERS, 12, TRUST_SOURCES)}) "
+        f"SELECT v, round(rank / {len(TRUST_SOURCES)}.0, 9) AS trust "
+        f"FROM pr"),
     "doc_kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
     "doc_onion": _onion_sql(KCORE_K, KCORE_ROUNDS),
     "doc_mis": _mis_sql(MIS_ROUNDS),
@@ -6992,6 +7037,22 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
     """,
+    # cohort LTV: first-active epoch-week cohorts, exact integer-cents
+    # revenue per week offset (the pivot cents rounding convention)
+    "events_cohort_revenue": """
+        WITH e AS (SELECT user_id,
+                          epoch_us(ts) // (86400000000 * 7) AS wk,
+                          CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                              AS cents
+                   FROM events),
+        c AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id)
+        SELECT c.cw AS cohort_week, e.wk - c.cw AS week_offset,
+               count(*)::BIGINT AS n_events,
+               sum(cents)::BIGINT AS revenue_cents
+        FROM e JOIN c USING (user_id)
+        WHERE e.wk - c.cw <= 8
+        GROUP BY cohort_week, week_offset
+    """,
     # cohort retention: first-active epoch-day cohorts, distinct users
     # active at each day offset 0..7
     "events_retention": """
@@ -7624,6 +7685,7 @@ QUERIES = {
     "doc_widest": q_doc_widest,
     "doc_hits": q_doc_hits,
     "doc_ppr": q_doc_ppr,
+    "doc_trustrank": q_doc_trustrank,
     "doc_kcore": q_doc_kcore,
     "doc_onion": q_doc_onion,
     "doc_mis": q_doc_mis,
@@ -7743,6 +7805,7 @@ QUERIES = {
     "events_range": q_events_range,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_cohort_revenue": q_events_cohort_revenue,
     "events_pivot": q_events_pivot,
     "events_melt": q_events_melt,
     "events_rank": q_events_rank,

@@ -408,6 +408,62 @@ def retention_cohorts(ds, max_offset: int = 7, key: str = "user_id",
     return out
 
 
+def cohort_revenue(ds, max_offset: int = 8, key: str = "user_id",
+                   ts: str = "ts", value: str = "value") -> pd.DataFrame:
+    """Cohort LTV matrix: cohort_week = a user's first active epoch-week
+    (UTC); per (cohort_week, week_offset 0..max_offset) the event count
+    and revenue in EXACT integer cents (the pivot_user_counts
+    floor(v*100+0.5) convention, so sums are association-free).
+
+    Same disjoint-user-bucket shape as retention_cohorts: each bucket
+    holds every event of its users, derives cohorts and offsets
+    vectorized, and emits tiny (cohort, offset) partials the driver
+    sums."""
+    from .algos.triangles import n_buckets_for
+
+    ds = ds.materialize()
+    nb = n_buckets_for(ds.count())
+    week_us = 7 * DAY_US
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(b[value].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        return pa.table({key: pa.array(k),
+                         "wk": pa.array(us // week_us),
+                         "cents": pa.array(cents),
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        cohort = g.groupby(key)["wk"].min()
+        coh = g[key].map(cohort).to_numpy(np.int64)
+        off = g["wk"].to_numpy(np.int64) - coh
+        keep = off <= max_offset
+        part = pd.DataFrame({"cohort_week": coh[keep],
+                             "week_offset": off[keep],
+                             "cents": g["cents"].to_numpy(np.int64)[keep]})
+        return part.groupby(["cohort_week", "week_offset"], sort=True) \
+                   .agg(n_events=("cents", "size"),
+                        revenue_cents=("cents", "sum")).reset_index()
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+              .groupby("kb").map_groups(kern, batch_format="pandas") \
+              .to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "cohort_week": pd.Series([], dtype=np.int64),
+            "week_offset": pd.Series([], dtype=np.int64),
+            "n_events": pd.Series([], dtype=np.int64),
+            "revenue_cents": pd.Series([], dtype=np.int64)})
+    out = parts.groupby(["cohort_week", "week_offset"], sort=True) \
+               .agg(n_events=("n_events", "sum"),
+                    revenue_cents=("revenue_cents", "sum")).reset_index()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def pivot_user_counts(ds, types: list[str], key: str = "user_id",
                       type_col: str = "event_type",
                       value: str = "value"):

@@ -691,3 +691,37 @@ def test_quality_audit_detects_injected_violations(ray_session, tmp_path):
         "orders_childless": 1,
         "orders_orphan_custkey": 1,
     }
+
+
+def test_cohort_revenue_matches_pandas():
+    import ray.data as rd
+
+    from linkgraph.windows import cohort_revenue
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    us = rng.integers(0, 90, n) * 86_400_000_000 \
+        + rng.integers(0, 86_400_000_000, n)
+    users = rng.integers(0, 300, n)
+    vals = np.round(rng.uniform(0, 50, n), 2)
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(us.astype("datetime64[us]")),
+        "value": pa.array(vals)}))
+    got = cohort_revenue(ds, max_offset=8) \
+        .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+    wk = us // (7 * 86_400_000_000)
+    cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+    df = pd.DataFrame({"u": users, "wk": wk, "cents": cents})
+    df["cw"] = df.groupby("u")["wk"].transform("min")
+    df["off"] = df["wk"] - df["cw"]
+    df = df[df["off"] <= 8]
+    want = df.groupby(["cw", "off"]) \
+        .agg(n_events=("cents", "size"),
+             revenue_cents=("cents", "sum")).reset_index() \
+        .rename(columns={"cw": "cohort_week", "off": "week_offset"}) \
+        .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    for c in want.columns:
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
