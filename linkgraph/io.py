@@ -277,3 +277,40 @@ def write_partitioned_resumable(ds, path: str, partition_col: str) -> dict:
             open(marker, "w").close()
             written += 1
     return {"written": written, "skipped": len(done_vals)}
+
+
+def write_jsonl_gz(ds, path: str) -> dict:
+    """Gzip JSONL sink: one .jsonl.gz shard per block, written INSIDE
+    the map tasks (the sink streams; nothing lands on the driver).
+    Shard names are the sha256 of the compressed bytes (gzip mtime
+    pinned to 0), so task retries rewrite the same file — idempotent,
+    resumable output per the brief.  Returns a small manifest dict."""
+    import gzip
+    import hashlib
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        txt = b.to_pandas().to_json(orient="records", lines=True,
+                                    force_ascii=False)
+        data = gzip.compress(txt.encode("utf-8"), mtime=0)
+        name = hashlib.sha256(data).hexdigest()[:16] + ".jsonl.gz"
+        with open(os.path.join(path, name), "wb") as f:
+            f.write(data)
+        return pa.table({"file": pa.array([name]),
+                         "rows": pa.array([b.num_rows], pa.int64())})
+
+    mani = ds.map_batches(dump, batch_format="pyarrow").to_pandas()
+    return {"files": sorted(mani["file"]), "rows": int(mani["rows"].sum())}
+
+
+def read_jsonl_gz(path: str):
+    """Source twin of write_jsonl_gz: streaming gzip JSONL read (Arrow
+    decompresses per stream; no whole-file driver loads)."""
+    import ray.data as rd
+
+    return rd.read_json(path, file_extensions=["gz"],
+                        arrow_open_stream_args={"compression": "gzip"})

@@ -2003,6 +2003,40 @@ def q_sink_json_roundtrip(sf_dir):
     return rd.read_json(out)
 
 
+def q_sink_jsonl_gz_roundtrip(sf_dir):
+    """Gzip JSONL source/sink round trip (io.write_jsonl_gz /
+    read_jsonl_gz): deterministic content-named .jsonl.gz shards
+    written inside the map tasks, streamed back through Arrow's gzip
+    decompression.  Oracle = the source table."""
+    import shutil
+
+    from .io import read_jsonl_gz, write_jsonl_gz
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars", "text"])
+    out = _roundtrip_dir(sf_dir, "jsonlgz")
+    shutil.rmtree(out, ignore_errors=True)
+    write_jsonl_gz(docs, out)
+    return read_jsonl_gz(out)
+
+
+def q_warc_extract(sf_dir):
+    """WARC container lane (warc.py): documents packed into WARC/1.0
+    response blobs (synth_warc_blobs — the CommonCrawl-file stand-in),
+    then parsed back by the actor-pool Content-Length walker
+    (WarcExtractStage).  Result: (doc_id, url, n_bytes) per record;
+    oracle recomputes the URI and the UTF-8 octet length from the
+    source table directly."""
+    from .warc import synth_warc_blobs, warc_extract
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    blobs = synth_warc_blobs(docs)
+    return warc_extract(blobs).select_columns(
+        ["doc_id", "url", "n_bytes"])
+
+
 def q_sample_stratified(sf_dir):
     """Deterministic per-language fraction sampling
     (sampling.stratified_sample): keep rate(lang) of each stratum by an
@@ -6380,6 +6414,16 @@ ORACLE_SQL: dict[str, str] = {
                            "text FROM documents"),
     "sink_json_roundtrip": ("SELECT doc_id, lang, source, n_chars, "
                             "text FROM documents"),
+    "sink_jsonl_gz_roundtrip": ("SELECT doc_id, lang, source, n_chars, "
+                                "text FROM documents"),
+    # warc lane: URI and Content-Length (UTF-8 octets) recomputed from
+    # the source docs the blobs were packed from
+    "warc_extract": """
+        SELECT doc_id,
+               'https://example.com/doc/' || doc_id AS url,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    """,
     # PMI collocations: same \s+ and bigram conventions as
     # text_top_bigrams; identical float expression shape
     # ln((n/B)/((ca/T)*(cb/T))); ordered by ROUNDED pmi on both sides
@@ -7733,6 +7777,8 @@ QUERIES = {
     "sink_roundtrip": q_sink_roundtrip,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_json_roundtrip": q_sink_json_roundtrip,
+    "sink_jsonl_gz_roundtrip": q_sink_jsonl_gz_roundtrip,
+    "warc_extract": q_warc_extract,
     "embed_outliers": q_embed_outliers,
     "sketch_cms": q_sketch_cms,
     "text_stats": q_text_stats,
