@@ -273,3 +273,21 @@ def derive_clique_edges(ds, key_col: str, id_col: str = "vid",
 
     return proj.map_batches(tag, batch_format="pyarrow") \
                .groupby("kb").map_groups(kern, batch_format="pandas")
+
+
+def induced_edges(edges_ds, keep_ds, id_col: str = "doc_id"):
+    """Induced-subgraph edge filter: keep edges whose BOTH endpoints
+    appear in `keep_ds` — two size-gated semi-joins (broadcast keys
+    under SEMI_BROADCAST_CAP, coarse co-group shuffle above), the
+    subgraph-extraction primitive for run-on-a-slice analyses.
+    Vertex ids are preserved (no densify): isolated vertices cost one
+    state slot each and cannot affect any kept vertex's result."""
+    from .joins import semi_join
+
+    out = edges_ds
+    for c in ("src", "dst"):
+        keys = keep_ds.map_batches(
+            lambda b, c=c: pa.table({c: b[id_col]}),
+            batch_format="pyarrow")
+        out = semi_join(out, keys, c)
+    return out

@@ -947,6 +947,46 @@ def q_doc_ppr(sf_dir):
     return _state_result(eng, "rank", "rank", round_to=9)
 
 
+SUBGRAPH_LANG = "en"
+
+
+def q_doc_subgraph_pagerank(sf_dir):
+    """PageRank on the induced subgraph of one language's documents
+    (edges.induced_edges: two size-gated semi-joins keep edges with
+    BOTH endpoints in the slice; original ids preserved — isolated
+    out-of-slice vertices cannot affect kept results under the Gemini
+    recurrence, so only kept rows are emitted).  The run-on-a-slice
+    primitive.  Oracle: _pagerank_sql_over the filtered edge set and
+    the kept vertex set."""
+    from .algos import pagerank
+    from .edges import induced_edges
+    from .graph import load_directed
+
+    key = (os.path.abspath(sf_dir), f"sub_{SUBGRAPH_LANG}")
+    if key not in _CACHE:
+        keep = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"]).filter(
+            expr=f"lang == '{SUBGRAPH_LANG}'").select_columns(["doc_id"])
+        keep = keep.materialize()
+        sub = induced_edges(documents_edges(sf_dir), keep)
+        _CACHE[key] = (load_directed(
+            sub, documents_n_vertices(sf_dir), 4,
+            _store_root(sf_dir, f"sub_{SUBGRAPH_LANG}"),
+            fingerprint=_input_fingerprint(sf_dir)), keep)
+    eng, keep = _CACHE[key]
+    pagerank(eng, iterations=PR_ITERS)
+    from .joins import semi_join
+
+    state = eng.state_dataset(["rank"]).map_batches(
+        lambda b: pa.table({"v": b["v"],
+                            "rank": pc.round(b["rank"], ndigits=6)}),
+        batch_format="pyarrow")
+    kv = keep.map_batches(lambda b: pa.table({"v": b["doc_id"]}),
+                          batch_format="pyarrow")
+    return semi_join(state, kv, "v")
+
+
 TRUST_SOURCES = [0, 7, 21, 42]  # the deterministic "trusted page" seeds
 
 
@@ -3773,9 +3813,16 @@ def q_media_frames(sf_dir):
 # ------------------------------------------------------------- oracle SQL
 
 def _pagerank_sql(iters: int, round_to: int) -> str:
-    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+    return _pagerank_sql_over(
+        DOC_EDGES_SQL, "SELECT doc_id AS v FROM documents",
+        iters, round_to)
+
+
+def _pagerank_sql_over(edges_sql: str, allv_sql: str, iters: int,
+                       round_to: int) -> str:
+    ctes = [f"e AS MATERIALIZED ({edges_sql})",
             "outd AS MATERIALIZED (SELECT src AS v, count(*) AS od FROM e GROUP BY src)",
-            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            f"allv AS MATERIALIZED ({allv_sql})",
             ("c0 AS (SELECT allv.v, CASE WHEN coalesce(od, 0) > 0 "
              "THEN 1.0/od ELSE 1.0 END AS r FROM allv "
              "LEFT JOIN outd USING (v))")]
@@ -6197,6 +6244,16 @@ ORACLE_SQL: dict[str, str] = {
         f"WITH pr AS ({_ppr_sql(PPR_ITERS, 12, TRUST_SOURCES)}) "
         f"SELECT v, round(rank / {len(TRUST_SOURCES)}.0, 9) AS trust "
         f"FROM pr"),
+    "doc_subgraph_pagerank": _pagerank_sql_over(
+        f"""WITH ce AS ({DOC_EDGES_SQL}),
+        kv AS (SELECT doc_id FROM documents
+               WHERE lang = '{SUBGRAPH_LANG}')
+        SELECT src, dst FROM ce
+        JOIN kv a ON a.doc_id = ce.src
+        JOIN kv b ON b.doc_id = ce.dst""",
+        f"SELECT doc_id AS v FROM documents "
+        f"WHERE lang = '{SUBGRAPH_LANG}'",
+        PR_ITERS, 6),
     "doc_kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
     "doc_onion": _onion_sql(KCORE_K, KCORE_ROUNDS),
     "doc_mis": _mis_sql(MIS_ROUNDS),
@@ -7730,6 +7787,7 @@ QUERIES = {
     "doc_hits": q_doc_hits,
     "doc_ppr": q_doc_ppr,
     "doc_trustrank": q_doc_trustrank,
+    "doc_subgraph_pagerank": q_doc_subgraph_pagerank,
     "doc_kcore": q_doc_kcore,
     "doc_onion": q_doc_onion,
     "doc_mis": q_doc_mis,

@@ -2,6 +2,7 @@
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from linkgraph import edges as E
@@ -78,3 +79,23 @@ def test_build_link_edges_against_oracle():
     want = {(inv2[s], inv2[d]) for s, d in want}
     assert got == want
     assert n_vertices == len(keys)
+
+
+def test_induced_edges_keeps_both_endpoint_matches():
+    import ray.data as rd
+
+    from linkgraph.edges import induced_edges
+
+    rng = np.random.default_rng(9)
+    e = rng.integers(0, 100, size=(600, 2))
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(e[:, 0], pa.int64()),
+        "dst": pa.array(e[:, 1], pa.int64())}))
+    keep_ids = np.arange(0, 100, 3, dtype=np.int64)  # every third vertex
+    keep = rd.from_arrow(pa.table({"doc_id": pa.array(keep_ids)}))
+    got = induced_edges(edges, keep).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    m = np.isin(e[:, 0], keep_ids) & np.isin(e[:, 1], keep_ids)
+    want = pd.DataFrame({"src": e[m, 0], "dst": e[m, 1]}) \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
