@@ -204,7 +204,8 @@ def _lp_wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
     empty = pd.DataFrame({"u": np.empty(0, np.int64),
                           "w": np.empty(0, np.int64),
                           "cn": np.empty(0, np.int64),
-                          "aa": np.empty(0, np.float64)})
+                          "aa": np.empty(0, np.float64),
+                          "ra": np.empty(0, np.float64)})
     c = g["c"].to_numpy(np.int64)
     n = g["n"].to_numpy(np.int64)
     order = np.lexsort((n, c))
@@ -222,17 +223,21 @@ def _lp_wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
     j_idx = i_idx + 1 + (np.arange(total) - csum[i_idx])
     lf = lens.astype(np.float64)
     wt = np.where(lens >= 2, 1.0 / np.log(np.maximum(lf, 2.0)), 0.0)
+    rw = 1.0 / lf  # resource allocation: 1/deg(center)
     # lexsort on the raw (u, w) columns — no packed key, so full-range
     # int64 ids are safe on the distributed path
     u_, w_ = n[i_idx], n[j_idx]
     ks = np.lexsort((w_, u_))
     u_s, w_s = u_[ks], w_[ks]
     a_s = wt[seg[i_idx]][ks]
+    r_s = rw[seg[i_idx]][ks]
     st = np.flatnonzero(np.concatenate(
         [[True], (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])]))
     cn = np.diff(np.concatenate([st, [len(u_s)]])).astype(np.int64)
     aa = np.add.reduceat(a_s, st)
-    return pd.DataFrame({"u": u_s[st], "w": w_s[st], "cn": cn, "aa": aa})
+    ra = np.add.reduceat(r_s, st)
+    return pd.DataFrame({"u": u_s[st], "w": w_s[st], "cn": cn, "aa": aa,
+                         "ra": ra})
 
 
 def _lp_pair_merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -248,7 +253,9 @@ def _lp_pair_merge(g: pd.DataFrame) -> pd.DataFrame:
     cn = np.bincount(seg_id, weights=g["cn"].to_numpy(np.float64)[o]) \
         .astype(np.int64)
     aa = np.bincount(seg_id, weights=g["aa"].to_numpy(np.float64)[o])
-    return pd.DataFrame({"u": u_s[st], "w": w_s[st], "cn": cn, "aa": aa})
+    ra = np.bincount(seg_id, weights=g["ra"].to_numpy(np.float64)[o])
+    return pd.DataFrame({"u": u_s[st], "w": w_s[st], "cn": cn, "aa": aa,
+                         "ra": ra})
 
 
 def _lp_finish(b: pa.Table) -> pa.Table:
@@ -256,15 +263,18 @@ def _lp_finish(b: pa.Table) -> pa.Table:
     dw = b["degree_w"].to_numpy(zero_copy_only=False).astype(np.int64)
     cn = b["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
     aa = b["aa"].to_numpy(zero_copy_only=False)
+    ra = b["ra"].to_numpy(zero_copy_only=False)
     return pa.table({
         "u": b["u"], "w": b["w"], "cn": pa.array(cn),
         "aa": pa.array(np.round(aa, 6)),
+        "ra": pa.array(np.round(ra, 6)),
         "jac": pa.array(np.round(cn / (du + dw - cn), 6)),
         "pref": pa.array(du * dw)})
 
 
 _LP_EMPTY = {"u": np.empty(0, np.int64), "w": np.empty(0, np.int64),
              "cn": np.empty(0, np.int64), "aa": np.empty(0, np.float64),
+             "ra": np.empty(0, np.float64),
              "jac": np.empty(0, np.float64), "pref": np.empty(0, np.int64)}
 
 
@@ -291,13 +301,14 @@ def _lp_local(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
     ww = part["w"].to_numpy(np.int64)
     cn = part["cn"].to_numpy(np.int64)
     aa = np.round(part["aa"].to_numpy(np.float64), 6)
+    ra = np.round(part["ra"].to_numpy(np.float64), 6)
     du = deg[np.searchsorted(vs, uu)]
     dw = deg[np.searchsorted(vs, ww)]
     jac = np.round(cn / (du + dw - cn), 6)
     pa_ = (du * dw).astype(np.int64)
     sel = np.lexsort((ww, uu, -aa, -cn))[:k]
     return pd.DataFrame({"u": uu[sel], "w": ww[sel], "cn": cn[sel],
-                         "aa": aa[sel], "jac": jac[sel],
+                         "aa": aa[sel], "ra": ra[sel], "jac": jac[sel],
                          "pref": pa_[sel]})
 
 

@@ -5059,9 +5059,10 @@ LINKPRED_SQL = f"""
       FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst),
     sc AS (
       SELECT u, w, count(*)::BIGINT AS cn,
-             round(sum(1.0 / ln(d)), 6) AS aa
+             round(sum(1.0 / ln(d)), 6) AS aa,
+             round(sum(1.0 / d), 6) AS ra
       FROM pairs JOIN deg ON pairs.c = deg.v GROUP BY u, w)
-    SELECT sc.u, sc.w, sc.cn, sc.aa,
+    SELECT sc.u, sc.w, sc.cn, sc.aa, sc.ra,
            round(sc.cn::DOUBLE / (du.d + dw.d - sc.cn), 6) AS jac,
            (du.d * dw.d)::BIGINT AS pref
     FROM sc JOIN deg du ON sc.u = du.v JOIN deg dw ON sc.w = dw.v

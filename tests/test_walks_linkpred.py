@@ -184,10 +184,12 @@ def _lp_oracle(pairs, k):
             cn = len(common)
             aa = sum(1.0 / math.log(len(adj[c])) for c in common
                      if len(adj[c]) >= 2)
+            ra = sum(1.0 / len(adj[c]) for c in common)
             du, dw = len(adj[u]), len(adj[w])
-            rows.append((u, w, cn, round(aa, 6),
+            rows.append((u, w, cn, round(aa, 6), round(ra, 6),
                          round(cn / (du + dw - cn), 6), du * dw))
-    pdf = pd.DataFrame(rows, columns=["u", "w", "cn", "aa", "jac", "pref"])
+    pdf = pd.DataFrame(rows,
+                       columns=["u", "w", "cn", "aa", "ra", "jac", "pref"])
     return pdf.sort_values(["cn", "aa", "u", "w"],
                            ascending=[False, False, True, True]) \
         .head(k).reset_index(drop=True)
