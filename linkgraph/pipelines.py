@@ -2549,6 +2549,18 @@ def q_dedup_paragraph(sf_dir):
 CM_TOP_K = 20
 
 
+def q_text_feature_hash(sf_dir):
+    """Feature-hashed document vectors (text.feature_hash_vectors):
+    signed hashed bag-of-words into 16 dims, exact integers in sparse
+    long form.  Oracle: _feature_hash_sql — the text_cm HUGEINT
+    word-hash chain per distinct token joined to per-doc counts."""
+    from .text import feature_hash_vectors
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return feature_hash_vectors(docs)
+
+
 def q_text_cm(sf_dir):
     """Count-Min sketch heavy-hitter report (sketch.count_min_sketch):
     bounded mergeable register matrix from map-side partials, then for
@@ -6038,6 +6050,43 @@ def _matching_sql(rounds: int) -> str:
             + "\nSELECT u AS src, v AS dst FROM (" + union + ")")
 
 
+def _feature_hash_sql(dims: int) -> str:
+    """Twin of text.feature_hash_vectors: the same FNV fold + splitmix
+    avalanche per distinct token (HUGEINT, exact), sign from bit 32,
+    dim = h % dims, per-(doc, dim) integer sums, zeros dropped."""
+    fold = (f"list_reduce(list_transform(range(1, length(w) + 1), "
+            f"j -> unicode(substr(w, j::INT, 1))::HUGEINT), "
+            f"(acc, c) -> (acc * {_FNV} + c) % {_W64})")
+    return f"""
+        WITH words AS MATERIALIZED (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split_regex(lower(text),
+                   '[ \t\n]+')) AS w FROM documents)
+          WHERE length(w) > 0),
+        dw AS MATERIALIZED (
+          SELECT doc_id, w, count(*)::BIGINT AS n
+          FROM words GROUP BY doc_id, w),
+        uw AS (SELECT DISTINCT w FROM dw),
+        a0 AS (SELECT w, ({fold})::UBIGINT AS h0 FROM uw),
+        a1 AS (SELECT w, xor(h0, h0 >> 33) AS h1 FROM a0),
+        a2 AS (SELECT w,
+               {_mulmod64_sql('h1', 0xFF51AFD7ED558CCD)}::UBIGINT AS h2
+               FROM a1),
+        a3 AS (SELECT w, xor(h2, h2 >> 29) AS h3 FROM a2),
+        a4 AS (SELECT w,
+               {_mulmod64_sql('h3', 0xC4CEB9FE1A85EC53)}::UBIGINT AS h4
+               FROM a3),
+        wh AS MATERIALIZED (
+          SELECT w, xor(h4, h4 >> 32) AS h FROM a4),
+        cells AS (
+          SELECT dw.doc_id, (h % {dims})::BIGINT AS dim,
+                 sum(dw.n * (1 - 2 * ((h >> 32) & 1)::BIGINT))::BIGINT
+                     AS val
+          FROM dw JOIN wh USING (w) GROUP BY dw.doc_id, dim)
+        SELECT doc_id, dim, val FROM cells WHERE val <> 0
+    """
+
+
 def _cm_sql(d: int, w: int, salts, gold: int, top_k: int) -> str:
     """Count-Min oracle twin of q_text_cm: the full-word FNV fold +
     splitmix avalanche per DISTINCT token (HUGEINT, exact), the
@@ -6155,6 +6204,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_triangles": TRIANGLES_SQL,
     "doc_msf": _msf_sql(_MSF.MSF_ROUNDS, _MSF.MSF_JUMPS),
     "doc_matching": _matching_sql(_MATCH.MATCH_ROUNDS),
+    "text_feature_hash": _feature_hash_sql(16),
     "text_cm": _cm_sql(_SK.CM_D, _SK.CM_W, _SK.CM_SALTS, _SK.CM_GOLD,
                        CM_TOP_K),
     "doc_4cliques": FOURCLIQUES_SQL,
@@ -7762,6 +7812,7 @@ QUERIES = {
     "doc_msf": q_doc_msf,
     "doc_matching": q_doc_matching,
     "text_cm": q_text_cm,
+    "text_feature_hash": q_text_feature_hash,
     "events_late": q_events_late,
     "table_diff": q_table_diff,
     "events_movavg": q_events_movavg,

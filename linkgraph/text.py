@@ -1295,3 +1295,38 @@ def dsir_logweights(sf_dir: str, target_lang: str = "en",
     return docs2.map_batches(DsirScoreStage, batch_format="pyarrow",
                              concurrency=pool_size(concurrency),
                              fn_constructor_args=(ld_ref,))
+
+
+FEATURE_DIMS = 16
+
+
+def feature_hash_vectors(docs_ds, id_col: str = "doc_id",
+                         col: str = "text", dims: int = FEATURE_DIMS):
+    """Feature hashing (the hashing trick, Weinberger et al. 2009):
+    signed hashed bag-of-words — every word occurrence adds
+    sign(h) = ±1 to dimension h % dims of its document's vector.
+    Pure integer arithmetic end-to-end (one batched word-hash pass +
+    one bincount per batch; no shuffle, no float), emitted in long form
+    (doc_id, dim, val) with zero cells dropped — the sparse layout a
+    100-TB corpus wants.  SQL twin: the text_cm word-hash chain per
+    distinct token, joined back to per-doc counts."""
+
+    def fh(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        wd, h, n_docs = _batch_word_hashes(b[col].to_pylist())
+        if len(h) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        dim = (h % np.uint64(dims)).astype(np.int64)
+        sign = 1.0 - 2.0 * ((h >> np.uint64(32)) & np.uint64(1)) \
+            .astype(np.float64)
+        cell = wd * dims + dim
+        val = np.bincount(cell, weights=sign, minlength=n_docs * dims)
+        nz = np.flatnonzero(val)
+        return pa.table({
+            id_col: pa.array(ids[nz // dims]),
+            "dim": pa.array((nz % dims).astype(np.int64)),
+            "val": pa.array(val[nz].astype(np.int64))})
+
+    return docs_ds.map_batches(fh, batch_format="pyarrow")

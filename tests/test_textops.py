@@ -1071,3 +1071,33 @@ def test_audio_zcr_loudness_vad_stages_direct():
             cur = cur + 1 if flag else 0
             best = max(best, cur)
         assert vd["longest_voiced"][i].as_py() == best
+
+
+def test_feature_hash_signed_counts_naive():
+    import ray.data as rd
+
+    from linkgraph.text import _batch_word_hashes, feature_hash_vectors
+
+    texts = ["the cat sat on the mat", "cat CAT cat", "", "mat the"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+        "text": pa.array(texts)}))
+    got = feature_hash_vectors(ds, dims=16).to_pandas() \
+        .sort_values(["doc_id", "dim"]).reset_index(drop=True)
+    # naive per-doc recomputation from the same hash primitive
+    rows = []
+    for i, t in enumerate(texts):
+        _, h, _ = _batch_word_hashes([t])
+        acc = {}
+        for hh in h:
+            d = int(hh % np.uint64(16))
+            s = 1 - 2 * int((hh >> np.uint64(32)) & np.uint64(1))
+            acc[d] = acc.get(d, 0) + s
+        for d, v in sorted(acc.items()):
+            if v != 0:
+                rows.append((i, d, v))
+    want = pd.DataFrame(rows, columns=["doc_id", "dim", "val"]) \
+        .astype(np.int64).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(np.int64), want)
+    # signed sums: duplicate words accumulate (doc 1 has 3x 'cat')
+    assert set(got.loc[got["doc_id"] == 1, "val"].abs()) == {3}
