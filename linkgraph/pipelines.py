@@ -3411,6 +3411,19 @@ def q_sketch_bloom(sf_dir):
     return bloom_membership(docs, present + BLOOM_PROBES_ABSENT)
 
 
+def q_sketch_intersection(sf_dir):
+    """KMV / theta-sketch set-intersection estimate
+    (sketch.kmv_intersection): distinct purchasers vs distinct viewers
+    and their overlap, from two mergeable bottom-k sha sketches — the
+    "audience overlap without a distinct-join" op.  Register state is
+    sha256 order statistics, bit-exact in SQL."""
+    from .sketch import kmv_intersection
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "event_type"])
+    return kmv_intersection(ev, "purchase", "view")
+
+
 def q_events_anomaly_days(sf_dir):
     """Per-day count z-scores over the event stream
     (windows.daily_anomalies): calendar-bounded map-side partials;
@@ -6391,6 +6404,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": _dupcc_sql(DUPCC_ROUNDS),
     "sample_stratified": _stratified_sql(),
     "sketch_distinct": _SK.kmv_sql(),
+    "sketch_intersection": _SK.kmv_intersection_sql("purchase", "view"),
     "sketch_cms": _SK.cms_sql(),
     "text_quality": _quality_sql(),
     "corpus_quality_cut": f"""
@@ -7867,6 +7881,7 @@ QUERIES = {
     "sample_quota": q_sample_quota,
     "sample_stratified": q_sample_stratified,
     "sketch_distinct": q_sketch_distinct,
+    "sketch_intersection": q_sketch_intersection,
     "sketch_hll": q_sketch_hll,
     "sketch_bloom": q_sketch_bloom,
     "events_anomaly_days": q_events_anomaly_days,

@@ -724,3 +724,96 @@ def hash_sample_quantiles_sql(k: int = QSKETCH_K,
         JOIN r ON r.rn = floor(qs.q * (n.n - 1))::BIGINT + 1
         ORDER BY qs.q
     """
+
+
+def kmv_intersection(ds, type_a: str, type_b: str,
+                     key: str = "user_id",
+                     type_col: str = "event_type",
+                     k: int = KMV_K) -> pd.DataFrame:
+    """Theta-sketch-style set-intersection estimate from two KMV
+    sketches: distinct `key`s seen under type_a vs type_b.  theta = the
+    smaller of the two k-th-minimum digests (hex-string order == U
+    order); registers below theta are a rate-theta uniform sample of
+    each set, so |A ∩ B| ~= |common registers below theta| / U(theta),
+    exact when both sketches hold their full sets.  One stateless pass
+    emits per-type bottom-k digest partials (a block ships <= 2k rows);
+    the driver merge is a tiny order-statistic fold.  All state is
+    sha256 order statistics — bit-exact in SQL."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        tv = b[type_col].to_numpy(zero_copy_only=False)
+        kv = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_t, out_h = [], []
+        for t in (type_a, type_b):
+            ids = np.unique(kv[tv == t])
+            dig = np.sort(np.array(
+                [hashlib.sha256(str(i).encode()).hexdigest()
+                 for i in ids]))[:k]
+            out_t.extend([t] * len(dig))
+            out_h.extend(dig)
+        return pa.table({"t": pa.array(out_t, pa.string()),
+                         "hx": pa.array(out_h, pa.string())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    regs = {}
+    for t in (type_a, type_b):
+        regs[t] = np.sort(
+            parts.loc[parts["t"] == t, "hx"].unique())[:k]
+    full_a, full_b = len(regs[type_a]) < k, len(regs[type_b]) < k
+    hi = "f" * 64
+    kth_a = hi if full_a else regs[type_a][-1]
+    kth_b = hi if full_b else regs[type_b][-1]
+    theta_hex = min(kth_a, kth_b)
+    common = np.intersect1d(regs[type_a], regs[type_b])
+    below = common[common < theta_hex] if theta_hex != hi else common
+    u = 1.0 if theta_hex == hi else int(theta_hex[:16], 16) / _HEX_SPACE
+    est_a = _estimate(kth_a if not full_a else "",
+                      len(regs[type_a]), k) if not full_a \
+        else float(len(regs[type_a]))
+    est_b = _estimate(kth_b if not full_b else "",
+                      len(regs[type_b]), k) if not full_b \
+        else float(len(regs[type_b]))
+    return pd.DataFrame({
+        "type_a": [type_a], "type_b": [type_b],
+        "k": np.array([k], np.int64),
+        "est_a": [round(est_a, 3)], "est_b": [round(est_b, 3)],
+        "est_intersection": [round(len(below) / u, 3)]})
+
+
+def kmv_intersection_sql(type_a: str, type_b: str,
+                         k: int = KMV_K) -> str:
+    """DuckDB twin of kmv_intersection: same registers, same hex-order
+    theta, same estimate formulas."""
+    hi = "f" * 64
+
+    def reg(t, name):
+        return (f"{name} AS (SELECT sha256(user_id::VARCHAR) AS hx "
+                f"FROM (SELECT DISTINCT user_id FROM events "
+                f"WHERE event_type = '{t}') ORDER BY hx LIMIT {k})")
+
+    def kth(name):
+        return (f"(SELECT CASE WHEN count(*) < {k} THEN '{hi}' "
+                f"ELSE max(hx) END FROM {name})")
+
+    def est(name):
+        return (f"(SELECT CASE WHEN count(*) < {k} "
+                f"THEN count(*)::DOUBLE ELSE ({k} - 1) / "
+                f"(('0x' || substr(max(hx), 1, 16))::UBIGINT "
+                f"/ 18446744073709551616.0) END FROM {name})")
+
+    return f"""
+        WITH {reg(type_a, 'ra')}, {reg(type_b, 'rb')},
+        th AS (SELECT least({kth('ra')}, {kth('rb')}) AS theta),
+        common AS (SELECT hx FROM ra INTERSECT SELECT hx FROM rb),
+        below AS (SELECT count(*)::DOUBLE AS c FROM common, th
+                  WHERE theta = '{hi}' OR hx < theta)
+        SELECT '{type_a}' AS type_a, '{type_b}' AS type_b,
+               {k}::BIGINT AS k,
+               round({est('ra')}, 3) AS est_a,
+               round({est('rb')}, 3) AS est_b,
+               round(below.c / (SELECT CASE WHEN theta = '{hi}' THEN 1.0
+                     ELSE ('0x' || substr(theta, 1, 16))::UBIGINT
+                          / 18446744073709551616.0 END FROM th), 3)
+                   AS est_intersection
+        FROM below
+    """

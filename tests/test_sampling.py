@@ -4,6 +4,7 @@ distributed-path equality (the size-gated plan invariant)."""
 import hashlib
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 import pytest
 
@@ -222,3 +223,32 @@ def test_mixture_resample_respects_targets():
         got = float(kept_tok.get(row["source"], 0))
         assert got < 2.0 * target + 200  # sha-threshold noise bound
         assert got > 0.4 * target - 200
+
+
+def test_kmv_intersection_exact_below_k_and_sampled():
+    import ray.data as rd
+
+    from linkgraph.sketch import kmv_intersection
+
+    # small: both sketches hold full sets -> exact intersection
+    a_ids = np.arange(0, 60)
+    b_ids = np.arange(40, 120)
+    t = ["purchase"] * len(a_ids) + ["view"] * len(b_ids)
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(np.concatenate([a_ids, b_ids]), pa.int64()),
+        "event_type": pa.array(t)}))
+    out = kmv_intersection(ds, "purchase", "view")
+    assert out["est_a"].iloc[0] == 60.0
+    assert out["est_b"].iloc[0] == 80.0
+    assert out["est_intersection"].iloc[0] == 20.0
+
+    # large: sampled regime, estimate within 25% of truth at k=256
+    rng = np.random.default_rng(3)
+    a2 = rng.choice(100_000, 5000, replace=False)
+    b2 = np.concatenate([a2[:2500], 100_000 + np.arange(2500)])
+    ds2 = rd.from_arrow(pa.table({
+        "user_id": pa.array(np.concatenate([a2, b2]), pa.int64()),
+        "event_type": pa.array(["purchase"] * len(a2)
+                               + ["view"] * len(b2))}))
+    out2 = kmv_intersection(ds2, "purchase", "view")
+    assert abs(out2["est_intersection"].iloc[0] - 2500) / 2500 < 0.25
