@@ -947,3 +947,53 @@ def vad_segments(ds, concurrency: int = 4, batch_size: int = 256):
     return ds.map_batches(VadStage, batch_format="pyarrow",
                           batch_size=batch_size,
                           concurrency=pool_size(concurrency))
+
+
+class SnrStage:
+    """REAL SNR-style lane on the VAD base: per clip, total energy of
+    voiced vs unvoiced windows (exact int64) and the dB ratio of their
+    means — 10*log10((Ev/nv)/(Eu/nu)), 0.0 when either side is empty.
+    The single float expression is computed from exact integers, so the
+    SQL twin is the identical expression tree."""
+
+    def _snr(self, payload: bytes):
+        _, s = parse_wav(payload)
+        nw = len(s) // ENERGY_WIN
+        if nw == 0:
+            return 0, 0, 0, 0
+        e = (s[:nw * ENERGY_WIN].astype(np.int64) ** 2) \
+            .reshape(nw, ENERGY_WIN).sum(axis=1)
+        voiced = e > VAD_THRESH
+        nv = int(voiced.sum())
+        return nv, nw - nv, int(e[voiced].sum()), int(e[~voiced].sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._snr(p) for p in batch["payload"].to_pylist()]
+        nv, nu, ev, eu = (list(x) for x in zip(*out)) if out \
+            else ([], [], [], [])
+        nv = np.array(nv, np.int64)
+        nu = np.array(nu, np.int64)
+        ev = np.array(ev, np.int64)
+        eu = np.array(eu, np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            snr = np.where(
+                (nv > 0) & (nu > 0) & (eu > 0),
+                10.0 * np.log10((ev / np.maximum(nv, 1))
+                                / np.maximum(eu / np.maximum(nu, 1),
+                                             1e-300)),
+                0.0)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_voiced": pa.array(nv),
+            "n_unvoiced": pa.array(nu),
+            "voiced_energy": pa.array(ev),
+            "unvoiced_energy": pa.array(eu),
+            "snr_db": pa.array(np.round(snr, 6))})
+
+
+def audio_snr(ds, concurrency: int = 4, batch_size: int = 256):
+    """audio media table -> per-clip voiced/unvoiced energy split and
+    dB SNR via the real WAV decoder (actor pool)."""
+    return ds.map_batches(SnrStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=pool_size(concurrency))

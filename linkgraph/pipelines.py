@@ -11616,3 +11616,60 @@ ORACLE_SQL["text_ccnet_buckets"] = f"""
     FROM r GROUP BY lang, bucket
 """
 QUERIES["text_ccnet_buckets"] = q_text_ccnet_buckets
+
+
+def q_media_snr(sf_dir):
+    """REAL SNR-style audio lane (multimodal.SnrStage): exact int64
+    voiced/unvoiced energy split on the VAD windowing + one dB float
+    expression computed from those integers — identical tree in SQL."""
+    from .multimodal import audio_from_documents, audio_snr
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return audio_snr(audio_from_documents(docs))
+
+
+ORACLE_SQL["media_snr"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             400 + (strlen(text) * 7) % 800 AS n
+      FROM documents
+    ), s AS (
+      SELECT media_id, n, i,
+             ((media_id + 1) * 2654435761 + i * 97003)
+               % 65536 - 32768 AS v
+      FROM (SELECT media_id, n, unnest(range(n)) AS i FROM m)
+    ), w AS (
+      SELECT media_id, (i // 64)::BIGINT AS win,
+             sum(v * v)::BIGINT AS e
+      FROM s WHERE i < (n // 64) * 64
+      GROUP BY media_id, (i // 64)
+    ), agg AS (
+      SELECT media_id,
+             sum(CASE WHEN e > 22900000000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_voiced,
+             sum(CASE WHEN e > 22900000000 THEN 0 ELSE 1 END)::BIGINT
+               AS n_unvoiced,
+             sum(CASE WHEN e > 22900000000 THEN e ELSE 0 END)::BIGINT
+               AS voiced_energy,
+             sum(CASE WHEN e > 22900000000 THEN 0 ELSE e END)::BIGINT
+               AS unvoiced_energy
+      FROM w GROUP BY media_id
+    ), base AS (
+      SELECT d.doc_id AS media_id,
+             coalesce(a.n_voiced, 0)::BIGINT AS n_voiced,
+             coalesce(a.n_unvoiced, 0)::BIGINT AS n_unvoiced,
+             coalesce(a.voiced_energy, 0)::BIGINT AS voiced_energy,
+             coalesce(a.unvoiced_energy, 0)::BIGINT AS unvoiced_energy
+      FROM documents d LEFT JOIN agg a ON a.media_id = d.doc_id
+    )
+    SELECT media_id, n_voiced, n_unvoiced, voiced_energy,
+           unvoiced_energy,
+           round(CASE WHEN n_voiced > 0 AND n_unvoiced > 0
+                       AND unvoiced_energy > 0
+                 THEN 10.0 * log10((voiced_energy::DOUBLE / n_voiced)
+                      / (unvoiced_energy::DOUBLE / n_unvoiced))
+                 ELSE 0.0 END, 6) AS snr_db
+    FROM base
+"""
+QUERIES["media_snr"] = q_media_snr

@@ -187,3 +187,36 @@ def test_widest_dense_equals_sparse(tmp_path, force_mode):
     force_mode("sparse")
     d_sparse = _run_widest(tmp_path, "ws", e, n, w)
     assert np.array_equal(d_dense, d_sparse)
+
+
+def test_widest_onion_partition_invariance(tmp_path):
+    from linkgraph.algos import onion_layers, widest_path
+    from linkgraph.graph import load_undirected
+
+    e = micro_graph("er_1k")
+    n = int(e.max()) + 1
+    rng = np.random.default_rng(5)
+    w = rng.uniform(0.1, 2.0, len(e))
+    caps, layers = [], []
+    for np_ in (1, 5):
+        eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1], w), n,
+                            num_partitions=np_,
+                            store_dir=str(tmp_path / f"w{np_}"),
+                            weighted=True)
+        try:
+            widest_path(eng, root=0)
+            caps.append(eng.state_pandas(["capacity"])["capacity"]
+                        .to_numpy())
+        finally:
+            eng.shutdown()
+        ung = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                              num_partitions=np_,
+                              store_dir=str(tmp_path / f"o{np_}"))
+        try:
+            onion_layers(ung, k=4)
+            layers.append(ung.state_pandas(["layer"])["layer"]
+                          .to_numpy())
+        finally:
+            ung.shutdown()
+    assert np.array_equal(caps[0], caps[1])
+    assert np.array_equal(layers[0], layers[1])

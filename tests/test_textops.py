@@ -1101,3 +1101,35 @@ def test_feature_hash_signed_counts_naive():
     pd.testing.assert_frame_equal(got.astype(np.int64), want)
     # signed sums: duplicate words accumulate (doc 1 has 3x 'cat')
     assert set(got.loc[got["doc_id"] == 1, "val"].abs()) == {3}
+
+
+def test_audio_snr_stage_direct():
+    """SnrStage against direct numpy on the synth samples."""
+    import math
+
+    import pyarrow as pa
+
+    from linkgraph.multimodal import (ENERGY_WIN, VAD_THRESH, SnrStage,
+                                      parse_wav, synth_wav_payload)
+
+    payloads = [synth_wav_payload(3, 700), synth_wav_payload(9, 421)]
+    batch = pa.table({"media_id": pa.array([3, 9], pa.int64()),
+                      "payload": pa.array(payloads, pa.binary())})
+    out = SnrStage()(batch)
+    for i, p in enumerate(payloads):
+        _, s = parse_wav(p)
+        nw = len(s) // ENERGY_WIN
+        e = (s[:nw * ENERGY_WIN].astype(np.int64) ** 2) \
+            .reshape(nw, ENERGY_WIN).sum(axis=1)
+        voiced = e > VAD_THRESH
+        nv, nu = int(voiced.sum()), int((~voiced).sum())
+        ev, eu = int(e[voiced].sum()), int(e[~voiced].sum())
+        assert out["n_voiced"][i].as_py() == nv
+        assert out["n_unvoiced"][i].as_py() == nu
+        assert out["voiced_energy"][i].as_py() == ev
+        assert out["unvoiced_energy"][i].as_py() == eu
+        if nv and nu and eu:
+            want = round(10.0 * math.log10((ev / nv) / (eu / nu)), 6)
+        else:
+            want = 0.0
+        assert out["snr_db"][i].as_py() == want
