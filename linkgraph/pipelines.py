@@ -950,6 +950,46 @@ def q_doc_ppr(sf_dir):
 SUBGRAPH_LANG = "en"
 
 
+CUT_PARTS = 8
+
+
+def q_doc_partition_cut(sf_dir):
+    """Partition edge-cut diagnostic: the fraction of edges crossing
+    partitions under contiguous range assignment (v*P//n — the locality
+    the engine's degree-balanced ranges inherit) vs splitmix64 hash
+    assignment (mix(v)%P — the shuffle-join default) at P=8.  Pure
+    map-side integer partials; the 100-TB placement-quality probe."""
+    n = documents_n_vertices(sf_dir)
+
+    def part(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def mix(x):
+            h = x.astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h ^= h >> np.uint64(33)
+                h *= np.uint64(0xFF51AFD7ED558CCD)
+                h ^= h >> np.uint64(29)
+                h *= np.uint64(0xC4CEB9FE1A85EC53)
+                h ^= h >> np.uint64(32)
+            return h
+
+        cut_r = int(((s * CUT_PARTS) // n != (d * CUT_PARTS) // n).sum())
+        cut_h = int((mix(s) % np.uint64(CUT_PARTS)
+                     != mix(d) % np.uint64(CUT_PARTS)).sum())
+        return pa.table({"n_edges": pa.array([len(s)], pa.int64()),
+                         "cut_range": pa.array([cut_r], pa.int64()),
+                         "cut_hash": pa.array([cut_h], pa.int64())})
+
+    parts = documents_edges(sf_dir).map_batches(
+        part, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_edges": [int(parts["n_edges"].sum())],
+        "cut_range": [int(parts["cut_range"].sum())],
+        "cut_hash": [int(parts["cut_hash"].sum())]}).astype(np.int64)
+
+
 def q_doc_subgraph_pagerank(sf_dir):
     """PageRank on the induced subgraph of one language's documents
     (edges.induced_edges: two size-gated semi-joins keep edges with
@@ -6100,6 +6140,36 @@ def _feature_hash_sql(dims: int) -> str:
     """
 
 
+def _partition_cut_sql(parts: int) -> str:
+    """Twin of q_doc_partition_cut: range bucket v*P//n, hash bucket =
+    the repo's splitmix64 avalanche in HUGEINT mod P."""
+    return f"""
+        WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+        nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        vs AS (SELECT DISTINCT v FROM
+               (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)),
+        a0 AS (SELECT v, v::UBIGINT AS h0 FROM vs),
+        a1 AS (SELECT v, xor(h0, h0 >> 33) AS h1 FROM a0),
+        a2 AS (SELECT v,
+               {_mulmod64_sql('h1', 0xFF51AFD7ED558CCD)}::UBIGINT AS h2
+               FROM a1),
+        a3 AS (SELECT v, xor(h2, h2 >> 29) AS h3 FROM a2),
+        a4 AS (SELECT v,
+               {_mulmod64_sql('h3', 0xC4CEB9FE1A85EC53)}::UBIGINT AS h4
+               FROM a3),
+        hm AS (SELECT v, (xor(h4, h4 >> 32) % {parts})::BIGINT AS pm
+               FROM a4)
+        SELECT count(*)::BIGINT AS n_edges,
+               sum(CASE WHEN (e.src * {parts}) // nn.n
+                        <> (e.dst * {parts}) // nn.n
+                   THEN 1 ELSE 0 END)::BIGINT AS cut_range,
+               sum(CASE WHEN hs.pm <> hd.pm THEN 1 ELSE 0 END)::BIGINT
+                   AS cut_hash
+        FROM e CROSS JOIN nn
+        JOIN hm hs ON hs.v = e.src JOIN hm hd ON hd.v = e.dst
+    """
+
+
 def _cm_sql(d: int, w: int, salts, gold: int, top_k: int) -> str:
     """Count-Min oracle twin of q_text_cm: the full-word FNV fold +
     splitmix avalanche per DISTINCT token (HUGEINT, exact), the
@@ -6405,6 +6475,7 @@ ORACLE_SQL: dict[str, str] = {
     "sample_stratified": _stratified_sql(),
     "sketch_distinct": _SK.kmv_sql(),
     "sketch_intersection": _SK.kmv_intersection_sql("purchase", "view"),
+    "doc_partition_cut": _partition_cut_sql(CUT_PARTS),
     "sketch_cms": _SK.cms_sql(),
     "text_quality": _quality_sql(),
     "corpus_quality_cut": f"""
@@ -7882,6 +7953,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sketch_distinct": q_sketch_distinct,
     "sketch_intersection": q_sketch_intersection,
+    "doc_partition_cut": q_doc_partition_cut,
     "sketch_hll": q_sketch_hll,
     "sketch_bloom": q_sketch_bloom,
     "events_anomaly_days": q_events_anomaly_days,
