@@ -3451,6 +3451,18 @@ def q_sketch_bloom(sf_dir):
     return bloom_membership(docs, present + BLOOM_PROBES_ABSENT)
 
 
+def q_sketch_hll_daily(sf_dir):
+    """Per-day HLL distinct actives (sketch.hll_daily_users): the
+    mergeable streaming-sketch DAU — register partials per block,
+    days x 64 register fold on the driver, linear-counting-corrected
+    estimate per day.  Register math is integer-exact in SQL."""
+    from .sketch import hll_daily_users
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+    return hll_daily_users(ev)
+
+
 def q_sketch_intersection(sf_dir):
     """KMV / theta-sketch set-intersection estimate
     (sketch.kmv_intersection): distinct purchasers vs distinct viewers
@@ -6475,6 +6487,7 @@ ORACLE_SQL: dict[str, str] = {
     "sample_stratified": _stratified_sql(),
     "sketch_distinct": _SK.kmv_sql(),
     "sketch_intersection": _SK.kmv_intersection_sql("purchase", "view"),
+    "sketch_hll_daily": _SK.hll_daily_sql(),
     "doc_partition_cut": _partition_cut_sql(CUT_PARTS),
     "sketch_cms": _SK.cms_sql(),
     "text_quality": _quality_sql(),
@@ -7953,6 +7966,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sketch_distinct": q_sketch_distinct,
     "sketch_intersection": q_sketch_intersection,
+    "sketch_hll_daily": q_sketch_hll_daily,
     "doc_partition_cut": q_doc_partition_cut,
     "sketch_hll": q_sketch_hll,
     "sketch_bloom": q_sketch_bloom,

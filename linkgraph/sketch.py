@@ -361,6 +361,27 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
+def _rho_of_rem(rem: np.ndarray) -> np.ndarray:
+    """rho = leading zeros of the (64-p)-bit remainder + 1, exact:
+    float log2 seeds the MSB position, integer fixup loops correct the
+    within-1-ulp-of-a-power-of-two cases."""
+    nbits = np.zeros(len(rem), np.int64)
+    nz = rem > 0
+    nbits[nz] = np.floor(np.log2(rem[nz].astype(np.float64))) \
+        .astype(np.int64) + 1
+    too_hi = nbits > 0
+    while True:
+        bad = nz & (rem >> np.maximum(nbits - 1, 0) == 0) & too_hi
+        if not bad.any():
+            break
+        nbits[bad] -= 1
+    bad = nz & (rem >> nbits > 0)
+    while bad.any():
+        nbits[bad] += 1
+        bad = nz & (rem >> nbits > 0)
+    return _HLL_REM_BITS - nbits + 1
+
+
 def hll_distinct_tokens(ds, text_col: str = "text") -> pd.DataFrame:
     """HyperLogLog distinct-count estimate over whitespace tokens.
     Returns one row (m, n_zero, sum_rho, estimate): register count,
@@ -387,25 +408,7 @@ def hll_distinct_tokens(ds, text_col: str = "text") -> pd.DataFrame:
             (int(hashlib.sha256(t.encode()).hexdigest()[:16], 16)
              for t in uniq), np.uint64, len(uniq))
         j = (hs >> np.uint64(_HLL_REM_BITS)).astype(np.int64)
-        rem = (hs & np.uint64(_HLL_REM_MASK)).astype(np.int64)
-        # rho = leading zeros of the 58-bit remainder + 1
-        nbits = np.zeros(len(rem), np.int64)
-        nz = rem > 0
-        nbits[nz] = np.floor(np.log2(rem[nz].astype(np.float64))) \
-            .astype(np.int64) + 1
-        # float log2 can misplace the MSB within 1 ulp of a power of
-        # two; fix up exactly in integers
-        too_hi = nbits > 0
-        while True:
-            bad = nz & (rem >> np.maximum(nbits - 1, 0) == 0) & too_hi
-            if not bad.any():
-                break
-            nbits[bad] -= 1
-        bad = nz & (rem >> nbits > 0)
-        while bad.any():
-            nbits[bad] += 1
-            bad = nz & (rem >> nbits > 0)
-        rho = _HLL_REM_BITS - nbits + 1
+        rho = _rho_of_rem((hs & np.uint64(_HLL_REM_MASK)).astype(np.int64))
         pdf = pd.DataFrame({"j": j, "rho": rho})
         agg = pdf.groupby("j", sort=False)["rho"].max().reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False)
@@ -816,4 +819,97 @@ def kmv_intersection_sql(type_a: str, type_b: str,
                           / 18446744073709551616.0 END FROM th), 3)
                    AS est_intersection
         FROM below
+    """
+
+
+def hll_daily_users(ds, key: str = "user_id",
+                    ts: str = "ts") -> pd.DataFrame:
+    """Per-day HLL distinct-active-user estimates — the mergeable
+    streaming-sketch form of DAU: one stateless pass emits <= m (day,
+    j, rho) partial rows per block (registers max-merge), the driver
+    folds a days x m register matrix and applies the standard estimator
+    with linear-counting correction per day.  The register state is the
+    per-shard/per-day union state a dashboard keeps at 100 TB."""
+    day_us = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        ids = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = us // day_us
+        pdf = pd.DataFrame({"day": day, "id": ids}).drop_duplicates()
+        if not len(pdf):
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        hs = np.fromiter(
+            (int(hashlib.sha256(str(i).encode()).hexdigest()[:16], 16)
+             for i in pdf["id"]), np.uint64, len(pdf))
+        j = (hs >> np.uint64(_HLL_REM_BITS)).astype(np.int64)
+        rho = _rho_of_rem((hs & np.uint64(_HLL_REM_MASK))
+                          .astype(np.int64))
+        out = pd.DataFrame({"day": pdf["day"].to_numpy(np.int64),
+                            "j": j, "rho": rho}) \
+            .groupby(["day", "j"], sort=False)["rho"].max().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({
+            "day": pd.Series([], dtype=np.int64),
+            "n_zero": pd.Series([], dtype=np.int64),
+            "sum_rho": pd.Series([], dtype=np.int64),
+            "estimate": pd.Series([], dtype=np.float64)})
+    merged = parts.groupby(["day", "j"])["rho"].max().reset_index()
+    rows = []
+    for day, g in merged.groupby("day"):
+        regs = np.zeros(_HLL_M, np.int64)
+        regs[g["j"].to_numpy()] = g["rho"].to_numpy()
+        n_zero = int((regs == 0).sum())
+        z = float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+        est = _hll_alpha(_HLL_M) * _HLL_M * _HLL_M / z
+        if est <= 2.5 * _HLL_M and n_zero > 0:
+            est = _HLL_M * float(np.log(_HLL_M / float(n_zero)))
+        rows.append((int(day), n_zero, int(regs.sum()), round(est, 3)))
+    out = pd.DataFrame(rows, columns=["day", "n_zero", "sum_rho",
+                                      "estimate"])
+    for c in ("day", "n_zero", "sum_rho"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def hll_daily_sql(p: int = HLL_P) -> str:
+    """DuckDB twin of hll_daily_users (the hll_sql register math
+    grouped by epoch day)."""
+    m = 1 << p
+    rb = 64 - p
+    return f"""
+        WITH u AS (
+          SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+          FROM events
+        ), h AS (
+          SELECT day, ('0x' || substr(sha256(user_id::VARCHAR), 1, 16))
+                 ::UBIGINT AS h
+          FROM u
+        ), rr AS (
+          SELECT day, (h >> {rb})::BIGINT AS j,
+                 (h & {(1 << rb) - 1})::BIGINT AS rem
+          FROM h
+        ), rho AS (
+          SELECT day, j, CASE WHEN rem = 0 THEN {rb + 1}
+                 ELSE {rb} - length(printf('%b', rem)) + 1 END AS rho
+          FROM rr
+        ), reg AS (SELECT day, j, max(rho) AS mx
+                   FROM rho GROUP BY day, j),
+        agg AS (
+          SELECT day, {m} - count(*) AS nz,
+                 coalesce(sum(mx), 0)::BIGINT AS sum_rho,
+                 coalesce(sum(pow(2.0, -mx)), 0) + ({m} - count(*)) AS z
+          FROM reg GROUP BY day)
+        SELECT day::BIGINT AS day, nz::BIGINT AS n_zero, sum_rho,
+               round(CASE WHEN (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+                              / z <= 2.5 * {m} AND nz > 0
+                     THEN {m} * ln({m} / (1.0 * nz))
+                     ELSE (0.7213 / (1 + 1.079 / {m})) * {m} * {m} / z
+                     END, 3) AS estimate
+        FROM agg
     """

@@ -252,3 +252,28 @@ def test_kmv_intersection_exact_below_k_and_sampled():
                                + ["view"] * len(b2))}))
     out2 = kmv_intersection(ds2, "purchase", "view")
     assert abs(out2["est_intersection"].iloc[0] - 2500) / 2500 < 0.25
+
+
+def test_hll_daily_users_accuracy_and_merge_invariance():
+    import ray.data as rd
+
+    from linkgraph.sketch import hll_daily_users
+
+    rng = np.random.default_rng(17)
+    n = 6000
+    days = rng.integers(0, 4, n)
+    users = rng.integers(0, 900, n)
+    us = days * 86_400_000_000 + rng.integers(0, 86_400_000_000, n)
+    tbl = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(us.astype("datetime64[us]"))})
+    got = hll_daily_users(rd.from_arrow(tbl))
+    # block-layout invariance: registers max-merge
+    got2 = hll_daily_users(rd.from_arrow(tbl).repartition(7))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  got2.reset_index(drop=True))
+    truth = pd.DataFrame({"day": days, "u": users}) \
+        .groupby("day")["u"].nunique()
+    for _, r in got.iterrows():
+        t = truth[r["day"]]
+        assert abs(r["estimate"] - t) / t < 0.35  # 64 registers ~ 13% rse
