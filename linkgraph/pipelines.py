@@ -1030,6 +1030,22 @@ def q_doc_subgraph_pagerank(sf_dir):
 TRUST_SOURCES = [0, 7, 21, 42]  # the deterministic "trusted page" seeds
 
 
+def q_doc_pagerank_deltas(sf_dir):
+    """PageRank convergence curve: the engine's per-superstep delta
+    reducer (Gemini's |new-old|-weighted formula, pagerank.cpp:89-98)
+    for all 20 iterations — run observability as an oracle-checked
+    query.  The out-degree weights cancel against the pre-divide, so
+    the SQL twin differences the unrolled raw ranks directly."""
+    from .algos import pagerank
+
+    eng = documents_engine(sf_dir, "directed")
+    rep = pagerank(eng, iterations=PR_ITERS)
+    return pd.DataFrame({
+        "step": np.arange(1, rep["n_steps"] + 1, dtype=np.int64),
+        "delta": [round(s["reducers"]["delta"], 9)
+                  for s in rep["steps"]]})
+
+
 def q_doc_trustrank(sf_dir):
     """TrustRank (Gyöngyi et al. 2004): personalized PageRank seeded by
     a trusted whitelist, teleport mass split uniformly over the seeds —
@@ -3897,6 +3913,12 @@ def _pagerank_sql(iters: int, round_to: int) -> str:
 
 def _pagerank_sql_over(edges_sql: str, allv_sql: str, iters: int,
                        round_to: int) -> str:
+    ctes = _pagerank_ctes(edges_sql, allv_sql, iters)
+    return (f"WITH {', '.join(ctes)} SELECT raw{iters}.v AS v, "
+            f"round(r, {round_to}) AS rank FROM raw{iters}")
+
+
+def _pagerank_ctes(edges_sql: str, allv_sql: str, iters: int) -> list:
     ctes = [f"e AS MATERIALIZED ({edges_sql})",
             "outd AS MATERIALIZED (SELECT src AS v, count(*) AS od FROM e GROUP BY src)",
             f"allv AS MATERIALIZED ({allv_sql})",
@@ -3914,8 +3936,27 @@ def _pagerank_sql_over(edges_sql: str, allv_sql: str, iters: int,
         ctes.append(
             f"c{i} AS MATERIALIZED (SELECT raw{i}.v, CASE WHEN coalesce(od, 0) > 0 "
             f"THEN r/od ELSE r END AS r FROM raw{i} LEFT JOIN outd USING (v))")
-    return (f"WITH {', '.join(ctes)} SELECT raw{iters}.v AS v, "
-            f"round(r, {round_to}) AS rank FROM raw{iters}")
+    return ctes
+
+
+def _pagerank_deltas_sql(iters: int, round_to: int) -> str:
+    """Convergence curve twin: delta_i = sum_v |raw_i - raw_{i-1}| / n
+    (Gemini's reducer — the out-degree weights cancel against the
+    pre-divide, so the raw ranks difference IS the delta; raw_0 = the
+    init rank 1, pagerank.cpp:31-40,:89-98)."""
+    ctes = _pagerank_ctes(DOC_EDGES_SQL,
+                          "SELECT doc_id AS v FROM documents", iters)
+    ctes.append("nn AS (SELECT count(*)::DOUBLE AS n FROM documents)")
+    branches = ["SELECT 1 AS step, sum(abs(raw1.r - 1.0)) / nn.n AS d "
+                "FROM raw1 CROSS JOIN nn GROUP BY nn.n"]
+    for i in range(2, iters + 1):
+        branches.append(
+            f"SELECT {i} AS step, sum(abs(a.r - b.r)) / nn.n AS d "
+            f"FROM raw{i} a JOIN raw{i - 1} b USING (v) CROSS JOIN nn "
+            f"GROUP BY nn.n")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT step::BIGINT AS step, round(d, {round_to}) AS delta "
+            f"FROM ({' UNION ALL '.join(branches)})")
 
 
 def _pagerank_warm_sql(base_iters: int, warm_iters: int,
@@ -6383,6 +6424,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_bc_sampled": _bc_sampled_sql(BC_SAMPLE_ROOTS, BFS_ROUNDS, 6),
     "doc_sssp": _sssp_sql(SSSP_ROUNDS, 9),
     "doc_widest": _widest_sql(SSSP_ROUNDS, 9),
+    "doc_pagerank_deltas": _pagerank_deltas_sql(PR_ITERS, 9),
     "doc_hits": _hits_sql(HITS_ITERS, 6),
     "doc_eigen": _eigen_sql(EIGEN_ITERS, 6),
     "doc_ppr": _ppr_sql(PPR_ITERS, 9, PPR_SOURCES),
@@ -7934,6 +7976,7 @@ QUERIES = {
     "doc_bc_sampled": q_doc_bc_sampled,
     "doc_sssp": q_doc_sssp,
     "doc_widest": q_doc_widest,
+    "doc_pagerank_deltas": q_doc_pagerank_deltas,
     "doc_hits": q_doc_hits,
     "doc_ppr": q_doc_ppr,
     "doc_trustrank": q_doc_trustrank,
