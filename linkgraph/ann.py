@@ -24,6 +24,32 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def vec_matrix(col, dtype=np.float64) -> np.ndarray:
+    """``list<float>`` Arrow column -> (n, d) ndarray WITHOUT a Python-object
+    pass: flatten the list values buffer (zero-copy for non-null,
+    non-sliced arrays) and reshape by the uniform vector width.  Falls
+    back to the object path only for ragged/null inputs (never the case
+    for the embeddings table, but keeps the helper total)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if col.null_count == 0:
+        if pa.types.is_fixed_size_list(col.type):
+            w = col.type.list_size
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(
+                flat.reshape(n, int(w))).astype(dtype, copy=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if widths.size and (widths == widths[0]).all():
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(
+                flat.reshape(n, int(widths[0]))).astype(dtype, copy=False)
+    return np.array(col.to_pylist(), dtype=dtype)
+
+
 def _topk_frame(qids, vids, sims, k) -> pd.DataFrame:
     df = pd.DataFrame({"query_id": qids, "neighbor_id": vids, "cosine": sims})
     # deterministic: similarity desc, then neighbor id asc
@@ -47,7 +73,7 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
     def partial(batch: pa.Table) -> pa.Table:
         q, qids = ray.get(qref)
         vids = batch[id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        m = _normalize(vec_matrix(batch[vec_col]))
         sims = q @ m.T  # (nq, nb)
         nq, nb = sims.shape
         kk = min(k + (1 if exclude_self else 0), nb)
@@ -93,7 +119,7 @@ def label_centroids(ds, label_col: str = "label",
 
     def partial(b: pa.Table) -> pa.Table:
         labels = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _normalize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        m = _normalize(vec_matrix(b[vec_col]))
         uniq, inv = np.unique(labels, return_inverse=True)
         dim = m.shape[1]
         sums = np.zeros((len(uniq), dim), np.float64)
@@ -174,7 +200,7 @@ def build_ivf_index(ds, cent: np.ndarray, index_dir: str | None = None,
 
     def assign_batch(b: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        m = _normalize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        m = _normalize(vec_matrix(b[vec_col]))
         a = (m @ c.T).argmax(axis=1).astype(np.int64)
         return b.select([id_col, vec_col]).append_column(
             "centroid", pa.array(a))
@@ -210,7 +236,7 @@ def build_lsh_index(ds, planes: np.ndarray, index_dir: str | None = None,
 
     def assign(b: pa.Table) -> pa.Table:
         pl = ray.get(pref)
-        m = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        m = vec_matrix(b[vec_col])
         bits = (m @ pl.T) > 0
         code = (bits * (1 << np.arange(pl.shape[0]))).sum(axis=1)
         return b.select([id_col, vec_col]).append_column(
@@ -278,7 +304,7 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
         pl = ray.get(pref)
         q, qids, pm = ray.get(qref)
         vids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        raw = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        raw = vec_matrix(batch[vec_col])
         code = (((raw @ pl.T) > 0)
                 * (1 << np.arange(pl.shape[0]))).sum(axis=1)
         sims = q @ _normalize(raw).T          # (nq, nb)
@@ -360,7 +386,7 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
         c = ray.get(cref)
         q, qids, pm = ray.get(qref)
         vids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        m = _normalize(vec_matrix(batch[vec_col]))
         assign = (m @ c.T).argmax(axis=1)  # deterministic re-derivation
         sims = q @ m.T                      # (nq, nb)
         allowed = pm[:, assign]             # (nq, nb) probe mask
@@ -396,7 +422,7 @@ def _gram_dense(ds, vec_col: str = "embedding") -> np.ndarray | None:
     def partial(b: pa.Table) -> pa.Table:
         if len(b) == 0:  # an empty block would emit a malformed 1x1 g
             return pa.table({"g": pa.array([], pa.list_(pa.float64()))})
-        m = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        m = vec_matrix(b[vec_col])
         g = m.T @ m
         return pa.table({"g": pa.array([g.reshape(-1)],
                                        pa.list_(pa.float64()))})
@@ -503,7 +529,7 @@ def _kmeans_part(cref, vec_col: str, with_sums: bool):
                 {"sums": pa.array([], pa.list_(pa.float64())),
                  "counts": pa.array([], pa.list_(pa.int64()))})
         c = ray.get(cref)
-        m = _normalize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        m = _normalize(vec_matrix(b[vec_col]))
         a = np.argmax(m @ c.T, axis=1)  # ties -> smallest c
         counts = np.bincount(a, minlength=len(c)).astype(np.int64)
         sums = np.zeros((len(c), m.shape[1] if with_sums else 0),
@@ -580,7 +606,7 @@ def cluster_silhouette(ds, n_centroids: int = 8, iters: int = 4,
                 {"ssum": pa.array([], pa.list_(pa.float64())),
                  "counts": pa.array([], pa.list_(pa.int64()))})
         c = ray.get(cref)
-        m = _normalize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        m = _normalize(vec_matrix(b[vec_col]))
         dots = m @ c.T
         a = np.argmax(dots, axis=1)               # ties -> smallest c
         best = dots[np.arange(len(m)), a]
@@ -637,7 +663,7 @@ def pca_project(ds, vec_col: str = "embedding",
 
     def project(b: pa.Table) -> pa.Table:
         vec = ray.get(vref)
-        m = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        m = vec_matrix(b[vec_col])
         proj = m @ vec if len(m) else np.empty(0, np.float64)
         return pa.table({id_col: pc.cast(b[id_col], pa.int64()),
                          "proj": pa.array(np.round(proj, round_to))})
@@ -693,7 +719,7 @@ def pq_train(ds, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS,
             if len(b) == 0:
                 return pa.table(cols)
             c = ray.get(cref)
-            x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+            x = vec_matrix(b[vec_col])
             sums = np.zeros((m, k, sub), np.float64)
             counts = np.zeros((m, k), np.int64)
             for s in range(m):
@@ -759,7 +785,7 @@ def pq_topk(ds, query_ids: list[int], k_nn: int = 5, m: int = PQ_M,
     def partial(b: pa.Table) -> pa.Table:
         c, lt, qids = ray.get(bref)
         vids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        x = vec_matrix(b[vec_col])
         nb = len(vids)
         adist = np.zeros((len(qids), nb), np.float64)
         for s in range(m):
@@ -823,8 +849,7 @@ def knn_graph_edges(ds, k: int = KNN_GRAPH_K,
         def bucketize(b: pa.Table) -> pa.Table:
             ids = b[id_col].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
-            m = _normalize(np.array(b[vec_col].to_pylist(),
-                                    dtype=np.float64))
+            m = _normalize(vec_matrix(b[vec_col]))
             bits = (m @ pl.T) > 0
             code = (bits * (1 << np.arange(n_planes))).sum(axis=1) \
                 .astype(np.int64)
@@ -906,8 +931,7 @@ def embedding_outliers(ds, k: int = OUTLIER_K, label_col: str = "label",
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         lab = b[label_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        m = _normalize(np.array(b[vec_col].to_pylist(),
-                                dtype=np.float64))
+        m = _normalize(vec_matrix(b[vec_col]))
         rows = np.array([lp[int(x)] for x in lab], np.int64)
         dist = np.sqrt(((m - cm[rows]) ** 2).sum(axis=1))
         kk = min(k, len(ids))
@@ -946,7 +970,7 @@ def quantize_int8(ds, id_col: str = "vec_id",
         if len(b) == 0:
             return pa.table({"mn": pa.array([], pa.list_(pa.float64())),
                              "mx": pa.array([], pa.list_(pa.float64()))})
-        x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        x = vec_matrix(b[vec_col])
         return pa.table({"mn": pa.array([x.min(axis=0)],
                                         pa.list_(pa.float64())),
                          "mx": pa.array([x.max(axis=0)],
@@ -962,7 +986,7 @@ def quantize_int8(ds, id_col: str = "vec_id",
     def enc(b: pa.Table) -> pa.Table:
         m, r = ray.get(ref)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        x = vec_matrix(b[vec_col])
         code = np.floor((x - m) / r * 255 + 0.5)
         deq = m + code * r / 255
         rmse = np.sqrt(((x - deq) ** 2).mean(axis=1))
@@ -1018,8 +1042,7 @@ def kcenter_greedy(ds, k: int = KCENTER_K, id_col: str = "vec_id",
             c, ch = ray.get(cref)
             ids = b[id_col].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
-            m = _normalize(np.array(b[vec_col].to_pylist(),
-                                    dtype=np.float64))
+            m = _normalize(vec_matrix(b[vec_col]))
             mind = 1.0 - (m @ c.T).max(axis=1)
             ok = ~np.isin(ids, ch)
             if not ok.any():
@@ -1096,8 +1119,7 @@ def mmr_rerank(ds, query_id: int = 0, k: int = MMR_K,
             qv_, c, ch = ray.get(cref)
             ids = b[id_col].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
-            m = _normalize(np.array(b[vec_col].to_pylist(),
-                                    dtype=np.float64))
+            m = _normalize(vec_matrix(b[vec_col]))
             rel = m @ qv_
             if len(c):
                 score = lam * rel - (1.0 - lam) * (m @ c.T).max(axis=1)

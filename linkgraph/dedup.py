@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .text import batch_shingle_sets, batch_shingles, rolling_hashes
+from .ann import vec_matrix
 
 MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -764,7 +765,7 @@ def embedding_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
     def block(batch: pa.Table) -> pa.Table:
         full, full_ids = ray.get(ref)
         bids = batch[id_col].to_numpy(zero_copy_only=False)
-        bm = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        bm = _normalize(vec_matrix(batch[vec_col]))
         sims = bm @ full.T
         ai, bi = np.nonzero(sims >= threshold)
         a, b = bids[ai], full_ids[bi]
@@ -807,7 +808,7 @@ def embedding_dup_pairs_lsh(ds, id_col="vec_id", vec_col="embedding",
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = ray.get(pref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        m = _normalize(vec_matrix(batch[vec_col]))
         outs = []
         for t in range(n_tables):
             bits = (m @ pl[t].T) > 0
@@ -840,7 +841,7 @@ def embedding_dup_pairs_lsh(ds, id_col="vec_id", vec_col="embedding",
             return pa.table({id_col: pa.array([], pa.int64()),
                              "vec": pa.array([], pa.list_(pa.float64()))})
         kept = b.take(pa.array(keep))
-        vecs = np.array(kept[vec_col].to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(kept[vec_col])
         m = _normalize(vecs.reshape(len(keep), -1))
         return pa.table({id_col: pa.array(bid[keep].astype(np.int64)),
                          "vec": pa.array(list(m), pa.list_(pa.float64()))})

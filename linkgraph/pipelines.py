@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import ann as _ANN
+from .ann import vec_matrix
 from . import relational as _REL
 from .dedup import PAR_WORDS as _PAR_WORDS
 from .dedup import PPJOIN_TAU as _PPJOIN_TAU
@@ -3884,7 +3885,7 @@ def q_media_features(sf_dir):
     feats = decode_features(_media(sf_dir), concurrency=2)
 
     def checksum(b: pa.Table) -> pa.Table:
-        f = np.array(b["features"].to_pylist(), dtype=np.float64)
+        f = vec_matrix(b["features"])
         # v/1e4 stored float32 round-trips exactly: |err*1e4| < 0.5
         v = np.rint(f * 10000.0).astype(np.int64)
         return pa.table({"media_id": b["media_id"], "kind": b["kind"],
@@ -9659,7 +9660,7 @@ def q_embed_truncate(sf_dir):
                              columns=["vec_id", "embedding"])
 
     def cut(b: pa.Table) -> pa.Table:
-        m = np.array(b["embedding"].to_pylist(), np.float64)[:, :TRUNC_DIM]
+        m = vec_matrix(b["embedding"])[:, :TRUNC_DIM]
         return pa.table({"vec_id": b["vec_id"],
                          "embedding": pa.array(list(m))})
 

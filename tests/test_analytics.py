@@ -725,3 +725,30 @@ def test_cohort_revenue_matches_pandas():
     for c in want.columns:
         want[c] = want[c].astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_vec_matrix_zero_copy_parity():
+    import pyarrow as pa
+
+    from linkgraph.ann import vec_matrix
+
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((257, 16)).astype(np.float32)
+    arr = pa.array(list(m), pa.list_(pa.float32()))
+    t = pa.table({"v": arr})
+    # plain / sliced / chunked all equal the object-path conversion
+    assert (vec_matrix(t["v"])
+            == np.array(t["v"].to_pylist(), dtype=np.float64)).all()
+    s = t.slice(13, 101)
+    assert (vec_matrix(s["v"])
+            == np.array(s["v"].to_pylist(), dtype=np.float64)).all()
+    ch = pa.chunked_array([arr.slice(0, 7), arr.slice(7, 50)])
+    assert (vec_matrix(ch)
+            == np.array(ch.to_pylist(), dtype=np.float64)).all()
+    assert vec_matrix(pa.chunked_array([], pa.list_(pa.float32()))).size == 0
+    # fixed-size-list layout (Ray re-encodes list columns this way)
+    fsl = pa.FixedSizeListArray.from_arrays(
+        pa.array(m[:20].reshape(-1)), 16)
+    ft = pa.table({"v": fsl}).slice(3, 9)
+    assert (vec_matrix(ft["v"])
+            == np.array(ft["v"].to_pylist(), dtype=np.float64)).all()
