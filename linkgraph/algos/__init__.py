@@ -25,6 +25,7 @@ from .scc import (SCCBackwardProgram, SCCForwardProgram,
                   strongly_connected_components)
 from .sssp import SSSPProgram, sssp
 from .widest import WidestPathProgram, widest_path
+from .wl import WLProgram, wl_color_counts, wl_refine
 from .toposort import LayerProgram, dag_layers
 from .triangles import clustering_coefficients, triangle_count
 
@@ -38,6 +39,7 @@ __all__ = [
     "HarmonicProgram", "closeness_from_seeds", "harmonic_centrality",
     "hits", "normalized_scores",
     "KatzProgram", "katz_centrality",
+    "WLProgram", "wl_color_counts", "wl_refine",
     "CorenessProgram", "KCoreProgram", "coreness", "kcore",
     "OnionProgram", "onion_layers",
     "LabelPropProgram", "label_propagation",

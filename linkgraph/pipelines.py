@@ -938,6 +938,25 @@ def q_doc_eigen(sf_dir):
         fin, batch_format="pyarrow")
 
 
+WL_ROUNDS = 3
+
+
+def q_doc_wl(sf_dir):
+    """Weisfeiler-Lehman color refinement (1-WL, 3 rounds) on the
+    undirected graph: per-round exact distinct-color counts.  The
+    multiset digest is an order-insensitive mod-2^64 sum of murmur-mixed
+    neighbor labels, so one WL round is ONE deterministic add-combine
+    superstep (algos/wl.py); colors are counted with a coarse
+    label-bucket kernel, never a fine-key aggregate.  Oracle: _wl_sql —
+    the identical xor/mulmod64 chains unrolled per round in UBIGINT."""
+    from .algos.wl import wl_color_counts, wl_refine
+
+    eng = documents_engine(sf_dir, "undirected")
+    wl_refine(eng, rounds=WL_ROUNDS)
+    n = documents_n_vertices(sf_dir)
+    return wl_color_counts(eng, rounds=WL_ROUNDS, n_vertices=n)
+
+
 def q_doc_ppr(sf_dir):
     """Personalized PageRank from doc 0 (Gemini rank conventions, teleport
     restricted to the source set).  Oracle: _ppr_sql unrolled CTEs."""
@@ -4338,6 +4357,56 @@ def _eigen_sql(iters: int, round_to: int) -> str:
             f" 1e-300), {round_to}) AS eigen FROM x{iters}")
 
 
+def _wl_mix_ctes(tag: str, src_cte: str, rename: str = "z") -> list[str]:
+    """Murmur-finalizer chain (xor 33 / mul C1 / xor 29 / mul C2 /
+    xor 32) over UBIGINT column `z` of `src_cte` — the exact
+    algos/wl.mix64 — emitting CTEs {tag}1..{tag}4 and final {tag}."""
+    return [
+        f"{tag}1 AS (SELECT v, xor(z, z >> 33) AS z FROM {src_cte})",
+        f"{tag}2 AS (SELECT v, "
+        f"{_mulmod64_sql('z', 0xFF51AFD7ED558CCD)}::UBIGINT AS z "
+        f"FROM {tag}1)",
+        f"{tag}3 AS (SELECT v, xor(z, z >> 29) AS z FROM {tag}2)",
+        f"{tag}4 AS (SELECT v, "
+        f"{_mulmod64_sql('z', 0xC4CEB9FE1A85EC53)}::UBIGINT AS z "
+        f"FROM {tag}3)",
+        f"{tag} AS MATERIALIZED (SELECT v, xor(z, z >> 32) AS {rename} "
+        f"FROM {tag}4)",
+    ]
+
+
+def _wl_sql(rounds: int) -> str:
+    """Unrolled 1-WL refinement (matches algos/wl.py): per round, each
+    vertex's new label = mix64(old * PHI + sum(mix64(neighbor labels))
+    mod 2^64) over the symmetric edge list; output = per-round exact
+    distinct-color counts (round 0 = the uniform init, 1 color)."""
+    phi = 0x9E3779B97F4A7C15
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            "l0 AS (SELECT v, 1::UBIGINT AS lab FROM allv)"]
+    for r in range(1, rounds + 1):
+        p = f"l{r - 1}"
+        ctes.append(f"h{r}0 AS (SELECT v, lab AS z FROM {p})")
+        ctes += _wl_mix_ctes(f"h{r}", f"h{r}0")
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT sym.dst AS v, "
+            f"(sum(h.z::HUGEINT) % {_W64})::UBIGINT AS s "
+            f"FROM sym JOIN h{r} h ON h.v = sym.src GROUP BY sym.dst)")
+        ctes.append(
+            f"t{r}0 AS (SELECT {p}.v, "
+            f"(({_mulmod64_sql('lab', phi)} + coalesce(s.s, 0)::HUGEINT) "
+            f"% {_W64})::UBIGINT AS z "
+            f"FROM {p} LEFT JOIN s{r} s USING (v))")
+        ctes += _wl_mix_ctes(f"t{r}", f"t{r}0", rename="lab")
+        ctes.append(f"l{r} AS (SELECT v, lab FROM t{r})")
+    unions = ["SELECT 0::BIGINT AS round, 1::BIGINT AS n_colors"] + [
+        f"SELECT {r}::BIGINT AS round, "
+        f"count(DISTINCT lab)::BIGINT AS n_colors FROM l{r}"
+        for r in range(1, rounds + 1)]
+    return (f"WITH {', '.join(ctes)} "
+            + " UNION ALL ".join(unions))
+
+
 def _ppr_sql(iters: int, round_to: int, sources: list[int]) -> str:
     """Unrolled personalized PageRank (matches algos/pagerank.PPRProgram):
     same chain as _pagerank_sql but rank mass and teleport restricted to
@@ -6428,6 +6497,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_pagerank_deltas": _pagerank_deltas_sql(PR_ITERS, 9),
     "doc_hits": _hits_sql(HITS_ITERS, 6),
     "doc_eigen": _eigen_sql(EIGEN_ITERS, 6),
+    "doc_wl": _wl_sql(WL_ROUNDS),
     "doc_ppr": _ppr_sql(PPR_ITERS, 9, PPR_SOURCES),
     "doc_trustrank": (
         f"WITH pr AS ({_ppr_sql(PPR_ITERS, 12, TRUST_SOURCES)}) "
@@ -8016,6 +8086,7 @@ QUERIES = {
     "sketch_bloom": q_sketch_bloom,
     "events_anomaly_days": q_events_anomaly_days,
     "doc_eigen": q_doc_eigen,
+    "doc_wl": q_doc_wl,
     "doc_condensation": q_doc_condensation,
     "doc_triads": q_doc_triads,
     "text_pmi": q_text_pmi,

@@ -1311,3 +1311,63 @@ def test_onion_layers_match_peeling(name, k, tmp_path):
             f"{name} k={k}: {np.flatnonzero(got != want)}")
     finally:
         eng.shutdown()
+
+
+# ------------------------------------------------------------------ WL
+
+def wl_partition_oracle(e_sym, n, rounds):
+    """Textbook 1-WL: canonical ids of (old label, sorted neighbor-label
+    multiset) per round; returns the partition (label array) per round."""
+    lab = np.zeros(n, dtype=np.int64)
+    out = []
+    for _ in range(rounds):
+        neigh = [[] for _ in range(n)]
+        for s, d in e_sym:
+            neigh[d].append(lab[s])
+        sigs = [(int(lab[v]), tuple(sorted(neigh[v]))) for v in range(n)]
+        canon = {}
+        new = np.empty(n, dtype=np.int64)
+        for v, sig in enumerate(sigs):
+            new[v] = canon.setdefault(sig, len(canon))
+        lab = new
+        out.append(lab.copy())
+    return out
+
+
+def _partition_ids(lab):
+    """Canonicalize a labelling to first-occurrence ids (partition cmp)."""
+    _, inv = np.unique(lab, return_inverse=True)
+    first = {}
+    out = np.empty(len(lab), dtype=np.int64)
+    for i, x in enumerate(inv):
+        out[i] = first.setdefault(int(x), len(first))
+    return out
+
+
+@pytest.mark.parametrize("name", ["path_8", "star_1_50", "er_1k",
+                                  "two_cliques_k5"])
+def test_wl_matches_textbook_partition(name, tmp_path):
+    from linkgraph.algos.wl import wl_refine
+
+    e = _dedup(micro_graph(name))
+    n = _n(e)
+    sym = np.concatenate([e, e[:, ::-1]])
+    sym = np.unique(sym[sym[:, 0] != sym[:, 1]], axis=0)
+    want = wl_partition_oracle(sym, n, 3)
+    got = {}
+    for parts in (1, 3):
+        eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                              num_partitions=parts,
+                              store_dir=str(tmp_path / f"g{parts}"))
+        try:
+            wl_refine(eng, rounds=3)
+            st = eng.state_pandas(["label_1", "label_2", "label_3"])
+            got[parts] = [st[f"label_{r}"].to_numpy() for r in (1, 2, 3)]
+        finally:
+            eng.shutdown()
+    for r in range(3):
+        # partition-count invariance: identical hash labels
+        assert np.array_equal(got[1][r], got[3][r])
+        # hash refinement induces the textbook WL partition
+        assert np.array_equal(_partition_ids(got[1][r]),
+                              _partition_ids(want[r]))
