@@ -11874,3 +11874,129 @@ ORACLE_SQL["media_snr"] = """
     FROM base
 """
 QUERIES["media_snr"] = q_media_snr
+
+
+# --------------------------------------------------------------- web lane
+# C4/RefinedWeb-style URL operators (linkgraph/web.py): deterministic
+# url derivation from doc_id (the media-lane pattern), a 5-step regex
+# canonicalization chain identical in pandas and DuckDB, bounded-domain
+# stats/blocklist partials, and a coarse-bucket canonical-url dedup.
+
+_WEB_URL_SQL = """
+    WITH mm AS (SELECT doc_id, (doc_id*7) % 400 AS m FROM documents)
+    SELECT doc_id,
+      (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://WWW.Site'
+            ELSE 'https://www.site' END)
+      || (CASE WHEN (m*37) % 100 < 30 THEN (m*53) % 3
+               ELSE 3 + (m*53) % 47 END)::VARCHAR
+      || (CASE WHEN doc_id % 7 = 0 THEN '.EXample' ELSE '.example' END)
+      || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+      || '/cat' || ((m*13) % 5)::VARCHAR
+      || '/item' || m::VARCHAR
+      || (CASE WHEN doc_id % 3 = 0 AND m % 3 = 0 THEN '/' ELSE '' END)
+      || (CASE WHEN m % 3 = 0
+               THEN (CASE WHEN doc_id % 4 = 0
+                          THEN '?utm_source=feed' ELSE '' END)
+               WHEN doc_id % 4 = 0
+               THEN '?utm_source=feed&id=' || (m % 100)::VARCHAR
+               WHEN doc_id % 4 = 1
+               THEN '?id=' || (m % 100)::VARCHAR || '&utm_campaign=x'
+               ELSE '?id=' || (m % 100)::VARCHAR END)
+      || (CASE WHEN doc_id % 5 = 0
+               THEN '#sec' || (doc_id % 3)::VARCHAR ELSE '' END) AS url
+    FROM mm
+"""
+
+# the same 5-step chain as web.canonicalize, in DuckDB regexp functions
+_WEB_CANON_SQL = f"""
+    WITH u AS ({_WEB_URL_SQL}),
+    n1 AS (SELECT doc_id, url,
+                  regexp_replace(url, '#.*$', '') AS c FROM u),
+    n2 AS (SELECT doc_id, url,
+                  lower(regexp_extract(c, '^([a-zA-Z]+://[^/?#]*)', 1))
+                  || regexp_replace(c, '^([a-zA-Z]+://[^/?#]*)', '')
+                  AS c FROM n1),
+    n3 AS (SELECT doc_id, url,
+                  regexp_replace(c, '^(https://[^/:?#]*):443', '\\1')
+                  AS c FROM n2),
+    n4 AS (SELECT doc_id, url, regexp_replace(
+                  regexp_replace(c, '([?&])utm_[a-z]+=[^&]*&', '\\1', 'g'),
+                  '[?&]utm_[a-z]+=[^&]*$', '') AS c FROM n3)
+    SELECT doc_id, url, regexp_replace(c, '/+$', '') AS canon FROM n4
+"""
+
+
+def q_web_urls(sf_dir):
+    """(doc_id, url, canon): derived raw URL + the canonicalized form
+    (web.urls_from_documents -> web.add_canonical).  Oracle: the same
+    derivation + regex chain in DuckDB (_WEB_CANON_SQL)."""
+    from .web import add_canonical, urls_from_documents
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+    return add_canonical(urls_from_documents(docs))
+
+
+def q_web_domains(sf_dir):
+    """(domain, n_docs, total_chars) per registered domain (www-stripped
+    canonical host) — bounded-catalog partials, one small groupby."""
+    from .web import domain_stats
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "n_chars"])
+    return domain_stats(docs)
+
+
+def q_web_block(sf_dir):
+    """(lang, kept, dropped) after dropping the blocked hot domains —
+    blocklist broadcast inside the kernel, lang-domain partials."""
+    from .web import blocklist_counts
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "lang"])
+    return blocklist_counts(docs)
+
+
+def q_dedup_url(sf_dir):
+    """(canon, n_dups, keep_id) for canonical URLs shared by >= 2 docs
+    (mirror detection; keep = min doc_id).  One coarse canon-hash bucket
+    shuffle with a vectorized in-bucket kernel."""
+    from .web import url_dup_groups
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+    return url_dup_groups(docs)
+
+
+ORACLE_SQL["web_urls"] = _WEB_CANON_SQL
+ORACLE_SQL["web_domains"] = f"""
+    WITH c AS ({_WEB_CANON_SQL})
+    SELECT regexp_extract(canon, '^https://(?:www\\.)?([^/:?#]+)', 1)
+             AS domain,
+           count(*)::BIGINT AS n_docs,
+           sum(d.n_chars)::BIGINT AS total_chars
+    FROM c JOIN documents d USING (doc_id)
+    GROUP BY 1
+"""
+ORACLE_SQL["web_block"] = f"""
+    WITH c AS ({_WEB_CANON_SQL}),
+    t AS (SELECT d.lang,
+                 regexp_extract(canon, '^https://(?:www\\.)?([^/:?#]+)', 1)
+                 IN ('site0.example', 'site1.example', 'site2.example')
+                 AS blocked
+          FROM c JOIN documents d USING (doc_id))
+    SELECT lang,
+           sum(CASE WHEN blocked THEN 0 ELSE 1 END)::BIGINT AS kept,
+           sum(CASE WHEN blocked THEN 1 ELSE 0 END)::BIGINT AS dropped
+    FROM t GROUP BY lang
+"""
+ORACLE_SQL["dedup_url"] = f"""
+    WITH c AS ({_WEB_CANON_SQL})
+    SELECT canon, count(*)::BIGINT AS n_dups,
+           min(doc_id)::BIGINT AS keep_id
+    FROM c GROUP BY canon HAVING count(*) >= 2
+"""
+QUERIES["web_urls"] = q_web_urls
+QUERIES["web_domains"] = q_web_domains
+QUERIES["web_block"] = q_web_block
+QUERIES["dedup_url"] = q_dedup_url

@@ -1133,3 +1133,51 @@ def test_audio_snr_stage_direct():
         else:
             want = 0.0
         assert out["snr_db"][i].as_py() == want
+
+
+def test_url_canonicalize_chain():
+    """Unit cases for the 5-step normalization chain (web.canonicalize)."""
+    import pandas as pd
+
+    from linkgraph.web import canonicalize
+
+    cases = {
+        "HTTPS://WWW.Site3.EXample:443/cat1/item9#sec2":
+            "https://www.site3.example/cat1/item9",
+        "https://www.site9.example/a/b/?utm_source=feed&id=7":
+            "https://www.site9.example/a/b/?id=7",
+        "https://h.example/p?id=7&utm_campaign=x":
+            "https://h.example/p?id=7",
+        "https://h.example/p?utm_source=feed":
+            "https://h.example/p",
+        "https://h.example/p/": "https://h.example/p",
+        "https://h.example/p//": "https://h.example/p",
+        "http://MIXED.Case/Path": "http://mixed.case/Path",
+    }
+    got = canonicalize(pd.Series(list(cases))).tolist()
+    assert got == list(cases.values())
+
+
+def test_url_mirrors_share_canonical(ray_session):
+    """Docs congruent mod 400 are mirrors: same canonical, different raw
+    presentation; url_dup_groups finds exactly those groups."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.web import canonicalize, url_dup_groups, urls_from_batch
+
+    ids = np.arange(950)
+    canon = canonicalize(urls_from_batch(ids))
+    want = pd.DataFrame({"canon": canon, "doc_id": ids}) \
+        .groupby("canon")["doc_id"].agg(n_dups="size", keep_id="min") \
+        .reset_index()
+    want = want[want["n_dups"] >= 2].reset_index(drop=True)
+    ds = from_pandas_clean(pd.DataFrame({"doc_id": ids}))
+    got = url_dup_groups(ds).to_pandas() \
+        .sort_values("canon").reset_index(drop=True)
+    want = want.sort_values("canon").reset_index(drop=True)
+    for c in ("canon", "n_dups", "keep_id"):
+        assert got[c].tolist() == want[c].tolist()
+    # mirrors are d, d+400, d+800 within range: group sizes 2 or 3
+    assert set(want["n_dups"].unique()) == {2, 3}
