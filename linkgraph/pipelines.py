@@ -6226,15 +6226,16 @@ def _matching_sql(rounds: int) -> str:
             + "\nSELECT u AS src, v AS dst FROM (" + union + ")")
 
 
-def _feature_hash_sql(dims: int) -> str:
-    """Twin of text.feature_hash_vectors: the same FNV fold + splitmix
-    avalanche per distinct token (HUGEINT, exact), sign from bit 32,
-    dim = h % dims, per-(doc, dim) integer sums, zeros dropped."""
+def _feature_cells_ctes(dims: int) -> str:
+    """Shared CTE body (text.feature_hash_vectors twin): the same FNV
+    fold + splitmix avalanche per distinct token (HUGEINT, exact), sign
+    from bit 32, dim = h % dims, per-(doc, dim) integer sums in
+    `cells` plus per-doc word counts in `dw`."""
     fold = (f"list_reduce(list_transform(range(1, length(w) + 1), "
             f"j -> unicode(substr(w, j::INT, 1))::HUGEINT), "
             f"(acc, c) -> (acc * {_FNV} + c) % {_W64})")
     return f"""
-        WITH words AS MATERIALIZED (
+        words AS MATERIALIZED (
           SELECT doc_id, w FROM (
             SELECT doc_id, unnest(string_split_regex(lower(text),
                    '[ \t\n]+')) AS w FROM documents)
@@ -6258,8 +6259,57 @@ def _feature_hash_sql(dims: int) -> str:
           SELECT dw.doc_id, (h % {dims})::BIGINT AS dim,
                  sum(dw.n * (1 - 2 * ((h >> 32) & 1)::BIGINT))::BIGINT
                      AS val
-          FROM dw JOIN wh USING (w) GROUP BY dw.doc_id, dim)
+          FROM dw JOIN wh USING (w) GROUP BY dw.doc_id, dim)"""
+
+
+def _feature_hash_sql(dims: int) -> str:
+    """Twin of text.feature_hash_vectors (sparse long form, zeros
+    dropped)."""
+    return f"""
+        WITH {_feature_cells_ctes(dims)}
         SELECT doc_id, dim, val FROM cells WHERE val <> 0
+    """
+
+
+def _classifier_sql(dims: int) -> str:
+    """Twin of text.classifier_scores: the feature-hash cells at
+    `dims` dotted with the deterministic weight vector
+    w[j] = mix64((j+1)*PHI mod 2^64)/2^64 - 0.5, divided by the doc's
+    word count, sigmoid, keep = score >= 0; round-6 floats (sum order
+    differs ~1e-16 between BLAS and DuckDB — the repo-wide float rule)."""
+    phi = 0x9E3779B97F4A7C15
+    return f"""
+        WITH {_feature_cells_ctes(dims)},
+        wj0 AS (SELECT j,
+                ({_mulmod64_sql('(j + 1)', phi)})::UBIGINT AS z
+                FROM range({dims}) t(j)),
+        wj1 AS (SELECT j, xor(z, z >> 33) AS z FROM wj0),
+        wj2 AS (SELECT j,
+                {_mulmod64_sql('z', 0xFF51AFD7ED558CCD)}::UBIGINT AS z
+                FROM wj1),
+        wj3 AS (SELECT j, xor(z, z >> 29) AS z FROM wj2),
+        wj4 AS (SELECT j,
+                {_mulmod64_sql('z', 0xC4CEB9FE1A85EC53)}::UBIGINT AS z
+                FROM wj3),
+        wv AS MATERIALIZED (
+          SELECT j::BIGINT AS dim,
+                 xor(z, z >> 32)::DOUBLE / 18446744073709551616.0 - 0.5
+                   AS w
+          FROM wj4),
+        nw AS (SELECT doc_id, sum(n)::BIGINT AS n_words
+               FROM dw GROUP BY doc_id),
+        raw AS (SELECT cells.doc_id, sum(val * wv.w) AS s
+                FROM cells JOIN wv USING (dim) GROUP BY cells.doc_id),
+        sc AS (SELECT d.doc_id,
+                      coalesce(raw.s, 0.0)
+                        / greatest(coalesce(nw.n_words, 0), 1) AS s
+               FROM documents d
+               LEFT JOIN raw USING (doc_id)
+               LEFT JOIN nw USING (doc_id))
+        SELECT doc_id, round(s, 6) AS score,
+               round(1.0 / (1.0 + exp(-s)), 6) AS prob,
+               (CASE WHEN s >= 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+        FROM sc
     """
 
 
@@ -12000,3 +12050,19 @@ QUERIES["web_urls"] = q_web_urls
 QUERIES["web_domains"] = q_web_domains
 QUERIES["web_block"] = q_web_block
 QUERIES["dedup_url"] = q_dedup_url
+
+
+def q_text_classifier(sf_dir):
+    """fastText-shaped hashed-linear quality scoring (one map-side pass:
+    hashed signed bag-of-words -> broadcast weight dot -> sigmoid ->
+    keep cut).  Weights are deterministic stand-ins (text.clf_weights);
+    oracle: _classifier_sql — identical hash chain + weight derivation."""
+    from .text import CLF_DIMS, classifier_scores
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return classifier_scores(docs, dims=CLF_DIMS)
+
+
+ORACLE_SQL["text_classifier"] = _classifier_sql(1024)
+QUERIES["text_classifier"] = q_text_classifier

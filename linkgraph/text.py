@@ -1330,3 +1330,67 @@ def feature_hash_vectors(docs_ds, id_col: str = "doc_id",
             "val": pa.array(val[nz].astype(np.int64))})
 
     return docs_ds.map_batches(fh, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- linear classifier
+
+CLF_DIMS = 1024
+_CLF_PHI = 0x9E3779B97F4A7C15
+
+
+def clf_weights(dims: int = CLF_DIMS) -> np.ndarray:
+    """Deterministic pseudo-weights in [-0.5, 0.5): murmur-mix of
+    (j+1)*PHI mod 2^64 scaled to the unit interval.  A stand-in for
+    trained fastText-style quality-classifier weights — the scoring
+    plumbing (hashed features, per-doc dot product, sigmoid, keep cut)
+    is the real operator; swap this array for a trained model."""
+    j = (np.arange(1, dims + 1, dtype=np.uint64)
+         * np.uint64(_CLF_PHI))  # wraps mod 2^64
+    with np.errstate(over="ignore"):
+        j ^= j >> np.uint64(33)
+        j *= np.uint64(0xFF51AFD7ED558CCD)
+        j ^= j >> np.uint64(29)
+        j *= np.uint64(0xC4CEB9FE1A85EC53)
+        j ^= j >> np.uint64(32)
+    return j.astype(np.float64) / 2.0**64 - 0.5
+
+
+def classifier_scores(docs_ds, id_col: str = "doc_id",
+                      col: str = "text", dims: int = CLF_DIMS):
+    """fastText-shaped linear scoring over hashed bag-of-words features
+    (the feature_hash_vectors transform composed with a broadcast weight
+    vector): per doc,
+
+        score = sum_dim(signed_count[dim] * w[dim]) / n_words
+        prob  = 1 / (1 + exp(-score)),   keep = score >= 0
+
+    Entirely map-side (no shuffle): signed per-(doc, dim) counts are
+    exact integers, the dot product is one gather per batch.  SQL twin:
+    pipelines._classifier_sql (identical hash chain, weight derivation
+    as literal-free HUGEINT arithmetic, round-6 floats)."""
+    w = clf_weights(dims)
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        wd, h, n_docs = _batch_word_hashes(b[col].to_pylist())
+        nw = np.bincount(wd, minlength=n_docs).astype(np.int64)
+        if len(h):
+            dim = (h % np.uint64(dims)).astype(np.int64)
+            sign = 1 - 2 * ((h >> np.uint64(32)) & np.uint64(1)) \
+                .astype(np.int64)
+            cell = wd * dims + dim
+            val = np.bincount(cell, weights=sign.astype(np.float64),
+                              minlength=n_docs * dims) \
+                .reshape(n_docs, dims)
+            s = val @ w
+        else:
+            s = np.zeros(n_docs, dtype=np.float64)
+        s = s / np.maximum(nw, 1)
+        prob = 1.0 / (1.0 + np.exp(-s))
+        return pa.table({
+            id_col: pa.array(ids),
+            "score": pa.array(np.round(s, 6)),
+            "prob": pa.array(np.round(prob, 6)),
+            "keep": pa.array((s >= 0).astype(np.int64))})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

@@ -1181,3 +1181,38 @@ def test_url_mirrors_share_canonical(ray_session):
         assert got[c].tolist() == want[c].tolist()
     # mirrors are d, d+400, d+800 within range: group sizes 2 or 3
     assert set(want["n_dups"].unique()) == {2, 3}
+
+
+def test_classifier_scores_naive_parity(ray_session):
+    """classifier_scores == a per-doc Python recompute (Counter over
+    whitespace words, same hash chain via _batch_word_hashes)."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.text import (CLF_DIMS, _batch_word_hashes,
+                                classifier_scores, clf_weights)
+
+    texts = ["the key agg row scan", "slow fast table value part hash",
+             "", "a a a b", "unique words only here",
+             "the the the the the the"]
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = from_pandas_clean(pd.DataFrame({"doc_id": ids, "text": texts}))
+    got = classifier_scores(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    w = clf_weights(CLF_DIMS)
+    for i, t in enumerate(texts):
+        wd, h, _ = _batch_word_hashes([t])
+        s = 0.0
+        if len(h):
+            dim = (h % np.uint64(CLF_DIMS)).astype(np.int64)
+            sign = 1 - 2 * ((h >> np.uint64(32)) & np.uint64(1)) \
+                .astype(np.int64)
+            val = np.zeros(CLF_DIMS)
+            np.add.at(val, dim, sign.astype(np.float64))
+            s = float(val @ w) / max(len(h), 1)
+        assert abs(got.loc[i, "score"] - round(s, 6)) <= 1e-12
+        assert got.loc[i, "keep"] == (1 if s >= 0 else 0)
+        assert abs(got.loc[i, "prob"]
+                   - round(1 / (1 + np.exp(-s)), 6)) <= 1e-12
