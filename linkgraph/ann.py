@@ -1153,3 +1153,53 @@ def mmr_rerank(ds, query_id: int = 0, k: int = MMR_K,
                                             np.int64),
                          "score": np.array([s for _, _, s in rows],
                                            np.float64)})
+
+
+def hard_negatives(ds, queries: np.ndarray, query_ids: np.ndarray,
+                   query_labels: np.ndarray, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> pd.DataFrame:
+    """Contrastive-training hard-negative mining: per query, the global
+    cosine top-k among vectors with a DIFFERENT label (most-similar
+    wrong-class examples).  Same broadcast + tie-aware partial-top-k
+    shape as brute_force_topk; the label mask is applied inside each
+    batch before the cut, so partials stay k-sized."""
+    import ray
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put((qm, np.asarray(query_ids, dtype=np.int64),
+                    np.asarray(query_labels, dtype=np.int64)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, qids, qlabs = ray.get(qref)
+        vids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _normalize(vec_matrix(batch[vec_col]))
+        sims = q @ m.T
+        out_q, out_v, out_s = [], [], []
+        for i in range(len(qids)):
+            cand = np.flatnonzero(labs != qlabs[i])
+            if len(cand) == 0:
+                continue
+            s = sims[i, cand]
+            order = np.lexsort((vids[cand], -s))[:min(k, len(cand))]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), qids[i], dtype=np.int64))
+            out_v.append(vids[sel])
+            out_s.append(sims[i, sel])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_v)),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    top = _topk_frame(parts["query_id"].to_numpy(),
+                      parts["neighbor_id"].to_numpy(),
+                      parts["cosine"].to_numpy(), k)
+    top["rnk"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rnk", "cosine"]]

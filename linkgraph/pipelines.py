@@ -12066,3 +12066,136 @@ def q_text_classifier(sf_dir):
 
 ORACLE_SQL["text_classifier"] = _classifier_sql(1024)
 QUERIES["text_classifier"] = q_text_classifier
+
+
+def q_ann_hard_negatives(sf_dir):
+    """Hard-negative mining for contrastive training (ann.hard_negatives):
+    per query, the cosine top-k among OTHER-label vectors only —
+    broadcast queries, label mask inside each batch, tie-aware partial
+    top-k.  Oracle: the ann_topk shape plus `e.label <> q.label`."""
+    from .ann import hard_negatives
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding", "label"])
+    want = pa.array(ANN_QUERY_IDS)
+    rows = emb.map_batches(
+        lambda b: b.filter(pc.is_in(b["vec_id"], value_set=want)),
+        batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qi = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    ql = np.array([r["label"] for r in rows], dtype=np.int64)
+    out = hard_negatives(emb, q, qi, ql, k=ANN_K)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+ORACLE_SQL["ann_hard_negatives"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlab,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id IN
+               ({', '.join(map(str, ANN_QUERY_IDS))})),
+    sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                    list_cosine_similarity(
+                        q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+             FROM q CROSS JOIN embeddings e
+             WHERE e.label <> q.qlab),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+               FROM sims)
+    SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+    FROM ranked WHERE rnk <= {ANN_K}
+"""
+QUERIES["ann_hard_negatives"] = q_ann_hard_negatives
+
+
+def q_events_cusum(sf_dir):
+    """CUSUM change-point scan over daily revenue (windows.daily_cusum):
+    exact-integer scaled cusum, argmax |cusum| flagged (earliest tie).
+    Oracle: window prefix sums + a QUALIFY-free flag join."""
+    from .windows import daily_cusum
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "value"])
+    return daily_cusum(ev)
+
+
+ORACLE_SQL["events_cusum"] = """
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             sum((floor(value * 100.0 + 0.5))::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT day, cents,
+             ((SELECT count(*) FROM d)
+              * sum(cents) OVER (ORDER BY day)
+              - (row_number() OVER (ORDER BY day))
+              * (SELECT sum(cents) FROM d))::BIGINT AS cusum_scaled
+      FROM d),
+    best AS (SELECT day FROM c
+             ORDER BY abs(cusum_scaled) DESC, day ASC LIMIT 1)
+    SELECT day, cents, cusum_scaled,
+           (CASE WHEN day = (SELECT day FROM best)
+                 THEN 1 ELSE 0 END)::BIGINT AS is_changepoint
+    FROM c
+"""
+QUERIES["events_cusum"] = q_events_cusum
+
+
+def q_doc_eff_diameter(sf_dir):
+    """Effective diameter from the ANF sketch (HyperANF's headline
+    statistic): smallest t with N(t) >= 0.9 * N(t_max), plus the
+    standard linear interpolation between rounds.  Composes the
+    oracle-checked doc_anf rounds with N(0) = |V| exactly; all floats
+    derive from the ROUND-6 nf values, so both engines evaluate the
+    identical expression tree."""
+    from .algos.anf import ANF_K, ANF_ROUNDS, neighborhood_function
+
+    eng = documents_engine(sf_dir, "undirected")
+    a = neighborhood_function(eng, k=ANF_K, rounds=ANF_ROUNDS)
+    n0 = float(read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"]).count())
+    ts = [0] + a["t"].tolist()
+    nfs = [n0] + a["nf"].tolist()
+    nf_max = max(nfs)
+    th = 0.9 * nf_max
+    eff_t, eff_interp = ANF_ROUNDS, float(ANF_ROUNDS)
+    for i, (t, nf) in enumerate(zip(ts, nfs)):
+        if nf >= th:
+            eff_t = t
+            if t >= 1 and nf > nfs[i - 1]:
+                eff_interp = (t - 1) + (th - nfs[i - 1]) / (nf - nfs[i - 1])
+            else:
+                eff_interp = float(t)
+            break
+    return pd.DataFrame({
+        "nf_max": [np.round(nf_max, 6)],
+        "threshold": [np.round(th, 6)],
+        "eff_t": np.array([eff_t], np.int64),
+        "eff_interp": [np.round(eff_interp, 6)]})
+
+
+ORACLE_SQL["doc_eff_diameter"] = f"""
+    WITH a AS ({_anf_sql(8, 3)}),
+    series AS (
+      SELECT 0::BIGINT AS t,
+             (SELECT count(*)::DOUBLE FROM documents) AS nf
+      UNION ALL SELECT t, nf FROM a),
+    m AS (SELECT max(nf) AS nfmax FROM series),
+    w AS (SELECT t, nf, lag(nf) OVER (ORDER BY t) AS prev FROM series),
+    hit AS (SELECT t, nf, prev FROM w
+            WHERE nf >= 0.9 * (SELECT nfmax FROM m)
+            ORDER BY t LIMIT 1)
+    SELECT round((SELECT nfmax FROM m), 6) AS nf_max,
+           round(0.9 * (SELECT nfmax FROM m), 6) AS threshold,
+           coalesce((SELECT t FROM hit), 3)::BIGINT AS eff_t,
+           round(coalesce(
+             (SELECT CASE WHEN t >= 1 AND nf > prev
+                     THEN (t - 1) + (0.9 * (SELECT nfmax FROM m) - prev)
+                          / (nf - prev)
+                     ELSE t::DOUBLE END FROM hit),
+             3.0), 6) AS eff_interp
+"""
+QUERIES["doc_eff_diameter"] = q_doc_eff_diameter

@@ -1488,3 +1488,41 @@ def daily_holt(ds, ts: str = "ts", value: str = "value"):
                          "level": np.round(lv, 6),
                          "trend": np.round(tr, 6),
                          "forecast": np.round(lv + tr, 6)})
+
+
+def daily_cusum(ds, ts: str = "ts", value: str = "value"):
+    """CUSUM change-point scan over the daily revenue series, in EXACT
+    integers: with per-day cents r_i (day-ascending, i = 1..n) and
+    total T = sum(r),
+
+        cusum_scaled_i = n * prefix_i - i * T      (== n^2 * classic
+        CUSUM against the mean, scaled to stay integral)
+
+    The candidate change point is the day with the max |cusum_scaled|
+    (earliest day on ties).  Same scale shape as daily_smooth:
+    calendar-bounded map-side day partials, tiny driver fold.  Returns
+    (day, cents, cusum_scaled, is_changepoint) sorted by day."""
+
+    def part(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        cents = np.floor(b[value].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        s = pd.Series(cents).groupby(day).sum()
+        return pa.table({"day": pa.array(s.index.to_numpy(np.int64)),
+                         "cents": pa.array(s.to_numpy(np.int64))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    d = parts.groupby("day", sort=True)["cents"].sum().reset_index()
+    cents = d["cents"].to_numpy(np.int64)
+    n = len(cents)
+    pref = np.cumsum(cents)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    cus = n * pref - i * int(pref[-1] if n else 0)
+    best = int(np.argmax(np.abs(cus))) if n else -1
+    flag = np.zeros(n, dtype=np.int64)
+    if n:
+        flag[best] = 1
+    return pd.DataFrame({"day": d["day"].astype(np.int64),
+                         "cents": cents, "cusum_scaled": cus,
+                         "is_changepoint": flag})
