@@ -144,28 +144,55 @@ def documents_edges(sf_dir: str, num_partitions: int = 8):
 
     docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text", "lang", "source"])
-    n_docs = rd.read_parquet(os.path.join(
-        sf_dir, "documents.parquet")).count()  # parquet metadata, no scan
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(os.path.join(
+        sf_dir, "documents.parquet")).metadata.num_rows  # no scan
     keyed = docs.map_batches(_doc_keys, batch_format="pyarrow")
-    stars = derive_star_edges(keyed, "gkey", id_col="vid",
-                              num_partitions=num_partitions,
-                              approx_rows=3 * n_docs).materialize()
-    if stars.count() <= EDGE_DRIVER_DEDUP_CAP:
-        pdf = (stars.to_pandas().drop_duplicates(["src", "dst"])
-               .reset_index(drop=True))
-        edges = from_pandas_clean(pdf).repartition(
-            max(2, min(8, len(pdf) // 50_000 + 2))).materialize()
+    if 3 * n_docs <= EDGE_DRIVER_DEDUP_CAP:
+        # gated single-pass plan: ONE distributed execution collects the
+        # (gkey, vid) pairs (3 rows/doc), then rep-min, star emission and
+        # dedup run in one pandas kernel — the multi-stage plan below
+        # pays ~0.3-0.5s of fixed executor latency per stage, which
+        # dominates at cached-engine sizes (bench sf_queries stage)
+        pdf = keyed.to_pandas()
+        rep = pdf.groupby("gkey", sort=False)["vid"].transform("min")
+        vid = pdf["vid"].to_numpy()
+        repv = rep.to_numpy()
+        keep = vid != repv
+        epdf = pd.DataFrame({"src": repv[keep], "dst": vid[keep]}) \
+            .drop_duplicates(["src", "dst"]).reset_index(drop=True)
+        edges = from_pandas_clean(epdf).repartition(
+            max(2, min(8, len(epdf) // 50_000 + 2))).materialize()
     else:
+        stars = derive_star_edges(keyed, "gkey", id_col="vid",
+                                  num_partitions=num_partitions,
+                                  approx_rows=3 * n_docs).materialize()
         edges = dedup_edges(stars).materialize()
     _CACHE[key] = edges
     return edges
 
 
 def documents_n_vertices(sf_dir: str) -> int:
-    import ray.data as rd
+    """max(doc_id) + 1 via parquet row-group STATISTICS (no scan, no Ray
+    execution); falls back to a distributed max when stats are absent."""
+    import pyarrow.parquet as _pq
 
-    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id"])
+    path = os.path.join(sf_dir, "documents.parquet")
+    md = _pq.ParquetFile(path).metadata
+    idx = next((i for i in range(md.num_columns)
+                if md.schema.column(i).name == "doc_id"), None)
+    if idx is not None:
+        maxes = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                maxes = None
+                break
+            maxes.append(st.max)
+        if maxes:
+            return int(max(maxes)) + 1
+    docs = read_parquet_clean(path, columns=["doc_id"])
     return int(docs.max("doc_id")) + 1
 
 
