@@ -1826,3 +1826,58 @@ def containment_pairs(ds, id_col="doc_id", text_col="text", k=5,
     buckets = ds.map_batches(explode, batch_format="pyarrow")
     return _lsh_verify_jaccard(ds, buckets, id_col, text_col, k,
                                threshold, cap, mode="containment")
+
+
+SEMDEDUP_TAU = 0.7
+
+
+def semdedup_ids(ds, n_centroids: int = 8, iters: int = 4,
+                 tau: float = SEMDEDUP_TAU, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+    """SemDeDup (Abbas et al. 2023) cluster-bucketed semantic pruning:
+    k-means the corpus (ann.kmeans_centroids — distributed Lloyd), then
+    WITHIN each cluster drop every vector that has a smaller-id
+    same-cluster neighbor with cosine >= tau.  The clustering turns the
+    corpus-quadratic pair scan into k independent (n/k)^2 in-cluster
+    kernels — the method's documented trade (dups across cluster
+    boundaries are missed; raise n_centroids to shrink cluster size at
+    scale).  Returns (vec_id, c, dropped) for EVERY vector.
+
+    Deterministic: assignment ties to the smallest centroid id (the
+    kmeans_full convention), the drop rule depends only on id order and
+    cosine values."""
+    import ray
+
+    from .ann import _normalize as _nrm
+    from .ann import kmeans_centroids, vec_matrix
+    from .runtime import tune_context
+
+    tune_context()
+    cent = kmeans_centroids(ds, n_centroids, iters, id_col=id_col,
+                            vec_col=vec_col)
+    cref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _nrm(vec_matrix(b[vec_col]))
+        a = (m @ c.T).argmax(axis=1)  # ties -> smallest c (argmax rule)
+        return pa.table({
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "c": pa.array(a.astype(np.int64)),
+            "vec": pa.array(list(m), pa.list_(pa.float64()))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = np.array(g["vec"].tolist(), dtype=np.float64)
+        n = len(g)
+        dropped = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            sims = m @ m.T
+            hit = (sims >= tau) & np.tri(n, n, -1, dtype=bool).T
+            dropped = hit.any(axis=0).astype(np.int64)
+        return pd.DataFrame({id_col: g[id_col].astype(np.int64),
+                             "c": g["c"].astype(np.int64),
+                             "dropped": dropped})
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("c").map_groups(kern, batch_format="pandas")

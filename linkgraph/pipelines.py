@@ -66,6 +66,7 @@ from .sampling import MIX_ALPHA as _MIX_ALPHA  # noqa: E402 (SQL literal)
 ANN_K = 5
 ANN_LSH_PLANES = 6
 EMB_DUP_TAU = 0.4
+from .dedup import SEMDEDUP_TAU  # noqa: E402 (SQL literal)
 
 
 # ------------------------------------------------------------ edge builder
@@ -5806,6 +5807,22 @@ def _kmeans_full_sql(n_centroids: int = 8, iters: int = 4,
                 f"SELECT p.c, p.i, round(p.y, 6) AS y, "
                 f"CAST(coalesce(cnt.n, 0) AS BIGINT) AS n "
                 f"FROM {last} p LEFT JOIN cnt ON cnt.c = p.c")
+    if tail == "semdedup":
+        # SemDeDup: within each final cluster, drop b iff some a < b in
+        # the cluster has cosine(a, b) >= tau (cosine on RAW vectors —
+        # normalization-invariant, so it equals the engine's normalized
+        # dot to ~1e-16)
+        ctes.append(f"""drp AS (
+          SELECT DISTINCT b.vec_id FROM fasg a JOIN fasg b
+            ON a.c = b.c AND a.vec_id < b.vec_id
+          JOIN emb ea ON ea.vec_id = a.vec_id
+          JOIN emb eb ON eb.vec_id = b.vec_id
+          WHERE list_cosine_similarity(ea.v, eb.v) >= {SEMDEDUP_TAU})""")
+        return (f"WITH {', '.join(ctes)} "
+                f"SELECT f.vec_id, f.c, "
+                f"(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT "
+                f"AS dropped "
+                f"FROM fasg f LEFT JOIN drp d USING (vec_id)")
     # tail == "silhouette": simplified (centroid-based) silhouette from
     # the final assignment — a = 1 - dot(own centroid), b = 1 - best
     # other dot, s = (b - a) / max(a, b); ties/floats as ann.
@@ -12226,3 +12243,122 @@ ORACLE_SQL["doc_eff_diameter"] = f"""
              3.0), 6) AS eff_interp
 """
 QUERIES["doc_eff_diameter"] = q_doc_eff_diameter
+
+
+def q_embed_semdedup(sf_dir):
+    """SemDeDup cluster-bucketed semantic pruning (dedup.semdedup_ids):
+    distributed k-means, then per-cluster keep-smallest-id pruning at
+    cosine >= tau — k independent in-cluster kernels instead of a
+    corpus-quadratic scan.  Oracle: the unrolled k-means CTE chain with
+    a pairwise-cosine drop tail."""
+    from .dedup import semdedup_ids
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+    return semdedup_ids(emb)
+
+
+ORACLE_SQL["embed_semdedup"] = _kmeans_full_sql(
+    n_centroids=8, iters=4, tail="semdedup")
+QUERIES["embed_semdedup"] = q_embed_semdedup
+
+
+# -------------------------------------------------- attribute mixing (lang)
+
+def _lang_mixing_counts(sf_dir):
+    """5x5 symmetric (lang_src, lang_dst) edge counts over the
+    symmetrized doc graph — exact integers.  Gated lang attach: the
+    (doc_id -> lang_code) map broadcasts under ATTACH_BROADCAST_CAP via
+    joins.attach_by_key; counts are bounded-domain map-side bincount
+    partials folded on the driver."""
+    from .edges import symmetrize
+    from .io import from_pandas_clean
+    from .joins import attach_by_key
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "lang"]).to_pandas()
+    langs = sorted(docs["lang"].unique())
+    code = {l: i for i, l in enumerate(langs)}
+    lmap = from_pandas_clean(pd.DataFrame({
+        "k": docs["doc_id"].to_numpy(np.int64),
+        "lc": docs["lang"].map(code).to_numpy(np.int64)}))
+    sym = symmetrize(documents_edges(sf_dir))
+    tagged = attach_by_key(sym, lmap, ["src", "dst"], "k", "lc")
+    nl = len(langs)
+
+    def part(b: pa.Table) -> pa.Table:
+        a = b["lc_src"].to_numpy(zero_copy_only=False)
+        c = b["lc_dst"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(a * nl + c, minlength=nl * nl)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    parts = tagged.map_batches(part, batch_format="pyarrow").to_pandas()
+    cnt = np.zeros(nl * nl, np.int64)
+    if len(parts):
+        np.add.at(cnt, parts["cell"].to_numpy(),
+                  parts["n"].to_numpy())
+    return langs, cnt.reshape(nl, nl)
+
+
+def q_doc_lang_mixing(sf_dir):
+    """Attribute mixing matrix: symmetric per-(lang, lang) edge counts
+    (nonzero cells only).  Oracle: DOC_SYM_SQL joined to documents on
+    both endpoints."""
+    langs, m = _lang_mixing_counts(sf_dir)
+    la, lb, ns = [], [], []
+    for i, a in enumerate(langs):
+        for j, b in enumerate(langs):
+            if m[i, j]:
+                la.append(a)
+                lb.append(b)
+                ns.append(int(m[i, j]))
+    return pd.DataFrame({"lang_src": la, "lang_dst": lb,
+                         "n": np.array(ns, np.int64)})
+
+
+def q_doc_lang_assort(sf_dir):
+    """Newman categorical assortativity over the lang mixing matrix:
+    r = (sum e_ii - sum a_i*b_i) / (1 - sum a_i*b_i) with e = counts /
+    2m over directed edge ends.  All inputs exact integers; ONE float
+    expression evaluated identically by both engines."""
+    _, m = _lang_mixing_counts(sf_dir)
+    tot = int(m.sum())
+    tr = int(np.trace(m))
+    ab = int((m.sum(axis=1) * m.sum(axis=0)).sum())
+    # r = (tr/tot - ab/tot^2) / (1 - ab/tot^2), kept in the exact shape
+    r = ((tr * tot - ab) / (tot * tot - ab)) if tot and tot * tot != ab \
+        else 0.0
+    return pd.DataFrame({"n_edge_ends": np.array([tot], np.int64),
+                         "r": [round(r, 6)]})
+
+
+ORACLE_SQL["doc_lang_mixing"] = f"""
+    WITH sym AS ({DOC_SYM_SQL})
+    SELECT a.lang AS lang_src, b.lang AS lang_dst,
+           count(*)::BIGINT AS n
+    FROM sym JOIN documents a ON a.doc_id = sym.src
+    JOIN documents b ON b.doc_id = sym.dst
+    GROUP BY 1, 2
+"""
+ORACLE_SQL["doc_lang_assort"] = f"""
+    WITH sym AS ({DOC_SYM_SQL}),
+    m AS (SELECT a.lang AS la, b.lang AS lb, count(*)::BIGINT AS n
+          FROM sym JOIN documents a ON a.doc_id = sym.src
+          JOIN documents b ON b.doc_id = sym.dst GROUP BY 1, 2),
+    tot AS (SELECT sum(n)::BIGINT AS t FROM m),
+    tr AS (SELECT coalesce(sum(n), 0)::BIGINT AS tr FROM m
+           WHERE la = lb),
+    ab AS (SELECT sum(ra.s * ca.s)::BIGINT AS ab FROM
+           (SELECT la AS l, sum(n)::BIGINT AS s FROM m GROUP BY la) ra
+           JOIN (SELECT lb AS l, sum(n)::BIGINT AS s FROM m
+                 GROUP BY lb) ca USING (l))
+    SELECT t AS n_edge_ends,
+           round(CASE WHEN t > 0 AND t * t <> ab
+                 THEN (tr * t - ab)::DOUBLE / (t * t - ab)::DOUBLE
+                 ELSE 0.0 END, 6) AS r
+    FROM tot, tr, ab
+"""
+QUERIES["doc_lang_mixing"] = q_doc_lang_mixing
+QUERIES["doc_lang_assort"] = q_doc_lang_assort
