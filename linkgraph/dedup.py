@@ -1833,7 +1833,8 @@ SEMDEDUP_TAU = 0.7
 
 def semdedup_ids(ds, n_centroids: int = 8, iters: int = 4,
                  tau: float = SEMDEDUP_TAU, id_col: str = "vec_id",
-                 vec_col: str = "embedding"):
+                 vec_col: str = "embedding", sample_n: int = 500,
+                 seed: int = 42):
     """SemDeDup (Abbas et al. 2023) cluster-bucketed semantic pruning:
     k-means the corpus (ann.kmeans_centroids — distributed Lloyd), then
     WITHIN each cluster drop every vector that has a smaller-id
@@ -1853,8 +1854,8 @@ def semdedup_ids(ds, n_centroids: int = 8, iters: int = 4,
     from .runtime import tune_context
 
     tune_context()
-    cent = kmeans_centroids(ds, n_centroids, iters, id_col=id_col,
-                            vec_col=vec_col)
+    cent = kmeans_centroids(ds, n_centroids, iters, sample_n=sample_n,
+                            seed=seed, id_col=id_col, vec_col=vec_col)
     cref = ray.put(cent)
 
     def assign(b: pa.Table) -> pa.Table:

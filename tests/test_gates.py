@@ -941,3 +941,40 @@ def test_assort_directed_broadcast_vs_join_paths(sf_dir, monkeypatch):
     monkeypatch.setattr(T, "BROADCAST_DEG_CAP", -1)
     join = q_doc_assort_directed(sf_dir)
     pd.testing.assert_frame_equal(bc, join)
+
+
+def test_semdedup_matches_naive(ray_session):
+    """semdedup_ids == a single-process recompute: same centroids, same
+    argmax assignment, same in-cluster keep-smallest-id rule."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.ann import _normalize, kmeans_centroids
+    from linkgraph.dedup import SEMDEDUP_TAU, semdedup_ids
+    from linkgraph.io import from_pandas_clean
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 8))
+    # planted near-dups: rows 100.. are tiny perturbations of row i%40
+    extra = base[np.arange(25) % 40] + 0.01 * rng.standard_normal((25, 8))
+    m = np.vstack([base, extra]).astype(np.float64)
+    ids = np.arange(len(m), dtype=np.int64)
+    ds = from_pandas_clean(pd.DataFrame(
+        {"vec_id": ids, "embedding": list(m)}))
+    got = semdedup_ids(ds, n_centroids=4, iters=2, sample_n=40).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    cent = kmeans_centroids(ds, 4, 2, sample_n=40)
+    nm = _normalize(m)
+    asg = (nm @ cent.T).argmax(axis=1)
+    dropped = np.zeros(len(m), dtype=np.int64)
+    for c in np.unique(asg):
+        members = np.flatnonzero(asg == c)
+        for j_pos, j in enumerate(members):
+            for i in members[:j_pos]:
+                if nm[i] @ nm[j] >= SEMDEDUP_TAU:
+                    dropped[j] = 1
+                    break
+    assert got["c"].tolist() == asg.astype(np.int64).tolist()
+    assert got["dropped"].tolist() == dropped.tolist()
+    assert dropped.sum() > 0  # the planted dups actually exercised it
