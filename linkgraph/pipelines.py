@@ -12362,3 +12362,130 @@ ORACLE_SQL["doc_lang_assort"] = f"""
 """
 QUERIES["doc_lang_mixing"] = q_doc_lang_mixing
 QUERIES["doc_lang_assort"] = q_doc_lang_assort
+
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_tpch_corr(sf_dir):
+    """Pearson correlation matrix of the lineitem numeric columns: one
+    column-pruned scan emitting (n, sum_x, sum_xx, sum_xy) moment
+    partials per batch (d=4 -> 14 accumulators), folded on the driver;
+    the correlation formula is ONE float expression per pair evaluated
+    identically by both engines on the folded sums (round-6)."""
+    cols = CORR_COLS
+    d = len(cols)
+    li = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=cols)
+
+    def part(b: pa.Table) -> pa.Table:
+        m = np.column_stack([
+            b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols])
+        out = {"n": pa.array([len(m)], pa.int64())}
+        s = m.sum(axis=0)
+        xx = m.T @ m
+        for i in range(d):
+            out[f"s{i}"] = pa.array([s[i]])
+            for j in range(i, d):
+                out[f"p{i}{j}"] = pa.array([xx[i, j]])
+        return pa.table(out)
+
+    parts = li.map_batches(part, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    s = np.array([parts[f"s{i}"].sum() for i in range(d)])
+    xx = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            xx[i, j] = xx[j, i] = parts[f"p{i}{j}"].sum()
+    rows = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            num = n * xx[i, j] - s[i] * s[j]
+            den = np.sqrt(n * xx[i, i] - s[i] * s[i]) \
+                * np.sqrt(n * xx[j, j] - s[j] * s[j])
+            rows.append((cols[i], cols[j],
+                         round(num / den if den > 0 else 0.0, 6)))
+    return pd.DataFrame({"col_a": [r[0] for r in rows],
+                         "col_b": [r[1] for r in rows],
+                         "corr": [r[2] for r in rows]})
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    return f"""
+      SELECT '{a}' AS col_a, '{b}' AS col_b,
+        round(CASE WHEN sqrt(count(*)*sum({a}*{a}) - sum({a})*sum({a}))
+                   * sqrt(count(*)*sum({b}*{b}) - sum({b})*sum({b})) > 0
+          THEN (count(*)*sum({a}*{b}) - sum({a})*sum({b}))
+             / (sqrt(count(*)*sum({a}*{a}) - sum({a})*sum({a}))
+              * sqrt(count(*)*sum({b}*{b}) - sum({b})*sum({b})))
+          ELSE 0.0 END, 6) AS corr
+      FROM lineitem"""
+
+
+ORACLE_SQL["tpch_corr"] = " UNION ALL ".join(
+    _corr_pair_sql(a, b)
+    for i, a in enumerate(CORR_COLS)
+    for b in CORR_COLS[i + 1:])
+QUERIES["tpch_corr"] = q_tpch_corr
+
+
+def q_doc_motifs(sf_dir):
+    """Small-motif census of the symmetrized doc graph from degree
+    moments + the exact triangle count: wedges = sum C(d,2), claws =
+    sum C(d,3), open wedges = wedges - 3*triangles, global clustering =
+    3*tri / wedges.  Degree-moment partials are map-side exact ints; the
+    triangle count reuses the oracle-checked counter."""
+    from .algos import triangle_count
+    from .edges import degree_table, symmetrize
+
+    edges = documents_edges(sf_dir)
+    sym = symmetrize(edges)
+    deg = degree_table(sym, "src")
+
+    def part(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "nv": pa.array([int((d > 0).sum())], pa.int64()),
+            "w": pa.array([int((d * (d - 1) // 2).sum())], pa.int64()),
+            "c3": pa.array([int((d * (d - 1) * (d - 2) // 6).sum())],
+                           pa.int64())})
+
+    parts = deg.map_batches(part, batch_format="pyarrow").to_pandas()
+    nv = int(parts["nv"].sum())
+    wedges = int(parts["w"].sum())
+    claws = int(parts["c3"].sum())
+    ne = edges.count()
+    tri = int(triangle_count(edges))
+    return pd.DataFrame({
+        "n_vertices_nonisolated": np.array([nv], np.int64),
+        "n_edges": np.array([ne], np.int64),
+        "wedges": np.array([wedges], np.int64),
+        "claws": np.array([claws], np.int64),
+        "n_triangles": np.array([tri], np.int64),
+        "open_wedges": np.array([wedges - 3 * tri], np.int64),
+        "global_clustering": [round(3.0 * tri / wedges, 6)
+                              if wedges else 0.0]})
+
+
+ORACLE_SQL["doc_motifs"] = f"""
+    WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e
+            UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM sym GROUP BY src),
+    m AS (SELECT count(*)::BIGINT AS nv,
+                 sum(d*(d-1)//2)::BIGINT AS wedges,
+                 sum(d*(d-1)*(d-2)//6)::BIGINT AS claws
+          FROM deg WHERE d > 0),
+    t AS (SELECT count(*)::BIGINT AS tri
+          FROM e ab JOIN e bc ON bc.src = ab.dst
+               JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+    ec AS (SELECT count(*)::BIGINT AS ne FROM e)
+    SELECT nv AS n_vertices_nonisolated, ne AS n_edges, wedges, claws,
+           tri AS n_triangles, (wedges - 3*tri)::BIGINT AS open_wedges,
+           round(CASE WHEN wedges > 0
+                 THEN 3.0 * tri / wedges ELSE 0.0 END, 6)
+             AS global_clustering
+    FROM m, t, ec
+"""
+QUERIES["doc_motifs"] = q_doc_motifs
