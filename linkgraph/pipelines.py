@@ -12489,3 +12489,68 @@ ORACLE_SQL["doc_motifs"] = f"""
     FROM m, t, ec
 """
 QUERIES["doc_motifs"] = q_doc_motifs
+
+
+def q_corpus_clean_v4(sf_dir):
+    """Flagship cleaning composition V4 — v3 (quality -> exact dedup ->
+    minhash -> substring dedup -> decontamination -> mixture resample)
+    plus two round-4 stages: a map-side hashed-linear CLASSIFIER gate
+    (keep score >= 0; computed inline per batch after a text re-join —
+    no driver-side id set) and canonical-URL MIRROR dedup (drop docs
+    sharing a canonical URL with a smaller id; size-gated anti-join).
+    Returns the final (doc_id, source) Dataset."""
+    from .dedup import _join_parts
+    from .joins import anti_join
+    from .text import CLF_DIMS, _batch_word_hashes, clf_weights
+    from .web import url_drop_ids
+
+    v3 = q_corpus_clean_v3(sf_dir).materialize()
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    joined = v3.join(docs, join_type="inner",
+                     num_partitions=_join_parts(v3.count()),
+                     on=("doc_id",))
+    w = clf_weights(CLF_DIMS)
+
+    def clf_keep(b: pa.Table) -> pa.Table:
+        wd, h, n_docs = _batch_word_hashes(b["text"].to_pylist())
+        nw = np.bincount(wd, minlength=n_docs).astype(np.int64)
+        if len(h):
+            dim = (h % np.uint64(CLF_DIMS)).astype(np.int64)
+            sign = 1 - 2 * ((h >> np.uint64(32)) & np.uint64(1)) \
+                .astype(np.int64)
+            val = np.bincount(wd * CLF_DIMS + dim,
+                              weights=sign.astype(np.float64),
+                              minlength=n_docs * CLF_DIMS) \
+                .reshape(n_docs, CLF_DIMS)
+            s = val @ w
+        else:
+            s = np.zeros(n_docs, dtype=np.float64)
+        s = s / np.maximum(nw, 1)
+        return b.select(["doc_id", "source"]).filter(pa.array(s >= 0))
+
+    kept = joined.map_batches(clf_keep, batch_format="pyarrow")
+    return anti_join(kept, url_drop_ids(docs), "doc_id")
+
+
+def _corpus_clean_v4_sql() -> str:
+    """V4 oracle: the v3 fragments wrapped as q6, the classifier keep
+    fragment, and the canonical-URL mirror-drop fragment."""
+    base = _corpus_clean_v3_sql()
+    head, sep, tail = base.rpartition("SELECT q5.doc_id, q5.source FROM q5")
+    return head + f""",
+        q6 AS MATERIALIZED ({sep}{tail}),
+        clf AS MATERIALIZED (
+          SELECT doc_id FROM ({_classifier_sql(1024)}) WHERE keep = 1),
+        canon AS MATERIALIZED ({_WEB_CANON_SQL}),
+        udrop AS (SELECT DISTINCT b.doc_id FROM canon a
+                  JOIN canon b ON a.canon = b.canon
+                              AND a.doc_id < b.doc_id)
+        SELECT q6.doc_id, q6.source FROM q6
+        JOIN clf USING (doc_id)
+        WHERE q6.doc_id NOT IN (SELECT doc_id FROM udrop)
+    """
+
+
+ORACLE_SQL["corpus_clean_v4"] = _corpus_clean_v4_sql()
+QUERIES["corpus_clean_v4"] = q_corpus_clean_v4

@@ -206,3 +206,33 @@ def url_dup_groups(docs_ds):
 
     return docs_ds.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(kern, batch_format="pandas")
+
+
+def url_drop_ids(docs_ds):
+    """doc_ids to DROP under canonical-URL dedup: every doc that shares
+    its canonical URL with a smaller doc_id (keep = min of each mirror
+    group).  Same coarse canon-hash bucket shuffle as url_dup_groups;
+    Dataset of (doc_id,)."""
+    from .algos.triangles import TARGET_ROWS_PER_BUCKET
+    from .runtime import tune_context
+
+    tune_context()
+    n = docs_ds.count()
+    nb = max(4, n // TARGET_ROWS_PER_BUCKET + 1)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = canonicalize(urls_from_batch(d))
+        h = pd.util.hash_array(canon.to_numpy(dtype=object))
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(nb)).astype(np.int64)),
+            "canon": pa.array(canon, pa.string()),
+            "doc_id": pa.array(d)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("canon", sort=False)["doc_id"].transform("min")
+        out = g.loc[g["doc_id"] != keep, ["doc_id"]]
+        return out.astype(np.int64)
+
+    return docs_ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(kern, batch_format="pandas")

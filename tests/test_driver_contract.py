@@ -151,3 +151,19 @@ def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
     _compare(mine, want)
+
+
+def test_corpus_clean_v4_is_subset_of_v3(ray_session):
+    """V4 = v3 minus classifier-rejected and url-mirror docs: every v4
+    survivor is a v3 survivor, and the two extra gates each bind."""
+    import numpy as np
+
+    from linkgraph.pipelines import q_corpus_clean_v3, q_corpus_clean_v4
+
+    sf = "/root/testdata/sf0.001"
+    v3 = q_corpus_clean_v3(sf).to_pandas()
+    v4 = q_corpus_clean_v4(sf).to_pandas()
+    s3 = set(v3["doc_id"].astype(np.int64))
+    s4 = set(v4["doc_id"].astype(np.int64))
+    assert s4 <= s3
+    assert len(s4) < len(s3)  # the gates actually dropped something
