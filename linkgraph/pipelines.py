@@ -12554,3 +12554,109 @@ def _corpus_clean_v4_sql() -> str:
 
 ORACLE_SQL["corpus_clean_v4"] = _corpus_clean_v4_sql()
 QUERIES["corpus_clean_v4"] = q_corpus_clean_v4
+
+
+def q_doc_fiedler(sf_dir):
+    """Spectral bisection of the largest connected component
+    (algos/fiedler.py): deflated power iteration on
+    (I + D^-1/2 A D^-1/2)/2 — one add-combine superstep per round plus
+    two scalar map_vertices reduces (deflation + normalization).
+    Returns (v, fiedler) for component members, round-6.  Oracle:
+    _fiedler_sql — unrolled CC -> largest component -> the identical
+    iteration."""
+    from .algos.fiedler import FIEDLER_ROUNDS, fiedler_vector
+
+    eng = documents_engine(sf_dir, "undirected")
+    fiedler_vector(eng, rounds=FIEDLER_ROUNDS)
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": b["v"], "label": b["label"],
+            "fiedler": pc2.round(b["fiedler"], ndigits=6)})
+
+    st = eng.state_dataset(["label", "fiedler"]).map_batches(
+        keep, batch_format="pyarrow")
+    from .algos.fiedler import largest_component_label
+
+    lab = largest_component_label(eng)
+    out = st.filter(expr=f"label == {lab}")
+    return out.map_batches(
+        lambda b: b.select(["v", "fiedler"]), batch_format="pyarrow")
+
+
+def _fiedler_sql(rounds: int, cc_rounds: int) -> str:
+    """Oracle for q_doc_fiedler (algos/fiedler.py): unrolled min-label
+    CC chain -> largest component (count DESC, label ASC) -> the
+    identical deflated power iteration on M = (I + D^-1/2 A D^-1/2)/2,
+    seeded with the murmur-mixed unit-interval init, deflated against
+    v1 = sqrt(d)/||sqrt(d)|| and L2-normalized every round.  Assumes the
+    largest component has >= 2 members (any corpus with at least one
+    edge)."""
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            "l0 AS MATERIALIZED (SELECT v, v AS lab FROM allv)"]
+    for i in range(1, cc_rounds + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT allv.v, least({p}.lab, "
+            f"coalesce(m.lab, {p}.lab)) AS lab FROM allv JOIN {p} "
+            f"USING (v) LEFT JOIN (SELECT sym.dst AS v, min({p}.lab) "
+            f"AS lab FROM sym JOIN {p} ON {p}.v = sym.src "
+            f"GROUP BY sym.dst) m USING (v))")
+    last_cc = f"l{cc_rounds}"
+    ctes += [
+        f"""big AS (SELECT lab FROM (
+          SELECT lab, count(*) AS n FROM {last_cc} GROUP BY lab)
+          ORDER BY n DESC, lab ASC LIMIT 1)""",
+        f"""mem AS MATERIALIZED (
+          SELECT v FROM {last_cc} WHERE lab = (SELECT lab FROM big))""",
+        """deg AS MATERIALIZED (
+          SELECT sym.src AS v, count(*)::DOUBLE AS d
+          FROM sym JOIN mem ON mem.v = sym.src GROUP BY sym.src)""",
+        "m2 AS (SELECT sum(d) AS s FROM deg)",
+        """v1 AS MATERIALIZED (
+          SELECT v, sqrt(d) / sqrt((SELECT s FROM m2)) AS w FROM deg)""",
+        "z00 AS (SELECT v, v::UBIGINT AS z FROM mem)",
+    ]
+    ctes += _wl_mix_ctes("zm", "z00")
+    ctes += [
+        ("x0 AS (SELECT v, z::DOUBLE / 18446744073709551616.0 - 0.5 "
+         "AS x FROM zm)"),
+        "a0 AS (SELECT sum(x0.x * v1.w) AS a FROM x0 JOIN v1 USING (v))",
+        """d0 AS (SELECT x0.v, x0.x - (SELECT a FROM a0) * v1.w AS x
+          FROM x0 JOIN v1 USING (v))""",
+        "n0 AS (SELECT sqrt(greatest(sum(x*x), 1e-300)) AS n FROM d0)",
+        ("c0 AS MATERIALIZED (SELECT v, x / (SELECT n FROM n0) AS x "
+         "FROM d0)"),
+    ]
+    for r in range(1, rounds + 1):
+        p = f"c{r - 1}"
+        ctes += [
+            f"""g{r} AS MATERIALIZED (
+              SELECT sym.dst AS v, sum(c.x / sqrt(du.d)) AS sm
+              FROM sym JOIN {p} c ON c.v = sym.src
+              JOIN deg du ON du.v = sym.src
+              GROUP BY sym.dst)""",
+            f"""y{r} AS (SELECT c.v,
+              0.5 * (coalesce(g.sm, 0.0) / sqrt(dv.d) + c.x) AS y
+              FROM {p} c JOIN deg dv USING (v)
+              LEFT JOIN g{r} g USING (v))""",
+            f"""a{r} AS (SELECT sum(y.y * v1.w) AS a FROM y{r} y
+              JOIN v1 USING (v))""",
+            f"""e{r} AS (SELECT y.v,
+              y.y - (SELECT a FROM a{r}) * v1.w AS x
+              FROM y{r} y JOIN v1 USING (v))""",
+            f"""n{r} AS (SELECT sqrt(greatest(sum(x*x), 1e-300)) AS n
+              FROM e{r})""",
+            f"""c{r} AS MATERIALIZED (SELECT v,
+              x / (SELECT n FROM n{r}) AS x FROM e{r})""",
+        ]
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT v, round(x, 6) AS fiedler FROM c{rounds}")
+
+
+ORACLE_SQL["doc_fiedler"] = _fiedler_sql(8, CC_ROUNDS)
+QUERIES["doc_fiedler"] = q_doc_fiedler

@@ -1371,3 +1371,35 @@ def test_wl_matches_textbook_partition(name, tmp_path):
         # hash refinement induces the textbook WL partition
         assert np.array_equal(_partition_ids(got[1][r]),
                               _partition_ids(want[r]))
+
+
+# -------------------------------------------------------------- fiedler
+
+def test_fiedler_bisects_two_cliques(tmp_path):
+    """Deflated power iteration on the shifted normalized adjacency
+    separates two bridged cliques by sign, attenuates the bridge
+    endpoints, zeroes non-members, and is partition-count invariant."""
+    from linkgraph.algos.fiedler import fiedler_vector
+
+    e = [(i, j) for i in range(5) for j in range(5) if i < j]
+    e += [(5 + i, 5 + j) for i in range(5) for j in range(5) if i < j]
+    e += [(4, 5), (10, 11)]  # bridge + an isolated 2-component
+    e = np.array(e, dtype=np.int64)
+    out = {}
+    for parts in (1, 3):
+        eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), 12,
+                              num_partitions=parts,
+                              store_dir=str(tmp_path / f"f{parts}"))
+        try:
+            fiedler_vector(eng, rounds=12)
+            out[parts] = eng.state_pandas(["fiedler"])["fiedler"] \
+                .to_numpy()
+        finally:
+            eng.shutdown()
+    x = out[1]
+    assert np.allclose(x, out[3], atol=1e-12)  # partition invariance
+    s = np.sign(x)
+    assert (s[:5] == s[0]).all() and (s[5:10] == s[5]).all()
+    assert s[0] == -s[5]                      # opposite communities
+    assert (x[10:] == 0).all()                # outside largest CC
+    assert abs(x[4]) < abs(x[0]) and abs(x[5]) < abs(x[9])  # bridge
