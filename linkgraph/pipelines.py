@@ -12660,3 +12660,105 @@ def _fiedler_sql(rounds: int, cc_rounds: int) -> str:
 
 ORACLE_SQL["doc_fiedler"] = _fiedler_sql(8, CC_ROUNDS)
 QUERIES["doc_fiedler"] = q_doc_fiedler
+
+
+DEG_HIST_W = 4
+
+
+def q_doc_sparsify(sf_dir):
+    """Deterministic spectral-sketch-style edge sparsification + degree
+    -distortion report: keep canonical edge (u, v) iff
+    mix64(u*2^32 + v) % min(deg(u), deg(v)) == 0 — an
+    effective-resistance PROXY (1/min-degree sampling): every edge at a
+    degree-1 endpoint survives (connectivity-friendly), dense-region
+    edges thin out ~1/min-degree.  Report = fixed-width histograms of
+    the symmetric vertex degree before vs after (bounded bin domain,
+    map-side partials).  Gated degree attach (joins.attach_by_key);
+    the keep rule itself is stateless map-side."""
+    from .edges import degree_table, symmetrize
+    from .joins import attach_by_key
+
+    edges = documents_edges(sf_dir)
+    sym = symmetrize(edges)
+    deg = degree_table(sym, "src")
+    tagged = attach_by_key(edges, deg, ["src", "dst"], "v", "degree")
+
+    def keep(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        from .algos.wl import mix64
+
+        z = mix64(s * np.uint64(4294967296) + t)
+        md = np.minimum(
+            b["degree_src"].to_numpy(zero_copy_only=False),
+            b["degree_dst"].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64)
+        k = (z % np.maximum(md, np.uint64(1))) == 0
+        return pa.table({"src": pa.array(s[k].astype(np.int64)),
+                         "dst": pa.array(t[k].astype(np.int64))})
+
+    kept_edges = tagged.map_batches(keep, batch_format="pyarrow") \
+        .materialize()
+    deg_after = degree_table(symmetrize(kept_edges), "src")
+
+    def hist(colds):
+        def part(b: pa.Table) -> pa.Table:
+            d = b["degree"].to_numpy(zero_copy_only=False)
+            binv = (d // DEG_HIST_W).astype(np.int64)
+            cnt = np.bincount(binv)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                             "n": pa.array(cnt[nz].astype(np.int64))})
+
+        parts = colds.map_batches(part,
+                                  batch_format="pyarrow").to_pandas()
+        return parts.groupby("bin")["n"].sum()
+
+    hb = hist(deg)
+    ha = hist(deg_after)
+    bins = sorted(set(hb.index) | set(ha.index))
+    return pd.DataFrame({
+        "bin": np.array(bins, np.int64),
+        "n_before": np.array([int(hb.get(b, 0)) for b in bins],
+                             np.int64),
+        "n_after": np.array([int(ha.get(b, 0)) for b in bins],
+                            np.int64)})
+
+
+ORACLE_SQL["doc_sparsify"] = f"""
+    WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS MATERIALIZED (
+      SELECT src AS v, count(*)::BIGINT AS d FROM sym GROUP BY src),
+    z0 AS (SELECT e.src, e.dst,
+                  ((e.src::HUGEINT * 4294967296 + e.dst::HUGEINT)
+                   % {_W64})::UBIGINT AS z,
+                  least(ds.d, dd.d) AS md
+           FROM e JOIN deg ds ON ds.v = e.src
+                  JOIN deg dd ON dd.v = e.dst),
+    z1 AS (SELECT src, dst, xor(z, z >> 33) AS z, md FROM z0),
+    z2 AS (SELECT src, dst,
+           {_mulmod64_sql('z', 0xFF51AFD7ED558CCD)}::UBIGINT AS z, md
+           FROM z1),
+    z3 AS (SELECT src, dst, xor(z, z >> 29) AS z, md FROM z2),
+    z4 AS (SELECT src, dst,
+           {_mulmod64_sql('z', 0xC4CEB9FE1A85EC53)}::UBIGINT AS z, md
+           FROM z3),
+    pri AS (SELECT src, dst, xor(z, z >> 32) AS z, md FROM z4),
+    kept AS MATERIALIZED (
+      SELECT src, dst FROM pri
+      WHERE z % greatest(md, 1)::UBIGINT = 0),
+    syma AS (SELECT src, dst FROM kept
+             UNION ALL SELECT dst, src FROM kept),
+    dega AS (SELECT src AS v, count(*)::BIGINT AS d FROM syma
+             GROUP BY src),
+    hb AS (SELECT d // {DEG_HIST_W} AS bin, count(*)::BIGINT AS n
+           FROM deg GROUP BY 1),
+    ha AS (SELECT d // {DEG_HIST_W} AS bin, count(*)::BIGINT AS n
+           FROM dega GROUP BY 1)
+    SELECT coalesce(hb.bin, ha.bin)::BIGINT AS bin,
+           coalesce(hb.n, 0)::BIGINT AS n_before,
+           coalesce(ha.n, 0)::BIGINT AS n_after
+    FROM hb FULL OUTER JOIN ha ON hb.bin = ha.bin
+"""
+QUERIES["doc_sparsify"] = q_doc_sparsify
