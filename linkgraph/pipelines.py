@@ -12762,3 +12762,128 @@ ORACLE_SQL["doc_sparsify"] = f"""
     FROM hb FULL OUTER JOIN ha ON hb.bin = ha.bin
 """
 QUERIES["doc_sparsify"] = q_doc_sparsify
+
+
+def q_events_seasonality(sf_dir):
+    """Day-of-week seasonality profile of revenue: per-dow exact-cents
+    totals and event counts from calendar-bounded map-side partials,
+    plus the seasonality index (dow mean / overall mean) as ONE float
+    expression on the folded integers (epoch day 0 = Thursday, dow =
+    (day + 4) % 7 ISO-Monday-0 convention)."""
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000) + 4) % 7
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        n = np.bincount(dow, minlength=7)
+        s = np.bincount(dow, weights=cents.astype(np.float64),
+                        minlength=7).astype(np.int64)
+        return pa.table({"dow": pa.array(np.arange(7, dtype=np.int64)),
+                         "n": pa.array(n.astype(np.int64)),
+                         "cents": pa.array(s)})
+
+    parts = ev.map_batches(part, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("dow")[["n", "cents"]].sum()
+    n = g["n"].to_numpy(np.int64)
+    cents = g["cents"].to_numpy(np.int64)
+    tot_n, tot_c = int(n.sum()), int(cents.sum())
+    idx = np.zeros(7)
+    nz = n > 0
+    if tot_n:
+        idx[nz] = (cents[nz] / n[nz]) / (tot_c / tot_n)
+    keep = np.flatnonzero(n)
+    return pd.DataFrame({"dow": g.index.to_numpy(np.int64)[keep],
+                         "n_events": n[keep], "cents": cents[keep],
+                         "season_idx": np.round(idx[keep], 6)})
+
+
+ORACLE_SQL["events_seasonality"] = """
+    WITH d AS (
+      SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+             (floor(value * 100.0 + 0.5))::BIGINT AS cents
+      FROM events),
+    g AS (SELECT dow, count(*)::BIGINT AS n_events,
+                 sum(cents)::BIGINT AS cents
+          FROM d GROUP BY dow),
+    t AS (SELECT sum(n_events)::BIGINT AS tn,
+                 sum(cents)::BIGINT AS tc FROM g)
+    SELECT dow, n_events, cents,
+           round((cents::DOUBLE / n_events)
+                 / ((SELECT tc FROM t)::DOUBLE / (SELECT tn FROM t)),
+                 6) AS season_idx
+    FROM g WHERE n_events > 0
+"""
+QUERIES["events_seasonality"] = q_events_seasonality
+
+
+DOMAIN_QUALITY_MIN = 0.45
+
+
+def q_web_domain_quality(sf_dir):
+    """Domain-level quality curation (the C4 'UGC-domain' filter shape):
+    per-domain mean quality score (text.add_quality, round-6 per doc)
+    over the bounded domain catalog, the keep decision
+    (mean >= {min}), and the count of surviving docs — one pruned doc
+    scan with bounded-domain partials, no shuffle.""" \
+        .format(min=DOMAIN_QUALITY_MIN)
+    from .text import add_quality
+    from .web import canonicalize, domain_of, urls_from_batch
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        q = add_quality(b)["quality"].to_numpy(zero_copy_only=False)
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dom = domain_of(canonicalize(urls_from_batch(d)))
+        df = pd.DataFrame({"domain": dom, "qsum": q, "n": 1})
+        g = df.groupby("domain", sort=False).agg(
+            qsum=("qsum", "sum"), n=("n", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = docs.map_batches(part, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("domain")[["qsum", "n"]].sum().reset_index()
+    mean_q = (g["qsum"] / g["n"]).round(6)
+    keep = (mean_q >= DOMAIN_QUALITY_MIN).astype(np.int64)
+    return pd.DataFrame({
+        "domain": g["domain"],
+        "n_docs": g["n"].astype(np.int64),
+        "mean_quality": mean_q,
+        "keep": keep}).sort_values("domain").reset_index(drop=True)
+
+
+def _web_domain_quality_sql() -> str:
+    from .text import PUNCT_RE, QUALITY_STOPWORD_RE, TOKEN_RE
+
+    return f"""
+    WITH c AS ({_WEB_CANON_SQL}),
+    q AS (SELECT doc_id,
+               round(0.4 * least(1.0, n_tok / 50.0)
+                   + 0.4 * least(1.0, 5.0 * n_stop / greatest(n_tok, 1.0))
+                   + 0.2 * (1.0 - least(1.0,
+                                n_punct / greatest(n_tok, 1.0))), 6)
+                 AS quality
+          FROM (SELECT doc_id,
+                 len(regexp_extract_all(text, '{TOKEN_RE}'))::DOUBLE
+                     AS n_tok,
+                 len(regexp_extract_all(lower(text),
+                     '{QUALITY_STOPWORD_RE}'))::DOUBLE AS n_stop,
+                 len(regexp_extract_all(text, '{PUNCT_RE}'))::DOUBLE
+                     AS n_punct
+                FROM documents)),
+    g AS (SELECT regexp_extract(canon,
+                 '^https://(?:www\\.)?([^/:?#]+)', 1) AS domain,
+                 sum(q.quality) AS qsum, count(*)::BIGINT AS n_docs
+          FROM c JOIN q USING (doc_id) GROUP BY 1)
+    SELECT domain, n_docs, round(qsum / n_docs, 6) AS mean_quality,
+           (CASE WHEN round(qsum / n_docs, 6) >= {DOMAIN_QUALITY_MIN}
+                 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM g
+    """
+
+
+ORACLE_SQL["web_domain_quality"] = _web_domain_quality_sql()
+QUERIES["web_domain_quality"] = q_web_domain_quality
