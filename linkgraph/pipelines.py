@@ -12887,3 +12887,65 @@ def _web_domain_quality_sql() -> str:
 
 ORACLE_SQL["web_domain_quality"] = _web_domain_quality_sql()
 QUERIES["web_domain_quality"] = q_web_domain_quality
+
+
+VORONOI_SEEDS = [0, 7, 23, 101, 211]
+
+
+def q_doc_voronoi(sf_dir):
+    """Graph Voronoi partition from 5 seed docs (algos/voronoi.py):
+    nearest-seed assignment with (dist, seed_idx) packed into one int64
+    min-relaxation — the balanced-partition / landmark seeding step.
+    Returns (v, seed_idx, dist) for reached vertices and (-1, -1) rows
+    for unreached ones.  Oracle: _voronoi_sql unrolled packed chain."""
+    from .algos.voronoi import SEED_BITS, _UNREACHED, voronoi_assign
+
+    eng = documents_engine(sf_dir, "undirected")
+    voronoi_assign(eng, VORONOI_SEEDS, max_steps=BFS_ROUNDS)
+
+    def fin(b: pa.Table) -> pa.Table:
+        p = b["packed"].to_numpy(zero_copy_only=False)
+        reached = p != _UNREACHED
+        seed = np.where(reached, p & ((1 << SEED_BITS) - 1), -1)
+        dist = np.where(reached, p >> SEED_BITS, -1)
+        return pa.table({"v": b["v"],
+                         "seed_idx": pa.array(seed.astype(np.int64)),
+                         "dist": pa.array(dist.astype(np.int64))})
+
+    return eng.state_dataset(["packed"]).map_batches(
+        fin, batch_format="pyarrow")
+
+
+def _voronoi_sql(seeds, rounds: int) -> str:
+    """Unrolled packed (dist << SEED_BITS | seed_idx) min-relaxation
+    (matches algos/voronoi.py); sentinel stays for unreached."""
+    from .algos.voronoi import SEED_BITS, _UNREACHED
+
+    step = 1 << SEED_BITS
+    sent = int(_UNREACHED)
+    seed_rows = ", ".join(f"({int(s)}, {i})"
+                          for i, s in enumerate(seeds))
+    ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            f"sd(v, i) AS (VALUES {seed_rows})",
+            (f"p0 AS MATERIALIZED (SELECT allv.v, "
+             f"coalesce(sd.i, {sent}) AS p FROM allv "
+             f"LEFT JOIN sd USING (v))")]
+    for r in range(1, rounds + 1):
+        p = f"p{r - 1}"
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT allv.v, least({p}.p, "
+            f"coalesce(m.p, {sent})) AS p FROM allv "
+            f"JOIN {p} USING (v) LEFT JOIN "
+            f"(SELECT sym.dst AS v, min({p}.p + {step}) AS p FROM sym "
+            f"JOIN {p} ON {p}.v = sym.src WHERE {p}.p <> {sent} "
+            f"GROUP BY sym.dst) m USING (v))")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT v, (CASE WHEN p = {sent} THEN -1 "
+            f"ELSE p % {step} END)::BIGINT AS seed_idx, "
+            f"(CASE WHEN p = {sent} THEN -1 "
+            f"ELSE p // {step} END)::BIGINT AS dist FROM p{rounds}")
+
+
+ORACLE_SQL["doc_voronoi"] = _voronoi_sql(VORONOI_SEEDS, BFS_ROUNDS)
+QUERIES["doc_voronoi"] = q_doc_voronoi

@@ -1403,3 +1403,55 @@ def test_fiedler_bisects_two_cliques(tmp_path):
     assert s[0] == -s[5]                      # opposite communities
     assert (x[10:] == 0).all()                # outside largest CC
     assert abs(x[4]) < abs(x[0]) and abs(x[5]) < abs(x[9])  # bridge
+
+
+# -------------------------------------------------------------- voronoi
+
+def voronoi_oracle(e_sym, n, seeds):
+    import collections
+    dist = {int(s): (0, i) for i, s in enumerate(seeds) if s < n}
+    adj = collections.defaultdict(list)
+    for a, b in e_sym:
+        adj[a].append(b)
+    frontier = sorted(dist)
+    while frontier:
+        nxt = set()
+        for u in frontier:
+            du, iu = dist[u]
+            for w in adj[u]:
+                cand = (du + 1, iu)
+                if w not in dist or cand < dist[w]:
+                    dist[w] = cand
+                    nxt.add(w)
+        frontier = sorted(nxt)
+    out = np.full((n, 2), -1, dtype=np.int64)
+    for v, (d, i) in dist.items():
+        out[v] = (i, d)
+    return out
+
+
+@pytest.mark.parametrize("name", ["path_8", "two_cliques_k5", "er_1k"])
+def test_voronoi_matches_bfs_oracle(name, tmp_path):
+    from linkgraph.algos.voronoi import SEED_BITS, _UNREACHED, \
+        voronoi_assign
+
+    e = _dedup(micro_graph(name))
+    n = _n(e)
+    sym = np.concatenate([e, e[:, ::-1]])
+    sym = np.unique(sym[sym[:, 0] != sym[:, 1]], axis=0)
+    seeds = [0, min(3, n - 1), min(7, n - 1)]
+    want = voronoi_oracle(sym, n, seeds)
+    for parts in (1, 3):
+        eng = load_undirected(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                              num_partitions=parts,
+                              store_dir=str(tmp_path / f"v{parts}"))
+        try:
+            voronoi_assign(eng, seeds)
+            p = eng.state_pandas(["packed"])["packed"].to_numpy()
+            reached = p != _UNREACHED
+            got = np.full((n, 2), -1, dtype=np.int64)
+            got[reached, 0] = p[reached] & ((1 << SEED_BITS) - 1)
+            got[reached, 1] = p[reached] >> SEED_BITS
+            assert np.array_equal(got, want)
+        finally:
+            eng.shutdown()
