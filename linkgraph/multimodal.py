@@ -997,3 +997,56 @@ def audio_snr(ds, concurrency: int = 4, batch_size: int = 256):
     return ds.map_batches(SnrStage, batch_format="pyarrow",
                           batch_size=batch_size,
                           concurrency=pool_size(concurrency))
+
+
+class MotionStage:
+    """REAL motion-energy lane: demux EVERY Y4M frame (the SceneCutStage
+    walker), per-frame int64 luma sums, per-clip TOTAL absolute
+    inter-frame delta, the peak delta and its frame index (earliest on
+    ties; -1 with < 2 frames).  All integers — the SQL oracle recomputes
+    each value exactly from the generator closed form."""
+
+    def _motion(self, payload: bytes):
+        nl = payload.index(b"\n")
+        header = payload[:nl].decode()
+        fields = dict((t[0], t[1:]) for t in header.split()[1:])
+        w, h = int(fields["W"]), int(fields["H"])
+        if fields.get("C", "420") not in ("420", "420jpeg", "420mpeg2"):
+            raise ValueError("only C420 supported")
+        fsize = w * h + 2 * (w // 2) * (h // 2)
+        pos, sums = nl + 1, []
+        while pos < len(payload):
+            if payload[pos:pos + 5] != b"FRAME":
+                raise ValueError("bad FRAME marker")
+            pos = payload.index(b"\n", pos) + 1
+            luma = np.frombuffer(payload, np.uint8, w * h, pos)
+            sums.append(int(luma.astype(np.int64).sum()))
+            pos += fsize
+        s = np.array(sums, dtype=np.int64)
+        if len(s) < 2:
+            return len(s), 0, 0, -1
+        d = np.abs(np.diff(s))
+        peak = int(np.argmax(d))  # earliest max
+        return len(s), int(d.sum()), int(d[peak]), peak + 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._motion(p) for p in batch["payload"].to_pylist()]
+        nf, tm, mx, pk = (list(x) for x in zip(*out)) \
+            if out else ([], [], [], [])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_frames": pa.array(np.array(nf, np.int64)),
+            "total_motion": pa.array(np.array(tm, np.int64)),
+            "max_delta": pa.array(np.array(mx, np.int64)),
+            "peak_frame": pa.array(np.array(pk, np.int64))})
+
+
+def motion_energy(ds, concurrency: int = 4, batch_size: int = 256):
+    """video media table -> per-clip motion-energy stats (actor pool)."""
+    from .runtime import pool_size
+
+    return ds.map_batches(MotionStage,
+                          batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=pool_size(concurrency),
+                          num_cpus=1)

@@ -12949,3 +12949,83 @@ def _voronoi_sql(seeds, rounds: int) -> str:
 
 ORACLE_SQL["doc_voronoi"] = _voronoi_sql(VORONOI_SEEDS, BFS_ROUNDS)
 QUERIES["doc_voronoi"] = q_doc_voronoi
+
+
+def q_media_motion(sf_dir):
+    """REAL motion-energy lane: Y4M demux of every frame -> per-clip
+    total |inter-frame luma delta|, peak delta and its frame (earliest
+    tie), all integers (multimodal.MotionStage actor pool)."""
+    from .multimodal import motion_energy, videos_from_documents
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return motion_energy(videos_from_documents(docs))
+
+
+ORACLE_SQL["media_motion"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8 + 2 * (doc_id % 8) AS w,
+             8 + 2 * (doc_id % 6) AS h,
+             3 + doc_id % 5 AS nf
+      FROM documents
+    ), fr AS (
+      SELECT media_id, w, h, nf, gf.f
+      FROM m CROSS JOIN (SELECT unnest(range(7)) AS f) gf
+      WHERE gf.f < nf
+    ), px AS (
+      SELECT media_id, w, h, nf, f, gx.x, gy.y
+      FROM fr
+      CROSS JOIN (SELECT unnest(range(22)) AS x) gx
+      CROSS JOIN (SELECT unnest(range(18)) AS y) gy
+      WHERE gx.x < w AND gy.y < h
+    ), s AS (
+      SELECT media_id, nf, f,
+             sum((media_id * 131 + f * 29 + y * 17 + x * 7) % 256)
+                 ::BIGINT AS sy
+      FROM px GROUP BY 1, 2, 3
+    ), d AS (
+      SELECT media_id, nf, f,
+             abs(sy - lag(sy) OVER
+                 (PARTITION BY media_id ORDER BY f)) AS delta
+      FROM s
+    )
+    SELECT media_id, CAST(max(nf) AS BIGINT) AS n_frames,
+           CAST(coalesce(sum(delta), 0) AS BIGINT) AS total_motion,
+           CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta,
+           CAST(coalesce(min(CASE WHEN delta = (
+                SELECT max(d2.delta) FROM d d2
+                WHERE d2.media_id = d.media_id) THEN f END), -1)
+                AS BIGINT) AS peak_frame
+    FROM d GROUP BY media_id
+"""
+QUERIES["media_motion"] = q_media_motion
+
+
+def q_embed_pq_recall(sf_dir):
+    """PQ index quality report: recall@k of the ADC product-quantization
+    search against the brute-force cosine top-k, per query (the
+    compressed-index twin of embed_recall)."""
+    bf = q_ann_topk(sf_dir)[["query_id", "neighbor_id"]]
+    pq = q_ann_pq(sf_dir)
+    if hasattr(pq, "to_pandas"):
+        pq = pq.to_pandas()
+    hit = bf.merge(pq[["query_id", "neighbor_id"]],
+                   on=["query_id", "neighbor_id"], how="inner") \
+        .groupby("query_id").size()
+    qids = np.sort(bf["query_id"].unique())
+    rec = np.array([hit.get(q, 0) for q in qids], np.float64) / ANN_K
+    return pd.DataFrame({"query_id": qids.astype(np.int64),
+                         "recall": np.round(rec, 6)})
+
+
+ORACLE_SQL["embed_pq_recall"] = f"""
+    WITH bf AS MATERIALIZED ({ORACLE_SQL["ann_topk"]}),
+         pq AS MATERIALIZED ({ORACLE_SQL["ann_pq"]})
+    SELECT bf.query_id,
+           round(count(pq.neighbor_id)::DOUBLE / {ANN_K}, 6) AS recall
+    FROM bf LEFT JOIN pq
+      ON pq.query_id = bf.query_id AND pq.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""
+QUERIES["embed_pq_recall"] = q_embed_pq_recall
