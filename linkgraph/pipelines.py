@@ -13029,3 +13029,81 @@ ORACLE_SQL["embed_pq_recall"] = f"""
     GROUP BY bf.query_id ORDER BY bf.query_id
 """
 QUERIES["embed_pq_recall"] = q_embed_pq_recall
+
+
+def q_text_ttr(sf_dir):
+    """Lexical diversity per document: type-token ratio (distinct
+    whitespace words / total words) and the MTLD-lite proxy
+    (distinct bigrams / total bigrams) — standard quality features; one
+    shuffle-free vectorized pass (the _batch_word_hashes +
+    _per_doc_max_and_distinct machinery; hashes are internal distinct
+    keys, equivalence with string-keyed SQL up to 2^-64 collisions)."""
+    from .text import _batch_word_hashes, _per_doc_max_and_distinct
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wd, h, n_docs = _batch_word_hashes(b["text"].to_pylist())
+        n_tok = np.bincount(wd, minlength=n_docs).astype(np.int64)
+        _, n_types = _per_doc_max_and_distinct(wd, h, n_docs)
+        # bigram hashes: combine consecutive word hashes within a doc
+        same = np.zeros(len(wd), dtype=bool)
+        if len(wd) > 1:
+            same[1:] = wd[1:] == wd[:-1]
+        bg_doc = wd[same]
+        with np.errstate(over="ignore"):
+            bg_h = (np.roll(h, 1)[same] * np.uint64(1099511628211)) ^ \
+                h[same]
+        n_bg = np.bincount(bg_doc, minlength=n_docs).astype(np.int64)
+        _, n_bg_types = _per_doc_max_and_distinct(bg_doc, bg_h, n_docs)
+        ttr = np.zeros(n_docs)
+        nz = n_tok > 0
+        ttr[nz] = n_types[nz] / n_tok[nz]
+        bttr = np.zeros(n_docs)
+        bz = n_bg > 0
+        bttr[bz] = n_bg_types[bz] / n_bg[bz]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n_tok),
+            "n_types": pa.array(n_types.astype(np.int64)),
+            "ttr": pa.array(np.round(ttr, 6)),
+            "bigram_ttr": pa.array(np.round(bttr, 6))})
+
+    return docs.map_batches(part, batch_format="pyarrow")
+
+
+ORACLE_SQL["text_ttr"] = """
+    WITH words AS (
+      SELECT doc_id, w, row_number() OVER
+               (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM (SELECT doc_id, unnest(list_filter(string_split_regex(
+                     lower(text), '[ \t\n]+'), x -> length(x) > 0))
+                   AS w,
+                   generate_subscripts(list_filter(string_split_regex(
+                     lower(text), '[ \t\n]+'), x -> length(x) > 0), 1)
+                   AS pos
+            FROM documents)),
+    uni AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   count(DISTINCT w)::BIGINT AS n_types
+            FROM words GROUP BY doc_id),
+    bg AS (SELECT a.doc_id, a.w || chr(31) || b.w AS bw
+           FROM words a JOIN words b
+             ON b.doc_id = a.doc_id AND b.rn = a.rn + 1),
+    bi AS (SELECT doc_id, count(*)::BIGINT AS n_bg,
+                  count(DISTINCT bw)::BIGINT AS n_bg_types
+           FROM bg GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(u.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(u.n_types, 0)::BIGINT AS n_types,
+           round(CASE WHEN coalesce(u.n_tokens, 0) > 0
+                 THEN u.n_types::DOUBLE / u.n_tokens ELSE 0.0 END, 6)
+             AS ttr,
+           round(CASE WHEN coalesce(bi.n_bg, 0) > 0
+                 THEN bi.n_bg_types::DOUBLE / bi.n_bg ELSE 0.0 END, 6)
+             AS bigram_ttr
+    FROM documents d LEFT JOIN uni u USING (doc_id)
+    LEFT JOIN bi USING (doc_id)
+"""
+QUERIES["text_ttr"] = q_text_ttr
