@@ -4403,11 +4403,8 @@ def _wl_mix_ctes(tag: str, src_cte: str, rename: str = "z") -> list[str]:
     ]
 
 
-def _wl_sql(rounds: int) -> str:
-    """Unrolled 1-WL refinement (matches algos/wl.py): per round, each
-    vertex's new label = mix64(old * PHI + sum(mix64(neighbor labels))
-    mod 2^64) over the symmetric edge list; output = per-round exact
-    distinct-color counts (round 0 = the uniform init, 1 color)."""
+def _wl_ctes(rounds: int) -> list:
+    """CTE chain of the unrolled 1-WL refinement (labels in l{r})."""
     phi = 0x9E3779B97F4A7C15
     ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
             "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
@@ -4427,6 +4424,15 @@ def _wl_sql(rounds: int) -> str:
             f"FROM {p} LEFT JOIN s{r} s USING (v))")
         ctes += _wl_mix_ctes(f"t{r}", f"t{r}0", rename="lab")
         ctes.append(f"l{r} AS (SELECT v, lab FROM t{r})")
+    return ctes
+
+
+def _wl_sql(rounds: int) -> str:
+    """Unrolled 1-WL refinement (matches algos/wl.py): per round, each
+    vertex's new label = mix64(old * PHI + sum(mix64(neighbor labels))
+    mod 2^64) over the symmetric edge list; output = per-round exact
+    distinct-color counts (round 0 = the uniform init, 1 color)."""
+    ctes = _wl_ctes(rounds)
     unions = ["SELECT 0::BIGINT AS round, 1::BIGINT AS n_colors"] + [
         f"SELECT {r}::BIGINT AS round, "
         f"count(DISTINCT lab)::BIGINT AS n_colors FROM l{r}"
@@ -13107,3 +13113,49 @@ ORACLE_SQL["text_ttr"] = """
     LEFT JOIN bi USING (doc_id)
 """
 QUERIES["text_ttr"] = q_text_ttr
+
+
+def q_doc_wl_hist(sf_dir):
+    """WL color-class size distribution at the final refinement round:
+    (class_size, n_classes) — the graph's structural-symmetry profile
+    (how many vertices are 3-WL-indistinguishable).  Reuses the doc_wl
+    labels; class sizes resolve in one coarse label-bucket kernel, the
+    bounded size histogram folds on the driver."""
+    from .algos.triangles import TARGET_ROWS_PER_BUCKET
+    from .algos.wl import wl_refine
+
+    eng = documents_engine(sf_dir, "undirected")
+    wl_refine(eng, rounds=WL_ROUNDS)
+    ds = eng.state_dataset([f"label_{WL_ROUNDS}"])
+    n = documents_n_vertices(sf_dir)
+    nb = max(4, n // TARGET_ROWS_PER_BUCKET + 1)
+
+    def part(b: pa.Table) -> pa.Table:
+        lab = b[f"label_{WL_ROUNDS}"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((lab.view(np.uint64) % np.uint64(nb))
+                               .astype(np.int64)),
+            "lab": pa.array(lab)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("lab", sort=False).size()
+        h = sizes.value_counts()
+        return pd.DataFrame({"class_size": h.index.to_numpy(np.int64),
+                             "n_classes": h.to_numpy(np.int64)})
+
+    parts = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(kern, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby("class_size")["n_classes"].sum().reset_index()
+    out["class_size"] = out["class_size"].astype(np.int64)
+    out["n_classes"] = out["n_classes"].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["doc_wl_hist"] = (
+    f"WITH {', '.join(_wl_ctes(WL_ROUNDS))}, "
+    f"sizes AS (SELECT lab, count(*)::BIGINT AS s "
+    f"FROM l{WL_ROUNDS} GROUP BY lab) "
+    f"SELECT s AS class_size, count(*)::BIGINT AS n_classes "
+    f"FROM sizes GROUP BY s")
+QUERIES["doc_wl_hist"] = q_doc_wl_hist
