@@ -13159,3 +13159,57 @@ ORACLE_SQL["doc_wl_hist"] = (
     f"SELECT s AS class_size, count(*)::BIGINT AS n_classes "
     f"FROM sizes GROUP BY s")
 QUERIES["doc_wl_hist"] = q_doc_wl_hist
+
+
+def q_doc_gini(sf_dir):
+    """Degree-inequality diagnostic: exact Gini coefficient of the
+    symmetric degree distribution via distributed ranking —
+    G = (2 * sum(rank_i * d_i)) / (n * sum(d)) - (n + 1) / n with ranks
+    1..n by (degree, v) (quantiles.global_value_ranks: range-partitioned,
+    no global sort).  All sums exact int64 partials; ONE float
+    expression at the end."""
+    from ray.data.aggregate import Sum
+
+    from .edges import degree_table, symmetrize
+    from .quantiles import global_value_ranks
+
+    deg = degree_table(symmetrize(documents_edges(sf_dir)),
+                       "src").materialize()
+    ranks = global_value_ranks(deg, value="degree", id_col="v")
+    tagged = deg.join(ranks, join_type="inner", num_partitions=4,
+                      on=("v",))
+
+    def part(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = b["rnk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array([len(d)], pa.int64()),
+                         "sd": pa.array([int(d.sum())], pa.int64()),
+                         "srd": pa.array([int((r * d).sum())],
+                                         pa.int64())})
+
+    parts = tagged.map_batches(part, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    sd = int(parts["sd"].sum())
+    srd = int(parts["srd"].sum())
+    g = (2.0 * srd) / (n * sd) - (n + 1.0) / n if n and sd else 0.0
+    return pd.DataFrame({"n_vertices": np.array([n], np.int64),
+                         "sum_degree": np.array([sd], np.int64),
+                         "gini": [round(g, 6)]})
+
+
+ORACLE_SQL["doc_gini"] = f"""
+    WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM sym
+            GROUP BY src),
+    rk AS (SELECT v, d, row_number() OVER (ORDER BY d, v) AS r
+           FROM deg),
+    agg AS (SELECT count(*)::BIGINT AS n, sum(d)::BIGINT AS sd,
+                   sum(r * d)::BIGINT AS srd FROM rk)
+    SELECT n AS n_vertices, sd AS sum_degree,
+           round(CASE WHEN n > 0 AND sd > 0
+                 THEN (2.0 * srd) / (n * sd) - (n + 1.0) / n
+                 ELSE 0.0 END, 6) AS gini
+    FROM agg
+"""
+QUERIES["doc_gini"] = q_doc_gini
