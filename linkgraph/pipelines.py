@@ -13213,3 +13213,34 @@ ORACLE_SQL["doc_gini"] = f"""
     FROM agg
 """
 QUERIES["doc_gini"] = q_doc_gini
+
+
+def q_events_anomaly_by_type(sf_dir):
+    """Per-event-type daily anomaly z-scores (windows.
+    daily_anomalies_by_type): each type's day series scored against its
+    OWN mean/variance — bounded type x day partials, exact-integer
+    stats, identical float expression both engines."""
+    from .windows import daily_anomalies_by_type
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type"])
+    return daily_anomalies_by_type(ev)
+
+
+ORACLE_SQL["events_anomaly_by_type"] = """
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, count(*)::DOUBLE AS k,
+                  sum(n)::DOUBLE AS s, sum(n * n)::DOUBLE AS ss
+           FROM d GROUP BY event_type)
+    SELECT d.event_type, d.day, d.n,
+           round(CASE WHEN st.k >= 2
+                  AND (st.ss - st.s * st.s / st.k) / (st.k - 1) > 0
+                 THEN (d.n - st.s / st.k)
+                      / sqrt((st.ss - st.s * st.s / st.k) / (st.k - 1))
+                 ELSE 0.0 END, 6) AS z
+    FROM d JOIN st USING (event_type)
+"""
+QUERIES["events_anomaly_by_type"] = q_events_anomaly_by_type

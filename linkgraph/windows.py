@@ -1545,3 +1545,43 @@ def daily_cusum(ds, ts: str = "ts", value: str = "value"):
     return pd.DataFrame({"day": d["day"].astype(np.int64),
                          "cents": cents, "cusum_scaled": cus,
                          "is_changepoint": flag})
+
+
+def daily_anomalies_by_type(ds, ts: str = "ts",
+                            etype: str = "event_type"):
+    """Grouped anomaly screen: per-(event_type, day) counts z-scored
+    against THAT type's own day series (bounded type x day domain,
+    map-side partials; same exact-integer stat shape as
+    daily_anomalies).  Types with < 2 active days emit z = 0."""
+
+    def part(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        t = b[etype].to_pandas()
+        g = pd.DataFrame({"event_type": t, "day": day, "n": 1}) \
+            .groupby(["event_type", "day"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    d = parts.groupby(["event_type", "day"], sort=True)["n"].sum() \
+        .reset_index()
+    out = []
+    for t, g in d.groupby("event_type", sort=True):
+        n = g["n"].to_numpy(np.int64)
+        k = float(len(g))
+        if k < 2:
+            z = np.zeros(len(g))
+        else:
+            s = float(n.sum())
+            ss = float((n * n).sum())
+            var = (ss - s * s / k) / (k - 1)
+            z = (n - s / k) / np.sqrt(var) if var > 0 \
+                else np.zeros(len(g))
+        gg = g.copy()
+        gg["z"] = np.round(z, 6)
+        out.append(gg)
+    r = pd.concat(out, ignore_index=True)
+    r["n"] = r["n"].astype(np.int64)
+    r["day"] = r["day"].astype(np.int64)
+    return r
