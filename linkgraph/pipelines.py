@@ -13244,3 +13244,49 @@ ORACLE_SQL["events_anomaly_by_type"] = """
     FROM d JOIN st USING (event_type)
 """
 QUERIES["events_anomaly_by_type"] = q_events_anomaly_by_type
+
+
+def q_web_url_stats(sf_dir):
+    """URL structure profile over the canonicalized corpus: path-depth
+    histogram x has-query flag (bounded domain, map-side partials) —
+    the crawl-frontier shape diagnostic (deep dynamic URLs vs shallow
+    content pages)."""
+    from .web import add_canonical, urls_from_documents
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+    urls = add_canonical(urls_from_documents(docs))
+
+    def part(b: pa.Table) -> pa.Table:
+        c = b["canon"].to_pandas()
+        rest = c.str.replace(r"^https://[^/]*", "", regex=True)
+        path = rest.str.replace(r"[?#].*$", "", regex=True)
+        depth = path.str.count("/").astype(np.int64)
+        hasq = rest.str.contains(r"\?", regex=True).astype(np.int64)
+        g = pd.DataFrame({"depth": depth, "has_query": hasq, "n": 1}) \
+            .groupby(["depth", "has_query"], sort=False).size() \
+            .reset_index(name="n_urls")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = urls.map_batches(part, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["depth", "has_query"], sort=True)["n_urls"] \
+        .sum().reset_index()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["web_url_stats"] = f"""
+    WITH c AS ({_WEB_CANON_SQL}),
+    t AS (SELECT
+            length(regexp_replace(regexp_replace(
+              regexp_replace(canon, '^https://[^/]*', ''),
+              '[?#].*$', ''), '[^/]', '', 'g'))::BIGINT AS depth,
+            (CASE WHEN regexp_matches(
+               regexp_replace(canon, '^https://[^/]*', ''), '\\?')
+             THEN 1 ELSE 0 END)::BIGINT AS has_query
+          FROM c)
+    SELECT depth, has_query, count(*)::BIGINT AS n_urls
+    FROM t GROUP BY 1, 2
+"""
+QUERIES["web_url_stats"] = q_web_url_stats
