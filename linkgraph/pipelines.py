@@ -13290,3 +13290,88 @@ ORACLE_SQL["web_url_stats"] = f"""
     FROM t GROUP BY 1, 2
 """
 QUERIES["web_url_stats"] = q_web_url_stats
+
+
+def q_embed_drift(sf_dir):
+    """Embedding drift monitor: per label, the cosine between the
+    centroid of the EVEN-vec_id half and the ODD half (the production
+    drift check between two corpus snapshots / embedding versions).
+    Map-side (label x parity) partial sums over the bounded label
+    domain, one small groupby, drift cosine as one float expression
+    (round-6; sums differ ~1e-16 between engines — repo float rule)."""
+    from ray.data.aggregate import Sum
+
+    from .ann import _normalize, vec_matrix
+    from .runtime import tune_context
+
+    tune_context()
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding", "label"])
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(vec_matrix(b["embedding"]))
+        par = ids % 2
+        key = lab * 2 + par
+        uniq, inv = np.unique(key, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((len(uniq), d))
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "key": pa.array(np.repeat(uniq, d)),
+            "i": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                  len(uniq))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnt, d).astype(np.int64))})
+
+    agg = emb.map_batches(part, batch_format="pyarrow") \
+        .groupby(["key", "i"]) \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")) \
+        .to_pandas()
+    labs = sorted(set(agg["key"] // 2))
+    rows = []
+    for lb in labs:
+        ev = agg[agg["key"] == 2 * lb].sort_values("i")
+        od = agg[agg["key"] == 2 * lb + 1].sort_values("i")
+        if len(ev) == 0 or len(od) == 0:
+            continue
+        se, so = ev["s"].to_numpy(), od["s"].to_numpy()
+        ne = int(ev["n"].max())
+        no = int(od["n"].max())
+        cos = float(se @ so / (np.sqrt(se @ se) * np.sqrt(so @ so)))
+        rows.append((lb, ne, no, round(cos, 6)))
+    return pd.DataFrame({
+        "label": np.array([r[0] for r in rows], np.int64),
+        "n_even": np.array([r[1] for r in rows], np.int64),
+        "n_odd": np.array([r[2] for r in rows], np.int64),
+        "drift_cosine": [r[3] for r in rows]})
+
+
+ORACLE_SQL["embed_drift"] = """
+    WITH u AS (
+      SELECT vec_id, label, vec_id % 2 AS par,
+             CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1)
+                  AS BIGINT) - 1 AS i,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          v -> v * v))) AS nrm
+      FROM embeddings),
+    s AS (SELECT label, par, i,
+                 sum(x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END))
+                   AS s,
+                 count(DISTINCT vec_id)::BIGINT AS n
+          FROM u GROUP BY 1, 2, 3),
+    j AS (SELECT e.label,
+                 max(e.n) AS n_even, max(o.n) AS n_odd,
+                 sum(e.s * o.s) AS dot,
+                 sum(e.s * e.s) AS ee, sum(o.s * o.s) AS oo
+          FROM s e JOIN s o ON o.label = e.label AND o.i = e.i
+          WHERE e.par = 0 AND o.par = 1
+          GROUP BY e.label)
+    SELECT label, n_even::BIGINT AS n_even, n_odd::BIGINT AS n_odd,
+           round(dot / (sqrt(ee) * sqrt(oo)), 6) AS drift_cosine
+    FROM j
+"""
+QUERIES["embed_drift"] = q_embed_drift
