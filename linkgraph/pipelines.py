@@ -13375,3 +13375,37 @@ ORACLE_SQL["embed_drift"] = """
     FROM j
 """
 QUERIES["embed_drift"] = q_embed_drift
+
+
+def q_events_attribution_last(sf_dir):
+    """Last-touch conversion attribution (windows.
+    last_touch_attribution): the first conversion's value credits the
+    immediately-preceding event's channel — the marketing-analytics
+    twin of events_attribution, same coarse user-bucket kernel."""
+    from .windows import last_touch_attribution
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    return last_touch_attribution(ev)
+
+
+ORACLE_SQL["events_attribution_last"] = """
+    WITH r AS (SELECT user_id, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    p AS (SELECT user_id, min(rn) AS prn FROM r
+          WHERE event_type = 'purchase' GROUP BY 1),
+    f AS (SELECT r.user_id, r.event_type AS channel
+          FROM r JOIN p ON p.user_id = r.user_id
+           AND r.rn = CASE WHEN p.prn > 1 THEN p.prn - 1 ELSE p.prn END),
+    v AS (SELECT r.user_id,
+                 CAST(floor(r.value * 100 + 0.5) AS BIGINT) AS cents
+          FROM r JOIN p ON p.user_id = r.user_id AND r.rn = p.prn)
+    SELECT channel, count(*)::BIGINT AS n_users,
+           round(sum(v.cents) / 100.0, 6) AS total_value
+    FROM f JOIN v USING (user_id)
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["events_attribution_last"] = q_events_attribution_last

@@ -973,7 +973,8 @@ def first_touch_attribution(ds, convert_type: str = "purchase",
                             key: str = "user_id", ts: str = "ts",
                             etype: str = "event_type",
                             value: str = "value",
-                            id_col: str = "event_id"):
+                            id_col: str = "event_id",
+                            touch: str = "first"):
     """First-touch conversion attribution: for every key with at least
     one `convert_type` event, credit that key's FIRST such event's value
     to the key's first-ever event_type (the acquisition channel), in the
@@ -1026,7 +1027,14 @@ def first_touch_attribution(ds, convert_type: str = "purchase",
                              np.int64)
         np.minimum.at(first_conv, sid[conv_pos], conv_pos)
         has = first_conv != np.iinfo(np.int64).max
-        chan = types[starts[has]]
+        if touch == "first":
+            # the key's first-ever event = acquisition channel
+            chan = types[starts[has]]
+        else:
+            # LAST touch: the event immediately before the first
+            # conversion (the conversion itself when it opens the key)
+            fc, st = first_conv[has], starts[has]
+            chan = types[np.where(fc > st, fc - 1, fc)]
         credit = cents[first_conv[has]]
         out = pd.DataFrame({"channel": chan, "cents": credit})
         r = out.groupby("channel", sort=True).agg(
@@ -1585,3 +1593,11 @@ def daily_anomalies_by_type(ds, ts: str = "ts",
     r["n"] = r["n"].astype(np.int64)
     r["day"] = r["day"].astype(np.int64)
     return r
+
+
+def last_touch_attribution(ds, **kw):
+    """Last-touch conversion attribution: credit the first conversion's
+    value to the event IMMEDIATELY PRECEDING it in the key's (ts, id)
+    order (the conversion's own type when it is the key's first event).
+    Same one-bucket-shuffle plan as first_touch_attribution."""
+    return first_touch_attribution(ds, touch="last", **kw)
