@@ -497,3 +497,44 @@ def edge_jaccard_hist(edges_ds, n_vertices: int,
     out = parts.groupby("jac", sort=True)["n"].sum().reset_index()
     return pd.DataFrame({"jac": out["jac"].to_numpy(np.float64),
                          "n_edges": out["n"].to_numpy(np.int64)})
+
+
+def local_bridges(edges_ds, n_vertices: int,
+                  num_partitions: int = 8,
+                  force_distributed: bool = False) -> pd.DataFrame:
+    """Local bridges: edges whose endpoints share NO common neighbor
+    (support 0) — removing one lengthens the endpoint distance to > 2
+    (Easley-Kleinberg 'local bridge'; the weak-tie structural role).
+    Same size-gated plan as edge_jaccard_hist: driver support kernel
+    under DRIVER_TRI_CAP, else one pass over the shared
+    edge_support_deg_ds.  Returns (src, dst) canonical rows."""
+    n_edges = edges_ds.count()
+    if n_edges <= DRIVER_TRI_CAP and not force_distributed:
+        pdf = edges_ds.to_pandas()
+        s = pdf["src"].to_numpy(np.int64)
+        d = pdf["dst"].to_numpy(np.int64)
+        keep = s != d
+        lo = np.minimum(s[keep], d[keep])
+        hi = np.maximum(s[keep], d[keep])
+        keys = np.unique((lo << 32) | hi)
+        supp = _support_local(keys)
+        z = supp == 0
+        return pd.DataFrame({
+            "src": (keys[z] >> 32).astype(np.int64),
+            "dst": (keys[z] & 0xFFFFFFFF).astype(np.int64)}) \
+            .sort_values(["src", "dst"]).reset_index(drop=True)
+
+    base = edge_support_deg_ds(edges_ds, n_edges, num_partitions)
+
+    def partial(b: pa.Table) -> pa.Table:
+        supp = b["supp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = supp == 0
+        return pa.table({"src": pa.array(s[z]), "dst": pa.array(d[z])})
+
+    out = base.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                             "dst": pd.Series([], dtype=np.int64)})
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)

@@ -13409,3 +13409,27 @@ ORACLE_SQL["events_attribution_last"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["events_attribution_last"] = q_events_attribution_last
+
+
+def q_doc_local_bridges(sf_dir):
+    """Local bridges (support-0 edges — the Easley-Kleinberg weak ties
+    whose removal stretches the endpoint distance beyond 2): size-gated
+    driver/distributed support plan shared with the SCAN family
+    (algos/scan.local_bridges)."""
+    from .algos.scan import local_bridges
+
+    return local_bridges(documents_edges(sf_dir),
+                         documents_n_vertices(sf_dir))
+
+
+ORACLE_SQL["doc_local_bridges"] = f"""
+    WITH ce AS MATERIALIZED ({DOC_EDGES_SQL}),
+    sym AS MATERIALIZED (SELECT src, dst FROM ce
+                         UNION ALL SELECT dst AS src, src AS dst
+                         FROM ce)
+    SELECT e.src, e.dst FROM ce e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sym a JOIN sym b
+        ON a.dst = b.dst AND a.src = e.src AND b.src = e.dst)
+"""
+QUERIES["doc_local_bridges"] = q_doc_local_bridges

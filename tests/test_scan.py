@@ -152,3 +152,32 @@ def test_edge_jaccard_hist_paths_equal(ray_session):
         drv.reset_index(drop=True), dist.reset_index(drop=True))
     # histogram mass equals the edge count
     assert int(drv["n_edges"].sum()) == len(e)
+
+
+def test_local_bridges_paths_equal_and_brute(ray_session):
+    """local_bridges: driver == forced-distributed == brute force on a
+    planted graph (triangle edges are not bridges; pendant edges are)."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.algos.scan import local_bridges
+    from linkgraph.edges import edges_from_arrays
+
+    # triangle 0-1-2, pendant 2-3, chain 3-4-5, isolated edge 6-7
+    e = np.array([(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5),
+                  (6, 7)], dtype=np.int64)
+    ds = edges_from_arrays(e[:, 0], e[:, 1])
+    want = []
+    sym = set(map(tuple, np.vstack([e, e[:, ::-1]])))
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    for a, b in e:
+        if not (adj[a] & adj[b]):
+            want.append((a, b))
+    want = sorted(want)
+    got_d = local_bridges(ds, 8)
+    got_f = local_bridges(ds, 8, force_distributed=True)
+    for got in (got_d, got_f):
+        assert list(map(tuple, got.to_numpy())) == want
+    assert (0, 1) not in want and (2, 3) in want
