@@ -13433,3 +13433,59 @@ ORACLE_SQL["doc_local_bridges"] = f"""
         ON a.dst = b.dst AND a.src = e.src AND b.src = e.dst)
 """
 QUERIES["doc_local_bridges"] = q_doc_local_bridges
+
+
+LEADTIME_QS = [0.5, 0.9, 0.99]
+
+
+def q_tpch_leadtime(sf_dir):
+    """Shipping lead-time SLA report: exact per-priority quantiles of
+    (l_shipdate - o_orderdate) in days — a pruned lineitem x orders
+    hash join, then the grouped order-statistics kernel
+    (quantiles.grouped_quantiles; one coarse key-bucket shuffle, one
+    sort per bucket).  Returns (o_orderpriority, q, days)."""
+    from .dedup import _join_parts
+    from .quantiles import grouped_quantiles
+
+    li = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_orderkey", "l_shipdate"])
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def okey(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["o_orderkey"],
+                         "o_orderdate": b["o_orderdate"],
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    j = li.join(orders.map_batches(okey, batch_format="pyarrow"),
+                join_type="inner", num_partitions=_join_parts(li.count()),
+                on=("l_orderkey",))
+
+    def days(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["l_shipdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        o = pc.cast(b["o_orderdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = (s - o) // 86_400_000_000
+        return pa.table({"o_orderpriority": b["o_orderpriority"],
+                         "days": pa.array(d.astype(np.int64))})
+
+    out = grouped_quantiles(j.map_batches(days, batch_format="pyarrow"),
+                            "o_orderpriority", "days", LEADTIME_QS)
+    return out.map_batches(
+        lambda b: pa.table({"o_orderpriority": b["o_orderpriority"],
+                            "q": b["q"],
+                            "days": pc.cast(b["val"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+ORACLE_SQL["tpch_leadtime"] = """
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+               // 86400000000 AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT o_orderpriority, 0.5 AS q, quantile_disc(days, 0.5)::BIGINT AS days FROM d GROUP BY o_orderpriority UNION ALL SELECT o_orderpriority, 0.9 AS q, quantile_disc(days, 0.9)::BIGINT AS days FROM d GROUP BY o_orderpriority UNION ALL SELECT o_orderpriority, 0.99 AS q, quantile_disc(days, 0.99)::BIGINT AS days FROM d GROUP BY o_orderpriority
+"""
+QUERIES["tpch_leadtime"] = q_tpch_leadtime
