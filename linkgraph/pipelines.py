@@ -13489,3 +13489,46 @@ ORACLE_SQL["tpch_leadtime"] = """
     SELECT o_orderpriority, 0.5 AS q, quantile_disc(days, 0.5)::BIGINT AS days FROM d GROUP BY o_orderpriority UNION ALL SELECT o_orderpriority, 0.9 AS q, quantile_disc(days, 0.9)::BIGINT AS days FROM d GROUP BY o_orderpriority UNION ALL SELECT o_orderpriority, 0.99 AS q, quantile_disc(days, 0.99)::BIGINT AS days FROM d GROUP BY o_orderpriority
 """
 QUERIES["tpch_leadtime"] = q_tpch_leadtime
+
+
+TOP_SESSIONS_K = 10
+
+
+def q_events_top_sessions(sf_dir):
+    """Top-K longest sessions corpus-wide: the session-window operator's
+    output ranked by (n_events DESC, user_id, session_id) with the
+    partial-top-k pattern (per-block prune, driver cut) — no global
+    sort.  Deterministic tie-break on the key pair."""
+    from .windows import session_window
+
+    s = session_window(_events(sf_dir), gap_s=1800)
+
+    def prune(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["n_events", "user_id", "session_id"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(TOP_SESSIONS_K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = s.map_batches(prune, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["n_events", "user_id", "session_id"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(TOP_SESSIONS_K) \
+        .reset_index(drop=True)
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out[["rnk", "user_id", "session_id", "n_events",
+                "sum_value", "session_start_us"]]
+
+
+ORACLE_SQL["events_top_sessions"] = f"""
+    WITH sess AS ({ORACLE_SQL["events_session"]})
+    SELECT row_number() OVER (ORDER BY n_events DESC, user_id,
+                              session_id) AS rnk,
+           user_id, session_id, n_events::BIGINT AS n_events,
+           sum_value, session_start_us
+    FROM sess
+    ORDER BY n_events DESC, user_id, session_id
+    LIMIT {TOP_SESSIONS_K}
+"""
+QUERIES["events_top_sessions"] = q_events_top_sessions
