@@ -13532,3 +13532,46 @@ ORACLE_SQL["events_top_sessions"] = f"""
     LIMIT {TOP_SESSIONS_K}
 """
 QUERIES["events_top_sessions"] = q_events_top_sessions
+
+
+def q_doc_rank_concentration(sf_dir):
+    """PageRank mass concentration (the 'attention inequality' report):
+    exact P99 threshold over the round-6 rank column (distributed order
+    statistic — quantiles.exact_quantiles), then the share of total
+    rank mass held by vertices at/above it, from map-side partials.
+    Composes two oracle-checked operators; round-6 floats."""
+    from .quantiles import exact_quantiles
+
+    ranks = q_doc_pagerank(sf_dir).materialize()
+    thr = float(exact_quantiles(ranks, "rank", [0.99])["val"].iloc[0])
+
+    def part(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        top = r >= thr
+        return pa.table({
+            "s_all": pa.array([float(r.sum())]),
+            "s_top": pa.array([float(r[top].sum())]),
+            "n_top": pa.array([int(top.sum())], pa.int64()),
+            "n": pa.array([len(r)], pa.int64())})
+
+    p = ranks.map_batches(part, batch_format="pyarrow").to_pandas()
+    s_all, s_top = float(p["s_all"].sum()), float(p["s_top"].sum())
+    return pd.DataFrame({
+        "threshold": [round(thr, 6)],
+        "n_top": np.array([int(p["n_top"].sum())], np.int64),
+        "n_vertices": np.array([int(p["n"].sum())], np.int64),
+        "top_share": [round(s_top / s_all if s_all else 0.0, 6)]})
+
+
+ORACLE_SQL["doc_rank_concentration"] = f"""
+    WITH pr AS MATERIALIZED ({_pagerank_sql(PR_ITERS, 6)}),
+    t AS (SELECT quantile_disc(rank, 0.99) AS thr FROM pr)
+    SELECT round((SELECT thr FROM t), 6) AS threshold,
+           sum(CASE WHEN rank >= (SELECT thr FROM t)
+               THEN 1 ELSE 0 END)::BIGINT AS n_top,
+           count(*)::BIGINT AS n_vertices,
+           round(sum(CASE WHEN rank >= (SELECT thr FROM t)
+                     THEN rank ELSE 0 END) / sum(rank), 6) AS top_share
+    FROM pr
+"""
+QUERIES["doc_rank_concentration"] = q_doc_rank_concentration
