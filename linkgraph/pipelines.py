@@ -13575,3 +13575,61 @@ ORACLE_SQL["doc_rank_concentration"] = f"""
     FROM pr
 """
 QUERIES["doc_rank_concentration"] = q_doc_rank_concentration
+
+
+def q_text_hapax(sf_dir):
+    """Vocabulary-tail diagnostic: hapax legomena (corpus frequency 1)
+    and dis legomena (frequency 2) rates over the distinct vocabulary —
+    the OOV-pressure signal tokenizer training watches.  Same combiner
+    shape as text_zipf (map-side value_counts partials, one
+    distinct-token groupby), then bounded per-block (freq-class)
+    partials instead of a top-k."""
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(_arr(b["text"]),
+                                                      r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = _arr(toks.value_counts())
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").sum("n")
+
+    def cls(b: pa.Table) -> pa.Table:
+        n = b["sum(n)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_types": pa.array([len(n)], pa.int64()),
+            "n_tokens": pa.array([int(n.sum())], pa.int64()),
+            "hapax": pa.array([int((n == 1).sum())], pa.int64()),
+            "dis": pa.array([int((n == 2).sum())], pa.int64())})
+
+    p = counts.map_batches(cls, batch_format="pyarrow").to_pandas()
+    nt, tok = int(p["n_types"].sum()), int(p["n_tokens"].sum())
+    h, d2 = int(p["hapax"].sum()), int(p["dis"].sum())
+    return pd.DataFrame({
+        "n_types": np.array([nt], np.int64),
+        "n_tokens": np.array([tok], np.int64),
+        "n_hapax": np.array([h], np.int64),
+        "n_dis": np.array([d2], np.int64),
+        "hapax_rate": [round(h / nt if nt else 0.0, 6)]})
+
+
+ORACLE_SQL["text_hapax"] = """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    c AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token)
+    SELECT count(*)::BIGINT AS n_types,
+           sum(n)::BIGINT AS n_tokens,
+           sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis,
+           round(CASE WHEN count(*) > 0 THEN
+                 sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) ELSE 0.0 END, 6) AS hapax_rate
+    FROM c
+"""
+QUERIES["text_hapax"] = q_text_hapax
