@@ -13633,3 +13633,51 @@ ORACLE_SQL["text_hapax"] = """
     FROM c
 """
 QUERIES["text_hapax"] = q_text_hapax
+
+
+BURST_PER_MIN = 1
+
+
+def q_events_bursts(sf_dir):
+    """Abuse/bot screen: per user, the maximum events inside any single
+    epoch-minute and a burst flag (> {k}/min) — one coarse user-bucket
+    shuffle with a vectorized (user, minute) count kernel (the
+    running_user_totals shape); only flagged users are emitted.""" \
+        .format(k=BURST_PER_MIN)
+    from .algos.triangles import n_buckets_for
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"]).materialize()
+    nb = n_buckets_for(ev.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mins = (pc.cast(b["ts"], pa.int64())
+                .to_numpy(zero_copy_only=False) // 60_000_000)
+        return pa.table({"u": pa.array(u),
+                         "minute": pa.array(mins.astype(np.int64)),
+                         "kb": pa.array((u % nb).astype(np.int64))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["u", "minute"], sort=False).size() \
+            .reset_index(name="n")
+        mx = c.groupby("u", sort=False)["n"].max().reset_index()
+        mx = mx[mx["n"] > BURST_PER_MIN]
+        return pd.DataFrame({"user_id": mx["u"].astype(np.int64),
+                             "max_per_min": mx["n"].astype(np.int64)})
+
+    return ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("kb").map_groups(kern, batch_format="pandas")
+
+
+ORACLE_SQL["events_bursts"] = f"""
+    WITH m AS (
+      SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2),
+    mx AS (SELECT user_id, max(n)::BIGINT AS max_per_min
+           FROM m GROUP BY user_id)
+    SELECT user_id, max_per_min FROM mx
+    WHERE max_per_min > {BURST_PER_MIN}
+"""
+QUERIES["events_bursts"] = q_events_bursts
