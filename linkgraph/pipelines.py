@@ -13681,3 +13681,137 @@ ORACLE_SQL["events_bursts"] = f"""
     WHERE max_per_min > {BURST_PER_MIN}
 """
 QUERIES["events_bursts"] = q_events_bursts
+
+
+def q_doc_sparsify_cc(sf_dir):
+    """Sparsifier quality check: connected-component counts BEFORE vs
+    AFTER the 1/min-degree edge sampling (doc_sparsify's keep rule) —
+    the connectivity-preservation contract a spanner is judged on.
+    Both CC runs use the superstep engine (the AFTER store builds on
+    the kept edge Dataset); counts resolve through the coarse
+    label-bucket distinct kernel."""
+    from .algos import connected_components
+    from .algos.fiedler import largest_component_label
+    from .algos.triangles import TARGET_ROWS_PER_BUCKET
+    from .algos.wl import mix64
+    from .edges import degree_table, symmetrize
+    from .graph import load_undirected
+    from .joins import attach_by_key
+
+    n = documents_n_vertices(sf_dir)
+
+    def n_components(eng) -> int:
+        ds = eng.state_dataset(["label"])
+        nb = max(4, n // TARGET_ROWS_PER_BUCKET + 1)
+
+        def part(b: pa.Table) -> pa.Table:
+            lab = b["label"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            u = np.unique(lab)
+            return pa.table({"bucket": pa.array(u % nb),
+                             "lab": pa.array(u)})
+
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"n": [int(g["lab"].nunique())]})
+
+        p = ds.map_batches(part, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(kern, batch_format="pandas") \
+            .to_pandas()
+        return int(p["n"].sum())
+
+    eng = documents_engine(sf_dir, "undirected")
+    connected_components(eng)
+    before = n_components(eng)
+
+    edges = documents_edges(sf_dir)
+    deg = degree_table(symmetrize(edges), "src")
+    tagged = attach_by_key(edges, deg, ["src", "dst"], "v", "degree")
+
+    def keep(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = mix64(s * np.uint64(4294967296) + t)
+        md = np.minimum(
+            b["degree_src"].to_numpy(zero_copy_only=False),
+            b["degree_dst"].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64)
+        k = (z % np.maximum(md, np.uint64(1))) == 0
+        return pa.table({"src": pa.array(s[k].astype(np.int64)),
+                         "dst": pa.array(t[k].astype(np.int64))})
+
+    kept = tagged.map_batches(keep, batch_format="pyarrow") \
+        .materialize()
+    eng2 = load_undirected(kept, n, 4,
+                           _store_root(sf_dir, "sparse_cc"),
+                           fingerprint=_input_fingerprint(sf_dir))
+    try:
+        connected_components(eng2)
+        after = n_components(eng2)
+    finally:
+        eng2.shutdown()
+    return pd.DataFrame({
+        "n_cc_before": np.array([before], np.int64),
+        "n_cc_after": np.array([after], np.int64),
+        "delta": np.array([after - before], np.int64)})
+
+
+def _sparsify_cc_sql(cc_rounds: int) -> str:
+    """Two unrolled min-label CC chains: the full symmetric graph and
+    the sparsified one (the doc_sparsify kept CTE)."""
+    kept = f"""
+        WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+        symd AS (SELECT src, dst FROM e UNION ALL SELECT dst, src
+                 FROM e),
+        deg AS MATERIALIZED (
+          SELECT src AS v, count(*)::BIGINT AS d FROM symd
+          GROUP BY src),
+        z0 AS (SELECT e.src, e.dst,
+                      ((e.src::HUGEINT * 4294967296 + e.dst::HUGEINT)
+                       % {_W64})::UBIGINT AS z,
+                      least(ds.d, dd.d) AS md
+               FROM e JOIN deg ds ON ds.v = e.src
+                      JOIN deg dd ON dd.v = e.dst),
+        z1 AS (SELECT src, dst, xor(z, z >> 33) AS z, md FROM z0),
+        z2 AS (SELECT src, dst,
+               {_mulmod64_sql('z', 0xFF51AFD7ED558CCD)}::UBIGINT AS z,
+               md FROM z1),
+        z3 AS (SELECT src, dst, xor(z, z >> 29) AS z, md FROM z2),
+        z4 AS (SELECT src, dst,
+               {_mulmod64_sql('z', 0xC4CEB9FE1A85EC53)}::UBIGINT AS z,
+               md FROM z3),
+        pri AS (SELECT src, dst, xor(z, z >> 32) AS z, md FROM z4)
+        SELECT src, dst FROM pri
+        WHERE z % greatest(md, 1)::UBIGINT = 0"""
+
+    def chain(tag: str, sym_body: str) -> list:
+        ctes = [f"{tag}sym AS MATERIALIZED ({sym_body})",
+                f"{tag}l0 AS (SELECT v, v AS lab FROM allv)"]
+        for i in range(1, cc_rounds + 1):
+            p = f"{tag}l{i - 1}"
+            ctes.append(
+                f"{tag}l{i} AS MATERIALIZED (SELECT allv.v, "
+                f"least({p}.lab, coalesce(m.lab, {p}.lab)) AS lab "
+                f"FROM allv JOIN {p} USING (v) LEFT JOIN "
+                f"(SELECT {tag}sym.dst AS v, min({p}.lab) AS lab "
+                f"FROM {tag}sym JOIN {p} ON {p}.v = {tag}sym.src "
+                f"GROUP BY {tag}sym.dst) m USING (v))")
+        return ctes
+
+    ctes = ["allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            f"ke AS MATERIALIZED ({kept})"]
+    ctes += chain("b", DOC_SYM_SQL)
+    ctes += chain("a", "SELECT src, dst FROM ke "
+                       "UNION ALL SELECT dst, src FROM ke")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT (SELECT count(DISTINCT lab) FROM bl{cc_rounds})"
+            f"::BIGINT AS n_cc_before, "
+            f"(SELECT count(DISTINCT lab) FROM al{cc_rounds})"
+            f"::BIGINT AS n_cc_after, "
+            f"((SELECT count(DISTINCT lab) FROM al{cc_rounds}) - "
+            f"(SELECT count(DISTINCT lab) FROM bl{cc_rounds}))"
+            f"::BIGINT AS delta")
+
+
+ORACLE_SQL["doc_sparsify_cc"] = _sparsify_cc_sql(CC_ROUNDS)
+QUERIES["doc_sparsify_cc"] = q_doc_sparsify_cc
