@@ -13815,3 +13815,62 @@ def _sparsify_cc_sql(cc_rounds: int) -> str:
 
 ORACLE_SQL["doc_sparsify_cc"] = _sparsify_cc_sql(CC_ROUNDS)
 QUERIES["doc_sparsify_cc"] = q_doc_sparsify_cc
+
+
+def q_web_domain_mirrors(sf_dir):
+    """Per-domain mirror rate: how many of a domain's docs are
+    canonical-URL duplicates of a smaller doc id (the crawl-dedup
+    pressure signal per site).  One coarse canon-bucket kernel emitting
+    bounded (domain, n_docs, n_mirrored) partials."""
+    from .algos.triangles import TARGET_ROWS_PER_BUCKET
+    from .web import canonicalize, domain_of, urls_from_batch
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+    n = docs.count()
+    nb = max(4, n // TARGET_ROWS_PER_BUCKET + 1)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = canonicalize(urls_from_batch(d))
+        h = pd.util.hash_array(canon.to_numpy(dtype=object))
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(nb)).astype(np.int64)),
+            "canon": pa.array(canon, pa.string()),
+            "doc_id": pa.array(d)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("canon", sort=False)["doc_id"] \
+            .transform("min")
+        dom = domain_of(g["canon"])
+        df = pd.DataFrame({
+            "domain": dom,
+            "n_docs": 1,
+            "n_mirrored": (g["doc_id"].to_numpy()
+                           != keep.to_numpy()).astype(np.int64)})
+        out = df.groupby("domain", sort=False).sum().reset_index()
+        return out
+
+    parts = docs.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(kern, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby("domain")[["n_docs", "n_mirrored"]].sum() \
+        .reset_index()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_mirrored"] = out["n_mirrored"].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["web_domain_mirrors"] = f"""
+    WITH c AS ({_WEB_CANON_SQL}),
+    k AS (SELECT doc_id, canon,
+                 min(doc_id) OVER (PARTITION BY canon) AS keep_id
+          FROM c)
+    SELECT regexp_extract(canon, '^https://(?:www\\.)?([^/:?#]+)', 1)
+             AS domain,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_mirrored
+    FROM k GROUP BY 1
+"""
+QUERIES["web_domain_mirrors"] = q_web_domain_mirrors
