@@ -13874,3 +13874,76 @@ ORACLE_SQL["web_domain_mirrors"] = f"""
     FROM k GROUP BY 1
 """
 QUERIES["web_domain_mirrors"] = q_web_domain_mirrors
+
+
+def q_tpch_order_lines_hist(sf_dir):
+    """Lines-per-order histogram (the fact-table fanout profile): one
+    coarse orderkey-bucket kernel counts each order's lines, bounded
+    line-count histogram partials fold on the driver — the per-key
+    count never becomes a fine-key Ray aggregate."""
+    from .algos.triangles import n_buckets_for
+
+    li = read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_orderkey"]).materialize()
+    nb = n_buckets_for(li.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"k": pa.array(k),
+                         "kb": pa.array((k % nb).astype(np.int64))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("k", sort=False).size()
+        h = c.value_counts()
+        return pd.DataFrame({"n_lines": h.index.to_numpy(np.int64),
+                             "n_orders": h.to_numpy(np.int64)})
+
+    parts = li.map_batches(tag, batch_format="pyarrow") \
+        .groupby("kb").map_groups(kern, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby("n_lines")["n_orders"].sum().reset_index()
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["tpch_order_lines_hist"] = """
+    WITH c AS (SELECT l_orderkey, count(*)::BIGINT AS n_lines
+               FROM lineitem GROUP BY l_orderkey)
+    SELECT n_lines, count(*)::BIGINT AS n_orders
+    FROM c GROUP BY n_lines
+"""
+QUERIES["tpch_order_lines_hist"] = q_tpch_order_lines_hist
+
+
+def q_doc_coreness_hist(sf_dir):
+    """k-core size curve: vertex counts per coreness value (bounded
+    domain — coreness <= max degree); composes the oracle-checked
+    coreness engine state with map-side bincount partials."""
+    from .algos import coreness
+
+    eng = documents_engine(sf_dir, "undirected")
+    coreness(eng)
+
+    def part(b: pa.Table) -> pa.Table:
+        c = b["core"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(c)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"coreness": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    p = eng.state_dataset(["core"]).map_batches(
+        part, batch_format="pyarrow").to_pandas()
+    out = p.groupby("coreness")["n"].sum().reset_index()
+    out["coreness"] = out["coreness"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["doc_coreness_hist"] = f"""
+    WITH cw AS ({ORACLE_SQL["doc_coreness"]})
+    SELECT core::BIGINT AS coreness, count(*)::BIGINT AS n
+    FROM cw GROUP BY 1
+"""
+QUERIES["doc_coreness_hist"] = q_doc_coreness_hist
