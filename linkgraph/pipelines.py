@@ -13947,3 +13947,120 @@ ORACLE_SQL["doc_coreness_hist"] = f"""
     FROM cw GROUP BY 1
 """
 QUERIES["doc_coreness_hist"] = q_doc_coreness_hist
+
+
+def q_events_weekend_ttest(sf_dir):
+    """Weekend-vs-weekday revenue Welch t-test over the daily series:
+    per-day exact-cents partials (calendar-bounded), the two day
+    classes' (n, sum, sumsq) fold on the driver, ONE identical float
+    expression tree for the t statistic (round-6)."""
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        s = pd.Series(cents).groupby(day).sum()
+        return pa.table({"day": pa.array(s.index.to_numpy(np.int64)),
+                         "cents": pa.array(s.to_numpy(np.int64))})
+
+    parts = ev.map_batches(part, batch_format="pyarrow").to_pandas()
+    d = parts.groupby("day")["cents"].sum().reset_index()
+    dow = (d["day"].to_numpy(np.int64) + 4) % 7
+    wk = dow >= 5
+    out = []
+    for name, m in (("weekend", wk), ("weekday", ~wk)):
+        x = d["cents"].to_numpy(np.int64)[m]
+        out.append((len(x), int(x.sum()), int((x * x).sum())))
+    (n1, s1, ss1), (n2, s2, ss2) = out
+    m1, m2 = s1 / n1, s2 / n2
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
+    t = (m1 - m2) / np.sqrt(v1 / n1 + v2 / n2)
+    return pd.DataFrame({
+        "n_weekend_days": np.array([n1], np.int64),
+        "n_weekday_days": np.array([n2], np.int64),
+        "mean_weekend": [round(m1, 6)], "mean_weekday": [round(m2, 6)],
+        "t_stat": [round(float(t), 6)]})
+
+
+ORACLE_SQL["events_weekend_ttest"] = """
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             sum((floor(value * 100.0 + 0.5))::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1),
+    c AS (SELECT day, cents,
+                 ((day + 4) % 7 >= 5) AS wk FROM d),
+    g AS (SELECT wk, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+                 sum(cents * cents)::BIGINT AS ss
+          FROM c GROUP BY wk)
+    SELECT we.n AS n_weekend_days, wd.n AS n_weekday_days,
+           round(we.s::DOUBLE / we.n, 6) AS mean_weekend,
+           round(wd.s::DOUBLE / wd.n, 6) AS mean_weekday,
+           round((we.s::DOUBLE / we.n - wd.s::DOUBLE / wd.n)
+                 / sqrt((we.ss - we.s::DOUBLE * we.s / we.n)
+                        / (we.n - 1) / we.n
+                      + (wd.ss - wd.s::DOUBLE * wd.s / wd.n)
+                        / (wd.n - 1) / wd.n), 6) AS t_stat
+    FROM (SELECT * FROM g WHERE wk) we,
+         (SELECT * FROM g WHERE NOT wk) wd
+"""
+QUERIES["events_weekend_ttest"] = q_events_weekend_ttest
+
+
+def q_doc_triangle_participation(sf_dir):
+    """Triangle participation: how many vertices sit in at least one
+    triangle (a vertex does iff some incident edge has support > 0).
+    One pass over the shared SCAN support base emitting distinct
+    endpoint partials into coarse vertex buckets, exact distinct fold."""
+    from .algos.scan import edge_support_deg_ds
+    from .algos.triangles import TARGET_ROWS_PER_BUCKET
+
+    edges = documents_edges(sf_dir)
+    n_edges = edges.count()
+    n = documents_n_vertices(sf_dir)
+    base = edge_support_deg_ds(edges, n_edges, 8)
+    nb = max(4, n // TARGET_ROWS_PER_BUCKET + 1)
+
+    def part(b: pa.Table) -> pa.Table:
+        supp = b["supp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = supp > 0
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)[z]
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)[z]
+        u = np.unique(np.concatenate([s, d]))
+        return pa.table({"bucket": pa.array(u % nb),
+                         "v": pa.array(u)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(g["v"].nunique())]})
+
+    p = base.map_batches(part, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(kern, batch_format="pandas") \
+        .to_pandas()
+    in_tri = int(p["n"].sum()) if len(p) else 0
+    return pd.DataFrame({
+        "n_vertices": np.array([n], np.int64),
+        "n_in_triangle": np.array([in_tri], np.int64),
+        "participation": [round(in_tri / n if n else 0.0, 6)]})
+
+
+ORACLE_SQL["doc_triangle_participation"] = f"""
+    WITH ce AS MATERIALIZED ({DOC_EDGES_SQL}),
+    sym AS MATERIALIZED (SELECT src, dst FROM ce
+                         UNION ALL SELECT dst, src FROM ce),
+    supp AS (SELECT e.src, e.dst, count(*) AS s
+             FROM ce e JOIN sym a ON a.src = e.src
+                       JOIN sym b ON b.src = e.dst AND b.dst = a.dst
+             GROUP BY e.src, e.dst),
+    tv AS (SELECT DISTINCT v FROM (
+             SELECT src AS v FROM supp WHERE s > 0
+             UNION ALL SELECT dst AS v FROM supp WHERE s > 0))
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_vertices,
+           (SELECT count(*) FROM tv)::BIGINT AS n_in_triangle,
+           round((SELECT count(*) FROM tv)::DOUBLE
+                 / (SELECT count(*) FROM documents), 6)
+             AS participation
+"""
+QUERIES["doc_triangle_participation"] = q_doc_triangle_participation
