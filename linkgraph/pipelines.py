@@ -14064,3 +14064,114 @@ ORACLE_SQL["doc_triangle_participation"] = f"""
              AS participation
 """
 QUERIES["doc_triangle_participation"] = q_doc_triangle_participation
+
+
+def q_events_rfm(sf_dir):
+    """RFM segmentation histogram: per user, Recency (days since last
+    event vs corpus max day), Frequency (events) and Monetary (exact
+    cents) scored into terciles by the EXACT corpus-wide 1/3, 2/3
+    order statistics (low < t1 <= mid < t2 <= high on integers), then
+    (r, f, m) segment counts over the bounded 27-cell domain.  Per-user
+    aggregates come from one coarse user-bucket kernel; thresholds via
+    quantiles.exact_quantiles; scoring is a second stateless pass."""
+    from .algos.triangles import n_buckets_for
+    from .io import from_pandas_clean
+    from .quantiles import exact_quantiles
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "value"]) \
+        .materialize()
+    nb = n_buckets_for(ev.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"u": pa.array(u), "us": pa.array(us),
+                         "cents": pa.array(cents),
+                         "kb": pa.array((u % nb).astype(np.int64))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("u", sort=False).agg(
+            last_us=("us", "max"), f=("us", "size"),
+            m=("cents", "sum")).reset_index()
+        for c in ("last_us", "f", "m"):
+            a[c] = a[c].astype(np.int64)
+        return a
+
+    per_user = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("kb").map_groups(kern, batch_format="pandas") \
+        .materialize()
+    max_day = int(per_user.max("last_us")) // 86_400_000_000
+
+    def rec(b: pa.Table) -> pa.Table:
+        last = b["last_us"].to_numpy(zero_copy_only=False)
+        r = max_day - last // 86_400_000_000
+        return pa.table({"u": b["u"], "r": pa.array(r.astype(np.int64)),
+                         "f": b["f"], "m": b["m"]})
+
+    rfm = per_user.map_batches(rec, batch_format="pyarrow") \
+        .materialize()
+    thr = {}
+    for c in ("r", "f", "m"):
+        q = exact_quantiles(rfm, c, [1.0 / 3.0, 2.0 / 3.0])
+        thr[c] = (int(q["val"].iloc[0]), int(q["val"].iloc[1]))
+
+    def score(b: pa.Table) -> pa.Table:
+        out = {}
+        for c in ("r", "f", "m"):
+            x = b[c].to_numpy(zero_copy_only=False)
+            t1, t2 = thr[c]
+            out[c] = np.where(x < t1, 0, np.where(x < t2, 1, 2)) \
+                .astype(np.int64)
+        cell = out["r"] * 9 + out["f"] * 3 + out["m"]
+        cnt = np.bincount(cell, minlength=27)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    p = rfm.map_batches(score, batch_format="pyarrow").to_pandas()
+    h = p.groupby("cell")["n"].sum().reset_index()
+    return pd.DataFrame({
+        "r_seg": (h["cell"] // 9).astype(np.int64),
+        "f_seg": ((h["cell"] // 3) % 3).astype(np.int64),
+        "m_seg": (h["cell"] % 3).astype(np.int64),
+        "n_users": h["n"].astype(np.int64)})
+
+
+ORACLE_SQL["events_rfm"] = """
+    WITH pu AS (
+      SELECT user_id, max(epoch_us(ts))::BIGINT AS last_us,
+             count(*)::BIGINT AS f,
+             sum((floor(value * 100.0 + 0.5))::BIGINT)::BIGINT AS m
+      FROM events GROUP BY user_id),
+    mx AS (SELECT max(last_us) // 86400000000 AS max_day FROM pu),
+    rfm AS (SELECT user_id,
+                   ((SELECT max_day FROM mx)
+                    - last_us // 86400000000)::BIGINT AS r, f, m
+            FROM pu),
+    t AS (SELECT
+            quantile_disc(r, 1.0/3.0) AS r1,
+            quantile_disc(r, 2.0/3.0) AS r2,
+            quantile_disc(f, 1.0/3.0) AS f1,
+            quantile_disc(f, 2.0/3.0) AS f2,
+            quantile_disc(m, 1.0/3.0) AS m1,
+            quantile_disc(m, 2.0/3.0) AS m2
+          FROM rfm),
+    s AS (SELECT
+            (CASE WHEN r < (SELECT r1 FROM t) THEN 0
+                  WHEN r < (SELECT r2 FROM t) THEN 1 ELSE 2 END)
+              AS r_seg,
+            (CASE WHEN f < (SELECT f1 FROM t) THEN 0
+                  WHEN f < (SELECT f2 FROM t) THEN 1 ELSE 2 END)
+              AS f_seg,
+            (CASE WHEN m < (SELECT m1 FROM t) THEN 0
+                  WHEN m < (SELECT m2 FROM t) THEN 1 ELSE 2 END)
+              AS m_seg
+          FROM rfm)
+    SELECT r_seg::BIGINT AS r_seg, f_seg::BIGINT AS f_seg,
+           m_seg::BIGINT AS m_seg, count(*)::BIGINT AS n_users
+    FROM s GROUP BY 1, 2, 3
+"""
+QUERIES["events_rfm"] = q_events_rfm
