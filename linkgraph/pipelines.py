@@ -14175,3 +14175,78 @@ ORACLE_SQL["events_rfm"] = """
     FROM s GROUP BY 1, 2, 3
 """
 QUERIES["events_rfm"] = q_events_rfm
+
+
+VOCAB_COVER_K = 100
+
+
+def q_text_vocab_coverage(sf_dir):
+    """Tokenizer-fit metric: the fraction of corpus token OCCURRENCES
+    covered by the top-K vocabulary (K = {k}; ties n DESC, token ASC).
+    Counting is the heavy-hitter combiner shape; the chosen vocabulary
+    broadcasts for a second stateless coverage pass.""" \
+        .format(k=VOCAB_COVER_K)
+    import ray
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(_arr(b["text"]),
+                                                      r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = _arr(toks.value_counts())
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").sum("n").materialize()
+
+    def local_top(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().rename(columns={"sum(n)": "n"})
+        pdf = pdf.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort").head(VOCAB_COVER_K)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    top = counts.map_batches(local_top, batch_format="pyarrow") \
+        .to_pandas().sort_values(["n", "token"],
+                                 ascending=[False, True],
+                                 kind="mergesort").head(VOCAB_COVER_K)
+    vocab = frozenset(top["token"])
+    vref = ray.put(vocab)
+
+    def cover(b: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        pdf = b.to_pandas().rename(columns={"sum(n)": "n"})
+        inv = pdf["token"].isin(v)
+        return pa.table({
+            "cov": pa.array([int(pdf.loc[inv, "n"].sum())], pa.int64()),
+            "tot": pa.array([int(pdf["n"].sum())], pa.int64())})
+
+    p = counts.map_batches(cover, batch_format="pyarrow").to_pandas()
+    cov, tot = int(p["cov"].sum()), int(p["tot"].sum())
+    return pd.DataFrame({
+        "vocab_k": np.array([VOCAB_COVER_K], np.int64),
+        "covered": np.array([cov], np.int64),
+        "total": np.array([tot], np.int64),
+        "coverage": [round(cov / tot if tot else 0.0, 6)]})
+
+
+ORACLE_SQL["text_vocab_coverage"] = f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    c AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token),
+    top AS (SELECT token FROM c
+            ORDER BY n DESC, token ASC LIMIT {VOCAB_COVER_K})
+    SELECT {VOCAB_COVER_K}::BIGINT AS vocab_k,
+           sum(CASE WHEN token IN (SELECT token FROM top)
+               THEN n ELSE 0 END)::BIGINT AS covered,
+           sum(n)::BIGINT AS total,
+           round(sum(CASE WHEN token IN (SELECT token FROM top)
+                     THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+             AS coverage
+    FROM c
+"""
+QUERIES["text_vocab_coverage"] = q_text_vocab_coverage
