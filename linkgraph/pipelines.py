@@ -14250,3 +14250,104 @@ ORACLE_SQL["text_vocab_coverage"] = f"""
     FROM c
 """
 QUERIES["text_vocab_coverage"] = q_text_vocab_coverage
+
+
+def q_embed_separability(sf_dir):
+    """Class-separability report (the Fisher-style embedding-quality
+    check): S_w = mean cosine distance of each vector to ITS label
+    centroid, S_b = mean pairwise cosine distance between label
+    centroids, ratio = S_b / S_w.  Two passes: (label, dim) centroid
+    partial sums over the bounded label domain, then broadcast
+    centroids + per-vector distance partials.  Round-6 floats (sums
+    differ ~1e-16 between engines)."""
+    import ray
+
+    from .ann import _normalize, vec_matrix
+    from .runtime import tune_context
+
+    tune_context()
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding", "label"])
+
+    def cpart(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(vec_matrix(b["embedding"]))
+        uniq, inv = np.unique(lab, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((len(uniq), d))
+        np.add.at(sums, inv, m)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "i": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                  len(uniq))),
+            "s": pa.array(sums.reshape(-1))})
+
+    cp = emb.map_batches(cpart, batch_format="pyarrow").to_pandas()
+    g = cp.groupby(["label", "i"])["s"].sum().reset_index()
+    labels = np.sort(g["label"].unique())
+    d = int(g["i"].max()) + 1
+    cent = np.zeros((len(labels), d))
+    pos = {int(l): i for i, l in enumerate(labels)}
+    for _, row in g.iterrows():
+        cent[pos[int(row["label"])], int(row["i"])] = row["s"]
+    cent = _normalize(cent)
+    cref = ray.put((cent, labels))
+
+    def wpart(b: pa.Table) -> pa.Table:
+        c, labs = ray.get(cref)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(vec_matrix(b["embedding"]))
+        idx = np.searchsorted(labs, lab)
+        cos = np.einsum("ij,ij->i", m, c[idx])
+        return pa.table({
+            "sw": pa.array([float((1.0 - cos).sum())]),
+            "n": pa.array([len(lab)], pa.int64())})
+
+    p = emb.map_batches(wpart, batch_format="pyarrow").to_pandas()
+    sw = float(p["sw"].sum()) / max(int(p["n"].sum()), 1)
+    sims = cent @ cent.T
+    iu = np.triu_indices(len(labels), 1)
+    sb = float((1.0 - sims[iu]).mean()) if len(iu[0]) else 0.0
+    return pd.DataFrame({
+        "n_labels": np.array([len(labels)], np.int64),
+        "s_within": [round(sw, 6)],
+        "s_between": [round(sb, 6)],
+        "separability": [round(sb / sw if sw else 0.0, 6)]})
+
+
+ORACLE_SQL["embed_separability"] = """
+    WITH u AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1)
+                  AS BIGINT) - 1 AS i,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          v -> v * v))) AS nrm
+      FROM embeddings),
+    nv AS (SELECT vec_id, label, i,
+                  x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS x
+           FROM u),
+    cs AS (SELECT label, i, sum(x) AS s FROM nv GROUP BY label, i),
+    cn AS (SELECT label, sqrt(sum(s * s)) AS nn FROM cs GROUP BY label),
+    c AS (SELECT cs.label, cs.i,
+                 cs.s / (CASE WHEN cn.nn = 0 THEN 1.0 ELSE cn.nn END)
+                   AS y
+          FROM cs JOIN cn USING (label)),
+    w AS (SELECT nv.vec_id,
+                 1.0 - sum(nv.x * c.y) AS dist
+          FROM nv JOIN c ON c.label = nv.label AND c.i = nv.i
+          GROUP BY nv.vec_id),
+    sw AS (SELECT sum(dist) / count(*) AS v FROM w),
+    pair AS (SELECT a.label AS la, b.label AS lb,
+                    1.0 - sum(a.y * b.y) AS dist
+             FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+             GROUP BY a.label, b.label),
+    sb AS (SELECT avg(dist) AS v FROM pair)
+    SELECT (SELECT count(DISTINCT label) FROM embeddings)::BIGINT
+             AS n_labels,
+           round((SELECT v FROM sw), 6) AS s_within,
+           round((SELECT v FROM sb), 6) AS s_between,
+           round((SELECT v FROM sb) / (SELECT v FROM sw), 6)
+             AS separability
+"""
+QUERIES["embed_separability"] = q_embed_separability
