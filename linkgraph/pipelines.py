@@ -14351,3 +14351,56 @@ ORACLE_SQL["embed_separability"] = """
              AS separability
 """
 QUERIES["embed_separability"] = q_embed_separability
+
+
+def q_tpch_price_size_fit(sf_dir):
+    """Closed-form OLS of p_retailprice on p_size over the part table
+    (pricing-model sanity fit): one pruned scan emitting the five
+    moment partials, the normal-equation expressions on the driver —
+    the powerlaw-fit shape on relational data.  Round-6 floats."""
+    part = read_parquet_clean(os.path.join(sf_dir, "part.parquet"),
+                              columns=["p_size", "p_retailprice"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["p_size"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = b["p_retailprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([float(x.sum())]),
+            "sy": pa.array([float(y.sum())]),
+            "sxx": pa.array([float((x * x).sum())]),
+            "sxy": pa.array([float((x * y).sum())])})
+
+    p = part.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    sx, sy = float(p["sx"].sum()), float(p["sy"].sum())
+    sxx, sxy = float(p["sxx"].sum()), float(p["sxy"].sum())
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den if den else 0.0
+    intercept = (sy - slope * sx) / n if n else 0.0
+    return pd.DataFrame({"n_parts": np.array([n], np.int64),
+                         "slope": [round(slope, 6)],
+                         "intercept": [round(intercept, 6)]})
+
+
+ORACLE_SQL["tpch_price_size_fit"] = """
+    WITH m AS (SELECT count(*)::BIGINT AS n,
+                      sum(p_size::DOUBLE) AS sx,
+                      sum(p_retailprice) AS sy,
+                      sum(p_size::DOUBLE * p_size) AS sxx,
+                      sum(p_size::DOUBLE * p_retailprice) AS sxy
+               FROM part)
+    SELECT n AS n_parts,
+           round(CASE WHEN n * sxx - sx * sx <> 0
+                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 ELSE 0.0 END, 6) AS slope,
+           round(CASE WHEN n > 0 THEN
+                 (sy - (CASE WHEN n * sxx - sx * sx <> 0
+                        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                        ELSE 0.0 END) * sx) / n
+                 ELSE 0.0 END, 6) AS intercept
+    FROM m
+"""
+QUERIES["tpch_price_size_fit"] = q_tpch_price_size_fit
