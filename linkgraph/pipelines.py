@@ -14404,3 +14404,61 @@ ORACLE_SQL["tpch_price_size_fit"] = """
     FROM m
 """
 QUERIES["tpch_price_size_fit"] = q_tpch_price_size_fit
+
+
+def q_events_benford(sf_dir):
+    """Benford's-law data-quality screen on transaction values: first
+    significant digit of the exact integer cents, observed counts per
+    digit (bounded 9-bin partials) vs the Benford expectation
+    n * log10(1 + 1/d), plus the chi-square statistic — one identical
+    float expression from folded integers."""
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        cents = cents[cents > 0]
+        # first significant digit via repeated /10 (exact integers)
+        x = cents.copy()
+        while (x >= 10).any():
+            x = np.where(x >= 10, x // 10, x)
+        cnt = np.bincount(x, minlength=10)[1:]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    p = ev.map_batches(part, batch_format="pyarrow").to_pandas()
+    g = p.groupby("digit")["n"].sum()
+    obs = np.array([int(g.get(d, 0)) for d in range(1, 10)], np.int64)
+    n = int(obs.sum())
+    exp = n * np.log10(1.0 + 1.0 / np.arange(1, 10))
+    chi2 = float(((obs - exp) ** 2 / exp).sum()) if n else 0.0
+    return pd.DataFrame({
+        "digit": np.arange(1, 10, dtype=np.int64),
+        "n_obs": obs,
+        "n_exp": np.round(exp, 6),
+        "chi2": [round(chi2, 6)] * 9})
+
+
+ORACLE_SQL["events_benford"] = """
+    WITH c AS (
+      SELECT (floor(value * 100.0 + 0.5))::BIGINT AS cents
+      FROM events),
+    d AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit
+          FROM c WHERE cents > 0),
+    o AS (SELECT gd.digit, count(d.digit)::BIGINT AS n_obs
+          FROM (SELECT unnest(range(1, 10)) AS digit) gd
+          LEFT JOIN d ON d.digit = gd.digit
+          GROUP BY gd.digit),
+    t AS (SELECT sum(n_obs)::DOUBLE AS n FROM o),
+    e AS (SELECT digit, n_obs,
+                 (SELECT n FROM t) * log10(1.0 + 1.0 / digit) AS n_exp
+          FROM o),
+    x AS (SELECT sum((n_obs - n_exp) * (n_obs - n_exp) / n_exp) AS chi2
+          FROM e)
+    SELECT digit, n_obs, round(n_exp, 6) AS n_exp,
+           round((SELECT chi2 FROM x), 6) AS chi2
+    FROM e
+"""
+QUERIES["events_benford"] = q_events_benford
