@@ -14462,3 +14462,49 @@ ORACLE_SQL["events_benford"] = """
     FROM e
 """
 QUERIES["events_benford"] = q_events_benford
+
+
+def q_doc_community_sizes(sf_dir):
+    """Community size distribution from label propagation:
+    (community_size, n_communities) — the LP labels resolve through one
+    coarse label-bucket kernel (labels co-locate, so per-bucket sizes
+    are exact), bounded size-histogram fold."""
+    from .algos import label_propagation
+    from .algos.triangles import TARGET_ROWS_PER_BUCKET
+
+    eng = documents_engine(sf_dir, "undirected")
+    label_propagation(eng, max_iters=LP_ROUNDS)
+    n = documents_n_vertices(sf_dir)
+    nb = max(4, n // TARGET_ROWS_PER_BUCKET + 1)
+
+    def part(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array(lab % nb),
+                         "lab": pa.array(lab)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("lab", sort=False).size()
+        h = sizes.value_counts()
+        return pd.DataFrame({
+            "community_size": h.index.to_numpy(np.int64),
+            "n_communities": h.to_numpy(np.int64)})
+
+    p = eng.state_dataset(["label"]).map_batches(
+        part, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(kern, batch_format="pandas") \
+        .to_pandas()
+    out = p.groupby("community_size")["n_communities"].sum() \
+        .reset_index()
+    out["community_size"] = out["community_size"].astype(np.int64)
+    out["n_communities"] = out["n_communities"].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["doc_community_sizes"] = f"""
+    WITH lp AS ({_lp_sql(LP_ROUNDS)}),
+    sizes AS (SELECT label, count(*)::BIGINT AS s FROM lp
+              GROUP BY label)
+    SELECT s AS community_size, count(*)::BIGINT AS n_communities
+    FROM sizes GROUP BY s
+"""
+QUERIES["doc_community_sizes"] = q_doc_community_sizes
