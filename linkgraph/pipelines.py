@@ -14508,3 +14508,55 @@ ORACLE_SQL["doc_community_sizes"] = f"""
     FROM sizes GROUP BY s
 """
 QUERIES["doc_community_sizes"] = q_doc_community_sizes
+
+
+def q_events_value_concentration(sf_dir):
+    """Revenue concentration: the share of total revenue carried by
+    transactions at/above the exact P99 value (order statistic over
+    integer cents — quantiles.exact_quantiles), from map-side integer
+    partials; one float division at the end."""
+    from .quantiles import exact_quantiles
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["value"])
+
+    def cents_b(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"cents": pa.array(c)})
+
+    cds = ev.map_batches(cents_b, batch_format="pyarrow").materialize()
+    thr = int(exact_quantiles(cds, "cents", [0.99])["val"].iloc[0])
+
+    def part(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        top = c >= thr
+        return pa.table({
+            "s_all": pa.array([int(c.sum())], pa.int64()),
+            "s_top": pa.array([int(c[top].sum())], pa.int64()),
+            "n_top": pa.array([int(top.sum())], pa.int64()),
+            "n": pa.array([len(c)], pa.int64())})
+
+    p = cds.map_batches(part, batch_format="pyarrow").to_pandas()
+    s_all, s_top = int(p["s_all"].sum()), int(p["s_top"].sum())
+    return pd.DataFrame({
+        "threshold_cents": np.array([thr], np.int64),
+        "n_top": np.array([int(p["n_top"].sum())], np.int64),
+        "n_events": np.array([int(p["n"].sum())], np.int64),
+        "top_share": [round(s_top / s_all if s_all else 0.0, 6)]})
+
+
+ORACLE_SQL["events_value_concentration"] = """
+    WITH c AS (SELECT (floor(value * 100.0 + 0.5))::BIGINT AS cents
+               FROM events),
+    t AS (SELECT quantile_disc(cents, 0.99) AS thr FROM c)
+    SELECT (SELECT thr FROM t)::BIGINT AS threshold_cents,
+           sum(CASE WHEN cents >= (SELECT thr FROM t)
+               THEN 1 ELSE 0 END)::BIGINT AS n_top,
+           count(*)::BIGINT AS n_events,
+           round(sum(CASE WHEN cents >= (SELECT thr FROM t)
+                     THEN cents ELSE 0 END)::DOUBLE / sum(cents), 6)
+             AS top_share
+    FROM c
+"""
+QUERIES["events_value_concentration"] = q_events_value_concentration
