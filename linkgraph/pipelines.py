@@ -14560,3 +14560,47 @@ ORACLE_SQL["events_value_concentration"] = """
     FROM c
 """
 QUERIES["events_value_concentration"] = q_events_value_concentration
+
+
+def q_sketch_hll_error(sf_dir):
+    """Sketch-accuracy report: the HLL distinct-token estimate next to
+    the EXACT distinct count (the distinct-token combiner) and the
+    relative error — the calibration check a sketch rollout ships with.
+    Composes two oracle-checked operators; the exact count uses
+    per-batch value_counts partials + one distinct-token groupby, never
+    a driver-side set."""
+    hll = q_sketch_hll(sf_dir)
+    if hasattr(hll, "to_pandas"):
+        hll = hll.to_pandas()
+    est = float(hll["estimate"].iloc[0])
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(_arr(b["text"]),
+                                                      r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        u = pc.unique(toks)
+        return pa.table({"token": u})
+
+    exact = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").count().count()
+    return pd.DataFrame({
+        "exact": np.array([int(exact)], np.int64),
+        "estimate": [round(est, 6)],
+        "rel_err": [round((est - exact) / exact if exact else 0.0, 6)]})
+
+
+ORACLE_SQL["sketch_hll_error"] = f"""
+    WITH h AS ({ORACLE_SQL["sketch_hll"]}),
+    ex AS (SELECT count(DISTINCT token)::BIGINT AS exact FROM (
+             SELECT unnest(list_filter(string_split_regex(text,
+                    '\\s+'), x -> x <> '')) AS token
+             FROM documents))
+    SELECT (SELECT exact FROM ex) AS exact,
+           round((SELECT estimate FROM h), 6) AS estimate,
+           round(((SELECT estimate FROM h) - (SELECT exact FROM ex))
+                 / (SELECT exact FROM ex), 6) AS rel_err
+"""
+QUERIES["sketch_hll_error"] = q_sketch_hll_error
