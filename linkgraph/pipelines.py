@@ -14604,3 +14604,36 @@ ORACLE_SQL["sketch_hll_error"] = f"""
                  / (SELECT exact FROM ex), 6) AS rel_err
 """
 QUERIES["sketch_hll_error"] = q_sketch_hll_error
+
+
+def q_dedup_substr_rate(sf_dir):
+    """Corpus substring-duplication exposure: the fraction of documents
+    that share at least one sampled 30-char window with another doc —
+    composes the collision-proof substring pair operator; involved ids
+    fold through a coarse bucket distinct (pair output is already
+    small, but the rate must count DISTINCT docs)."""
+    pairs = q_dedup_substr(sf_dir)
+    if hasattr(pairs, "to_pandas"):
+        pairs = pairs.to_pandas()
+    involved = np.unique(np.concatenate([
+        pairs["a"].to_numpy(np.int64), pairs["b"].to_numpy(np.int64)])) \
+        if len(pairs) else np.array([], np.int64)
+    n = int(read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"]).count())
+    return pd.DataFrame({
+        "n_docs": np.array([n], np.int64),
+        "n_involved": np.array([len(involved)], np.int64),
+        "dup_rate": [round(len(involved) / n if n else 0.0, 6)]})
+
+
+ORACLE_SQL["dedup_substr_rate"] = f"""
+    WITH pairs AS ({_substr_sql(window=30, stride=7, df_cap=64)}),
+    inv AS (SELECT DISTINCT v FROM (
+              SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs))
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+           (SELECT count(*) FROM inv)::BIGINT AS n_involved,
+           round((SELECT count(*) FROM inv)::DOUBLE
+                 / (SELECT count(*) FROM documents), 6) AS dup_rate
+"""
+QUERIES["dedup_substr_rate"] = q_dedup_substr_rate
