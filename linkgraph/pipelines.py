@@ -14637,3 +14637,61 @@ ORACLE_SQL["dedup_substr_rate"] = f"""
                  / (SELECT count(*) FROM documents), 6) AS dup_rate
 """
 QUERIES["dedup_substr_rate"] = q_dedup_substr_rate
+
+
+def q_tpch_brand_size_chi2(sf_dir):
+    """Chi-square independence test of p_brand x p_size (catalog
+    dimension association screen): bounded contingency partials (25
+    brands x 50 sizes), expected = row*col/n, one float fold in
+    deterministic (brand, size) order both engines avoid order exposure
+    by summing the IDENTICAL per-cell expression (round-6)."""
+    part = read_parquet_clean(os.path.join(sf_dir, "part.parquet"),
+                              columns=["p_brand", "p_size"])
+
+    def cpart(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"b": b["p_brand"].to_pandas(),
+                           "s": b["p_size"].to_numpy(
+                               zero_copy_only=False)})
+        g = df.groupby(["b", "s"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = part.map_batches(cpart, batch_format="pyarrow").to_pandas()
+    g = p.groupby(["b", "s"])["n"].sum().reset_index()
+    n = int(g["n"].sum())
+    rows = g.groupby("b")["n"].sum()
+    cols = g.groupby("s")["n"].sum()
+    # chi2 over OBSERVED cells plus the zero cells' expected mass:
+    # sum (o-e)^2/e = sum over all cells; zero cells contribute e
+    chi2 = 0.0
+    obs_e = 0.0
+    for _, r in g.iterrows():
+        e = rows[r["b"]] * cols[r["s"]] / n
+        chi2 += (r["n"] - e) ** 2 / e
+        obs_e += e
+    chi2 += n - obs_e  # zero cells: sum e over absent (o=0) cells
+    dof = (len(rows) - 1) * (len(cols) - 1)
+    return pd.DataFrame({
+        "n_parts": np.array([n], np.int64),
+        "dof": np.array([dof], np.int64),
+        "chi2": [round(float(chi2), 6)]})
+
+
+ORACLE_SQL["tpch_brand_size_chi2"] = """
+    WITH g AS (SELECT p_brand AS b, p_size AS s, count(*)::BIGINT AS n
+               FROM part GROUP BY 1, 2),
+    t AS (SELECT sum(n)::DOUBLE AS n FROM g),
+    r AS (SELECT b, sum(n)::DOUBLE AS rn FROM g GROUP BY b),
+    c AS (SELECT s, sum(n)::DOUBLE AS cn FROM g GROUP BY s),
+    obs AS (SELECT sum((g.n - r.rn * c.cn / (SELECT n FROM t))
+                       * (g.n - r.rn * c.cn / (SELECT n FROM t))
+                       / (r.rn * c.cn / (SELECT n FROM t))) AS chi2o,
+                   sum(r.rn * c.cn / (SELECT n FROM t)) AS eo
+            FROM g JOIN r USING (b) JOIN c USING (s))
+    SELECT (SELECT n FROM t)::BIGINT AS n_parts,
+           ((SELECT count(*) FROM r) - 1)
+             * ((SELECT count(*) FROM c) - 1) AS dof,
+           round(chi2o + (SELECT n FROM t) - eo, 6) AS chi2
+    FROM obs
+"""
+QUERIES["tpch_brand_size_chi2"] = q_tpch_brand_size_chi2
