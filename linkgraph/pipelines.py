@@ -14695,3 +14695,60 @@ ORACLE_SQL["tpch_brand_size_chi2"] = """
     FROM obs
 """
 QUERIES["tpch_brand_size_chi2"] = q_tpch_brand_size_chi2
+
+
+def q_text_ttr_by_source(sf_dir):
+    """Per-source lexical diversity dashboard: mean type-token ratio
+    over the bounded source catalog — the TTR kernel's per-doc ratios
+    aggregated as map-side (source, sum, n) partials (one small
+    groupby; round-6 means)."""
+    from ray.data.aggregate import Sum
+
+    from .runtime import tune_context
+    from .text import _batch_word_hashes, _per_doc_max_and_distinct
+
+    tune_context()
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text", "source"])
+
+    def part(b: pa.Table) -> pa.Table:
+        wd, h, n_docs = _batch_word_hashes(b["text"].to_pylist())
+        n_tok = np.bincount(wd, minlength=n_docs).astype(np.int64)
+        _, n_types = _per_doc_max_and_distinct(wd, h, n_docs)
+        ttr = np.zeros(n_docs)
+        nz = n_tok > 0
+        ttr[nz] = n_types[nz] / n_tok[nz]
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "tsum": np.round(ttr, 6), "n": 1})
+        g = df.groupby("source", sort=False).agg(
+            tsum=("tsum", "sum"), n=("n", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = docs.map_batches(part, batch_format="pyarrow") \
+        .groupby("source") \
+        .aggregate(Sum("tsum", alias_name="tsum"),
+                   Sum("n", alias_name="n")).to_pandas()
+    agg["mean_ttr"] = (agg["tsum"] / agg["n"]).round(6)
+    agg["n_docs"] = agg["n"].astype(np.int64)
+    return agg[["source", "n_docs", "mean_ttr"]] \
+        .sort_values("source").reset_index(drop=True)
+
+
+ORACLE_SQL["text_ttr_by_source"] = """
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(
+               lower(text), '[ \t\n]+'), x -> length(x) > 0)) AS w
+      FROM documents),
+    uni AS (SELECT doc_id, count(*)::DOUBLE AS n_tok,
+                   count(DISTINCT w)::DOUBLE AS n_types
+            FROM words GROUP BY doc_id),
+    per AS (SELECT d.doc_id, d.source,
+                   round(CASE WHEN coalesce(u.n_tok, 0) > 0
+                         THEN u.n_types / u.n_tok ELSE 0.0 END, 6)
+                     AS ttr
+            FROM documents d LEFT JOIN uni u USING (doc_id))
+    SELECT source, count(*)::BIGINT AS n_docs,
+           round(sum(ttr) / count(*), 6) AS mean_ttr
+    FROM per GROUP BY source
+"""
+QUERIES["text_ttr_by_source"] = q_text_ttr_by_source
