@@ -14752,3 +14752,51 @@ ORACLE_SQL["text_ttr_by_source"] = """
     FROM per GROUP BY source
 """
 QUERIES["text_ttr_by_source"] = q_text_ttr_by_source
+
+
+def q_doc_spectral_radius(sf_dir):
+    """Spectral-radius estimate of the undirected adjacency: the L1
+    power-iteration ratio ||x_{t}||_1 / ||x_{t-1}||_1 after the eigen
+    run's unnormalized recurrence (converges to lambda_max; the
+    epidemic-threshold / expansion constant).  Two map_vertices L1
+    reduces on consecutive iterates (the engine keeps both buffers)."""
+    from .algos.eigen import EigenProgram
+
+    eng = documents_engine(sf_dir, "undirected")
+    # run EIGEN_ITERS steps, capturing the L1 mass of the last two
+    # iterates: curr after run = x_t, and one more superstep gives
+    # x_{t+1}; ratio estimates lambda_max
+    eng.run(EigenProgram(), max_steps=EIGEN_ITERS, run_name="eigen_sr")
+    s_t = eng.map_vertices(
+        lambda ctx, state, active: float(state["curr"].sum()))
+    eng.run(EigenProgram(), max_steps=1, run_name="eigen_sr1")
+    # fresh run re-inits: instead compute x_{t+1} = A x_t via one more
+    # full run of t+1 steps (deterministic linear recurrence)
+    eng.run(EigenProgram(), max_steps=EIGEN_ITERS + 1,
+            run_name="eigen_sr2")
+    s_t1 = eng.map_vertices(
+        lambda ctx, state, active: float(state["curr"].sum()))
+    lam = s_t1 / s_t if s_t > 0 else 0.0
+    return pd.DataFrame({
+        "l1_t": [round(s_t, 6)], "l1_t1": [round(s_t1, 6)],
+        "lambda_max_est": [round(lam, 6)]})
+
+
+ORACLE_SQL["doc_spectral_radius"] = f"""
+    WITH sym AS MATERIALIZED ({DOC_SYM_SQL}),
+    allv AS MATERIALIZED (SELECT doc_id AS v FROM documents),
+    x0 AS (SELECT v, 1.0 AS x FROM allv)
+    {"".join(
+        f", x{i} AS MATERIALIZED (SELECT allv.v, coalesce(m.s, 0.0) AS x "
+        f"FROM allv LEFT JOIN (SELECT sym.dst AS v, sum(x{i-1}.x) AS s "
+        f"FROM sym JOIN x{i-1} ON x{i-1}.v = sym.src GROUP BY sym.dst) m "
+        f"USING (v))"
+        for i in range(1, 8 + 2))}
+    SELECT round((SELECT sum(x) FROM x8), 6) AS l1_t,
+           round((SELECT sum(x) FROM x9), 6) AS l1_t1,
+           round(CASE WHEN (SELECT sum(x) FROM x8) > 0
+                 THEN (SELECT sum(x) FROM x9)
+                      / (SELECT sum(x) FROM x8) ELSE 0.0 END, 6)
+             AS lambda_max_est
+"""
+QUERIES["doc_spectral_radius"] = q_doc_spectral_radius
