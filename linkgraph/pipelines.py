@@ -14769,9 +14769,8 @@ def q_doc_spectral_radius(sf_dir):
     eng.run(EigenProgram(), max_steps=EIGEN_ITERS, run_name="eigen_sr")
     s_t = eng.map_vertices(
         lambda ctx, state, active: float(state["curr"].sum()))
-    eng.run(EigenProgram(), max_steps=1, run_name="eigen_sr1")
-    # fresh run re-inits: instead compute x_{t+1} = A x_t via one more
-    # full run of t+1 steps (deterministic linear recurrence)
+    # a fresh run re-inits state, so x_{t+1} comes from a full
+    # (t+1)-step run of the same deterministic linear recurrence
     eng.run(EigenProgram(), max_steps=EIGEN_ITERS + 1,
             run_name="eigen_sr2")
     s_t1 = eng.map_vertices(
