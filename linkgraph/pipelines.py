@@ -14799,3 +14799,66 @@ ORACLE_SQL["doc_spectral_radius"] = f"""
              AS lambda_max_est
 """
 QUERIES["doc_spectral_radius"] = q_doc_spectral_radius
+
+
+def q_doc_rank_degree_corr(sf_dir):
+    """Does PageRank just measure degree here? Pearson correlation of
+    (round-6 rank, symmetric degree) over all vertices: the gated
+    degree attach + one moment-partial pass (tpch_corr's fold).
+    Isolated vertices carry degree 0."""
+    import ray
+
+    from .edges import degree_table, symmetrize
+
+    ranks = q_doc_pagerank(sf_dir).materialize()
+    deg = degree_table(symmetrize(documents_edges(sf_dir)),
+                       "src").to_pandas()
+    vs = deg["v"].to_numpy(np.int64)
+    order = np.argsort(vs)
+    dref = ray.put((vs[order], deg["degree"].to_numpy(np.int64)[order]))
+
+    def part(b: pa.Table) -> pa.Table:
+        v, d = ray.get(dref)
+        vv = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(v, vv)
+        pos_c = np.minimum(pos, max(0, len(v) - 1))
+        dd = np.where((pos < len(v)) & (v[pos_c] == vv), d[pos_c], 0) \
+            .astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(r)], pa.int64()),
+            "sx": pa.array([float(r.sum())]),
+            "sy": pa.array([float(dd.sum())]),
+            "sxx": pa.array([float((r * r).sum())]),
+            "syy": pa.array([float((dd * dd).sum())]),
+            "sxy": pa.array([float((r * dd).sum())])})
+
+    p = ranks.map_batches(part, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    sx, sy = float(p["sx"].sum()), float(p["sy"].sum())
+    sxx, syy = float(p["sxx"].sum()), float(p["syy"].sum())
+    sxy = float(p["sxy"].sum())
+    den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    corr = (n * sxy - sx * sy) / den if den > 0 else 0.0
+    return pd.DataFrame({"n_vertices": np.array([n], np.int64),
+                         "corr": [round(float(corr), 6)]})
+
+
+ORACLE_SQL["doc_rank_degree_corr"] = f"""
+    WITH pr AS MATERIALIZED ({_pagerank_sql(PR_ITERS, 6)}),
+    e AS MATERIALIZED ({DOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS v, count(*)::DOUBLE AS d FROM sym
+            GROUP BY src),
+    j AS (SELECT pr.rank AS x, coalesce(deg.d, 0.0) AS y
+          FROM pr LEFT JOIN deg USING (v))
+    SELECT count(*)::BIGINT AS n_vertices,
+           round(CASE WHEN sqrt(count(*)*sum(x*x) - sum(x)*sum(x))
+                      * sqrt(count(*)*sum(y*y) - sum(y)*sum(y)) > 0
+                 THEN (count(*)*sum(x*y) - sum(x)*sum(y))
+                    / (sqrt(count(*)*sum(x*x) - sum(x)*sum(x))
+                     * sqrt(count(*)*sum(y*y) - sum(y)*sum(y)))
+                 ELSE 0.0 END, 6) AS corr
+    FROM j
+"""
+QUERIES["doc_rank_degree_corr"] = q_doc_rank_degree_corr
