@@ -14810,21 +14810,43 @@ def q_doc_rank_degree_corr(sf_dir):
 
     from .edges import degree_table, symmetrize
 
+    from .algos.triangles import BROADCAST_DEG_CAP
+    from .dedup import _join_parts
+
     ranks = q_doc_pagerank(sf_dir).materialize()
-    deg = degree_table(symmetrize(documents_edges(sf_dir)),
-                       "src").to_pandas()
-    vs = deg["v"].to_numpy(np.int64)
-    order = np.argsort(vs)
-    dref = ray.put((vs[order], deg["degree"].to_numpy(np.int64)[order]))
+    deg_ds = degree_table(symmetrize(documents_edges(sf_dir)), "src")
+    if deg_ds.count() <= BROADCAST_DEG_CAP:
+        deg = deg_ds.to_pandas()
+        vs = deg["v"].to_numpy(np.int64)
+        order = np.argsort(vs)
+        dref = ray.put((vs[order],
+                        deg["degree"].to_numpy(np.int64)[order]))
+        joined = ranks
+        broadcast = True
+    else:
+        # SIZE-GATED (the assortativity/BROADCAST_DEG_CAP rule): above
+        # the cap the degree table hash-joins onto the rank state
+        dd_ds = deg_ds.map_batches(
+            lambda b: pa.table({"v": b["v"], "degree": b["degree"]}),
+            batch_format="pyarrow")
+        joined = ranks.join(dd_ds, join_type="left_outer",
+                            num_partitions=_join_parts(ranks.count()),
+                            on=("v",))
+        broadcast = False
 
     def part(b: pa.Table) -> pa.Table:
-        v, d = ray.get(dref)
-        vv = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         r = b["rank"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(v, vv)
-        pos_c = np.minimum(pos, max(0, len(v) - 1))
-        dd = np.where((pos < len(v)) & (v[pos_c] == vv), d[pos_c], 0) \
-            .astype(np.float64)
+        if broadcast:
+            v, d = ray.get(dref)
+            vv = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(v, vv)
+            pos_c = np.minimum(pos, max(0, len(v) - 1))
+            dd = np.where((pos < len(v)) & (v[pos_c] == vv),
+                          d[pos_c], 0).astype(np.float64)
+        else:
+            dd = np.nan_to_num(
+                b["degree"].to_numpy(zero_copy_only=False)
+                .astype(np.float64))
         return pa.table({
             "n": pa.array([len(r)], pa.int64()),
             "sx": pa.array([float(r.sum())]),
@@ -14833,7 +14855,7 @@ def q_doc_rank_degree_corr(sf_dir):
             "syy": pa.array([float((dd * dd).sum())]),
             "sxy": pa.array([float((r * dd).sum())])})
 
-    p = ranks.map_batches(part, batch_format="pyarrow").to_pandas()
+    p = joined.map_batches(part, batch_format="pyarrow").to_pandas()
     n = int(p["n"].sum())
     sx, sy = float(p["sx"].sum()), float(p["sy"].sum())
     sxx, syy = float(p["sxx"].sum()), float(p["syy"].sum())

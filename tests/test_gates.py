@@ -978,3 +978,16 @@ def test_semdedup_matches_naive(ray_session):
     assert got["c"].tolist() == asg.astype(np.int64).tolist()
     assert got["dropped"].tolist() == dropped.tolist()
     assert dropped.sum() > 0  # the planted dups actually exercised it
+
+
+def test_rank_degree_corr_gate_paths_equal(ray_session, monkeypatch):
+    """doc_rank_degree_corr: broadcast path == forced join path."""
+    import linkgraph.algos.triangles as T
+    from linkgraph.pipelines import q_doc_rank_degree_corr
+
+    sf = "/root/testdata/sf0.001"
+    a = q_doc_rank_degree_corr(sf)
+    monkeypatch.setattr(T, "BROADCAST_DEG_CAP", 0)
+    b = q_doc_rank_degree_corr(sf)
+    assert a["corr"].iloc[0] == b["corr"].iloc[0]
+    assert a["n_vertices"].iloc[0] == b["n_vertices"].iloc[0]
