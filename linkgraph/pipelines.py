@@ -14612,19 +14612,37 @@ def q_dedup_substr_rate(sf_dir):
     composes the collision-proof substring pair operator; involved ids
     fold through a coarse bucket distinct (pair output is already
     small, but the rate must count DISTINCT docs)."""
+    from .algos.triangles import TARGET_ROWS_PER_BUCKET
+    from .io import from_pandas_clean
+
     pairs = q_dedup_substr(sf_dir)
-    if hasattr(pairs, "to_pandas"):
-        pairs = pairs.to_pandas()
-    involved = np.unique(np.concatenate([
-        pairs["a"].to_numpy(np.int64), pairs["b"].to_numpy(np.int64)])) \
-        if len(pairs) else np.array([], np.int64)
+    if isinstance(pairs, pd.DataFrame):
+        pairs = from_pandas_clean(pairs) if len(pairs) else None
     n = int(read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id"]).count())
+    n_inv = 0
+    if pairs is not None:
+        nb = max(4, n // TARGET_ROWS_PER_BUCKET + 1)
+
+        def part(b: pa.Table) -> pa.Table:
+            ids = np.unique(np.concatenate([
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False)])).astype(np.int64)
+            return pa.table({"bucket": pa.array(ids % nb),
+                             "v": pa.array(ids)})
+
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n": [int(g["v"].nunique())]})
+
+        p = pairs.map_batches(part, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(kern, batch_format="pandas") \
+            .to_pandas()
+        n_inv = int(p["n"].sum()) if len(p) else 0
     return pd.DataFrame({
         "n_docs": np.array([n], np.int64),
-        "n_involved": np.array([len(involved)], np.int64),
-        "dup_rate": [round(len(involved) / n if n else 0.0, 6)]})
+        "n_involved": np.array([n_inv], np.int64),
+        "dup_rate": [round(n_inv / n if n else 0.0, 6)]})
 
 
 ORACLE_SQL["dedup_substr_rate"] = f"""
