@@ -5813,6 +5813,17 @@ def _kmeans_full_sql(n_centroids: int = 8, iters: int = 4,
                 f"SELECT p.c, p.i, round(p.y, 6) AS y, "
                 f"CAST(coalesce(cnt.n, 0) AS BIGINT) AS n "
                 f"FROM {last} p LEFT JOIN cnt ON cnt.c = p.c")
+    if tail == "purity":
+        # per-cluster majority-label share over the final assignment
+        ctes.append("""lab AS (SELECT f.vec_id, f.c, e2.label
+          FROM fasg f JOIN embeddings e2 USING (vec_id))""")
+        ctes.append("""cl AS (SELECT c, label, count(*)::BIGINT AS n
+          FROM lab GROUP BY c, label)""")
+        return (f"WITH {', '.join(ctes)} "
+                f"SELECT c, sum(n)::BIGINT AS n_vecs, "
+                f"max(n)::BIGINT AS n_majority, "
+                f"round(max(n)::DOUBLE / sum(n), 6) AS purity "
+                f"FROM cl GROUP BY c")
     if tail == "semdedup":
         # SemDeDup: within each final cluster, drop b iff some a < b in
         # the cluster has cosine(a, b) >= tau (cosine on RAW vectors —
@@ -14902,3 +14913,45 @@ ORACLE_SQL["doc_rank_degree_corr"] = f"""
     FROM j
 """
 QUERIES["doc_rank_degree_corr"] = q_doc_rank_degree_corr
+
+
+def q_embed_cluster_purity(sf_dir):
+    """Clustering-quality report: per k-means cluster, the majority
+    TRUE-label share (purity).  Broadcast centroids (the semdedup
+    assignment), bounded (cluster x label) count partials, driver fold
+    over k x |labels| cells."""
+    import ray
+
+    from .ann import _normalize, kmeans_centroids, vec_matrix
+    from .runtime import tune_context
+
+    tune_context()
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding", "label"])
+    cent = kmeans_centroids(emb, 8, 4)
+    cref = ray.put(cent)
+
+    def part(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(vec_matrix(b["embedding"]))
+        a = (m @ c.T).argmax(axis=1).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"c": a, "label": lab, "n": 1})
+        g = df.groupby(["c", "label"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = emb.map_batches(part, batch_format="pyarrow").to_pandas()
+    g = p.groupby(["c", "label"])["n"].sum().reset_index()
+    out = g.groupby("c").agg(n_vecs=("n", "sum"),
+                             n_majority=("n", "max")).reset_index()
+    out["purity"] = (out["n_majority"] / out["n_vecs"]).round(6)
+    out["c"] = out["c"].astype(np.int64)
+    out["n_vecs"] = out["n_vecs"].astype(np.int64)
+    out["n_majority"] = out["n_majority"].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["embed_cluster_purity"] = _kmeans_full_sql(
+    n_centroids=8, iters=4, tail="purity")
+QUERIES["embed_cluster_purity"] = q_embed_cluster_purity
