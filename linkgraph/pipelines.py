@@ -14955,3 +14955,57 @@ def q_embed_cluster_purity(sf_dir):
 ORACLE_SQL["embed_cluster_purity"] = _kmeans_full_sql(
     n_centroids=8, iters=4, tail="purity")
 QUERIES["embed_cluster_purity"] = q_embed_cluster_purity
+
+
+def q_events_new_vs_returning(sf_dir):
+    """Daily new-vs-returning actives: per epoch-day, distinct users
+    seen for the FIRST time that day vs returning ones.  One coarse
+    user-bucket kernel emits each user's (first_day, active-day set) as
+    calendar-bounded (day, new, returning) partials; driver fold."""
+    from .algos.triangles import n_buckets_for
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"]).materialize()
+    nb = n_buckets_for(ev.count())
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (pc.cast(b["ts"], pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({"u": pa.array(u),
+                         "day": pa.array(day.astype(np.int64)),
+                         "kb": pa.array((u % nb).astype(np.int64))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        ud = g.drop_duplicates(["u", "day"])
+        first = ud.groupby("u", sort=False)["day"].transform("min")
+        new = ud["day"].to_numpy() == first.to_numpy()
+        df = pd.DataFrame({"day": ud["day"].to_numpy(np.int64),
+                           "n_new": new.astype(np.int64),
+                           "n_returning": (~new).astype(np.int64)})
+        return df.groupby("day", sort=False).sum().reset_index()
+
+    p = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("kb").map_groups(kern, batch_format="pandas") \
+        .to_pandas()
+    out = p.groupby("day")[["n_new", "n_returning"]].sum().reset_index()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["events_new_vs_returning"] = """
+    WITH ud AS (SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+    f AS (SELECT user_id, min(day) AS first_day FROM ud
+          GROUP BY user_id)
+    SELECT ud.day,
+           sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+             ::BIGINT AS n_new,
+           sum(CASE WHEN ud.day = f.first_day THEN 0 ELSE 1 END)
+             ::BIGINT AS n_returning
+    FROM ud JOIN f USING (user_id)
+    GROUP BY ud.day
+"""
+QUERIES["events_new_vs_returning"] = q_events_new_vs_returning
