@@ -489,7 +489,9 @@ def _verify_jaccard_ds(cands_ds, sh_ds, id_col: str,
     their two shingle blobs (never a driver dict), then a map_batches
     kernel computes Jaccard per pair.  Only the verified (small) result
     is collected."""
-    n_pairs = cands_ds.count()
+    from .runtime import counted
+
+    cands_ds, n_pairs = counted(cands_ds)  # gate + join, one execution
     parts = _join_parts(n_pairs)
     sh = sh_ds.materialize()  # consumed by both join sides
     sh_a = sh.map_batches(

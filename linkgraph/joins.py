@@ -224,9 +224,12 @@ def _key_filter_join(left_ds, right_ds, key: str, anti: bool,
     rows.  Output schema == left schema in both plans."""
     import ray
 
+    from .runtime import counted
+
     cap = SEMI_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
-    right_keys = right_ds.select_columns([key])
-    n_right = right_ds.count()
+    # materialize the key projection ONCE: the gate count, the broadcast
+    # collect and the distributed tag-union all read it (counted() rule)
+    right_keys, n_right = counted(right_ds.select_columns([key]))
     if n_right == 0:
         # empty datasets lose their schema (repo gotcha) — short-circuit:
         # nothing matches, so anti keeps everything and semi keeps nothing
@@ -255,7 +258,7 @@ def _key_filter_join(left_ds, right_ds, key: str, anti: bool,
     from .runtime import tune_context
     tune_context()
     left_ds = left_ds.materialize()
-    nb = _n_buckets(left_ds.count() + right_ds.count())
+    nb = _n_buckets(left_ds.count() + n_right)
     l_schema = left_ds.schema()
     l_names = list(l_schema.names)
     l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
@@ -487,7 +490,12 @@ def bloom_semi_join(left_ds, right_ds, key: str,
     function still honors `broadcast_cap` for forced-path tests."""
     import ray
 
-    n_right = right_ds.count()
+    from .runtime import counted
+
+    # one execution of the right side total: the materialized key
+    # projection feeds the gate count, the bitmap build AND the exact
+    # semi_join pass below (which only reads the key column anyway)
+    right_keys, n_right = counted(right_ds.select_columns([key]))
     if n_right == 0:
         return left_ds.map_batches(lambda b: b.slice(0, 0),
                                    batch_format="pyarrow")
@@ -502,7 +510,7 @@ def bloom_semi_join(left_ds, right_ds, key: str,
         return pa.table({"pos": pa.array(pos)})
 
     bits = np.zeros(m_bits >> 3, dtype=np.uint8)
-    for t in (right_ds.select_columns([key])
+    for t in (right_keys
               .map_batches(build, batch_format="pyarrow")
               .iter_batches(batch_format="pyarrow", batch_size=None)):
         p = t["pos"].to_numpy(zero_copy_only=False)
@@ -518,7 +526,7 @@ def bloom_semi_join(left_ds, right_ds, key: str,
         return b.filter(pa.array(hit))
 
     pruned = left_ds.map_batches(prefilter, batch_format="pyarrow")
-    return _key_filter_join(pruned, right_ds, key, anti=False,
+    return _key_filter_join(pruned, right_keys, key, anti=False,
                             broadcast_cap=broadcast_cap)
 
 

@@ -310,9 +310,11 @@ def q_doc_assortativity(sf_dir):
     from .algos.triangles import BROADCAST_DEG_CAP
     from .edges import degree_table, symmetrize
 
+    from .runtime import counted
+
     sym = symmetrize(documents_edges(sf_dir)).materialize()
-    deg_ds = degree_table(sym, "src")
-    if deg_ds.count() <= BROADCAST_DEG_CAP:
+    deg_ds, n_deg = counted(degree_table(sym, "src"))
+    if n_deg <= BROADCAST_DEG_CAP:
         deg = deg_ds.to_pandas()
         vs = deg["v"].to_numpy()
         order = np.argsort(vs)
@@ -330,7 +332,7 @@ def q_doc_assortativity(sf_dir):
     else:
         from .dedup import _join_parts
 
-        deg_ds = deg_ds.materialize()  # feeds both join sides
+        # deg_ds already materialized by counted(); feeds both join sides
         sdeg = deg_ds.map_batches(
             lambda b: pa.table({"src": b["v"], "src_deg": b["degree"]}),
             batch_format="pyarrow")
@@ -14842,9 +14844,12 @@ def q_doc_rank_degree_corr(sf_dir):
     from .algos.triangles import BROADCAST_DEG_CAP
     from .dedup import _join_parts
 
+    from .runtime import counted
+
     ranks = q_doc_pagerank(sf_dir).materialize()
-    deg_ds = degree_table(symmetrize(documents_edges(sf_dir)), "src")
-    if deg_ds.count() <= BROADCAST_DEG_CAP:
+    deg_ds, n_deg = counted(
+        degree_table(symmetrize(documents_edges(sf_dir)), "src"))
+    if n_deg <= BROADCAST_DEG_CAP:
         deg = deg_ds.to_pandas()
         vs = deg["v"].to_numpy(np.int64)
         order = np.argsort(vs)

@@ -45,3 +45,15 @@ def pool_size(requested: int) -> int:
         return max(1, requested)
     cpus = int(ray.cluster_resources().get("CPU", requested + 1))
     return max(1, min(requested, cpus - 1))
+
+
+def counted(ds):
+    """(materialized_ds, n_rows) — the one blessed way to size-gate.
+
+    ``ds.count()`` on an un-executed Dataset runs the whole lineage and
+    throws the blocks away; consuming the same ``ds`` again afterwards
+    re-executes it (the diamond-lineage rule, CLAUDE.md).  Materialize
+    ONCE, read the row count from block metadata (free), and hand back
+    the materialized node so every gate site pays a single execution."""
+    m = ds.materialize()
+    return m, m.count()

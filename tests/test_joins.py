@@ -295,3 +295,57 @@ def test_bloom_semi_join_equals_semi_join(monkeypatch):
 
     empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
     assert bloom_semi_join(sleft, empty, "k").count() == 0
+
+
+def test_counted_single_execution(tmp_path):
+    """runtime.counted materializes once: a lineage instrumented to drop
+    a marker file per map invocation runs exactly once despite the gate
+    count AND a downstream consume (the diamond-lineage rule)."""
+    import glob
+    import os
+    import uuid
+
+    from linkgraph.runtime import counted
+
+    mark = str(tmp_path / f"exec-{uuid.uuid4().hex}")
+    os.makedirs(mark, exist_ok=True)
+
+    def spy(b: pa.Table) -> pa.Table:
+        with open(os.path.join(mark, uuid.uuid4().hex), "w"):
+            pass
+        return b
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+    ds = ds.repartition(1).map_batches(spy, batch_format="pyarrow")
+    m, n = counted(ds)
+    assert n == 3
+    assert m.count() == 3                      # metadata, no re-execute
+    assert m.to_pandas()["k"].tolist() == [1, 2, 3]
+    assert len(glob.glob(os.path.join(mark, "*"))) == 1
+
+
+def test_semi_join_executes_right_once(tmp_path):
+    """The size-gate in _key_filter_join must not re-execute the right
+    lineage for its count (VERDICT r4 minor #1)."""
+    import glob
+    import os
+    import uuid
+
+    from linkgraph.joins import semi_join
+
+    mark = str(tmp_path / f"right-{uuid.uuid4().hex}")
+    os.makedirs(mark, exist_ok=True)
+
+    def spy(b: pa.Table) -> pa.Table:
+        with open(os.path.join(mark, uuid.uuid4().hex), "w"):
+            pass
+        return b
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 5], pa.int64()),
+                                   "x": pa.array([10, 20, 50],
+                                                 pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([2, 5], pa.int64())})) \
+        .repartition(1).map_batches(spy, batch_format="pyarrow")
+    out = semi_join(left, right, "k").to_pandas().sort_values("k")
+    assert out["k"].tolist() == [2, 5]
+    assert len(glob.glob(os.path.join(mark, "*"))) == 1
