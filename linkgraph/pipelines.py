@@ -12206,6 +12206,46 @@ ORACLE_SQL["events_cusum"] = """
 QUERIES["events_cusum"] = q_events_cusum
 
 
+def q_events_cusum_by_type(sf_dir):
+    """Grouped CUSUM change-point scan: events_cusum's exact-integer
+    statistic per event type (windows.daily_cusum_by_key) — n and T
+    scoped to each type's own daily series, one flagged day per type.
+    Oracle: the same window prefix sums PARTITION BY event_type with a
+    per-type row_number flag."""
+    from .windows import daily_cusum_by_key
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type", "value"])
+    return daily_cusum_by_key(ev, key="event_type")
+
+
+ORACLE_SQL["events_cusum_by_type"] = """
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             sum((floor(value * 100.0 + 0.5))::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, day, cents,
+             ((count(*) OVER (PARTITION BY event_type))
+              * sum(cents) OVER (PARTITION BY event_type ORDER BY day)
+              - (row_number() OVER (PARTITION BY event_type
+                                    ORDER BY day))
+              * (sum(cents) OVER (PARTITION BY event_type)))::BIGINT
+               AS cusum_scaled
+      FROM d),
+    f AS (
+      SELECT event_type, day, cents, cusum_scaled,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(cusum_scaled) DESC, day ASC) AS rn
+      FROM c)
+    SELECT event_type, day, cents, cusum_scaled,
+           (CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT
+             AS is_changepoint
+    FROM f
+"""
+QUERIES["events_cusum_by_type"] = q_events_cusum_by_type
+
+
 def q_doc_eff_diameter(sf_dir):
     """Effective diameter from the ANF sketch (HyperANF's headline
     statistic): smallest t with N(t) >= 0.9 * N(t_max), plus the

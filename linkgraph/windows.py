@@ -1555,6 +1555,55 @@ def daily_cusum(ds, ts: str = "ts", value: str = "value"):
                          "is_changepoint": flag})
 
 
+def daily_cusum_by_key(ds, key: str = "event_type", ts: str = "ts",
+                       value: str = "value"):
+    """Grouped CUSUM: `daily_cusum`'s exact-integer scan run
+    independently per key (per event type) over that key's own daily
+    cents series — n and T in the scaled statistic are PER KEY.  One
+    changepoint flag per key (max |cusum_scaled|, earliest day on
+    ties); keys with a single active day carry cusum 0 and flag that
+    day.  Scale shape: calendar-bounded (key x day) map-side partials
+    — the same bounded domain as daily_anomalies_by_type — then a tiny
+    driver fold.  Returns (key, day, cents, cusum_scaled,
+    is_changepoint) sorted by (key, day)."""
+
+    def part(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        cents = np.floor(b[value].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        g = pd.DataFrame({key: b[key].to_pandas(), "day": day,
+                          "cents": cents}) \
+            .groupby([key, "day"], sort=False)["cents"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    d = parts.groupby([key, "day"], sort=True)["cents"].sum() \
+        .reset_index()
+    out = []
+    for k, g in d.groupby(key, sort=True):
+        cents = g["cents"].to_numpy(np.int64)
+        n = len(cents)
+        pref = np.cumsum(cents)
+        i = np.arange(1, n + 1, dtype=np.int64)
+        cus = n * pref - i * int(pref[-1] if n else 0)
+        flag = np.zeros(n, dtype=np.int64)
+        if n:
+            flag[int(np.argmax(np.abs(cus)))] = 1
+        gg = pd.DataFrame({key: k, "day": g["day"].to_numpy(np.int64),
+                           "cents": cents, "cusum_scaled": cus,
+                           "is_changepoint": flag})
+        out.append(gg)
+    if not out:
+        return pd.DataFrame({key: pd.Series([], dtype=str),
+                             "day": pd.Series([], dtype=np.int64),
+                             "cents": pd.Series([], dtype=np.int64),
+                             "cusum_scaled": pd.Series([], dtype=np.int64),
+                             "is_changepoint": pd.Series([], dtype=np.int64)})
+    return pd.concat(out, ignore_index=True)
+
+
 def daily_anomalies_by_type(ds, ts: str = "ts",
                             etype: str = "event_type"):
     """Grouped anomaly screen: per-(event_type, day) counts z-scored
