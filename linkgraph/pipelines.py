@@ -10095,6 +10095,113 @@ ORACLE_SQL["text_bpe_merges"] = _bpe_merges_sql(BPE_MERGE_ROUNDS)
 QUERIES["text_bpe_merges"] = q_text_bpe_merges
 
 
+def q_text_unigram_tokenizer(sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (tokenizer.unigram_train): substring-seeded vocab, hard-EM rounds of
+    Viterbi segmentation + count re-estimation over the distinct-word
+    table.  Log-probs use math.log (bit-identical to DuckDB ln — np.log
+    is NOT), so the DP argmax decisions reproduce exactly; the oracle
+    unrolls each E-step as a recursive CTE carrying the last 4 DP
+    states (score + segmentation string) as columns."""
+    from .tokenizer import unigram_train
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+    return unigram_train(docs)
+
+
+def _unigram_sql(seed_vocab: int, rounds: int, top_out: int) -> str:
+    """Oracle twin of tokenizer.unigram_train at max_len=4.  Each
+    E-step is one recursive CTE over (word, consumed-prefix length p):
+    the state carries best[p..p-3] and their segmentation strings, so
+    the Viterbi recurrence best[p] = max_k best[p-k] + lp(piece) needs
+    only the previous iteration's row.  Longest piece wins score ties
+    (the CASE order); invalid/missing pieces take the -1e100 sentinel
+    and can never beat a real candidate (single chars always stay
+    segmentable — pieces used by round r survive to round r+1)."""
+    S = BPE_SEP
+    NEG = "-1e100"
+    ctes = [
+        ("wc AS MATERIALIZED (SELECT w, count(*)::BIGINT AS n FROM ("
+         "SELECT unnest(list_filter(regexp_split_to_array(text, "
+         "'\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w)"),
+        ("cand AS MATERIALIZED (SELECT substr(w, s, l) AS piece, "
+         "sum(n)::BIGINT AS cnt FROM (SELECT w, n, "
+         "unnest(generate_series(1, length(w))) AS s FROM wc), "
+         "(SELECT unnest([1, 2, 3, 4]) AS l) "
+         "WHERE s + l - 1 <= length(w) GROUP BY 1)"),
+        (f"seltop AS (SELECT piece, cnt FROM cand "
+         f"ORDER BY cnt DESC, piece ASC LIMIT {seed_vocab})"),
+        ("sel AS (SELECT piece, max(cnt) AS cnt FROM ("
+         "SELECT * FROM seltop UNION ALL "
+         "SELECT piece, cnt FROM cand WHERE length(piece) = 1) "
+         "GROUP BY piece)"),
+        ("v1 AS MATERIALIZED (SELECT piece, ln(cnt::DOUBLE / "
+         "(SELECT sum(cnt) FROM sel)::DOUBLE) AS lp FROM sel)")]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""dp{r} AS (
+  SELECT w, n, 0 AS p,
+         0.0::DOUBLE AS b0, ''::VARCHAR AS s0,
+         {NEG}::DOUBLE AS b1, ''::VARCHAR AS s1,
+         {NEG}::DOUBLE AS b2, ''::VARCHAR AS s2,
+         {NEG}::DOUBLE AS b3, ''::VARCHAR AS s3
+  FROM wc
+  UNION ALL
+  SELECT w, n, p + 1,
+         CASE WHEN c4 >= c3 AND c4 >= c2 AND c4 >= c1 THEN c4
+              WHEN c3 >= c2 AND c3 >= c1 THEN c3
+              WHEN c2 >= c1 THEN c2 ELSE c1 END,
+         CASE WHEN c4 >= c3 AND c4 >= c2 AND c4 >= c1
+                   THEN s3 || '{S}' || substr(w, p - 2, 4)
+              WHEN c3 >= c2 AND c3 >= c1
+                   THEN s2 || '{S}' || substr(w, p - 1, 3)
+              WHEN c2 >= c1 THEN s1 || '{S}' || substr(w, p, 2)
+              ELSE s0 || '{S}' || substr(w, p + 1, 1) END,
+         b0, s0, b1, s1, b2, s2
+  FROM (
+    SELECT d.w, d.n, d.p, d.b0, d.s0, d.b1, d.s1, d.b2, d.s2,
+           d.b3, d.s3,
+           d.b0 + coalesce(x1.lp, {NEG}) AS c1,
+           d.b1 + coalesce(x2.lp, {NEG}) AS c2,
+           d.b2 + coalesce(x3.lp, {NEG}) AS c3,
+           d.b3 + coalesce(x4.lp, {NEG}) AS c4
+    FROM dp{r} d
+    LEFT JOIN v{r} x1 ON x1.piece = substr(d.w, d.p + 1, 1)
+    LEFT JOIN v{r} x2 ON x2.piece = substr(d.w, d.p, 2)
+    LEFT JOIN v{r} x3 ON x3.piece = substr(d.w, d.p - 1, 3)
+    LEFT JOIN v{r} x4 ON x4.piece = substr(d.w, d.p - 2, 4)
+    WHERE d.p < length(d.w)))""")
+        ctes.append(
+            f"cnt{r} AS MATERIALIZED (SELECT piece, "
+            f"sum(n)::BIGINT AS cnt FROM (SELECT "
+            f"unnest(string_split(s0, '{S}')) AS piece, n "
+            f"FROM dp{r} WHERE p = length(w)) "
+            f"WHERE piece <> '' GROUP BY piece)")
+        if r < rounds:
+            ctes.append(
+                f"v{r + 1} AS MATERIALIZED (SELECT piece, "
+                f"ln(cnt::DOUBLE / (SELECT sum(cnt) "
+                f"FROM cnt{r})::DOUBLE) AS lp FROM cnt{r})")
+    union = " UNION ALL ".join(
+        f"(SELECT {r}::BIGINT AS round, row_number() OVER ("
+        f"ORDER BY cnt DESC, piece ASC)::BIGINT AS rnk, piece, "
+        f"cnt AS n FROM cnt{r} "
+        f"ORDER BY cnt DESC, piece ASC LIMIT {top_out})"
+        for r in range(1, rounds + 1))
+    return (f"WITH RECURSIVE {', '.join(ctes)} "
+            f"SELECT round, rnk, piece, n FROM ({union}) "
+            f"ORDER BY round, rnk")
+
+
+from .tokenizer import UNI_ROUNDS as _UNI_ROUNDS  # noqa: E402
+from .tokenizer import UNI_SEED_VOCAB as _UNI_SEED  # noqa: E402
+from .tokenizer import UNI_TOP_OUT as _UNI_TOP  # noqa: E402
+
+ORACLE_SQL["text_unigram_tokenizer"] = _unigram_sql(
+    _UNI_SEED, _UNI_ROUNDS, _UNI_TOP)
+QUERIES["text_unigram_tokenizer"] = q_text_unigram_tokenizer
+
+
 ORACLE_SQL["doc_salsa"] = _salsa_sql(SALSA_ITERS, 6)
 QUERIES["doc_salsa"] = q_doc_salsa
 

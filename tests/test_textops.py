@@ -1216,3 +1216,30 @@ def test_classifier_scores_naive_parity(ray_session):
         assert got.loc[i, "keep"] == (1 if s >= 0 else 0)
         assert abs(got.loc[i, "prob"]
                    - round(1 / (1 + np.exp(-s)), 6)) <= 1e-12
+
+
+def test_unigram_tokenizer_partition_invariant():
+    """unigram_train is partition-count invariant and its Viterbi
+    segmentations cover each word exactly (engine invariant,
+    tests/test_modes.py rule)."""
+    from linkgraph.io import from_pandas_clean
+    from linkgraph.tokenizer import _viterbi, unigram_train
+
+    texts = ["the cat sat on the mat", "the cats sat", "a mat on a cat",
+             "concatenate the catalogue", "on and on and on"] * 6
+    df = pd.DataFrame({"text": texts})
+    r1 = unigram_train(from_pandas_clean(df).repartition(1))
+    r8 = unigram_train(from_pandas_clean(df).repartition(8))
+    pd.testing.assert_frame_equal(r1.reset_index(drop=True),
+                                  r8.reset_index(drop=True))
+    assert set(r1.columns) == {"round", "rnk", "piece", "n"}
+    assert r1["round"].nunique() == 3
+    # top pieces are real substrings with positive counts
+    assert (r1["n"] > 0).all()
+
+    # DP coverage: pieces rebuild the word, under any vocab with chars
+    import math
+    lp = {c: math.log(0.1) for c in "catalogue the snd"}
+    lp["cat"] = math.log(0.2)
+    for w in ["concatenate", "catalogue", "cats"]:
+        assert "".join(_viterbi(w, lp, 4)) == w
