@@ -797,6 +797,157 @@ def q_doc_louvain(sf_dir):
     return louvain_local_move(documents_edges(sf_dir))
 
 
+def _leiden_refined(sf_dir):
+    """(louv_ds, refl_ds): Leiden-style refinement of the Louvain
+    local-move partition — split every community into the connected
+    components of its induced subgraph (the Leiden well-connectedness
+    guarantee, Traag et al. 2019, arXiv:1810.08473; communities from a
+    local-move round may be internally disconnected, and splitting a
+    disconnected community can only raise modularity: intra edges are
+    preserved, sum-of-degree-squares shrinks).
+
+    louv_ds = (v, comm, gain_num); refl_ds = (v, comm, rcomm) with
+    rcomm = min vertex id of v's intra-community component.  The
+    component pass reuses the superstep engine (min-label CC) over the
+    intra-community edge subset — no new machinery.  Cached per sf_dir
+    (both doc_leiden queries read it)."""
+    from .algos import connected_components
+    from .algos.louvain import louvain_local_move
+    from .graph import load_undirected
+    from .joins import attach_by_key
+
+    key = (os.path.abspath(sf_dir), "leiden")
+    if key in _CACHE:
+        return _CACHE[key]
+    edges = documents_edges(sf_dir)   # cached, materialized
+    m = edges.count()
+    louv = louvain_local_move(edges, m).materialize()
+    comm_edges = attach_by_key(edges, louv.select_columns(["v", "comm"]),
+                               ["src", "dst"], key="v", value="comm")
+    from .runtime import counted
+
+    intra, n_intra = counted(comm_edges.map_batches(
+        lambda b: pa.table(
+            {"src": b["src"], "dst": b["dst"]}).filter(
+                pc.equal(b["comm_src"], b["comm_dst"])),
+        batch_format="pyarrow"))
+    if n_intra == 0:
+        # a one-round move partition with no triangles has NO internal
+        # edges — every refined community is a singleton (and the empty
+        # edge set would crash the store build: repo empty-schema gotcha)
+        refl = louv.map_batches(lambda b: pa.table(
+            {"v": b["v"], "comm": b["comm"], "rcomm": b["v"]}),
+            batch_format="pyarrow").materialize()
+        _CACHE[key] = (louv, refl)
+        return louv, refl
+    n = documents_n_vertices(sf_dir)
+    store = _store_root(sf_dir, "leiden-intra")
+    eng = load_undirected(intra, n, 4, store,
+                          fingerprint=_input_fingerprint(sf_dir))
+    rep = connected_components(eng)
+    _check_unroll(rep, CC_ROUNDS, "doc_leiden")
+    rcomm = _state_result(eng, "label", "rcomm")
+    refl = attach_by_key(louv.select_columns(["v", "comm"]), rcomm,
+                         ["v"], key="v", value="rcomm") \
+        .map_batches(lambda b: pa.table(
+            {"v": b["v"], "comm": b["comm"], "rcomm": b["rcomm_v"]}),
+            batch_format="pyarrow").materialize()
+    _CACHE[key] = (louv, refl)
+    return louv, refl
+
+
+def q_doc_leiden(sf_dir):
+    """Leiden-style refined communities: (v, comm, rcomm) — Louvain
+    local-move community plus the refined (connected) community, per
+    non-isolated vertex.  Oracle: _leiden_ctes (Louvain argmax +
+    unrolled min-label CC over the intra-community subgraph)."""
+    return _leiden_refined(sf_dir)[1]
+
+
+def q_doc_leiden_modularity(sf_dir):
+    """Modularity before/after the Leiden refinement pass — the
+    improvement certificate (q_refined >= q_louvain always: intra
+    edges preserved, degree-square sum can only shrink).  All-integer
+    aggregates, ONE float expression per Q at the end (the
+    doc_modularity convention)."""
+    from .algos.triangles import _vertex_degrees, n_buckets_for
+    from .joins import attach_by_key
+
+    _, refl = _leiden_refined(sf_dir)
+    edges = documents_edges(sf_dir)
+    m = int(edges.count())
+    if m == 0:
+        return pd.DataFrame({"m": [0], "intra": [0],
+                             "deg_sq_louvain": [0],
+                             "deg_sq_refined": [0],
+                             "q_louvain": [0.0], "q_refined": [0.0],
+                             "improved": [0]})
+
+    lab_edges = attach_by_key(edges, refl.select_columns(["v", "comm"]),
+                              ["src", "dst"], key="v", value="comm")
+
+    def intra_part(b: pa.Table) -> pa.Table:
+        a = int(pc.sum(pc.cast(pc.equal(b["comm_src"], b["comm_dst"]),
+                               pa.int64())).as_py() or 0)
+        return pa.table({"a": pa.array([a], pa.int64())})
+
+    # refinement never cuts an intra edge (its endpoints are connected
+    # through it), so ONE intra count serves both partitions
+    a_total = int(lab_edges.map_batches(intra_part,
+                                        batch_format="pyarrow")
+                  .sum("a") or 0)
+
+    nv = refl.count()
+    nb = n_buckets_for(2 * nv)
+    degrees = attach_by_key(_vertex_degrees(edges, m), refl, ["v"],
+                            key="v", value="comm") \
+        .map_batches(lambda b: b, batch_format="pyarrow")
+    deg2 = attach_by_key(_vertex_degrees(edges, m),
+                         refl.select_columns(["v", "rcomm"]), ["v"],
+                         key="v", value="rcomm")
+
+    def dsq(label_col):
+        def dpart(b: pa.Table) -> pa.Table:
+            dg = b["degree"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            lab = b[label_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            u, inv = np.unique(lab, return_inverse=True)
+            ds_ = np.bincount(inv, weights=dg.astype(np.float64),
+                              minlength=len(u)).astype(np.int64)
+            return pa.table({"label": pa.array(u, pa.int64()),
+                             "d": pa.array(ds_),
+                             "lb": pa.array((u % nb).astype(np.int64))})
+
+        def dmerge(g: pd.DataFrame) -> pd.DataFrame:
+            u, inv = np.unique(g["label"].to_numpy(np.int64),
+                               return_inverse=True)
+            dsum = np.bincount(inv, weights=g["d"].to_numpy(np.float64),
+                               minlength=len(u)).astype(np.int64)
+            return pd.DataFrame(
+                {"b": [int((dsum.astype(object) ** 2).sum())]})
+
+        return dpart, dmerge
+
+    dp1, dm1 = dsq("comm_v")
+    b_l = int(degrees.map_batches(dp1, batch_format="pyarrow")
+              .groupby("lb").map_groups(dm1, batch_format="pandas")
+              .to_pandas()["b"].sum())
+    dp2, dm2 = dsq("rcomm_v")
+    b_r = int(deg2.map_batches(dp2, batch_format="pyarrow")
+              .groupby("lb").map_groups(dm2, batch_format="pandas")
+              .to_pandas()["b"].sum())
+    q_l = a_total / m - b_l / (4.0 * m * m)
+    q_r = a_total / m - b_r / (4.0 * m * m)
+    return pd.DataFrame({
+        "m": np.array([m], np.int64),
+        "intra": np.array([a_total], np.int64),
+        "deg_sq_louvain": np.array([b_l], np.int64),
+        "deg_sq_refined": np.array([b_r], np.int64),
+        "q_louvain": [round(q_l, 9)], "q_refined": [round(q_r, 9)],
+        "improved": np.array([int(q_r >= q_l)], np.int64)})
+
+
 def q_doc_bfs(sf_dir):
     from .algos import bfs
 
@@ -4092,6 +4243,62 @@ def _wpagerank_sql(iters: int, round_to: int) -> str:
             f"round(r, {round_to}) AS rank FROM raw{iters}")
 
 
+def _louvain_sql() -> str:
+    """One synchronous Louvain local-move round from singletons — the
+    exact twin of algos.louvain.louvain_local_move (integer score
+    2m - k_v*k_u, argmax with (score DESC, u ASC)).  Reused as a CTE by
+    doc_leiden / doc_leiden_modularity."""
+    return f"""
+        WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM e
+                UNION ALL SELECT dst AS src, src AS dst FROM e),
+        mm AS (SELECT count(*)::BIGINT AS m FROM e),
+        deg AS (SELECT src AS v, count(*)::BIGINT AS d
+                FROM sym GROUP BY src),
+        sc AS (SELECT s.src AS v, s.dst AS u,
+                      2 * mm.m - dv.d * du.d AS score
+               FROM sym s CROSS JOIN mm
+               JOIN deg dv ON dv.v = s.src
+               JOIN deg du ON du.v = s.dst),
+        best AS (SELECT v, u, score, row_number() OVER (
+                   PARTITION BY v ORDER BY score DESC, u) AS rn
+                 FROM sc)
+        SELECT v, CASE WHEN score > 0 THEN u ELSE v END AS comm,
+               score AS gain_num
+        FROM best WHERE rn = 1
+    """
+
+
+def _leiden_ctes(rounds: int) -> str:
+    """Shared CTE chain for the Leiden refinement oracles: Louvain
+    local-move communities, the intra-community induced subgraph, and
+    `rounds` unrolled min-label CC sweeps over it (the _cc_sql shape).
+    Ends with refl = (v, comm, rcomm) for every non-isolated vertex."""
+    ctes = [
+        f"louv AS MATERIALIZED (SELECT * FROM ({_louvain_sql()}))",
+        f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+        ("intra AS MATERIALIZED (SELECT e.src, e.dst FROM e "
+         "JOIN louv la ON la.v = e.src JOIN louv lb ON lb.v = e.dst "
+         "WHERE la.comm = lb.comm)"),
+        ("isym AS MATERIALIZED (SELECT src, dst FROM intra UNION ALL "
+         "SELECT dst AS src, src AS dst FROM intra)"),
+        "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+        "r0 AS MATERIALIZED (SELECT v, v AS lab FROM allv)"]
+    for i in range(1, rounds + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT allv.v, "
+            f"least({p}.lab, coalesce(m.lab, {p}.lab)) AS lab "
+            f"FROM allv JOIN {p} USING (v) LEFT JOIN "
+            f"(SELECT isym.dst AS v, min({p}.lab) AS lab FROM isym "
+            f"JOIN {p} ON {p}.v = isym.src GROUP BY isym.dst) m "
+            f"USING (v))")
+    ctes.append(
+        f"refl AS MATERIALIZED (SELECT louv.v, louv.comm, "
+        f"r{rounds}.lab AS rcomm FROM louv JOIN r{rounds} USING (v))")
+    return ", ".join(ctes)
+
+
 def _cc_sql(rounds: int) -> str:
     ctes = [f"sym AS MATERIALIZED ({DOC_SYM_SQL})",
             "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
@@ -6563,25 +6770,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_labelprop": _lp_sql(LP_ROUNDS),
     # Louvain local move: integer score 2m - k_v*k_u, window argmax with
     # (score DESC, u ASC) — the exact twin of algos.louvain's lexsort
-    "doc_louvain": f"""
-        WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
-        sym AS (SELECT src, dst FROM e
-                UNION ALL SELECT dst AS src, src AS dst FROM e),
-        mm AS (SELECT count(*)::BIGINT AS m FROM e),
-        deg AS (SELECT src AS v, count(*)::BIGINT AS d
-                FROM sym GROUP BY src),
-        sc AS (SELECT s.src AS v, s.dst AS u,
-                      2 * mm.m - dv.d * du.d AS score
-               FROM sym s CROSS JOIN mm
-               JOIN deg dv ON dv.v = s.src
-               JOIN deg du ON du.v = s.dst),
-        best AS (SELECT v, u, score, row_number() OVER (
-                   PARTITION BY v ORDER BY score DESC, u) AS rn
-                 FROM sc)
-        SELECT v, CASE WHEN score > 0 THEN u ELSE v END AS comm,
-               score AS gain_num
-        FROM best WHERE rn = 1
-    """,
+    "doc_louvain": _louvain_sql(),
     # modularity: all-integer A/B/m aggregates (unrolled-LP CTE nested),
     # ONE float expression at the end — identical on both sides
     "doc_modularity": f"""
@@ -12351,6 +12540,44 @@ ORACLE_SQL["events_cusum_by_type"] = """
     FROM f
 """
 QUERIES["events_cusum_by_type"] = q_events_cusum_by_type
+
+
+ORACLE_SQL["doc_leiden"] = (
+    f"WITH {_leiden_ctes(CC_ROUNDS)} "
+    f"SELECT v, comm, rcomm FROM refl")
+QUERIES["doc_leiden"] = q_doc_leiden
+
+
+ORACLE_SQL["doc_leiden_modularity"] = f"""
+    WITH {_leiden_ctes(CC_ROUNDS)},
+    mm AS (SELECT count(*)::BIGINT AS m FROM e),
+    aa AS (SELECT count(*)::BIGINT AS a FROM e
+           JOIN refl ra ON ra.v = e.src
+           JOIN refl rb ON rb.v = e.dst
+           WHERE ra.comm = rb.comm),
+    sdeg AS (SELECT src AS v, count(*)::BIGINT AS d FROM
+             (SELECT src, dst FROM e
+              UNION ALL SELECT dst AS src, src AS dst FROM e)
+             GROUP BY src),
+    bl AS (SELECT sum(dsum * dsum)::BIGINT AS b FROM
+           (SELECT refl.comm, sum(sdeg.d)::BIGINT AS dsum
+            FROM sdeg JOIN refl ON refl.v = sdeg.v GROUP BY refl.comm)),
+    br AS (SELECT sum(dsum * dsum)::BIGINT AS b FROM
+           (SELECT refl.rcomm, sum(sdeg.d)::BIGINT AS dsum
+            FROM sdeg JOIN refl ON refl.v = sdeg.v
+            GROUP BY refl.rcomm))
+    SELECT mm.m, aa.a AS intra, bl.b AS deg_sq_louvain,
+           br.b AS deg_sq_refined,
+           round(aa.a / mm.m - bl.b / (4.0 * mm.m * mm.m), 9)
+               AS q_louvain,
+           round(aa.a / mm.m - br.b / (4.0 * mm.m * mm.m), 9)
+               AS q_refined,
+           (CASE WHEN round(aa.a / mm.m - br.b / (4.0 * mm.m * mm.m), 9)
+                      >= round(aa.a / mm.m - bl.b / (4.0 * mm.m * mm.m), 9)
+                 THEN 1 ELSE 0 END)::BIGINT AS improved
+    FROM mm, aa, bl, br
+"""
+QUERIES["doc_leiden_modularity"] = q_doc_leiden_modularity
 
 
 def q_doc_eff_diameter(sf_dir):

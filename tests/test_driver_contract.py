@@ -146,7 +146,11 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "tpch_audit", "media_vad",
                                   "events_holt",
                                   "events_quartiles",
-                                  "doc_triangles_approx"])
+                                  "doc_triangles_approx",
+                                  "events_cusum_by_type",
+                                  "text_unigram_tokenizer",
+                                  "doc_leiden",
+                                  "doc_leiden_modularity"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
