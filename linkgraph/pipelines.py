@@ -12580,6 +12580,53 @@ ORACLE_SQL["doc_leiden_modularity"] = f"""
 QUERIES["doc_leiden_modularity"] = q_doc_leiden_modularity
 
 
+def q_media_png(sf_dir):
+    """REAL compressed-image ingestion: deterministic PNGs derived from
+    documents (zlib-deflated, Sub/Up/None row filters), decoded by the
+    pure-Python PNG decoder (multimodal.parse_png: chunk walk, IDAT
+    inflate, scanline defilter), then exact-int64 channel means.  The
+    oracle never touches the payload — it recomputes the stats from the
+    pixel-generator closed form, so encode->decode roundtrip equals the
+    formula end-to-end (the media_image convention)."""
+    from .multimodal import decode_png_images, png_images_from_documents
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+    return decode_png_images(png_images_from_documents(docs))
+
+
+ORACLE_SQL["media_png"] = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+      FROM documents
+    ), px AS (
+      -- NOTE multiple unnests ZIP in DuckDB; the pixel grid needs a
+      -- true cross product, bounded by the max w/h then filtered
+      SELECT media_id, w, h, gx.x, gy.y
+      FROM m
+      CROSS JOIN (SELECT unnest(range(21)) AS x) gx
+      CROSS JOIN (SELECT unnest(range(19)) AS y) gy
+      WHERE gx.x < w AND gy.y < h
+    ), s AS (
+      SELECT media_id, w, h,
+             sum((media_id * 151 + y * 19 + x * 11 + 0) % 256)
+                 ::BIGINT AS sr,
+             sum((media_id * 151 + y * 19 + x * 11 + 5) % 256)
+                 ::BIGINT AS sg,
+             sum((media_id * 151 + y * 19 + x * 11 + 10) % 256)
+                 ::BIGINT AS sb
+      FROM px GROUP BY media_id, w, h
+    )
+    SELECT media_id, w AS width, h AS height,
+           round(sr / (w * h)::DOUBLE, 6) AS mean_r,
+           round(sg / (w * h)::DOUBLE, 6) AS mean_g,
+           round(sb / (w * h)::DOUBLE, 6) AS mean_b
+    FROM s
+"""
+QUERIES["media_png"] = q_media_png
+
+
 def q_doc_eff_diameter(sf_dir):
     """Effective diameter from the ANF sketch (HyperANF's headline
     statistic): smallest t with N(t) >= 0.9 * N(t_max), plus the

@@ -150,7 +150,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "events_cusum_by_type",
                                   "text_unigram_tokenizer",
                                   "doc_leiden",
-                                  "doc_leiden_modularity"])
+                                  "doc_leiden_modularity",
+                                  "media_png"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()

@@ -1243,3 +1243,47 @@ def test_unigram_tokenizer_partition_invariant():
     lp["cat"] = math.log(0.2)
     for w in ["concatenate", "catalogue", "cats"]:
         assert "".join(_viterbi(w, lp, 4)) == w
+
+
+def test_png_decoder_real_roundtrip_all_filters():
+    """Pure-Python PNG codec: synth -> parse returns the generator
+    pixels exactly under every scanline filter (None/Sub/Up/Average/
+    Paeth), including the sequential Average/Paeth defilter paths."""
+    from linkgraph.multimodal import parse_png, synth_png_payload
+
+    for mid, w, h in [(0, 8, 8), (7, 13, 11), (123, 20, 18), (5, 1, 1)]:
+        for filters in [None, [3] * h, [4] * h,
+                        [(i * 2 + 1) % 5 for i in range(h)]]:
+            img = parse_png(synth_png_payload(mid, w, h, filters))
+            y, x, c = np.meshgrid(np.arange(h), np.arange(w),
+                                  np.arange(3), indexing="ij")
+            want = ((mid * 151 + y * 19 + x * 11 + c * 5) % 256) \
+                .astype(np.uint8)
+            assert img.shape == (h, w, 3)
+            assert (img == want).all()
+
+
+def test_png_decoder_rejects_bad_payloads():
+    from linkgraph.multimodal import parse_png, synth_png_payload
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        parse_png(b"BM123456")
+    # truncated IDAT stream: zlib or length validation must fail
+    good = synth_png_payload(3, 6, 5)
+    with pytest.raises(Exception):
+        parse_png(good[:40] + good[48:])
+
+
+def test_media_decode_stage_real_png_path():
+    """MediaDecodeStage(use_stub=False) decodes PNG payloads for real
+    and still raises the documented seam for other codecs."""
+    from linkgraph.multimodal import MediaDecodeStage, synth_png_payload
+
+    st = MediaDecodeStage(use_stub=False)
+    f = st._decode(synth_png_payload(4, 10, 9), "image")
+    assert f.shape == (MediaDecodeStage.FEAT_DIM,)
+    assert abs(f[0] - 10 / 4096.0) < 1e-7
+    assert abs(f[1] - 9 / 4096.0) < 1e-7
+    assert (f[2:5] > 0).all() and (f[5:] == 0).all()
+    with pytest.raises(NotImplementedError):
+        st._decode(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
