@@ -334,12 +334,27 @@ class GraphEngine:
             "wall_s": time.perf_counter() - t0,
         }
 
+    # supersteps scheduled AHEAD of stop-condition evaluation in the
+    # static-fused loop: keeps every shard's task queue non-empty so the
+    # driver's per-step ray.get barrier + dispatch leaves the critical
+    # path (Gemini's comm/comp overlap, graph.hpp:1560-1583, expressed
+    # as actor-queue pipelining).  Shards snapshot post-step state for
+    # the window, so a stop that lands late rolls the speculative steps
+    # back — byte-identical results to the serial loop.
+    STATIC_LOOKAHEAD = 3
+
     def _run_static_fused(self, program, start_step, max_steps,
                           stop_reducer, stop_tol, stop_on_no_activation,
                           ckpt_dir, ckpt_every, run_name):
         """Superstep loop for static-frontier programs (always dense):
         each superstep is one `step_static` task per shard; the driver
-        fetches only the small meta objects between steps."""
+        fetches only the small meta objects between steps.  With no
+        checkpointing, up to STATIC_LOOKAHEAD supersteps are scheduled
+        ahead (see above)."""
+        if ckpt_dir is None:
+            return self._run_static_pipelined(
+                program, start_step, max_steps, stop_reducer, stop_tol,
+                stop_on_no_activation)
         P = self.n_parts
         # initial signal (superstep `start_step`)
         calls = self._wave(
@@ -383,6 +398,72 @@ class GraphEngine:
                     reducers.get(stop_reducer, 0.0) < stop_tol:
                 break
             if stop_on_no_activation and activated == 0:
+                break
+        return records
+
+    def _run_static_pipelined(self, program, start_step, max_steps,
+                              stop_reducer, stop_tol,
+                              stop_on_no_activation):
+        """Lookahead variant of the static-fused loop: schedule up to
+        STATIC_LOOKAHEAD supersteps before fetching metas.  Snapshots
+        (only when a stop condition exists) make a late stop exact:
+        shards roll back to the stopping step's state and the
+        speculative records are discarded."""
+        from collections import deque
+
+        W = self.STATIC_LOOKAHEAD
+        has_stop = stop_reducer is not None or stop_on_no_activation
+        snap = W + 2 if has_stop else 0
+        calls = self._wave(
+            lambda i: self.shards[i].step_static.options(
+                num_returns=2).remote(None, i, -1, False))
+        pieces = [c[1] for c in calls]
+        records = []
+        inflight: deque = deque()
+        next_step = start_step
+        ts = time.perf_counter()
+        while inflight or next_step < max_steps:
+            while len(inflight) <= W and next_step < max_steps:
+                step, final = next_step, next_step == max_steps - 1
+                calls = self._wave(
+                    lambda i: self.shards[i].step_static.options(
+                        num_returns=2).remote(pieces, i, step, final,
+                                              snap))
+                pieces = [c[1] for c in calls]
+                inflight.append((step, [c[0] for c in calls]))
+                next_step += 1
+            step, mrefs = inflight.popleft()
+            meta = ray.get(mrefs)
+            activated = sum(m[0] for m in meta)
+            finish = [m[1] for m in meta]
+            reducers: dict[str, float] = {}
+            for f in finish:
+                for k, v in f.items():
+                    if k not in ("active", "active_out_deg"):
+                        reducers[k] = reducers.get(k, 0.0) + v
+            now = time.perf_counter()
+            records.append({
+                "step": step, "mode": "dense",
+                "active_in": sum(f["active"] for f in finish),
+                "activated": activated,
+                "active_out": sum(f["active"] for f in finish),
+                "wall_s": now - ts,
+                "reducers": reducers,
+                "per_part": [{"part": i, "active": f["active"]}
+                             for i, f in enumerate(finish)],
+            })
+            ts = now
+            stop = ((stop_reducer is not None
+                     and reducers.get(stop_reducer, 0.0) < stop_tol)
+                    or (stop_on_no_activation and activated == 0))
+            if stop:
+                overran = bool(inflight)
+                for _, mr in inflight:   # drain speculative supersteps
+                    ray.get(mr)
+                inflight.clear()
+                if overran:
+                    ray.get([s.rollback.remote(step)
+                             for s in self.shards])
                 break
         return records
 

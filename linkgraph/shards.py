@@ -197,6 +197,7 @@ class GraphShard:
             self.state = program.init_state(self.ctx)
         self.active = program.initial_active(self.ctx, self.state)
         self.next_active = np.zeros(self.ctx.n_local, dtype=bool)
+        self._snaps: dict = {}
         return int(self.active.sum())
 
     def transpose(self):
@@ -399,7 +400,8 @@ class GraphShard:
         """(active, active out-degree sum) right after init/resume."""
         return int(self.active.sum()), int(self.out_deg[self.active].sum())
 
-    def step_static(self, piece_refs, piece_index, step, final):
+    def step_static(self, piece_refs, piece_index, step, final,
+                    snapshot: int = 0):
         """Fully-fused superstep for static-frontier programs (PageRank,
         LP): apply the previous superstep's routed partials, run the
         vertex phase, and emit THIS superstep's dense signal — ONE actor
@@ -407,14 +409,37 @@ class GraphShard:
         always dense (active_edges == |E| >= |E|/20) and dense signal
         reads only local state.  Returns (meta, pieces) via num_returns=2
         so the driver fetches only meta.
+
+        snapshot > 0: the engine is scheduling supersteps AHEAD of the
+        stop-condition evaluation (engine._run_static_fused lookahead);
+        keep a copy of the post-step state for the last `snapshot` steps
+        so a late-arriving stop decision can roll the speculative
+        supersteps back (`rollback`) — exact-stop semantics preserved.
         """
         if piece_refs is None:
             meta = (0, None)  # initial call: signal only
         else:
             activated = self._dense_apply(piece_refs, piece_index)
             meta = (activated, self.finish_step(step, final))
+            if snapshot:
+                self._snaps[step] = {k: v.copy()
+                                     for k, v in self.state.items()}
+                for old in [s for s in self._snaps
+                            if s < step - snapshot]:
+                    del self._snaps[old]
         pieces = None if final else self.dense_signal()
         return meta, pieces
+
+    def rollback(self, step: int) -> None:
+        """Restore the post-`step` snapshot (discard speculative
+        supersteps executed past a stop condition).  Static-frontier
+        only: the frontier is always full, so state is the whole
+        story."""
+        snap = self._snaps[step]
+        self.state = {k: v.copy() for k, v in snap.items()}
+        self.active = np.ones(self.ctx.n_local, dtype=bool)
+        self.next_active = np.zeros(self.ctx.n_local, dtype=bool)
+        self._snaps.clear()
 
     def _dense_apply_hist(self, pieces):
         ids = np.concatenate([p[0] for p in pieces])
@@ -459,6 +484,7 @@ class GraphShard:
                 **{k: float(v) for k, v in reducers.items()}}
 
     def finalize_run(self):
+        self._snaps = {}
         self.program.finalize(self.ctx, self.state)
         return 0
 

@@ -467,3 +467,41 @@ def test_betweenness_sampled_matches_summed_brandes(name, tmp_path):
         assert np.array_equal(got, got2)
     finally:
         eng.shutdown()
+
+
+def test_static_lookahead_rollback_exact(tmp_path):
+    """Pipelined static-fused loop (engine.STATIC_LOOKAHEAD) is
+    byte-identical to the serial loop, INCLUDING when the delta stop
+    fires mid-window and speculative supersteps must roll back."""
+    from linkgraph.engine import GraphEngine
+
+    e = micro_graph("er_1k")
+    n = _n(e)
+
+    def run(lookahead, tol):
+        eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                            num_partitions=3,
+                            store_dir=str(tmp_path / f"g{lookahead}{tol}"))
+        old = GraphEngine.STATIC_LOOKAHEAD
+        GraphEngine.STATIC_LOOKAHEAD = lookahead
+        try:
+            rep = pagerank(eng, iterations=50, tol=tol)
+            rank = eng.state_pandas(["rank"])["rank"].to_numpy()
+            deltas = [s["reducers"]["delta"] for s in rep["steps"]]
+            return rep["n_steps"], rank, deltas
+        finally:
+            GraphEngine.STATIC_LOOKAHEAD = old
+            eng.shutdown()
+
+    # tol chosen so the run stops EARLY (rollback path exercised)
+    s0, r0, d0 = run(0, 1e-3)
+    s3, r3, d3 = run(3, 1e-3)
+    assert 0 < s3 < 50          # stop fired before max_steps
+    assert s0 == s3
+    assert np.array_equal(r0, r3)       # bit-identical state
+    assert d0 == d3                     # identical delta curve
+    # fixed-iteration path (no early stop) also identical
+    s0f, r0f, _ = run(0, 0.0)
+    s3f, r3f, _ = run(3, 0.0)
+    assert s0f == s3f == 50
+    assert np.array_equal(r0f, r3f)
