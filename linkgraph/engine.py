@@ -235,14 +235,18 @@ class GraphEngine:
         n_edges = max(1, self.meta["n_edges"])
         step = start_step
         fused = self._use_fused(getattr(program, "combine", "add"))
-        if (program.static_frontier and fused
-                and self.n_parts > 1):
+        if (program.static_frontier and self.n_parts > 1
+                and (fused or ckpt_dir is None)):
             # fully-fused path: ONE actor task per shard per superstep
-            # (apply prev + vertex phase + next signal in one call)
+            # (apply prev + vertex phase + next signal in one call);
+            # above the fused-object cap the per-owner num_returns
+            # routing is used instead (step_static_parts) — checkpointed
+            # non-fused runs keep the generic loop below
             steps = self._run_static_fused(program, step, max_steps,
                                            stop_reducer, stop_tol,
                                            stop_on_no_activation,
-                                           ckpt_dir, ckpt_every, run_name)
+                                           ckpt_dir, ckpt_every, run_name,
+                                           fused)
             ray.get([s.finalize_run.remote() for s in self.shards])
             return {
                 "run": run_name, "steps": steps, "n_steps": len(steps),
@@ -345,7 +349,8 @@ class GraphEngine:
 
     def _run_static_fused(self, program, start_step, max_steps,
                           stop_reducer, stop_tol, stop_on_no_activation,
-                          ckpt_dir, ckpt_every, run_name):
+                          ckpt_dir, ckpt_every, run_name,
+                          fused: bool = True):
         """Superstep loop for static-frontier programs (always dense):
         each superstep is one `step_static` task per shard; the driver
         fetches only the small meta objects between steps.  With no
@@ -354,7 +359,7 @@ class GraphEngine:
         if ckpt_dir is None:
             return self._run_static_pipelined(
                 program, start_step, max_steps, stop_reducer, stop_tol,
-                stop_on_no_activation)
+                stop_on_no_activation, fused)
         P = self.n_parts
         # initial signal (superstep `start_step`)
         calls = self._wave(
@@ -403,21 +408,31 @@ class GraphEngine:
 
     def _run_static_pipelined(self, program, start_step, max_steps,
                               stop_reducer, stop_tol,
-                              stop_on_no_activation):
+                              stop_on_no_activation, fused: bool = True):
         """Lookahead variant of the static-fused loop: schedule up to
         STATIC_LOOKAHEAD supersteps before fetching metas.  Snapshots
         (only when a stop condition exists) make a late stop exact:
         shards roll back to the stopping step's state and the
-        speculative records are discarded."""
+        speculative records are discarded.  fused=False routes messages
+        per owner (step_static_parts, num_returns) — consumers fetch
+        only their slice, same plan as the generic dense loop."""
         from collections import deque
 
+        P = self.n_parts
         W = self.STATIC_LOOKAHEAD
         has_stop = stop_reducer is not None or stop_on_no_activation
         snap = W + 2 if has_stop else 0
-        calls = self._wave(
-            lambda i: self.shards[i].step_static.options(
-                num_returns=2).remote(None, i, -1, False))
-        pieces = [c[1] for c in calls]
+        if fused:
+            calls = self._wave(
+                lambda i: self.shards[i].step_static.options(
+                    num_returns=2).remote(None, i, -1, False))
+            pieces = [c[1] for c in calls]
+        else:
+            calls = self._wave(
+                lambda i: self.shards[i].step_static_parts.options(
+                    num_returns=1 + P).remote(None, -1, False))
+            slices = [[calls[j][1 + i] for j in range(P)]
+                      for i in range(P)]
         records = []
         inflight: deque = deque()
         next_step = start_step
@@ -425,11 +440,20 @@ class GraphEngine:
         while inflight or next_step < max_steps:
             while len(inflight) <= W and next_step < max_steps:
                 step, final = next_step, next_step == max_steps - 1
-                calls = self._wave(
-                    lambda i: self.shards[i].step_static.options(
-                        num_returns=2).remote(pieces, i, step, final,
-                                              snap))
-                pieces = [c[1] for c in calls]
+                if fused:
+                    calls = self._wave(
+                        lambda i: self.shards[i].step_static.options(
+                            num_returns=2).remote(pieces, i, step,
+                                                  final, snap))
+                    pieces = [c[1] for c in calls]
+                else:
+                    calls = self._wave(
+                        lambda i:
+                        self.shards[i].step_static_parts.options(
+                            num_returns=1 + P).remote(slices[i], step,
+                                                      final, snap))
+                    slices = [[calls[j][1 + i] for j in range(P)]
+                              for i in range(P)]
                 inflight.append((step, [c[0] for c in calls]))
                 next_step += 1
             step, mrefs = inflight.popleft()

@@ -430,6 +430,29 @@ class GraphShard:
         pieces = None if final else self.dense_signal()
         return meta, pieces
 
+    def step_static_parts(self, piece_refs, step, final,
+                          snapshot: int = 0):
+        """step_static with PER-OWNER piece routing for message volumes
+        above the fused-object cap (engine._use_fused): called with
+        options(num_returns=1 + n_parts), it returns (meta, piece for
+        owner 0, ..., piece for owner n-1) so each consumer fetches
+        only its slice — the num_returns message plan, now fused with
+        apply+vertex-phase into one task per shard per superstep."""
+        if piece_refs is None:
+            meta = (0, None)  # initial call: signal only
+        else:
+            activated = self._dense_apply(piece_refs, None)
+            meta = (activated, self.finish_step(step, final))
+            if snapshot:
+                self._snaps[step] = {k: v.copy()
+                                     for k, v in self.state.items()}
+                for old in [s for s in self._snaps
+                            if s < step - snapshot]:
+                    del self._snaps[old]
+        if final:
+            return (meta, *([None] * self.n_parts))
+        return (meta, *self.dense_signal())
+
     def rollback(self, step: int) -> None:
         """Restore the post-`step` snapshot (discard speculative
         supersteps executed past a stop condition).  Static-frontier

@@ -505,3 +505,37 @@ def test_static_lookahead_rollback_exact(tmp_path):
     s3f, r3f, _ = run(3, 0.0)
     assert s0f == s3f == 50
     assert np.array_equal(r0f, r3f)
+
+
+def test_static_parts_routing_exact(tmp_path, monkeypatch):
+    """The per-owner (num_returns) pipelined routing — big-graph message
+    volumes where the fused single object is too large — produces
+    byte-identical results to the fused path, early stop included."""
+    from linkgraph.engine import GraphEngine
+
+    e = micro_graph("er_1k")
+    n = _n(e)
+
+    def run(force_unfused, tol):
+        eng = load_directed(edges_from_arrays(e[:, 0], e[:, 1]), n,
+                            num_partitions=3,
+                            store_dir=str(tmp_path /
+                                          f"p{force_unfused}{tol}"))
+        if force_unfused:
+            monkeypatch.setattr(GraphEngine, "_use_fused",
+                                lambda self, c: False)
+        try:
+            rep = pagerank(eng, iterations=40, tol=tol)
+            rank = eng.state_pandas(["rank"])["rank"].to_numpy()
+            return rep["n_steps"], rank, \
+                [s["reducers"]["delta"] for s in rep["steps"]]
+        finally:
+            monkeypatch.undo()
+            eng.shutdown()
+
+    for tol in (1e-3, 0.0):   # early-stop (rollback) and fixed-iters
+        sf, rf, df = run(False, tol)
+        su, ru, du = run(True, tol)
+        assert sf == su
+        assert np.array_equal(rf, ru)
+        assert df == du
