@@ -10299,7 +10299,8 @@ def q_text_unigram_tokenizer(sf_dir):
     return unigram_train(docs)
 
 
-def _unigram_sql(seed_vocab: int, rounds: int, top_out: int) -> str:
+def _unigram_ctes(seed_vocab: int, rounds: int,
+                  extra_dp: bool = False) -> list:
     """Oracle twin of tokenizer.unigram_train at max_len=4.  Each
     E-step is one recursive CTE over (word, consumed-prefix length p):
     the state carries best[p..p-3] and their segmentation strings, so
@@ -10328,7 +10329,36 @@ def _unigram_sql(seed_vocab: int, rounds: int, top_out: int) -> str:
         ("v1 AS MATERIALIZED (SELECT piece, ln(cnt::DOUBLE / "
          "(SELECT sum(cnt) FROM sel)::DOUBLE) AS lp FROM sel)")]
     for r in range(1, rounds + 1):
-        ctes.append(f"""dp{r} AS (
+        ctes.append(_unigram_dp_cte(r))
+        ctes.append(
+            f"cnt{r} AS MATERIALIZED (SELECT piece, "
+            f"sum(n)::BIGINT AS cnt FROM (SELECT "
+            f"unnest(string_split(s0, '{S}')) AS piece, n "
+            f"FROM dp{r} WHERE p = length(w)) "
+            f"WHERE piece <> '' GROUP BY piece)")
+        if r < rounds:
+            ctes.append(
+                f"v{r + 1} AS MATERIALIZED (SELECT piece, "
+                f"ln(cnt::DOUBLE / (SELECT sum(cnt) "
+                f"FROM cnt{r})::DOUBLE) AS lp FROM cnt{r})")
+    if extra_dp:
+        # final vocab + ONE more Viterbi pass with it: the tokenize-
+        # apply lane (the engine's unigram_token_counts twin)
+        R = rounds
+        ctes.append(
+            f"v{R + 1} AS MATERIALIZED (SELECT piece, "
+            f"ln(cnt::DOUBLE / (SELECT sum(cnt) "
+            f"FROM cnt{R})::DOUBLE) AS lp FROM cnt{R})")
+        ctes.append(_unigram_dp_cte(R + 1))
+    return ctes
+
+
+def _unigram_dp_cte(r: int) -> str:
+    """One recursive-CTE Viterbi E-step over vocab v{r} (see
+    _unigram_ctes docstring for the state-carrying construction)."""
+    S = BPE_SEP
+    NEG = "-1e100"
+    return f"""dp{r} AS (
   SELECT w, n, 0 AS p,
          0.0::DOUBLE AS b0, ''::VARCHAR AS s0,
          {NEG}::DOUBLE AS b1, ''::VARCHAR AS s1,
@@ -10359,18 +10389,11 @@ def _unigram_sql(seed_vocab: int, rounds: int, top_out: int) -> str:
     LEFT JOIN v{r} x2 ON x2.piece = substr(d.w, d.p, 2)
     LEFT JOIN v{r} x3 ON x3.piece = substr(d.w, d.p - 1, 3)
     LEFT JOIN v{r} x4 ON x4.piece = substr(d.w, d.p - 2, 4)
-    WHERE d.p < length(d.w)))""")
-        ctes.append(
-            f"cnt{r} AS MATERIALIZED (SELECT piece, "
-            f"sum(n)::BIGINT AS cnt FROM (SELECT "
-            f"unnest(string_split(s0, '{S}')) AS piece, n "
-            f"FROM dp{r} WHERE p = length(w)) "
-            f"WHERE piece <> '' GROUP BY piece)")
-        if r < rounds:
-            ctes.append(
-                f"v{r + 1} AS MATERIALIZED (SELECT piece, "
-                f"ln(cnt::DOUBLE / (SELECT sum(cnt) "
-                f"FROM cnt{r})::DOUBLE) AS lp FROM cnt{r})")
+    WHERE d.p < length(d.w)))"""
+
+
+def _unigram_sql(seed_vocab: int, rounds: int, top_out: int) -> str:
+    ctes = _unigram_ctes(seed_vocab, rounds)
     union = " UNION ALL ".join(
         f"(SELECT {r}::BIGINT AS round, row_number() OVER ("
         f"ORDER BY cnt DESC, piece ASC)::BIGINT AS rnk, piece, "
@@ -10382,6 +10405,26 @@ def _unigram_sql(seed_vocab: int, rounds: int, top_out: int) -> str:
             f"ORDER BY round, rnk")
 
 
+def _unigram_tokens_sql(seed_vocab: int, rounds: int) -> str:
+    """Per-doc token counts under the trained unigram vocab: the
+    training CTE chain + one extra Viterbi pass, word piece counts
+    joined back onto each document's word list (empty docs carry 0)."""
+    S = BPE_SEP
+    ctes = _unigram_ctes(seed_vocab, rounds, extra_dp=True)
+    R1 = rounds + 1
+    return f"""WITH RECURSIVE {', '.join(ctes)},
+    wlen AS (SELECT w,
+             (len(string_split(s0, '{S}')) - 1)::BIGINT AS np
+             FROM dp{R1} WHERE p = length(w)),
+    docw AS (SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+             FROM documents)
+    SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, sum(np)::BIGINT AS n_tokens
+      FROM docw JOIN wlen USING (w) GROUP BY doc_id) s USING (doc_id)"""
+
+
 from .tokenizer import UNI_ROUNDS as _UNI_ROUNDS  # noqa: E402
 from .tokenizer import UNI_SEED_VOCAB as _UNI_SEED  # noqa: E402
 from .tokenizer import UNI_TOP_OUT as _UNI_TOP  # noqa: E402
@@ -10389,6 +10432,25 @@ from .tokenizer import UNI_TOP_OUT as _UNI_TOP  # noqa: E402
 ORACLE_SQL["text_unigram_tokenizer"] = _unigram_sql(
     _UNI_SEED, _UNI_ROUNDS, _UNI_TOP)
 QUERIES["text_unigram_tokenizer"] = q_text_unigram_tokenizer
+
+
+def q_text_unigram_tokens(sf_dir):
+    """Tokenize-apply lane: per-doc token counts under the TRAINED
+    unigram vocab (tokenizer.unigram_token_counts) — train, broadcast
+    the final piece log-probs once, Viterbi-segment each doc's words
+    with a per-batch distinct-word memo; per-doc sums need no shuffle.
+    Oracle: the training CTE chain + one extra recursive-CTE Viterbi
+    pass, word piece counts joined onto each doc's word list."""
+    from .tokenizer import unigram_token_counts
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return unigram_token_counts(docs)
+
+
+ORACLE_SQL["text_unigram_tokens"] = _unigram_tokens_sql(
+    _UNI_SEED, _UNI_ROUNDS)
+QUERIES["text_unigram_tokens"] = q_text_unigram_tokens
 
 
 ORACLE_SQL["doc_salsa"] = _salsa_sql(SALSA_ITERS, 6)

@@ -154,6 +154,13 @@ def unigram_train(docs_ds, col: str = "text", max_len: int = UNI_MAX_LEN,
                   top_out: int = UNI_TOP_OUT) -> pd.DataFrame:
     """Train; returns (round, rnk, piece, n): the top `top_out` pieces
     by (Viterbi count DESC, piece ASC) after each EM round."""
+    out, _ = _em_rounds(docs_ds, col, max_len, seed_vocab, rounds,
+                        top_out)
+    return out
+
+
+def _em_rounds(docs_ds, col, max_len, seed_vocab, rounds, top_out):
+    """(per-round top-out frame, final EM piece-count dict)."""
     import ray
 
     from .runtime import counted
@@ -163,7 +170,7 @@ def unigram_train(docs_ds, col: str = "text", max_len: int = UNI_MAX_LEN,
         return pd.DataFrame({"round": pd.Series([], dtype=np.int64),
                              "rnk": pd.Series([], dtype=np.int64),
                              "piece": pd.Series([], dtype=str),
-                             "n": pd.Series([], dtype=np.int64)})
+                             "n": pd.Series([], dtype=np.int64)}), {}
     counts = _seed_vocab(words, n_words, max_len, seed_vocab)
 
     out = []
@@ -200,4 +207,45 @@ def unigram_train(docs_ds, col: str = "text", max_len: int = UNI_MAX_LEN,
     res = pd.concat(out, ignore_index=True)
     res["n"] = res["n"].astype(np.int64)
     res["round"] = res["round"].astype(np.int64)
-    return res
+    return res, counts
+
+
+def unigram_token_counts(docs_ds, id_col: str = "doc_id",
+                         col: str = "text",
+                         max_len: int = UNI_MAX_LEN,
+                         seed_vocab: int = UNI_SEED_VOCAB,
+                         rounds: int = UNI_ROUNDS) -> "object":
+    """Tokenize the corpus with the TRAINED unigram vocab: per doc, the
+    number of Viterbi pieces summed over its words — the lane a real
+    pipeline runs after training (token budgeting / packing input).
+    Returns a Dataset (id_col, n_tokens); per-doc counts need NO
+    shuffle (a doc lives in one row).  The tokenize kernel memoizes the
+    DP per distinct word per batch (corpus word distribution is
+    Zipfian, so the memo hit rate is ~1)."""
+    import math
+
+    import ray
+
+    docs_ds = docs_ds.materialize()   # train + tokenize both consume it
+    _, counts = _em_rounds(docs_ds, col, max_len, seed_vocab, rounds, 1)
+    total = sum(counts.values())
+    lp = {p: math.log(c / total) for p, c in counts.items()}
+    lref = ray.put(lp)
+
+    def tok(b: pa.Table) -> pa.Table:
+        d = ray.get(lref)
+        memo: dict = {}
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        n_out = np.zeros(len(ids), np.int64)
+        for i, t in enumerate(b[col].to_pylist()):
+            n = 0
+            for w in (t or "").split():
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = len(_viterbi(w, d, max_len))
+                n += got
+            n_out[i] = n
+        return pa.table({id_col: pa.array(ids.astype(np.int64)),
+                         "n_tokens": pa.array(n_out)})
+
+    return docs_ds.map_batches(tok, batch_format="pyarrow")
