@@ -12689,6 +12689,170 @@ ORACLE_SQL["media_png"] = """
 QUERIES["media_png"] = q_media_png
 
 
+PERC_FRACS = [0, 5, 10, 20, 40]  # percent of vertices targeted
+
+
+def q_doc_percolation(sf_dir):
+    """Targeted-attack percolation robustness curve: for each budget
+    f% of vertices, remove the highest-degree vertices via an exact
+    DEGREE-THRESHOLD rule — T_f = the smallest degree value (0 allowed)
+    with count(deg > T_f) <= floor(f*n/100); remove every vertex with
+    deg > T_f (<= the budget, deterministic, no tie-order dependence) —
+    and report the surviving graph's giant connected component share.
+
+    Scale shape: ONE degree histogram (distinct-degree-value domain,
+    power-law-bounded) folded on the driver picks every threshold; one
+    degree attach serves all budgets' edge filters; each budget runs
+    the superstep CC engine over its surviving edge set; giant size =
+    coarse label-bucket partial max over SURVIVING vertices only.
+    Oracle: per-budget scalar-subquery threshold + the _cc_sql unrolled
+    min-label chain over the filtered sym edges."""
+    from .algos import connected_components
+    from .algos.triangles import n_buckets_for
+    from .edges import degree_table, symmetrize
+    from .graph import load_undirected
+    from .joins import attach_by_key
+    from .runtime import counted
+
+    edges = documents_edges(sf_dir)
+    nv = documents_n_vertices(sf_dir)
+    sym = symmetrize(edges).materialize()
+    deg, n_deg = counted(degree_table(sym, "src"))
+
+    # distinct-degree histogram -> driver threshold fold
+    def hpart(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    hp = deg.map_batches(hpart, batch_format="pyarrow").to_pandas()
+    hist = hp.groupby("d", sort=True)["c"].sum()
+    dvals = hist.index.to_numpy(np.int64)        # ascending
+    dcnts = hist.to_numpy(np.int64)
+    # count(deg > T) for T in {0} + dvals: suffix sums
+    suffix = np.concatenate([np.cumsum(dcnts[::-1])[::-1], [0]])
+    cand_t = np.concatenate([[0], dvals])        # count>cand_t aligned
+    cnt_gt = np.concatenate([[int(dcnts.sum())], suffix[1:]])
+
+    ea = attach_by_key(edges, deg, ["src", "dst"], key="v",
+                       value="degree").materialize()
+    labels_max = []
+    rows = []
+    for f in PERC_FRACS:
+        k = (f * nv) // 100
+        ok = cnt_gt <= k
+        T = int(cand_t[ok][0])                   # minimal qualifying T
+        removed = int(cnt_gt[ok][0])
+        surv = nv - removed
+
+        def keep(b: pa.Table, _T=T) -> pa.Table:
+            m = pc.and_(pc.less_equal(b["degree_src"], _T),
+                        pc.less_equal(b["degree_dst"], _T))
+            return pa.table({"src": b["src"],
+                             "dst": b["dst"]}).filter(m)
+
+        kept, n_kept = counted(ea.map_batches(keep,
+                                              batch_format="pyarrow"))
+        if n_kept == 0:
+            giant = 1 if surv > 0 else 0
+        else:
+            store = _store_root(sf_dir, f"perc-{f}")
+            eng = load_undirected(kept, nv, 4, store,
+                                  fingerprint=_input_fingerprint(sf_dir))
+            rep = connected_components(eng)
+            _check_unroll(rep, CC_ROUNDS, f"doc_percolation f={f}")
+            labels = _state_result(eng, "label", "label")
+            lj = attach_by_key(labels, deg, ["v"], key="v",
+                               value="degree")
+            nb = n_buckets_for(nv)
+
+            def sizes(b: pa.Table, _T=T) -> pa.Table:
+                lab = b["label"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                dg = np.nan_to_num(
+                    b["degree_v"].to_numpy(zero_copy_only=False)
+                    .astype(np.float64)).astype(np.int64)
+                lab = lab[dg <= _T]              # survivors only
+                u, c = np.unique(lab, return_counts=True)
+                return pa.table({
+                    "label": pa.array(u), "c": pa.array(c),
+                    "lb": pa.array((u % nb).astype(np.int64))})
+
+            def smax(g: pd.DataFrame) -> pd.DataFrame:
+                s = g.groupby("label", sort=False)["c"].sum()
+                return pd.DataFrame({"m": [int(s.max())]})
+
+            giant = int(lj.map_batches(sizes, batch_format="pyarrow")
+                        .groupby("lb").map_groups(
+                            smax, batch_format="pandas")
+                        .to_pandas()["m"].max())
+        rows.append({"pct": f, "threshold": T, "n_removed": removed,
+                     "n_survivors": surv, "giant_size": giant,
+                     "giant_share": round(giant / surv, 6)
+                     if surv else 0.0})
+    out = pd.DataFrame(rows)
+    for c in ("pct", "threshold", "n_removed", "n_survivors",
+              "giant_size"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _percolation_sql(fracs, rounds: int) -> str:
+    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+            ("sym AS MATERIALIZED (SELECT src, dst FROM e UNION ALL "
+             "SELECT dst AS src, src AS dst FROM e)"),
+            ("deg AS MATERIALIZED (SELECT src AS v, "
+             "count(*)::BIGINT AS d FROM sym GROUP BY src)"),
+            ("nv AS (SELECT count(*)::BIGINT AS n FROM documents)"),
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)"]
+    selects = []
+    for f in fracs:
+        k = f"((SELECT {f} * n FROM nv) // 100)"
+        ctes.append(
+            f"t{f} AS (SELECT min(t)::BIGINT AS T FROM ("
+            f"SELECT 0 AS t UNION ALL SELECT DISTINCT d FROM deg) x "
+            f"WHERE (SELECT count(*) FROM deg WHERE deg.d > x.t) "
+            f"<= {k})")
+        ctes.append(
+            f"rm{f} AS (SELECT count(*)::BIGINT AS r FROM deg "
+            f"WHERE d > (SELECT T FROM t{f}))")
+        ctes.append(
+            f"ks{f} AS MATERIALIZED (SELECT s.src, s.dst FROM sym s "
+            f"JOIN deg a ON a.v = s.src JOIN deg b ON b.v = s.dst "
+            f"WHERE a.d <= (SELECT T FROM t{f}) "
+            f"AND b.d <= (SELECT T FROM t{f}))")
+        ctes.append(f"p{f}l0 AS (SELECT v, v AS lab FROM allv)")
+        for i in range(1, rounds + 1):
+            pv = f"p{f}l{i - 1}"
+            ctes.append(
+                f"p{f}l{i} AS MATERIALIZED (SELECT allv.v, "
+                f"least({pv}.lab, coalesce(m.lab, {pv}.lab)) AS lab "
+                f"FROM allv JOIN {pv} USING (v) LEFT JOIN "
+                f"(SELECT ks{f}.dst AS v, min({pv}.lab) AS lab "
+                f"FROM ks{f} JOIN {pv} ON {pv}.v = ks{f}.src "
+                f"GROUP BY ks{f}.dst) m USING (v))")
+        ctes.append(
+            f"g{f} AS (SELECT max(c)::BIGINT AS giant FROM ("
+            f"SELECT lab, count(*)::BIGINT AS c FROM p{f}l{rounds} l "
+            f"LEFT JOIN deg ON deg.v = l.v "
+            f"WHERE coalesce(deg.d, 0) <= (SELECT T FROM t{f}) "
+            f"GROUP BY lab))")
+        selects.append(
+            f"SELECT {f}::BIGINT AS pct, (SELECT T FROM t{f}) "
+            f"AS threshold, (SELECT r FROM rm{f}) AS n_removed, "
+            f"(SELECT n FROM nv) - (SELECT r FROM rm{f}) "
+            f"AS n_survivors, (SELECT giant FROM g{f}) AS giant_size, "
+            f"round((SELECT giant FROM g{f}) / ((SELECT n FROM nv) "
+            f"- (SELECT r FROM rm{f}))::DOUBLE, 6) AS giant_share")
+    return (f"WITH {', '.join(ctes)} SELECT * FROM ("
+            f"{' UNION ALL '.join(selects)}) ORDER BY pct")
+
+
+ORACLE_SQL["doc_percolation"] = _percolation_sql(PERC_FRACS, CC_ROUNDS)
+QUERIES["doc_percolation"] = q_doc_percolation
+
+
 def q_doc_eff_diameter(sf_dir):
     """Effective diameter from the ANF sketch (HyperANF's headline
     statistic): smallest t with N(t) >= 0.9 * N(t_max), plus the
