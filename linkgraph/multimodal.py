@@ -651,6 +651,52 @@ def decode_png_images(ds, concurrency: int = 4, batch_size: int = 256):
                           concurrency=pool_size(concurrency))
 
 
+class PngResizeStage:
+    """Decode-then-resize — THE standard compressed-image ingestion
+    chain: parse_png (inflate + defilter), nearest-neighbor gather to a
+    fixed target grid (sy = ty*h//T, sx = tx*w//T), exact-int64 channel
+    means of the resized image (BmpResizeStage's contract on the PNG
+    lane; the gather picks generator pixels, so the SQL oracle is the
+    same closed form over the target grid)."""
+
+    def __init__(self, target: int = 8):
+        self.target = int(target)
+
+    def _resize_stats(self, payload: bytes):
+        img = parse_png(payload)
+        h, w = img.shape[:2]
+        T = self.target
+        sy = (np.arange(T, dtype=np.int64) * h) // T
+        sx = (np.arange(T, dtype=np.int64) * w) // T
+        res = img[sy][:, sx]
+        sums = res.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        n = T * T
+        return (float(sums[0] / n), float(sums[1] / n),
+                float(sums[2] / n))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._resize_stats(p)
+               for p in batch["payload"].to_pylist()]
+        r, g, b_ = (list(x) for x in zip(*out)) if out else ([], [], [])
+        rnd = lambda v: pa.array(np.round(np.array(v, np.float64), 6),
+                                 pa.float64())
+        return pa.table({
+            "media_id": batch["media_id"],
+            "width": pa.array(np.full(batch.num_rows, self.target,
+                                      np.int64)),
+            "height": pa.array(np.full(batch.num_rows, self.target,
+                                       np.int64)),
+            "mean_r": rnd(r), "mean_g": rnd(g), "mean_b": rnd(b_),
+        })
+
+
+def resize_png_images(ds, target: int = 8, concurrency: int = 4,
+                      batch_size: int = 256):
+    return ds.map_batches(PngResizeStage, fn_constructor_args=(target,),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency))
+
+
 # --------------------------------------------------------- real Y4M codec
 #
 # YUV4MPEG2 is a raw uncompressed video container (plain-text header +

@@ -12853,6 +12853,53 @@ ORACLE_SQL["doc_percolation"] = _percolation_sql(PERC_FRACS, CC_ROUNDS)
 QUERIES["doc_percolation"] = q_doc_percolation
 
 
+def q_media_png_resize(sf_dir):
+    """Compressed-image decode->resize chain: real PNG decode (inflate
+    + defilter) then the fixed-grid nearest-neighbor gather + exact
+    channel means (multimodal.PngResizeStage).  Oracle: closed form
+    over the gathered generator pixels (the media_resize convention on
+    the PNG generator/dims)."""
+    from .multimodal import png_images_from_documents, resize_png_images
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+    return resize_png_images(png_images_from_documents(docs),
+                             target=MEDIA_RESIZE_TARGET)
+
+
+ORACLE_SQL["media_png_resize"] = f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+      FROM documents
+    ), px AS (
+      SELECT media_id,
+             ((gy.ty * h) // {MEDIA_RESIZE_TARGET}) AS sy,
+             ((gx.tx * w) // {MEDIA_RESIZE_TARGET}) AS sx
+      FROM m
+      CROSS JOIN (SELECT unnest(range({MEDIA_RESIZE_TARGET})) AS tx) gx
+      CROSS JOIN (SELECT unnest(range({MEDIA_RESIZE_TARGET})) AS ty) gy
+    ), s AS (
+      SELECT media_id,
+             sum((media_id * 151 + sy * 19 + sx * 11 + 0) % 256)
+                 ::BIGINT AS sr,
+             sum((media_id * 151 + sy * 19 + sx * 11 + 5) % 256)
+                 ::BIGINT AS sg,
+             sum((media_id * 151 + sy * 19 + sx * 11 + 10) % 256)
+                 ::BIGINT AS sb
+      FROM px GROUP BY media_id
+    )
+    SELECT media_id,
+           {MEDIA_RESIZE_TARGET}::BIGINT AS width,
+           {MEDIA_RESIZE_TARGET}::BIGINT AS height,
+           round(sr / {MEDIA_RESIZE_TARGET ** 2}::DOUBLE, 6) AS mean_r,
+           round(sg / {MEDIA_RESIZE_TARGET ** 2}::DOUBLE, 6) AS mean_g,
+           round(sb / {MEDIA_RESIZE_TARGET ** 2}::DOUBLE, 6) AS mean_b
+    FROM s
+"""
+QUERIES["media_png_resize"] = q_media_png_resize
+
+
 def q_doc_eff_diameter(sf_dir):
     """Effective diameter from the ANF sketch (HyperANF's headline
     statistic): smallest t with N(t) >= 0.9 * N(t_max), plus the

@@ -153,7 +153,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "doc_leiden_modularity",
                                   "media_png",
                                   "text_unigram_tokens",
-                                  "doc_percolation"])
+                                  "doc_percolation",
+                                  "media_png_resize"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
