@@ -99,3 +99,29 @@ def test_induced_edges_keeps_both_endpoint_matches():
     want = pd.DataFrame({"src": e[m, 0], "dst": e[m, 1]}) \
         .sort_values(["src", "dst"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_star_edges_hashed_map_equals_exact(tmp_path, monkeypatch):
+    """The uint64-hashed broadcast rep map equals the exact string-Index
+    fallback (forced via a constant hash -> collision -> fallback)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.edges import derive_star_edges
+
+    keys = [f"k{i % 7}" for i in range(60)]
+    ds = rd.from_arrow(pa.table({
+        "gkey": pa.array(keys),
+        "vid": pa.array(np.arange(60, dtype=np.int64))}))
+
+    hashed = derive_star_edges(ds, "gkey", approx_rows=60) \
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+
+    monkeypatch.setattr(pd.util, "hash_array",
+                        lambda a: np.zeros(len(a), np.uint64))
+    exact = derive_star_edges(ds, "gkey", approx_rows=60) \
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    monkeypatch.undo()
+    pd.testing.assert_frame_equal(hashed, exact)
