@@ -13269,6 +13269,59 @@ ORACLE_SQL["corpus_clean_v4"] = _corpus_clean_v4_sql()
 QUERIES["corpus_clean_v4"] = q_corpus_clean_v4
 
 
+TOK_MIN, TOK_MAX = 60, 280  # unigram-token budget (v5 length gate)
+
+
+def q_corpus_clean_v5(sf_dir):
+    """Flagship cleaning composition V5 — v4 plus a TOKENIZER-AWARE
+    length gate: docs are tokenized with the trained unigram-LM vocab
+    (tokenizer.unigram_token_counts) and survivors must carry
+    TOK_MIN..TOK_MAX tokens — the budget filter a real pretraining
+    pipeline applies after tokenizer training, measured in model
+    tokens rather than words.  Returns the final (doc_id, source)
+    Dataset."""
+    from .dedup import _join_parts
+    from .runtime import counted
+    from .tokenizer import unigram_token_counts
+
+    v4, n4 = counted(q_corpus_clean_v4(sf_dir))
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    tok = unigram_token_counts(docs)
+    j = v4.join(tok, join_type="inner",
+                num_partitions=_join_parts(n4), on=("doc_id",))
+
+    def budget(b: pa.Table) -> pa.Table:
+        n = b["n_tokens"]
+        m = pc.and_(pc.greater_equal(n, TOK_MIN),
+                    pc.less_equal(n, TOK_MAX))
+        return pa.table({"doc_id": b["doc_id"],
+                         "source": b["source"]}).filter(m)
+
+    return j.map_batches(budget, batch_format="pyarrow")
+
+
+def _corpus_clean_v5_sql() -> str:
+    """V5 oracle: the v4 chain wrapped as q7 + the unigram token-count
+    chain (its own WITH RECURSIVE, embedded as a subquery) + the
+    budget filter."""
+    base = _corpus_clean_v4_sql()
+    head, sep, tail = base.rpartition(
+        "SELECT q6.doc_id, q6.source FROM q6")
+    return head + f""",
+        q7 AS MATERIALIZED ({sep}{tail}),
+        tok AS MATERIALIZED (SELECT * FROM (
+            {_unigram_tokens_sql(_UNI_SEED, _UNI_ROUNDS)}))
+        SELECT q7.doc_id, q7.source FROM q7
+        JOIN tok ON tok.doc_id = q7.doc_id
+        WHERE tok.n_tokens BETWEEN {TOK_MIN} AND {TOK_MAX}
+    """
+
+
+ORACLE_SQL["corpus_clean_v5"] = _corpus_clean_v5_sql()
+QUERIES["corpus_clean_v5"] = q_corpus_clean_v5
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on

@@ -175,3 +175,19 @@ def test_corpus_clean_v4_is_subset_of_v3(ray_session):
     s4 = set(v4["doc_id"].astype(np.int64))
     assert s4 <= s3
     assert len(s4) < len(s3)  # the gates actually dropped something
+
+
+def test_corpus_clean_v5_is_subset_of_v4(ray_session):
+    """V5 = v4 minus out-of-token-budget docs: strict subset, and the
+    budget gate actually binds on the test corpus."""
+    import numpy as np
+
+    from linkgraph.pipelines import q_corpus_clean_v4, q_corpus_clean_v5
+
+    sf = "/root/testdata/sf0.001"
+    v4 = q_corpus_clean_v4(sf).to_pandas()
+    v5 = q_corpus_clean_v5(sf).to_pandas()
+    s4 = set(v4["doc_id"].astype(np.int64))
+    s5 = set(v5["doc_id"].astype(np.int64))
+    assert s5 <= s4
+    assert len(s5) < len(s4)
