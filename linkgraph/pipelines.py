@@ -13322,6 +13322,83 @@ ORACLE_SQL["corpus_clean_v5"] = _corpus_clean_v5_sql()
 QUERIES["corpus_clean_v5"] = q_corpus_clean_v5
 
 
+ORDER_SHARDS = 8
+ORDER_SEED = 42
+
+
+def q_text_training_order(sf_dir):
+    """Deterministic training-order shuffle manifest: every doc gets a
+    seeded fmix64 key; shard = key % ORDER_SHARDS, pos = rank within
+    the shard by (key, doc_id).  The op a pretraining run needs to
+    materialize a reproducible global shuffle WITHOUT a global sort:
+    shard assignment is map-side, ordering is per-shard (each output
+    shard is one bounded sort — at cluster scale use thousands of
+    shards so each stays node-sized).  Exact-integer uint64 arithmetic
+    reproduced in DuckDB HUGEINT (the _minhash_sql convention)."""
+    from .io import read_parquet_clean as _r
+
+    docs = _r(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id"])
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+    C1 = np.uint64(0xFF51AFD7ED558CCD)
+    C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+    def keyb(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = (ids + np.uint64(1 + ORDER_SEED)) * PHI
+            z ^= z >> np.uint64(33)
+            z *= C1
+            z ^= z >> np.uint64(29)
+            z *= C2
+            z ^= z >> np.uint64(32)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "key": pa.array(z.view(np.int64)),
+            "shard": pa.array((z % np.uint64(ORDER_SHARDS))
+                              .astype(np.int64))})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["key"].to_numpy(np.int64).view(np.uint64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        o = np.lexsort((ids, k))
+        pos = np.empty(len(o), np.int64)
+        pos[o] = np.arange(1, len(o) + 1)
+        return pd.DataFrame({"doc_id": ids,
+                             "shard": g["shard"].to_numpy(np.int64),
+                             "pos": pos})
+
+    return docs.map_batches(keyb, batch_format="pyarrow") \
+        .groupby("shard").map_groups(rank, batch_format="pandas")
+
+
+def _training_order_sql() -> str:
+    phi = 0x9E3779B97F4A7C15
+    return f"""
+    WITH k0 AS (SELECT doc_id,
+                ({_mulmod64_sql(f'(doc_id + 1 + {ORDER_SEED})', phi)})
+                  ::UBIGINT AS z FROM documents),
+    k1 AS (SELECT doc_id, xor(z, z >> 33) AS z FROM k0),
+    k2 AS (SELECT doc_id,
+           {_mulmod64_sql('z', 0xFF51AFD7ED558CCD)}::UBIGINT AS z
+           FROM k1),
+    k3 AS (SELECT doc_id, xor(z, z >> 29) AS z FROM k2),
+    k4 AS (SELECT doc_id,
+           {_mulmod64_sql('z', 0xC4CEB9FE1A85EC53)}::UBIGINT AS z
+           FROM k3),
+    kk AS (SELECT doc_id, xor(z, z >> 32) AS key FROM k4)
+    SELECT doc_id, (key % {ORDER_SHARDS})::BIGINT AS shard,
+           row_number() OVER (PARTITION BY key % {ORDER_SHARDS}
+                              ORDER BY key, doc_id)::BIGINT AS pos
+    FROM kk
+    """
+
+
+ORACLE_SQL["text_training_order"] = _training_order_sql()
+QUERIES["text_training_order"] = q_text_training_order
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on

@@ -154,7 +154,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "media_png",
                                   "text_unigram_tokens",
                                   "doc_percolation",
-                                  "media_png_resize"])
+                                  "media_png_resize",
+                                  "text_training_order"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
