@@ -13399,6 +13399,78 @@ ORACLE_SQL["text_training_order"] = _training_order_sql()
 QUERIES["text_training_order"] = q_text_training_order
 
 
+def q_dedup_cross_source(sf_dir):
+    """Cross-source near-duplication matrix: minhash near-dup pairs
+    (threshold 0.5) attributed to their (source, source) cell —
+    unordered, so (a_src, b_src) is sorted lexicographically.  The
+    between-source contamination report a multi-source corpus build
+    logs (e.g. crawl-vs-curated overlap).  Pairs are the SMALL side
+    (verified near-dups); sources attach via the gated lookup join."""
+    from .dedup import minhash_dedup_pairs
+    from .io import from_pandas_clean
+    from .joins import attach_by_key
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text", "source"]) \
+        .materialize()
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    if isinstance(pairs, pd.DataFrame):
+        pairs_ds = from_pandas_clean(pairs[["a", "b"]])
+    else:
+        pairs_ds = pairs.select_columns(["a", "b"])
+    # attach_by_key maps int64 values: encode the bounded source domain
+    # as dense codes (map-side distinct partials + driver sort)
+    def spart(b: pa.Table) -> pa.Table:
+        u = pd.unique(b["source"].to_pandas())
+        return pa.table({"s": pa.array(u, pa.string())})
+
+    names = sorted(set(docs.select_columns(["source"])
+                       .map_batches(spart, batch_format="pyarrow")
+                       .to_pandas()["s"]))
+    code = {s: i for i, s in enumerate(names)}
+
+    def enc(b: pa.Table) -> pa.Table:
+        sc = np.array([code[s] for s in b["source"].to_pylist()],
+                      np.int64)
+        return pa.table({"doc_id": b["doc_id"], "sc": pa.array(sc)})
+
+    src = docs.map_batches(enc, batch_format="pyarrow")
+    att = attach_by_key(pairs_ds, src, ["a", "b"], key="doc_id",
+                        value="sc")
+
+    def cell(b: pa.Table) -> pa.Table:
+        sa = b["sc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = b["sc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(sa, sb), np.maximum(sa, sb)
+        arr = np.array(names, dtype=object)
+        g = pd.DataFrame({"source_a": arr[lo], "source_b": arr[hi]}) \
+            .groupby(["source_a", "source_b"], sort=False) \
+            .size().reset_index(name="n_pairs")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    # bounded (source x source) domain: map-side cells + driver merge
+    parts = att.map_batches(cell, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["source_a", "source_b"], sort=True)["n_pairs"] \
+        .sum().reset_index()
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["dedup_cross_source"] = f"""
+    WITH mh AS MATERIALIZED ({_minhash_sql(num_perm=64, bands=16, k=5,
+                                           threshold=0.5, cap=64)}),
+    att AS (SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b
+            FROM mh JOIN documents da ON da.doc_id = mh.a
+                    JOIN documents db ON db.doc_id = mh.b)
+    SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+    FROM att GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+"""
+QUERIES["dedup_cross_source"] = q_dedup_cross_source
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on
