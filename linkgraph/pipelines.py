@@ -13471,6 +13471,78 @@ ORACLE_SQL["dedup_cross_source"] = f"""
 QUERIES["dedup_cross_source"] = q_dedup_cross_source
 
 
+def q_embed_knn_classify(sf_dir):
+    """Leave-one-out kNN label transfer: every 5th vector (the eval
+    subset) is classified by the majority label of its ANN_K cosine
+    nearest neighbors (self excluded; ties: count DESC then label ASC)
+    — the standard embedding-quality eval and the weak-supervision
+    label-transfer op.  brute_force_topk is the gated small-side plan;
+    neighbor labels attach via the gated lookup join."""
+    from .ann import brute_force_topk
+    from .io import from_pandas_clean
+    from .joins import attach_by_key
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding", "label"]) \
+        .materialize()
+    def evalset(b: pa.Table) -> pa.Table:  # vec_id % 5 == 0
+        v = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(v % 5 == 0))
+
+    rows = emb.map_batches(evalset, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qi = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    tl = {int(r["vec_id"]): int(r["label"]) for r in rows}
+    top = brute_force_topk(emb, q, qi, k=ANN_K)
+
+    lab = attach_by_key(from_pandas_clean(top[["query_id",
+                                               "neighbor_id"]]),
+                        emb.select_columns(["vec_id", "label"]),
+                        ["neighbor_id"], key="vec_id",
+                        value="label").to_pandas()
+    out = []
+    for qid, g in lab.groupby("query_id", sort=True):
+        vc = g.groupby("label_neighbor_id").size().reset_index(name="c")
+        vc = vc.sort_values(["c", "label_neighbor_id"],
+                            ascending=[False, True], kind="mergesort")
+        pred = int(vc["label_neighbor_id"].iloc[0])
+        t = tl[int(qid)]
+        out.append((int(qid), t, pred, int(pred == t)))
+    df = pd.DataFrame(out, columns=["query_id", "true_label",
+                                    "pred_label", "correct"])
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+ORACLE_SQL["embed_knn_classify"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS tlab,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id % 5 = 0),
+    sims AS (SELECT q.query_id, q.tlab, e.vec_id AS nid,
+                    e.label AS nlab,
+                    list_cosine_similarity(
+                        q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+             FROM q CROSS JOIN embeddings e
+             WHERE e.vec_id <> q.query_id),
+    top AS (SELECT query_id, tlab, nlab FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, nid ASC) AS rnk FROM sims)
+            WHERE rnk <= {ANN_K}),
+    maj AS (SELECT query_id, tlab, nlab, count(*)::BIGINT AS c
+            FROM top GROUP BY 1, 2, 3),
+    pick AS (SELECT query_id, tlab, nlab,
+                    row_number() OVER (PARTITION BY query_id
+                        ORDER BY c DESC, nlab ASC) AS rn FROM maj)
+    SELECT query_id, tlab::BIGINT AS true_label,
+           nlab::BIGINT AS pred_label,
+           (CASE WHEN nlab = tlab THEN 1 ELSE 0 END)::BIGINT AS correct
+    FROM pick WHERE rn = 1
+"""
+QUERIES["embed_knn_classify"] = q_embed_knn_classify
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on
