@@ -13543,6 +13543,55 @@ ORACLE_SQL["embed_knn_classify"] = f"""
 QUERIES["embed_knn_classify"] = q_embed_knn_classify
 
 
+def q_text_token_budget(sf_dir):
+    """Per-language token-budget report: unigram-LM token counts
+    (tokenizer.unigram_token_counts) grouped by PREDICTED language
+    (langid_stage) — the table a multilingual data-mixture plan reads
+    (tokens available per language).  Both inputs are per-doc and
+    shuffle-free; the (lang) rollup is a bounded-domain map-side
+    partial + driver merge."""
+    from .dedup import _join_parts
+    from .runtime import counted
+    from .text import langid_stage
+    from .tokenizer import unigram_token_counts
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"]).materialize()
+    tok, n_tok = counted(unigram_token_counts(docs))
+    lang = langid_stage(docs).select_columns(["doc_id", "lang_pred"])
+    j = tok.join(lang, join_type="inner",
+                 num_partitions=_join_parts(n_tok), on=("doc_id",))
+
+    def part(b: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {"lang_pred": b["lang_pred"].to_pandas(),
+             "n": b["n_tokens"].to_numpy(zero_copy_only=False)}) \
+            .groupby("lang_pred", sort=False)["n"] \
+            .agg(["size", "sum"]).reset_index()
+        g.columns = ["lang_pred", "n_docs", "n_tokens"]
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = j.map_batches(part, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("lang_pred", sort=True)[
+        ["n_docs", "n_tokens"]].sum().reset_index()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["text_token_budget"] = f"""
+    WITH tok AS MATERIALIZED (SELECT * FROM (
+        {_unigram_tokens_sql(_UNI_SEED, _UNI_ROUNDS)})),
+    lid AS MATERIALIZED ({_langid_sql()})
+    SELECT lid.lang_pred, count(*)::BIGINT AS n_docs,
+           sum(tok.n_tokens)::BIGINT AS n_tokens
+    FROM tok JOIN lid USING (doc_id)
+    GROUP BY lid.lang_pred ORDER BY lid.lang_pred
+"""
+QUERIES["text_token_budget"] = q_text_token_budget
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on
