@@ -13592,6 +13592,139 @@ ORACLE_SQL["text_token_budget"] = f"""
 QUERIES["text_token_budget"] = q_text_token_budget
 
 
+EDGE_PERC_PCTS = [0, 10, 30, 50, 70]
+
+
+def q_doc_edge_percolation(sf_dir):
+    """Random-failure percolation twin of doc_percolation: remove each
+    EDGE independently when fmix64(src*2^32 + dst + seed) % 100 < p
+    (exact-integer seeded rule — reproducible, order-free), report the
+    surviving giant-component share per failure rate p.  Together with
+    the targeted-attack curve this is the standard robustness pair
+    (random failure vs attack).  Vertices all survive: share is over
+    n_vertices."""
+    from .algos import connected_components
+    from .algos.triangles import n_buckets_for
+    from .graph import load_undirected
+    from .runtime import counted
+
+    edges = documents_edges(sf_dir)
+    nv = documents_n_vertices(sf_dir)
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+    C1 = np.uint64(0xFF51AFD7ED558CCD)
+    C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+    def ekey(b: pa.Table) -> np.ndarray:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = (s * np.uint64(1 << 32) + d + np.uint64(ORDER_SEED)) \
+                * PHI
+            z ^= z >> np.uint64(33)
+            z *= C1
+            z ^= z >> np.uint64(29)
+            z *= C2
+            z ^= z >> np.uint64(32)
+        return (z % np.uint64(100)).astype(np.int64)
+
+    rows = []
+    for p in EDGE_PERC_PCTS:
+        def keep(b: pa.Table, _p=p) -> pa.Table:
+            return b.filter(pa.array(ekey(b) >= _p))
+
+        kept, n_kept = counted(edges.map_batches(
+            keep, batch_format="pyarrow"))
+        if n_kept == 0:
+            giant = 1 if nv > 0 else 0
+        else:
+            store = _store_root(sf_dir, f"eperc-{p}")
+            eng = load_undirected(kept, nv, 4, store,
+                                  fingerprint=_input_fingerprint(sf_dir))
+            rep = connected_components(eng)
+            _check_unroll(rep, CC_ROUNDS, f"doc_edge_percolation p={p}")
+            labels = _state_result(eng, "label", "label")
+            nb = n_buckets_for(nv)
+
+            def sizes(b: pa.Table) -> pa.Table:
+                lab = b["label"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                u, c = np.unique(lab, return_counts=True)
+                return pa.table({
+                    "label": pa.array(u), "c": pa.array(c),
+                    "lb": pa.array((u % nb).astype(np.int64))})
+
+            def smax(g: pd.DataFrame) -> pd.DataFrame:
+                s = g.groupby("label", sort=False)["c"].sum()
+                return pd.DataFrame({"m": [int(s.max())]})
+
+            giant = int(labels.map_batches(sizes,
+                                           batch_format="pyarrow")
+                        .groupby("lb").map_groups(
+                            smax, batch_format="pandas")
+                        .to_pandas()["m"].max())
+        rows.append({"pct": p, "n_edges_kept": n_kept,
+                     "giant_size": giant,
+                     "giant_share": round(giant / nv, 6) if nv
+                     else 0.0})
+    out = pd.DataFrame(rows)
+    for c in ("pct", "n_edges_kept", "giant_size"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _edge_percolation_sql(pcts, rounds: int) -> str:
+    phi = 0x9E3779B97F4A7C15
+    key = _mulmod64_sql(
+        f"(src::HUGEINT * 4294967296 + dst + {ORDER_SEED})", phi)
+    ctes = [f"e AS MATERIALIZED ({DOC_EDGES_SQL})",
+            "nv AS (SELECT count(*)::BIGINT AS n FROM documents)",
+            "allv AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+            (f"ek0 AS (SELECT src, dst, ({key})::UBIGINT AS z FROM e)"),
+            "ek1 AS (SELECT src, dst, xor(z, z >> 33) AS z FROM ek0)",
+            (f"ek2 AS (SELECT src, dst, "
+             f"{_mulmod64_sql('z', 0xFF51AFD7ED558CCD)}::UBIGINT AS z "
+             f"FROM ek1)"),
+            "ek3 AS (SELECT src, dst, xor(z, z >> 29) AS z FROM ek2)",
+            (f"ek4 AS (SELECT src, dst, "
+             f"{_mulmod64_sql('z', 0xC4CEB9FE1A85EC53)}::UBIGINT AS z "
+             f"FROM ek3)"),
+            ("ek AS MATERIALIZED (SELECT src, dst, "
+             "(xor(z, z >> 32) % 100)::BIGINT AS pk FROM ek4)")]
+    selects = []
+    for p in pcts:
+        ctes.append(
+            f"ks{p} AS MATERIALIZED (SELECT src, dst FROM ek "
+            f"WHERE pk >= {p} UNION ALL SELECT dst AS src, "
+            f"src AS dst FROM ek WHERE pk >= {p})")
+        ctes.append(f"e{p}l0 AS (SELECT v, v AS lab FROM allv)")
+        for i in range(1, rounds + 1):
+            pv = f"e{p}l{i - 1}"
+            ctes.append(
+                f"e{p}l{i} AS MATERIALIZED (SELECT allv.v, "
+                f"least({pv}.lab, coalesce(m.lab, {pv}.lab)) AS lab "
+                f"FROM allv JOIN {pv} USING (v) LEFT JOIN "
+                f"(SELECT ks{p}.dst AS v, min({pv}.lab) AS lab "
+                f"FROM ks{p} JOIN {pv} ON {pv}.v = ks{p}.src "
+                f"GROUP BY ks{p}.dst) m USING (v))")
+        ctes.append(
+            f"g{p} AS (SELECT max(c)::BIGINT AS giant FROM ("
+            f"SELECT lab, count(*)::BIGINT AS c FROM e{p}l{rounds} "
+            f"GROUP BY lab))")
+        selects.append(
+            f"SELECT {p}::BIGINT AS pct, (SELECT count(*) FROM ek "
+            f"WHERE pk >= {p})::BIGINT AS n_edges_kept, "
+            f"(SELECT giant FROM g{p}) AS giant_size, "
+            f"round((SELECT giant FROM g{p}) "
+            f"/ (SELECT n FROM nv)::DOUBLE, 6) AS giant_share")
+    return (f"WITH {', '.join(ctes)} SELECT * FROM ("
+            f"{' UNION ALL '.join(selects)}) ORDER BY pct")
+
+
+ORACLE_SQL["doc_edge_percolation"] = _edge_percolation_sql(
+    EDGE_PERC_PCTS, CC_ROUNDS)
+QUERIES["doc_edge_percolation"] = q_doc_edge_percolation
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on
