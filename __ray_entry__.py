@@ -18,8 +18,10 @@ MinHash/SimHash index arithmetic is deterministic uint64 math
 reproduced exactly in DuckDB HUGEINT (pipelines._minhash_sql /
 _simhash_sql), the sign-LSH and IVF ANN paths re-derive their
 hyperplanes / unrolled k-means centroids from the same seeds
-(_ann_lsh_sql / _ann_ivf_sql), and the media stub-decode lanes are
-sha256-derived in SQL.
+(_ann_lsh_sql / _ann_ivf_sql), the media stub-decode lanes are
+sha256-derived in SQL, and the iterative trainers (BPE merges,
+unigram-LM Viterbi EM, k-means, Louvain/Leiden, percolation CC) are
+unrolled CTE chains — 332 queries, 332 oracles as of round 5.
 """
 
 from __future__ import annotations
