@@ -188,25 +188,27 @@ def _dedup_pairs_ds(pairs, val_col: str | None = None):
         return b.append_column(
             "pb", pa.array((_mix_key(a, bb) % nb).astype(np.int64)))
 
-    def kern(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["a"].to_numpy(np.int64)
-        bb = g["b"].to_numpy(np.int64)
+    def kern(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         if val_col is None:
             o = np.lexsort((bb, a))
             a, bb = a[o], bb[o]
             keep = np.ones(len(a), dtype=bool)
             keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
-            return pd.DataFrame({"a": a[keep], "b": bb[keep]})
-        v = g[val_col].to_numpy()
+            return pa.table({"a": pa.array(a[keep]),
+                             "b": pa.array(bb[keep])})
+        v = g[val_col].to_numpy(zero_copy_only=False)
         o = np.lexsort((v, bb, a))          # min val first per pair
         a, bb, v = a[o], bb[o], v[o]
         keep = np.ones(len(a), dtype=bool)
         keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
-        return pd.DataFrame({"a": a[keep], "b": bb[keep],
-                             val_col: v[keep]})
+        return pa.table({"a": pa.array(a[keep]),
+                         "b": pa.array(bb[keep]),
+                         val_col: pa.array(v[keep])})
 
     return pairs.map_batches(tag, batch_format="pyarrow") \
-        .groupby("pb").map_groups(kern, batch_format="pandas")
+        .groupby("pb").map_groups(kern, batch_format="pyarrow")
 
 
 # pairs up to this count are deduped on the driver (a few 10s of MB);
@@ -345,15 +347,16 @@ def _candidate_pairs_impl(bucket_ds, id_col: str,
             return pa.table({"k": pa.array(k),
                              "kb": pa.array((k % nbk).astype(np.int64))})
 
-        def hot_kern(g: pd.DataFrame) -> pd.DataFrame:
-            uk, c = np.unique(g["k"].to_numpy(np.int64),
-                              return_counts=True)
+        def hot_kern(g: pa.Table) -> pa.Table:
+            uk, c = np.unique(g["k"].to_numpy(zero_copy_only=False)
+                              .astype(np.int64), return_counts=True)
             m = c > 1
-            return pd.DataFrame({"k": uk[m], "c": c[m].astype(np.int64)})
+            return pa.table({"k": pa.array(uk[m]),
+                             "c": pa.array(c[m].astype(np.int64))})
 
         hot = (bucket_ds.map_batches(ktag, batch_format="pyarrow")
                .groupby("kb").map_groups(hot_kern,
-                                         batch_format="pandas")
+                                         batch_format="pyarrow")
                .to_pandas())
         hot_keys = np.sort(hot["k"].to_numpy(np.int64))
         hot_counts = hot["c"].to_numpy(np.int64)
@@ -428,12 +431,13 @@ def _involved_ids(cands_ds) -> np.ndarray:
         i = b["id"].to_numpy(zero_copy_only=False)
         return b.append_column("ib", pa.array((i % nb).astype(np.int64)))
 
-    def kern(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"id": np.unique(g["id"].to_numpy(np.int64))})
+    def kern(g: pa.Table) -> pa.Table:
+        u = np.unique(g["id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"id": pa.array(u)})
 
     ids = (ex.map_batches(tag, batch_format="pyarrow")
-           .groupby("ib").map_groups(kern, batch_format="pandas")
+           .groupby("ib").map_groups(kern, batch_format="pyarrow")
            .to_pandas()["id"].to_numpy())
     return np.sort(ids.astype(np.int64))
 

@@ -12779,13 +12779,18 @@ def q_doc_percolation(sf_dir):
                     "label": pa.array(u), "c": pa.array(c),
                     "lb": pa.array((u % nb).astype(np.int64))})
 
-            def smax(g: pd.DataFrame) -> pd.DataFrame:
-                s = g.groupby("label", sort=False)["c"].sum()
-                return pd.DataFrame({"m": [int(s.max())]})
+            def smax(g: pa.Table) -> pa.Table:
+                lab = g["label"].to_numpy(zero_copy_only=False)
+                c = g["c"].to_numpy(zero_copy_only=False)
+                u, inv = np.unique(lab, return_inverse=True)
+                tot = np.bincount(inv, weights=c.astype(np.float64),
+                                  minlength=len(u)).astype(np.int64)
+                return pa.table({"m": pa.array([int(tot.max())],
+                                               pa.int64())})
 
             giant = int(lj.map_batches(sizes, batch_format="pyarrow")
                         .groupby("lb").map_groups(
-                            smax, batch_format="pandas")
+                            smax, batch_format="pyarrow")
                         .to_pandas()["m"].max())
         rows.append({"pct": f, "threshold": T, "n_removed": removed,
                      "n_survivors": surv, "giant_size": giant,
@@ -13359,18 +13364,19 @@ def q_text_training_order(sf_dir):
             "shard": pa.array((z % np.uint64(ORDER_SHARDS))
                               .astype(np.int64))})
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["key"].to_numpy(np.int64).view(np.uint64)
-        ids = g["doc_id"].to_numpy(np.int64)
+    def rank(g: pa.Table) -> pa.Table:
+        k = g["key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         o = np.lexsort((ids, k))
         pos = np.empty(len(o), np.int64)
         pos[o] = np.arange(1, len(o) + 1)
-        return pd.DataFrame({"doc_id": ids,
-                             "shard": g["shard"].to_numpy(np.int64),
-                             "pos": pos})
+        return pa.table({"doc_id": pa.array(ids),
+                         "shard": g["shard"],
+                         "pos": pa.array(pos)})
 
     return docs.map_batches(keyb, batch_format="pyarrow") \
-        .groupby("shard").map_groups(rank, batch_format="pandas")
+        .groupby("shard").map_groups(rank, batch_format="pyarrow")
 
 
 def _training_order_sql() -> str:
@@ -13653,14 +13659,19 @@ def q_doc_edge_percolation(sf_dir):
                     "label": pa.array(u), "c": pa.array(c),
                     "lb": pa.array((u % nb).astype(np.int64))})
 
-            def smax(g: pd.DataFrame) -> pd.DataFrame:
-                s = g.groupby("label", sort=False)["c"].sum()
-                return pd.DataFrame({"m": [int(s.max())]})
+            def smax(g: pa.Table) -> pa.Table:
+                lab = g["label"].to_numpy(zero_copy_only=False)
+                c = g["c"].to_numpy(zero_copy_only=False)
+                u, inv = np.unique(lab, return_inverse=True)
+                tot = np.bincount(inv, weights=c.astype(np.float64),
+                                  minlength=len(u)).astype(np.int64)
+                return pa.table({"m": pa.array([int(tot.max())],
+                                               pa.int64())})
 
             giant = int(labels.map_batches(sizes,
                                            batch_format="pyarrow")
                         .groupby("lb").map_groups(
-                            smax, batch_format="pandas")
+                            smax, batch_format="pyarrow")
                         .to_pandas()["m"].max())
         rows.append({"pct": p, "n_edges_kept": n_kept,
                      "giant_size": giant,
