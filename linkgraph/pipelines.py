@@ -13736,6 +13736,63 @@ ORACLE_SQL["doc_edge_percolation"] = _edge_percolation_sql(
 QUERIES["doc_edge_percolation"] = q_doc_edge_percolation
 
 
+SWEEP_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def q_dedup_threshold_sweep(sf_dir):
+    """Dedup yield curve: ONE minhash signature+verify pass at the
+    loosest threshold (0.5), then each stricter threshold filters the
+    exact-verified Jaccard values — (threshold, n_pairs,
+    n_docs_removed) where removed = distinct larger ids (the standard
+    drop-larger rule).  The knob-tuning table a cleaning run consults
+    before committing to a threshold; candidate recall is the 0.5
+    banding on BOTH sides, so the curve is exactly reproducible."""
+    from .dedup import minhash_dedup_pairs
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()   # verified pairs: the small result
+    j = pairs["jaccard"].to_numpy(np.float64)
+    b = pairs["b"].to_numpy(np.int64)
+    rows = []
+    for t in SWEEP_THRESHOLDS:
+        m = np.round(j, 6) >= t     # round-6 on BOTH sides (float rule)
+        rows.append({"threshold": t, "n_pairs": int(m.sum()),
+                     "n_docs_removed": int(np.unique(b[m]).size)})
+    out = pd.DataFrame(rows)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    out["n_docs_removed"] = out["n_docs_removed"].astype(np.int64)
+    return out
+
+
+# the shared fragment emits (a, b); the sweep also needs the exact
+# verified Jaccard — expose it from the same integer counts (ONE double
+# division, identical to the engine kernel's)
+_SWEEP_MH = _minhash_sql(num_perm=64, bands=16, k=5, threshold=0.5,
+                         cap=64).replace(
+    "SELECT i.a, i.b\n        FROM inter i",
+    "SELECT i.a, i.b, i.i::DOUBLE / (za.sz + zb.sz - i.i) AS jaccard"
+    "\n        FROM inter i")
+assert "AS jaccard" in _SWEEP_MH
+
+ORACLE_SQL["dedup_threshold_sweep"] = f"""
+    WITH mh AS MATERIALIZED ({_SWEEP_MH}),
+    t AS (SELECT unnest([{', '.join(str(t) for t in SWEEP_THRESHOLDS)}])
+              AS threshold)
+    SELECT t.threshold,
+           count(*) FILTER (WHERE round(mh.jaccard, 6) >= t.threshold)
+               ::BIGINT AS n_pairs,
+           count(DISTINCT mh.b) FILTER (
+               WHERE round(mh.jaccard, 6) >= t.threshold)
+               ::BIGINT AS n_docs_removed
+    FROM t LEFT JOIN mh ON TRUE
+    GROUP BY t.threshold ORDER BY t.threshold
+"""
+QUERIES["dedup_threshold_sweep"] = q_dedup_threshold_sweep
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on

@@ -159,7 +159,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "dedup_cross_source",
                                   "embed_knn_classify",
                                   "text_token_budget",
-                                  "doc_edge_percolation"])
+                                  "doc_edge_percolation",
+                                  "dedup_threshold_sweep"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
