@@ -13793,6 +13793,74 @@ ORACLE_SQL["dedup_threshold_sweep"] = f"""
 QUERIES["dedup_threshold_sweep"] = q_dedup_threshold_sweep
 
 
+def q_doc_two_hop(sf_dir):
+    """Exact 2-hop neighborhood size for the sampled root set
+    (v % 7 == 0): |{w : dist(v, w) <= 2, w != v}| over the symmetric
+    graph — the local-reach statistic behind friend-of-friend features
+    and ANF calibration.  Root membership is ARITHMETIC (id % 7), so
+    hop-1 selection is a stateless filter, hop-2 is one hash join, and
+    the distinct count is a coarse root-bucket kernel — no root
+    broadcast at any scale."""
+    from .algos.triangles import n_buckets_for
+    from .dedup import _join_parts
+    from .edges import symmetrize
+    from .runtime import counted
+
+    sym, n_sym = counted(symmetrize(documents_edges(sf_dir)))
+
+    def h1f(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        t = pa.table({"r": b["src"], "w": b["dst"]})
+        return t.filter(pa.array(s % 7 == 0))
+
+    h1 = sym.map_batches(h1f, batch_format="pyarrow").materialize()
+    s2 = sym.map_batches(
+        lambda b: pa.table({"w": b["src"], "w2": b["dst"]}),
+        batch_format="pyarrow")
+    h2 = h1.join(s2, join_type="inner",
+                 num_partitions=_join_parts(n_sym), on=("w",)) \
+        .map_batches(lambda b: pa.table({"r": b["r"], "w": b["w2"]}),
+                     batch_format="pyarrow")
+    both = h1.select_columns(["r", "w"]).union(h2)
+    nb = n_buckets_for(2 * n_sym)
+
+    def tag(b: pa.Table) -> pa.Table:
+        r = b["r"].to_numpy(zero_copy_only=False)
+        return b.append_column("rb",
+                               pa.array((r % nb).astype(np.int64)))
+
+    def cnt(g: pa.Table) -> pa.Table:
+        r = g["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = g["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = r != w
+        r, w = r[m], w[m]
+        o = np.lexsort((w, r))
+        r, w = r[o], w[o]
+        first = np.ones(len(r), dtype=bool)
+        first[1:] = (r[1:] != r[:-1]) | (w[1:] != w[:-1])
+        u, c = np.unique(r[first], return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "n_within_2": pa.array(c.astype(np.int64))})
+
+    return both.map_batches(tag, batch_format="pyarrow") \
+        .groupby("rb").map_groups(cnt, batch_format="pyarrow")
+
+
+ORACLE_SQL["doc_two_hop"] = f"""
+    WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e
+            UNION ALL SELECT dst AS src, src AS dst FROM e),
+    h1 AS MATERIALIZED (SELECT src AS r, dst AS w FROM sym
+                        WHERE src % 7 = 0),
+    h2 AS (SELECT h1.r, s.dst AS w FROM h1
+           JOIN sym s ON s.src = h1.w),
+    un AS (SELECT r, w FROM h1 UNION SELECT r, w FROM h2)
+    SELECT r AS v, count(*)::BIGINT AS n_within_2
+    FROM un WHERE w <> r GROUP BY r
+"""
+QUERIES["doc_two_hop"] = q_doc_two_hop
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on

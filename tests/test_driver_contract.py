@@ -160,7 +160,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "embed_knn_classify",
                                   "text_token_budget",
                                   "doc_edge_percolation",
-                                  "dedup_threshold_sweep"])
+                                  "dedup_threshold_sweep",
+                                  "doc_two_hop"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
