@@ -13861,6 +13861,36 @@ ORACLE_SQL["doc_two_hop"] = f"""
 QUERIES["doc_two_hop"] = q_doc_two_hop
 
 
+def q_sketch_cms_error(sf_dir):
+    """Count-Min calibration report (the CMS twin of sketch_hll_error):
+    over the fixed probe set, how far do the sketch's point estimates
+    overshoot truth — (n_probes, n_exact, max_overestimate,
+    mean_overestimate round-6).  est >= true always (the CMS bound),
+    so the report certifies the sketch parameters for the corpus."""
+    from .sketch import cms_token_counts
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+    r = cms_token_counts(docs)
+    over = (r["est"] - r["true_n"]).to_numpy(np.int64)
+    return pd.DataFrame({
+        "n_probes": np.array([len(r)], np.int64),
+        "n_exact": np.array([int((over == 0).sum())], np.int64),
+        "max_overestimate": np.array([int(over.max())], np.int64),
+        "mean_overestimate": [round(float(over.mean()), 6)]})
+
+
+ORACLE_SQL["sketch_cms_error"] = f"""
+    WITH cms AS MATERIALIZED ({_SK.cms_sql()})
+    SELECT count(*)::BIGINT AS n_probes,
+           count(*) FILTER (WHERE est = true_n)::BIGINT AS n_exact,
+           max(est - true_n)::BIGINT AS max_overestimate,
+           round(avg(est - true_n), 6) AS mean_overestimate
+    FROM cms
+"""
+QUERIES["sketch_cms_error"] = q_sketch_cms_error
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on
