@@ -991,3 +991,22 @@ def test_rank_degree_corr_gate_paths_equal(ray_session, monkeypatch):
     b = q_doc_rank_degree_corr(sf)
     assert a["corr"].iloc[0] == b["corr"].iloc[0]
     assert a["n_vertices"].iloc[0] == b["n_vertices"].iloc[0]
+
+
+def test_threshold_sweep_gate_paths_equal(ray_session, monkeypatch):
+    """dedup_threshold_sweep: driver pair frame == forced-distributed
+    Dataset tail (DRIVER_PAIR_CAP / BUCKET_DRIVER_CAP / HOT_DRIVER_CAP
+    all zeroed)."""
+    import pandas as pd
+
+    import linkgraph.dedup as dd
+    from linkgraph.pipelines import q_dedup_threshold_sweep
+
+    sf = "/root/testdata/sf0.001"
+    a = q_dedup_threshold_sweep(sf)
+    for cap in ("DRIVER_PAIR_CAP", "BUCKET_DRIVER_CAP",
+                "HOT_DRIVER_CAP"):
+        monkeypatch.setattr(dd, cap, 0)
+    b = q_dedup_threshold_sweep(sf)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
