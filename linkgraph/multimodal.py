@@ -4,10 +4,14 @@ pipelines.
 Media payloads are opaque `binary` columns with typed metadata columns;
 decode / feature-extraction / resize / frame-sampling run as ACTOR-POOL
 map_batches stages (model/codec state loaded once per actor in
-__init__).  The decode libraries (PIL, ffmpeg, torchaudio ...) are NOT
-in this container, so the codec call itself is STUBBED: with
-`use_stub=False` the stage raises NotImplementedError at the clearly
-marked seam; with the default deterministic stub, a fake "decoder"
+__init__).  REAL decoders ship for every format decodable with the
+stdlib + numpy: WAV PCM (audio), 24-bit BMP (image), YUV4MPEG2 (video)
+and — the compressed lane — PNG (zlib IDAT inflate + all five scanline
+defilters, parse_png below).  The remaining compressed codecs (JPEG /
+MP3 / H.264; their libraries are NOT in this container) stay a clearly
+marked NotImplementedError seam in MediaDecodeStage: with
+`use_stub=False` the stage decodes PNG for real and raises at the seam
+for the rest; with the default deterministic stub, a fake "decoder"
 derives reproducible features from the bytes so the Ray-side plumbing —
 schema, batch sizing, actor signature, output layout — is real and
 tested end-to-end.
