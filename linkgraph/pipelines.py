@@ -13891,6 +13891,73 @@ ORACLE_SQL["sketch_cms_error"] = f"""
 QUERIES["sketch_cms_error"] = q_sketch_cms_error
 
 
+def q_events_rate_change(sf_dir):
+    """Per-type Poisson rate-change screen: split the corpus time range
+    at the exact integer midpoint (min_us + max_us) // 2, count each
+    event type's first/second-half events, and report the G-test
+    statistic  G = 2*(n1*ln(2n1/n) + n2*ln(2n2/n))  (0-count terms are
+    0).  Counts are exact integers; ln is math.log — bit-identical to
+    DuckDB ln() (the tokenizer rule) — so the round-6 G values match
+    exactly.  Map-side (type x half) partials, driver stat."""
+    import math
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type"]).materialize()
+    lo = int(pc.cast(pa.scalar(ev.min("ts")), pa.int64()).as_py())
+    hi = int(pc.cast(pa.scalar(ev.max("ts")), pa.int64()).as_py())
+    mid = (lo + hi) // 2
+
+    def part(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                          "h": (us > mid).astype(np.int64)}) \
+            .groupby(["event_type", "h"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = ev.map_batches(part, batch_format="pyarrow").to_pandas()
+    d = parts.groupby(["event_type", "h"], sort=True)["n"].sum() \
+        .unstack(fill_value=0)
+    rows = []
+    for t in sorted(d.index):
+        n1 = int(d.loc[t].get(0, 0))
+        n2 = int(d.loc[t].get(1, 0))
+        n = n1 + n2
+        g = 0.0
+        if n1 > 0:
+            g += n1 * math.log(2.0 * n1 / n)
+        if n2 > 0:
+            g += n2 * math.log(2.0 * n2 / n)
+        rows.append({"event_type": t,
+                     "n_first": n1, "n_second": n2,
+                     "g_stat": round(2.0 * g, 6)})
+    out = pd.DataFrame(rows)
+    out["n_first"] = out["n_first"].astype(np.int64)
+    out["n_second"] = out["n_second"].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["events_rate_change"] = """
+    WITH mm AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2
+                    AS mid FROM events),
+    c AS (SELECT event_type,
+                 count(*) FILTER (WHERE epoch_us(ts)
+                     <= (SELECT mid FROM mm))::BIGINT AS n_first,
+                 count(*) FILTER (WHERE epoch_us(ts)
+                     > (SELECT mid FROM mm))::BIGINT AS n_second
+          FROM events GROUP BY event_type)
+    SELECT event_type, n_first, n_second,
+           round(2.0 * (
+             (CASE WHEN n_first > 0 THEN n_first * ln(2.0 * n_first
+                 / (n_first + n_second)) ELSE 0.0 END)
+           + (CASE WHEN n_second > 0 THEN n_second * ln(2.0 * n_second
+                 / (n_first + n_second)) ELSE 0.0 END)), 6) AS g_stat
+    FROM c ORDER BY event_type
+"""
+QUERIES["events_rate_change"] = q_events_rate_change
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on
