@@ -13958,6 +13958,113 @@ ORACLE_SQL["events_rate_change"] = """
 QUERIES["events_rate_change"] = q_events_rate_change
 
 
+PACK_WASTE_SHARDS = 8
+
+
+def q_pack_waste(sf_dir):
+    """Padding-waste report for NO-SPLIT packing (the policy dual of
+    pack_sequences' concat-and-chunk): docs are packed greedy next-fit
+    in doc_id order WITHIN their shard (doc_id % 8) — whole docs only;
+    a doc that doesn't fit closes the bin; oversized docs take
+    floor(n/L) dedicated bins + a remainder bin.  Per shard:
+    (shard, n_docs, total_tokens, n_bins, fill_rate) — the padding
+    waste a no-split loader pays vs the chunker's zero waste.
+    Per-shard packing is embarrassingly parallel (at corpus scale use
+    many shards, each node-sized); the oracle replays the same greedy
+    recurrence as a rank-synchronous recursive CTE."""
+    from .text import add_token_count
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    L = PACK_SEQ_LEN
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = add_token_count(b)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+            "shard": pa.array((ids % PACK_WASTE_SHARDS)
+                              .astype(np.int64))})
+
+    def pack(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = g["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        o = np.argsort(ids)
+        n = n[o]
+        bins, f = 0, 0
+        for x in n:
+            if x == 0:
+                continue
+            if f + x <= L:
+                f += x
+            else:
+                if f > 0:
+                    bins += 1
+                bins += int(x // L)
+                f = int(x % L)
+        if f > 0:
+            bins += 1
+        tot = int(n.sum())
+        shard = int(g["shard"][0].as_py())
+        return pa.table({
+            "shard": pa.array([shard], pa.int64()),
+            "n_docs": pa.array([len(n)], pa.int64()),
+            "total_tokens": pa.array([tot], pa.int64()),
+            "n_bins": pa.array([bins], pa.int64()),
+            "fill_rate": pa.array(
+                [round(tot / (bins * L), 6) if bins else 0.0],
+                pa.float64())})
+
+    return docs.map_batches(tag, batch_format="pyarrow") \
+        .groupby("shard").map_groups(pack, batch_format="pyarrow")
+
+
+def _pack_waste_sql() -> str:
+    L = PACK_SEQ_LEN
+    S = PACK_WASTE_SHARDS
+    return f"""
+    WITH RECURSIVE t AS MATERIALIZED (
+      SELECT doc_id, doc_id % {S} AS shard,
+             length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> ''))::BIGINT AS n,
+             row_number() OVER (PARTITION BY doc_id % {S}
+                                ORDER BY doc_id)::BIGINT AS i
+      FROM documents),
+    st AS (
+      SELECT shard, 0::BIGINT AS i, 0::BIGINT AS bins, 0::BIGINT AS f
+      FROM (SELECT DISTINCT shard FROM t)
+      UNION ALL
+      SELECT st.shard, st.i + 1,
+             CASE WHEN t.n = 0 THEN st.bins
+                  WHEN st.f + t.n <= {L} THEN st.bins
+                  ELSE st.bins + (CASE WHEN st.f > 0 THEN 1 ELSE 0 END)
+                       + t.n // {L} END,
+             CASE WHEN t.n = 0 THEN st.f
+                  WHEN st.f + t.n <= {L} THEN st.f + t.n
+                  ELSE t.n % {L} END
+      FROM st JOIN t ON t.shard = st.shard AND t.i = st.i + 1),
+    fin AS (SELECT shard, bins, f FROM (
+              SELECT *, row_number() OVER (PARTITION BY shard
+                  ORDER BY i DESC) AS rn FROM st) WHERE rn = 1),
+    agg AS (SELECT shard, count(*)::BIGINT AS n_docs,
+                   sum(n)::BIGINT AS total_tokens
+            FROM t GROUP BY shard)
+    SELECT a.shard, a.n_docs, a.total_tokens,
+           (fin.bins + CASE WHEN fin.f > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_bins,
+           round(a.total_tokens / ((fin.bins +
+               CASE WHEN fin.f > 0 THEN 1 ELSE 0 END) * {L})::DOUBLE,
+               6) AS fill_rate
+    FROM agg a JOIN fin USING (shard) ORDER BY a.shard
+    """
+
+
+ORACLE_SQL["pack_waste"] = _pack_waste_sql()
+QUERIES["pack_waste"] = q_pack_waste
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on
