@@ -14065,6 +14065,59 @@ ORACLE_SQL["pack_waste"] = _pack_waste_sql()
 QUERIES["pack_waste"] = q_pack_waste
 
 
+def q_events_cusum_binseg(sf_dir):
+    """Binary-segmentation changepoints, depth 2 (the multi-changepoint
+    extension of events_cusum): changepoint 1 from the full exact-
+    integer scaled scan, changepoint 2 = the stronger of the two
+    within-segment scans (windows.daily_cusum_binseg)."""
+    from .windows import daily_cusum_binseg
+
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "value"])
+    return daily_cusum_binseg(ev)
+
+
+ORACLE_SQL["events_cusum_binseg"] = """
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             sum((floor(value * 100.0 + 0.5))::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1),
+    base AS (SELECT day, cents,
+                    row_number() OVER (ORDER BY day)::BIGINT AS rn
+             FROM d),
+    c AS (SELECT rn, day,
+                 ((SELECT count(*) FROM d)
+                  * sum(cents) OVER (ORDER BY day)
+                  - rn * (SELECT sum(cents) FROM d))::BIGINT AS cus
+          FROM base),
+    cp1 AS (SELECT rn, day, cus FROM c
+            ORDER BY abs(cus) DESC, day ASC LIMIT 1),
+    seg AS (SELECT day, cents, rn,
+                   CASE WHEN rn <= (SELECT rn FROM cp1)
+                        THEN 0 ELSE 1 END AS sg
+            FROM base),
+    sc AS (SELECT sg, day,
+                  ((count(*) OVER (PARTITION BY sg))
+                   * sum(cents) OVER (PARTITION BY sg ORDER BY day)
+                   - (row_number() OVER (PARTITION BY sg
+                                         ORDER BY day))
+                   * (sum(cents) OVER (PARTITION BY sg)))::BIGINT
+                      AS cus,
+                  count(*) OVER (PARTITION BY sg)::BIGINT AS n
+           FROM seg),
+    cand AS (SELECT sg, day, cus, n, row_number() OVER (
+                 PARTITION BY sg ORDER BY abs(cus) DESC, day ASC)
+                 AS rnk FROM sc),
+    cp2 AS (SELECT day, cus FROM cand WHERE rnk = 1 AND n >= 2
+            ORDER BY abs(cus) DESC, day ASC LIMIT 1)
+    SELECT rnk, day, cusum_scaled FROM (
+      SELECT 1::BIGINT AS rnk, day, cus AS cusum_scaled FROM cp1
+      UNION ALL
+      SELECT 2::BIGINT, day, cus FROM cp2) ORDER BY rnk
+"""
+QUERIES["events_cusum_binseg"] = q_events_cusum_binseg
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on

@@ -1604,6 +1604,61 @@ def daily_cusum_by_key(ds, key: str = "event_type", ts: str = "ts",
     return pd.concat(out, ignore_index=True)
 
 
+def daily_cusum_binseg(ds, ts: str = "ts", value: str = "value"):
+    """Binary segmentation, depth 2: daily_cusum's exact-integer scan
+    finds changepoint 1; the SAME statistic recomputed WITHIN each
+    side segment (its own n and total) proposes one candidate per
+    side, and changepoint 2 is the larger |cusum| of the two (ties:
+    earlier day).  Returns (rnk, day, cusum_scaled) for the two
+    changepoints — all integer, no float anywhere."""
+
+    def part(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        cents = np.floor(b[value].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        s = pd.Series(cents).groupby(day).sum()
+        return pa.table({"day": pa.array(s.index.to_numpy(np.int64)),
+                         "cents": pa.array(s.to_numpy(np.int64))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    d = parts.groupby("day", sort=True)["cents"].sum().reset_index()
+    days = d["day"].to_numpy(np.int64)
+    cents = d["cents"].to_numpy(np.int64)
+
+    def scan(lo: int, hi: int):
+        """(best_idx, best_cusum) of the scaled scan on [lo, hi)."""
+        seg = cents[lo:hi]
+        n = len(seg)
+        if n < 2:
+            return None
+        pref = np.cumsum(seg)
+        i = np.arange(1, n + 1, dtype=np.int64)
+        cus = n * pref - i * int(pref[-1])
+        b = int(np.argmax(np.abs(cus)))
+        return lo + b, int(cus[b])
+
+    first = scan(0, len(cents))
+    if first is None:
+        return pd.DataFrame({"rnk": pd.Series([], dtype=np.int64),
+                             "day": pd.Series([], dtype=np.int64),
+                             "cusum_scaled": pd.Series([],
+                                                       dtype=np.int64)})
+    c1, v1 = first
+    cands = [c for c in (scan(0, c1 + 1), scan(c1 + 1, len(cents)))
+             if c is not None]
+    rows = [(1, int(days[c1]), v1)]
+    if cands:
+        # larger |cusum| wins; ties to the earlier day
+        cands.sort(key=lambda t: (-abs(t[1]), days[t[0]]))
+        c2, v2 = cands[0]
+        rows.append((2, int(days[c2]), v2))
+    out = pd.DataFrame(rows, columns=["rnk", "day", "cusum_scaled"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def daily_anomalies_by_type(ds, ts: str = "ts",
                             etype: str = "event_type"):
     """Grouped anomaly screen: per-(event_type, day) counts z-scored

@@ -164,7 +164,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "doc_two_hop",
                                   "sketch_cms_error",
                                   "events_rate_change",
-                                  "pack_waste"])
+                                  "pack_waste",
+                                  "events_cusum_binseg"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
