@@ -14118,6 +14118,33 @@ ORACLE_SQL["events_cusum_binseg"] = """
 QUERIES["events_cusum_binseg"] = q_events_cusum_binseg
 
 
+def q_corpus_rank_sample(sf_dir):
+    """Centrality-gated corpus curation: keep the documents whose
+    round-6 PageRank clears the corpus P75 (exact quantile_disc order
+    statistic over the rank distribution, quantiles.exact_quantiles)
+    — graph signal meets corpus selection, the link-quality cut a
+    web-corpus build applies.  Returns (doc_id, rank) survivors."""
+    from .quantiles import exact_quantiles
+
+    ranks = q_doc_pagerank(sf_dir).materialize()
+    thr = float(exact_quantiles(ranks, "rank", [0.75])["val"].iloc[0])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["v"], "rank": b["rank"]}).filter(
+            pc.greater_equal(b["rank"], thr))
+
+    return ranks.map_batches(keep, batch_format="pyarrow")
+
+
+ORACLE_SQL["corpus_rank_sample"] = f"""
+    WITH pr AS MATERIALIZED ({_pagerank_sql(PR_ITERS, 6)}),
+    thr AS (SELECT quantile_disc(rank, 0.75) AS t FROM pr)
+    SELECT v AS doc_id, rank FROM pr
+    WHERE rank >= (SELECT t FROM thr)
+"""
+QUERIES["corpus_rank_sample"] = q_corpus_rank_sample
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on

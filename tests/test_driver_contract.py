@@ -165,7 +165,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "sketch_cms_error",
                                   "events_rate_change",
                                   "pack_waste",
-                                  "events_cusum_binseg"])
+                                  "events_cusum_binseg",
+                                  "corpus_rank_sample"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
