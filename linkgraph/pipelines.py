@@ -14145,6 +14145,51 @@ ORACLE_SQL["corpus_rank_sample"] = f"""
 QUERIES["corpus_rank_sample"] = q_corpus_rank_sample
 
 
+def q_web_tlds(sf_dir):
+    """TLD rollup over the canonical hosts: (tld, n_domains, n_docs) —
+    the registry-level breakdown a crawl-coverage review reads.  TLD =
+    the last dot label of the www-stripped host; domain distinct
+    counts are exact (the TLD x domain catalog is bounded)."""
+    from .web import canonicalize, domain_of, urls_from_batch
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dom = domain_of(canonicalize(urls_from_batch(d)))
+        tld = dom.str.rsplit(".", n=1).str[-1]
+        g = pd.DataFrame({"tld": tld, "domain": dom}) \
+            .groupby(["tld", "domain"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = docs.map_batches(part, batch_format="pyarrow").to_pandas()
+    d = parts.groupby(["tld", "domain"], sort=True)["n"].sum() \
+        .reset_index()
+    out = d.groupby("tld", sort=True).agg(
+        n_domains=("domain", "nunique"),
+        n_docs=("n", "sum")).reset_index()
+    out["n_domains"] = out["n_domains"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["web_tlds"] = f"""
+    WITH c AS ({_WEB_CANON_SQL}),
+    t AS (SELECT regexp_extract(canon,
+                 '^https://(?:www\\.)?([^/:?#]+)', 1) AS domain
+          FROM c),
+    x AS (SELECT domain,
+                 string_split(domain, '.')[-1] AS tld FROM t)
+    SELECT tld, count(DISTINCT domain)::BIGINT AS n_domains,
+           count(*)::BIGINT AS n_docs
+    FROM x GROUP BY tld ORDER BY tld
+"""
+QUERIES["web_tlds"] = q_web_tlds
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on
