@@ -14190,6 +14190,55 @@ ORACLE_SQL["web_tlds"] = f"""
 QUERIES["web_tlds"] = q_web_tlds
 
 
+def q_events_stickiness(sf_dir):
+    """Weekly engagement stickiness: per ISO-ish week (floor(day/7)),
+    WAU = distinct active users, mean-DAU = (sum over the week's days
+    of that day's distinct actives) / 7, stickiness = meanDAU / WAU —
+    the product-health ratio.  Exact integers until ONE float division
+    (round 6); (user, day) distinct partials into bounded week
+    buckets."""
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "user_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"day": day, "u": u}).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    # (day, user) pairs are corpus-bounded (users x days); the distinct
+    # fold happens once on the driver frame of per-batch uniques
+    pairs = ev.map_batches(part, batch_format="pyarrow").to_pandas() \
+        .drop_duplicates()
+    pairs["week"] = pairs["day"] // 7
+    rows = []
+    for w, g in pairs.groupby("week", sort=True):
+        wau = int(g["u"].nunique())
+        dau_sum = int(g.drop_duplicates(["day", "u"]).shape[0])
+        rows.append({"week": int(w), "wau": wau,
+                     "dau_day_sum": dau_sum,
+                     "stickiness": round(dau_sum / 7.0 / wau, 6)})
+    out = pd.DataFrame(rows)
+    for c in ("week", "wau", "dau_day_sum"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["events_stickiness"] = """
+    WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                      user_id FROM events),
+    w AS (SELECT day // 7 AS week, day, user_id FROM p)
+    SELECT week, count(DISTINCT user_id)::BIGINT AS wau,
+           count(*)::BIGINT AS dau_day_sum,
+           round(count(*) / 7.0 / count(DISTINCT user_id), 6)
+               AS stickiness
+    FROM w GROUP BY week ORDER BY week
+"""
+QUERIES["events_stickiness"] = q_events_stickiness
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on
