@@ -14239,6 +14239,101 @@ ORACLE_SQL["events_stickiness"] = """
 QUERIES["events_stickiness"] = q_events_stickiness
 
 
+def q_events_user_concentration(sf_dir):
+    """Power-user concentration (the activity twin of
+    events_value_concentration): share of ALL events generated by the
+    top decile of users (k = max(1, n_users // 10), ranked by event
+    count DESC then user_id ASC — deterministic boundary).  Exact
+    integers + one float division.  Per-user counts from coarse
+    user-bucket partials; only the k boundary rows matter, folded on
+    the driver from per-bucket (count, user) partial top-ks."""
+    from .algos.triangles import n_buckets_for
+    from .runtime import counted
+
+    ev, n_ev = counted(read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]))
+    nb = n_buckets_for(n_ev)
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, c = np.unique(u, return_counts=True)
+        return pa.table({"u": pa.array(uu),
+                         "c": pa.array(c.astype(np.int64)),
+                         "ub": pa.array((uu % nb).astype(np.int64))})
+
+    def per_user(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        cc = np.bincount(inv, weights=c.astype(np.float64),
+                         minlength=len(uu)).astype(np.int64)
+        return pa.table({"u": pa.array(uu), "c": pa.array(cc)})
+
+    pu = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("ub").map_groups(per_user, batch_format="pyarrow") \
+        .to_pandas()
+    n_users = len(pu)
+    k = max(1, n_users // 10)
+    o = np.lexsort((pu["u"].to_numpy(np.int64),
+                    -pu["c"].to_numpy(np.int64)))
+    top = int(pu["c"].to_numpy(np.int64)[o][:k].sum())
+    return pd.DataFrame({
+        "n_users": np.array([n_users], np.int64),
+        "top_decile_users": np.array([k], np.int64),
+        "top_decile_events": np.array([top], np.int64),
+        "total_events": np.array([n_ev], np.int64),
+        "top_decile_share": [round(top / n_ev, 6)]})
+
+
+ORACLE_SQL["events_user_concentration"] = """
+    WITH pu AS (SELECT user_id, count(*)::BIGINT AS c FROM events
+                GROUP BY user_id),
+    nn AS (SELECT count(*)::BIGINT AS n_users,
+                  greatest(1, count(*) // 10)::BIGINT AS k FROM pu),
+    r AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id ASC)
+              AS rn FROM pu)
+    SELECT nn.n_users, nn.k AS top_decile_users,
+           (SELECT sum(c) FROM r WHERE rn <= nn.k)::BIGINT
+               AS top_decile_events,
+           (SELECT count(*) FROM events)::BIGINT AS total_events,
+           round((SELECT sum(c) FROM r WHERE rn <= nn.k)
+                 / (SELECT count(*) FROM events)::DOUBLE, 6)
+               AS top_decile_share
+    FROM nn
+"""
+QUERIES["events_user_concentration"] = q_events_user_concentration
+
+
+def q_doc_degree_quantiles(sf_dir):
+    """Degree-distribution quantiles (P50/P90/P99) of the symmetric doc
+    graph — quantile_disc order statistics over the exact integer
+    degree table (quantiles.exact_quantiles), isolated vertices
+    excluded (degree table covers edge-touching vertices only)."""
+    from .edges import degree_table, symmetrize
+    from .quantiles import exact_quantiles
+
+    deg = degree_table(symmetrize(documents_edges(sf_dir)), "src")
+    out = exact_quantiles(deg, "degree", [0.5, 0.9, 0.99])
+    out["val"] = out["val"].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["doc_degree_quantiles"] = f"""
+    WITH e AS MATERIALIZED ({DOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e
+            UNION ALL SELECT dst AS src, src AS dst FROM e),
+    deg AS (SELECT src AS v, count(*)::BIGINT AS degree FROM sym
+            GROUP BY src)
+    SELECT 0.5 AS q, quantile_disc(degree, 0.5)::BIGINT AS val FROM deg
+    UNION ALL
+    SELECT 0.9, quantile_disc(degree, 0.9)::BIGINT FROM deg
+    UNION ALL
+    SELECT 0.99, quantile_disc(degree, 0.99)::BIGINT FROM deg
+    ORDER BY q
+"""
+QUERIES["doc_degree_quantiles"] = q_doc_degree_quantiles
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on

@@ -168,7 +168,9 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "events_cusum_binseg",
                                   "corpus_rank_sample",
                                   "web_tlds",
-                                  "events_stickiness"])
+                                  "events_stickiness",
+                                  "events_user_concentration",
+                                  "doc_degree_quantiles"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
