@@ -21,7 +21,7 @@ hyperplanes / unrolled k-means centroids from the same seeds
 (_ann_lsh_sql / _ann_ivf_sql), the media stub-decode lanes are
 sha256-derived in SQL, and the iterative trainers (BPE merges,
 unigram-LM Viterbi EM, k-means, Louvain/Leiden, percolation CC) are
-unrolled CTE chains — 342 queries, 342 oracles as of round 5.
+unrolled CTE chains — 343 queries, 343 oracles as of round 5.
 """
 
 from __future__ import annotations

@@ -14334,6 +14334,50 @@ ORACLE_SQL["doc_degree_quantiles"] = f"""
 QUERIES["doc_degree_quantiles"] = q_doc_degree_quantiles
 
 
+def q_tpch_quantity_hist(sf_dir):
+    """Order-quantity histogram over lineitem: (l_quantity, n_items,
+    revenue_cents) per integer quantity — the distribution profile a
+    demand model reads.  Revenue in EXACT integer cents
+    (floor(extendedprice * (1 - discount) * 100 + 0.5) per line), so
+    no float association anywhere; bounded-domain map-side bincount
+    partials + driver merge."""
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"])
+
+    def part(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5) \
+            .astype(np.int64)
+        uq, inv = np.unique(q, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uq)).astype(np.int64)
+        rc = np.bincount(inv, weights=cents.astype(np.float64),
+                         minlength=len(uq)).astype(np.int64)
+        return pa.table({"l_quantity": pa.array(uq),
+                         "n_items": pa.array(n),
+                         "revenue_cents": pa.array(rc)})
+
+    parts = li.map_batches(part, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("l_quantity", sort=True)[
+        ["n_items", "revenue_cents"]].sum().reset_index()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+ORACLE_SQL["tpch_quantity_hist"] = """
+    SELECT l_quantity::BIGINT AS l_quantity,
+           count(*)::BIGINT AS n_items,
+           sum((floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                + 0.5))::BIGINT)::BIGINT AS revenue_cents
+    FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+QUERIES["tpch_quantity_hist"] = q_tpch_quantity_hist
+
+
 def q_doc_fiedler(sf_dir):
     """Spectral bisection of the largest connected component
     (algos/fiedler.py): deflated power iteration on

@@ -170,7 +170,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
                                   "web_tlds",
                                   "events_stickiness",
                                   "events_user_concentration",
-                                  "doc_degree_quantiles"])
+                                  "doc_degree_quantiles",
+                                  "tpch_quantity_hist"])
 def test_fast_queries_match_oracle(entrymod, con, sf_dir, name):
     mine = _pdf(entrymod.queries()[name](sf_dir))
     want = con.sql(entrymod.oracle_sql()[name]).df()
